@@ -1,0 +1,57 @@
+"""jsonschema_validator_ray — a Ray-Data-native schema + constraint
+validation engine.
+
+A brand-new engine (NOT a port) with the query/data-processing capabilities of
+songzhibin97/jsonschema-validator (reference snapshot at /root/reference),
+re-expressed Ray-Data-first:
+
+- declarative constraint DSL (all reference keywords, SURVEY.md §2.1/2.2)
+  compiled on the driver to vectorized Arrow predicates (``plan.py``);
+- one ``Dataset.map_batches`` actor-pool stage evaluating the plan over
+  zero-copy Arrow batches, emitting verdicts + violations (``stages/validate``);
+- a per-value recursive engine for nested/dynamic-JSON documents and for
+  conformance parity with the reference's Go test tables (``value_engine``);
+- table-level checks: column stats + sketches, uniqueness, referential,
+  distribution drift (``stages/``, ``state/``);
+- webtext synthesis, resumable Parquet sink with lineage, dedup / similarity /
+  text-analysis pipeline stages for large-scale training-data work.
+
+IMPORTANT: nothing in this package calls ``ray.init``/``ray.shutdown`` — the
+hosting process (driver, bench.py, pytest fixture) owns the Ray session.
+"""
+
+from .errors import (
+    ErrorFormat,
+    Mode,
+    SchemaError,
+    ValidationError,
+    ValidationResult,
+    format_errors,
+)
+from .formats import FORMAT_VALIDATORS, register_format
+from .registry import Registry, RegistryError
+from .schema import CompiledSchema, compile_schema, parse_schema
+from .value_engine import Options, ValueEngine, check_type, json_type_of, to_float
+
+__all__ = [
+    "ErrorFormat",
+    "Mode",
+    "SchemaError",
+    "ValidationError",
+    "ValidationResult",
+    "format_errors",
+    "FORMAT_VALIDATORS",
+    "register_format",
+    "Registry",
+    "RegistryError",
+    "CompiledSchema",
+    "compile_schema",
+    "parse_schema",
+    "Options",
+    "ValueEngine",
+    "check_type",
+    "json_type_of",
+    "to_float",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,52 @@
+"""Shared pytest fixtures. Ray is initialised ONCE per session."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+    except Exception:
+        pass
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture()
+def engine():
+    from jsonschema_validator_ray import Options, ValueEngine
+
+    return ValueEngine(Options())
+
+
+@pytest.fixture()
+def loose_engine():
+    from jsonschema_validator_ray import Mode, Options, ValueEngine
+
+    return ValueEngine(Options(mode=Mode.LOOSE))
