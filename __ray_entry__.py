@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native validation engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship pipeline on /root/testdata/sf0.001 (smoke check).
+- ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2);
+  each callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query key (correctness gate).
+  Column names match the Ray outputs exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +15,30 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: vectorized constraint validation over the documents table →
+    per-row verdicts (doc_id, valid, error_count)."""
+    from jsonschema_validator_ray.pipelines import documents as docs
+
+    return docs.documents_verdicts(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from jsonschema_validator_ray.pipelines import documents as docs
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "verdict_documents": docs.documents_verdicts,
+        "violations_documents": docs.documents_violations,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsonschema_validator_ray.pipelines import documents as docs
+
+    return {
+        "verdict_documents": docs.VERDICTS_SQL,
+        "violations_documents": docs.VIOLATIONS_SQL,
+    }

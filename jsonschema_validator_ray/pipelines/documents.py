@@ -1,0 +1,100 @@
+"""Validation pipelines over the ``documents`` testdata table
+(``doc_id:int64, text:string, lang:string, source:string, n_chars:int64``).
+
+The flagship row-level pipeline: read (column-pruned) → one vectorized
+``map_batches`` validation pass → verdicts + violations. Mirrors the
+reference's per-document pass/fail contract
+(`/root/reference/validator/validator.go:289-317`) at table scale.
+
+Constraint suite chosen so the verdict mix is non-trivial on the synthetic
+corpus (byte-length, enum, pattern, numeric bounds all fire).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..errors import Mode
+from ..stages.validate import BatchValidator, flatten_violations, verdicts_only
+
+# The flagship constraint suite. minLength/maxLength are BYTE lengths
+# (reference `/root/reference/rules/string.go:29` — Go len()).
+DOCUMENTS_SCHEMA = {
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 100, "maxLength": 400},
+        "lang": {"type": "string", "enum": ["en", "de", "fr", "es"]},
+        "source": {"type": "string", "pattern": "^src[0-9]$"},
+        "n_chars": {"type": "integer", "minimum": 50, "multipleOf": 1},
+    },
+}
+
+COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def read_documents(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=COLUMNS)
+
+
+def validate_documents(sf_dir: str, *, batch_size: int = 32768):
+    """→ combined dataset (doc_id, valid, error_count, violations)."""
+    ds = read_documents(sf_dir)
+    validator = BatchValidator(DOCUMENTS_SCHEMA, "doc_id")
+    return ds.map_batches(validator, batch_format="pyarrow", batch_size=batch_size)
+
+
+def documents_verdicts(sf_dir: str):
+    """→ (doc_id, valid, error_count)."""
+    return verdicts_only(validate_documents(sf_dir))
+
+
+def documents_violations(sf_dir: str):
+    """→ (doc_id, constraint_id) violation rows, keyed per north star."""
+    return flatten_violations(validate_documents(sf_dir)) \
+        .select_columns(["doc_id", "constraint_id"])
+
+
+# DuckDB oracle equivalents (driver correctness gate). Column names match the
+# Ray outputs exactly; octet_length = byte semantics.
+VERDICTS_SQL = """
+SELECT doc_id,
+       (doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        AND (text IS NULL OR (strlen(text) >= 100 AND strlen(text) <= 400))
+        AND (lang IS NULL OR lang IN ('en','de','fr','es'))
+        AND (source IS NULL OR regexp_matches(source, '^src[0-9]$'))
+        AND (n_chars IS NULL OR n_chars >= 50)
+        AND (doc_id IS NULL OR doc_id >= 0)) AS valid,
+       CAST(
+         (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN doc_id IS NOT NULL AND doc_id < 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NOT NULL AND strlen(text) < 100 THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NOT NULL AND strlen(text) > 400 THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)
+       + (CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$') THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS NOT NULL AND n_chars < 50 THEN 1 ELSE 0 END)
+       AS INTEGER) AS error_count
+FROM documents
+"""
+
+VIOLATIONS_SQL = """
+SELECT doc_id, 'required:doc_id' AS constraint_id FROM documents WHERE doc_id IS NULL
+UNION ALL
+SELECT doc_id, 'required:text' FROM documents WHERE text IS NULL
+UNION ALL
+SELECT doc_id, 'required:lang' FROM documents WHERE lang IS NULL
+UNION ALL
+SELECT doc_id, 'minimum:doc_id' FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+UNION ALL
+SELECT doc_id, 'minLength:text' FROM documents WHERE text IS NOT NULL AND strlen(text) < 100
+UNION ALL
+SELECT doc_id, 'maxLength:text' FROM documents WHERE text IS NOT NULL AND strlen(text) > 400
+UNION ALL
+SELECT doc_id, 'enum:lang' FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+UNION ALL
+SELECT doc_id, 'pattern:source' FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+UNION ALL
+SELECT doc_id, 'minimum:n_chars' FROM documents WHERE n_chars IS NOT NULL AND n_chars < 50
+"""

@@ -1,0 +1,383 @@
+"""Column-regime constraint plan: declarative schema → vectorized Arrow predicates.
+
+This is the 100-TB hot path. A table schema in the same DSL as the value
+engine (top-level ``required`` + ``properties`` mapping COLUMN names to
+per-column keyword schemas) compiles ONCE on the driver into a
+:class:`TablePlan` — a list of closures ``pa.Table -> pa.BooleanArray``
+(True = row passes). The plan is shipped to workers once (actor ``__init__``
+/ closure capture), never per batch; every kernel is ``pyarrow.compute``
+(zero-copy from the object store) with no Python loop over rows except the
+documented per-row format fallbacks (email parity etc.).
+
+Reference mapping (SURVEY.md §2.1 right column): the reference evaluates one
+``RuleFunc`` per document node (`/root/reference/rules/rule.go:12`); here each
+(column, keyword) pair becomes one vectorized predicate over the whole batch.
+
+Null semantics in the column regime: a NULL cell = "property absent", so
+scalar constraints PASS on null (JSON-Schema applies keywords only to present
+values — the reference's ``properties`` recursion skips absent properties,
+`/root/reference/validator/validator.go:407`), and ``required`` = not-null
+(`pc.is_valid`). A column missing from the table entirely fails ``required``
+for every row.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .errors import Mode, SchemaError
+from .formats import FORMAT_VALIDATORS
+from .schema import CompiledSchema, compile_schema
+
+MaskFn = Callable[[pa.Table], pa.Array]
+
+# Formats with a fully vectorized Arrow implementation; the rest fall back to
+# the scalar functions in formats.py applied per row (still batched).
+_VEC_FORMAT_REGEX = {
+    "uuid": r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$",
+    "hostname": (r"^([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])"
+                 r"(\.([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9]))*$"),
+    "ipv4": (r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+             r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"),
+    "email": (r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
+              r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+              r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"),
+}
+
+_ARROW_OK = {
+    "string": (pa.types.is_string, pa.types.is_large_string),
+    "number": (pa.types.is_floating, pa.types.is_integer),
+    "integer": (pa.types.is_integer,),
+    "boolean": (pa.types.is_boolean,),
+    "array": (pa.types.is_list, pa.types.is_large_list),
+    "object": (pa.types.is_struct, pa.types.is_map),
+    "null": (pa.types.is_null,),
+}
+
+
+@dataclass
+class CompiledConstraint:
+    """One vectorized predicate. ``constraint_id`` keys violation rows per the
+    north star ``(key, constraint_id)``."""
+
+    constraint_id: str
+    column: str
+    tag: str
+    message: str
+    param: str
+    fn: MaskFn  # returns pass-mask aligned with the batch (no nulls)
+
+    def pass_mask(self, batch: pa.Table) -> pa.Array:
+        m = self.fn(batch)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return m
+
+
+@dataclass
+class TablePlan:
+    """Compiled plan for one table. ``key_column`` identifies rows in verdict
+    / violation output (``url`` for webtext, ``doc_id`` for documents...)."""
+
+    key_column: str
+    constraints: list[CompiledConstraint] = field(default_factory=list)
+
+    @property
+    def constraint_ids(self) -> list[str]:
+        return [c.constraint_id for c in self.constraints]
+
+
+def _str_col(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return col
+    return pc.cast(col, pa.large_string())
+
+
+def _pass_on_null(col, mask):
+    """Scalar constraints pass on null cells (absent property)."""
+    return pc.fill_null(pc.or_kleene(pc.is_null(col), mask), True)
+
+
+def _all_const(n_fn_input_ignored: bool):
+    val = n_fn_input_ignored
+
+    def fn(batch: pa.Table) -> pa.Array:
+        return pa.array(np.full(batch.num_rows, val, dtype=bool))
+
+    return fn
+
+
+def _byte_length(col):
+    # pc.binary_length counts BYTES on string arrays (Go len(str) parity,
+    # `/root/reference/rules/string.go:29`); pc.utf8_length would count
+    # codepoints — wrong here.
+    return pc.binary_length(_str_col(col))
+
+
+def _format_mask(col, fmt: str):
+    rx = _VEC_FORMAT_REGEX.get(fmt)
+    s = _str_col(col)
+    if fmt == "uuid":
+        return pc.match_substring_regex(pc.utf8_lower(s), rx)
+    if fmt == "hostname":
+        return pc.and_kleene(
+            pc.match_substring_regex(s, rx),
+            pc.less_equal(pc.binary_length(s), 255),
+        )
+    if rx is not None:
+        return pc.match_substring_regex(s, rx)
+    if fmt in ("date", "time"):
+        # strptime rolls invalid dates over (2023-02-30 → 2023-03-02), so
+        # round-trip through strftime and require byte equality.
+        f = "%Y-%m-%d" if fmt == "date" else "%H:%M:%S"
+        parsed = pc.strptime(s, format=f, unit="us", error_is_null=True)
+        back = pc.strftime(parsed, format=f)
+        return pc.and_kleene(pc.is_valid(parsed), pc.equal(back, s))
+    # per-row scalar fallback (date-time, uri, ipv6, custom): still batched —
+    # one Python pass over the batch, not one task per row.
+    check = FORMAT_VALIDATORS.get(fmt)
+    if check is None:
+        raise SchemaError(f"unknown format: {fmt}")
+
+    def fallback(values: pa.ChunkedArray) -> pa.Array:
+        return pa.array(
+            [None if v is None else check(v) for v in values.to_pylist()],
+            type=pa.bool_(),
+        )
+
+    return fallback(s if isinstance(s, pa.ChunkedArray) else pa.chunked_array([s]))
+
+
+def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
+                   mode: Mode) -> MaskFn | None:
+    """Build the pass-mask closure for one (column, keyword). Returns None for
+    keywords that are trivially satisfied given the Arrow column type
+    (resolved at compile time — e.g. ``type: string`` on a string column)."""
+
+    if kw == "type":
+        types = [sv] if isinstance(sv, str) else list(sv)
+        if col_type is None:
+            # Arrow schema unknown at compile time: resolve against the first
+            # batch's schema and cache the specialized kernel.
+            cache: dict[str, MaskFn | None] = {}
+
+            def dispatch(batch: pa.Table) -> pa.Array:
+                if "k" not in cache:
+                    ct = (batch.schema.field(column).type
+                          if column in batch.column_names else None)
+                    cache["k"] = _column_kernel(column, kw, sv, ct, mode) \
+                        if ct is not None else _all_const(False)
+                inner = cache["k"]
+                if inner is None:  # statically conformant
+                    return pa.array(np.ones(batch.num_rows, dtype=bool))
+                return inner(batch)
+
+            return dispatch
+        static = False
+        for t in types:
+            checks = _ARROW_OK.get(t, ())
+            if any(chk(col_type) for chk in checks):
+                static = True
+        if static:
+            return None  # conforms by schema; nulls are "absent", not type errors
+        # integer-as-float (`/root/reference/rules/type.go:96-99`)
+        if "integer" in types and pa.types.is_floating(col_type):
+            def fn(batch: pa.Table) -> pa.Array:
+                col = batch.column(column)
+                return _pass_on_null(col, pc.equal(pc.floor(col), col))
+            return fn
+        if "number" in types and pa.types.is_timestamp(col_type):
+            return _all_const(False)
+        return _all_const(False)
+
+    if kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+        op = {"minimum": pc.greater_equal, "maximum": pc.less_equal,
+              "exclusiveMinimum": pc.greater, "exclusiveMaximum": pc.less}[kw]
+
+        def fn(batch: pa.Table) -> pa.Array:
+            col = batch.column(column)
+            return _pass_on_null(col, op(col, sv))
+        return fn
+
+    if kw == "multipleOf":
+        def fn(batch: pa.Table) -> pa.Array:
+            col = batch.column(column)
+            ratio = pc.divide(pc.cast(col, pa.float64()), sv)
+            ok = pc.less_equal(
+                pc.abs(pc.subtract(ratio, pc.round(ratio))), 1e-10)
+            return _pass_on_null(col, ok)
+        return fn
+
+    if kw in ("minLength", "maxLength"):
+        op = pc.greater_equal if kw == "minLength" else pc.less_equal
+
+        def fn(batch: pa.Table) -> pa.Array:
+            col = batch.column(column)
+            return _pass_on_null(col, op(_byte_length(col), sv))
+        return fn
+
+    if kw == "pattern":
+        def fn(batch: pa.Table) -> pa.Array:
+            col = batch.column(column)
+            return _pass_on_null(col, pc.match_substring_regex(_str_col(col), sv))
+        return fn
+
+    if kw == "enum":
+        value_set = pa.array(sv)
+
+        def fn(batch: pa.Table) -> pa.Array:
+            col = batch.column(column)
+            return _pass_on_null(col, pc.is_in(col, value_set=value_set))
+        return fn
+
+    if kw == "format":
+        if sv not in FORMAT_VALIDATORS and sv not in _VEC_FORMAT_REGEX:
+            if mode is Mode.LOOSE:
+                return None
+            return _all_const(False)
+
+        def fn(batch: pa.Table) -> pa.Array:
+            col = batch.column(column)
+            return _pass_on_null(col, _format_mask(col, sv))
+        return fn
+
+    if kw in ("minItems", "maxItems"):
+        op = pc.greater_equal if kw == "minItems" else pc.less_equal
+
+        def fn(batch: pa.Table) -> pa.Array:
+            col = batch.column(column)
+            return _pass_on_null(col, op(pc.list_value_length(col), sv))
+        return fn
+
+    if kw == "uniqueItems":
+        if not sv:
+            return None
+
+        def fn(batch: pa.Table) -> pa.Array:
+            # per-row distinct count == list length, via flatten +
+            # (parent index, value) dedup — no Python loop.
+            col = batch.column(column)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lengths = pc.list_value_length(col)
+            parent = pc.list_parent_indices(col)
+            flat = pc.list_flatten(col)
+            pairs = pa.table({"p": parent, "v": flat})
+            distinct = pairs.group_by(["p", "v"]).aggregate([]) \
+                            .group_by("p").aggregate([("v", "count")])
+            ok = np.ones(len(col), dtype=bool)
+            idx = distinct.column("p").to_numpy(zero_copy_only=False)
+            cnt = distinct.column("v_count").to_numpy(zero_copy_only=False)
+            lens = lengths.fill_null(0).to_numpy(zero_copy_only=False)
+            ok[idx] = cnt == lens[idx]
+            return _pass_on_null(col, pa.array(ok))
+        return fn
+
+    # Keywords that need per-value recursion (nested objects, logical
+    # combinators over sub-schemas, conditionals) are handled by the
+    # dynamic-regime stage (stages/validate.py JsonColumnValidator), not the
+    # flat column plan.
+    raise SchemaError(f"keyword {kw!r} is not supported in the flat column plan; "
+                      f"use the dynamic-JSON regime for column {column!r}")
+
+
+# human-readable message templates, matching the reference's wording
+_MESSAGES = {
+    "required": "required property '{column}' is missing",
+    "type": "value is not of expected type {param}",
+    "minimum": "less than minimum {param}",
+    "maximum": "greater than maximum {param}",
+    "exclusiveMinimum": "less than or equal to exclusive minimum {param}",
+    "exclusiveMaximum": "greater than or equal to exclusive maximum {param}",
+    "multipleOf": "value is not a multiple of {param}",
+    "minLength": "length less than minimum {param}",
+    "maxLength": "length greater than maximum {param}",
+    "pattern": "does not match pattern {param}",
+    "enum": "value must be one of: {param}",
+    "format": "invalid {param} format",
+    "minItems": "fewer items than minimum {param}",
+    "maxItems": "more items than maximum {param}",
+    "uniqueItems": "contains duplicate items",
+}
+
+
+def compile_table_plan(table_schema: dict | str | CompiledSchema,
+                       key_column: str,
+                       arrow_schema: pa.Schema | None = None,
+                       mode: Mode = Mode.STRICT) -> TablePlan:
+    """Compile a table-level schema into a vectorized plan.
+
+    ``table_schema`` uses the same DSL as the value engine: top-level
+    ``required`` lists non-null columns; ``properties`` maps column name →
+    scalar keyword schema. ``arrow_schema`` (if given) resolves ``type``
+    keywords at compile time and detects missing columns.
+    """
+    compiled = (table_schema if isinstance(table_schema, CompiledSchema)
+                else compile_schema(table_schema, mode))
+    plan = TablePlan(key_column=key_column)
+
+    cols_present: dict[str, pa.DataType] = {}
+    if arrow_schema is not None:
+        cols_present = {f.name: f.type for f in arrow_schema}
+
+    for req in compiled.get("required", []):
+        if arrow_schema is not None and req not in cols_present:
+            fn: MaskFn = _all_const(False)
+        else:
+            def fn(batch: pa.Table, _c=req) -> pa.Array:
+                if _c not in batch.column_names:
+                    return pa.array(np.zeros(batch.num_rows, dtype=bool))
+                return pc.fill_null(pc.is_valid(batch.column(_c)), False)
+        plan.constraints.append(CompiledConstraint(
+            constraint_id=f"required:{req}", column=req, tag="required",
+            message=_MESSAGES["required"].format(column=req), param="",
+            fn=fn))
+
+    for column, sub in (compiled.get("properties") or {}).items():
+        col_type = cols_present.get(column)
+        for kw, sv in sub.keywords.items():
+            if kw in ("title", "description", "default", "examples",
+                      "$id", "$schema", "$comment"):
+                continue
+            kernel = _column_kernel(column, kw, sv, col_type, mode)
+            if kernel is None:
+                continue
+            param = ", ".join(sv) if kw == "enum" and isinstance(sv, list) else str(sv)
+            if kw == "format":
+                param = str(sv)
+            plan.constraints.append(CompiledConstraint(
+                constraint_id=f"{kw}:{column}", column=column, tag=kw,
+                message=_MESSAGES.get(kw, "validation failed for keyword " + kw)
+                        .format(column=column, param=param),
+                param=param, fn=kernel))
+
+    return plan
+
+
+def evaluate_plan(plan: TablePlan, batch: pa.Table) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Evaluate all constraints over one batch.
+
+    Returns ``(valid, error_count, fail_indices_per_constraint)`` where
+    ``valid`` is a bool ndarray, ``error_count`` int32 ndarray, and the list
+    holds, per constraint, the row indices that failed it (for violation
+    emission)."""
+    n = batch.num_rows
+    valid = np.ones(n, dtype=bool)
+    error_count = np.zeros(n, dtype=np.int32)
+    fails: list[np.ndarray] = []
+    for c in plan.constraints:
+        mask = c.pass_mask(batch)
+        m = mask.to_numpy(zero_copy_only=False)
+        failed = np.flatnonzero(~m)
+        fails.append(failed)
+        if failed.size:
+            valid[failed] = False
+            error_count[failed] += 1
+    return valid, error_count, fails

@@ -1,0 +1,200 @@
+"""Row-level validation stages (Ray Data map_batches).
+
+Two regimes (SURVEY.md §1.3):
+
+- **Typed-column regime** (:class:`BatchValidator`): a :class:`TablePlan` of
+  vectorized Arrow predicates evaluated over zero-copy ``pyarrow`` batches.
+  One pass emits BOTH per-row verdicts and a ``violations: list<struct>``
+  column; :func:`flatten_violations` explodes the list column into the
+  violations table ``(key, constraint_id, column, tag, message)`` and
+  :func:`verdicts_only` projects the verdicts table — so the input is read
+  once even when both outputs are consumed (write the combined output, or
+  branch the Dataset; each violation row costs a few strings, never the
+  full document).
+
+- **Dynamic-JSON regime** (:class:`JsonColumnValidator`): a string column of
+  nested JSON documents validated per row by the conformance
+  :class:`~jsonschema_validator_ray.value_engine.ValueEngine` — schema
+  compiled ONCE in the actor's ``__init__`` (the reference re-uses its
+  compiled schema through a cache, `/root/reference/validator/validator.go:296-313`;
+  here the actor pool IS the cache), rows looped inside the batch (this
+  regime is inherently per-document, like the reference itself).
+
+Both are callable classes → Ray actor pools: pass
+``concurrency=N, batch_size=B`` to ``map_batches``; setup cost (plan
+compile, regex compile) is paid once per actor, not per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import Mode
+from ..plan import TablePlan, compile_table_plan, evaluate_plan
+from ..schema import CompiledSchema, schema_to_json
+from ..value_engine import Options, ValueEngine
+
+VIOLATION_TYPE = pa.struct([
+    ("constraint_id", pa.string()),
+    ("column", pa.string()),
+    ("tag", pa.string()),
+    ("message", pa.string()),
+])
+
+
+class BatchValidator:
+    """Actor-pool stage: ``pa.Table`` batch → verdicts + violations-list.
+
+    Output schema: ``(key, valid: bool, error_count: int32,
+    violations: list<struct<constraint_id, column, tag, message>>)``.
+    """
+
+    def __init__(self, table_schema: dict | str, key_column: str,
+                 mode: Mode = Mode.STRICT,
+                 arrow_schema: pa.Schema | None = None):
+        # compiled once per actor (never per batch)
+        self.plan: TablePlan = compile_table_plan(
+            table_schema, key_column, arrow_schema=arrow_schema, mode=mode)
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        plan = self.plan
+        n = batch.num_rows
+        valid, error_count, fails = evaluate_plan(plan, batch)
+
+        # Build the per-row violations list column without a Python row loop:
+        # concatenate per-constraint failure index arrays, sort by row, and
+        # wrap as a ListArray over the gathered struct children.
+        idx_parts, const_parts = [], []
+        for ci, failed in enumerate(fails):
+            if failed.size:
+                idx_parts.append(failed)
+                const_parts.append(np.full(failed.size, ci, dtype=np.int64))
+        if idx_parts:
+            rows = np.concatenate(idx_parts)
+            consts = np.concatenate(const_parts)
+            order = np.argsort(rows, kind="stable")
+            rows, consts = rows[order], consts[order]
+            counts = np.bincount(rows, minlength=n)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            ids = pa.array([plan.constraints[c].constraint_id for c in consts])
+            cols = pa.array([plan.constraints[c].column for c in consts])
+            tags = pa.array([plan.constraints[c].tag for c in consts])
+            msgs = pa.array([plan.constraints[c].message for c in consts])
+            struct = pa.StructArray.from_arrays(
+                [ids, cols, tags, msgs],
+                fields=list(VIOLATION_TYPE))
+            viol = pa.ListArray.from_arrays(pa.array(offsets), struct)
+        else:
+            viol = pa.array([[]] * n, type=pa.list_(VIOLATION_TYPE))
+
+        key = batch.column(self.key_column)
+        return pa.table({
+            self.key_column: key,
+            "valid": pa.array(valid),
+            "error_count": pa.array(error_count, type=pa.int32()),
+            "violations": viol,
+        })
+
+
+class JsonColumnValidator:
+    """Actor-pool stage for nested/dynamic JSON documents held in a string
+    column. Same output schema as :class:`BatchValidator`."""
+
+    def __init__(self, schema: dict | str | CompiledSchema, key_column: str,
+                 json_column: str, mode: Mode = Mode.STRICT,
+                 stop_on_first_error: bool = False):
+        from ..schema import compile_schema
+
+        if isinstance(schema, CompiledSchema):
+            schema = schema_to_json(schema)
+        self.compiled = compile_schema(schema, mode)
+        self.engine = ValueEngine(Options(mode=mode,
+                                          stop_on_first_error=stop_on_first_error))
+        self.key_column = key_column
+        self.json_column = json_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        docs = batch.column(self.json_column).to_pylist()
+        valid = np.ones(len(docs), dtype=bool)
+        counts = np.zeros(len(docs), dtype=np.int32)
+        viols: list[list[dict[str, Any]]] = []
+        for i, doc in enumerate(docs):
+            if doc is None:
+                viols.append([])
+                continue
+            try:
+                value = json.loads(doc)
+            except json.JSONDecodeError:
+                valid[i] = False
+                counts[i] = 1
+                viols.append([{"constraint_id": "parse:$", "column": self.json_column,
+                               "tag": "parse", "message": "invalid JSON document"}])
+                continue
+            r = self.engine.validate(value, self.compiled)
+            valid[i] = r.valid
+            counts[i] = r.error_count
+            viols.append([
+                {"constraint_id": e.constraint_id, "column": self.json_column,
+                 "tag": e.tag, "message": e.message}
+                for e in r.errors
+            ])
+        return pa.table({
+            self.key_column: batch.column(self.key_column),
+            "valid": pa.array(valid),
+            "error_count": pa.array(counts, type=pa.int32()),
+            "violations": pa.array(viols, type=pa.list_(VIOLATION_TYPE)),
+        })
+
+
+def validate_dataset(ds, table_schema: dict | str, key_column: str,
+                     mode: Mode = Mode.STRICT, *,
+                     batch_size: int | None = 32768,
+                     concurrency: int | None = None,
+                     num_cpus: float = 1.0):
+    """Run the typed-column plan over a Dataset → combined verdicts dataset.
+
+    Stateless-task form by default (the plan is tiny and pure); pass
+    ``concurrency=N`` to pin an actor pool instead — worth it when the plan
+    carries heavy state (large enums / broadcast dictionaries).
+    """
+    kwargs: dict[str, Any] = dict(batch_format="pyarrow", batch_size=batch_size,
+                                  num_cpus=num_cpus)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+        return ds.map_batches(
+            BatchValidator, fn_constructor_args=(table_schema, key_column, mode),
+            **kwargs)
+    validator = BatchValidator(table_schema, key_column, mode)
+    return ds.map_batches(validator, **kwargs)
+
+
+def flatten_violations(combined_ds):
+    """Combined verdicts dataset → violations table
+    ``(key, constraint_id, column, tag, message)`` (keyed per north star)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        key_name = batch.column_names[0]
+        viol = batch.column("violations")
+        if isinstance(viol, pa.ChunkedArray):
+            viol = viol.combine_chunks()
+        parent = pc.list_parent_indices(viol)
+        flat = pc.list_flatten(viol)
+        key = batch.column(key_name).take(parent)
+        out = {key_name: key}
+        for f in VIOLATION_TYPE:
+            out[f.name] = pc.struct_field(flat, f.name)
+        return pa.table(out)
+
+    return combined_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def verdicts_only(combined_ds):
+    return combined_ds.drop_columns(["violations"])
