@@ -27,18 +27,32 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from jsonschema_validator_ray.pipelines import checks
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
         "verdict_documents": docs.documents_verdicts,
         "violations_documents": docs.documents_violations,
+        "dup_orders_custkey": checks.dup_orders_custkey,
+        "referential_lang": checks.referential_lang,
+        "referential_lang_iso639": checks.referential_lang_iso639,
+        "fk_orders_custkey": checks.fk_orders_custkey,
+        "stats_exact_lineitem": checks.stats_exact_lineitem,
+        "stats_sketch_documents": checks.stats_sketch_documents,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from jsonschema_validator_ray.pipelines import checks
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
         "verdict_documents": docs.VERDICTS_SQL,
         "violations_documents": docs.VIOLATIONS_SQL,
+        "dup_orders_custkey": checks.DUP_ORDERS_SQL,
+        "referential_lang": checks.REFERENTIAL_LANG_SQL,
+        "referential_lang_iso639": checks.REFERENTIAL_ISO_SQL,
+        "fk_orders_custkey": checks.FK_ORDERS_SQL,
+        "stats_exact_lineitem": checks.STATS_EXACT_SQL,
+        # stats_sketch_documents: sketch outputs — rows-only check
     }

@@ -1,0 +1,186 @@
+"""Table-level check queries over the testdata tables, each with a DuckDB
+oracle (driver correctness gate).
+
+These exercise the wide/table-scale operators: two-phase groupby-count
+uniqueness, broadcast-dictionary referential checks, FK anti-join with a
+broadcast dimension side, and exact column statistics via partial/final
+aggregation.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.iso639 import ISO_639_1
+from ..stages.referential import fk_violations, referential_violations
+from ..stages.stats import column_stats
+from ..stages.uniqueness import duplicate_keys
+
+# ---- uniqueness -----------------------------------------------------------
+
+
+def dup_orders_custkey(sf_dir: str):
+    """Customers with more than one order — two-phase groupby-count
+    (per-batch combiner, then Sum over partials)."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    return duplicate_keys(orders, "o_custkey")
+
+
+DUP_ORDERS_SQL = """
+SELECT o_custkey, count(*) AS dup_count
+FROM orders GROUP BY o_custkey HAVING count(*) > 1
+"""
+
+# ---- referential: dictionary ---------------------------------------------
+
+_LANG_SUBSET = ["en", "de", "fr", "es"]
+
+
+def referential_lang(sf_dir: str):
+    """Documents whose lang is outside a restricted dictionary (the broadcast
+    anti-semi-join path; the full ISO-639 set yields zero rows on the clean
+    corpus so the fixture narrows the dictionary)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    return referential_violations(docs, "lang", "doc_id", _LANG_SUBSET,
+                                  constraint_id="referential:lang")
+
+
+REFERENTIAL_LANG_SQL = """
+SELECT doc_id, lang, 'referential:lang' AS constraint_id
+FROM documents
+WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+"""
+
+
+def referential_lang_iso639(sf_dir: str):
+    """Full ISO-639-1 dictionary check, reported as a one-row summary
+    (always non-empty, so the oracle compare is schema-stable even when the
+    corpus is clean and the violation set is empty)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    n = referential_violations(docs, "lang", "doc_id", ISO_639_1).count()
+    import pandas as pd
+
+    return pd.DataFrame([{"constraint_id": "referential:lang",
+                          "violation_count": n}])
+
+
+REFERENTIAL_ISO_SQL = (
+    "SELECT 'referential:lang' AS constraint_id, count(*) AS violation_count "
+    "FROM documents WHERE lang IS NOT NULL AND lang NOT IN ("
+    + ",".join(f"'{c}'" for c in ISO_639_1) + ")"
+)
+
+# ---- referential: foreign key --------------------------------------------
+
+
+def fk_orders_custkey(sf_dir: str):
+    """FK check orders.o_custkey ⊆ customer.c_custkey with the dimension side
+    restricted (so the check fires): broadcast the small side's key set, anti
+    join inside map_batches."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    dim = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey"]) \
+                  .filter(expr="c_custkey <= 100")
+    return fk_violations(orders, "o_orderkey", "o_custkey", dim, "c_custkey",
+                         constraint_id="referential:o_custkey")
+
+
+FK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, 'referential:o_custkey' AS constraint_id
+FROM orders
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey <= 100)
+"""
+
+# ---- column stats (exact fields only; sketches tested in pytest) ----------
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _exact_stats_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch exact partial: count/nulls/min/max plus an INTEGER cents sum
+    (values here carry ≤2 decimals), so the global mean is exact rational
+    arithmetic — identical in Ray and the SQL oracle, immune to float
+    accumulation-order differences."""
+    import pyarrow.compute as pc
+
+    rows = {"column": [], "cnt": [], "nulls": [], "min_num": [],
+            "max_num": [], "sum_cents": []}
+    for name in batch.column_names:
+        col = batch.column(name)
+        valid = col.drop_null()
+        rows["column"].append(name)
+        rows["cnt"].append(len(col))
+        rows["nulls"].append(col.null_count)
+        rows["min_num"].append(pc.min(valid).as_py() if len(valid) else None)
+        rows["max_num"].append(pc.max(valid).as_py() if len(valid) else None)
+        cents = pc.cast(pc.round(pc.multiply(pc.cast(valid, pa.float64()), 100)),
+                        pa.int64())
+        rows["sum_cents"].append(pc.sum(cents).as_py() if len(valid) else 0)
+    return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+
+def stats_exact_lineitem(sf_dir: str):
+    """Exact per-column stats (count/nulls/min/max/mean) via partial+final
+    aggregation. Mean is computed from integer cents sums (exact) then
+    rounded, so it hashes identically against the SQL oracle."""
+    import pandas as pd
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=_STATS_COLS)
+    partials = li.map_batches(_exact_stats_partial, batch_format="pyarrow") \
+                 .to_pandas()
+    g = partials.groupby("column")
+    out = pd.DataFrame({
+        "cnt": g["cnt"].sum(),
+        "nulls": g["nulls"].sum(),
+        "min_num": g["min_num"].min(),
+        "max_num": g["max_num"].max(),
+        "sum_cents": g["sum_cents"].sum(),
+    }).reset_index()
+    nonnull = out["cnt"] - out["nulls"]
+    # mean scaled to 1e-4 units via pure int64 floor division — identical
+    # arithmetic in Ray and SQL (float rounding of a .5 tie differs between
+    # numpy's half-to-even and SQL's half-away; integers cannot tie)
+    out["mean_e4"] = (out["sum_cents"] * 100 // nonnull).astype("int64")
+    out = out.drop(columns=["sum_cents"])
+    return out.sort_values("column").reset_index(drop=True)
+
+
+STATS_EXACT_SQL = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS "column", count(*) AS cnt,
+         count(*) - count(l_quantity) AS nulls,
+         CAST(min(l_quantity) AS DOUBLE) AS min_num,
+         CAST(max(l_quantity) AS DOUBLE) AS max_num,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) * 100 // count(l_quantity) AS BIGINT) AS mean_e4
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+         CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) * 100 // count(l_extendedprice) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+         CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+         CAST(sum(CAST(round(l_discount*100) AS BIGINT)) * 100 // count(l_discount) AS BIGINT)
+  FROM lineitem
+) ORDER BY "column"
+"""
+
+# ---- sketch stats (rows-only: no SQL oracle; accuracy pinned in pytest) ---
+
+
+def stats_sketch_documents(sf_dir: str):
+    """Full stats row per documents column, incl. HLL distinct estimate and
+    t-digest quantiles (sketch outputs — accuracy-bounded, not
+    SQL-reproducible)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = column_stats(docs, ["doc_id", "text", "lang", "n_chars"]).to_pandas()
+    return out[["column", "cnt", "nulls", "null_rate", "distinct_est",
+                "p50", "p95", "p99"]].sort_values("column").reset_index(drop=True)

@@ -5,3 +5,7 @@ from .validate import (  # noqa: F401
     validate_dataset,
     verdicts_only,
 )
+from .stats import column_stats  # noqa: F401
+from .uniqueness import duplicate_keys, uniqueness_violations  # noqa: F401
+from .referential import fk_violations, referential_violations  # noqa: F401
+from .drift import DriftReport, compute_histogram, drift_check  # noqa: F401

@@ -1,0 +1,91 @@
+"""Referential-integrity checks via broadcast semi/anti join.
+
+North-star component: "referential checks of lang against an ISO-639
+broadcast dictionary".
+
+The valid-key side is SMALL (a dictionary, a dimension table's key set) — so
+it is broadcast once (``ray.put`` → read in each task / captured in the
+actor's ``__init__``) and probed with ``pc.is_in`` per batch. Never a
+shuffle join (SURVEY.md §7.2: "referential(lang) → broadcast dict in actor —
+no shuffle").
+
+Two entry points:
+- :func:`referential_violations` — valid values given directly (dictionary).
+- :func:`fk_violations` — valid values are the distinct keys of another
+  (small) dataset: the dimension side is collected ONCE on the driver
+  (bounded by its distinct count) and broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+class _AntiJoin:
+    """Actor stage: keep rows whose ``column`` is NOT in the broadcast set.
+    NULLs are 'absent' and never violations (required covers them)."""
+
+    def __init__(self, column: str, key: str, valid_ref, constraint_id: str):
+        # valid_ref is an ObjectRef (broadcast) or a plain list
+        values = ray.get(valid_ref) if isinstance(valid_ref, ray.ObjectRef) else valid_ref
+        self.value_set = pa.array(sorted(values))
+        self.column = column
+        self.key = key
+        self.constraint_id = constraint_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        bad = pc.and_kleene(
+            pc.is_valid(col),
+            pc.invert(pc.is_in(col, value_set=self.value_set)))
+        bad = pc.fill_null(bad, False)
+        sub = batch.filter(bad)
+        return pa.table({
+            self.key: sub.column(self.key),
+            self.column: sub.column(self.column),
+            "constraint_id": pa.array([self.constraint_id] * sub.num_rows,
+                                      type=pa.string()),
+        })
+
+
+def referential_violations(ds, column: str, key: str,
+                           valid_values: Iterable, *,
+                           constraint_id: str | None = None,
+                           batch_size: int = 65536,
+                           concurrency: int | None = None):
+    """→ Dataset ``(key, column, constraint_id)`` of rows whose ``column``
+    value is not in ``valid_values``."""
+    cid = constraint_id or f"referential:{column}"
+    values = list(valid_values)
+    # Small dictionaries travel in the actor task spec (once per actor);
+    # big ones (>~100k entries) should be ray.put once and passed as the
+    # ObjectRef — _AntiJoin resolves either form in __init__.
+    ref = ray.put(values) if len(values) > 100_000 else values
+    return ds.select_columns([key, column]).map_batches(
+        _AntiJoin, fn_constructor_args=(column, key, ref, cid),
+        concurrency=concurrency or 2,
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def fk_violations(fact_ds, fact_key: str, fact_column: str,
+                  dim_ds, dim_column: str, *,
+                  constraint_id: str | None = None,
+                  batch_size: int = 65536,
+                  concurrency: int | None = None):
+    """Foreign-key check: fact.``fact_column`` ⊆ dim.``dim_column``.
+
+    The dimension side must be the SMALL side; its distinct keys are
+    materialized on the driver (bounded by distinct count, not row count)
+    and broadcast. For two large sides, bucket-join instead (see
+    stages/dedup.py for the bucketed groupby pattern).
+    """
+    cid = constraint_id or f"referential:{fact_column}"
+    dim_keys = dim_ds.select_columns([dim_column]).unique(dim_column)
+    return referential_violations(
+        fact_ds, fact_column, fact_key, dim_keys,
+        constraint_id=cid, batch_size=batch_size, concurrency=concurrency)

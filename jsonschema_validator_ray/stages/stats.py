@@ -1,0 +1,181 @@
+"""Per-partition column statistics with partial/final sketch aggregation.
+
+North-star component: "Per-partition column statistics (count / null-rate /
+distinct via HyperLogLog sketches, min/max, t-digest quantiles)".
+
+Pattern (SURVEY.md §7.2): a ``map_batches`` stage emits ONE partial row per
+(column, batch) — exact count/null/min/max/sum plus serialized HLL + t-digest
++ histogram sketches — then a tiny ``groupby("column").map_groups`` merges
+partials (one group per column). Raw values never funnel through a single
+process; the shuffle moves only sketch bytes (~16 KB per partial row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.histogram import CategoricalHistogram, NumericHistogram
+from ..state.hll import HyperLogLog
+from ..state.tdigest import TDigest
+
+PARTIAL_SCHEMA = pa.schema([
+    ("column", pa.string()),
+    ("cnt", pa.int64()),
+    ("nulls", pa.int64()),
+    ("min_num", pa.float64()),
+    ("max_num", pa.float64()),
+    ("sum_num", pa.float64()),
+    ("min_str", pa.string()),
+    ("max_str", pa.string()),
+    ("hll", pa.binary()),
+    ("tdigest", pa.binary()),
+    ("hist", pa.string()),
+])
+
+
+def _is_numeric(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+
+class StatsPartial:
+    """Actor/task stage: batch → one partial-stats row per column."""
+
+    def __init__(self, columns: list[str] | None = None, hll_p: int = 14,
+                 tdigest_compression: float = 100.0,
+                 hist_edges: dict[str, list[float]] | None = None,
+                 hist_categories: dict[str, list[str]] | None = None):
+        self.columns = columns
+        self.hll_p = hll_p
+        self.compression = tdigest_compression
+        self.hist_edges = hist_edges or {}
+        self.hist_categories = hist_categories or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {f.name: [] for f in PARTIAL_SCHEMA}
+        cols = self.columns or batch.column_names
+        for name in cols:
+            col = batch.column(name)
+            t = col.type
+            n = len(col)
+            nulls = col.null_count
+            rows["column"].append(name)
+            rows["cnt"].append(n)
+            rows["nulls"].append(nulls)
+
+            hll = HyperLogLog(self.hll_p)
+            valid = col.drop_null()
+            if len(valid):
+                h = pd.util.hash_pandas_object(
+                    valid.to_pandas(), index=False).to_numpy()
+                hll.add_hashes(h.astype(np.uint64))
+            rows["hll"].append(hll.to_bytes())
+
+            if _is_numeric(t) and len(valid):
+                v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+                rows["min_num"].append(float(v.min()))
+                rows["max_num"].append(float(v.max()))
+                rows["sum_num"].append(float(v.sum()))
+                td = TDigest(self.compression)
+                td.add_values(v)
+                rows["tdigest"].append(td.to_bytes())
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+                edges = self.hist_edges.get(name)
+                if edges is not None:
+                    hist = NumericHistogram(np.asarray(edges))
+                    hist.add_values(v)
+                    rows["hist"].append(hist.to_json())
+                else:
+                    rows["hist"].append(None)
+            elif (pa.types.is_string(t) or pa.types.is_large_string(t)) and len(valid):
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["sum_num"].append(None)
+                rows["tdigest"].append(None)
+                rows["min_str"].append(pc.min(valid).as_py())
+                rows["max_str"].append(pc.max(valid).as_py())
+                cats = self.hist_categories.get(name)
+                if cats is not None:
+                    hist = CategoricalHistogram(cats)
+                    vc = valid.value_counts()
+                    hist.add_counts({str(x["values"]): x["counts"]
+                                     for x in vc.to_pylist()})
+                    hist.n_null = nulls
+                    rows["hist"].append(hist.to_json())
+                else:
+                    rows["hist"].append(None)
+            else:
+                for k in ("min_num", "max_num", "sum_num", "tdigest",
+                          "min_str", "max_str", "hist"):
+                    rows[k].append(None)
+        return pa.table(rows, schema=PARTIAL_SCHEMA)
+
+
+def merge_partials(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-column merge of partial rows → one final stats row."""
+    name = group["column"].iloc[0]
+    cnt = int(group["cnt"].sum())
+    nulls = int(group["nulls"].sum())
+    hll = HyperLogLog.from_bytes(group["hll"].iloc[0])
+    for b in group["hll"].iloc[1:]:
+        hll.merge(HyperLogLog.from_bytes(b))
+
+    min_num = group["min_num"].dropna()
+    max_num = group["max_num"].dropna()
+    sum_num = group["sum_num"].dropna()
+    tds = group["tdigest"].dropna()
+    td = None
+    if len(tds):
+        td = TDigest.from_bytes(tds.iloc[0])
+        for b in tds.iloc[1:]:
+            td.merge(TDigest.from_bytes(b))
+    hists = group["hist"].dropna()
+    hist_json = None
+    if len(hists):
+        first = hists.iloc[0]
+        if '"edges"' in first:
+            h = NumericHistogram.from_json(first)
+            for s in hists.iloc[1:]:
+                h.merge(NumericHistogram.from_json(s))
+        else:
+            h = CategoricalHistogram.from_json(first)
+            for s in hists.iloc[1:]:
+                h.merge(CategoricalHistogram.from_json(s))
+        hist_json = h.to_json()
+
+    mins = group["min_str"].dropna()
+    maxs = group["max_str"].dropna()
+    return pd.DataFrame([{
+        "column": name,
+        "cnt": cnt,
+        "nulls": nulls,
+        "null_rate": nulls / cnt if cnt else 0.0,
+        "distinct_est": hll.estimate(),
+        "min_num": float(min_num.min()) if len(min_num) else np.nan,
+        "max_num": float(max_num.max()) if len(max_num) else np.nan,
+        "mean_num": (float(sum_num.sum()) / (cnt - nulls)
+                     if len(sum_num) and cnt > nulls else np.nan),
+        "min_str": mins.min() if len(mins) else None,
+        "max_str": maxs.max() if len(maxs) else None,
+        "p50": td.quantile(0.5) if td else np.nan,
+        "p95": td.quantile(0.95) if td else np.nan,
+        "p99": td.quantile(0.99) if td else np.nan,
+        "hist": hist_json,
+    }])
+
+
+def column_stats(ds, columns: list[str] | None = None, *,
+                 hll_p: int = 14,
+                 hist_edges: dict[str, list[float]] | None = None,
+                 hist_categories: dict[str, list[str]] | None = None,
+                 batch_size: int = 65536):
+    """Dataset → one stats row per column (small result; safe to to_pandas)."""
+    partial = StatsPartial(columns, hll_p=hll_p, hist_edges=hist_edges,
+                           hist_categories=hist_categories)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    return partials.groupby("column").map_groups(
+        merge_partials, batch_format="pandas")

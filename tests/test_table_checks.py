@@ -1,0 +1,139 @@
+"""Table-level check stages over real testdata: stats, uniqueness,
+referential, drift."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def lineitem(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+
+
+def test_column_stats_exact_fields(ray_session, lineitem):
+    import duckdb
+
+    from jsonschema_validator_ray.stages import column_stats
+
+    out = column_stats(lineitem, ["l_quantity", "l_extendedprice", "l_returnflag"],
+                       batch_size=1024).to_pandas().set_index("column")
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT count(*) n, min(l_quantity) q_min, max(l_quantity) q_max,
+               avg(l_quantity) q_mean, count(DISTINCT l_quantity) q_distinct,
+               min(l_returnflag) rf_min, max(l_returnflag) rf_max,
+               quantile_cont(l_extendedprice, 0.5) ep_p50
+        FROM '{SF_SMOKE}/lineitem.parquet'
+    """).df().iloc[0]
+    q = out.loc["l_quantity"]
+    assert q["cnt"] == exact["n"] and q["nulls"] == 0
+    assert q["min_num"] == exact["q_min"] and q["max_num"] == exact["q_max"]
+    assert q["mean_num"] == pytest.approx(exact["q_mean"], rel=1e-9)
+    # HLL distinct within 5% of exact (50 distinct values → linear counting)
+    assert abs(q["distinct_est"] - exact["q_distinct"]) / exact["q_distinct"] < 0.05
+    rf = out.loc["l_returnflag"]
+    assert rf["min_str"] == exact["rf_min"] and rf["max_str"] == exact["rf_max"]
+    ep = out.loc["l_extendedprice"]
+    assert abs(ep["p50"] - exact["ep_p50"]) / exact["ep_p50"] < 0.02
+
+
+def test_duplicate_keys_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from jsonschema_validator_ray.stages import duplicate_keys
+
+    orders = ray.data.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    ours = duplicate_keys(orders, "o_custkey", batch_size=256).to_pandas()
+    theirs = duckdb.connect().execute(f"""
+        SELECT o_custkey, count(*) dup_count
+        FROM '{SF_SMOKE}/orders.parquet'
+        GROUP BY o_custkey HAVING count(*) > 1
+    """).df()
+    ours = ours.sort_values("o_custkey").reset_index(drop=True)
+    theirs = theirs.sort_values("o_custkey").reset_index(drop=True)
+    assert len(ours) == len(theirs)
+    assert (ours["o_custkey"].to_numpy() == theirs["o_custkey"].to_numpy()).all()
+    assert (ours["dup_count"].to_numpy() == theirs["dup_count"].to_numpy()).all()
+
+
+def test_duplicate_keys_none_when_unique(ray_session, lineitem):
+    from jsonschema_validator_ray.stages import duplicate_keys
+
+    # (l_orderkey, l_linenumber) is unique but l_orderkey alone is not
+    dups = duplicate_keys(lineitem, "l_orderkey")
+    assert dups.count() > 0
+
+
+def test_referential_broadcast_dictionary(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.functions.iso639 import ISO_639_1
+    from jsonschema_validator_ray.stages import referential_violations
+
+    docs = ray.data.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    bad = referential_violations(docs, "lang", "doc_id", ISO_639_1)
+    # testdata langs are all valid ISO-639-1 → zero violations
+    assert bad.count() == 0
+    # restrict the dictionary → violations appear, tagged with constraint_id
+    bad2 = referential_violations(docs, "lang", "doc_id", ["en", "de"],
+                                  constraint_id="referential:lang").to_pandas()
+    assert len(bad2) > 0
+    assert set(bad2.columns) == {"doc_id", "lang", "constraint_id"}
+    assert (bad2["constraint_id"] == "referential:lang").all()
+    assert not bad2["lang"].isin(["en", "de"]).any()
+
+
+def test_fk_violations_clean_and_dirty(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages import fk_violations
+
+    orders = ray.data.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    customer = ray.data.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    # clean FK in testdata
+    assert fk_violations(orders, "o_orderkey", "o_custkey",
+                         customer, "c_custkey").count() == 0
+    # dirty: restrict the dimension side
+    small_dim = customer.filter(expr="c_custkey < 50")
+    bad = fk_violations(orders, "o_orderkey", "o_custkey", small_dim, "c_custkey")
+    assert bad.count() > 0
+
+
+def test_drift_same_vs_shifted(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages import drift_check
+    from jsonschema_validator_ray.state import CategoricalHistogram
+
+    docs = ray.data.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    # baseline = actual lang distribution
+    baseline = CategoricalHistogram(["en", "zh", "es", "de", "fr"])
+    langs = docs.to_pandas()["lang"]
+    baseline.add_counts(langs.value_counts().to_dict())
+    rpt = drift_check(docs, "lang", baseline.to_json())
+    assert not rpt.drifted and rpt.psi < 0.01
+
+    # drifted baseline: pretend baseline was 95% en
+    fake = CategoricalHistogram(["en", "zh", "es", "de", "fr"],
+                                counts=np.array([950, 20, 10, 10, 10]))
+    rpt2 = drift_check(docs, "lang", fake.to_json())
+    assert rpt2.drifted and rpt2.psi > 0.25
+    assert rpt2.kl > 0.0
+
+
+def test_drift_numeric(ray_session, lineitem):
+    from jsonschema_validator_ray.stages import drift_check
+    from jsonschema_validator_ray.state import NumericHistogram
+
+    edges = np.linspace(0, 55, 12)
+    base = NumericHistogram(edges)
+    base.add_values(lineitem.to_pandas()["l_quantity"].to_numpy(dtype=float))
+    rpt = drift_check(lineitem, "l_quantity", base.to_json())
+    assert not rpt.drifted and rpt.psi < 1e-6  # identical data
