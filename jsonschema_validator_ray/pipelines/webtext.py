@@ -1,0 +1,162 @@
+"""Flagship webtext validation pipeline — the north-star job.
+
+Input: the Common-Crawl-style table ``(url, warc_ts, html, text, lang)``
+(BASELINE.json ``input_hint``), read from Parquet or synthesized
+deterministically (sources/webtext.py).
+
+Stages (each a streaming Ray Data stage; html is projected away the moment
+the extraction check is done — it is the widest column and must never cross
+a shuffle, SURVEY.md §7.3):
+
+1. **extraction check** — ``extract_text(html) == text`` byte-identically per
+   url (north-star invariant), fused into the same map_batches pass as…
+2. **row-level constraints** — the vectorized TablePlan (required/pattern/
+   enum/byte-length/type) → verdicts + violations;
+3. **uniqueness(url)** — two-phase groupby-count (stages/uniqueness.py);
+4. **referential(lang)** — ISO-639 broadcast dictionary (stages/referential.py);
+5. **stats / drift** — per-partition sketches → merged column stats, PSI vs a
+   baseline lang histogram.
+
+Outputs: verdicts dataset, violations dataset (all checks unioned, keyed
+``(url, constraint_id)``), stats dataframe, drift report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..errors import Mode
+from ..functions.iso639 import ISO_639_1
+from ..plan import TablePlan, compile_table_plan, evaluate_plan
+from ..sources.webtext import extract_text_batch
+from ..stages.drift import drift_check
+from ..stages.referential import referential_violations
+from ..stages.stats import column_stats
+from ..stages.uniqueness import duplicate_keys
+from ..stages.validate import VIOLATION_TYPE, flatten_violations, verdicts_only
+
+WEBTEXT_SCHEMA = {
+    "required": ["url", "text", "lang"],
+    "properties": {
+        "url": {"type": "string", "pattern": "^https?://", "maxLength": 2048},
+        "text": {"type": "string", "minLength": 10, "maxLength": 1_000_000},
+        "lang": {"type": "string", "minLength": 2, "maxLength": 2,
+                 "pattern": "^[a-z]{2}$"},
+    },
+}
+
+
+class WebtextValidator:
+    """Actor-pool stage fusing the extraction check with the constraint plan:
+    one pass over each batch, html read once and dropped immediately after.
+
+    Output: ``(url, valid, error_count, violations)`` — same layout as
+    stages/validate.BatchValidator."""
+
+    def __init__(self, check_extraction: bool = True, mode: Mode = Mode.STRICT):
+        self.plan: TablePlan = compile_table_plan(WEBTEXT_SCHEMA, "url", mode=mode)
+        self.check_extraction = check_extraction
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        valid, error_count, fails = evaluate_plan(self.plan, batch)
+        constraint_meta = [(c.constraint_id, c.column, c.tag, c.message)
+                           for c in self.plan.constraints]
+
+        if self.check_extraction and "html" in batch.column_names:
+            extracted = extract_text_batch(batch)
+            same = pc.equal(
+                pc.cast(extracted, pa.large_binary()),
+                pc.cast(batch.column("text"), pa.large_binary()))
+            same = pc.fill_null(same, False).to_numpy(zero_copy_only=False)
+            failed = np.flatnonzero(~same)
+            fails = list(fails) + [failed]
+            constraint_meta.append((
+                "extract:text", "html", "extract",
+                "extracted text is not byte-identical to the text column"))
+            if failed.size:
+                valid[failed] = False
+                error_count[failed] += 1
+
+        idx_parts, const_parts = [], []
+        for ci, failed in enumerate(fails):
+            if failed.size:
+                idx_parts.append(failed)
+                const_parts.append(np.full(failed.size, ci, dtype=np.int64))
+        if idx_parts:
+            rows = np.concatenate(idx_parts)
+            consts = np.concatenate(const_parts)
+            order = np.argsort(rows, kind="stable")
+            rows, consts = rows[order], consts[order]
+            counts = np.bincount(rows, minlength=n)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            struct = pa.StructArray.from_arrays(
+                [pa.array([constraint_meta[c][0] for c in consts]),
+                 pa.array([constraint_meta[c][1] for c in consts]),
+                 pa.array([constraint_meta[c][2] for c in consts]),
+                 pa.array([constraint_meta[c][3] for c in consts])],
+                fields=list(VIOLATION_TYPE))
+            viol = pa.ListArray.from_arrays(pa.array(offsets), struct)
+        else:
+            viol = pa.array([[]] * n, type=pa.list_(VIOLATION_TYPE))
+
+        return pa.table({
+            "url": batch.column("url"),
+            "valid": pa.array(valid),
+            "error_count": pa.array(error_count, type=pa.int32()),
+            "violations": viol,
+        })
+
+
+@dataclass
+class WebtextReport:
+    verdicts: Any          # Dataset (url, valid, error_count)
+    violations: Any        # Dataset (url, constraint_id, column, tag, message)
+    row_violations: Any    # same as violations (row-level only)
+    dup_urls: Any          # Dataset (url, dup_count)
+    lang_violations: Any   # Dataset (url, lang, constraint_id)
+    stats: Any             # pandas DataFrame, one row per column
+    drift: Any             # DriftReport | None
+
+
+def run_webtext_pipeline(ds, *,
+                         check_extraction: bool = True,
+                         baseline_lang_hist: str | None = None,
+                         batch_size: int = 8192,
+                         concurrency: int | None = None) -> WebtextReport:
+    """Full validation job over a webtext dataset. The input dataset is
+    consumed stream-wise per stage; ``html`` is only read by the validator
+    stage."""
+    kwargs: dict = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        combined = ds.map_batches(WebtextValidator,
+                                  fn_constructor_args=(check_extraction,),
+                                  concurrency=concurrency, **kwargs)
+    else:
+        combined = ds.map_batches(WebtextValidator(check_extraction), **kwargs)
+
+    verdicts = verdicts_only(combined)
+    row_viol = flatten_violations(combined)
+
+    slim = ds.select_columns(["url", "lang"])
+    dups = duplicate_keys(slim, "url")
+    lang_viol = referential_violations(slim, "lang", "url", ISO_639_1)
+
+    stats = column_stats(ds.select_columns(["url", "text", "lang"]))
+
+    drift = None
+    if baseline_lang_hist is not None:
+        drift = drift_check(slim, "lang", baseline_lang_hist)
+
+    return WebtextReport(
+        verdicts=verdicts, violations=row_viol, row_violations=row_viol,
+        dup_urls=dups, lang_violations=lang_viol, stats=stats, drift=drift)

@@ -1,0 +1,157 @@
+"""Resumable partitioned Parquet sink with per-partition lineage manifests.
+
+North-star component: "per-partition lineage + metrics are checkpointed to
+Parquet so a killed job resumes without re-validating completed partitions".
+
+Layout (SURVEY.md §4 "Checkpoint / resume"):
+
+    out_dir/
+      part-<pid>/*.parquet          # output rows of one input partition
+      _lineage/part-<pid>.json      # manifest: inputs, row counts, status
+
+Invariants that make resume correct:
+- partition ids are STABLE across runs and cluster sizes (derived from the
+  sorted input file list, never from scheduling order);
+- a manifest is written only AFTER its partition's data directory is fully
+  written, atomically (tmp file + ``os.replace``) — a crash leaves either no
+  manifest (partition re-runs) or a complete one (partition skipped); a
+  partial data directory without a manifest is deleted on resume;
+- output rows are a pure function of input rows (validation is
+  deterministic), so re-running a partition after a crash yields identical
+  output — at-least-once execution converges to exactly-once results.
+
+Partitions are processed in WAVES (``wave_size`` partitions per Ray job):
+within a wave everything runs in parallel through the streaming executor;
+manifests land between waves, bounding lost work under a kill to one wave.
+At 100 TB, size partitions so one wave saturates the cluster (e.g. 256
+partitions of ~400 GB, wave_size = a few) — partition count ≫ nodes keeps
+stragglers cheap while manifests stay coarse enough to be negligible I/O.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import ray.data
+
+
+@dataclass
+class Partition:
+    """One resumable unit: a stable id + the input files it covers."""
+
+    part_id: str
+    paths: list[str] = field(default_factory=list)
+    meta: dict[str, Any] = field(default_factory=dict)
+
+
+def partition_input_files(paths: list[str], num_partitions: int) -> list[Partition]:
+    """Stable partitioning of an input file list: sort by name, chunk evenly.
+    The id hashes the member file names, so adding files creates NEW
+    partition ids rather than silently changing old ones."""
+    paths = sorted(paths)
+    num_partitions = max(1, min(num_partitions, len(paths)))
+    chunks: list[list[str]] = [[] for _ in range(num_partitions)]
+    for i, p in enumerate(paths):
+        chunks[i % num_partitions].append(p)
+    parts = []
+    for c in chunks:
+        if not c:
+            continue
+        digest = hashlib.sha1("\n".join(Path(p).name for p in c).encode()).hexdigest()[:12]
+        parts.append(Partition(part_id=digest, paths=c))
+    return parts
+
+
+def _lineage_dir(out_dir: str) -> Path:
+    return Path(out_dir) / "_lineage"
+
+
+def completed_partitions(out_dir: str) -> dict[str, dict]:
+    """part_id → manifest for every partition already finished."""
+    d = _lineage_dir(out_dir)
+    if not d.exists():
+        return {}
+    out = {}
+    for f in d.glob("part-*.json"):
+        try:
+            m = json.loads(f.read_text())
+        except json.JSONDecodeError:
+            continue  # torn write without atomic rename — treat as absent
+        if m.get("status") == "done":
+            out[m["part_id"]] = m
+    return out
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    d = _lineage_dir(out_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    final = d / f"part-{manifest['part_id']}.json"
+    tmp = d / f".tmp-{manifest['part_id']}.json"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.replace(tmp, final)  # atomic on POSIX
+
+
+def run_resumable(partitions: list[Partition], out_dir: str,
+                  pipeline_fn: Callable[["ray.data.Dataset"], "ray.data.Dataset"],
+                  *,
+                  read_fn: Callable[[list[str]], "ray.data.Dataset"] | None = None,
+                  wave_size: int = 4) -> dict:
+    """Run ``pipeline_fn`` over every not-yet-done partition; skip completed
+    ones. Returns a summary dict (ran / skipped / rows)."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir)
+    pending = [p for p in partitions if p.part_id not in done]
+    skipped = [p.part_id for p in partitions if p.part_id in done]
+
+    # clean torn partial outputs (data dir without manifest)
+    for p in pending:
+        part_dir = Path(out_dir) / f"part-{p.part_id}"
+        if part_dir.exists():
+            shutil.rmtree(part_dir)
+
+    reader = read_fn or (lambda paths: ray.data.read_parquet(paths))
+    ran: list[str] = []
+    total_rows = 0
+    for w in range(0, len(pending), wave_size):
+        wave = pending[w:w + wave_size]
+        results = []
+        for p in wave:
+            ds_in = reader(p.paths)
+            ds_out = pipeline_fn(ds_in)
+            part_dir = Path(out_dir) / f"part-{p.part_id}"
+            ds_out.write_parquet(str(part_dir))
+            results.append((p, part_dir))
+        # wave data fully written → manifests
+        for p, part_dir in results:
+            files = sorted(str(f) for f in part_dir.glob("*.parquet"))
+            import pyarrow.parquet as pq
+
+            rows_out = sum(pq.read_metadata(f).num_rows for f in files)
+            total_rows += rows_out
+            _write_manifest(out_dir, {
+                "part_id": p.part_id,
+                "inputs": p.paths,
+                "rows_out": rows_out,
+                "files": [Path(f).name for f in files],
+                "finished_at": time.time(),
+                "status": "done",
+                **p.meta,
+            })
+            ran.append(p.part_id)
+    return {"ran": ran, "skipped": skipped, "rows_out": total_rows,
+            "out_dir": out_dir}
+
+
+def read_output(out_dir: str):
+    """Read back every completed partition's rows as one Dataset."""
+    done = completed_partitions(out_dir)
+    files = [str(f) for pid in sorted(done)
+             for f in sorted((Path(out_dir) / f"part-{pid}").glob("*.parquet"))]
+    return ray.data.read_parquet(files)

@@ -1,0 +1,92 @@
+"""Kill-and-resume semantics of the resumable sink (FIXTURES.md §4
+``resume`` fixture): completed partitions are not re-validated; the resumed
+run's final output is identical to an uninterrupted run."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from jsonschema_validator_ray.sinks.resumable import (
+    Partition,
+    completed_partitions,
+    partition_input_files,
+    read_output,
+    run_resumable,
+)
+from jsonschema_validator_ray.sources.webtext import write_webtext_parquet
+
+
+@pytest.fixture(scope="module")
+def webtext_files(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("webtext_in")
+    write_webtext_parquet(str(d), 3000, override_num_blocks=6)
+    files = sorted(str(p) for p in d.glob("*.parquet"))
+    assert len(files) >= 4
+    return files
+
+
+def _pipeline(ds):
+    from jsonschema_validator_ray.pipelines.webtext import WebtextValidator
+    from jsonschema_validator_ray.stages.validate import verdicts_only
+
+    return verdicts_only(
+        ds.map_batches(WebtextValidator(), batch_format="pyarrow"))
+
+
+def test_partitioning_is_stable(webtext_files):
+    a = partition_input_files(webtext_files, 4)
+    b = partition_input_files(list(reversed(webtext_files)), 4)
+    assert [p.part_id for p in a] == [p.part_id for p in b]
+    assert sum(len(p.paths) for p in a) == len(webtext_files)
+
+
+def test_kill_and_resume_identical_output(ray_session, webtext_files, tmp_path):
+    parts = partition_input_files(webtext_files, 4)
+
+    # uninterrupted reference run
+    ref_dir = tmp_path / "ref"
+    run_resumable(parts, str(ref_dir), _pipeline, wave_size=4)
+    ref = read_output(str(ref_dir)).to_pandas().sort_values(
+        ["url", "valid", "error_count"]).reset_index(drop=True)
+
+    # interrupted run: first wave only (wave_size=2 → 2 of 4 partitions done)
+    out_dir = tmp_path / "out"
+    first = run_resumable(parts[:2], str(out_dir), _pipeline, wave_size=2)
+    assert len(first["ran"]) == 2
+
+    # simulate a torn partial: data dir without manifest must be cleaned
+    torn = Path(out_dir) / f"part-{parts[2].part_id}"
+    torn.mkdir()
+    (torn / "garbage.parquet").write_bytes(b"not parquet")
+
+    # resume with the FULL partition list
+    second = run_resumable(parts, str(out_dir), _pipeline, wave_size=4)
+    assert sorted(second["skipped"]) == sorted(first["ran"])
+    assert len(second["ran"]) == 2
+    assert not (torn / "garbage.parquet").exists()
+
+    got = read_output(str(out_dir)).to_pandas().sort_values(
+        ["url", "valid", "error_count"]).reset_index(drop=True)
+    assert got.equals(ref)
+
+    # third run: everything skipped, nothing recomputed
+    third = run_resumable(parts, str(out_dir), _pipeline)
+    assert third["ran"] == [] and len(third["skipped"]) == 4
+
+
+def test_manifest_contents_and_atomicity(ray_session, webtext_files, tmp_path):
+    parts = partition_input_files(webtext_files, 2)
+    out = tmp_path / "m"
+    run_resumable(parts, str(out), _pipeline)
+    manifests = completed_partitions(str(out))
+    assert set(manifests) == {p.part_id for p in parts}
+    m = next(iter(manifests.values()))
+    assert m["status"] == "done" and m["rows_out"] > 0 and m["inputs"]
+    # torn manifest JSON is ignored, not fatal
+    bad = Path(out) / "_lineage" / "part-deadbeef.json"
+    bad.write_text('{"part_id": "deadbeef", "status": "done"')  # truncated
+    assert "deadbeef" not in completed_partitions(str(out))
