@@ -27,7 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from jsonschema_validator_ray.pipelines import checks
+    from jsonschema_validator_ray.pipelines import checks, corpus
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
@@ -39,11 +39,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orders_custkey": checks.fk_orders_custkey,
         "stats_exact_lineitem": checks.stats_exact_lineitem,
         "stats_sketch_documents": checks.stats_sketch_documents,
+        "dedup_exact_documents": corpus.dedup_exact_documents,
+        "token_counts_documents": corpus.token_counts_documents,
+        "quality_documents": corpus.quality_documents,
+        "topk_embeddings": corpus.topk_embeddings,
+        "langid_documents": corpus.langid_documents,
+        "fingerprint_documents": corpus.fingerprint_documents,
+        "minhash_pairs_documents": corpus.minhash_pairs_documents,
+        "events_hourly": corpus.events_hourly,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from jsonschema_validator_ray.pipelines import checks
+    from jsonschema_validator_ray.pipelines import checks, corpus
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
@@ -54,5 +62,11 @@ def oracle_sql() -> dict[str, str]:
         "referential_lang_iso639": checks.REFERENTIAL_ISO_SQL,
         "fk_orders_custkey": checks.FK_ORDERS_SQL,
         "stats_exact_lineitem": checks.STATS_EXACT_SQL,
-        # stats_sketch_documents: sketch outputs — rows-only check
+        "dedup_exact_documents": corpus.DEDUP_EXACT_SQL,
+        "token_counts_documents": corpus.TOKEN_COUNTS_SQL,
+        "quality_documents": corpus.QUALITY_SQL,
+        "topk_embeddings": corpus.TOPK_SQL,
+        "events_hourly": corpus.EVENTS_HOURLY_SQL,
+        # rows-only (no SQL-expressible oracle): stats_sketch_documents,
+        # langid_documents, fingerprint_documents, minhash_pairs_documents
     }

@@ -1,0 +1,202 @@
+"""Corpus-processing queries (dedup, text analysis, similarity, windowed
+events) over the testdata tables, with DuckDB oracles where SQL can express
+the semantics (the sketch/heuristic ones are rows-only)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.text import fingerprint_batch, langid_batch, token_count_batch
+from ..stages.dedup import exact_duplicates, minhash_near_duplicates
+from ..stages.similarity import topk_cosine
+
+# ---- exact dedup ----------------------------------------------------------
+
+
+def dedup_exact_documents(sf_dir: str):
+    """Surviving doc_ids after exact-text dedup (min doc_id per content
+    group). Dup detection via hash-partition groupby; survivors = all keys
+    minus flagged dups."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    dup_ids = set(r["doc_id"] for r in
+                  exact_duplicates(docs, "doc_id", "text").take_all())
+
+    def keep(b: pa.Table) -> pa.Table:
+        if not dup_ids:
+            return b.select(["doc_id"])
+        mask = pc.invert(pc.is_in(b.column("doc_id"),
+                                  value_set=pa.array(list(dup_ids))))
+        return b.filter(mask).select(["doc_id"])
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+# ---- text analysis --------------------------------------------------------
+
+
+def token_counts_documents(sf_dir: str):
+    """(doc_id, n_tokens) — whitespace tokenization, vectorized regex count."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": pc.cast(token_count_batch(b), pa.int64())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def quality_documents(sf_dir: str):
+    """(doc_id, n_chars_q, n_bytes_q, n_tokens) — SQL-checkable quality
+    columns (char length, BYTE length, token count)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        text = pc.cast(b.column("text"), pa.large_string())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars_q": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_bytes_q": pc.cast(pc.binary_length(text), pa.int64()),
+            "n_tokens": pc.cast(token_count_batch(b), pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(strlen(text) AS BIGINT) AS n_bytes_q,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+# ---- similarity -----------------------------------------------------------
+
+
+def topk_embeddings(sf_dir: str):
+    """Top-10 cosine neighbors of vec_id 0 (brute-force baseline, broadcast
+    query, per-batch partial top-k). Scores rounded to 4 decimals for a
+    stable cross-engine hash."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float32)
+    out = topk_cosine(emb, q, k=10, batch_size=4096)
+    out = out[["vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+TOPK_SQL = """
+SELECT vec_id,
+       round(CAST(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""
+
+# ---- rows-only heuristics -------------------------------------------------
+
+
+def langid_documents(sf_dir: str):
+    """(doc_id, lang_pred) via the stopword-profile heuristic (rows-only:
+    no SQL oracle for a heuristic model)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang_pred": langid_batch(b)})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprint_documents(sf_dir: str):
+    """(doc_id, fp) rolling-hash document fingerprints (rows-only; the hash
+    family is engine-specific)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "fp": fingerprint_batch(b)})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def minhash_pairs_documents(sf_dir: str):
+    """One-row summary of MinHash-LSH near-dup pairs at Jaccard ≥ 0.7
+    (rows-only; the corpus has no planted near-dups, so the expected count is
+    0 — planted-pair recall is pinned by pytest)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    n = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7).count()
+    return pd.DataFrame([{"check": "minhash_near_dup", "n_pairs": n}])
+
+
+# ---- windowed events ------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + exact value sum in
+    integer cents (floor), via per-batch partial aggregation then a small
+    groupby — the streaming-window shape of ray_guide 'Streaming-shaped
+    workloads'."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        cents = pc.cast(pc.floor(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+        t = pa.table({"event_type": b.column("event_type"),
+                      "window_start": hour,
+                      "cents": cents})
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "window_start": g.column("window_start"),
+            "cents_sum": g.column("cents_sum"),
+            "n_partial": g.column("cents_count"),
+        })
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("cents_sum", alias_name="value_cents"),
+        Sum("n_partial", alias_name="n_events"),
+    )
+    return out
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""

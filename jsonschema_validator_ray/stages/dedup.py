@@ -1,0 +1,381 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (ray_guide "Aggregation at scale" + MinHash/LSH literature,
+Broder 1997; Charikar 2002 for SimHash — public algorithms):
+
+- **exact**: vectorized content hash per batch → ``groupby(hash)`` → keep the
+  min-key row per group. The shuffle moves (hash, key) pairs, never documents.
+- **MinHash+LSH**: per batch, shingle → 64-bit shingle hashes → n_perm
+  universal-hash minima → band signatures; EXPLODE to
+  ``(band, band_hash, key)`` rows → groupby buckets → candidate pairs →
+  verify with minhash-estimated Jaccard (signatures travel with the
+  candidates; raw text never crosses the shuffle).
+- **SimHash**: 64-bit sign fingerprint per doc; band the 64 bits into 4×16-bit
+  chunks (any pair within Hamming ≤ 3 shares ≥ 1 exact chunk — pigeonhole);
+  groupby chunk value → verify Hamming.
+- **n-gram Jaccard**: exact verification kernel used on candidate pairs.
+- **embedding cosine**: random-hyperplane LSH buckets → within-bucket cosine.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE_P = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 61) - 1)
+
+
+def content_hash_batch(batch: pa.Table, column: str) -> pa.Array:
+    """Deterministic 64-bit content hash (vectorized)."""
+    h = pd.util.hash_pandas_object(
+        batch.column(column).to_pandas(), index=False).to_numpy()
+    return pa.array(h.astype(np.uint64))
+
+
+def exact_duplicates(ds, key: str, column: str, *, batch_size: int = 32768):
+    """→ Dataset of rows that are exact duplicates (same ``column`` content,
+    not the minimal ``key``): ``(key, dup_of)``.
+
+    Hash-partition + per-group min (SURVEY text: "exact (hash-partition +
+    per-group first)"). Collision risk of 64-bit hashing is ~n²/2⁶⁵ —
+    negligible below ~10⁹ distinct docs; for 10^12 keys use a 128-bit
+    double-hash (two independent hash columns grouped together)."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return pa.table({key: b.column(key),
+                         "content_hash": content_hash_batch(b, column)})
+
+    hashed = ds.select_columns([key, column]).map_batches(
+        add_hash, batch_format="pyarrow", batch_size=batch_size)
+
+    def dups_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({key: [], "dup_of": []}).astype(
+                {key: g[key].dtype, "dup_of": g[key].dtype})
+        keep = g[key].min()
+        rest = g[g[key] != keep]
+        return pd.DataFrame({key: rest[key].to_numpy(),
+                             "dup_of": np.full(len(rest), keep)})
+
+    return hashed.groupby("content_hash").map_groups(
+        dups_in_group, batch_format="pandas")
+
+
+def dedup_exact(ds, key: str, column: str, *, batch_size: int = 32768):
+    """→ Dataset with exact-duplicate rows removed (min ``key`` survives per
+    content group). Implemented as an anti-join against the duplicate key
+    set; the duplicate set is usually tiny relative to the corpus."""
+    dup_keys = set(
+        r[key] for r in exact_duplicates(ds, key, column,
+                                         batch_size=batch_size).take_all())
+
+    def drop(b: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(b.column(key),
+                                  value_set=pa.array(list(dup_keys))))
+        return b.filter(pc.fill_null(mask, True))
+
+    if not dup_keys:
+        return ds
+    return ds.map_batches(drop, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"\S+")
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles → uint64 hashes (vectorized pandas hash over the
+    joined shingle strings)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    h = pd.util.hash_pandas_object(pd.Series(shingles), index=False).to_numpy()
+    return np.unique(h.astype(np.uint64))
+
+
+class MinHasher:
+    """n_perm universal-hash minima over shingle hashes:
+    ``h_i(x) = (a_i·x + b_i) mod (2^61-1)`` — the classic Broder scheme.
+    Deterministic (seeded) so signatures agree across workers/runs."""
+
+    def __init__(self, n_perm: int = 128, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.n_perm = n_perm
+        self.a = rng.integers(1, 1 << 61, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 61, size=n_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if shingles.size == 0:
+            return np.full(self.n_perm, int(_MAX_HASH), dtype=np.uint64)
+        # (n_perm, n_shingles) — modmul in python ints would be slow; use
+        # float-safe splitting: (a*x) % p with uint64 overflow-safe trick
+        x = shingles % _MERSENNE_P
+        out = np.empty(self.n_perm, dtype=np.uint64)
+        for i in range(self.n_perm):
+            v = (int(self.a[i]) * x.astype(object) + int(self.b[i])) % int(_MERSENNE_P)
+            out[i] = int(min(v))
+        return out
+
+    def signature_fast(self, shingles: np.ndarray) -> np.ndarray:
+        """uint64-arithmetic variant: multiply mod 2^64 then mix — not the
+        textbook mod-p family but an equally valid pairwise-independent-ish
+        family in practice, and ~50× faster. Used by default."""
+        if shingles.size == 0:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        prod = shingles[None, :] * self.a[:, None]  # wraps mod 2^64
+        prod = prod + self.b[:, None]
+        prod ^= prod >> np.uint64(33)
+        return prod.min(axis=1)
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard — the verification kernel."""
+    sa, sb = set(shingle_hashes(text_a, k)), set(shingle_hashes(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class MinHashLSH:
+    """Banding: n_perm = bands × rows; docs sharing ≥1 band bucket become
+    candidates. Defaults (32 bands × 4 rows) catch Jaccard ≳ 0.5 with high
+    probability."""
+
+    def __init__(self, n_perm: int = 128, bands: int = 32, seed: int = 42):
+        assert n_perm % bands == 0
+        self.hasher = MinHasher(n_perm, seed)
+        self.bands = bands
+        self.rows = n_perm // bands
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        view = sig.reshape(self.bands, self.rows)
+        # fold each band's rows into one uint64 (splitmix-style mixing)
+        acc = np.zeros(self.bands, dtype=np.uint64)
+        for r in range(self.rows):
+            acc = (acc * np.uint64(0x9E3779B97F4B9279)) ^ view[:, r]
+            acc ^= acc >> np.uint64(29)
+        return acc
+
+
+def minhash_explode_batch(lsh: MinHashLSH, key_col: str, text_col: str,
+                          batch: pa.Table) -> pa.Table:
+    """batch → (band, band_hash, key, signature) rows (bands × rows_in_batch)."""
+    keys = batch.column(key_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    n = len(keys)
+    band_ids = np.tile(np.arange(lsh.bands, dtype=np.int32), n)
+    band_hash = np.empty(n * lsh.bands, dtype=np.uint64)
+    out_keys = np.repeat(np.arange(n), lsh.bands)
+    sigs = []
+    for j, t in enumerate(texts):
+        sig = lsh.hasher.signature_fast(shingle_hashes(t or ""))
+        sigs.append(sig.tobytes())
+        band_hash[j * lsh.bands:(j + 1) * lsh.bands] = lsh.band_hashes(sig)
+    key_arr = pa.array(keys).take(pa.array(out_keys))
+    sig_arr = pa.array(sigs, type=pa.binary()).take(pa.array(out_keys))
+    return pa.table({
+        "band": pa.array(band_ids),
+        "band_hash": pa.array(band_hash),
+        key_col: key_arr,
+        "sig": sig_arr,
+    })
+
+
+def minhash_near_duplicates(ds, key: str, text: str, *,
+                            threshold: float = 0.7,
+                            n_perm: int = 128, bands: int = 32,
+                            seed: int = 42,
+                            batch_size: int = 8192,
+                            concurrency: int | None = None):
+    """→ Dataset ``(key_a, key_b, jaccard_est)`` of near-duplicate pairs with
+    minhash-estimated Jaccard ≥ threshold. Signatures (1 KB/doc) travel
+    through the bucket shuffle; raw text does not."""
+    lsh = MinHashLSH(n_perm=n_perm, bands=bands, seed=seed)
+
+    def explode(b: pa.Table) -> pa.Table:
+        return minhash_explode_batch(lsh, key, text, b)
+
+    kwargs: dict = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    exploded = ds.select_columns([key, text]).map_batches(explode, **kwargs)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, est = [], [], []
+        if len(g) >= 2:
+            # dedupe keys within the bucket, cap pathological buckets
+            g = g.drop_duplicates(subset=[key]).head(200)
+            ks = g[key].to_numpy()
+            sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    jac = estimate_jaccard(sigs[i], sigs[j])
+                    if jac >= threshold:
+                        a, b = sorted((ks[i], ks[j]))
+                        out_a.append(a)
+                        out_b.append(b)
+                        est.append(jac)
+        return pd.DataFrame({"key_a": out_a, "key_b": out_b,
+                             "jaccard_est": est})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pandas")
+    # same pair can surface from several bands → keep max estimate per pair
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["key_a", "key_b"]).aggregate(
+        Max("jaccard_est", alias_name="jaccard_est"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """Charikar SimHash over word-unigram hashes (unit weights)."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return 0
+    h = pd.util.hash_pandas_object(pd.Series(words), index=False) \
+          .to_numpy().astype(np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for b in range(64):
+        if v[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_near_duplicates(ds, key: str, text: str, *,
+                            max_hamming: int = 3,
+                            batch_size: int = 8192):
+    """→ Dataset ``(key_a, key_b, hamming)``. Pairs within Hamming ≤ 3 share
+    at least one of the 4 16-bit chunks exactly (pigeonhole), so candidates
+    = groupby (chunk_id, chunk_value)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys = b.column(key).to_pylist()
+        sh = np.array([simhash64(t or "") for t in
+                       b.column(text).to_pylist()], dtype=np.uint64)
+        n = len(keys)
+        chunk_ids = np.tile(np.arange(4, dtype=np.int32), n)
+        chunk_vals = np.empty(4 * n, dtype=np.uint64)
+        for c in range(4):
+            chunk_vals[c::4] = (sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+        rep = pa.array(np.repeat(np.arange(n), 4))
+        return pa.table({
+            "chunk": pa.array(chunk_ids),
+            "chunk_val": pa.array(chunk_vals),
+            key: pa.array(keys).take(rep),
+            "simhash": pa.array(np.repeat(sh, 4)),
+        })
+
+    exploded = ds.select_columns([key, text]).map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, ham = [], [], []
+        if len(g) >= 2:
+            g = g.drop_duplicates(subset=[key]).head(200)
+            ks = g[key].to_numpy()
+            hs = g["simhash"].to_numpy()
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    d = hamming64(int(hs[i]), int(hs[j]))
+                    if d <= max_hamming:
+                        a, b = sorted((ks[i], ks[j]))
+                        out_a.append(a)
+                        out_b.append(b)
+                        ham.append(d)
+        return pd.DataFrame({"key_a": out_a, "key_b": out_b, "hamming": ham})
+
+    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
+        pairs_in_bucket, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["key_a", "key_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (random-hyperplane LSH buckets)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(ds, key: str, emb: str, *,
+                              threshold: float = 0.95,
+                              n_planes: int = 12, dim: int | None = None,
+                              seed: int = 42, batch_size: int = 8192):
+    """→ Dataset ``(key_a, key_b, cosine)`` of embedding pairs with cosine ≥
+    threshold. Random-hyperplane signs bucket vectors; exact cosine verifies
+    within buckets. High thresholds ⇒ near-collinear vectors ⇒ same sign
+    pattern with high probability; n_planes trades recall vs bucket size."""
+    first = ds.take(1)
+    d = dim or len(first[0][emb])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, n_planes)).astype(np.float32)
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys = b.column(key).to_pylist()
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in b.column(emb).to_pylist()])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.clip(norms, 1e-12, None)
+        signs = (mat @ planes) > 0
+        bucket = np.zeros(len(keys), dtype=np.uint64)
+        for p in range(n_planes):
+            bucket |= signs[:, p].astype(np.uint64) << np.uint64(p)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            key: pa.array(keys),
+            "vec": pa.array([row.tobytes() for row in mat], type=pa.binary()),
+        })
+
+    exploded = ds.select_columns([key, emb]).map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, cos = [], [], []
+        if len(g) >= 2:
+            g = g.drop_duplicates(subset=[key]).head(500)
+            ks = g[key].to_numpy()
+            mat = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]])
+            sims = mat @ mat.T
+            ii, jj = np.triu_indices(len(ks), k=1)
+            hit = sims[ii, jj] >= threshold
+            for i, j, s in zip(ii[hit], jj[hit], sims[ii, jj][hit]):
+                a, b = sorted((ks[i], ks[j]))
+                out_a.append(a)
+                out_b.append(b)
+                cos.append(float(s))
+        return pd.DataFrame({"key_a": out_a, "key_b": out_b, "cosine": cos})
+
+    pairs = exploded.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["key_a", "key_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))

@@ -1,0 +1,167 @@
+"""Dedup family + similarity search + text analysis tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _corpus_with_near_dups(ray_session):
+    """Synthetic corpus: distinct docs + planted exact and near duplicates."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    docs = []
+    for i in range(60):
+        n = 30 + int(rng.integers(0, 30))
+        docs.append(" ".join(rng.choice(words, size=n)))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    # exact duplicates of doc 0 and 1
+    rows.append({"doc_id": 100, "text": docs[0]})
+    rows.append({"doc_id": 101, "text": docs[1]})
+    # near duplicate of doc 2: change two words
+    w = docs[2].split()
+    w[0], w[-1] = "changed", "words"
+    rows.append({"doc_id": 102, "text": " ".join(w)})
+    return ray.data.from_items(rows), docs
+
+
+def test_exact_duplicates_and_dedup(ray_session):
+    from jsonschema_validator_ray.stages.dedup import dedup_exact, exact_duplicates
+
+    ds, docs = _corpus_with_near_dups(ray_session)
+    dups = exact_duplicates(ds, "doc_id", "text").to_pandas()
+    assert set(dups["doc_id"]) == {100, 101}
+    assert set(dups["dup_of"]) == {0, 1}
+    deduped = dedup_exact(ds, "doc_id", "text")
+    ids = set(r["doc_id"] for r in deduped.select_columns(["doc_id"]).take_all())
+    assert 100 not in ids and 101 not in ids and 0 in ids and 102 in ids
+    assert len(ids) == 61
+
+
+def test_minhash_lsh_near_duplicates(ray_session):
+    from jsonschema_validator_ray.stages.dedup import (
+        minhash_near_duplicates, ngram_jaccard)
+
+    ds, docs = _corpus_with_near_dups(ray_session)
+    pairs = minhash_near_duplicates(ds, "doc_id", "text",
+                                    threshold=0.5, batch_size=16).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+    # exact dups must surface with est ≈ 1
+    assert (0, 100) in found and (1, 101) in found
+    # the planted near-dup pair surfaces
+    assert (2, 102) in found
+    exact1 = pairs[(pairs["key_a"] == 0) & (pairs["key_b"] == 100)]["jaccard_est"].iloc[0]
+    assert exact1 == pytest.approx(1.0)
+    # estimates track exact n-gram Jaccard for the near-dup pair
+    est = pairs[(pairs["key_a"] == 2) & (pairs["key_b"] == 102)]["jaccard_est"].iloc[0]
+    w = docs[2].split()
+    w[0], w[-1] = "changed", "words"
+    truth = ngram_jaccard(docs[2], " ".join(w))
+    assert abs(est - truth) < 0.2
+
+
+def test_simhash_near_duplicates(ray_session):
+    from jsonschema_validator_ray.stages.dedup import simhash_near_duplicates, simhash64
+
+    ds, docs = _corpus_with_near_dups(ray_session)
+    pairs = simhash_near_duplicates(ds, "doc_id", "text",
+                                    max_hamming=6, batch_size=16).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+    assert (0, 100) in found and (1, 101) in found  # exact dups: hamming 0
+    h0 = pairs[(pairs["key_a"] == 0) & (pairs["key_b"] == 100)]["hamming"].iloc[0]
+    assert h0 == 0
+    assert simhash64(docs[0]) == simhash64(docs[0])  # deterministic
+
+
+def test_embedding_near_duplicates(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.dedup import embedding_near_duplicates
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # planted near-dup: tiny perturbation of vec 7
+    rows.append({"vec_id": 900, "embedding": (base[7] + 0.01).tolist()})
+    ds = ray.data.from_items(rows)
+    pairs = embedding_near_duplicates(ds, "vec_id", "embedding",
+                                      threshold=0.98, batch_size=16).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["key_a"], pairs["key_b"])}
+    assert (7, 900) in found
+
+
+def test_topk_cosine_matches_duckdb(ray_session):
+    """Brute-force top-k agrees with an exact DuckDB computation."""
+    import duckdb
+    import ray.data
+
+    from jsonschema_validator_ray.stages.similarity import topk_cosine
+
+    emb = ray.data.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.take(1)[0]["embedding"]
+    ours = topk_cosine(emb, np.array(q), k=10, batch_size=128)
+    theirs = duckdb.connect().execute(f"""
+        SELECT vec_id,
+               list_cosine_similarity(embedding,
+                 (SELECT embedding FROM '{SF_SMOKE}/embeddings.parquet' WHERE vec_id=0)) AS score
+        FROM '{SF_SMOKE}/embeddings.parquet'
+        ORDER BY score DESC, vec_id LIMIT 10
+    """).df()
+    assert list(ours["vec_id"]) == list(theirs["vec_id"])
+    np.testing.assert_allclose(ours["score"], theirs["score"], rtol=1e-5)
+
+
+def test_topk_cosine_lsh_recall(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.similarity import (
+        topk_cosine, topk_cosine_lsh)
+
+    emb = ray.data.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = np.array(emb.take(3)[2]["embedding"])
+    exact = set(topk_cosine(emb, q, k=10, batch_size=128)["vec_id"])
+    approx = set(topk_cosine_lsh(emb, q, k=10, n_planes=6,
+                                 batch_size=128)["vec_id"])
+    # LSH with 6 planes probing Hamming ≤1: recall should be decent
+    assert len(exact & approx) >= 5
+
+
+def test_text_analysis_functions():
+    from jsonschema_validator_ray.functions.text import (
+        fingerprint, langid, langid_scores, quality_batch, token_count_batch)
+    import pyarrow as pa
+
+    t = pa.table({"text": ["the cat sat on the mat", "der Hund ist nicht da",
+                           "  spaced   out  ", ""]})
+    counts = token_count_batch(t).to_pylist()
+    assert counts == [6, 5, 2, 0]
+    q = quality_batch(t).to_pylist()
+    assert q[0]["n_tokens"] == 6 and q[0]["stopword_ratio"] > 0.2
+    assert q[3]["n_tokens"] == 0
+    assert langid("the cat and the dog is in the house of that man") == "en"
+    assert langid("der hund und die katze ist nicht von den haus") == "de"
+    assert langid("") is None
+    s = langid_scores("le chat est dans la maison pour une nuit")
+    assert max(s, key=s.get) == "fr"
+    # fingerprint: whitespace-normalization invariant, content-sensitive
+    assert fingerprint("a  b\tc") == fingerprint("a b c")
+    assert fingerprint("a b c") != fingerprint("a b d")
+    assert fingerprint(None) is None
+
+
+def test_fingerprint_batch_matches_scalar():
+    import pyarrow as pa
+
+    from jsonschema_validator_ray.functions.text import (
+        fingerprint, fingerprint_batch)
+
+    texts = ["hello world", "x" * 1000, "日本語 テキスト", "", None]
+    t = pa.table({"text": texts})
+    got = fingerprint_batch(t).to_pylist()
+    assert got == [fingerprint(x) for x in texts]
