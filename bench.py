@@ -1,0 +1,196 @@
+"""Benchmark harness.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "webtext_rows": R, "docs_per_sec": D}
+
+Headline = the flagship webtext validation job (north-star metric:
+validated docs/sec — reported as total seconds in `value`, derived
+throughput in `docs_per_sec`). The webtext corpus is synthesized
+deterministically ONCE into /tmp (cache keyed by row count) and read as
+parquet, so the benchmark measures validate+shuffle, not generation.
+
+``--scaling`` mode: runs this script twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both times plus
+scaling efficiency = (t_8 / t_32) / (32 / 8)  (1.0 = perfectly linear) —
+the sandbox stand-in for the N-node vs 4N-node cluster criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+WEBTEXT_ROWS = int(os.environ.get("GRAFT_WEBTEXT_ROWS", "8000000"))
+WEBTEXT_CACHE = f"/tmp/graft_webtext_{WEBTEXT_ROWS}"
+
+
+def _ensure_webtext(n_rows: int) -> list[str]:
+    """Generate-once corpus cache (deterministic, safe to reuse)."""
+    d = Path(WEBTEXT_CACHE)
+    marker = d / "_complete"
+    if not marker.exists():
+        import shutil
+
+        if d.exists():
+            shutil.rmtree(d)
+        from jsonschema_validator_ray.sources.webtext import write_webtext_parquet
+
+        write_webtext_parquet(str(d), n_rows, override_num_blocks=64)
+        marker.write_text("ok")
+    return sorted(str(p) for p in d.glob("*.parquet"))
+
+
+def _warm(files: list[str]) -> None:
+    """Warm the OS page cache so timing measures compute, not first-read."""
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import ray.data
+
+    import __ray_entry__ as ent
+
+    files = _ensure_webtext(WEBTEXT_ROWS)
+    _warm(files)
+    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
+        _warm([f"{SF_DIR}/{t}.parquet"])
+
+    timings: dict[str, float] = {}
+
+    # --- headline: the north-star metric — validated docs/sec, one
+    # vectorized validation pass (read → constraint plan + extraction check
+    # → verdicts + violations) over the webtext corpus ---
+    from jsonschema_validator_ray.pipelines.webtext import (
+        WebtextValidator, run_webtext_pipeline)
+
+    from ray.data.aggregate import Count, Sum
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(files)
+    # stateless tasks: the compiled plan pickles small, warm Ray workers
+    # beat actor-pool startup at this job size. ONE streaming pass: validate
+    # → tiny aggregate (row count + violation count); no materialization,
+    # no object-store round-trip.
+    combined = ds.map_batches(WebtextValidator(True), batch_format="pyarrow",
+                              batch_size=16384)
+    agg = combined.aggregate(Count(), Sum("error_count", alias_name="n_viol"))
+    n_verdicts, n_viol = agg["count()"], agg["n_viol"]
+    headline = time.perf_counter() - t0
+    timings["webtext_validate"] = round(headline, 3)
+    assert n_verdicts == WEBTEXT_ROWS, (n_verdicts, WEBTEXT_ROWS)
+
+    # --- the wide table-level stages (uniqueness / referential / stats),
+    # consumed concurrently so the streaming executor overlaps them ---
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    rpt = run_webtext_pipeline(ds, check_extraction=False, batch_size=16384)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_dups = pool.submit(lambda: rpt.dup_urls.count())
+        f_lang = pool.submit(lambda: rpt.lang_violations.count())
+        f_stats = pool.submit(lambda: rpt.stats.to_pandas())
+        n_dups, n_langviol = f_dups.result(), f_lang.result()
+        _stats = f_stats.result()
+    timings["webtext_wide_checks"] = round(time.perf_counter() - t0, 3)
+
+    # --- per-query timings over the sf tables (driver-contract surface) ---
+    qs = ent.queries()
+    bench_queries = [
+        "verdict_documents", "violations_documents", "dup_orders_custkey",
+        "fk_orders_custkey", "stats_exact_lineitem", "dedup_exact_documents",
+        "token_counts_documents", "topk_embeddings", "events_hourly",
+        "minhash_pairs_documents",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        out = qs[name](SF_DIR)
+        # consume to a count (datasets are lazy)
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "webtext_validate_total_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "webtext_rows": WEBTEXT_ROWS,
+        "docs_per_sec": round(WEBTEXT_ROWS / headline, 1),
+        "violations": n_viol,
+        "dup_urls": n_dups,
+        "lang_violations": n_langviol,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh ray sessions at 8 and 32 CPUs (N vs 4N stand-in)."""
+
+    def run(ncpu: int, args: list[str] | None = None) -> dict | None:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__] + (args or []),
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=str(Path(__file__).parent)).stdout
+        lines = out.strip().splitlines()
+        return json.loads(lines[-1]) if lines else None
+
+    # pre-generate the corpus at FULL parallelism so the 8-cpu run isn't
+    # charged for one-time generation
+    run(32, ["--ensure-corpus"])
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "webtext_rows": r_lo["webtext_rows"],
+        "criterion": "efficiency >= 0.8 from N to 4N parallelism",
+        "pass": eff >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    if "--ensure-corpus" in sys.argv:
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        _ensure_webtext(WEBTEXT_ROWS)
+        ray.shutdown()
+        print(json.dumps({"ok": True}))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

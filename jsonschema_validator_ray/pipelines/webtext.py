@@ -132,10 +132,19 @@ def run_webtext_pipeline(ds, *,
                          check_extraction: bool = True,
                          baseline_lang_hist: str | None = None,
                          batch_size: int = 8192,
-                         concurrency: int | None = None) -> WebtextReport:
+                         concurrency: int | None = None,
+                         materialize_combined: bool = False) -> WebtextReport:
     """Full validation job over a webtext dataset. The input dataset is
     consumed stream-wise per stage; ``html`` is only read by the validator
-    stage."""
+    stage.
+
+    ``materialize_combined=True`` pins the combined verdict/violation output
+    in the object store so consuming BOTH verdicts and violations costs one
+    validation pass instead of two. The combined output is a few percent of
+    input size (no html/text). At petabyte scale prefer writing it to
+    Parquet once (sinks/resumable.py) and deriving both views from the
+    files; materialize() is the same idea bounded by object-store capacity.
+    """
     kwargs: dict = dict(batch_format="pyarrow", batch_size=batch_size)
     if concurrency is not None:
         combined = ds.map_batches(WebtextValidator,
@@ -143,6 +152,8 @@ def run_webtext_pipeline(ds, *,
                                   concurrency=concurrency, **kwargs)
     else:
         combined = ds.map_batches(WebtextValidator(check_extraction), **kwargs)
+    if materialize_combined:
+        combined = combined.materialize()
 
     verdicts = verdicts_only(combined)
     row_viol = flatten_violations(combined)

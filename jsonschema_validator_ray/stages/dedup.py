@@ -48,24 +48,32 @@ def exact_duplicates(ds, key: str, column: str, *, batch_size: int = 32768):
     negligible below ~10⁹ distinct docs; for 10^12 keys use a 128-bit
     double-hash (two independent hash columns grouped together)."""
 
+    n_buckets = 64
+
     def add_hash(b: pa.Table) -> pa.Table:
-        return pa.table({key: b.column(key),
-                         "content_hash": content_hash_batch(b, column)})
+        h = content_hash_batch(b, column)
+        # mask must be a uint64 scalar: a bare python int makes Arrow try to
+        # promote the uint64 column to int64 and overflow
+        bucket = pc.cast(
+            pc.bit_wise_and(h, pa.scalar(n_buckets - 1, pa.uint64())),
+            pa.int32())
+        return pa.table({key: b.column(key), "content_hash": h,
+                         "bucket": bucket})
 
     hashed = ds.select_columns([key, column]).map_batches(
         add_hash, batch_format="pyarrow", batch_size=batch_size)
 
-    def dups_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({key: [], "dup_of": []}).astype(
-                {key: g[key].dtype, "dup_of": g[key].dtype})
-        keep = g[key].min()
+    def dups_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per BUCKET (64 total); hash-group within via pandas
+        # C-path — one Ray group per distinct hash would cost one Python
+        # task per document group
+        keep = g.groupby("content_hash", sort=False)[key].transform("min")
         rest = g[g[key] != keep]
         return pd.DataFrame({key: rest[key].to_numpy(),
-                             "dup_of": np.full(len(rest), keep)})
+                             "dup_of": keep[g[key] != keep].to_numpy()})
 
-    return hashed.groupby("content_hash").map_groups(
-        dups_in_group, batch_format="pandas")
+    return hashed.groupby("bucket").map_groups(
+        dups_in_bucket, batch_format="pandas")
 
 
 def dedup_exact(ds, key: str, column: str, *, batch_size: int = 32768):
@@ -93,16 +101,37 @@ def dedup_exact(ds, key: str, column: str, *, batch_size: int = 32768):
 _WORD_RE = re.compile(r"\S+")
 
 
+def _shingle_strings(text: str, k: int = 3) -> list[str]:
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        return [" ".join(words)] if words else [""]
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingles → uint64 hashes (vectorized pandas hash over the
     joined shingle strings)."""
-    words = _WORD_RE.findall(text.lower())
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    h = pd.util.hash_pandas_object(pd.Series(shingles), index=False).to_numpy()
+    h = pd.util.hash_pandas_object(
+        pd.Series(_shingle_strings(text, k)), index=False).to_numpy()
     return np.unique(h.astype(np.uint64))
+
+
+def batch_shingle_hashes(texts: list[str | None], k: int = 3
+                         ) -> list[np.ndarray]:
+    """Per-doc shingle hash arrays with ONE vectorized hash call for the
+    whole batch (a per-doc pandas Series costs ~ms of overhead each; at
+    thousands of docs per batch that dominates the actual hashing)."""
+    all_shingles: list[str] = []
+    offsets = [0]
+    for t in texts:
+        all_shingles.extend(_shingle_strings(t or "", k))
+        offsets.append(len(all_shingles))
+    if not all_shingles:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    h = pd.util.hash_pandas_object(
+        pd.Series(all_shingles), index=False).to_numpy().astype(np.uint64)
+    return [np.unique(h[offsets[i]:offsets[i + 1]])
+            for i in range(len(texts))]
 
 
 class MinHasher:
@@ -183,8 +212,9 @@ def minhash_explode_batch(lsh: MinHashLSH, key_col: str, text_col: str,
     band_hash = np.empty(n * lsh.bands, dtype=np.uint64)
     out_keys = np.repeat(np.arange(n), lsh.bands)
     sigs = []
-    for j, t in enumerate(texts):
-        sig = lsh.hasher.signature_fast(shingle_hashes(t or ""))
+    per_doc = batch_shingle_hashes(texts)
+    for j, sh in enumerate(per_doc):
+        sig = lsh.hasher.signature_fast(sh)
         sigs.append(sig.tobytes())
         band_hash[j * lsh.bands:(j + 1) * lsh.bands] = lsh.band_hashes(sig)
     key_arr = pa.array(keys).take(pa.array(out_keys))
@@ -201,7 +231,7 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
                             threshold: float = 0.7,
                             n_perm: int = 128, bands: int = 32,
                             seed: int = 42,
-                            batch_size: int = 8192,
+                            batch_size: int = 1024,
                             concurrency: int | None = None):
     """→ Dataset ``(key_a, key_b, jaccard_est)`` of near-duplicate pairs with
     minhash-estimated Jaccard ≥ threshold. Signatures (1 KB/doc) travel
@@ -216,26 +246,34 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
         kwargs["concurrency"] = concurrency
     exploded = ds.select_columns([key, text]).map_batches(explode, **kwargs)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        # One group per BAND (bands groups total, not one per bucket): the
+        # per-bucket pairing runs as a vectorized pandas groupby inside —
+        # thousands of tiny Ray groups would cost one Python task each.
         out_a, out_b, est = [], [], []
-        if len(g) >= 2:
-            # dedupe keys within the bucket, cap pathological buckets
-            g = g.drop_duplicates(subset=[key]).head(200)
-            ks = g[key].to_numpy()
-            sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        multi = g.groupby("band_hash", sort=False)
+        for _, bucket in multi:
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.drop_duplicates(subset=[key]).head(200)
+            if len(bucket) < 2:
+                continue
+            ks = bucket[key].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                             for s in bucket["sig"]])
             for i in range(len(ks)):
-                for j in range(i + 1, len(ks)):
-                    jac = estimate_jaccard(sigs[i], sigs[j])
-                    if jac >= threshold:
-                        a, b = sorted((ks[i], ks[j]))
-                        out_a.append(a)
-                        out_b.append(b)
-                        est.append(jac)
+                eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+                hit = np.flatnonzero(eq >= threshold)
+                for h in hit:
+                    a, b = sorted((ks[i], ks[i + 1 + h]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    est.append(float(eq[h]))
         return pd.DataFrame({"key_a": out_a, "key_b": out_b,
                              "jaccard_est": est})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    pairs = exploded.groupby("band").map_groups(
+        pairs_in_band, batch_format="pandas")
     # same pair can surface from several bands → keep max estimate per pair
     from ray.data.aggregate import Max
 
@@ -250,19 +288,37 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
 
 def simhash64(text: str) -> int:
     """Charikar SimHash over word-unigram hashes (unit weights)."""
-    words = _WORD_RE.findall(text.lower())
-    if not words:
-        return 0
-    h = pd.util.hash_pandas_object(pd.Series(words), index=False) \
-          .to_numpy().astype(np.uint64)
+    return int(batch_simhash64([text])[0])
+
+
+def batch_simhash64(texts: list[str | None]) -> np.ndarray:
+    """Vectorized SimHash for a whole batch: one hash call over all words,
+    bit expansion once, per-doc bit sums via ``np.add.reduceat``."""
+    all_words: list[str] = []
+    offsets = [0]
+    for t in texts:
+        all_words.extend(_WORD_RE.findall((t or "").lower()))
+        offsets.append(len(all_words))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not all_words:
+        return out
+    h = pd.util.hash_pandas_object(
+        pd.Series(all_words), index=False).to_numpy().astype(np.uint64)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for b in range(64):
-        if v[b] > 0:
-            out |= np.uint64(1) << np.uint64(b)
-    return int(out)
+            & np.uint64(1)).astype(np.int32)
+    signed = 2 * bits - 1                       # (n_words, 64)
+    starts = np.array(offsets[:-1])
+    nonempty = starts < len(all_words)
+    # reduceat needs strictly valid start indices; empty docs handled after
+    sums = np.add.reduceat(signed, np.minimum(starts, len(all_words) - 1),
+                           axis=0)
+    weights = np.where((np.array(offsets[1:]) - starts) > 0, 1, 0)
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for j in range(len(texts)):
+        if weights[j] == 0:
+            continue
+        out[j] = np.sum(powers[sums[j] > 0], dtype=np.uint64)
+    return out
 
 
 def hamming64(a: int, b: int) -> int:
@@ -271,15 +327,14 @@ def hamming64(a: int, b: int) -> int:
 
 def simhash_near_duplicates(ds, key: str, text: str, *,
                             max_hamming: int = 3,
-                            batch_size: int = 8192):
+                            batch_size: int = 1024):
     """→ Dataset ``(key_a, key_b, hamming)``. Pairs within Hamming ≤ 3 share
     at least one of the 4 16-bit chunks exactly (pigeonhole), so candidates
     = groupby (chunk_id, chunk_value)."""
 
     def explode(b: pa.Table) -> pa.Table:
         keys = b.column(key).to_pylist()
-        sh = np.array([simhash64(t or "") for t in
-                       b.column(text).to_pylist()], dtype=np.uint64)
+        sh = batch_simhash64(b.column(text).to_pylist())
         n = len(keys)
         chunk_ids = np.tile(np.arange(4, dtype=np.int32), n)
         chunk_vals = np.empty(4 * n, dtype=np.uint64)
@@ -296,24 +351,30 @@ def simhash_near_duplicates(ds, key: str, text: str, *,
     exploded = ds.select_columns([key, text]).map_batches(
         explode, batch_format="pyarrow", batch_size=batch_size)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per CHUNK ID (4 total); per-value pairing vectorized
         out_a, out_b, ham = [], [], []
-        if len(g) >= 2:
-            g = g.drop_duplicates(subset=[key]).head(200)
-            ks = g[key].to_numpy()
-            hs = g["simhash"].to_numpy()
+        for _, bucket in g.groupby("chunk_val", sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.drop_duplicates(subset=[key]).head(200)
+            ks = bucket[key].to_numpy()
+            hs = bucket["simhash"].to_numpy().astype(np.uint64)
             for i in range(len(ks)):
-                for j in range(i + 1, len(ks)):
-                    d = hamming64(int(hs[i]), int(hs[j]))
-                    if d <= max_hamming:
-                        a, b = sorted((ks[i], ks[j]))
-                        out_a.append(a)
-                        out_b.append(b)
-                        ham.append(d)
+                x = hs[i + 1:] ^ hs[i]
+                # vectorized popcount via uint8 view + lookup table
+                d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                  axis=1).sum(axis=1) if len(x) else np.array([])
+                hit = np.flatnonzero(d <= max_hamming)
+                for h in hit:
+                    a, b = sorted((ks[i], ks[i + 1 + h]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    ham.append(int(d[h]))
         return pd.DataFrame({"key_a": out_a, "key_b": out_b, "hamming": ham})
 
-    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    pairs = exploded.groupby("chunk").map_groups(
+        pairs_in_chunk, batch_format="pandas")
     from ray.data.aggregate import Min
 
     return pairs.groupby(["key_a", "key_b"]).aggregate(
@@ -349,6 +410,7 @@ def embedding_near_duplicates(ds, key: str, emb: str, *,
         for p in range(n_planes):
             bucket |= signs[:, p].astype(np.uint64) << np.uint64(p)
         return pa.table({
+            "bucket_band": pa.array(bucket & np.uint64(0xF)),  # 16 Ray groups
             "bucket": pa.array(bucket),
             key: pa.array(keys),
             "vec": pa.array([row.tobytes() for row in mat], type=pa.binary()),
@@ -357,12 +419,15 @@ def embedding_near_duplicates(ds, key: str, emb: str, *,
     exploded = ds.select_columns([key, emb]).map_batches(
         explode, batch_format="pyarrow", batch_size=batch_size)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, cos = [], [], []
-        if len(g) >= 2:
-            g = g.drop_duplicates(subset=[key]).head(500)
-            ks = g[key].to_numpy()
-            mat = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["vec"]])
+        for _, bucket_rows in g.groupby("bucket", sort=False):
+            if len(bucket_rows) < 2:
+                continue
+            bucket_rows = bucket_rows.drop_duplicates(subset=[key]).head(500)
+            ks = bucket_rows[key].to_numpy()
+            mat = np.stack([np.frombuffer(v, dtype=np.float32)
+                            for v in bucket_rows["vec"]])
             sims = mat @ mat.T
             ii, jj = np.triu_indices(len(ks), k=1)
             hit = sims[ii, jj] >= threshold
@@ -373,8 +438,8 @@ def embedding_near_duplicates(ds, key: str, emb: str, *,
                 cos.append(float(s))
         return pd.DataFrame({"key_a": out_a, "key_b": out_b, "cosine": cos})
 
-    pairs = exploded.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    pairs = exploded.groupby("bucket_band").map_groups(
+        pairs_in_band, batch_format="pandas")
     from ray.data.aggregate import Max
 
     return pairs.groupby(["key_a", "key_b"]).aggregate(

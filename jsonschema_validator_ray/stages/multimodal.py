@@ -1,0 +1,235 @@
+"""Multimodal (image/audio/video) column stages.
+
+Model: media are opaque ``binary`` columns with typed metadata columns
+alongside (``media_type``, ``width``/``height``/``sample_rate``...). All
+heavy per-item work (decode, feature extraction, resize, frame sampling)
+runs in ACTOR-POOL ``map_batches`` stages with SMALL batch sizes — large
+binary payloads mean a batch × concurrency must fit in worker heap
+(ray_guide "Memory-aware").
+
+The real image/audio codec libraries are not in this container, so the
+byte-level decode is STUBBED two ways (this is the clearly-marked boundary):
+
+- ``decoder="fake"`` (default): a deterministic fake container format
+  (:func:`fake_image_bytes` / :func:`fake_audio_bytes`) that exercises the
+  FULL Ray-side plumbing — schemas, actor init, batch sizing, output layout —
+  with real bytes in/arrays out;
+- ``decoder="pil"`` / ``"librosa"``: raises ``NotImplementedError`` unless
+  the library import succeeds (it will on a production image), at which point
+  only ``_decode_real`` needs filling in.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_IMG_MAGIC = b"FIMG"
+_AUD_MAGIC = b"FAUD"
+
+
+# ---- deterministic fake codecs (the stub boundary) ------------------------
+
+
+def fake_image_bytes(width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake image: magic + dims + seed-derived pixel bytes."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=width * height * 3, dtype=np.uint8)
+    return _IMG_MAGIC + struct.pack("<IIQ", width, height, seed) + pixels.tobytes()
+
+
+def fake_audio_bytes(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    samples = (rng.standard_normal(n_samples) * 0.1).astype(np.float32)
+    return _AUD_MAGIC + struct.pack("<IIQ", n_samples, sample_rate, seed) + samples.tobytes()
+
+
+def _decode_fake_image(b: bytes) -> np.ndarray | None:
+    if b is None or not b.startswith(_IMG_MAGIC):
+        return None
+    w, h, _seed = struct.unpack_from("<IIQ", b, 4)
+    pixels = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=4 + 16)
+    return pixels.reshape(h, w, 3)
+
+
+def _decode_fake_audio(b: bytes) -> tuple[np.ndarray, int] | None:
+    if b is None or not b.startswith(_AUD_MAGIC):
+        return None
+    n, sr, _seed = struct.unpack_from("<IIQ", b, 4)
+    samples = np.frombuffer(b, dtype=np.float32, count=n, offset=4 + 16)
+    return samples, sr
+
+
+# ---- actor-pool stages ----------------------------------------------------
+
+
+class ImageFeatureActor:
+    """Actor: binary image column → feature columns
+    ``(key, width, height, mean_luma, ahash64, decode_ok)``.
+
+    ``ahash64`` is a perceptual average-hash over an 8×8 downsample — the
+    classic near-dup key for images (joins the dedup machinery via
+    groupby(ahash64) exactly like text content hashes)."""
+
+    def __init__(self, key: str = "media_id", column: str = "image",
+                 decoder: str = "fake"):
+        self.key = key
+        self.column = column
+        if decoder == "fake":
+            self.decode = _decode_fake_image
+        elif decoder == "pil":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image decode needs PIL, which is not available in "
+                    "this environment — use decoder='fake' (deterministic "
+                    "stub) or run on an image with pillow installed") from e
+            self.decode = self._decode_real
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    @staticmethod
+    def _decode_real(b: bytes) -> np.ndarray | None:
+        import io
+
+        from PIL import Image
+
+        try:
+            return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+        except Exception:
+            return None
+
+    @staticmethod
+    def _ahash64(img: np.ndarray) -> int:
+        luma = img.astype(np.float32).mean(axis=2)
+        h, w = luma.shape
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        blocks = luma[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)]
+        bits = (blocks > blocks.mean()).flatten()
+        out = 0
+        for i, bit in enumerate(bits):
+            if bit:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_pylist()
+        widths, heights, lumas, hashes, ok = [], [], [], [], []
+        for b in batch.column(self.column).to_pylist():
+            img = self.decode(b)
+            if img is None:
+                widths.append(None)
+                heights.append(None)
+                lumas.append(None)
+                hashes.append(None)
+                ok.append(False)
+            else:
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                lumas.append(float(img.astype(np.float32).mean()))
+                hashes.append(self._ahash64(img))
+                ok.append(True)
+        return pa.table({
+            self.key: pa.array(keys),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "mean_luma": pa.array(lumas, type=pa.float64()),
+            "ahash64": pa.array(hashes, type=pa.uint64()),
+            "decode_ok": pa.array(ok, type=pa.bool_()),
+        })
+
+
+class ImageResizeActor:
+    """Actor: decode → nearest-neighbor resize → re-encode (fake container).
+    Output keeps the binary-column-with-metadata layout."""
+
+    def __init__(self, target: tuple[int, int] = (64, 64),
+                 key: str = "media_id", column: str = "image",
+                 decoder: str = "fake"):
+        self.target = target
+        self.key = key
+        self.column = column
+        if decoder != "fake":
+            raise NotImplementedError(
+                "real resize needs an image library not present here; the "
+                "fake codec exercises the identical Ray plumbing")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tw, th = self.target
+        keys = batch.column(self.key).to_pylist()
+        out = []
+        for b in batch.column(self.column).to_pylist():
+            img = _decode_fake_image(b)
+            if img is None:
+                out.append(None)
+                continue
+            h, w, _ = img.shape
+            ys = (np.arange(th) * h) // th
+            xs = (np.arange(tw) * w) // tw
+            resized = img[ys][:, xs]
+            out.append(_IMG_MAGIC + struct.pack("<IIQ", tw, th, 0)
+                       + resized.tobytes())
+        return pa.table({
+            self.key: pa.array(keys),
+            "image": pa.array(out, type=pa.binary()),
+            "width": pa.array([tw if o is not None else None for o in out],
+                              type=pa.int32()),
+            "height": pa.array([th if o is not None else None for o in out],
+                               type=pa.int32()),
+        })
+
+
+class AudioFrameSampleActor:
+    """Actor: binary audio column → fixed-stride frame sample features
+    ``(key, n_samples, sample_rate, duration_s, rms, n_frames)``."""
+
+    def __init__(self, frame_len: int = 1024, hop: int = 4096,
+                 key: str = "media_id", column: str = "audio",
+                 decoder: str = "fake"):
+        self.frame_len = frame_len
+        self.hop = hop
+        self.key = key
+        self.column = column
+        if decoder != "fake":
+            raise NotImplementedError(
+                "real audio decode needs an audio library not present here")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_pylist()
+        ns, srs, durs, rmss, nframes = [], [], [], [], []
+        for b in batch.column(self.column).to_pylist():
+            dec = _decode_fake_audio(b)
+            if dec is None:
+                ns.append(None); srs.append(None); durs.append(None)
+                rmss.append(None); nframes.append(None)
+                continue
+            samples, sr = dec
+            frames = [samples[i:i + self.frame_len]
+                      for i in range(0, len(samples), self.hop)]
+            ns.append(len(samples))
+            srs.append(sr)
+            durs.append(len(samples) / sr)
+            rmss.append(float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0)
+            nframes.append(len(frames))
+        return pa.table({
+            self.key: pa.array(keys),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "sample_rate": pa.array(srs, type=pa.int32()),
+            "duration_s": pa.array(durs, type=pa.float64()),
+            "rms": pa.array(rmss, type=pa.float64()),
+            "n_frames": pa.array(nframes, type=pa.int32()),
+        })
+
+
+def image_features(ds, *, key: str = "media_id", column: str = "image",
+                   decoder: str = "fake",
+                   batch_size: int = 256, concurrency: int = 2):
+    """Feature-extraction pipeline entry: SMALL batches (binary payloads),
+    actor pool sized by `concurrency` (decode state loads once per actor)."""
+    return ds.map_batches(
+        ImageFeatureActor, fn_constructor_args=(key, column, decoder),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

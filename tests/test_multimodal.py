@@ -1,0 +1,95 @@
+"""Multimodal binary-column plumbing: fake codecs, actor stages, dedup via
+perceptual hash."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _image_rows(n: int):
+    from jsonschema_validator_ray.stages.multimodal import fake_image_bytes
+
+    rows = []
+    for i in range(n):
+        w, h = 32 + (i % 5) * 16, 32 + (i % 3) * 16
+        rows.append({"media_id": i, "image": fake_image_bytes(w, h, seed=i)})
+    # duplicate image content under a different id
+    rows.append({"media_id": 999, "image": fake_image_bytes(48, 48, seed=1)})
+    # corrupted payload
+    rows.append({"media_id": 998, "image": b"\x00garbage"})
+    return rows
+
+
+def test_image_features_actor_pool(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.multimodal import image_features
+
+    ds = ray.data.from_items(_image_rows(20))
+    out = image_features(ds, batch_size=8, concurrency=2).to_pandas() \
+        .set_index("media_id")
+    assert out.loc[0, "decode_ok"] and out.loc[0, "width"] == 32
+    assert not out.loc[998, "decode_ok"]
+    # identical content → identical perceptual hash (image dedup key)
+    seed1 = [i for i in range(20) if (32 + (i % 5) * 16, 32 + (i % 3) * 16, i) ==
+             (48, 48, 1)]
+    if seed1:
+        assert out.loc[999, "ahash64"] == out.loc[seed1[0], "ahash64"]
+    # deterministic across runs
+    out2 = image_features(ray.data.from_items(_image_rows(20)),
+                          batch_size=4, concurrency=2).to_pandas() \
+        .set_index("media_id")
+    assert (out.sort_index()["ahash64"].dropna()
+            == out2.sort_index()["ahash64"].dropna()).all()
+
+
+def test_image_resize_roundtrip(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.multimodal import (
+        ImageResizeActor, _decode_fake_image)
+
+    ds = ray.data.from_items(_image_rows(6))
+    out = ds.map_batches(ImageResizeActor, fn_constructor_args=((16, 16),),
+                         batch_format="pyarrow", batch_size=4,
+                         concurrency=2).to_pandas().set_index("media_id")
+    img = _decode_fake_image(out.loc[0, "image"])
+    assert img.shape == (16, 16, 3)
+    assert out.loc[998, "image"] is None  # corrupted in → null out
+
+
+def test_audio_frame_sampling(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.multimodal import (
+        AudioFrameSampleActor, fake_audio_bytes)
+
+    rows = [{"media_id": i,
+             "audio": fake_audio_bytes(16000 * (1 + i % 3), 16000, seed=i)}
+            for i in range(9)]
+    rows.append({"media_id": 99, "audio": b"junk"})
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(AudioFrameSampleActor, batch_format="pyarrow",
+                         batch_size=4, concurrency=2).to_pandas() \
+        .set_index("media_id")
+    assert out.loc[0, "sample_rate"] == 16000
+    assert out.loc[0, "duration_s"] == pytest.approx(1.0)
+    assert out.loc[1, "n_frames"] == int(np.ceil(32000 / 4096))
+    assert np.isnan(out.loc[99, "duration_s"]) or out.loc[99, "duration_s"] is None
+
+
+def test_real_decoder_gated():
+    from jsonschema_validator_ray.stages.multimodal import ImageFeatureActor
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            ImageFeatureActor(decoder="pil")
+    with pytest.raises(ValueError):
+        ImageFeatureActor(decoder="wat")
