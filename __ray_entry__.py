@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": corpus.fingerprint_documents,
         "minhash_pairs_documents": corpus.minhash_pairs_documents,
         "events_hourly": corpus.events_hourly,
+        "verdict_events_props": corpus.verdict_events_props,
     }
 
 
@@ -67,6 +68,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": corpus.QUALITY_SQL,
         "topk_embeddings": corpus.TOPK_SQL,
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
+        "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         # rows-only (no SQL-expressible oracle): stats_sketch_documents,
         # langid_documents, fingerprint_documents, minhash_pairs_documents
     }

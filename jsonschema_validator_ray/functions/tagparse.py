@@ -111,22 +111,50 @@ def var(value: Any, tag: str, *, mode: Mode = Mode.STRICT,
     return result
 
 
-def validate_record(record: dict[str, Any], field_tags: dict[str, str], *,
-                    mode: Mode = Mode.STRICT) -> ValidationResult:
+def validate_record(record: dict[str, Any],
+                    field_tags: dict[str, "str | dict"], *,
+                    mode: Mode = Mode.STRICT,
+                    custom_validate=None,
+                    recursive: bool = True,
+                    _path: str = "$") -> ValidationResult:
     """Validate one dict record field-by-field against tag strings — the
-    reference's ``Struct`` path (validator.go:139-265) for plain dicts."""
+    reference's ``Struct`` path (validator.go:139-265) for plain dicts.
+
+    - a dict value in ``field_tags`` declares a NESTED record's tags; with
+      ``recursive=True`` (reference ``RecursiveValidation``) the field's dict
+      value is validated against them with dotted path prefixes
+      (validator.go:224-245);
+    - ``custom_validate(field, value) -> (ok, message|None)`` is the
+      per-field hook of ``SetCustomValidateFunc``
+      (validator.go:129-131,181-204), run before the tag rules.
+    """
     e = ValueEngine(Options(mode=mode))
     result = ValidationResult()
     for field, tag in field_tags.items():
-        schema, required = _tag_to_schema(parse_tag(tag))
         value = record.get(field)
+        path = f"{_path}.{field}"
+        if isinstance(tag, dict):
+            if recursive and isinstance(value, dict):
+                sub = validate_record(value, tag, mode=mode,
+                                      custom_validate=custom_validate,
+                                      recursive=recursive, _path=path)
+                result.extend(sub.errors)
+            continue
+        if custom_validate is not None:
+            ok, msg = custom_validate(field, value)
+            if not ok:
+                result.add(ValidationError(
+                    path=path, message=msg or "custom validation failed",
+                    tag="custom"))
+                continue
+        schema, required = _tag_to_schema(parse_tag(tag))
         if required and is_zero(value):
             result.add(ValidationError(
-                path=f"$.{field}",
+                path=path,
                 message=f"field '{field}' is required", tag="required"))
             continue
         if field in record and schema:
-            sub = e.validate(value, schema, path=f"$.{field}")
+            sub = e.validate(value, schema, path=path)
             result.extend(sub.errors)
     return result
 

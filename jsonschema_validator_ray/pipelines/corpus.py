@@ -155,6 +155,46 @@ def minhash_pairs_documents(sf_dir: str):
     return pd.DataFrame([{"check": "minhash_near_dup", "n_pairs": n}])
 
 
+# ---- dynamic-JSON regime: validate the events.props JSON column -----------
+
+PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 80}},
+}
+
+
+def verdict_events_props(sf_dir: str):
+    """Per-row verdicts over the nested-JSON ``props`` column — the
+    dynamic-JSON regime (JsonColumnValidator actor pool, schema compiled once
+    per actor). Output (event_id, valid, error_count)."""
+    from ..stages.validate import JsonColumnValidator, verdicts_only
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+    combined = ev.map_batches(
+        JsonColumnValidator,
+        fn_constructor_args=(PROPS_SCHEMA, "event_id", "props"),
+        batch_format="pyarrow", concurrency=2)
+    return verdicts_only(combined)
+
+
+# Oracle assumes props is valid JSON whose "k" (when present) is an integer —
+# true of the corpus; the parse-failure and type branches are pinned by
+# pytest on planted fixtures instead.
+VERDICT_PROPS_SQL = """
+SELECT event_id,
+       (json_extract(props, '$.k') IS NOT NULL
+        AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 10 AND 80) AS valid,
+       CAST((CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                   AND CAST(json_extract(props, '$.k') AS BIGINT) < 10 THEN 1 ELSE 0 END)
+          + (CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                   AND CAST(json_extract(props, '$.k') AS BIGINT) > 80 THEN 1 ELSE 0 END)
+         AS INTEGER) AS error_count
+FROM events
+"""
+
 # ---- windowed events ------------------------------------------------------
 
 

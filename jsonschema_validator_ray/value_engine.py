@@ -45,11 +45,16 @@ _NUM_PREFIX_RE = re.compile(r"^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?")
 
 @dataclass
 class Options:
-    """Engine options (reference `/root/reference/validator/options.go:9-30`)."""
+    """Engine options (reference `/root/reference/validator/options.go:9-30`).
+    ``enable_caching`` mirrors the reference's compile-once schema cache
+    (``sync.Map`` keyed by the raw schema string,
+    `/root/reference/validator/validator.go:296-313`) — semantically inert,
+    so it defaults on here."""
 
     mode: Mode = Mode.STRICT
     stop_on_first_error: bool = False
     allow_unknown_fields: bool = False
+    enable_caching: bool = True
 
 
 def to_float(value: Any) -> tuple[float, bool]:
@@ -117,14 +122,28 @@ def check_type(value: Any, type_name: str) -> bool:
     return False
 
 
+def _canon_numbers(value: Any) -> Any:
+    """Recursively normalize ints → floats (except bools), mirroring Go's
+    ``json.Unmarshal`` where every JSON number is float64."""
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, int):
+        return float(value)
+    if isinstance(value, list):
+        return [_canon_numbers(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _canon_numbers(v) for k, v in value.items()}
+    return value
+
+
 def _deep_key(value: Any) -> Any:
-    """Hashable identity key preserving Go reflect.DeepEqual distinctions
-    (bool(true) != 1; 1 == 1.0 is NOT equal across float64/int in DeepEqual,
-    but JSON-decoded values are uniformly float64 in Go — we normalize
-    int==float like ``json.Unmarshal`` would)."""
+    """Hashable identity key preserving Go reflect.DeepEqual distinctions in
+    the JSON regime (bool(true) != 1, but 1 == 1.0 — both are float64 after
+    ``json.Unmarshal``), at any nesting depth."""
     t = json_type_of(value)
     if t in ("object", "array"):
-        return (t, json.dumps(value, sort_keys=True, ensure_ascii=False))
+        return (t, json.dumps(_canon_numbers(value), sort_keys=True,
+                              ensure_ascii=False))
     if t == "integer":
         return ("number", float(value))
     if t == "number":
@@ -139,13 +158,27 @@ class ValueEngine:
         self.opts = options or Options()
         self.registry = registry or Registry()
         self._pattern_cache: dict[str, re.Pattern] = {}
+        self._schema_cache: dict[str, CompiledSchema] = {}
 
     # -- public API ---------------------------------------------------------
+
+    def compile(self, schema: dict | str) -> CompiledSchema:
+        """Compile with the engine-level cache (reference ``CompileSchema`` +
+        ``EnableCaching``, validator.go:296-313,644-672). Cache key = the raw
+        JSON string (dict schemas are compiled uncached — hashing them would
+        cost as much as compiling)."""
+        if isinstance(schema, str) and self.opts.enable_caching:
+            hit = self._schema_cache.get(schema)
+            if hit is None:
+                hit = compile_schema(schema, self.opts.mode)
+                self._schema_cache[schema] = hit
+            return hit
+        return compile_schema(schema, self.opts.mode)
 
     def validate(self, value: Any, schema: CompiledSchema | dict | str,
                  path: str = "$") -> ValidationResult:
         if not isinstance(schema, CompiledSchema):
-            schema = compile_schema(schema, self.opts.mode)
+            schema = self.compile(schema)
         result = ValidationResult()
         self._validate(value, schema, path, result)
         return result
