@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_documents": corpus.minhash_pairs_documents,
         "events_hourly": corpus.events_hourly,
         "verdict_events_props": corpus.verdict_events_props,
+        "events_sessions": corpus.events_sessions,
     }
 
 
@@ -69,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_embeddings": corpus.TOPK_SQL,
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
+        "events_sessions": corpus.EVENTS_SESSIONS_SQL,
         # rows-only (no SQL-expressible oracle): stats_sketch_documents,
         # langid_documents, fingerprint_documents, minhash_pairs_documents
     }

@@ -1,0 +1,109 @@
+"""Job runner — the ``ray job submit`` entry point.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m jsonschema_validator_ray.cli \
+        --input '/data/webtext/*.parquet' --out /data/validated \
+        --schema schema.json --key url --partitions 256
+
+In this sandbox (single node, local mode) the same command runs directly:
+``python -m jsonschema_validator_ray.cli ...`` — the runner owns the Ray
+session (guarded init), making it the one module in the package allowed to
+call ``ray.init``.
+
+Resumable by construction: input files are partitioned deterministically,
+outputs + lineage manifests land under ``--out`` (sinks/resumable.py), and a
+re-run of the identical command after a kill skips completed partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+import time
+
+
+def build_pipeline(schema: dict, key: str, mode: str, check_extraction: bool):
+    from .errors import Mode
+    from .pipelines.webtext import WebtextValidator
+    from .stages.validate import BatchValidator, verdicts_only
+
+    m = Mode.LOOSE if mode == "loose" else Mode.STRICT
+
+    def pipeline(ds):
+        if check_extraction:
+            validator = WebtextValidator(True, mode=m)
+        else:
+            validator = BatchValidator(schema, key, m)
+        combined = ds.map_batches(validator, batch_format="pyarrow",
+                                  batch_size=16384)
+        return combined  # verdicts + violations list column, written as one table
+
+    return pipeline
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="jsonschema_validator_ray")
+    p.add_argument("--input", required=True,
+                   help="input parquet glob(s), comma-separated")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--schema", default=None,
+                   help="path to a JSON table-schema file (default: the "
+                        "webtext flagship schema)")
+    p.add_argument("--key", default="url", help="key column for verdicts")
+    p.add_argument("--mode", choices=["strict", "loose"], default="strict")
+    p.add_argument("--partitions", type=int, default=16,
+                   help="resumable partition count (>= cluster cores; "
+                        "partition count >> nodes keeps stragglers cheap)")
+    p.add_argument("--wave-size", type=int, default=4)
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="only for local runs; on a cluster leave unset")
+    p.add_argument("--no-extraction-check", action="store_true")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.webtext import WEBTEXT_SCHEMA
+    from .sinks.resumable import partition_input_files, run_resumable
+
+    if args.schema:
+        with open(args.schema) as f:
+            schema = json.load(f)
+    else:
+        schema = WEBTEXT_SCHEMA
+
+    files: list[str] = []
+    for pat in args.input.split(","):
+        files.extend(glob.glob(pat))
+    if not files:
+        print(f"no input files match {args.input!r}", file=sys.stderr)
+        return 2
+
+    parts = partition_input_files(files, args.partitions)
+    pipeline = build_pipeline(schema, args.key, args.mode,
+                              check_extraction=not args.no_extraction_check)
+    t0 = time.time()
+    summary = run_resumable(parts, args.out, pipeline,
+                            wave_size=args.wave_size)
+    summary["elapsed_sec"] = round(time.time() - t0, 2)
+    summary["n_partitions"] = len(parts)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

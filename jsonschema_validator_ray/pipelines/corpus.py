@@ -240,3 +240,35 @@ SELECT event_type,
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 """
+
+
+def events_sessions(sf_dir: str):
+    """Gap-based session windows per user (gap = 1h): the streaming-shaped
+    operator — partition by key, sort within group, sessionize
+    (stages/windows.sessionize). Output
+    (user_id, session_start, session_end, n_events)."""
+    from ..stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return sessionize(ev, "user_id", "ts", gap_s=3600)
+
+
+EVENTS_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
