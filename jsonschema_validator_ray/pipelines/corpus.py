@@ -229,7 +229,16 @@ def events_hourly(sf_dir: str):
         Sum("cents_sum", alias_name="value_cents"),
         Sum("n_partial", alias_name="n_events"),
     )
-    return out
+
+    def norm(b: pa.Table) -> pa.Table:
+        # pin timestamp unit to µs so the result hashes identically to the
+        # SQL oracle's date_trunc output regardless of groupby-key unit
+        i = b.schema.get_field_index("window_start")
+        return b.set_column(i, "window_start",
+                            pc.cast(b.column("window_start"),
+                                    pa.timestamp("us")))
+
+    return out.map_batches(norm, batch_format="pyarrow")
 
 
 EVENTS_HOURLY_SQL = """
@@ -251,7 +260,16 @@ def events_sessions(sf_dir: str):
 
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
-    return sessionize(ev, "user_id", "ts", gap_s=3600)
+    out = sessionize(ev, "user_id", "ts", gap_s=3600)
+
+    def norm(b: pa.Table) -> pa.Table:
+        for name in ("session_start", "session_end"):
+            i = b.schema.get_field_index(name)
+            b = b.set_column(i, name,
+                             pc.cast(b.column(name), pa.timestamp("us")))
+        return b
+
+    return out.map_batches(norm, batch_format="pyarrow")
 
 
 EVENTS_SESSIONS_SQL = """

@@ -34,7 +34,7 @@ import ray.data
 from ..errors import Mode
 from ..functions.iso639 import ISO_639_1
 from ..plan import TablePlan, compile_table_plan, evaluate_plan
-from ..sources.webtext import extract_text_batch
+from ..sources.webtext import extraction_matches_batch
 from ..stages.drift import drift_check
 from ..stages.referential import referential_violations
 from ..stages.stats import column_stats
@@ -72,11 +72,7 @@ class WebtextValidator:
                            for c in self.plan.constraints]
 
         if self.check_extraction and "html" in batch.column_names:
-            extracted = extract_text_batch(batch)
-            same = pc.equal(
-                pc.cast(extracted, pa.large_binary()),
-                pc.cast(batch.column("text"), pa.large_binary()))
-            same = pc.fill_null(same, False).to_numpy(zero_copy_only=False)
+            same = extraction_matches_batch(batch)
             failed = np.flatnonzero(~same)
             fails = list(fails) + [failed]
             constraint_meta.append((
