@@ -31,7 +31,7 @@ from pathlib import Path
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-WEBTEXT_ROWS = int(os.environ.get("GRAFT_WEBTEXT_ROWS", "8000000"))
+WEBTEXT_ROWS = int(os.environ.get("GRAFT_WEBTEXT_ROWS", "16000000"))
 WEBTEXT_CACHE = f"/tmp/graft_webtext_{WEBTEXT_ROWS}"
 
 
