@@ -95,11 +95,26 @@ class WebtextValidator:
             counts = np.bincount(rows, minlength=n)
             offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(counts, out=offsets[1:])
+            from ..stages.validate import _stringify_cells
+
+            values: list = [None] * len(rows)
+            by_col: dict = {}
+            for j, c in enumerate(consts):
+                col = constraint_meta[c][1]
+                if col != "html":  # don't stringify binary payloads
+                    by_col.setdefault(col, []).append(j)
+            for colname, positions in by_col.items():
+                cells = _stringify_cells(batch, colname,
+                                         rows[np.asarray(positions)])
+                for p, v in zip(positions, cells):
+                    values[p] = v
             struct = pa.StructArray.from_arrays(
                 [pa.array([constraint_meta[c][0] for c in consts]),
                  pa.array([constraint_meta[c][1] for c in consts]),
+                 pa.array([f"$.{constraint_meta[c][1]}" for c in consts]),
                  pa.array([constraint_meta[c][2] for c in consts]),
-                 pa.array([constraint_meta[c][3] for c in consts])],
+                 pa.array([constraint_meta[c][3] for c in consts]),
+                 pa.array(values, type=pa.string())],
                 fields=list(VIOLATION_TYPE))
             viol = pa.ListArray.from_arrays(pa.array(offsets), struct)
         else:

@@ -41,9 +41,25 @@ from ..value_engine import Options, ValueEngine
 VIOLATION_TYPE = pa.struct([
     ("constraint_id", pa.string()),
     ("column", pa.string()),
+    ("path", pa.string()),
     ("tag", pa.string()),
     ("message", pa.string()),
+    ("value", pa.string()),
 ])
+
+
+def _stringify_cells(batch: pa.Table, column: str,
+                     rows: "np.ndarray") -> list[str | None]:
+    """Offending cell values as strings (for violation rows); missing column
+    → nulls. Only the failing rows are gathered and cast."""
+    if column not in batch.column_names:
+        return [None] * len(rows)
+    col = batch.column(column)
+    taken = col.take(pa.array(rows))
+    try:
+        return pc.cast(taken, pa.string()).to_pylist()
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return [None if v is None else str(v) for v in taken.to_pylist()]
 
 
 class BatchValidator:
@@ -82,12 +98,25 @@ class BatchValidator:
             counts = np.bincount(rows, minlength=n)
             offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(counts, out=offsets[1:])
-            ids = pa.array([plan.constraints[c].constraint_id for c in consts])
-            cols = pa.array([plan.constraints[c].column for c in consts])
-            tags = pa.array([plan.constraints[c].tag for c in consts])
-            msgs = pa.array([plan.constraints[c].message for c in consts])
+            meta = plan.constraints
+            ids = pa.array([meta[c].constraint_id for c in consts])
+            cols = pa.array([meta[c].column for c in consts])
+            paths = pa.array([f"$.{meta[c].column}" for c in consts])
+            tags = pa.array([meta[c].tag for c in consts])
+            msgs = pa.array([meta[c].message for c in consts])
+            # offending values, gathered per constraint's column
+            values: list[str | None] = [None] * len(rows)
+            by_col: dict[str, list[int]] = {}
+            for j, c in enumerate(consts):
+                by_col.setdefault(meta[c].column, []).append(j)
+            for colname, positions in by_col.items():
+                cells = _stringify_cells(
+                    batch, colname, rows[np.asarray(positions)])
+                for p, v in zip(positions, cells):
+                    values[p] = v
             struct = pa.StructArray.from_arrays(
-                [ids, cols, tags, msgs],
+                [ids, cols, paths, tags, msgs,
+                 pa.array(values, type=pa.string())],
                 fields=list(VIOLATION_TYPE))
             viol = pa.ListArray.from_arrays(pa.array(offsets), struct)
         else:
@@ -136,14 +165,16 @@ class JsonColumnValidator:
                 valid[i] = False
                 counts[i] = 1
                 viols.append([{"constraint_id": "parse:$", "column": self.json_column,
-                               "tag": "parse", "message": "invalid JSON document"}])
+                               "path": "$", "tag": "parse",
+                               "message": "invalid JSON document", "value": None}])
                 continue
             r = self.engine.validate(value, self.compiled)
             valid[i] = r.valid
             counts[i] = r.error_count
             viols.append([
                 {"constraint_id": e.constraint_id, "column": self.json_column,
-                 "tag": e.tag, "message": e.message}
+                 "path": e.path, "tag": e.tag, "message": e.message,
+                 "value": None if e.value is None else str(e.value)[:256]}
                 for e in r.errors
             ])
         return pa.table({
