@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": corpus.events_hourly,
         "verdict_events_props": corpus.verdict_events_props,
         "events_sessions": corpus.events_sessions,
+        "hist_lang_documents": corpus.hist_lang_documents,
     }
 
 
@@ -71,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,
+        "hist_lang_documents": corpus.HIST_LANG_SQL,
         # rows-only (no SQL-expressible oracle): stats_sketch_documents,
         # langid_documents, fingerprint_documents, minhash_pairs_documents
     }

@@ -95,8 +95,27 @@ def main(argv: list[str] | None = None) -> int:
     parts = partition_input_files(files, args.partitions)
     pipeline = build_pipeline(schema, args.key, args.mode,
                               check_extraction=not args.no_extraction_check)
+
+    def verdict_metrics(out_files: list[str]) -> dict:
+        """Per-partition metrics for the lineage manifest (north star:
+        'per-partition lineage + metrics'): valid/invalid/violation counts,
+        read back from the written verdict columns only (columnar, cheap)."""
+        import pyarrow.parquet as pq
+
+        n_valid = n_rows = n_viol = 0
+        for f in out_files:
+            t = pq.read_table(f, columns=["valid", "error_count"])
+            n_rows += t.num_rows
+            import pyarrow.compute as pc
+
+            n_valid += pc.sum(pc.cast(t.column("valid"), "int64")).as_py() or 0
+            n_viol += pc.sum(t.column("error_count")).as_py() or 0
+        return {"rows": n_rows, "valid": n_valid,
+                "invalid": n_rows - n_valid, "violations": int(n_viol)}
+
     t0 = time.time()
     summary = run_resumable(parts, args.out, pipeline,
+                            metrics_fn=verdict_metrics,
                             wave_size=args.wave_size)
     summary["elapsed_sec"] = round(time.time() - t0, 2)
     summary["n_partitions"] = len(parts)

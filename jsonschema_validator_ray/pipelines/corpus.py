@@ -155,6 +155,41 @@ def minhash_pairs_documents(sf_dir: str):
     return pd.DataFrame([{"check": "minhash_near_dup", "n_pairs": n}])
 
 
+# ---- histogram leg of the drift machinery (oracle-checkable counts) -------
+
+_LANG_CATS = ["en", "zh", "es", "de", "fr"]
+
+
+def hist_lang_documents(sf_dir: str):
+    """Per-language counts computed through the drift machinery's
+    partial/merge histogram path (stages/drift.compute_histogram), one row
+    per category incl. the OTHER bucket — the counts feeding PSI/KL are
+    exactly a GROUP BY, so the merge is oracle-checkable even though the
+    PSI score itself is not SQL-native."""
+    import pandas as pd
+
+    from ..stages.drift import compute_histogram
+    from ..state.histogram import CategoricalHistogram
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang"])
+    base = CategoricalHistogram(_LANG_CATS)
+    merged = compute_histogram(docs, "lang", base.to_json())
+    rows = [{"lang": c, "n": int(n)}
+            for c, n in zip(merged.categories, merged.counts)]
+    rows.append({"lang": "__other__", "n": int(merged.other)})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+HIST_LANG_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+WHERE lang IN ('en','zh','es','de','fr') GROUP BY lang
+UNION ALL
+SELECT '__other__', CAST(count(*) AS BIGINT) FROM documents
+WHERE lang IS NOT NULL AND lang NOT IN ('en','zh','es','de','fr')
+ORDER BY lang
+"""
+
 # ---- dynamic-JSON regime: validate the events.props JSON column -----------
 
 PROPS_SCHEMA = {

@@ -102,6 +102,7 @@ def run_resumable(partitions: list[Partition], out_dir: str,
                   pipeline_fn: Callable[["ray.data.Dataset"], "ray.data.Dataset"],
                   *,
                   read_fn: Callable[[list[str]], "ray.data.Dataset"] | None = None,
+                  metrics_fn: Callable[[list[str]], dict] | None = None,
                   wave_size: int = 4) -> dict:
     """Run ``pipeline_fn`` over every not-yet-done partition; skip completed
     ones. Returns a summary dict (ran / skipped / rows)."""
@@ -135,11 +136,13 @@ def run_resumable(partitions: list[Partition], out_dir: str,
 
             rows_out = sum(pq.read_metadata(f).num_rows for f in files)
             total_rows += rows_out
+            metrics = metrics_fn(files) if metrics_fn else {}
             _write_manifest(out_dir, {
                 "part_id": p.part_id,
                 "inputs": p.paths,
                 "rows_out": rows_out,
                 "files": [Path(f).name for f in files],
+                "metrics": metrics,
                 "finished_at": time.time(),
                 "status": "done",
                 **p.meta,
