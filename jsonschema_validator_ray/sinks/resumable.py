@@ -41,6 +41,36 @@ from typing import Any, Callable
 
 import ray.data
 
+# Concurrent wave threads race on Ray's lazy `from fsspec.implementations.
+# http import HTTPFileSystem` probe: in this environment that import always
+# fails (no aiohttp), and under the race the half-imported module surfaces a
+# plain ImportError that Ray's `except ModuleNotFoundError` does NOT catch.
+# When the real module cannot import anyway, registering a tiny complete
+# stub makes the probe deterministic and thread-safe; Ray's subsequent
+# isinstance() check against the stub class is correctly False for local
+# filesystems.
+def _stub_fsspec_http() -> None:  # pragma: no cover - environment dependent
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return  # real module works; nothing to do
+    except ModuleNotFoundError:
+        pass
+    except Exception:
+        return
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # never instantiated; only isinstance-checked
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules.setdefault("fsspec.implementations.http", stub)
+
+
+_stub_fsspec_http()
+
 
 @dataclass
 class Partition:
@@ -120,15 +150,22 @@ def run_resumable(partitions: list[Partition], out_dir: str,
     reader = read_fn or (lambda paths: ray.data.read_parquet(paths))
     ran: list[str] = []
     total_rows = 0
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _process(p: Partition) -> tuple[Partition, Path]:
+        ds_out = pipeline_fn(reader(p.paths))
+        part_dir = Path(out_dir) / f"part-{p.part_id}"
+        ds_out.write_parquet(str(part_dir))  # blocks this thread only
+        return p, part_dir
+
     for w in range(0, len(pending), wave_size):
         wave = pending[w:w + wave_size]
-        results = []
-        for p in wave:
-            ds_in = reader(p.paths)
-            ds_out = pipeline_fn(ds_in)
-            part_dir = Path(out_dir) / f"part-{p.part_id}"
-            ds_out.write_parquet(str(part_dir))
-            results.append((p, part_dir))
+        # partitions in a wave execute CONCURRENTLY: each driver thread owns
+        # one dataset execution; the streaming executor interleaves them
+        # (write_parquet blocks per thread, so a plain loop would serialize
+        # the wave)
+        with ThreadPoolExecutor(max_workers=len(wave)) as pool:
+            results = list(pool.map(_process, wave))
         # wave data fully written → manifests
         for p, part_dir in results:
             files = sorted(str(f) for f in part_dir.glob("*.parquet"))
