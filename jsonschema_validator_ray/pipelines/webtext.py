@@ -182,3 +182,44 @@ def run_webtext_pipeline(ds, *,
     return WebtextReport(
         verdicts=verdicts, violations=row_viol, row_violations=row_viol,
         dup_urls=dups, lang_violations=lang_viol, stats=stats, drift=drift)
+
+
+def unified_violations(rpt: WebtextReport):
+    """One violations table across every check, keyed ``(url, constraint_id)``
+    per the north star: row-level constraint violations ∪ uniqueness ∪
+    referential, all reduced to the common (url, constraint_id, tag, message)
+    layout and unioned as a single Dataset."""
+
+    def norm_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b.column("url"),
+            "constraint_id": b.column("constraint_id"),
+            "tag": b.column("tag"),
+            "message": b.column("message"),
+        })
+
+    def norm_dups(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "url": b.column("url"),
+            "constraint_id": pa.array(["uniqueness:url"] * n),
+            "tag": pa.array(["uniqueness"] * n),
+            "message": pa.array(
+                [f"url occurs {c} times" for c in b.column("dup_count").to_pylist()]),
+        })
+
+    def norm_lang(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "url": b.column("url"),
+            "constraint_id": b.column("constraint_id"),
+            "tag": pa.array(["referential"] * n),
+            "message": pa.array(
+                [f"lang {v!r} is not an ISO-639-1 code"
+                 for v in b.column("lang").to_pylist()]),
+        })
+
+    rows = rpt.row_violations.map_batches(norm_rows, batch_format="pyarrow")
+    dups = rpt.dup_urls.map_batches(norm_dups, batch_format="pyarrow")
+    langs = rpt.lang_violations.map_batches(norm_lang, batch_format="pyarrow")
+    return rows.union(dups).union(langs)
