@@ -27,7 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from jsonschema_validator_ray.pipelines import checks, corpus
+    from jsonschema_validator_ray.pipelines import analytics, checks, corpus
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
@@ -50,11 +50,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verdict_events_props": corpus.verdict_events_props,
         "events_sessions": corpus.events_sessions,
         "hist_lang_documents": corpus.hist_lang_documents,
+        "segment_revenue": analytics.segment_revenue,
+        "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
+        "purchase_last_click": analytics.purchase_last_click,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from jsonschema_validator_ray.pipelines import checks, corpus
+    from jsonschema_validator_ray.pipelines import analytics, checks, corpus
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
@@ -73,6 +76,9 @@ def oracle_sql() -> dict[str, str]:
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,
+        "segment_revenue": analytics.SEGMENT_REVENUE_SQL,
+        "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,
+        "purchase_last_click": analytics.PURCHASE_LAST_CLICK_SQL,
         # rows-only (no SQL-expressible oracle): stats_sketch_documents,
         # langid_documents, fingerprint_documents, minhash_pairs_documents
     }

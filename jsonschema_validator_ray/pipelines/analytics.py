@@ -1,0 +1,98 @@
+"""Analytical join/aggregate queries over the TPC-H-ish tables — exercising
+the hash-join, bucketed-join, and as-of-join operators with SQL oracles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.joins import asof_join, bucketed_join, hash_join
+
+# ---- revenue per market segment: both-sides-meaningful equi-join ----------
+
+
+def _segment_revenue(join_fn):
+    def q(sf_dir: str):
+        orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                       columns=["o_custkey", "o_totalprice"])
+        customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                         columns=["c_custkey", "c_mktsegment"])
+        joined = join_fn(orders, customer, "o_custkey", right_on="c_custkey")
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100)),
+                            pa.int64())
+            t = pa.table({"c_mktsegment": b.column("c_mktsegment"),
+                          "cents": cents})
+            g = t.group_by("c_mktsegment").aggregate(
+                [("cents", "sum"), ("cents", "count")])
+            return pa.table({"c_mktsegment": g.column("c_mktsegment"),
+                             "cents_sum": g.column("cents_sum"),
+                             "n_partial": g.column("cents_count")})
+
+        from ray.data.aggregate import Sum
+
+        partials = joined.map_batches(partial, batch_format="pyarrow")
+        return partials.groupby("c_mktsegment").aggregate(
+            Sum("cents_sum", alias_name="revenue_cents"),
+            Sum("n_partial", alias_name="n_orders"))
+
+    return q
+
+
+segment_revenue = _segment_revenue(hash_join)
+segment_revenue_bucketed = _segment_revenue(
+    lambda l, r, on, right_on: bucketed_join(l, r, on, right_on=right_on))
+
+SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+# ---- as-of join: last click before each purchase, per user ----------------
+
+
+def purchase_last_click(sf_dir: str):
+    """For each purchase event, the most recent earlier click by the same
+    user (NaT when none) — the as-of join shape. Output
+    (event_id, user_id, click_ts)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+                  .select_columns(["event_id", "user_id", "ts"])
+
+    def ren(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "click_ts": b.column("ts")})
+
+    clicks = ev.filter(expr="event_type == 'click'") \
+               .map_batches(ren, batch_format="pyarrow")
+    out = asof_join(purchases, clicks, "user_id", "ts", right_ts="click_ts")
+
+    def norm(b: pa.Table) -> pa.Table:
+        # the padded union makes left columns nullable over right-side rows,
+        # so pandas upcasts int64 → float64 in the group join; cast back
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "click_ts": pc.cast(b.column("click_ts"), pa.timestamp("us")),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
+PURCHASE_LAST_CLICK_SQL = """
+SELECT p.event_id, p.user_id, max(c.ts) AS click_ts
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""

@@ -1,0 +1,137 @@
+"""Join operators.
+
+- :func:`hash_join` — both-sides-large equi-join: Ray's native
+  hash-partitioned ``Dataset.join`` when available (Ray ≥ 2.46), else the
+  portable explicit bucket join (add ``bucket = hash(key) % B`` to both
+  sides, groupby bucket, pandas-merge matching buckets). ``num_partitions``
+  governs the all-to-all exchange — size ≳ cluster cores; salt hot keys
+  upstream if one key dominates either side.
+- :func:`asof_join` — "most recent earlier right-row per left-row": both
+  sides are null-padded to a common schema (Ray ``union`` requires identical
+  schemas), grouped by key, sorted by ts within the group, and joined with
+  ``pd.merge_asof`` (ray_guide "As-of / range join"). Partitioning
+  assumption: one KEY's rows fit one group task; keys are hash-distributed
+  by the groupby, so only per-key volume matters, not total volume.
+
+Broadcast (small-side) joins live in stages/referential.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def hash_join(left, right, on: str, *, right_on: str | None = None,
+              join_type: str = "inner", num_partitions: int = 32):
+    """Equi-join two Datasets on a key column (native hash-shuffle join).
+
+    Size ``num_partitions`` ≲ available CPUs on tiny sessions: the native
+    join reserves aggregator actors per partition, and a 4-CPU session with
+    8 partitions starves the map tasks and stalls (observed)."""
+    right_key = right_on or on
+    if hasattr(ray.data.Dataset, "join"):
+        return left.join(right, join_type=join_type,
+                         num_partitions=num_partitions,
+                         on=(on,), right_on=(right_key,))
+    return bucketed_join(left, right, on, right_on=right_key,
+                         join_type=join_type, num_buckets=num_partitions)
+
+
+def _pad_union(left, right, key_cols: list[str]):
+    """Union two differently-shaped datasets: null-pad each side to the
+    combined column set (+ a __side marker). Returns (union_ds, left_cols,
+    right_cols)."""
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    types = {**r_types, **l_types}  # left wins for shared (key) columns
+
+    def pad(side: str, present: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in present:
+                    arrays.append(b.column(c))
+                else:
+                    arrays.append(pa.nulls(n, type=types[c]))
+            names.append("__side")
+            arrays.append(pa.array([side] * n))
+            return pa.table(dict(zip(names, arrays)))
+        return fn
+
+    both = left.map_batches(pad("l", l_cols), batch_format="pyarrow").union(
+        right.map_batches(pad("r", r_cols), batch_format="pyarrow"))
+    return both, l_cols, r_cols
+
+
+def bucketed_join(left, right, on: str, *, right_on: str | None = None,
+                  join_type: str = "inner", num_buckets: int = 32):
+    """Portable explicit partitioned hash join — the pattern Ray's native
+    join implements internally; kept as the documented fallback and for
+    engines/releases without ``Dataset.join``."""
+    right_key = right_on or on
+    if right_key != on:
+        def ren(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index(right_key)
+            return b.set_column(i, on, b.column(right_key))
+        right = right.map_batches(ren, batch_format="pyarrow")
+    both, l_cols, r_cols = _pad_union(left, right, [on])
+    r_cols = [on if c == right_key else c for c in r_cols]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column(on).to_pandas(), index=False).to_numpy()
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("__bucket", pa.array(bucket))
+
+    both = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    how = {"inner": "inner", "left_outer": "left",
+           "right_outer": "right", "full_outer": "outer"}[join_type]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lpart = g.loc[g["__side"] == "l", l_cols]
+        rpart = g.loc[g["__side"] == "r", r_cols]
+        return lpart.merge(rpart, how=how, on=on)
+
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
+
+
+def asof_join(left, right, key: str, ts: str, *, right_ts: str,
+              direction: str = "backward"):
+    """For each left row, attach the most recent right row with
+    ``right_ts <= ts`` (direction='backward'; 'forward' symmetric) and the
+    same key. ``right_ts`` must differ from ``ts``; the only column shared
+    between the two sides must be ``key``."""
+    assert right_ts != ts, "rename the right timestamp column first"
+    both, l_cols, r_cols = _pad_union(left, right, [key])
+    r_val_cols = [c for c in r_cols if c != key]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lpart = g.loc[g["__side"] == "l", l_cols]
+        rpart = g.loc[g["__side"] == "r", [key] + r_val_cols]
+        if lpart.empty:
+            return lpart
+        lpart = lpart.sort_values(ts, kind="mergesort")
+        if rpart.empty:
+            out = lpart.copy()
+            for c in r_val_cols:
+                out[c] = None
+            return out
+        rpart = rpart.sort_values(right_ts, kind="mergesort")
+        return pd.merge_asof(lpart, rpart.drop(columns=[key]),
+                             left_on=ts, right_on=right_ts,
+                             direction=direction)
+
+    return both.groupby(key).map_groups(per_key, batch_format="pandas")

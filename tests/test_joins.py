@@ -1,0 +1,75 @@
+"""Join operators: native hash join, explicit bucketed join, as-of join."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_hash_join_matches_sql(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import hash_join
+
+    orders = ray.data.read_parquet(f"{SF_SMOKE}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    customer = ray.data.read_parquet(f"{SF_SMOKE}/customer.parquet",
+                                     columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, customer, "o_custkey", right_on="c_custkey",
+                       num_partitions=2).to_pandas()
+    truth = duckdb.connect().execute(f"""
+        SELECT count(*) n, count(DISTINCT o_orderkey) d
+        FROM '{SF_SMOKE}/orders.parquet' JOIN '{SF_SMOKE}/customer.parquet'
+        ON o_custkey = c_custkey
+    """).df().iloc[0]
+    assert len(joined) == truth["n"]
+    assert joined["o_orderkey"].nunique() == truth["d"]
+    assert joined["c_mktsegment"].notna().all()
+
+
+def test_bucketed_join_matches_native(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import bucketed_join, hash_join
+
+    orders = ray.data.read_parquet(f"{SF_SMOKE}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    customer = ray.data.read_parquet(f"{SF_SMOKE}/customer.parquet",
+                                     columns=["c_custkey", "c_mktsegment"])
+    a = hash_join(orders, customer, "o_custkey", right_on="c_custkey",
+                  num_partitions=2) \
+        .to_pandas().sort_values(["o_orderkey"]).reset_index(drop=True)
+    b = bucketed_join(orders, customer, "o_custkey", right_on="c_custkey",
+                      num_buckets=8) \
+        .to_pandas().sort_values(["o_orderkey"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["o_orderkey"].to_numpy() == b["o_orderkey"].to_numpy()).all()
+    assert (a["c_mktsegment"].to_numpy() == b["c_mktsegment"].to_numpy()).all()
+
+
+def test_asof_join_semantics(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b", "c"],
+        "ts": [base + pd.Timedelta(seconds=s) for s in (10, 100, 50, 5)],
+        "lval": [1, 2, 3, 4],
+    }))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "rts": [base + pd.Timedelta(seconds=s) for s in (5, 60, 80)],
+        "rval": [10, 20, 30],
+    }))
+    out = asof_join(left, right, "k", "ts", right_ts="rts").to_pandas()
+    by = out.set_index("lval")
+    assert by.loc[1, "rval"] == 10      # ts=10 → rts=5
+    assert by.loc[2, "rval"] == 20      # ts=100 → rts=60
+    assert pd.isna(by.loc[3, "rval"])   # b: rts=80 > ts=50 → no match
+    assert pd.isna(by.loc[4, "rval"])   # c: no right rows at all
+    assert len(out) == 4
