@@ -1,0 +1,85 @@
+"""Property-based differential test: the VECTORIZED column plan and the
+recursive VALUE ENGINE must produce identical verdicts on flat rows.
+
+Mapping between regimes: a row's NULL cell ≡ the property being ABSENT from
+the document (plan.py null semantics), so the value-engine document drops
+None keys while ``required`` sees the missing key. Any disagreement is a
+bug in one of the engines.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonschema_validator_ray import Options, ValueEngine
+from jsonschema_validator_ray.stages.validate import BatchValidator
+
+# -- schema grammar (flat: column → scalar keywords) ------------------------
+
+_string_kw = st.fixed_dictionaries({}, optional={
+    "type": st.just("string"),
+    "minLength": st.integers(0, 6),
+    "maxLength": st.integers(6, 20),
+    "pattern": st.sampled_from(["^a", "b$", "[0-9]", "^[a-z]+$"]),
+    "enum": st.lists(st.sampled_from(["aa", "bb", "cc", "x1"]),
+                     min_size=1, max_size=3, unique=True),
+})
+_number_kw = st.fixed_dictionaries({}, optional={
+    "type": st.sampled_from(["number", "integer"]),
+    "minimum": st.integers(-5, 5),
+    "maximum": st.integers(5, 15),
+    "exclusiveMinimum": st.integers(-5, 5),
+    "exclusiveMaximum": st.integers(5, 15),
+    "multipleOf": st.sampled_from([1, 2, 0.5]),
+})
+
+_schema = st.fixed_dictionaries({}, optional={
+    "s": _string_kw,
+    "n": _number_kw,
+})
+
+_row = st.fixed_dictionaries({
+    "k": st.integers(0, 10**6),
+    "s": st.one_of(st.none(),
+                   st.text(alphabet="abx019", min_size=0, max_size=12)),
+    "n": st.one_of(st.none(),
+                   st.integers(-10, 20),
+                   st.floats(-10, 20, allow_nan=False)),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(props=_schema, required=st.lists(st.sampled_from(["s", "n"]),
+                                        max_size=2, unique=True),
+       rows=st.lists(_row, min_size=1, max_size=5))
+def test_column_plan_agrees_with_value_engine(props, required, rows):
+    table_schema = {}
+    if required:
+        table_schema["required"] = required
+    if props:
+        table_schema["properties"] = props
+    if not table_schema:
+        return
+
+    batch = pa.table({
+        "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+        "s": pa.array([r["s"] for r in rows], type=pa.string()),
+        "n": pa.array([r["n"] for r in rows], type=pa.float64()),
+    })
+    plan_out = BatchValidator(table_schema, "k")(batch).to_pylist()
+
+    engine = ValueEngine(Options())
+    for r, got in zip(rows, plan_out):
+        doc = {k: v for k, v in r.items() if v is not None and k != "k"}
+        # the column regime reads n as float64 — mirror that coercion
+        if "n" in doc:
+            doc["n"] = float(doc["n"])
+        expect = engine.validate(doc, table_schema)
+        assert expect.valid == got["valid"], (
+            r, table_schema, expect.errors, got["violations"])
+        assert expect.error_count == got["error_count"], (
+            r, table_schema, expect.errors, got["violations"])
+        assert {e.tag for e in expect.errors} == {
+            v["tag"] for v in got["violations"]}, (r, table_schema)
