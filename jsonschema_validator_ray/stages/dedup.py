@@ -101,36 +101,50 @@ def dedup_exact(ds, key: str, column: str, *, batch_size: int = 32768):
 _WORD_RE = re.compile(r"\S+")
 
 
-def _shingle_strings(text: str, k: int = 3) -> list[str]:
-    words = _WORD_RE.findall(text.lower())
-    if len(words) < k:
-        return [" ".join(words)] if words else [""]
-    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+_MIX1 = np.uint64(0x9E3779B97F4B9279)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _combine_kgrams(word_hashes: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hashes of consecutive word k-grams, combined NUMERICALLY
+    (multiply-xor mixing of the k word hashes) — no shingle strings are ever
+    built, so shingling is pure vectorized numpy."""
+    n = word_hashes.size
+    if n == 0:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    if n < k:
+        acc = np.uint64(0)
+        for h in word_hashes:
+            acc = (acc * _MIX1) ^ np.uint64(h)
+            acc ^= acc >> np.uint64(29)
+        return np.array([acc], dtype=np.uint64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc * _MIX1) ^ word_hashes[j:n - k + 1 + j]
+        acc ^= acc >> np.uint64(29)
+    return acc
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles → uint64 hashes (vectorized pandas hash over the
-    joined shingle strings)."""
-    h = pd.util.hash_pandas_object(
-        pd.Series(_shingle_strings(text, k)), index=False).to_numpy()
-    return np.unique(h.astype(np.uint64))
+    """Word k-gram shingle hashes (numeric combination of word hashes)."""
+    return batch_shingle_hashes([text], k)[0]
 
 
 def batch_shingle_hashes(texts: list[str | None], k: int = 3
                          ) -> list[np.ndarray]:
-    """Per-doc shingle hash arrays with ONE vectorized hash call for the
-    whole batch (a per-doc pandas Series costs ~ms of overhead each; at
-    thousands of docs per batch that dominates the actual hashing)."""
-    all_shingles: list[str] = []
+    """Per-doc shingle hash arrays with ONE vectorized word-hash call for
+    the whole batch, then vectorized k-gram combination — no per-shingle
+    strings and no per-doc pandas overhead."""
+    all_words: list[str] = []
     offsets = [0]
     for t in texts:
-        all_shingles.extend(_shingle_strings(t or "", k))
-        offsets.append(len(all_shingles))
-    if not all_shingles:
-        return [np.empty(0, dtype=np.uint64) for _ in texts]
+        all_words.extend(_WORD_RE.findall((t or "").lower()))
+        offsets.append(len(all_words))
+    if not all_words:
+        return [np.array([np.uint64(0)], dtype=np.uint64) for _ in texts]
     h = pd.util.hash_pandas_object(
-        pd.Series(all_shingles), index=False).to_numpy().astype(np.uint64)
-    return [np.unique(h[offsets[i]:offsets[i + 1]])
+        pd.Series(all_words), index=False).to_numpy().astype(np.uint64)
+    return [np.unique(_combine_kgrams(h[offsets[i]:offsets[i + 1]], k))
             for i in range(len(texts))]
 
 
