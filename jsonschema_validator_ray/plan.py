@@ -155,6 +155,95 @@ def _format_mask(col, fmt: str):
     return fallback(s if isinstance(s, pa.ChunkedArray) else pa.chunked_array([s]))
 
 
+def _fail_present(column: str) -> MaskFn:
+    """Pass-mask failing every NON-NULL cell (nulls are 'absent' and pass) —
+    the column-regime translation of the reference's per-row type errors
+    ('must be a string' / 'must be a number' / 'must be an array')."""
+
+    def fn(batch: pa.Table) -> pa.Array:
+        col = batch.column(column)
+        return pc.fill_null(pc.is_null(col), False)
+
+    return fn
+
+
+def _coerce_numeric_fallback(column: str, sv: float, op) -> MaskFn:
+    """Numeric keyword on a STRING column: per-row coercion with the
+    reference's numeric-string prefix quirk
+    (`/root/reference/rules/utils.go:51-57`) — cold path, still batched."""
+    from .value_engine import to_float
+
+    def fn(batch: pa.Table) -> pa.Array:
+        vals = batch.column(column).to_pylist()
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(True)  # absent
+                continue
+            f, ok = to_float(v)
+            out.append(bool(op(f, sv)) if ok else False)
+        return pa.array(out, type=pa.bool_())
+
+    return fn
+
+
+_STRING_KW = {"minLength", "maxLength", "pattern", "format"}
+_NUMERIC_KW = {"minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+               "multipleOf"}
+_LIST_KW = {"minItems", "maxItems", "uniqueItems"}
+
+
+def _guard_kernel(column: str, kw: str, sv: Any, inner: MaskFn, mode: Mode) -> MaskFn:
+    """Runtime type guard: the vectorized kernel assumes a type-matched
+    column; when the batch column's Arrow type belongs to a different family
+    the reference semantics are per-row type errors (string keywords on
+    numbers → 'must be a string' fail; numeric keywords on strings → the
+    numeric-string coercion quirk; list keywords on scalars → 'must be an
+    array' fail). Resolved against the first batch and cached."""
+    cache: dict[str, MaskFn] = {}
+    _num_ops = {"minimum": lambda v, b: v >= b, "maximum": lambda v, b: v <= b,
+                "exclusiveMinimum": lambda v, b: v > b,
+                "exclusiveMaximum": lambda v, b: v < b,
+                "multipleOf": lambda v, b: abs(v / b - round(v / b)) <= 1e-10}
+
+    def resolve(t: pa.DataType) -> MaskFn:
+        if kw in _STRING_KW:
+            ok = pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            return inner if ok else _fail_present(column)
+        if kw in _NUMERIC_KW:
+            if pa.types.is_integer(t) or pa.types.is_floating(t) \
+                    or pa.types.is_decimal(t):
+                return inner
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return _coerce_numeric_fallback(column, sv, _num_ops[kw])
+            return _fail_present(column)
+        if kw in _LIST_KW:
+            ok = pa.types.is_list(t) or pa.types.is_large_list(t)
+            return inner if ok else _fail_present(column)
+        if kw == "enum":
+            # string-enum on a non-string column: reference enum demands a
+            # string value ('value must be a string'); non-string enums
+            # (extension) compare via is_in on matching types
+            if isinstance(sv, list) and all(isinstance(x, str) for x in sv):
+                ok = pa.types.is_string(t) or pa.types.is_large_string(t)
+                return inner if ok else _fail_present(column)
+            return inner
+        return inner
+
+    def dispatch(batch: pa.Table) -> pa.Array:
+        fn = cache.get("k")
+        if fn is None:
+            if column in batch.column_names:
+                fn = resolve(batch.schema.field(column).type)
+            else:
+                fn = _all_const(True)  # missing column = all-absent
+            cache["k"] = fn
+        return fn(batch)
+
+    return dispatch
+
+
 def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
                    mode: Mode) -> MaskFn | None:
     """Build the pass-mask closure for one (column, keyword). Returns None for
@@ -193,9 +282,9 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
                 col = batch.column(column)
                 return _pass_on_null(col, pc.equal(pc.floor(col), col))
             return fn
-        if "number" in types and pa.types.is_timestamp(col_type):
-            return _all_const(False)
-        return _all_const(False)
+        # column's Arrow type matches none of the declared types: every
+        # PRESENT cell is a type violation; nulls are absent and pass
+        return _fail_present(column)
 
     if kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
         op = {"minimum": pc.greater_equal, "maximum": pc.less_equal,
@@ -349,6 +438,8 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
             kernel = _column_kernel(column, kw, sv, col_type, mode)
             if kernel is None:
                 continue
+            if kw in (_STRING_KW | _NUMERIC_KW | _LIST_KW | {"enum"}):
+                kernel = _guard_kernel(column, kw, sv, kernel, mode)
             param = ", ".join(sv) if kw == "enum" and isinstance(sv, list) else str(sv)
             if kw == "format":
                 param = str(sv)

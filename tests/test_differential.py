@@ -35,9 +35,13 @@ _number_kw = st.fixed_dictionaries({}, optional={
     "multipleOf": st.sampled_from([1, 2, 0.5]),
 })
 
+# keywords may land on a MISMATCHED column (string keywords on the numeric
+# column and vice versa): the column plan's runtime type guards must then
+# reproduce the engine's per-row type-error / numeric-string-coercion
+# semantics
 _schema = st.fixed_dictionaries({}, optional={
-    "s": _string_kw,
-    "n": _number_kw,
+    "s": st.one_of(_string_kw, _number_kw),
+    "n": st.one_of(_number_kw, _string_kw),
 })
 
 _row = st.fixed_dictionaries({
