@@ -1,0 +1,129 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The classic coarse-quantizer design (public: Sivic & Zisserman 2003 "Video
+Google"; FAISS IVF-Flat): k-means centroids learned from a SAMPLE on the
+driver (numpy Lloyd iterations — the sample is small; the corpus never
+funnels through the driver), broadcast to workers; every vector is assigned
+to its nearest centroid (one vectorized ``map_batches`` pass); a query
+scans only the ``nprobe`` nearest centroid lists.
+
+Compared to the random-hyperplane LSH variant (stages/similarity.py), IVF
+adapts its partitions to the data distribution — better recall at equal
+probe cost on clustered embeddings.
+
+Scale shape: train once (sample ≈ 50×n_clusters vectors), assign in one
+streaming pass (optionally write the assignment column to Parquet
+partitioned by ``ivf_cluster`` so queries read only matching partitions),
+probe = filtered brute-force over ~nprobe/n_clusters of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .similarity import _emb_matrix, _normalize
+
+
+def train_centroids(sample: np.ndarray, n_clusters: int, *,
+                    n_iter: int = 10, seed: int = 42) -> np.ndarray:
+    """Spherical k-means (cosine metric: normalize, maximize dot product)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float32))
+    idx = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+    cents = x[idx].copy()
+    for _ in range(n_iter):
+        sims = x @ cents.T                      # (n, k)
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IvfIndex:
+    """Centroids + assignment/probe kernels. Build with :func:`build_ivf`."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(np.asarray(centroids, dtype=np.float32))
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        return (_normalize(mat) @ self.centroids.T).argmax(axis=1)
+
+    def probe_clusters(self, qvec: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = self.centroids @ _normalize(qvec[None, :])[0]
+        return np.argsort(-sims)[:nprobe]
+
+
+def build_ivf(ds, *, emb: str = "embedding", n_clusters: int = 16,
+              sample_size: int | None = None, seed: int = 42) -> IvfIndex:
+    """Train the coarse quantizer from a corpus sample (driver-side numpy;
+    sample defaults to 50×n_clusters vectors)."""
+    want = sample_size or (50 * n_clusters)
+    total = ds.count()
+    frac = min(1.0, want / max(total, 1))
+    sample_rows = ds.select_columns([emb]).random_sample(frac, seed=seed) \
+                    .take(want)
+    sample = np.stack([np.asarray(r[emb], dtype=np.float32)
+                       for r in sample_rows])
+    return IvfIndex(train_centroids(sample, n_clusters, seed=seed))
+
+
+def assign_clusters(ds, index: IvfIndex, *, key: str = "vec_id",
+                    emb: str = "embedding", batch_size: int = 8192):
+    """→ Dataset with an ``ivf_cluster`` column added (write partitioned by
+    it for probe-time partition pruning)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        mat = _emb_matrix(b, emb)
+        return b.append_column("ivf_cluster",
+                               pa.array(index.assign(mat).astype(np.int32)))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def topk_cosine_ivf(ds, index: IvfIndex, query_vecs, k: int, *,
+                    key: str = "vec_id", emb: str = "embedding",
+                    nprobe: int = 4, batch_size: int = 8192) -> pd.DataFrame:
+    """Approximate top-k: scan only rows assigned to each query's ``nprobe``
+    nearest clusters. Output (query_id, key, score) ordered by
+    (query_id, -score, key) — same contract as similarity.topk_cosine."""
+    q = np.asarray(query_vecs, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = _normalize(q)
+    probe = [set(index.probe_clusters(qv, nprobe).tolist()) for qv in qn]
+
+    def scan(b: pa.Table) -> pa.Table:
+        mat = _normalize(_emb_matrix(b, emb))
+        clusters = index.assign(mat)
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        out_q, out_key, out_score = [], [], []
+        for qi, wanted in enumerate(probe):
+            mask = np.isin(clusters, list(wanted))
+            if not mask.any():
+                continue
+            sims = mat[mask] @ qn[qi]
+            kk = min(k, len(sims))
+            rows = np.argpartition(-sims, kth=kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_key.extend(keys[mask][rows])
+            out_score.extend(sims[rows])
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int32()),
+            key: pa.array(out_key, type=b.schema.field(key).type),
+            "score": pa.array(np.asarray(out_score, dtype=np.float64)),
+        })
+
+    partials = ds.select_columns([key, emb]).map_batches(
+        scan, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    partials = partials.sort_values(["query_id", "score", key],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+    return partials.groupby("query_id", as_index=False).head(k) \
+                   .reset_index(drop=True)
