@@ -100,6 +100,31 @@ def _str_col(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     return pc.cast(col, pa.large_string())
 
 
+
+def _get_col(batch: pa.Table, path: str):
+    """Resolve a (possibly dotted) column path: ``a.b.c`` descends struct
+    fields via ``pc.struct_field`` — a null ancestor yields null leaves, which
+    the null-passes-as-absent semantics already handle. Returns None when the
+    top-level column is missing."""
+    if "." not in path:
+        if path not in batch.column_names:
+            return None
+        return batch.column(path)
+    head, _, rest = path.partition(".")
+    if head not in batch.column_names:
+        return None
+    col = batch.column(head)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for seg in rest.split("."):
+        if not pa.types.is_struct(col.type):
+            return None
+        try:
+            col = pc.struct_field(col, seg)
+        except KeyError:
+            return None
+    return col
+
 def _pass_on_null(col, mask):
     """Scalar constraints pass on null cells (absent property)."""
     return pc.fill_null(pc.or_kleene(pc.is_null(col), mask), True)
@@ -161,7 +186,9 @@ def _fail_present(column: str) -> MaskFn:
     ('must be a string' / 'must be a number' / 'must be an array')."""
 
     def fn(batch: pa.Table) -> pa.Array:
-        col = batch.column(column)
+        col = _get_col(batch, column)
+        if col is None:
+            return pa.array(np.zeros(batch.num_rows, dtype=bool))
         return pc.fill_null(pc.is_null(col), False)
 
     return fn
@@ -174,7 +201,10 @@ def _coerce_numeric_fallback(column: str, sv: float, op) -> MaskFn:
     from .value_engine import to_float
 
     def fn(batch: pa.Table) -> pa.Array:
-        vals = batch.column(column).to_pylist()
+        col = _get_col(batch, column)
+        if col is None:
+            return pa.array(np.ones(batch.num_rows, dtype=bool))
+        vals = col.to_pylist()
         out = []
         for v in vals:
             if v is None:
@@ -234,10 +264,9 @@ def _guard_kernel(column: str, kw: str, sv: Any, inner: MaskFn, mode: Mode) -> M
     def dispatch(batch: pa.Table) -> pa.Array:
         fn = cache.get("k")
         if fn is None:
-            if column in batch.column_names:
-                fn = resolve(batch.schema.field(column).type)
-            else:
-                fn = _all_const(True)  # missing column = all-absent
+            col = _get_col(batch, column)
+            fn = resolve(col.type) if col is not None \
+                else _all_const(True)  # missing column/field = all-absent
             cache["k"] = fn
         return fn(batch)
 
@@ -259,10 +288,10 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
 
             def dispatch(batch: pa.Table) -> pa.Array:
                 if "k" not in cache:
-                    ct = (batch.schema.field(column).type
-                          if column in batch.column_names else None)
+                    col = _get_col(batch, column)
+                    ct = col.type if col is not None else None
                     cache["k"] = _column_kernel(column, kw, sv, ct, mode) \
-                        if ct is not None else _all_const(False)
+                        if ct is not None else _all_const(True)
                 inner = cache["k"]
                 if inner is None:  # statically conformant
                     return pa.array(np.ones(batch.num_rows, dtype=bool))
@@ -279,7 +308,7 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
         # integer-as-float (`/root/reference/rules/type.go:96-99`)
         if "integer" in types and pa.types.is_floating(col_type):
             def fn(batch: pa.Table) -> pa.Array:
-                col = batch.column(column)
+                col = _get_col(batch, column)
                 return _pass_on_null(col, pc.equal(pc.floor(col), col))
             return fn
         # column's Arrow type matches none of the declared types: every
@@ -291,13 +320,13 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
               "exclusiveMinimum": pc.greater, "exclusiveMaximum": pc.less}[kw]
 
         def fn(batch: pa.Table) -> pa.Array:
-            col = batch.column(column)
+            col = _get_col(batch, column)
             return _pass_on_null(col, op(col, sv))
         return fn
 
     if kw == "multipleOf":
         def fn(batch: pa.Table) -> pa.Array:
-            col = batch.column(column)
+            col = _get_col(batch, column)
             ratio = pc.divide(pc.cast(col, pa.float64()), sv)
             ok = pc.less_equal(
                 pc.abs(pc.subtract(ratio, pc.round(ratio))), 1e-10)
@@ -308,13 +337,13 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
         op = pc.greater_equal if kw == "minLength" else pc.less_equal
 
         def fn(batch: pa.Table) -> pa.Array:
-            col = batch.column(column)
+            col = _get_col(batch, column)
             return _pass_on_null(col, op(_byte_length(col), sv))
         return fn
 
     if kw == "pattern":
         def fn(batch: pa.Table) -> pa.Array:
-            col = batch.column(column)
+            col = _get_col(batch, column)
             return _pass_on_null(col, pc.match_substring_regex(_str_col(col), sv))
         return fn
 
@@ -322,7 +351,7 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
         value_set = pa.array(sv)
 
         def fn(batch: pa.Table) -> pa.Array:
-            col = batch.column(column)
+            col = _get_col(batch, column)
             return _pass_on_null(col, pc.is_in(col, value_set=value_set))
         return fn
 
@@ -333,7 +362,7 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
             return _all_const(False)
 
         def fn(batch: pa.Table) -> pa.Array:
-            col = batch.column(column)
+            col = _get_col(batch, column)
             return _pass_on_null(col, _format_mask(col, sv))
         return fn
 
@@ -341,7 +370,7 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
         op = pc.greater_equal if kw == "minItems" else pc.less_equal
 
         def fn(batch: pa.Table) -> pa.Array:
-            col = batch.column(column)
+            col = _get_col(batch, column)
             return _pass_on_null(col, op(pc.list_value_length(col), sv))
         return fn
 
@@ -352,7 +381,7 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
         def fn(batch: pa.Table) -> pa.Array:
             # per-row distinct count == list length, via flatten +
             # (parent index, value) dedup — no Python loop.
-            col = batch.column(column)
+            col = _get_col(batch, column)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             lengths = pc.list_value_length(col)
@@ -429,25 +458,58 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
             message=_MESSAGES["required"].format(column=req), param="",
             fn=fn))
 
-    for column, sub in (compiled.get("properties") or {}).items():
-        col_type = cols_present.get(column)
+    def emit(path: str, sub: CompiledSchema, col_type: pa.DataType | None) -> None:
         for kw, sv in sub.keywords.items():
             if kw in ("title", "description", "default", "examples",
                       "$id", "$schema", "$comment"):
                 continue
-            kernel = _column_kernel(column, kw, sv, col_type, mode)
+            if kw == "properties":
+                # nested struct column: recurse with dotted paths — kernels
+                # descend via pc.struct_field (SURVEY.md §1.3 struct mapping);
+                # a null ancestor nulls the leaf, which the null-as-absent
+                # semantics already treat correctly
+                for name, child in sv.items():
+                    emit(f"{path}.{name}", child, None)
+                continue
+            if kw == "required":
+                # nested required: fails where the PARENT struct is present
+                # but the child field is null
+                for name in sv:
+                    child_path = f"{path}.{name}"
+
+                    def fn(batch: pa.Table, _p=path, _c=child_path) -> pa.Array:
+                        parent = _get_col(batch, _p)
+                        child = _get_col(batch, _c)
+                        if parent is None:
+                            return pa.array(np.ones(batch.num_rows, dtype=bool))
+                        if child is None:
+                            return pc.fill_null(pc.is_null(parent), False)
+                        return pc.fill_null(
+                            pc.or_kleene(pc.is_null(parent),
+                                         pc.is_valid(child)), True)
+
+                    plan.constraints.append(CompiledConstraint(
+                        constraint_id=f"required:{child_path}",
+                        column=child_path, tag="required",
+                        message=_MESSAGES["required"].format(column=child_path),
+                        param="", fn=fn))
+                continue
+            kernel = _column_kernel(path, kw, sv, col_type, mode)
             if kernel is None:
                 continue
             if kw in (_STRING_KW | _NUMERIC_KW | _LIST_KW | {"enum"}):
-                kernel = _guard_kernel(column, kw, sv, kernel, mode)
+                kernel = _guard_kernel(path, kw, sv, kernel, mode)
             param = ", ".join(sv) if kw == "enum" and isinstance(sv, list) else str(sv)
             if kw == "format":
                 param = str(sv)
             plan.constraints.append(CompiledConstraint(
-                constraint_id=f"{kw}:{column}", column=column, tag=kw,
+                constraint_id=f"{kw}:{path}", column=path, tag=kw,
                 message=_MESSAGES.get(kw, "validation failed for keyword " + kw)
-                        .format(column=column, param=param),
+                        .format(column=path, param=param),
                 param=param, fn=kernel))
+
+    for column, sub in (compiled.get("properties") or {}).items():
+        emit(column, sub, cols_present.get(column))
 
     return plan
 

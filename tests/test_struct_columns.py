@@ -1,0 +1,94 @@
+"""Vectorized validation of typed NESTED struct columns (dotted-path plan):
+agreement with the value engine, null-ancestor semantics, missing fields."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsonschema_validator_ray import Options, ValueEngine
+from jsonschema_validator_ray.stages.validate import BatchValidator
+
+SCHEMA = {
+    "required": ["k", "user"],
+    "properties": {
+        "user": {
+            "required": ["name"],
+            "properties": {
+                "name": {"type": "string", "minLength": 2},
+                "age": {"type": "integer", "minimum": 0},
+                "contact": {"properties": {"email": {"format": "email"}}},
+            },
+        },
+    },
+}
+
+
+def _strip_nones(d):
+    if isinstance(d, dict):
+        return {k: _strip_nones(v) for k, v in d.items() if v is not None}
+    return d
+
+
+def _compare(rows):
+    t = pa.Table.from_pylist(rows)
+    out = BatchValidator(SCHEMA, "k")(t).to_pylist()
+    ve = ValueEngine(Options())
+    for r, got in zip(rows, out):
+        exp = ve.validate(_strip_nones(r), SCHEMA)
+        assert exp.valid == got["valid"], (r, exp.errors, got["violations"])
+        assert exp.error_count == got["error_count"], (r, exp.errors,
+                                                       got["violations"])
+        assert {e.tag for e in exp.errors} == \
+            {v["tag"] for v in got["violations"]}, r
+    return out
+
+
+def test_struct_columns_match_value_engine(ray_session):
+    out = _compare([
+        {"k": 1, "user": {"name": "ann", "age": 30,
+                          "contact": {"email": "a@b.co"}}},
+        {"k": 2, "user": {"name": "x", "age": -1, "contact": {"email": "bad"}}},
+        {"k": 3, "user": {"name": None, "age": 5, "contact": None}},
+        {"k": 4, "user": None},
+    ])
+    by_k = {r["k"]: r for r in out}
+    assert {v["constraint_id"] for v in by_k[2]["violations"]} == {
+        "minLength:user.name", "minimum:user.age", "format:user.contact.email"}
+    # violation paths are dotted
+    assert by_k[3]["violations"][0]["path"] == "$.user.name"
+
+
+@settings(max_examples=120, deadline=None)
+@given(rows=st.lists(st.fixed_dictionaries({
+    "k": st.integers(0, 100),
+    "user": st.one_of(st.none(), st.fixed_dictionaries({
+        "name": st.one_of(st.none(), st.text("abx", max_size=5)),
+        "age": st.one_of(st.none(), st.integers(-3, 120)),
+        "contact": st.one_of(st.none(), st.fixed_dictionaries({
+            "email": st.one_of(st.none(), st.sampled_from(
+                ["a@b.co", "nope", "x@y.org", ""])),
+        })),
+    })),
+}), min_size=1, max_size=6))
+def test_struct_differential_property(rows):
+    _compare(rows)
+
+
+def test_struct_through_ray_pipeline(ray_session):
+    import ray.data
+
+    rows = [{"k": i,
+             "user": {"name": f"user{i}" if i % 3 else "z",
+                      "age": i - 2,
+                      "contact": {"email": f"u{i}@example.com"}}}
+            for i in range(30)]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(BatchValidator(SCHEMA, "k"),
+                         batch_format="pyarrow", batch_size=8).to_pandas()
+    assert len(out) == 30
+    # i in {0,1}: age negative; i%3==0: name too short
+    assert not out.loc[out["k"] == 0, "valid"].iloc[0]
+    assert out.loc[out["k"] == 5, "valid"].iloc[0]
