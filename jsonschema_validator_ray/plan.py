@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 from .errors import Mode, SchemaError
 from .formats import FORMAT_VALIDATORS
-from .schema import CompiledSchema, compile_schema
+from .schema import METADATA_KEYS, CompiledSchema, compile_schema
 
 MaskFn = Callable[[pa.Table], pa.Array]
 
@@ -398,12 +398,63 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
             return _pass_on_null(col, pa.array(ok))
         return fn
 
-    # Keywords that need per-value recursion (nested objects, logical
-    # combinators over sub-schemas, conditionals) are handled by the
-    # dynamic-regime stage (stages/validate.py JsonColumnValidator), not the
-    # flat column plan.
+    if kw == "items" and isinstance(sv, CompiledSchema):
+        scalar_ok = _STRING_KW | _NUMERIC_KW | {"enum", "type"}
+        if all(k in scalar_ok or k in METADATA_KEYS
+               for k in sv.keywords):
+            return _items_kernel(column, sv, mode)
+
+    # Keywords that need per-value recursion (tuple-mode items, nested
+    # objects inside lists, logical combinators, conditionals) are handled
+    # by the dynamic-regime stage (stages/validate.py JsonColumnValidator),
+    # not the flat column plan.
     raise SchemaError(f"keyword {kw!r} is not supported in the flat column plan; "
                       f"use the dynamic-JSON regime for column {column!r}")
+
+
+def _items_kernel(column: str, sub: CompiledSchema, mode: Mode) -> MaskFn:
+    """Object-mode ``items`` with SCALAR element constraints, fully
+    vectorized: ``pc.list_flatten`` → child kernels over the element array →
+    per-parent all-pass via ``np.logical_and.at`` re-aggregation
+    (SURVEY.md §2.1 items mapping). A row passes iff every element passes
+    every child constraint; null/absent lists pass. Violation granularity is
+    PER ROW (one violation per failing constraint per row), not per element
+    — the verdict agrees with the value engine, the error count aggregates.
+    Null ELEMENTS inside a list pass (treated as absent) — the value engine
+    would type-fail them; documented deviation for the vectorized regime.
+    """
+    child_fns: list[MaskFn] = []
+    for kw, sv in sub.keywords.items():
+        if kw in METADATA_KEYS:
+            continue
+        k = _column_kernel("__elem", kw, sv, None, mode)
+        if k is None:
+            continue
+        if kw in (_STRING_KW | _NUMERIC_KW | {"enum"}):
+            k = _guard_kernel("__elem", kw, sv, k, mode)
+        child_fns.append(k)
+
+    def fn(batch: pa.Table) -> pa.Array:
+        col = _get_col(batch, column)
+        if col is None:
+            return pa.array(np.ones(batch.num_rows, dtype=bool))
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+            return pc.fill_null(pc.is_null(col), False)  # "must be an array"
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        elem_batch = pa.table({"__elem": flat})
+        ok = np.ones(batch.num_rows, dtype=bool)
+        for child in child_fns:
+            m = child(elem_batch)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            mv = m.to_numpy(zero_copy_only=False)
+            np.logical_and.at(ok, parent, mv)
+        return _pass_on_null(col, pa.array(ok))
+
+    return fn
 
 
 # human-readable message templates, matching the reference's wording

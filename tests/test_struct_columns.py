@@ -92,3 +92,48 @@ def test_struct_through_ray_pipeline(ray_session):
     # i in {0,1}: age negative; i%3==0: name too short
     assert not out.loc[out["k"] == 0, "valid"].iloc[0]
     assert out.loc[out["k"] == 5, "valid"].iloc[0]
+
+
+def test_vectorized_items_scalar_elements(ray_session):
+    """Object-mode items with scalar element constraints, fully vectorized
+    (flatten + parent re-aggregation). Verdicts match the value engine;
+    violation granularity is per row."""
+    import pyarrow as pa
+
+    t = pa.table({"k": [1, 2, 3, 4, 5],
+                  "xs": [[1.0, 2.0, 3.0], [1.0, -2.0], [], None, [0.5, 100.0]]})
+    schema = {"properties": {"xs": {"items": {"minimum": 0, "maximum": 50},
+                                    "minItems": 1}}}
+    out = {r["k"]: r for r in BatchValidator(schema, "k")(t).to_pylist()}
+    assert out[1]["valid"]
+    assert [x["constraint_id"] for x in out[2]["violations"]] == ["items:xs"]
+    assert [x["constraint_id"] for x in out[3]["violations"]] == ["minItems:xs"]
+    assert out[4]["valid"]  # null list = absent
+    assert not out[5]["valid"]
+
+    ve = ValueEngine(Options())
+    for r in t.to_pylist():
+        doc = {kk: vv for kk, vv in r.items() if vv is not None}
+        assert ve.validate(doc, schema).valid == out[r["k"]]["valid"], r
+
+
+def test_vectorized_items_string_elements(ray_session):
+    import pyarrow as pa
+
+    t = pa.table({"k": [1, 2],
+                  "tags": [["alpha", "beta"], ["ok", "x"]]})
+    schema = {"properties": {"tags": {"items": {"minLength": 2}}}}
+    out = {r["k"]: r for r in BatchValidator(schema, "k")(t).to_pylist()}
+    assert out[1]["valid"] and not out[2]["valid"]
+
+
+def test_items_with_nested_object_elements_stays_dynamic():
+    """Element schemas needing recursion are NOT supported in the flat plan —
+    explicit SchemaError steering to the dynamic-JSON regime."""
+    from jsonschema_validator_ray.errors import SchemaError
+    from jsonschema_validator_ray.plan import compile_table_plan
+
+    with pytest.raises(SchemaError):
+        compile_table_plan(
+            {"properties": {"xs": {"items": {"properties": {"a": {"minimum": 1}}}}}},
+            "k")
