@@ -32,6 +32,8 @@ from .formats import FORMAT_VALIDATORS, register_format
 from .registry import Registry, RegistryError
 from .schema import CompiledSchema, compile_schema, parse_schema
 from .value_engine import Options, ValueEngine, check_type, json_type_of, to_float
+from .plan import TablePlan, compile_table_plan
+from .functions.tagparse import parse_tag, record_schema, validate_record, var
 
 __all__ = [
     "ErrorFormat",
@@ -52,6 +54,12 @@ __all__ = [
     "check_type",
     "json_type_of",
     "to_float",
+    "TablePlan",
+    "compile_table_plan",
+    "parse_tag",
+    "record_schema",
+    "validate_record",
+    "var",
 ]
 
 __version__ = "0.1.0"
