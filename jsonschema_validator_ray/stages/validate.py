@@ -51,10 +51,13 @@ VIOLATION_TYPE = pa.struct([
 def _stringify_cells(batch: pa.Table, column: str,
                      rows: "np.ndarray") -> list[str | None]:
     """Offending cell values as strings (for violation rows); missing column
-    → nulls. Only the failing rows are gathered and cast."""
-    if column not in batch.column_names:
+    → nulls. Only the failing rows are gathered and cast. Dotted paths
+    resolve through struct fields."""
+    from ..plan import _get_col
+
+    col = _get_col(batch, column)
+    if col is None:
         return [None] * len(rows)
-    col = batch.column(column)
     taken = col.take(pa.array(rows))
     try:
         return pc.cast(taken, pa.string()).to_pylist()
@@ -196,14 +199,23 @@ def validate_dataset(ds, table_schema: dict | str, key_column: str,
     ``concurrency=N`` to pin an actor pool instead — worth it when the plan
     carries heavy state (large enums / broadcast dictionaries).
     """
+    arrow_schema = None
+    try:
+        s = ds.schema()
+        arrow_schema = getattr(s, "base_schema", None)
+        if arrow_schema is not None and not isinstance(arrow_schema, pa.Schema):
+            arrow_schema = None
+    except Exception:
+        pass  # schema unavailable without execution → runtime dispatch
     kwargs: dict[str, Any] = dict(batch_format="pyarrow", batch_size=batch_size,
                                   num_cpus=num_cpus)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
         return ds.map_batches(
-            BatchValidator, fn_constructor_args=(table_schema, key_column, mode),
+            BatchValidator,
+            fn_constructor_args=(table_schema, key_column, mode, arrow_schema),
             **kwargs)
-    validator = BatchValidator(table_schema, key_column, mode)
+    validator = BatchValidator(table_schema, key_column, mode, arrow_schema)
     return ds.map_batches(validator, **kwargs)
 
 
