@@ -1,0 +1,96 @@
+"""Edge probes over less-exercised paths: empty batches, configured
+histograms in column_stats, multi-query top-k, JSON regime options."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_extraction_matches_empty_batch():
+    from jsonschema_validator_ray.sources.webtext import extraction_matches_batch
+
+    t = pa.table({"html": pa.array([], type=pa.binary()),
+                  "text": pa.array([], type=pa.large_string())})
+    assert extraction_matches_batch(t).shape == (0,)
+
+
+def test_empty_plan_all_valid():
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    t = pa.table({"k": [1, 2]})
+    out = BatchValidator({}, "k")(t).to_pylist()
+    assert all(r["valid"] and r["error_count"] == 0 for r in out)
+
+
+def test_column_stats_with_configured_histograms(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.stats import column_stats
+    from jsonschema_validator_ray.state import (CategoricalHistogram,
+                                                NumericHistogram)
+
+    t = pa.table({"x": [1.0, 5.0, 9.0, 22.0], "lang": ["en", "en", "de", "xx"]})
+    out = column_stats(
+        ray.data.from_arrow(t),
+        hist_edges={"x": [0, 10, 20, 30]},
+        hist_categories={"lang": ["en", "de"]},
+    ).to_pandas().set_index("column")
+    hx = NumericHistogram.from_json(out.loc["x", "hist"])
+    assert hx.counts.tolist() == [3, 0, 1]
+    hl = CategoricalHistogram.from_json(out.loc["lang", "hist"])
+    assert hl.counts.tolist() == [2, 1] and hl.other == 1
+
+
+def test_topk_multiple_queries_and_k_exceeds_corpus(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.similarity import topk_cosine
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(20)])
+    q = vecs[:3]
+    out = topk_cosine(ds, q, k=50, batch_size=7)
+    # k > corpus → all 20 rows per query, self always first
+    for qi in range(3):
+        sub = out[out["query_id"] == qi]
+        assert len(sub) == 20
+        assert sub.iloc[0]["vec_id"] == qi
+        assert sub.iloc[0]["score"] == pytest.approx(1.0)
+
+
+def test_json_validator_loose_and_stop_on_first(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.errors import Mode
+    from jsonschema_validator_ray.stages.validate import JsonColumnValidator
+
+    rows = [{"id": 1, "doc": '{"a": -5, "b": "x", "wat": 1}'}]
+    schema_loose = {"properties": {"a": {"minimum": 0},
+                                   "b": {"minLength": 3}},
+                    "frobnicate": True}
+    v = JsonColumnValidator(schema_loose, "id", "doc", mode=Mode.LOOSE)
+    out = v(pa.Table.from_pylist(rows)).to_pylist()[0]
+    assert out["error_count"] == 2  # unknown keyword skipped in loose
+
+    v2 = JsonColumnValidator({"properties": {"a": {"minimum": 0},
+                                             "b": {"minLength": 3}}},
+                             "id", "doc", stop_on_first_error=True)
+    out2 = v2(pa.Table.from_pylist(rows)).to_pylist()[0]
+    assert out2["error_count"] == 1
+
+
+def test_drift_all_null_column(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.drift import drift_check
+    from jsonschema_validator_ray.state import CategoricalHistogram
+
+    t = pa.table({"lang": pa.array([None, None, None], type=pa.string())})
+    base = CategoricalHistogram(["en", "de"], counts=np.array([5, 5]))
+    rpt = drift_check(ray.data.from_arrow(t), "lang", base.to_json())
+    # empty current distribution → uniform proportions; no crash
+    assert np.isfinite(rpt.psi)
