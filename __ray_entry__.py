@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
+        "top_orders_per_segment": analytics.top_orders_per_segment,
     }
 
 
@@ -79,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,
         "purchase_last_click": analytics.PURCHASE_LAST_CLICK_SQL,
+        "top_orders_per_segment": analytics.TOP_ORDERS_SQL,
         # rows-only (no SQL-expressible oracle): stats_sketch_documents,
         # langid_documents, fingerprint_documents, minhash_pairs_documents
     }

@@ -56,6 +56,66 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
 
+# ---- grouped top-k: top orders per market segment -------------------------
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Top-k orders by total price per market segment (grouped top-k):
+    broadcast-join the tiny segment dimension into the fact scan, then
+    per-batch partial top-k per segment and a final per-group head — the
+    same partial/final shape as similarity top-k, keyed by group. Ties
+    broken by o_orderkey ascending for determinism."""
+    import ray
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    cdf = cust.to_pandas()  # tiny dimension table
+    seg_map = dict(zip(cdf["c_custkey"], cdf["c_mktsegment"]))
+    seg_ref = ray.put(seg_map)
+
+    class Partial:
+        def __init__(self, ref, kk):
+            self.seg = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.k = kk
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            df = df.dropna(subset=["c_mktsegment"])
+            part = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                                  ascending=[True, False, True], kind="mergesort") \
+                     .groupby("c_mktsegment", sort=False).head(self.k)
+            return pa.Table.from_pandas(
+                part[["c_mktsegment", "o_orderkey", "o_totalprice"]],
+                preserve_index=False)
+
+    partials = orders.map_batches(Partial(seg_ref, k), batch_format="pyarrow")
+
+    def final_head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort").head(k)
+
+    out = partials.groupby("c_mktsegment").map_groups(
+        final_head, batch_format="pandas")
+    df = out.to_pandas().sort_values(
+        ["c_mktsegment", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True]).reset_index(drop=True)
+    return df
+
+
+TOP_ORDERS_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+"""
+
 # ---- as-of join: last click before each purchase, per user ----------------
 
 
