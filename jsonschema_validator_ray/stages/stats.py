@@ -167,6 +167,14 @@ def merge_partials(group: pd.DataFrame) -> pd.DataFrame:
     }])
 
 
+def profile(ds, **kwargs):
+    """One-call dataset profile: stats row for every column (count, nulls,
+    null-rate, HLL distinct, min/max, mean, t-digest quantiles) as a pandas
+    DataFrame — one row per column, safe to materialize."""
+    return column_stats(ds, None, **kwargs).to_pandas() \
+        .sort_values("column").reset_index(drop=True)
+
+
 def column_stats(ds, columns: list[str] | None = None, *,
                  hll_p: int = 14,
                  hist_edges: dict[str, list[float]] | None = None,
