@@ -83,11 +83,47 @@ def langid_scores(text: str) -> dict[str, float]:
             for lang, prof in _LANG_PROFILES.items()}
 
 
+_SCRIPT_RANGES = (
+    # (start, end, lang) — decisive Unicode script blocks
+    (0x3040, 0x30FF, "ja"),    # hiragana + katakana (decisively Japanese)
+    (0xAC00, 0xD7AF, "ko"),    # hangul syllables
+    (0x0400, 0x04FF, "ru"),    # cyrillic
+    (0x0590, 0x05FF, "he"),    # hebrew
+    (0x0600, 0x06FF, "ar"),    # arabic
+    (0x0370, 0x03FF, "el"),    # greek
+    (0x0E00, 0x0E7F, "th"),    # thai
+    (0x4E00, 0x9FFF, "zh"),    # CJK unified (→ zh unless kana seen first)
+)
+
+
+def _script_lang(text: str) -> str | None:
+    """Dominant non-Latin script → language. Kana beats CJK-unified (Japanese
+    text mixes both; Chinese has no kana), so ranges are ordered."""
+    counts: dict[str, int] = {}
+    for ch in text[:2000]:
+        cp = ord(ch)
+        for lo, hi, lang in _SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                counts[lang] = counts.get(lang, 0) + 1
+                break
+    if not counts:
+        return None
+    if counts.get("ja", 0) > 0:   # any kana → Japanese even with many CJK
+        return "ja"
+    lang, n = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    return lang if n >= max(3, len(text[:2000]) * 0.05) else None
+
+
 def langid(text: str | None, min_score: float = 0.02) -> str | None:
-    """Best-scoring language, or None below confidence / empty input.
-    N-gram/stopword heuristic — deterministic, dependency-free."""
+    """Best-guess language, or None below confidence / empty input.
+    Two-stage heuristic, deterministic and dependency-free:
+    Unicode-script detection for non-Latin scripts (ja/ko/ru/he/ar/el/th/zh),
+    then stopword profiles for Latin-script languages."""
     if not text:
         return None
+    script = _script_lang(text)
+    if script is not None:
+        return script
     scores = langid_scores(text)
     if not scores:
         return None

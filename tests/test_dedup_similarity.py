@@ -165,3 +165,19 @@ def test_fingerprint_batch_matches_scalar():
     t = pa.table({"text": texts})
     got = fingerprint_batch(t).to_pylist()
     assert got == [fingerprint(x) for x in texts]
+
+
+def test_langid_script_detection():
+    from jsonschema_validator_ray.functions.text import langid
+
+    assert langid("これは日本語のテキストです") == "ja"
+    assert langid("这是一段中文文本没有假名") == "zh"
+    assert langid("日本語のテキスト with some english words") == "ja"
+    assert langid("это русский текст про валидацию") == "ru"
+    assert langid("한국어 텍스트 예시입니다") == "ko"
+    assert langid("Ελληνικό κείμενο εδώ") == "el"
+    assert langid("זהו טקסט בעברית") == "he"
+    assert langid("هذا نص باللغة العربية") == "ar"
+    assert langid("นี่คือข้อความภาษาไทย") == "th"
+    # Latin still goes through stopword profiles
+    assert langid("the cat and the dog is in the house of that man") == "en"
