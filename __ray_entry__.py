@@ -27,7 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from jsonschema_validator_ray.pipelines import analytics, checks, corpus
+    from jsonschema_validator_ray.pipelines import analytics, checks, corpus, curation
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
@@ -54,11 +54,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
         "top_orders_per_segment": analytics.top_orders_per_segment,
+        "curated_documents": curation.curated_documents,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from jsonschema_validator_ray.pipelines import analytics, checks, corpus
+    from jsonschema_validator_ray.pipelines import analytics, checks, corpus, curation, curation
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
@@ -81,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,
         "purchase_last_click": analytics.PURCHASE_LAST_CLICK_SQL,
         "top_orders_per_segment": analytics.TOP_ORDERS_SQL,
+        "curated_documents": curation.CURATED_SQL,
         # rows-only (no SQL-expressible oracle): stats_sketch_documents,
         # langid_documents, fingerprint_documents, minhash_pairs_documents
     }

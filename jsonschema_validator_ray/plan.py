@@ -398,6 +398,37 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
             return _pass_on_null(col, pa.array(ok))
         return fn
 
+    if kw in ("minProperties", "maxProperties"):
+        ge = kw == "minProperties"
+
+        def fn(batch: pa.Table) -> pa.Array:
+            col = _get_col(batch, column)
+            if col is None:
+                return pa.array(np.ones(batch.num_rows, dtype=bool))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = col.type
+            if pa.types.is_map(t):
+                # maps are list<struct<key,value>>: entry count from offsets
+                lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+                ok = lens >= sv if ge else lens <= sv
+                return _pass_on_null(col, pa.array(ok))
+            if pa.types.is_struct(t):
+                # property count = number of NON-NULL fields (null field ≡
+                # absent key in the JSON-document mapping)
+                cnt = None
+                for f in range(t.num_fields):
+                    v = pc.cast(pc.is_valid(pc.struct_field(col, f)),
+                                pa.int32())
+                    cnt = v if cnt is None else pc.add(cnt, v)
+                ok = (pc.greater_equal(cnt, sv) if ge
+                      else pc.less_equal(cnt, sv))
+                return _pass_on_null(col, ok)
+            # reference: "can only be applied to objects"
+            return pc.fill_null(pc.is_null(col), False)
+
+        return fn
+
     if kw == "items" and isinstance(sv, CompiledSchema):
         scalar_ok = _STRING_KW | _NUMERIC_KW | {"enum", "type"}
         if all(k in scalar_ok or k in METADATA_KEYS
@@ -474,6 +505,9 @@ _MESSAGES = {
     "minItems": "fewer items than minimum {param}",
     "maxItems": "more items than maximum {param}",
     "uniqueItems": "contains duplicate items",
+    "minProperties": "object has fewer properties than minProperties {param}",
+    "maxProperties": "object has more properties than maxProperties {param}",
+    "items": "array item validation failed",
 }
 
 

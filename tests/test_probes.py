@@ -94,3 +94,32 @@ def test_drift_all_null_column(ray_session):
     rpt = drift_check(ray.data.from_arrow(t), "lang", base.to_json())
     # empty current distribution → uniform proportions; no crash
     assert np.isfinite(rpt.psi)
+
+
+def test_min_max_properties_on_map_and_struct_columns(ray_session):
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    t = pa.table({
+        "k": [1, 2, 3, 4],
+        "m": pa.array([[("a", 1), ("b", 2)], [("x", 9)], [], None],
+                      type=pa.map_(pa.string(), pa.int64())),
+        "st": pa.array([{"a": 1, "b": "x"}, {"a": None, "b": "y"},
+                        {"a": None, "b": None}, None],
+                       type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    })
+    schema = {"properties": {"m": {"minProperties": 1, "maxProperties": 2},
+                             "st": {"minProperties": 1}}}
+    out = {r["k"]: r for r in BatchValidator(schema, "k")(t).to_pylist()}
+    assert out[1]["valid"] and out[2]["valid"]
+    assert {v["constraint_id"] for v in out[3]["violations"]} == {
+        "minProperties:m", "minProperties:st"}
+    assert out[4]["valid"]  # null map/struct = absent
+
+
+def test_curated_documents_pipeline(ray_session):
+    from jsonschema_validator_ray.pipelines.curation import curated_documents
+    from tests.conftest import SF_SMOKE
+
+    out = curated_documents(SF_SMOKE).to_pandas()
+    assert 0 < len(out) < 500
+    assert out["doc_id"].is_unique
