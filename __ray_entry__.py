@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from jsonschema_validator_ray.pipelines import analytics, checks, corpus, curation, curation
+    from jsonschema_validator_ray.pipelines import analytics, checks, corpus, curation
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {

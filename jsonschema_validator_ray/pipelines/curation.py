@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.text import token_count_batch
-from ..stages.dedup import exact_duplicates
+from ..stages.dedup import dedup_exact
 
 # quality gates (SQL-expressible on purpose: token count via whitespace
 # split, BYTE length via strlen, language membership)
@@ -29,15 +29,10 @@ def curated_documents(sf_dir: str):
     gates, the canonical curation chain."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
-    dup_ids = set(r["doc_id"] for r in
-                  exact_duplicates(docs, "doc_id", "text").take_all())
-    dup_set = pa.array(sorted(dup_ids)) if dup_ids else None
+    deduped = dedup_exact(docs, "doc_id", "text")
 
     def gate(b: pa.Table) -> pa.Table:
-        keep = pc.fill_null(pc.is_valid(b.column("doc_id")), False)
-        if dup_set is not None:
-            keep = pc.and_(keep, pc.invert(
-                pc.is_in(b.column("doc_id"), value_set=dup_set)))
+        keep = pc.is_valid(b.column("doc_id"))
         toks = token_count_batch(b)
         keep = pc.and_(keep, pc.and_(
             pc.greater_equal(toks, MIN_TOKENS),
@@ -50,7 +45,7 @@ def curated_documents(sf_dir: str):
             pc.is_in(b.column("lang"), value_set=pa.array(list(LANGS))), False))
         return b.filter(keep).select(["doc_id"])
 
-    return docs.map_batches(gate, batch_format="pyarrow")
+    return deduped.map_batches(gate, batch_format="pyarrow")
 
 
 CURATED_SQL = rf"""

@@ -414,13 +414,19 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
                 ok = lens >= sv if ge else lens <= sv
                 return _pass_on_null(col, pa.array(ok))
             if pa.types.is_struct(t):
-                # property count = number of NON-NULL fields (null field ≡
-                # absent key in the JSON-document mapping)
-                cnt = None
+                # property count = number of NON-NULL fields. Arrow structs
+                # cannot distinguish {"a": null} from {} (no per-field
+                # absence), so the column regime's null≡absent mapping
+                # applies — unlike MAP columns, where a null-VALUED entry is
+                # a present key and counts (maps can express the
+                # difference). A zero-field struct type counts 0 for every
+                # row (an explicit array, not a None accumulator — a None
+                # would make the comparison null and vacuously pass).
+                cnt = pa.array(np.zeros(len(col), dtype=np.int32))
                 for f in range(t.num_fields):
                     v = pc.cast(pc.is_valid(pc.struct_field(col, f)),
                                 pa.int32())
-                    cnt = v if cnt is None else pc.add(cnt, v)
+                    cnt = pc.add(cnt, v)
                 ok = (pc.greater_equal(cnt, sv) if ge
                       else pc.less_equal(cnt, sv))
                 return _pass_on_null(col, ok)

@@ -123,3 +123,15 @@ def test_curated_documents_pipeline(ray_session):
     out = curated_documents(SF_SMOKE).to_pandas()
     assert 0 < len(out) < 500
     assert out["doc_id"].is_unique
+
+
+def test_zero_field_struct_minproperties(ray_session):
+    """Regression (review finding): a zero-field struct type must FAIL
+    minProperties>0 — a None count accumulator would compare as null and
+    vacuously pass."""
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    t = pa.table({"k": [1, 2], "st": pa.array([{}, {}], type=pa.struct([]))})
+    out = BatchValidator({"properties": {"st": {"minProperties": 1}}}, "k")(t) \
+        .to_pylist()
+    assert all(not r["valid"] for r in out)
