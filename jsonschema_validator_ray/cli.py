@@ -26,7 +26,12 @@ import sys
 import time
 
 
-def build_pipeline(schema: dict, key: str, mode: str, check_extraction: bool):
+def build_pipeline(schema: dict | None, key: str, mode: str,
+                   check_extraction: bool):
+    """A user-supplied ``--schema`` ALWAYS wins (the extraction check is a
+    webtext-schema feature and only applies on the default path — previously
+    a custom schema was silently ignored unless --no-extraction-check was
+    also passed)."""
     from .errors import Mode
     from .pipelines.webtext import WebtextValidator
     from .stages.validate import BatchValidator, verdicts_only
@@ -34,8 +39,12 @@ def build_pipeline(schema: dict, key: str, mode: str, check_extraction: bool):
     m = Mode.LOOSE if mode == "loose" else Mode.STRICT
 
     def pipeline(ds):
-        if check_extraction:
+        if schema is None and check_extraction:
             validator = WebtextValidator(True, mode=m)
+        elif schema is None:
+            from .pipelines.webtext import WEBTEXT_SCHEMA
+
+            validator = BatchValidator(WEBTEXT_SCHEMA, key, m)
         else:
             validator = BatchValidator(schema, key, m)
         combined = ds.map_batches(validator, batch_format="pyarrow",
@@ -76,14 +85,13 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from .pipelines.webtext import WEBTEXT_SCHEMA
     from .sinks.resumable import partition_input_files, run_resumable
 
     if args.schema:
         with open(args.schema) as f:
             schema = json.load(f)
     else:
-        schema = WEBTEXT_SCHEMA
+        schema = None  # build_pipeline applies WEBTEXT_SCHEMA (+ extraction)
 
     files: list[str] = []
     for pat in args.input.split(","):

@@ -12,7 +12,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.text import fingerprint_batch, langid_batch, token_count_batch
-from ..stages.dedup import exact_duplicates, minhash_near_duplicates
+from ..stages.dedup import minhash_near_duplicates
 from ..stages.similarity import topk_cosine
 
 # ---- exact dedup ----------------------------------------------------------
@@ -20,21 +20,12 @@ from ..stages.similarity import topk_cosine
 
 def dedup_exact_documents(sf_dir: str):
     """Surviving doc_ids after exact-text dedup (min doc_id per content
-    group). Dup detection via hash-partition groupby; survivors = all keys
-    minus flagged dups."""
+    group), via stages/dedup.dedup_exact."""
+    from ..stages.dedup import dedup_exact
+
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    dup_ids = set(r["doc_id"] for r in
-                  exact_duplicates(docs, "doc_id", "text").take_all())
-
-    def keep(b: pa.Table) -> pa.Table:
-        if not dup_ids:
-            return b.select(["doc_id"])
-        mask = pc.invert(pc.is_in(b.column("doc_id"),
-                                  value_set=pa.array(list(dup_ids))))
-        return b.filter(mask).select(["doc_id"])
-
-    return docs.map_batches(keep, batch_format="pyarrow")
+    return dedup_exact(docs, "doc_id", "text").select_columns(["doc_id"])
 
 
 DEDUP_EXACT_SQL = """

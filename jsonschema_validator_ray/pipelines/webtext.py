@@ -82,43 +82,11 @@ class WebtextValidator:
                 valid[failed] = False
                 error_count[failed] += 1
 
-        idx_parts, const_parts = [], []
-        for ci, failed in enumerate(fails):
-            if failed.size:
-                idx_parts.append(failed)
-                const_parts.append(np.full(failed.size, ci, dtype=np.int64))
-        if idx_parts:
-            rows = np.concatenate(idx_parts)
-            consts = np.concatenate(const_parts)
-            order = np.argsort(rows, kind="stable")
-            rows, consts = rows[order], consts[order]
-            counts = np.bincount(rows, minlength=n)
-            offsets = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(counts, out=offsets[1:])
-            from ..stages.validate import _stringify_cells
+        from ..stages.validate import build_violations_column
 
-            values: list = [None] * len(rows)
-            by_col: dict = {}
-            for j, c in enumerate(consts):
-                col = constraint_meta[c][1]
-                if col != "html":  # don't stringify binary payloads
-                    by_col.setdefault(col, []).append(j)
-            for colname, positions in by_col.items():
-                cells = _stringify_cells(batch, colname,
-                                         rows[np.asarray(positions)])
-                for p, v in zip(positions, cells):
-                    values[p] = v
-            struct = pa.StructArray.from_arrays(
-                [pa.array([constraint_meta[c][0] for c in consts]),
-                 pa.array([constraint_meta[c][1] for c in consts]),
-                 pa.array([f"$.{constraint_meta[c][1]}" for c in consts]),
-                 pa.array([constraint_meta[c][2] for c in consts]),
-                 pa.array([constraint_meta[c][3] for c in consts]),
-                 pa.array(values, type=pa.string())],
-                fields=list(VIOLATION_TYPE))
-            viol = pa.ListArray.from_arrays(pa.array(offsets), struct)
-        else:
-            viol = pa.array([[]] * n, type=pa.list_(VIOLATION_TYPE))
+        viol = build_violations_column(
+            batch, n, fails, constraint_meta,
+            skip_value_columns=frozenset({"html"}))  # never stringify payloads
 
         return pa.table({
             "url": batch.column("url"),

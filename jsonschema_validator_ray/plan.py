@@ -121,7 +121,10 @@ def _get_col(batch: pa.Table, path: str):
             return None
         try:
             col = pc.struct_field(col, seg)
-        except KeyError:
+        except (KeyError, pa.ArrowInvalid):
+            # pyarrow raises ArrowInvalid ("No match for FieldRef") for a
+            # field name absent from the struct type — absent field, not
+            # a crash
             return None
     return col
 
@@ -590,8 +593,9 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
                 continue
             if kw in (_STRING_KW | _NUMERIC_KW | _LIST_KW | {"enum"}):
                 kernel = _guard_kernel(path, kw, sv, kernel, mode)
-            param = ", ".join(sv) if kw == "enum" and isinstance(sv, list) else str(sv)
-            if kw == "format":
+            if kw == "enum" and isinstance(sv, list):
+                param = ", ".join(str(x) for x in sv)  # non-string enums too
+            else:
                 param = str(sv)
             plan.constraints.append(CompiledConstraint(
                 constraint_id=f"{kw}:{path}", column=path, tag=kw,

@@ -359,16 +359,17 @@ def batch_simhash64(texts: list[str | None]) -> np.ndarray:
             & np.uint64(1)).astype(np.int32)
     signed = 2 * bits - 1                       # (n_words, 64)
     starts = np.array(offsets[:-1])
-    nonempty = starts < len(all_words)
-    # reduceat needs strictly valid start indices; empty docs handled after
-    sums = np.add.reduceat(signed, np.minimum(starts, len(all_words) - 1),
-                           axis=0)
-    weights = np.where((np.array(offsets[1:]) - starts) > 0, 1, 0)
+    ends = np.array(offsets[1:])
+    # reduceat over NONEMPTY segments only: clamping an empty trailing
+    # segment's start would shift the previous segment's boundary and
+    # corrupt the last nonempty document's fingerprint
+    nonempty = np.flatnonzero(ends > starts)
+    if nonempty.size == 0:
+        return out
+    sums = np.add.reduceat(signed, starts[nonempty], axis=0)
     powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for j in range(len(texts)):
-        if weights[j] == 0:
-            continue
-        out[j] = np.sum(powers[sums[j] > 0], dtype=np.uint64)
+    for row, j in enumerate(nonempty):
+        out[j] = np.sum(powers[sums[row] > 0], dtype=np.uint64)
     return out
 
 

@@ -38,7 +38,9 @@ class DriftReport:
 
 
 def _hist_partial(column: str, baseline_json: str):
-    numeric = '"edges"' in baseline_json
+    import json as _json
+
+    numeric = "edges" in _json.loads(baseline_json)
 
     def fn(batch: pa.Table) -> pa.Table:
         col = batch.column(column)
@@ -64,7 +66,9 @@ def _hist_partial(column: str, baseline_json: str):
 
 def compute_histogram(ds, column: str, baseline_json: str):
     """→ merged histogram (same shape as baseline) for ``column``."""
-    numeric = '"edges"' in baseline_json
+    import json as _json
+
+    numeric = "edges" in _json.loads(baseline_json)
     partials = ds.select_columns([column]).map_batches(
         _hist_partial(column, baseline_json), batch_format="pyarrow")
     cls = NumericHistogram if numeric else CategoricalHistogram

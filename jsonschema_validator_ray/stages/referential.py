@@ -31,9 +31,11 @@ class _AntiJoin:
     NULLs are 'absent' and never violations (required covers them)."""
 
     def __init__(self, column: str, key: str, valid_ref, constraint_id: str):
-        # valid_ref is an ObjectRef (broadcast) or a plain list
+        # valid_ref is an ObjectRef (broadcast) or a plain list. Nulls are
+        # dropped (a null dimension key matches nothing; sorting them would
+        # TypeError), and pc.is_in needs no ordering.
         values = ray.get(valid_ref) if isinstance(valid_ref, ray.ObjectRef) else valid_ref
-        self.value_set = pa.array(sorted(values))
+        self.value_set = pa.array([v for v in values if v is not None])
         self.column = column
         self.key = key
         self.constraint_id = constraint_id

@@ -31,8 +31,13 @@ def _emb_matrix(batch: pa.Table, emb: str) -> np.ndarray:
     col = batch.column(emb)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False)
     n = len(col)
+    if n == 0:
+        # infer dim from the list type so empty blocks produce a (0, d)
+        # matrix instead of crashing reshape
+        d = getattr(col.type, "list_size", None) or 1
+        return np.empty((0, d), dtype=np.float32)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(n, -1).astype(np.float32)
 
 
@@ -47,6 +52,12 @@ class _BatchTopK:
         self.emb = emb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block → empty partial, not a crash
+            return pa.table({
+                "query_id": pa.array([], type=pa.int32()),
+                self.key: pa.array([], type=batch.schema.field(self.key).type),
+                "score": pa.array([], type=pa.float64()),
+            })
         mat = _normalize(_emb_matrix(batch, self.emb))          # (n, d)
         sims = mat @ self.q.T                                   # (n, nq)
         keys = batch.column(self.key).to_numpy(zero_copy_only=False)

@@ -135,15 +135,16 @@ def merge_partials(group: pd.DataFrame) -> pd.DataFrame:
     hists = group["hist"].dropna()
     hist_json = None
     if len(hists):
+        import json as _json
+
+        # detect kind from the parsed payload's keys — a substring sniff
+        # breaks when a CATEGORY is literally named "edges"
         first = hists.iloc[0]
-        if '"edges"' in first:
-            h = NumericHistogram.from_json(first)
-            for s in hists.iloc[1:]:
-                h.merge(NumericHistogram.from_json(s))
-        else:
-            h = CategoricalHistogram.from_json(first)
-            for s in hists.iloc[1:]:
-                h.merge(CategoricalHistogram.from_json(s))
+        cls = (NumericHistogram if "edges" in _json.loads(first)
+               else CategoricalHistogram)
+        h = cls.from_json(first)
+        for s in hists.iloc[1:]:
+            h.merge(cls.from_json(s))
         hist_json = h.to_json()
 
     mins = group["min_str"].dropna()

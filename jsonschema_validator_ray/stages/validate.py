@@ -65,11 +65,58 @@ def _stringify_cells(batch: pa.Table, column: str,
         return [None if v is None else str(v) for v in taken.to_pylist()]
 
 
+def build_violations_column(batch: pa.Table, n: int,
+                            fails: "list[np.ndarray]",
+                            meta: "list[tuple[str, str, str, str]]",
+                            *, skip_value_columns: frozenset = frozenset()
+                            ) -> pa.ListArray:
+    """Per-row violations list column, no Python row loop: concatenate
+    per-constraint failure index arrays, sort by row, wrap as a ListArray
+    over gathered struct children. ``meta[i] = (constraint_id, column, tag,
+    message)`` for constraint i; offending values are gathered per column
+    (skip binary payload columns via ``skip_value_columns``). Shared by the
+    generic BatchValidator and the fused WebtextValidator."""
+    idx_parts, const_parts = [], []
+    for ci, failed in enumerate(fails):
+        if failed.size:
+            idx_parts.append(failed)
+            const_parts.append(np.full(failed.size, ci, dtype=np.int64))
+    if not idx_parts:
+        return pa.array([[]] * n, type=pa.list_(VIOLATION_TYPE))
+    rows = np.concatenate(idx_parts)
+    consts = np.concatenate(const_parts)
+    order = np.argsort(rows, kind="stable")
+    rows, consts = rows[order], consts[order]
+    counts = np.bincount(rows, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    values: list[str | None] = [None] * len(rows)
+    by_col: dict[str, list[int]] = {}
+    for j, c in enumerate(consts):
+        col = meta[c][1]
+        if col not in skip_value_columns:
+            by_col.setdefault(col, []).append(j)
+    for colname, positions in by_col.items():
+        cells = _stringify_cells(batch, colname, rows[np.asarray(positions)])
+        for p, v in zip(positions, cells):
+            values[p] = v
+    struct = pa.StructArray.from_arrays(
+        [pa.array([meta[c][0] for c in consts]),
+         pa.array([meta[c][1] for c in consts]),
+         pa.array([f"$.{meta[c][1]}" for c in consts]),
+         pa.array([meta[c][2] for c in consts]),
+         pa.array([meta[c][3] for c in consts]),
+         pa.array(values, type=pa.string())],
+        fields=list(VIOLATION_TYPE))
+    return pa.ListArray.from_arrays(pa.array(offsets), struct)
+
+
 class BatchValidator:
     """Actor-pool stage: ``pa.Table`` batch → verdicts + violations-list.
 
     Output schema: ``(key, valid: bool, error_count: int32,
-    violations: list<struct<constraint_id, column, tag, message>>)``.
+    violations: list<struct<constraint_id, column, path, tag, message,
+    value>>)``.
     """
 
     def __init__(self, table_schema: dict | str, key_column: str,
@@ -84,50 +131,11 @@ class BatchValidator:
         plan = self.plan
         n = batch.num_rows
         valid, error_count, fails = evaluate_plan(plan, batch)
-
-        # Build the per-row violations list column without a Python row loop:
-        # concatenate per-constraint failure index arrays, sort by row, and
-        # wrap as a ListArray over the gathered struct children.
-        idx_parts, const_parts = [], []
-        for ci, failed in enumerate(fails):
-            if failed.size:
-                idx_parts.append(failed)
-                const_parts.append(np.full(failed.size, ci, dtype=np.int64))
-        if idx_parts:
-            rows = np.concatenate(idx_parts)
-            consts = np.concatenate(const_parts)
-            order = np.argsort(rows, kind="stable")
-            rows, consts = rows[order], consts[order]
-            counts = np.bincount(rows, minlength=n)
-            offsets = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(counts, out=offsets[1:])
-            meta = plan.constraints
-            ids = pa.array([meta[c].constraint_id for c in consts])
-            cols = pa.array([meta[c].column for c in consts])
-            paths = pa.array([f"$.{meta[c].column}" for c in consts])
-            tags = pa.array([meta[c].tag for c in consts])
-            msgs = pa.array([meta[c].message for c in consts])
-            # offending values, gathered per constraint's column
-            values: list[str | None] = [None] * len(rows)
-            by_col: dict[str, list[int]] = {}
-            for j, c in enumerate(consts):
-                by_col.setdefault(meta[c].column, []).append(j)
-            for colname, positions in by_col.items():
-                cells = _stringify_cells(
-                    batch, colname, rows[np.asarray(positions)])
-                for p, v in zip(positions, cells):
-                    values[p] = v
-            struct = pa.StructArray.from_arrays(
-                [ids, cols, paths, tags, msgs,
-                 pa.array(values, type=pa.string())],
-                fields=list(VIOLATION_TYPE))
-            viol = pa.ListArray.from_arrays(pa.array(offsets), struct)
-        else:
-            viol = pa.array([[]] * n, type=pa.list_(VIOLATION_TYPE))
-
-        key = batch.column(self.key_column)
+        meta = [(c.constraint_id, c.column, c.tag, c.message)
+                for c in plan.constraints]
+        viol = build_violations_column(batch, n, fails, meta)
         return pa.table({
-            self.key_column: key,
+            self.key_column: batch.column(self.key_column),
             "valid": pa.array(valid),
             "error_count": pa.array(error_count, type=pa.int32()),
             "violations": viol,

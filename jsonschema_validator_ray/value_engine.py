@@ -171,6 +171,10 @@ class ValueEngine:
             hit = self._schema_cache.get(schema)
             if hit is None:
                 hit = compile_schema(schema, self.opts.mode)
+                if len(self._schema_cache) >= 4096:
+                    # bound actor memory on per-row-schema corpora: drop the
+                    # oldest entry (dict preserves insertion order)
+                    self._schema_cache.pop(next(iter(self._schema_cache)))
                 self._schema_cache[schema] = hit
             return hit
         return compile_schema(schema, self.opts.mode)

@@ -135,3 +135,55 @@ def test_zero_field_struct_minproperties(ray_session):
     out = BatchValidator({"properties": {"st": {"minProperties": 1}}}, "k")(t) \
         .to_pylist()
     assert all(not r["valid"] for r in out)
+
+
+def test_simhash_batch_trailing_empty_docs():
+    """Regression (review finding): trailing empty/None docs must not shift
+    the reduceat boundary and corrupt the previous doc's fingerprint."""
+    from jsonschema_validator_ray.stages.dedup import batch_simhash64
+
+    alone = batch_simhash64(["a b c d e"])[0]
+    with_trailing = batch_simhash64(["a b c d e", ""])[0]
+    with_none = batch_simhash64(["a b c d e", None, ""])[0]
+    assert alone == with_trailing == with_none
+    mid = batch_simhash64(["x y", "", "a b c d e"])
+    assert mid[2] == alone and mid[1] == 0
+
+
+def test_missing_struct_field_in_schema_is_absent(ray_session):
+    """Regression (review finding): a schema referencing a struct field that
+    does not exist in the data treats it as absent, not ArrowInvalid."""
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    t = pa.table({"k": [1], "a": pa.array([{"x": 1}],
+                                          type=pa.struct([("x", pa.int64())]))})
+    schema = {"properties": {"a": {"properties": {"missing": {"minimum": 5}},
+                                   "required": ["missing"]}}}
+    out = BatchValidator(schema, "k")(t).to_pylist()[0]
+    # scalar keyword on absent field passes; nested required fires
+    assert [v["constraint_id"] for v in out["violations"]] == ["required:a.missing"]
+
+
+def test_fk_with_nullable_dimension_key(ray_session):
+    """Regression (review finding): null dim keys must not crash the
+    broadcast anti-join."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.referential import fk_violations
+
+    fact = ray.data.from_items([{"k": 1, "ref": "a"}, {"k": 2, "ref": "zz"}])
+    dim = ray.data.from_items([{"key": "a"}, {"key": None}])
+    bad = fk_violations(fact, "k", "ref", dim, "key").to_pandas()
+    assert list(bad["ref"]) == ["zz"]
+
+
+def test_nonstring_enum_in_column_plan(ray_session):
+    """Regression (review finding): integer enums compile and evaluate."""
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    t = pa.table({"k": [1, 2], "x": [5, 9]})
+    out = {r["k"]: r for r in
+           BatchValidator({"properties": {"x": {"enum": [1, 5, 7]}}}, "k")(t)
+           .to_pylist()}
+    assert out[1]["valid"] and not out[2]["valid"]
+    assert out[2]["violations"][0]["message"] == "value must be one of: 1, 5, 7"
