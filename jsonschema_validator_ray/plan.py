@@ -255,13 +255,63 @@ def _guard_kernel(column: str, kw: str, sv: Any, inner: MaskFn, mode: Mode) -> M
             ok = pa.types.is_list(t) or pa.types.is_large_list(t)
             return inner if ok else _fail_present(column)
         if kw == "enum":
-            # string-enum on a non-string column: reference enum demands a
-            # string value ('value must be a string'); non-string enums
-            # (extension) compare via is_in on matching types
-            if isinstance(sv, list) and all(isinstance(x, str) for x in sv):
-                ok = pa.types.is_string(t) or pa.types.is_large_string(t)
-                return inner if ok else _fail_present(column)
-            return inner
+            is_str_col = pa.types.is_string(t) or pa.types.is_large_string(t)
+            is_num_col = pa.types.is_integer(t) or pa.types.is_floating(t)
+            all_str = all(isinstance(x, str) for x in sv)
+            all_num = all(isinstance(x, (int, float)) and not isinstance(x, bool)
+                          for x in sv)
+            if all_str:
+                # reference enum demands a string value ('value must be a
+                # string') — any non-string column fails present cells
+                return inner if is_str_col else _fail_present(column)
+            if all_num and is_num_col:
+                # numeric-enum extension: compare in float64 so int enums
+                # match float columns (1 == 1.0 in the JSON regime)
+                value_set = pa.array([float(x) for x in sv], type=pa.float64())
+
+                def num_enum(batch: pa.Table) -> pa.Array:
+                    col = _get_col(batch, column)
+                    if col is None:
+                        return pa.array(np.ones(batch.num_rows, dtype=bool))
+                    casted = pc.cast(col, pa.float64())
+                    return _pass_on_null(
+                        col, pc.is_in(casted, value_set=value_set))
+
+                return num_enum
+            # mixed-type enums: only the members matching the column's JSON
+            # type family can ever equal a cell (deep-key equality keeps the
+            # type tag — numeric strings do NOT coerce in enum)
+            if is_str_col:
+                members = [x for x in sv if isinstance(x, str)]
+                if not members:
+                    return _fail_present(column)
+                vs = pa.array(members)
+
+                def str_enum(batch: pa.Table) -> pa.Array:
+                    col = _get_col(batch, column)
+                    if col is None:
+                        return pa.array(np.ones(batch.num_rows, dtype=bool))
+                    return _pass_on_null(col, pc.is_in(col, value_set=vs))
+
+                return str_enum
+            if is_num_col:
+                members = [float(x) for x in sv
+                           if isinstance(x, (int, float))
+                           and not isinstance(x, bool)]
+                if not members:
+                    return _fail_present(column)
+                vs = pa.array(members, type=pa.float64())
+
+                def num_enum2(batch: pa.Table) -> pa.Array:
+                    col = _get_col(batch, column)
+                    if col is None:
+                        return pa.array(np.ones(batch.num_rows, dtype=bool))
+                    return _pass_on_null(
+                        col, pc.is_in(pc.cast(col, pa.float64()),
+                                      value_set=vs))
+
+                return num_enum2
+            return _fail_present(column)
         return inner
 
     def dispatch(batch: pa.Table) -> pa.Array:
@@ -351,9 +401,18 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
         return fn
 
     if kw == "enum":
-        value_set = pa.array(sv)
+        try:
+            value_set = pa.array(sv)
+        except (pa.ArrowTypeError, pa.ArrowInvalid):
+            # mixed-type enum: the runtime type guard substitutes a
+            # family-specific kernel; this inner one is never invoked
+            value_set = None
 
         def fn(batch: pa.Table) -> pa.Array:
+            if value_set is None:
+                raise SchemaError(
+                    f"mixed-type enum on column {column!r} requires the "
+                    "guarded kernel")
             col = _get_col(batch, column)
             return _pass_on_null(col, pc.is_in(col, value_set=value_set))
         return fn
