@@ -70,7 +70,7 @@ _row = st.fixed_dictionaries({
 })
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=int(__import__('os').environ.get('DIFF_EXAMPLES', '200')), deadline=None)
 @given(props=_schema, required=st.lists(st.sampled_from(["s", "n"]),
                                         max_size=2, unique=True),
        rows=st.lists(_row, min_size=1, max_size=5))

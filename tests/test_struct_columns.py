@@ -61,7 +61,7 @@ def test_struct_columns_match_value_engine(ray_session):
     assert by_k[3]["violations"][0]["path"] == "$.user.name"
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=int(__import__('os').environ.get('DIFF_EXAMPLES', '120')), deadline=None)
 @given(rows=st.lists(st.fixed_dictionaries({
     "k": st.integers(0, 100),
     "user": st.one_of(st.none(), st.fixed_dictionaries({
