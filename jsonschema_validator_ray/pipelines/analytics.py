@@ -92,7 +92,11 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
                 part[["c_mktsegment", "o_orderkey", "o_totalprice"]],
                 preserve_index=False)
 
-    partials = orders.map_batches(Partial(seg_ref, k), batch_format="pyarrow")
+    # class + fn_constructor_args so ray.get(seg_ref) resolves in the
+    # WORKER-side constructor (instantiating on the driver would embed the
+    # whole dict in every task spec, defeating the broadcast)
+    partials = orders.map_batches(Partial, fn_constructor_args=(seg_ref, k),
+                                  concurrency=2, batch_format="pyarrow")
 
     def final_head(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["o_totalprice", "o_orderkey"],

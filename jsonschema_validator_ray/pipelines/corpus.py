@@ -49,7 +49,8 @@ def token_counts_documents(sf_dir: str):
 
 TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
-       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       CASE WHEN text IS NULL THEN NULL
+            WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
 FROM documents
 """
@@ -77,7 +78,8 @@ QUALITY_SQL = r"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_q,
        CAST(strlen(text) AS BIGINT) AS n_bytes_q,
-       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       CASE WHEN text IS NULL THEN NULL
+            WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
 FROM documents
 """

@@ -23,6 +23,7 @@ for every row.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -37,17 +38,19 @@ from .schema import METADATA_KEYS, CompiledSchema, compile_schema
 
 MaskFn = Callable[[pa.Table], pa.Array]
 
+from .formats import EMAIL_RE, HOSTNAME_RE, UUID_RE
+
 # Formats with a fully vectorized Arrow implementation; the rest fall back to
 # the scalar functions in formats.py applied per row (still batched).
+# Patterns are DERIVED from formats.py's compiled regexes — one source of
+# truth, so a scalar-side fix can never silently diverge from the
+# vectorized column regime.
 _VEC_FORMAT_REGEX = {
-    "uuid": r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$",
-    "hostname": (r"^([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])"
-                 r"(\.([a-zA-Z0-9]|[a-zA-Z0-9][a-zA-Z0-9\-]{0,61}[a-zA-Z0-9]))*$"),
+    "uuid": UUID_RE.pattern,
+    "hostname": HOSTNAME_RE.pattern,
     "ipv4": (r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
              r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"),
-    "email": (r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
-              r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
-              r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"),
+    "email": EMAIL_RE.pattern,
 }
 
 _ARROW_OK = {
@@ -145,7 +148,11 @@ def _all_const(n_fn_input_ignored: bool):
 def _byte_length(col):
     # pc.binary_length counts BYTES on string arrays (Go len(str) parity,
     # `/root/reference/rules/string.go:29`); pc.utf8_length would count
-    # codepoints — wrong here.
+    # codepoints — wrong here. Binary columns measure directly — casting
+    # them to string would VALIDATE UTF-8 and crash on junk bytes.
+    t = col.type
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pc.binary_length(col)
     return pc.binary_length(_str_col(col))
 
 
@@ -237,13 +244,18 @@ def _guard_kernel(column: str, kw: str, sv: Any, inner: MaskFn, mode: Mode) -> M
     _num_ops = {"minimum": lambda v, b: v >= b, "maximum": lambda v, b: v <= b,
                 "exclusiveMinimum": lambda v, b: v > b,
                 "exclusiveMaximum": lambda v, b: v < b,
-                "multipleOf": lambda v, b: abs(v / b - round(v / b)) <= 1e-10}
+                "multipleOf": lambda v, b: (not math.isfinite(v / b))
+                or abs(v / b - round(v / b)) <= 1e-10}
 
     def resolve(t: pa.DataType) -> MaskFn:
         if kw in _STRING_KW:
-            ok = pa.types.is_string(t) or pa.types.is_large_string(t) \
-                or pa.types.is_binary(t) or pa.types.is_large_binary(t)
-            return inner if ok else _fail_present(column)
+            is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+            is_bin = pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            if kw in ("minLength", "maxLength"):
+                # byte-length works on raw binary too (Go len() parity)
+                return inner if (is_str or is_bin) else _fail_present(column)
+            # pattern/format need valid UTF-8; raw binary cells fail present
+            return inner if is_str else _fail_present(column)
         if kw in _NUMERIC_KW:
             if pa.types.is_integer(t) or pa.types.is_floating(t) \
                     or pa.types.is_decimal(t):
@@ -327,7 +339,7 @@ def _guard_kernel(column: str, kw: str, sv: Any, inner: MaskFn, mode: Mode) -> M
 
 
 def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
-                   mode: Mode) -> MaskFn | None:
+                   mode: Mode, registry=None) -> MaskFn | None:
     """Build the pass-mask closure for one (column, keyword). Returns None for
     keywords that are trivially satisfied given the Arrow column type
     (resolved at compile time — e.g. ``type: string`` on a string column)."""
@@ -343,8 +355,9 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
                 if "k" not in cache:
                     col = _get_col(batch, column)
                     ct = col.type if col is not None else None
-                    cache["k"] = _column_kernel(column, kw, sv, ct, mode) \
-                        if ct is not None else _all_const(True)
+                    cache["k"] = (_column_kernel(column, kw, sv, ct, mode,
+                                                 registry)
+                                  if ct is not None else _all_const(True))
                 inner = cache["k"]
                 if inner is None:  # statically conformant
                     return pa.array(np.ones(batch.num_rows, dtype=bool))
@@ -383,6 +396,8 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
             ratio = pc.divide(pc.cast(col, pa.float64()), sv)
             ok = pc.less_equal(
                 pc.abs(pc.subtract(ratio, pc.round(ratio))), 1e-10)
+            # non-finite ratio: Go parity says valid (NaN>eps is false there)
+            ok = pc.or_kleene(ok, pc.invert(pc.is_finite(ratio)))
             return _pass_on_null(col, ok)
         return fn
 
@@ -395,9 +410,29 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
         return fn
 
     if kw == "pattern":
+        # compile_schema validates with Python re; RE2 (the runtime engine,
+        # and the REFERENCE's engine — Go regexp is RE2) rejects some
+        # Python-only syntax (backrefs, lookaround). Probe once at plan
+        # compile: RE2-incompatible patterns run as a per-row Python-re
+        # fallback instead of crashing every batch.
+        try:
+            pc.match_substring_regex(pa.array([], type=pa.string()), sv)
+            re2_ok = True
+        except pa.ArrowInvalid:
+            re2_ok = False
+        if re2_ok:
+            def fn(batch: pa.Table) -> pa.Array:
+                col = _get_col(batch, column)
+                return _pass_on_null(col,
+                                     pc.match_substring_regex(_str_col(col), sv))
+            return fn
+        rx = re.compile(sv)
+
         def fn(batch: pa.Table) -> pa.Array:
             col = _get_col(batch, column)
-            return _pass_on_null(col, pc.match_substring_regex(_str_col(col), sv))
+            vals = _str_col(col).to_pylist()
+            out = [True if v is None else bool(rx.search(v)) for v in vals]
+            return pa.array(out, type=pa.bool_())
         return fn
 
     if kw == "enum":
@@ -418,10 +453,21 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
         return fn
 
     if kw == "format":
+        # the engine-level Registry wins over the global table, as in the
+        # dynamic regime (value_engine._kw_format)
+        custom = registry.get_format(sv) if registry is not None else None
+        if custom is not None:
+            def fn(batch: pa.Table) -> pa.Array:
+                col = _get_col(batch, column)
+                vals = _str_col(col).to_pylist()
+                out = [True if v is None else bool(custom(v)) for v in vals]
+                return pa.array(out, type=pa.bool_())
+            return fn
         if sv not in FORMAT_VALIDATORS and sv not in _VEC_FORMAT_REGEX:
             if mode is Mode.LOOSE:
                 return None
-            return _all_const(False)
+            # strict unknown format: present cells fail, nulls stay absent
+            return _fail_present(column)
 
         def fn(batch: pa.Table) -> pa.Array:
             col = _get_col(batch, column)
@@ -582,7 +628,8 @@ _MESSAGES = {
 def compile_table_plan(table_schema: dict | str | CompiledSchema,
                        key_column: str,
                        arrow_schema: pa.Schema | None = None,
-                       mode: Mode = Mode.STRICT) -> TablePlan:
+                       mode: Mode = Mode.STRICT,
+                       registry=None) -> TablePlan:
     """Compile a table-level schema into a vectorized plan.
 
     ``table_schema`` uses the same DSL as the value engine: top-level
@@ -647,7 +694,7 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
                         message=_MESSAGES["required"].format(column=child_path),
                         param="", fn=fn))
                 continue
-            kernel = _column_kernel(path, kw, sv, col_type, mode)
+            kernel = _column_kernel(path, kw, sv, col_type, mode, registry)
             if kernel is None:
                 continue
             if kw in (_STRING_KW | _NUMERIC_KW | _LIST_KW | {"enum"}):

@@ -447,12 +447,25 @@ def embedding_near_duplicates(ds, key: str, emb: str, *,
     within buckets. High thresholds ⇒ near-collinear vectors ⇒ same sign
     pattern with high probability; n_planes trades recall vs bucket size."""
     first = ds.take(1)
+    if not first:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "key_a": pa.array([], type=pa.string()),
+            "key_b": pa.array([], type=pa.string()),
+            "cosine": pa.array([], type=pa.float64())}))
     d = dim or len(first[0][emb])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((d, n_planes)).astype(np.float32)
 
     def explode(b: pa.Table) -> pa.Table:
         keys = b.column(key).to_pylist()
+        if not keys:  # empty block (e.g. fully filtered upstream)
+            return pa.table({
+                "bucket_band": pa.array([], type=pa.uint64()),
+                "bucket": pa.array([], type=pa.uint64()),
+                key: pa.array([], type=b.schema.field(key).type),
+                "vec": pa.array([], type=pa.binary())})
         mat = np.stack([np.asarray(v, dtype=np.float32)
                         for v in b.column(emb).to_pylist()])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -81,6 +81,9 @@ def compute_histogram(ds, column: str, baseline_json: str):
     if merged is None:
         merged = cls.from_json(baseline_json)
         merged.counts = np.zeros_like(merged.counts)
+        merged.n_null = 0
+        if hasattr(merged, "other"):
+            merged.other = 0  # baseline's OTHER mass must not leak
     return merged
 
 

@@ -121,10 +121,12 @@ class BatchValidator:
 
     def __init__(self, table_schema: dict | str, key_column: str,
                  mode: Mode = Mode.STRICT,
-                 arrow_schema: pa.Schema | None = None):
+                 arrow_schema: pa.Schema | None = None,
+                 registry=None):
         # compiled once per actor (never per batch)
         self.plan: TablePlan = compile_table_plan(
-            table_schema, key_column, arrow_schema=arrow_schema, mode=mode)
+            table_schema, key_column, arrow_schema=arrow_schema, mode=mode,
+            registry=registry)
         self.key_column = key_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -338,6 +338,12 @@ class ValueEngine:
                 tag="multipleOf", value=value))
             return
         ratio = v / sv
+        if not math.isfinite(ratio):
+            # Go parity: math.Round(±Inf)=±Inf and NaN>eps is false, so the
+            # reference treats non-finite ratios as VALID multiples
+            # (`/root/reference/rules/number.go:108-110`); Python round(inf)
+            # raises instead — guard explicitly
+            return
         if abs(ratio - round(ratio)) > 1e-10:
             result.add(ValidationError(
                 path=path,
