@@ -144,8 +144,12 @@ def minhash_pairs_documents(sf_dir: str):
     0 — planted-pair recall is pinned by pytest)."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    n = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7).count()
-    return pd.DataFrame([{"check": "minhash_near_dup", "n_pairs": n}])
+    pairs = minhash_near_duplicates(docs, "doc_id", "text",
+                                    threshold=0.7).to_pandas()
+    n_trunc = (int(pairs["truncated"].sum())
+               if "truncated" in pairs.columns else 0)
+    return pd.DataFrame([{"check": "minhash_near_dup", "n_pairs": len(pairs),
+                          "n_truncated_pairs": n_trunc}])
 
 
 # ---- histogram leg of the drift machinery (oracle-checkable counts) -------

@@ -66,6 +66,53 @@ def test_minhash_lsh_near_duplicates(ray_session):
     assert abs(est - truth) < 0.2
 
 
+def test_minhash_truncation_counter_fires(ray_session):
+    """A pathological LSH bucket (more members than the cap) must mark its
+    emitted pairs truncated=1 — capped, but counted, never silent."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.dedup import minhash_near_duplicates
+
+    rows = [{"doc_id": i, "text": "identical text repeated many times over"}
+            for i in range(15)]
+    rows += [{"doc_id": 100 + i, "text": f"unique filler document {i} " * 5}
+             for i in range(5)]
+    ds = ray.data.from_items(rows)
+    pairs = minhash_near_duplicates(ds, "doc_id", "text", threshold=0.5,
+                                    batch_size=8, bucket_cap=10).to_pandas()
+    ident = pairs[(pairs["key_a"] < 100) & (pairs["key_b"] < 100)]
+    assert len(ident) > 0
+    assert (ident["truncated"] == 1).all()
+    # uncapped run on the same corpus: nothing truncated
+    pairs2 = minhash_near_duplicates(ds, "doc_id", "text", threshold=0.5,
+                                     batch_size=8, bucket_cap=200).to_pandas()
+    assert (pairs2["truncated"] == 0).all()
+    assert len(pairs2[(pairs2["key_a"] < 100) & (pairs2["key_b"] < 100)]) == 15 * 14 // 2
+
+
+def test_minhash_large_candidate_set_distributed(ray_session):
+    """Candidate sets beyond driver comfort flow through the distributed
+    verify (bucketed signature join): 25 planted clusters × 80 docs ≈ 79k
+    pairs, every one verified at jaccard_est 1.0."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.dedup import minhash_near_duplicates
+
+    rows = []
+    for c in range(25):
+        text = f"cluster {c} body text shared by every member " * 3
+        rows += [{"doc_id": c * 1000 + i, "text": text} for i in range(80)]
+    ds = ray.data.from_items(rows)
+    pairs = minhash_near_duplicates(ds, "doc_id", "text", threshold=0.9,
+                                    batch_size=256, bucket_cap=200)
+    expected = 25 * (80 * 79 // 2)
+    pdf = pairs.to_pandas()
+    assert len(pdf) == expected
+    assert (pdf["jaccard_est"] == 1.0).all()
+    # no cross-cluster pairs
+    assert ((pdf["key_a"] // 1000) == (pdf["key_b"] // 1000)).all()
+
+
 def test_simhash_near_duplicates(ray_session):
     from jsonschema_validator_ray.stages.dedup import simhash_near_duplicates, simhash64
 

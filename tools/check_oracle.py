@@ -37,7 +37,11 @@ def canon(df):
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
+            # EXACT float compare (CLAUDE.md: arithmetic-identical floats via
+            # integer-scaled values) — rounding here could mask drift the
+            # driver's stricter gate would catch (ADVICE r1). repr() keeps
+            # full precision and makes NaN == NaN for the string compare.
+            df[c] = df[c].map(repr)
         elif str(df[c].dtype) == "bool":
             df[c] = df[c].astype(int)
         elif str(df[c].dtype).startswith(("int", "uint")):
