@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
         "topk_embeddings": corpus.topk_embeddings,
+        "verdict_embeddings": corpus.verdict_embeddings,
+        "verdict_embeddings_tuple": corpus.verdict_embeddings_tuple,
         "langid_documents": corpus.langid_documents,
         "fingerprint_documents": corpus.fingerprint_documents,
         "minhash_pairs_documents": corpus.minhash_pairs_documents,
@@ -74,6 +76,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_documents": corpus.TOKEN_COUNTS_SQL,
         "quality_documents": corpus.QUALITY_SQL,
         "topk_embeddings": corpus.TOPK_SQL,
+        "verdict_embeddings": corpus.VERDICT_EMB_SQL,
+        "verdict_embeddings_tuple": corpus.VERDICT_EMB_TUPLE_SQL,
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,

@@ -84,6 +84,89 @@ SELECT doc_id,
 FROM documents
 """
 
+# ---- vectorized items over a LIST-TYPED column (oracle-checked) -----------
+
+EMB_SCHEMA = {
+    "required": ["vec_id", "embedding"],
+    "properties": {
+        "embedding": {"minItems": 64, "maxItems": 64,
+                      "items": {"type": "number",
+                                "minimum": -0.3, "maximum": 0.3}},
+    },
+}
+
+EMB_TUPLE_SCHEMA = {
+    "required": ["vec_id"],
+    "properties": {
+        "embedding": {"items": [
+            {"minimum": -0.3, "maximum": 0.3},   # position 0
+            {"minimum": -0.2, "maximum": 0.2},   # position 1
+        ]},
+    },
+}
+
+
+def verdict_embeddings(sf_dir: str):
+    """Column-plan verdicts over the list<float> ``embedding`` column —
+    object-mode ``items`` fully vectorized (flatten → element kernels →
+    per-element error counts re-aggregated, plan._items_pair). Output
+    (vec_id, valid, error_count) with counts matching the value engine's
+    per-element accumulation."""
+    from ..stages.validate import BatchValidator, verdicts_only
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    combined = emb.map_batches(
+        BatchValidator, fn_constructor_args=(EMB_SCHEMA, "vec_id"),
+        batch_format="pyarrow", concurrency=2)
+    return verdicts_only(combined)
+
+
+VERDICT_EMB_SQL = """
+SELECT vec_id, err = 0 AS valid, CAST(err AS INTEGER) AS error_count
+FROM (
+  SELECT vec_id,
+         (CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding IS NOT NULL AND len(embedding) < 64 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding IS NOT NULL AND len(embedding) > 64 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding IS NOT NULL THEN
+            len(list_filter(embedding, x -> x < -0.3))
+          + len(list_filter(embedding, x -> x > 0.3))
+          ELSE 0 END) AS err
+  FROM embeddings)
+"""
+
+
+def verdict_embeddings_tuple(sf_dir: str):
+    """Tuple-mode ``items`` (schema per position, extras ignored —
+    rules/array.go:77-120) over the embedding column, vectorized via the
+    position-selective element evaluator."""
+    from ..stages.validate import BatchValidator, verdicts_only
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    combined = emb.map_batches(
+        BatchValidator, fn_constructor_args=(EMB_TUPLE_SCHEMA, "vec_id"),
+        batch_format="pyarrow", concurrency=2)
+    return verdicts_only(combined)
+
+
+VERDICT_EMB_TUPLE_SQL = """
+SELECT vec_id, err = 0 AS valid, CAST(err AS INTEGER) AS error_count
+FROM (
+  SELECT vec_id,
+         (CASE WHEN embedding IS NULL OR len(embedding) < 1 THEN 0
+               WHEN embedding[1] IS NULL THEN 2
+               ELSE (CASE WHEN embedding[1] < -0.3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN embedding[1] >  0.3 THEN 1 ELSE 0 END) END)
+       + (CASE WHEN embedding IS NULL OR len(embedding) < 2 THEN 0
+               WHEN embedding[2] IS NULL THEN 2
+               ELSE (CASE WHEN embedding[2] < -0.2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN embedding[2] >  0.2 THEN 1 ELSE 0 END) END)
+         AS err
+  FROM embeddings)
+"""
+
 # ---- similarity -----------------------------------------------------------
 
 

@@ -70,6 +70,7 @@ class WebtextValidator:
         valid, error_count, fails = evaluate_plan(self.plan, batch)
         constraint_meta = [(c.constraint_id, c.column, c.tag, c.message)
                            for c in self.plan.constraints]
+        message_fns = [c.message_fn for c in self.plan.constraints]
 
         if self.check_extraction and "html" in batch.column_names:
             same = extraction_matches_batch(batch)
@@ -78,6 +79,7 @@ class WebtextValidator:
             constraint_meta.append((
                 "extract:text", "html", "extract",
                 "extracted text is not byte-identical to the text column"))
+            message_fns.append(None)
             if failed.size:
                 valid[failed] = False
                 error_count[failed] += 1
@@ -86,7 +88,8 @@ class WebtextValidator:
 
         viol = build_violations_column(
             batch, n, fails, constraint_meta,
-            skip_value_columns=frozenset({"html"}))  # never stringify payloads
+            skip_value_columns=frozenset({"html"}),  # never stringify payloads
+            message_fns=message_fns)
 
         return pa.table({
             "url": batch.column("url"),

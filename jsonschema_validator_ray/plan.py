@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 from .errors import Mode, SchemaError
 from .formats import FORMAT_VALIDATORS
 from .schema import METADATA_KEYS, CompiledSchema, compile_schema
+from .value_engine import _gofmt
 
 MaskFn = Callable[[pa.Table], pa.Array]
 
@@ -67,7 +68,16 @@ _ARROW_OK = {
 @dataclass
 class CompiledConstraint:
     """One vectorized predicate. ``constraint_id`` keys violation rows per the
-    north star ``(key, constraint_id)``."""
+    north star ``(key, constraint_id)``.
+
+    ``count_fn`` (optional) returns per-row VIOLATION COUNTS (int array, 0 =
+    pass) for keywords whose dynamic-regime error count exceeds one per row
+    (``items`` accumulates one error per failing element,
+    `/root/reference/validator/validator.go:543-545`). ``message_fn``
+    (optional, ``(batch, rows) -> list[str]``) renders per-row messages for
+    keywords whose reference wording embeds the observed value
+    (type/multipleOf/min-maxProperties) — keeps violation text identical
+    across regimes (ADVICE r1)."""
 
     constraint_id: str
     column: str
@@ -75,6 +85,8 @@ class CompiledConstraint:
     message: str
     param: str
     fn: MaskFn  # returns pass-mask aligned with the batch (no nulls)
+    count_fn: Callable[[pa.Table], np.ndarray] | None = None
+    message_fn: Callable[[pa.Table, np.ndarray], list] | None = None
 
     def pass_mask(self, batch: pa.Table) -> pa.Array:
         m = self.fn(batch)
@@ -239,7 +251,9 @@ def _guard_kernel(column: str, kw: str, sv: Any, inner: MaskFn, mode: Mode) -> M
     the reference semantics are per-row type errors (string keywords on
     numbers → 'must be a string' fail; numeric keywords on strings → the
     numeric-string coercion quirk; list keywords on scalars → 'must be an
-    array' fail). Resolved against the first batch and cached."""
+    array' fail). Resolved per batch, cached BY THE COLUMN'S ARROW TYPE —
+    a single cached slot would silently reuse the first batch's resolution
+    on datasets with heterogeneous block schemas (ADVICE r1)."""
     cache: dict[str, MaskFn] = {}
     _num_ops = {"minimum": lambda v, b: v >= b, "maximum": lambda v, b: v <= b,
                 "exclusiveMinimum": lambda v, b: v > b,
@@ -327,12 +341,13 @@ def _guard_kernel(column: str, kw: str, sv: Any, inner: MaskFn, mode: Mode) -> M
         return inner
 
     def dispatch(batch: pa.Table) -> pa.Array:
-        fn = cache.get("k")
+        col = _get_col(batch, column)
+        k = str(col.type) if col is not None else "__missing__"
+        fn = cache.get(k)
         if fn is None:
-            col = _get_col(batch, column)
             fn = resolve(col.type) if col is not None \
                 else _all_const(True)  # missing column/field = all-absent
-            cache["k"] = fn
+            cache[k] = fn
         return fn(batch)
 
     return dispatch
@@ -347,18 +362,20 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
     if kw == "type":
         types = [sv] if isinstance(sv, str) else list(sv)
         if col_type is None:
-            # Arrow schema unknown at compile time: resolve against the first
-            # batch's schema and cache the specialized kernel.
+            # Arrow schema unknown at compile time: resolve against each
+            # batch's schema, cached BY ARROW TYPE (heterogeneous block
+            # schemas re-resolve instead of reusing a stale kernel).
             cache: dict[str, MaskFn | None] = {}
 
             def dispatch(batch: pa.Table) -> pa.Array:
-                if "k" not in cache:
-                    col = _get_col(batch, column)
+                col = _get_col(batch, column)
+                k = str(col.type) if col is not None else "__missing__"
+                if k not in cache:
                     ct = col.type if col is not None else None
-                    cache["k"] = (_column_kernel(column, kw, sv, ct, mode,
-                                                 registry)
-                                  if ct is not None else _all_const(True))
-                inner = cache["k"]
+                    cache[k] = (_column_kernel(column, kw, sv, ct, mode,
+                                               registry)
+                                if ct is not None else _all_const(True))
+                inner = cache[k]
                 if inner is None:  # statically conformant
                     return pa.array(np.ones(batch.num_rows, dtype=bool))
                 return inner(batch)
@@ -496,8 +513,14 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
             parent = pc.list_parent_indices(col)
             flat = pc.list_flatten(col)
             pairs = pa.table({"p": parent, "v": flat})
+            # CountOptions(mode="all"): a null ELEMENT is one distinct value
+            # (DeepEqual semantics — the value engine and Go reference treat
+            # nil as comparable; counting only valid values would flag
+            # [1, null] as a duplicate, ADVICE r1)
             distinct = pairs.group_by(["p", "v"]).aggregate([]) \
-                            .group_by("p").aggregate([("v", "count")])
+                            .group_by("p").aggregate(
+                                [("v", "count",
+                                  pc.CountOptions(mode="all"))])
             ok = np.ones(len(col), dtype=bool)
             idx = distinct.column("p").to_numpy(zero_copy_only=False)
             cnt = distinct.column("v_count").to_numpy(zero_copy_only=False)
@@ -543,69 +566,237 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
 
         return fn
 
-    if kw == "items" and isinstance(sv, CompiledSchema):
-        scalar_ok = _STRING_KW | _NUMERIC_KW | {"enum", "type"}
-        if all(k in scalar_ok or k in METADATA_KEYS
-               for k in sv.keywords):
-            return _items_kernel(column, sv, mode)
+    if kw == "items":
+        return _items_pair(column, sv, mode, registry)[0]
 
-    # Keywords that need per-value recursion (tuple-mode items, nested
-    # objects inside lists, logical combinators, conditionals) are handled
-    # by the dynamic-regime stage (stages/validate.py JsonColumnValidator),
-    # not the flat column plan.
+    # Keywords that need per-value recursion (logical combinators,
+    # conditionals, dependencies, patternProperties, dynamic
+    # additionalProperties) are handled by the dynamic-regime stage
+    # (stages/validate.py JsonColumnValidator), not the flat column plan.
     raise SchemaError(f"keyword {kw!r} is not supported in the flat column plan; "
                       f"use the dynamic-JSON regime for column {column!r}")
 
 
-def _items_kernel(column: str, sub: CompiledSchema, mode: Mode) -> MaskFn:
-    """Object-mode ``items`` with SCALAR element constraints, fully
-    vectorized: ``pc.list_flatten`` → child kernels over the element array →
-    per-parent all-pass via ``np.logical_and.at`` re-aggregation
-    (SURVEY.md §2.1 items mapping). A row passes iff every element passes
-    every child constraint; null/absent lists pass. Violation granularity is
-    PER ROW (one violation per failing constraint per row), not per element
-    — the verdict agrees with the value engine, the error count aggregates.
-    Null ELEMENTS inside a list pass (treated as absent) — the value engine
-    would type-fail them; documented deviation for the vectorized regime.
-    """
-    child_fns: list[MaskFn] = []
+# keywords the column plan can evaluate INSIDE list elements (recursively
+# through `properties` and nested `items`); anything else steers the whole
+# column to the dynamic regime at compile time
+_CP_ELEM_KEYWORDS = (_STRING_KW | _NUMERIC_KW | _LIST_KW
+                     | {"type", "enum", "required", "properties", "items",
+                        "minProperties", "maxProperties"})
+
+
+def _check_cp_supported(sub: CompiledSchema) -> None:
     for kw, sv in sub.keywords.items():
         if kw in METADATA_KEYS:
             continue
-        k = _column_kernel("__elem", kw, sv, None, mode)
-        if k is None:
-            continue
-        if kw in (_STRING_KW | _NUMERIC_KW | {"enum"}):
-            k = _guard_kernel("__elem", kw, sv, k, mode)
-        child_fns.append(k)
+        if kw not in _CP_ELEM_KEYWORDS:
+            raise SchemaError(
+                f"keyword {kw!r} inside 'items' is not supported in the flat "
+                "column plan; use the dynamic-JSON regime")
+        if kw == "properties":
+            for child in sv.values():
+                _check_cp_supported(child)
+        elif kw == "items":
+            for s in (sv if isinstance(sv, list) else [sv]):
+                _check_cp_supported(s)
 
-    def fn(batch: pa.Table) -> pa.Array:
+
+def _emit_elem_constraints(path: str, sub: CompiledSchema, mode: Mode,
+                           registry, elem_type: pa.DataType
+                           ) -> list[CompiledConstraint]:
+    """Constraints over an ELEMENT table (column ``__elem`` holding the
+    flattened list values), given the element's resolved Arrow type.
+    Mirrors the value engine's per-element recursion
+    (`/root/reference/rules/array.go:43-76`, ``validateItems``): ``required``
+    on a non-object element fails ONCE per element ('value must be an object
+    for required validation'), ``properties`` on a non-object element is
+    silently skipped, scalar keywords go through the usual runtime type
+    guards."""
+    out: list[CompiledConstraint] = []
+
+    def field_type(t: pa.DataType, name: str) -> pa.DataType | None:
+        if not pa.types.is_struct(t):
+            return None
+        idx = t.get_field_index(name)
+        return t.field(idx).type if idx >= 0 else None
+
+    def emit(p: str, s: CompiledSchema, t: pa.DataType | None) -> None:
+        for kw, sv in s.keywords.items():
+            if kw in METADATA_KEYS:
+                continue
+            if kw == "properties":
+                if t is not None and not pa.types.is_struct(t):
+                    continue  # non-object value: VE skips properties
+                for name, child in sv.items():
+                    emit(f"{p}.{name}", child,
+                         field_type(t, name) if t is not None else None)
+                continue
+            if kw == "required":
+                if t is not None and not pa.types.is_struct(t):
+                    # non-object element: one error per element
+                    # (`value must be an object for required validation`)
+                    out.append(CompiledConstraint(
+                        constraint_id=f"required:{p}", column=p,
+                        tag="required",
+                        message="value must be an object for required "
+                                "validation",
+                        param="", fn=_fail_present(p)))
+                    continue
+                for name in sv:
+                    child_path = f"{p}.{name}"
+
+                    def fn(batch: pa.Table, _p=p, _c=child_path) -> pa.Array:
+                        parent = _get_col(batch, _p)
+                        child = _get_col(batch, _c)
+                        if parent is None:
+                            return pa.array(np.ones(batch.num_rows,
+                                                    dtype=bool))
+                        if child is None:
+                            return pc.fill_null(pc.is_null(parent), False)
+                        return pc.fill_null(
+                            pc.or_kleene(pc.is_null(parent),
+                                         pc.is_valid(child)), True)
+
+                    out.append(CompiledConstraint(
+                        constraint_id=f"required:{child_path}",
+                        column=child_path, tag="required",
+                        message=_MESSAGES["required"].format(
+                            column=child_path),
+                        param="", fn=fn))
+                continue
+            if kw == "items":
+                mask, cnt = _items_pair(p, sv, mode, registry)
+                out.append(CompiledConstraint(
+                    constraint_id=f"items:{p}", column=p, tag="items",
+                    message=_MESSAGES["items"], param="", fn=mask,
+                    count_fn=cnt))
+                continue
+            kernel = _column_kernel(p, kw, sv, t, mode, registry)
+            if kernel is None:
+                continue
+            if kw in (_STRING_KW | _NUMERIC_KW | _LIST_KW | {"enum"}):
+                kernel = _guard_kernel(p, kw, sv, kernel, mode)
+            out.append(CompiledConstraint(
+                constraint_id=f"{kw}:{p}", column=p, tag=kw,
+                message=_MESSAGES.get(kw, "validation failed for keyword "
+                                      + kw).format(column=p, param=sv),
+                param=str(sv), fn=kernel))
+
+    emit(path, sub, elem_type)
+    return out
+
+
+class _ElemEvaluator:
+    """Per-element (pass, error-count) evaluation for one ``items``
+    sub-schema, with exact value-engine parity:
+
+    - child constraints are compiled lazily per RESOLVED element Arrow type
+      (cached by type — heterogeneous blocks re-resolve);
+    - null ELEMENTS get the value engine's verdict for ``None`` against the
+      whole sub-schema, computed ONCE at plan compile (the reference
+      type-fails nil for non-null types, `/root/reference/rules/type.go:74-123`
+      — r1's null-elements-pass deviation is gone);
+    - each failing (element, child constraint) contributes one error, so
+      row error counts match the per-element accumulation of
+      `/root/reference/validator/validator.go:543-545`.
+    """
+
+    def __init__(self, sub: CompiledSchema, mode: Mode, registry=None):
+        _check_cp_supported(sub)
+        self.sub, self.mode, self.registry = sub, mode, registry
+        from .value_engine import Options, ValueEngine
+        r = ValueEngine(Options(mode=mode), registry).validate(None, sub)
+        self.null_errs = int(r.error_count)
+        self._cache: dict[str, list[CompiledConstraint]] = {}
+
+    def _constraints(self, t: pa.DataType) -> list[CompiledConstraint]:
+        key = str(t)
+        got = self._cache.get(key)
+        if got is None:
+            got = _emit_elem_constraints("__elem", self.sub, self.mode,
+                                         self.registry, t)
+            self._cache[key] = got
+        return got
+
+    def counts(self, flat: pa.Array) -> np.ndarray:
+        m = len(flat)
+        out = np.zeros(m, dtype=np.int32)
+        if m == 0:
+            return out
+        tbl = pa.table({"__elem": flat})
+        for c in self._constraints(flat.type):
+            if c.count_fn is not None:
+                out += c.count_fn(tbl)
+            else:
+                mask = c.pass_mask(tbl).to_numpy(zero_copy_only=False)
+                out += (~mask).astype(np.int32)
+        if self.null_errs:
+            nulls = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            out[nulls] += self.null_errs
+        return out
+
+
+def _items_pair(column: str, sv, mode: Mode, registry=None
+                ) -> tuple[MaskFn, Callable[[pa.Table], np.ndarray]]:
+    """``items`` kernels, object mode (one sub-schema for every element,
+    `/root/reference/rules/array.go:43-76`) and tuple mode (schema[i] per
+    position, extras ignored, `/root/reference/rules/array.go:77-120`) —
+    fully vectorized: flatten once, evaluate child constraints over the
+    element array, re-aggregate per-element error counts to parent rows via
+    ``np.add.at``. Non-list cells pass (the reference flags those through
+    ``type``, not ``items``); null/absent lists pass."""
+    if isinstance(sv, CompiledSchema):
+        ev: _ElemEvaluator | None = _ElemEvaluator(sv, mode, registry)
+        evs: list[_ElemEvaluator] | None = None
+    else:
+        ev = None
+        evs = [_ElemEvaluator(s, mode, registry) for s in sv]
+
+    def count_fn(batch: pa.Table) -> np.ndarray:
+        n = batch.num_rows
+        out = np.zeros(n, dtype=np.int32)
         col = _get_col(batch, column)
         if col is None:
-            return pa.array(np.ones(batch.num_rows, dtype=bool))
+            return out
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
-            return pc.fill_null(pc.is_null(col), False)  # "must be an array"
+            return out
         flat = pc.list_flatten(col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return out
         parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
-        elem_batch = pa.table({"__elem": flat})
-        ok = np.ones(batch.num_rows, dtype=bool)
-        for child in child_fns:
-            m = child(elem_batch)
-            if isinstance(m, pa.ChunkedArray):
-                m = m.combine_chunks()
-            mv = m.to_numpy(zero_copy_only=False)
-            np.logical_and.at(ok, parent, mv)
-        return _pass_on_null(col, pa.array(ok))
+        if ev is not None:
+            np.add.at(out, parent, ev.counts(flat))
+        else:
+            # element position within its list: parent indices are ascending,
+            # so the first occurrence index of each parent is its list start
+            pos = np.arange(len(parent)) - np.searchsorted(parent, parent,
+                                                           side="left")
+            for i, e in enumerate(evs):
+                idx = np.flatnonzero(pos == i)
+                if idx.size == 0:
+                    continue
+                np.add.at(out, parent[idx],
+                          e.counts(flat.take(pa.array(idx))))
+        return out
 
-    return fn
+    def mask_fn(batch: pa.Table) -> pa.Array:
+        return pa.array(count_fn(batch) == 0)
+
+    return mask_fn, count_fn
 
 
-# human-readable message templates, matching the reference's wording
+# human-readable message templates — ONE wording shared with the value
+# engine (value_engine.py emits the same strings, ADVICE r1: downstream
+# consumers matching on message text must see identical rows per regime).
+# Keywords whose reference wording embeds the OBSERVED value (single-type
+# `type`, multipleOf, min/maxProperties) get a per-row message_fn instead.
 _MESSAGES = {
     "required": "required property '{column}' is missing",
-    "type": "value is not of expected type {param}",
+    "type": "value type does not match any of the expected types: {param}",
     "minimum": "less than minimum {param}",
     "maximum": "greater than maximum {param}",
     "exclusiveMinimum": "less than or equal to exclusive minimum {param}",
@@ -623,6 +814,77 @@ _MESSAGES = {
     "maxProperties": "object has more properties than maxProperties {param}",
     "items": "array item validation failed",
 }
+
+
+def _arrow_json_type(t: pa.DataType) -> str:
+    """Arrow column type → the value engine's JSON type tag
+    (`/root/reference/rules/type.go:74-123` value universe)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "number"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array"
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "object"
+    if pa.types.is_null(t):
+        return "null"
+    return "unknown"
+
+
+def _prop_count_cells(taken: pa.Array) -> list[int | None]:
+    """Per-cell property counts for gathered object cells (None = not an
+    object). Struct cells count NON-NULL fields (null≡absent mapping); map
+    cells count entries."""
+    t = taken.type
+    if pa.types.is_struct(t):
+        return [None if row is None
+                else sum(1 for v in row.values() if v is not None)
+                for row in taken.to_pylist()]
+    if pa.types.is_map(t):
+        return [None if row is None else len(row)
+                for row in taken.to_pylist()]
+    return [None] * len(taken)
+
+
+def _message_fn(path: str, kw: str, sv: Any):
+    """Per-row message renderer matching the value engine's wording for
+    keywords that embed the observed value; None for static messages."""
+    if kw == "type" and isinstance(sv, str):
+        def type_fn(batch: pa.Table, rows: np.ndarray) -> list:
+            col = _get_col(batch, path)
+            jt = _arrow_json_type(col.type) if col is not None else "null"
+            return [f"value is of type {jt}, expected {sv}"] * len(rows)
+        return type_fn
+    if kw == "multipleOf":
+        def mult_fn(batch: pa.Table, rows: np.ndarray) -> list:
+            col = _get_col(batch, path)
+            if col is None:
+                return [""] * len(rows)
+            cells = col.take(pa.array(rows)).to_pylist()
+            return [f"value {_gofmt(v)} is not a multiple of {_gofmt(sv)}"
+                    for v in cells]
+        return mult_fn
+    if kw in ("minProperties", "maxProperties"):
+        word = "less" if kw == "minProperties" else "more"
+
+        def prop_fn(batch: pa.Table, rows: np.ndarray) -> list:
+            col = _get_col(batch, path)
+            if col is None:
+                return [""] * len(rows)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cnts = _prop_count_cells(col.take(pa.array(rows)))
+            return [f"{kw} can only be applied to objects" if c is None
+                    else (f"object has {c} properties, which is {word} than "
+                          f"{kw} {sv}")
+                    for c in cnts]
+        return prop_fn
+    return None
 
 
 def compile_table_plan(table_schema: dict | str | CompiledSchema,
@@ -694,6 +956,13 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
                         message=_MESSAGES["required"].format(column=child_path),
                         param="", fn=fn))
                 continue
+            if kw == "items":
+                mask, cnt = _items_pair(path, sv, mode, registry)
+                plan.constraints.append(CompiledConstraint(
+                    constraint_id=f"items:{path}", column=path, tag="items",
+                    message=_MESSAGES["items"], param="", fn=mask,
+                    count_fn=cnt))
+                continue
             kernel = _column_kernel(path, kw, sv, col_type, mode, registry)
             if kernel is None:
                 continue
@@ -701,13 +970,17 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
                 kernel = _guard_kernel(path, kw, sv, kernel, mode)
             if kw == "enum" and isinstance(sv, list):
                 param = ", ".join(str(x) for x in sv)  # non-string enums too
+            elif kw == "type" and isinstance(sv, list):
+                param = ", ".join(sv)  # VE multi-type message wording
+            elif kw in _NUMERIC_KW:
+                param = _gofmt(sv)  # Go %v float rendering (5.0 → "5")
             else:
                 param = str(sv)
             plan.constraints.append(CompiledConstraint(
                 constraint_id=f"{kw}:{path}", column=path, tag=kw,
                 message=_MESSAGES.get(kw, "validation failed for keyword " + kw)
                         .format(column=path, param=param),
-                param=param, fn=kernel))
+                param=param, fn=kernel, message_fn=_message_fn(path, kw, sv)))
 
     for column, sub in (compiled.get("properties") or {}).items():
         emit(column, sub, cols_present.get(column))
@@ -727,6 +1000,16 @@ def evaluate_plan(plan: TablePlan, batch: pa.Table) -> tuple[np.ndarray, np.ndar
     error_count = np.zeros(n, dtype=np.int32)
     fails: list[np.ndarray] = []
     for c in plan.constraints:
+        if c.count_fn is not None:
+            # per-element accumulating keywords (items): counts carry the
+            # dynamic-regime error arithmetic (one per failing element)
+            cnt = c.count_fn(batch)
+            failed = np.flatnonzero(cnt > 0)
+            fails.append(failed)
+            if failed.size:
+                valid[failed] = False
+                error_count += cnt
+            continue
         mask = c.pass_mask(batch)
         m = mask.to_numpy(zero_copy_only=False)
         failed = np.flatnonzero(~m)

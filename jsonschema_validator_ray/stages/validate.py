@@ -68,14 +68,18 @@ def _stringify_cells(batch: pa.Table, column: str,
 def build_violations_column(batch: pa.Table, n: int,
                             fails: "list[np.ndarray]",
                             meta: "list[tuple[str, str, str, str]]",
-                            *, skip_value_columns: frozenset = frozenset()
+                            *, skip_value_columns: frozenset = frozenset(),
+                            message_fns: "list | None" = None
                             ) -> pa.ListArray:
     """Per-row violations list column, no Python row loop: concatenate
     per-constraint failure index arrays, sort by row, wrap as a ListArray
     over gathered struct children. ``meta[i] = (constraint_id, column, tag,
     message)`` for constraint i; offending values are gathered per column
-    (skip binary payload columns via ``skip_value_columns``). Shared by the
-    generic BatchValidator and the fused WebtextValidator."""
+    (skip binary payload columns via ``skip_value_columns``).
+    ``message_fns[i]`` (optional, ``(batch, rows) -> list[str]``) overrides
+    constraint i's static message per failing row — used by keywords whose
+    reference wording embeds the observed value. Shared by the generic
+    BatchValidator and the fused WebtextValidator."""
     idx_parts, const_parts = [], []
     for ci, failed in enumerate(fails):
         if failed.size:
@@ -100,12 +104,21 @@ def build_violations_column(batch: pa.Table, n: int,
         cells = _stringify_cells(batch, colname, rows[np.asarray(positions)])
         for p, v in zip(positions, cells):
             values[p] = v
+    messages: list[str] = [meta[c][3] for c in consts]
+    if message_fns is not None:
+        for ci, fn in enumerate(message_fns):
+            if fn is None:
+                continue
+            pos = np.flatnonzero(consts == ci)
+            if pos.size:
+                for p, msg in zip(pos, fn(batch, rows[pos])):
+                    messages[p] = msg
     struct = pa.StructArray.from_arrays(
         [pa.array([meta[c][0] for c in consts]),
          pa.array([meta[c][1] for c in consts]),
          pa.array([f"$.{meta[c][1]}" for c in consts]),
          pa.array([meta[c][2] for c in consts]),
-         pa.array([meta[c][3] for c in consts]),
+         pa.array(messages, type=pa.string()),
          pa.array(values, type=pa.string())],
         fields=list(VIOLATION_TYPE))
     return pa.ListArray.from_arrays(pa.array(offsets), struct)
@@ -135,7 +148,9 @@ class BatchValidator:
         valid, error_count, fails = evaluate_plan(plan, batch)
         meta = [(c.constraint_id, c.column, c.tag, c.message)
                 for c in plan.constraints]
-        viol = build_violations_column(batch, n, fails, meta)
+        viol = build_violations_column(
+            batch, n, fails, meta,
+            message_fns=[c.message_fn for c in plan.constraints])
         return pa.table({
             self.key_column: batch.column(self.key_column),
             "valid": pa.array(valid),

@@ -37,14 +37,19 @@ _number_kw = st.fixed_dictionaries({}, optional={
     "enum": st.lists(st.integers(-5, 15), min_size=1, max_size=4, unique=True),
 })
 
+_elem_kw = st.fixed_dictionaries({}, optional={
+    "type": st.sampled_from(["number", "integer"]),
+    "minimum": st.integers(-2, 4),
+    "maximum": st.integers(4, 12),
+    "multipleOf": st.sampled_from([1, 2]),
+})
 _list_kw = st.fixed_dictionaries({}, optional={
     "minItems": st.integers(0, 2),
     "maxItems": st.integers(2, 5),
     "uniqueItems": st.booleans(),
-    "items": st.fixed_dictionaries({}, optional={
-        "minimum": st.integers(-2, 4),
-        "maximum": st.integers(4, 12),
-    }),
+    # object mode (one schema for every element) OR tuple mode (schema per
+    # position, extras ignored — rules/array.go:77-120)
+    "items": st.one_of(_elem_kw, st.lists(_elem_kw, min_size=1, max_size=3)),
 })
 
 # keywords may land on a MISMATCHED column (string keywords on the numeric
@@ -64,9 +69,11 @@ _row = st.fixed_dictionaries({
     "n": st.one_of(st.none(),
                    st.integers(-10, 20),
                    st.floats(-10, 20, allow_nan=False)),
-    # no null ELEMENTS: CP treats them as absent (documented deviation)
+    # null ELEMENTS included: the plan applies the value engine's verdict
+    # for None per element (r1's null-elements-pass deviation is fixed)
     "xs": st.one_of(st.none(),
-                    st.lists(st.integers(-4, 14), max_size=5)),
+                    st.lists(st.one_of(st.none(), st.integers(-4, 14)),
+                             max_size=5)),
 })
 
 
@@ -91,24 +98,24 @@ def test_column_plan_agrees_with_value_engine(props, required, rows):
     })
     plan_out = BatchValidator(table_schema, "k")(batch).to_pylist()
 
-    # CP aggregates items violations per ROW; counts can differ from the
-    # per-element VE counts when several elements fail the same constraint
+    # the CP reports items failures under the single "items" tag while the
+    # VE carries each child keyword's tag; counts and verdicts must agree
     has_items = "items" in (props.get("xs") or {})
 
     engine = ValueEngine(Options())
     for r, got in zip(rows, plan_out):
         doc = {k: v for k, v in r.items() if v is not None and k != "k"}
         # the column regime reads n as float64 and xs as list<float64> —
-        # mirror that coercion
+        # mirror that coercion (null elements stay null)
         if "n" in doc:
             doc["n"] = float(doc["n"])
         if "xs" in doc:
-            doc["xs"] = [float(x) for x in doc["xs"]]
+            doc["xs"] = [None if x is None else float(x) for x in doc["xs"]]
         expect = engine.validate(doc, table_schema)
         assert expect.valid == got["valid"], (
             r, table_schema, expect.errors, got["violations"])
+        assert expect.error_count == got["error_count"], (
+            r, table_schema, expect.errors, got["violations"])
         if not has_items:
-            assert expect.error_count == got["error_count"], (
-                r, table_schema, expect.errors, got["violations"])
             assert {e.tag for e in expect.errors} == {
                 v["tag"] for v in got["violations"]}, (r, table_schema)

@@ -127,13 +127,54 @@ def test_vectorized_items_string_elements(ray_session):
     assert out[1]["valid"] and not out[2]["valid"]
 
 
-def test_items_with_nested_object_elements_stays_dynamic():
-    """Element schemas needing recursion are NOT supported in the flat plan —
-    explicit SchemaError steering to the dynamic-JSON regime."""
+def test_items_with_nested_object_elements_vectorized():
+    """list<struct> element schemas compile into the flat plan (r2): dotted
+    struct kernels over the flattened elements, per-element error counts
+    matching the value engine's recursion."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"xs": {"items": {
+        "required": ["a"],
+        "properties": {"a": {"minimum": 1.0},
+                       "b": {"minLength": 2}}}}}}
+    rows = [
+        {"k": 0, "xs": [{"a": 2.0, "b": "ok"}, {"a": 5.0, "b": "yy"}]},
+        {"k": 1, "xs": [{"a": 0.0, "b": "x"}]},      # both constraints fail
+        {"k": 2, "xs": [{"a": None, "b": "ok"}]},     # required a fails
+        {"k": 3, "xs": []},
+        {"k": 4, "xs": None},
+        {"k": 5, "xs": [{"a": 0.0, "b": "x"}, {"a": 0.0, "b": "x"}]},
+    ]
+    batch = pa.table({
+        "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+        "xs": pa.array([r["xs"] for r in rows],
+                       type=pa.list_(pa.struct([("a", pa.float64()),
+                                                ("b", pa.string())]))),
+    })
+    got = BatchValidator(schema, "k")(batch).to_pylist()
+    engine = ValueEngine(Options())
+    for r, g in zip(rows, got):
+        doc = {}
+        if r["xs"] is not None:
+            doc["xs"] = [{k: v for k, v in e.items() if v is not None}
+                         for e in r["xs"]]
+        expect = engine.validate(doc, schema)
+        assert expect.valid == g["valid"], (r, expect.errors, g["violations"])
+        assert expect.error_count == g["error_count"], (
+            r, expect.errors, g["violations"])
+
+
+def test_items_with_logical_elements_stays_dynamic():
+    """Element schemas needing per-value recursion the plan cannot express
+    (logical combinators) still raise SchemaError → dynamic-JSON regime."""
     from jsonschema_validator_ray.errors import SchemaError
     from jsonschema_validator_ray.plan import compile_table_plan
 
     with pytest.raises(SchemaError):
         compile_table_plan(
-            {"properties": {"xs": {"items": {"properties": {"a": {"minimum": 1}}}}}},
+            {"properties": {"xs": {"items": {
+                "anyOf": [{"minimum": 1}, {"maximum": 0}]}}}},
             "k")
