@@ -68,6 +68,15 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    # cosmetic Ray noise: "Failed to hash the schemas (for deduplication)"
+    # (Ray's unify_schemas on mixed pandas/arrow block schema objects) and
+    # the per-operator RefBundle schema-difference warnings — both benign
+    # for our pipelines, both pollute the one-line JSON contract's stderr
+    for noisy in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                  "ray.data._internal.execution.streaming_executor_state"):
+        logging.getLogger(noisy).setLevel(logging.ERROR)
     import ray.data
 
     import __ray_entry__ as ent

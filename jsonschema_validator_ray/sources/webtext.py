@@ -218,15 +218,39 @@ def _binary_buffers(col: pa.Array) -> tuple[np.ndarray, memoryview]:
     return offsets, data
 
 
+def _find_marker(h: np.ndarray, marker: bytes) -> np.ndarray:
+    """Sorted positions of every occurrence of ``marker`` in the byte array
+    — one vectorized equality pass per marker byte (no Python loop over
+    rows or bytes)."""
+    m = np.frombuffer(marker, dtype=np.uint8)
+    if h.size < m.size:
+        return np.empty(0, dtype=np.int64)
+    cand = np.flatnonzero(h[:h.size - m.size + 1] == m[0])
+    for k in range(1, m.size):
+        if cand.size == 0:
+            break
+        cand = cand[h[cand + k] == m[k]]
+    return cand
+
+
 def extraction_matches_batch(batch: pa.Table, *, html_col: str = "html",
                              text_col: str = "text") -> np.ndarray:
-    """Per-row ``extract_text(html) == text`` as a bool ndarray, computed
-    directly over the Arrow buffers: one ``bytes`` object for each column's
-    whole payload (no per-row object churn), `bytes.find` with start/stop
-    bounds, and raw byte-slice comparison instead of UTF-8 decoding — ~6×
-    faster than the per-row extract+decode+compare path, which matters
-    because the extraction check is the single largest per-doc cost in the
-    flagship validation pass."""
+    """Per-row ``extract_text(html) == text`` as a bool ndarray, fully
+    vectorized over the Arrow buffers (VERDICT r1 item 5 — this check is the
+    single largest per-doc compute in the flagship pass):
+
+    1. find every ``<article>`` / ``</article>`` occurrence in the batch's
+       WHOLE html buffer with numpy equality passes;
+    2. per row, the first open marker inside the row and the first close
+       after it via two ``np.searchsorted`` calls (same first-match
+       semantics as the regex in :func:`extract_text`);
+    3. concatenate candidate payload/text slices (views, one memcpy each)
+       and compare with a single ``np.array_equal`` — memcmp speed in the
+       common all-match case; mismatching rows are located from the unequal
+       positions only when the buffers differ.
+
+    Byte comparison suffices for the UTF-8 question: the text column is
+    valid UTF-8 by construction, so equal bytes ⇒ decodable payload."""
     html = batch.column(html_col)
     text = batch.column(text_col)
     if isinstance(html, pa.ChunkedArray):
@@ -235,21 +259,46 @@ def extraction_matches_batch(batch: pa.Table, *, html_col: str = "html",
         text = text.combine_chunks()
     h_off, h_mv = _binary_buffers(html)
     t_off, t_mv = _binary_buffers(text)
-    h_data = bytes(h_mv)  # one copy for fast .find; payload-sized
+    h = np.frombuffer(h_mv, dtype=np.uint8)
+    t = np.frombuffer(t_mv, dtype=np.uint8)
     n = len(html)
     out = np.zeros(n, dtype=bool)
-    for i in range(n):
-        a, b = int(h_off[i]), int(h_off[i + 1])
-        s = h_data.find(_OPEN, a, b)
-        if s < 0:
-            continue
-        s += len(_OPEN)
-        e = h_data.find(_CLOSE, s, b)
-        if e < 0:
-            continue
-        ta, tb = int(t_off[i]), int(t_off[i + 1])
-        if (e - s) == (tb - ta) and h_mv[s:e] == t_mv[ta:tb]:
-            out[i] = True
+    if n == 0:
+        return out
+
+    open_pos = _find_marker(h, _OPEN)
+    close_pos = _find_marker(h, _CLOSE)
+
+    row_start = h_off[:-1].astype(np.int64)
+    row_end = h_off[1:].astype(np.int64)
+    # first open marker at/after each row start; must land inside the row
+    oi = np.searchsorted(open_pos, row_start)
+    has_open = (oi < open_pos.size)
+    s = np.where(has_open, open_pos[np.minimum(oi, open_pos.size - 1)], 0) \
+        + len(_OPEN)
+    has_open &= (s - len(_OPEN)) < row_end
+    # first close marker at/after the payload start; must end inside the row
+    ci = np.searchsorted(close_pos, s)
+    has_close = has_open & (ci < close_pos.size)
+    e = np.where(has_close, close_pos[np.minimum(ci, close_pos.size - 1)], 0)
+    has_close &= e + len(_CLOSE) <= row_end
+
+    ta = t_off[:-1].astype(np.int64)
+    tb = t_off[1:].astype(np.int64)
+    plen = e - s
+    cand = has_close & (plen == (tb - ta))
+    rows = np.flatnonzero(cand)
+    if rows.size:
+        sv, ev = s[rows], e[rows]
+        tav, tbv = ta[rows], tb[rows]
+        A = np.concatenate([h[a:b2] for a, b2 in zip(sv, ev)])
+        B = np.concatenate([t[a:b2] for a, b2 in zip(tav, tbv)])
+        ok = np.ones(rows.size, dtype=bool)
+        if not np.array_equal(A, B):
+            cum = np.concatenate(([0], np.cumsum(ev - sv)))
+            bad = np.flatnonzero(A != B)
+            ok[np.unique(np.searchsorted(cum, bad, side="right") - 1)] = False
+        out[rows] = ok
     # null html or null text → mismatch handled by the zero init; but null
     # TEXT with null html is vacuously not identical — required:text flags it
     if html.null_count:
