@@ -93,3 +93,65 @@ def test_real_decoder_gated():
             ImageFeatureActor(decoder="pil")
     with pytest.raises(ValueError):
         ImageFeatureActor(decoder="wat")
+
+
+def test_resize_and_audio_real_decoders_gated():
+    from jsonschema_validator_ray.stages.multimodal import (
+        AudioFrameSampleActor, ImageResizeActor)
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            ImageResizeActor(decoder="pil")
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            AudioFrameSampleActor(decoder="soundfile")
+    with pytest.raises(ValueError):
+        ImageResizeActor(decoder="wat")
+    with pytest.raises(ValueError):
+        AudioFrameSampleActor(decoder="wat")
+
+
+def test_real_image_codec_roundtrip():
+    """Runs wherever pillow exists (production images); skipped here."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from jsonschema_validator_ray.stages.multimodal import (
+        ImageFeatureActor, ImageResizeActor)
+    import pyarrow as pa
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (10, 200, 30)).save(buf, format="PNG")
+    batch = pa.table({"media_id": [1, 2],
+                      "image": pa.array([buf.getvalue(), b"junk"],
+                                        type=pa.binary())})
+    feats = ImageFeatureActor(decoder="pil")(batch).to_pylist()
+    assert feats[0]["width"] == 32 and feats[0]["height"] == 16
+    assert feats[0]["decode_ok"] and not feats[1]["decode_ok"]
+    resized = ImageResizeActor(target=(8, 8), decoder="pil")(batch).to_pylist()
+    out = Image.open(io.BytesIO(resized[0]["image"]))
+    assert out.size == (8, 8)
+    assert resized[1]["image"] is None
+
+
+def test_real_audio_codec_roundtrip():
+    """Runs wherever soundfile exists (production images); skipped here."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    from jsonschema_validator_ray.stages.multimodal import AudioFrameSampleActor
+    import pyarrow as pa
+
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros(8000, dtype="float32"), 8000, format="WAV")
+    batch = pa.table({"media_id": [1],
+                      "audio": pa.array([buf.getvalue()], type=pa.binary())})
+    out = AudioFrameSampleActor(decoder="soundfile")(batch).to_pylist()
+    assert out[0]["sample_rate"] == 8000
+    assert out[0]["duration_s"] == pytest.approx(1.0)
