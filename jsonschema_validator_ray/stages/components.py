@@ -231,24 +231,61 @@ def _components_join(pairs_ds, key_a: str, key_b: str, *, max_rounds: int,
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-def dedup_by_components(ds, key: str, components_ds):
+def dedup_by_components(ds, key: str, components_ds, *,
+                        strategy: str = "auto",
+                        broadcast_limit: int = 5_000_000,
+                        num_buckets: int = 32):
     """Drop every row whose key belongs to a component but is not that
-    component's canonical (minimal) key. The drop set is the non-canonical
-    members of the CANDIDATE set (pairs), which is small relative to the
-    corpus — broadcast filter; for candidate sets beyond driver memory use a
-    bucketed anti-join (stages/joins.bucketed_join) instead."""
-    comp = components_ds.to_pandas()
-    if "key" not in comp.columns or comp.empty:
-        # Ray drops empty blocks, losing even a typed empty schema in
-        # to_pandas — no components means nothing to drop
-        return ds
-    drop = set(comp.loc[comp["key"] != comp["component"], "key"])
-    drop_arr = pa.array(list(drop))
+    component's canonical (minimal) key.
 
-    def keep(b: pa.Table) -> pa.Table:
-        if not drop:
-            return b
-        mask = pc.invert(pc.is_in(b.column(key), value_set=drop_arr))
-        return b.filter(pc.fill_null(mask, True))
+    - ``broadcast`` — gather the non-canonical key set once, ``pc.is_in``
+      anti-filter per batch (zero corpus shuffle). Right whenever the
+      CANDIDATE set fits the driver — usually orders of magnitude smaller
+      than the corpus.
+    - ``join`` — heavy-duplication corpora (web crawls run 20-30% dups →
+      the drop set scales with the corpus): bucketed LEFT anti-join of the
+      corpus against the drop keys; the corpus crosses one hash exchange,
+      no driver-side key set.
+    - ``auto`` — broadcast below ``broadcast_limit`` drop keys.
+    """
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    def non_canonical(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.invert(
+            pc.equal(b.column("key"), b.column("component"))), False)
+        kept = b.filter(m)
+        return pa.table({key: kept.column("key"),
+                         "__drop": pa.array(
+                             np.ones(kept.num_rows, dtype=np.int8))})
+
+    drop_ds = components_ds.map_batches(non_canonical, batch_format="pyarrow")
+    if strategy == "auto":
+        n = drop_ds.count()
+        strategy = "broadcast" if n <= broadcast_limit else "join"
+
+    if strategy == "broadcast":
+        comp = components_ds.to_pandas()
+        if "key" not in comp.columns or comp.empty:
+            # Ray drops empty blocks, losing even a typed empty schema in
+            # to_pandas — no components means nothing to drop
+            return ds
+        drop = set(comp.loc[comp["key"] != comp["component"], "key"])
+        drop_arr = pa.array(list(drop))
+
+        def keep(b: pa.Table) -> pa.Table:
+            if not drop:
+                return b
+            mask = pc.invert(pc.is_in(b.column(key), value_set=drop_arr))
+            return b.filter(pc.fill_null(mask, True))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    from .joins import bucketed_join
+
+    joined = bucketed_join(ds, drop_ds, on=key, join_type="left_outer",
+                           num_buckets=num_buckets)
+
+    def keep_unmatched(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.is_null(b.column("__drop")))
+        return kept.drop_columns(["__drop"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")

@@ -445,7 +445,20 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
             "truncated": a.loc[kept, "truncated"].to_numpy().astype(np.int32),
         })
 
-    return joined.groupby("__pb").map_groups(verify, batch_format="pandas")
+    out = joined.groupby("__pb").map_groups(verify, batch_format="pandas")
+
+    def norm(b: pa.Table) -> pa.Table:
+        # the padded union inside the bucketed join nulls pair-key columns on
+        # signature rows, which makes pandas upcast int64 keys to float64 —
+        # restore the input key type (and pin the metric dtypes)
+        return pa.table({
+            "key_a": pc.cast(b.column("key_a"), key_type),
+            "key_b": pc.cast(b.column("key_b"), key_type),
+            "jaccard_est": pc.cast(b.column("jaccard_est"), pa.float64()),
+            "truncated": pc.cast(b.column("truncated"), pa.int32()),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,11 @@ def test_dedup_by_components_end_to_end(ray_session):
     ids = {r["doc_id"] for r in deduped.select_columns(["doc_id"]).take_all()}
     assert 100 in ids and 101 not in ids and 102 not in ids
     assert all(i in ids for i in range(20))
+    # join strategy: identical survivor set, no driver-side drop set
+    dj = dedup_by_components(ds, "doc_id", comps, strategy="join",
+                             num_buckets=4)
+    ids_j = {r["doc_id"] for r in dj.select_columns(["doc_id"]).take_all()}
+    assert ids_j == ids
 
 
 def test_unified_violations(ray_session):

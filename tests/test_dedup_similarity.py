@@ -51,6 +51,8 @@ def test_minhash_lsh_near_duplicates(ray_session):
     ds, docs = _corpus_with_near_dups(ray_session)
     pairs = minhash_near_duplicates(ds, "doc_id", "text",
                                     threshold=0.5, batch_size=16).to_pandas()
+    # key dtype survives the verify join (the padded union must not upcast)
+    assert pairs["key_a"].dtype == "int64" and pairs["key_b"].dtype == "int64"
     found = {tuple(sorted((a, b))) for a, b in zip(pairs["key_a"], pairs["key_b"])}
     # exact dups must surface with est ≈ 1
     assert (0, 100) in found and (1, 101) in found
