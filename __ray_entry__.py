@@ -48,6 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": corpus.langid_documents,
         "fingerprint_documents": corpus.fingerprint_documents,
         "minhash_pairs_documents": corpus.minhash_pairs_documents,
+        "sample_documents_by_lang": corpus.sample_documents_by_lang,
+        "sample_documents_pct": corpus.sample_documents_pct,
+        "pack_documents": corpus.pack_documents,
+        "events_in_sessions": corpus.events_in_sessions,
         "events_hourly": corpus.events_hourly,
         "verdict_events_props": corpus.verdict_events_props,
         "events_sessions": corpus.events_sessions,
@@ -78,6 +82,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_embeddings": corpus.TOPK_SQL,
         "verdict_embeddings": corpus.VERDICT_EMB_SQL,
         "verdict_embeddings_tuple": corpus.VERDICT_EMB_TUPLE_SQL,
+        "sample_documents_by_lang": corpus.SAMPLE_BY_LANG_SQL,
+        "sample_documents_pct": corpus.SAMPLE_PCT_SQL,
+        "events_in_sessions": corpus.EVENTS_IN_SESSIONS_SQL,
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,

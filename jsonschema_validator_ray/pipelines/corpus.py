@@ -270,6 +270,132 @@ WHERE lang IS NOT NULL AND lang NOT IN ('en','zh','es','de','fr')
 ORDER BY lang
 """
 
+# ---- sampling / packing / range-join operators ----------------------------
+
+
+def sample_documents_by_lang(sf_dir: str, k: int = 5):
+    """First k doc_ids per language — grouped quota sampling
+    (stages/sampling.grouped_first_k)."""
+    from ..stages.sampling import grouped_first_k
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+
+    def nonnull(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("lang")))
+
+    return grouped_first_k(docs.map_batches(nonnull, batch_format="pyarrow"),
+                           "lang", "doc_id", k)
+
+
+SAMPLE_BY_LANG_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents WHERE lang IS NOT NULL
+) WHERE rn <= 5
+"""
+
+
+def sample_documents_pct(sf_dir: str, pct: int = 20):
+    """Deterministic 20% sample keyed by doc_id (one MINSTD LCG step —
+    identical integer arithmetic on both engines, stages/sampling)."""
+    from ..stages.sampling import lcg_fraction_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return lcg_fraction_sample(docs, "doc_id", pct)
+
+
+SAMPLE_PCT_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id IS NOT NULL
+  AND ((48271 * doc_id + 11) % 2147483647) % 100 < 20
+"""
+
+
+def pack_documents(sf_dir: str, budget: int = 512):
+    """Sequence packing of documents into 512-token packs (rows-only: the
+    greedy assignment is deterministic but not SQL-expressible; invariants
+    are pinned by tests/test_packing.py). Output one summary row per pack."""
+    from ..functions.text import token_count_batch
+    from ..stages.packing import pack_sequences
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": pc.cast(token_count_batch(b),
+                                             pa.int64())})
+
+    packed = pack_sequences(docs.map_batches(tok, batch_format="pyarrow"),
+                            "doc_id", "n_tokens", budget)
+    from ray.data.aggregate import Count, Max, Sum
+
+    return packed.groupby("pack_id").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="pack_tokens"),
+        Max("oversize", alias_name="oversize"))
+
+
+def events_in_sessions(sf_dir: str):
+    """Range join: each event attached to the session window containing it
+    (sessionize → interval containment via stages/joins.range_join).
+    Output (event_id, user_id, session_start)."""
+    from ..stages.joins import range_join
+    from ..stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    sess = sessionize(ev.select_columns(["user_id", "ts"]),
+                      "user_id", "ts", gap_s=3600)
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "session_start": b.column("session_start"),
+                         "session_end": b.column("session_end")})
+
+    out = range_join(ev, sess.map_batches(slim, batch_format="pyarrow"),
+                     "user_id", "ts",
+                     start="session_start", end="session_end")
+
+    def norm(b: pa.Table) -> pa.Table:
+        # padded-union upcasts int64 through pandas; restore types
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "session_start": pc.cast(b.column("session_start"),
+                                     pa.timestamp("us")),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
+EVENTS_IN_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess GROUP BY user_id, sid
+)
+SELECT e.event_id, e.user_id, s.session_start
+FROM events e
+JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.session_end
+"""
+
 # ---- dynamic-JSON regime: validate the events.props JSON column -----------
 
 PROPS_SCHEMA = {

@@ -108,6 +108,56 @@ def bucketed_join(left, right, on: str, *, right_on: str | None = None,
                                                batch_format="pandas")
 
 
+def range_join(left, right, key: str, ts: str, *, start: str, end: str,
+               inclusive_end: bool = True, how: str = "inner"):
+    """Interval containment join: for each left row, attach the right row
+    whose ``[start, end]`` (or ``[start, end)``) interval contains
+    ``left[ts]`` and shares ``key``.
+
+    Partitioning assumption (documented per SURVEY custom-operator rule):
+    intervals per key are NON-OVERLAPPING (session windows, calendar
+    buckets, validity ranges) — the match is the latest interval starting at
+    or before ``ts``, found with ``pd.merge_asof`` inside the per-key group,
+    then bounded by ``end``. Both sides hash-exchange on ``key``; one key's
+    rows must fit one group task. ``how='left_outer'`` keeps unmatched left
+    rows with null interval columns."""
+    assert start != ts and end != ts, "rename interval columns first"
+    both, l_cols, r_cols = _pad_union(left, right, [key])
+    r_val = [c for c in r_cols if c != key]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lpart = g.loc[g["__side"] == "l", l_cols]
+        rpart = g.loc[g["__side"] == "r", [key] + r_val]
+        if lpart.empty:
+            return lpart
+        lpart = lpart.sort_values(ts, kind="mergesort")
+        if rpart.empty:
+            if how == "inner":
+                return lpart.iloc[0:0].assign(**{c: None for c in r_val})
+            out = lpart.copy()
+            for c in r_val:
+                out[c] = None
+            return out
+        rpart = rpart.sort_values(start, kind="mergesort")
+        if rpart[start].dtype != lpart[ts].dtype and \
+                pd.api.types.is_datetime64_any_dtype(lpart[ts]):
+            # merge_asof refuses mixed datetime units (us parquet vs ns
+            # pandas-derived intervals) — align to the left side's unit
+            rpart = rpart.assign(**{
+                start: rpart[start].astype(lpart[ts].dtype),
+                end: rpart[end].astype(lpart[ts].dtype)})
+        m = pd.merge_asof(lpart, rpart.drop(columns=[key]),
+                          left_on=ts, right_on=start, direction="backward")
+        bound = (m[ts] <= m[end]) if inclusive_end else (m[ts] < m[end])
+        inside = m[end].notna() & bound
+        if how == "inner":
+            return m[inside]
+        m.loc[~inside, r_val] = None
+        return m
+
+    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def asof_join(left, right, key: str, ts: str, *, right_ts: str,
               direction: str = "backward"):
     """For each left row, attach the most recent right row with

@@ -1,0 +1,88 @@
+"""Sequence packing — group documents into fixed-token-budget packs for
+LLM training batches (the "sample packing" preprocessing step).
+
+Distributed shape: documents hash-bucket on the key into ``num_buckets``
+Ray groups (one all-to-all exchange of ``(key, n_tokens)`` pairs — the text
+itself never moves); each group packs independently with next-fit-decreasing
+(sort by token count descending, fill packs left to right — iteration count
+is the number of PACKS, not documents, so the per-group loop is
+O(tokens/budget), everything else vectorized numpy). Pack ids are globally
+unique: ``pack_id = bucket << 40 | local_index``.
+
+Guarantees (pinned by tests/test_packing.py):
+- every input row is assigned to exactly one pack;
+- every pack's token sum ≤ budget, EXCEPT single-document packs whose one
+  document alone exceeds the budget (flagged ``oversize=True`` — the caller
+  decides to truncate or drop);
+- deterministic: output is a pure function of (key, n_tokens) content —
+  identical across runs, batch sizes, and partitionings.
+
+Packing quality: next-fit-decreasing wastes at most ~half a pack per
+SEQUENCE RUN in the worst case; with web-doc length distributions the
+measured fill rate is ≳90%. Global (cross-bucket) optimal packing would
+serialize the corpus through one task — the per-bucket loss is the price of
+parallelism and shrinks as buckets grow coarser.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_BUCKET_SHIFT = 40
+
+
+def pack_rows(sizes: np.ndarray, budget: int) -> np.ndarray:
+    """Next-fit pack assignment for sizes (MUST be presorted descending):
+    pack boundaries found with one ``searchsorted`` per pack over the
+    cumulative sum."""
+    n = sizes.size
+    packs = np.empty(n, dtype=np.int64)
+    cs = np.cumsum(sizes, dtype=np.int64)
+    i = 0
+    pid = 0
+    while i < n:
+        base = cs[i - 1] if i else 0
+        j = int(np.searchsorted(cs, base + budget, side="right"))
+        if j == i:          # single oversize document → its own pack
+            j = i + 1
+        packs[i:j] = pid
+        pid += 1
+        i = j
+    return packs
+
+
+def pack_sequences(ds, key: str, tokens: str, budget: int, *,
+                   num_buckets: int = 64):
+    """→ Dataset ``(key, n_tokens, pack_id, oversize)`` assigning every row
+    to a pack with Σ n_tokens ≤ budget per pack (see module docstring)."""
+    assert num_buckets < (1 << 20)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column(key).to_pandas(), index=False).to_numpy()
+        return pa.table({
+            key: b.column(key),
+            "n_tokens": b.column(tokens),
+            "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+        })
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", key], ascending=[False, True],
+                          kind="mergesort")
+        sizes = g["n_tokens"].to_numpy().astype(np.int64)
+        local = pack_rows(sizes, budget)
+        bucket = int(g["__bucket"].iloc[0])
+        pack_id = (np.int64(bucket) << _BUCKET_SHIFT) | local
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "n_tokens": sizes,
+            "pack_id": pack_id,
+            "oversize": sizes > budget,
+        })
+
+    return bucketed.groupby("__bucket").map_groups(
+        pack_bucket, batch_format="pandas")

@@ -1,0 +1,90 @@
+"""Deterministic sampling operators for training-data curation.
+
+Both operators are pure functions of row content (no RNG state), so any
+partitioning / batch size / retry produces identical output — the property
+that makes sampling safe under Ray's task retries (SURVEY §4: idempotent
+stages).
+
+- :func:`grouped_first_k` — per-group quota sampling (first k rows per group
+  by an order column): per-batch partial head (sorted-table vectorized rank,
+  no pandas in the scan) + per-group final head. SQL-oracle-able via
+  ``row_number() OVER (PARTITION BY g ORDER BY o)``.
+- :func:`lcg_fraction_sample` — keep a deterministic pseudo-random fraction
+  of rows keyed by an INTEGER id: one MINSTD LCG step
+  ``h = (48271·key + 11) mod (2^31−1)`` and keep rows with
+  ``h mod 100 < pct``. The multiplier is 2^15.6, so the product stays well
+  inside int64 for ids up to ~10^12 — the same arithmetic is expressible
+  verbatim in SQL, giving an exact cross-engine oracle. An LCG step is a
+  full-period permutation of [1, 2^31−2], so sequential ids map to
+  well-spread residues (this is a SAMPLER, not a cryptographic hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_LCG_A = 48271          # MINSTD multiplier
+_LCG_B = 11
+_LCG_M = 2147483647     # 2^31 - 1
+
+
+def _sorted_group_head(t: pa.Table, group: str, sort_keys: list, k: int
+                       ) -> pa.Table:
+    """Top-k rows per group of a table: sort once, then a vectorized
+    within-group rank from group-change boundaries."""
+    if t.num_rows == 0:
+        return t
+    order = pc.sort_indices(t, sort_keys=sort_keys)
+    t = t.take(order)
+    g = t.column(group).combine_chunks()
+    if len(g) > 1:
+        brk = pc.invert(pc.equal(g.slice(1), g.slice(0, len(g) - 1)))
+        new_group = np.r_[True, pc.fill_null(brk, True).to_numpy(
+            zero_copy_only=False)]
+    else:
+        new_group = np.array([True])
+    starts = np.flatnonzero(new_group)
+    gid = np.cumsum(new_group) - 1
+    rank = np.arange(len(g)) - starts[gid]
+    return t.filter(pa.array(rank < k))
+
+
+def grouped_first_k(ds, group: str, order: str, k: int, *,
+                    batch_size: int = 32768):
+    """→ Dataset of the first ``k`` rows per ``group``, ordered by
+    ``order`` ascending (ties keep all sort-stable duplicates of the order
+    value ordering — use a unique order column for determinism)."""
+    keys = [(group, "ascending"), (order, "ascending")]
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _sorted_group_head(b, group, keys, k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order, kind="mergesort").head(k)
+
+    return partials.groupby(group).map_groups(final, batch_format="pandas")
+
+
+def lcg_fraction_sample(ds, key: str, pct: int, *, batch_size: int = 32768):
+    """→ Dataset keeping rows whose integer ``key`` lands in the
+    deterministic ``pct``-percent sample (see module docstring). Null keys
+    are dropped."""
+    assert 0 <= pct <= 100
+
+    def keep(b: pa.Table) -> pa.Table:
+        col = pc.cast(b.column(key), pa.int64())
+        h = pc.add(pc.multiply(col, _LCG_A), _LCG_B)
+        bucket = pc.subtract(h, pc.multiply(pc.divide(h, _LCG_M), _LCG_M))
+        # bucket = h mod M via h - (h // M)·M (Arrow's integer divide
+        # truncates toward zero; keys are non-negative here)
+        sel = pc.less(pc.subtract(bucket, pc.multiply(
+            pc.divide(bucket, 100), 100)), pct)
+        return b.filter(pc.fill_null(sel, False))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
