@@ -270,6 +270,46 @@ WHERE lang IS NOT NULL AND lang NOT IN ('en','zh','es','de','fr')
 ORDER BY lang
 """
 
+# ---- table-level patternProperties / additionalProperties (oracle) --------
+
+PP_SCHEMA = {
+    "required": ["doc_id"],
+    "properties": {"doc_id": {"type": "integer"},
+                   "n_chars": {"minimum": 0}},
+    # column names matching the pattern validate against the sub-schema
+    "patternProperties": {"^(lang|source)$": {"type": "string",
+                                              "minLength": 3}},
+    # every other column is an unknown field (reference bool form)
+    "additionalProperties": False,
+}
+
+
+def verdict_documents_pp(sf_dir: str):
+    """Verdicts under a schema with top-level patternProperties (lang/source
+    columns) and additionalProperties:false (flags the text column as an
+    unknown field) — column-name resolution compiled from the first batch's
+    Arrow schema. Output (doc_id, valid, error_count)."""
+    from ..stages.validate import BatchValidator, verdicts_only
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    combined = docs.map_batches(
+        BatchValidator, fn_constructor_args=(PP_SCHEMA, "doc_id"),
+        batch_format="pyarrow", concurrency=2)
+    return verdicts_only(combined)
+
+
+VERDICT_PP_SQL = """
+SELECT doc_id, err = 0 AS valid, CAST(err AS INTEGER) AS error_count
+FROM (
+  SELECT doc_id,
+         (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS NOT NULL AND n_chars < 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN lang IS NOT NULL AND strlen(lang) < 3 THEN 1 ELSE 0 END)
+       + (CASE WHEN source IS NOT NULL AND strlen(source) < 3 THEN 1 ELSE 0 END)
+       + (CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS err
+  FROM documents)
+"""
+
 # ---- sampling / packing / range-join operators ----------------------------
 
 

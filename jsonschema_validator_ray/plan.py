@@ -887,17 +887,36 @@ def _message_fn(path: str, kw: str, sv: Any):
     return None
 
 
+def plan_needs_arrow_schema(table_schema: dict | str | CompiledSchema,
+                            mode: Mode = Mode.STRICT) -> bool:
+    """True when the table schema carries keywords whose column-plan
+    compilation resolves COLUMN NAMES (patternProperties /
+    additionalProperties) — those require the Arrow schema; callers without
+    one compile lazily from the first batch (stages/validate.BatchValidator)."""
+    compiled = (table_schema if isinstance(table_schema, CompiledSchema)
+                else compile_schema(table_schema, mode))
+    return ("patternProperties" in compiled.keywords
+            or "additionalProperties" in compiled.keywords)
+
+
 def compile_table_plan(table_schema: dict | str | CompiledSchema,
                        key_column: str,
                        arrow_schema: pa.Schema | None = None,
                        mode: Mode = Mode.STRICT,
-                       registry=None) -> TablePlan:
+                       registry=None,
+                       allow_unknown_fields: bool = False) -> TablePlan:
     """Compile a table-level schema into a vectorized plan.
 
     ``table_schema`` uses the same DSL as the value engine: top-level
     ``required`` lists non-null columns; ``properties`` maps column name →
     scalar keyword schema. ``arrow_schema`` (if given) resolves ``type``
     keywords at compile time and detects missing columns.
+
+    ``patternProperties`` / ``additionalProperties`` resolve COLUMN NAMES at
+    compile time (the reference resolves property names per document,
+    `/root/reference/rules/object_patterns.go:11-180`; a typed table's
+    "property names" are its columns, known statically) and therefore
+    require ``arrow_schema`` — SchemaError otherwise.
     """
     compiled = (table_schema if isinstance(table_schema, CompiledSchema)
                 else compile_schema(table_schema, mode))
@@ -985,16 +1004,70 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
     for column, sub in (compiled.get("properties") or {}).items():
         emit(column, sub, cols_present.get(column))
 
+    # --- patternProperties / additionalProperties: column-name resolution --
+    pattern_props = compiled.get("patternProperties") or {}
+    addl = compiled.get("additionalProperties")
+    if addl is True:
+        addl = None  # explicitly-anything is a no-op
+    if (pattern_props or addl is not None) and arrow_schema is None:
+        raise SchemaError(
+            "patternProperties/additionalProperties in a table plan resolve "
+            "column names and need the Arrow schema (pass arrow_schema=, or "
+            "let BatchValidator compile lazily from the first batch)")
+
+    def emit_suffixed(path: str, sub: CompiledSchema,
+                      col_type: pa.DataType | None, suffix: str) -> None:
+        n0 = len(plan.constraints)
+        emit(path, sub, col_type)
+        for c in plan.constraints[n0:]:
+            c.constraint_id += suffix
+
+    for pat, (rx, sub) in pattern_props.items():
+        # a column matching BOTH properties and a pattern gets both schemas
+        # applied (reference object_patterns.go:11-62); suffixed ids keep
+        # (key, constraint_id) rows distinct
+        for column, col_type in cols_present.items():
+            if rx.search(column):
+                emit_suffixed(column, sub, col_type, f"#pattern={pat}")
+
+    if addl is not None:
+        declared = set((compiled.get("properties") or {}).keys())
+        extras = [c for c in cols_present
+                  if c not in declared
+                  and not any(rx.search(c)
+                              for rx, _s in pattern_props.values())]
+        if addl is False:
+            # bool form honors AllowUnknownFields
+            # (`/root/reference/validator/validator.go:481-502`)
+            if not allow_unknown_fields:
+                for c in extras:
+                    plan.constraints.append(CompiledConstraint(
+                        constraint_id=f"additionalProperties:{c}", column=c,
+                        tag="additionalProperties", message="unknown field",
+                        param="", fn=_fail_present(c)))
+        else:
+            # schema form: every extra column validates against it
+            for c in extras:
+                emit_suffixed(c, addl, cols_present.get(c), "#additional")
+
     return plan
 
 
-def evaluate_plan(plan: TablePlan, batch: pa.Table) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+def evaluate_plan(plan: TablePlan, batch: pa.Table, *,
+                  stop_on_first: bool = False
+                  ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Evaluate all constraints over one batch.
 
     Returns ``(valid, error_count, fail_indices_per_constraint)`` where
     ``valid`` is a bool ndarray, ``error_count`` int32 ndarray, and the list
     holds, per constraint, the row indices that failed it (for violation
-    emission)."""
+    emission).
+
+    ``stop_on_first`` mirrors the reference's StopOnFirstError short-circuit
+    (`/root/reference/validator/validator.go:543-545`): a row reports only
+    its FIRST failing constraint in plan order (required first, then
+    declaration order — the engine's deterministic fix of the reference's
+    map-order nondeterminism), so error_count is 0 or 1 per row."""
     n = batch.num_rows
     valid = np.ones(n, dtype=bool)
     error_count = np.zeros(n, dtype=np.int32)
@@ -1004,6 +1077,8 @@ def evaluate_plan(plan: TablePlan, batch: pa.Table) -> tuple[np.ndarray, np.ndar
             # per-element accumulating keywords (items): counts carry the
             # dynamic-regime error arithmetic (one per failing element)
             cnt = c.count_fn(batch)
+            if stop_on_first:
+                cnt = np.minimum(np.where(valid, cnt, 0), 1)
             failed = np.flatnonzero(cnt > 0)
             fails.append(failed)
             if failed.size:
@@ -1013,6 +1088,8 @@ def evaluate_plan(plan: TablePlan, batch: pa.Table) -> tuple[np.ndarray, np.ndar
         mask = c.pass_mask(batch)
         m = mask.to_numpy(zero_copy_only=False)
         failed = np.flatnonzero(~m)
+        if stop_on_first:
+            failed = failed[valid[failed]]
         fails.append(failed)
         if failed.size:
             valid[failed] = False

@@ -135,17 +135,38 @@ class BatchValidator:
     def __init__(self, table_schema: dict | str, key_column: str,
                  mode: Mode = Mode.STRICT,
                  arrow_schema: pa.Schema | None = None,
-                 registry=None):
-        # compiled once per actor (never per batch)
-        self.plan: TablePlan = compile_table_plan(
-            table_schema, key_column, arrow_schema=arrow_schema, mode=mode,
-            registry=registry)
+                 registry=None, stop_on_first_error: bool = False,
+                 allow_unknown_fields: bool = False):
+        from ..plan import plan_needs_arrow_schema
+
         self.key_column = key_column
+        self.stop_on_first_error = stop_on_first_error
+        self._compile_args = (table_schema, key_column, mode, registry,
+                              allow_unknown_fields)
+        if arrow_schema is None and plan_needs_arrow_schema(table_schema,
+                                                           mode):
+            # patternProperties / additionalProperties resolve COLUMN NAMES:
+            # compile lazily from the first batch's schema (assumes stable
+            # block schemas — the per-keyword kernels still handle missing
+            # columns gracefully on later batches)
+            self.plan = None
+        else:
+            # compiled once per actor (never per batch)
+            self.plan = compile_table_plan(
+                table_schema, key_column, arrow_schema=arrow_schema,
+                mode=mode, registry=registry,
+                allow_unknown_fields=allow_unknown_fields)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.plan is None:
+            schema, key, mode, registry, auf = self._compile_args
+            self.plan = compile_table_plan(
+                schema, key, arrow_schema=batch.schema, mode=mode,
+                registry=registry, allow_unknown_fields=auf)
         plan = self.plan
         n = batch.num_rows
-        valid, error_count, fails = evaluate_plan(plan, batch)
+        valid, error_count, fails = evaluate_plan(
+            plan, batch, stop_on_first=self.stop_on_first_error)
         meta = [(c.constraint_id, c.column, c.tag, c.message)
                 for c in plan.constraints]
         viol = build_violations_column(
