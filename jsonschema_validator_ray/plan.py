@@ -116,10 +116,47 @@ def _str_col(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
 
 
 
+def _map_lookup(col: pa.Array, name: str) -> pa.Array | None:
+    """Value of the FIRST entry whose key equals ``name``, per row of a
+    map-typed array — vectorized (flat key compare + first-occurrence
+    scatter + one take with null indices). Null where the key is absent or
+    the row is null, which plugs map columns into the same null≡absent
+    kernel semantics as struct fields. (A null-VALUED present entry is
+    indistinguishable from an absent key under this mapping — same policy
+    as structs, documented deviation for `required` on such entries.)"""
+    t = col.type
+    if not (pa.types.is_string(t.key_type)
+            or pa.types.is_large_string(t.key_type)):
+        return None
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    keys, items = col.keys, col.items
+    # NOTE: pc.list_parent_indices ABORTS on MapArray in this Arrow build
+    # (C++ type check) — derive parents from the offsets buffer instead.
+    # keys/items are the RAW child arrays, so positions stay in raw
+    # coordinates throughout.
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base, endp = off[0], off[-1]
+    m = pc.fill_null(pc.equal(keys, name), False).to_numpy(
+        zero_copy_only=False)
+    pos = np.flatnonzero(m[base:endp]) + base
+    idx = np.full(n, -1, dtype=np.int64)
+    if pos.size:
+        par = np.searchsorted(off, pos, side="right") - 1
+        first = np.r_[True, par[1:] != par[:-1]]   # parents are ascending
+        idx[par[first]] = pos[first]
+    if col.null_count:
+        idx[np.asarray(col.is_null())] = -1
+    ind = pa.array(idx, mask=(idx < 0))
+    return items.take(ind)
+
+
 def _get_col(batch: pa.Table, path: str):
     """Resolve a (possibly dotted) column path: ``a.b.c`` descends struct
-    fields via ``pc.struct_field`` — a null ancestor yields null leaves, which
-    the null-passes-as-absent semantics already handle. Returns None when the
+    fields via ``pc.struct_field`` and MAP entries via a vectorized
+    key-lookup — a null ancestor yields null leaves, which the
+    null-passes-as-absent semantics already handle. Returns None when the
     top-level column is missing."""
     if "." not in path:
         if path not in batch.column_names:
@@ -132,15 +169,22 @@ def _get_col(batch: pa.Table, path: str):
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     for seg in rest.split("."):
-        if not pa.types.is_struct(col.type):
+        if pa.types.is_struct(col.type):
+            try:
+                col = pc.struct_field(col, seg)
+            except (KeyError, pa.ArrowInvalid):
+                # pyarrow raises ArrowInvalid ("No match for FieldRef") for a
+                # field name absent from the struct type — absent field, not
+                # a crash
+                return None
+        elif pa.types.is_map(col.type):
+            col = _map_lookup(col, seg)
+            if col is None:
+                return None
+        else:
             return None
-        try:
-            col = pc.struct_field(col, seg)
-        except (KeyError, pa.ArrowInvalid):
-            # pyarrow raises ArrowInvalid ("No match for FieldRef") for a
-            # field name absent from the struct type — absent field, not
-            # a crash
-            return None
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
     return col
 
 def _pass_on_null(col, mask):

@@ -272,3 +272,55 @@ def test_stop_on_first_error_plan():
         if g["violations"]:
             assert len(g["violations"]) == 1
             assert g["violations"][0]["tag"] == expect.errors[0].tag, (r, g)
+
+
+def test_map_column_properties_vectorized():
+    """MAP-typed columns validate through the dotted-path kernels: a
+    vectorized per-key lookup plugs map entries into the same null≡absent
+    semantics as struct fields (value-engine parity on non-null-valued
+    entries)."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"attrs": {
+        "required": ["name"],
+        "properties": {"name": {"minLength": 3},
+                       "tier": {"enum": ["gold", "silver"]}},
+        "minProperties": 1,
+    }}}
+    rows = [
+        {"k": 0, "attrs": [("name", "alice"), ("tier", "gold")]},
+        {"k": 1, "attrs": [("name", "xy"), ("tier", "wood")]},   # both fail
+        {"k": 2, "attrs": [("tier", "gold")]},                    # required name
+        {"k": 3, "attrs": []},                                    # minProperties
+        {"k": 4, "attrs": None},
+        {"k": 5, "attrs": [("name", "bobby"), ("name", "z")]},    # first wins
+    ]
+    batch = pa.table({
+        "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+        "attrs": pa.array([r["attrs"] for r in rows],
+                          type=pa.map_(pa.string(), pa.string())),
+    })
+    got = {g["k"]: g for g in BatchValidator(schema, "k")(batch).to_pylist()}
+    assert got[0]["valid"]
+    assert {v["tag"] for v in got[1]["violations"]} == {"minLength", "enum"}
+    assert {v["tag"] for v in got[2]["violations"]} == {"required"}
+    assert {v["tag"] for v in got[3]["violations"]} == {"required",
+                                                        "minProperties"}
+    assert got[4]["valid"]          # null map = absent
+    assert got[5]["valid"]          # first entry for duplicate key wins
+    # value-engine agreement (map rows → dicts, first-key-wins)
+    engine = ValueEngine(Options())
+    for r in rows:
+        doc = {}
+        if r["attrs"] is not None:
+            d = {}
+            for kk, vv in r["attrs"]:
+                d.setdefault(kk, vv)
+            doc["attrs"] = d
+        expect = engine.validate(doc, schema)
+        assert expect.valid == got[r["k"]]["valid"], (r, expect.errors)
+        assert expect.error_count == got[r["k"]]["error_count"], (
+            r, expect.errors, got[r["k"]]["violations"])
