@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verdict_embeddings": corpus.verdict_embeddings,
         "verdict_embeddings_tuple": corpus.verdict_embeddings_tuple,
         "verdict_documents_pp": corpus.verdict_documents_pp,
+        "verdict_documents_combo": corpus.verdict_documents_combo,
         "langid_documents": corpus.langid_documents,
         "fingerprint_documents": corpus.fingerprint_documents,
         "minhash_pairs_documents": corpus.minhash_pairs_documents,
@@ -84,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         "verdict_embeddings": corpus.VERDICT_EMB_SQL,
         "verdict_embeddings_tuple": corpus.VERDICT_EMB_TUPLE_SQL,
         "verdict_documents_pp": corpus.VERDICT_PP_SQL,
+        "verdict_documents_combo": corpus.VERDICT_COMBO_SQL,
         "sample_documents_by_lang": corpus.SAMPLE_BY_LANG_SQL,
         "sample_documents_pct": corpus.SAMPLE_PCT_SQL,
         "events_in_sessions": corpus.EVENTS_IN_SESSIONS_SQL,

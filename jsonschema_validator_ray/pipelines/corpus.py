@@ -310,6 +310,47 @@ FROM (
   FROM documents)
 """
 
+# ---- logical combinators + conditional over a numeric column (oracle) -----
+
+COMBO_SCHEMA = {
+    "required": ["doc_id"],
+    "properties": {"n_chars": {
+        "anyOf": [{"minimum": 100}, {"maximum": 50}],
+        "conditional": {"if": {"minimum": 200},
+                        "then": {"multipleOf": 2},
+                        "else": {"minimum": 20}},
+    }},
+}
+
+
+def verdict_documents_combo(sf_dir: str):
+    """Verdicts under vectorized anyOf + conditional branch evaluators over
+    the n_chars column. Output (doc_id, valid, error_count)."""
+    from ..stages.validate import BatchValidator, verdicts_only
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    combined = docs.map_batches(
+        BatchValidator, fn_constructor_args=(COMBO_SCHEMA, "doc_id"),
+        batch_format="pyarrow", concurrency=2)
+    return verdicts_only(combined)
+
+
+VERDICT_COMBO_SQL = """
+SELECT doc_id, err = 0 AS valid, CAST(err AS INTEGER) AS error_count
+FROM (
+  SELECT doc_id,
+         (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS NOT NULL
+                AND NOT (n_chars >= 100 OR n_chars <= 50)
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars IS NULL THEN 0
+               WHEN n_chars >= 200 THEN (CASE WHEN n_chars % 2 <> 0
+                                              THEN 1 ELSE 0 END)
+               ELSE (CASE WHEN n_chars < 20 THEN 1 ELSE 0 END) END) AS err
+  FROM documents)
+"""
+
 # ---- sampling / packing / range-join operators ----------------------------
 
 

@@ -621,12 +621,14 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
                       f"use the dynamic-JSON regime for column {column!r}")
 
 
-# keywords the column plan can evaluate INSIDE list elements (recursively
-# through `properties` and nested `items`); anything else steers the whole
-# column to the dynamic regime at compile time
+# keywords the column plan can evaluate INSIDE list elements / combinator
+# branches (recursively); anything else steers the whole column to the
+# dynamic regime at compile time
 _CP_ELEM_KEYWORDS = (_STRING_KW | _NUMERIC_KW | _LIST_KW
                      | {"type", "enum", "required", "properties", "items",
-                        "minProperties", "maxProperties"})
+                        "minProperties", "maxProperties",
+                        "allOf", "anyOf", "oneOf", "not",
+                        "if", "then", "else", "conditional"})
 
 
 def _check_cp_supported(sub: CompiledSchema) -> None:
@@ -635,13 +637,21 @@ def _check_cp_supported(sub: CompiledSchema) -> None:
             continue
         if kw not in _CP_ELEM_KEYWORDS:
             raise SchemaError(
-                f"keyword {kw!r} inside 'items' is not supported in the flat "
+                f"keyword {kw!r} is not supported in the flat "
                 "column plan; use the dynamic-JSON regime")
         if kw == "properties":
             for child in sv.values():
                 _check_cp_supported(child)
         elif kw == "items":
             for s in (sv if isinstance(sv, list) else [sv]):
+                _check_cp_supported(s)
+        elif kw in ("allOf", "anyOf", "oneOf"):
+            for s in sv:
+                _check_cp_supported(s)
+        elif kw in ("not", "if", "then", "else"):
+            _check_cp_supported(sv)
+        elif kw == "conditional":
+            for s in sv.values():
                 _check_cp_supported(s)
 
 
@@ -708,12 +718,16 @@ def _emit_elem_constraints(path: str, sub: CompiledSchema, mode: Mode,
                             column=child_path),
                         param="", fn=fn))
                 continue
-            if kw == "items":
-                mask, cnt = _items_pair(p, sv, mode, registry)
+            if kw in ("then", "else"):
+                continue  # consumed together with the sibling "if"
+            special = _special_pair(p, kw, sv, mode, registry, siblings=s)
+            if special is not None:
+                mask, cnt, msg, mfn = special
+                tag = "conditional" if kw in ("if", "conditional") else kw
                 out.append(CompiledConstraint(
-                    constraint_id=f"items:{p}", column=p, tag="items",
-                    message=_MESSAGES["items"], param="", fn=mask,
-                    count_fn=cnt))
+                    constraint_id=f"{tag}:{p}", column=p, tag=tag,
+                    message=msg, param="", fn=mask, count_fn=cnt,
+                    message_fn=mfn))
                 continue
             kernel = _column_kernel(p, kw, sv, t, mode, registry)
             if kernel is None:
@@ -831,6 +845,140 @@ def _items_pair(column: str, sv, mode: Mode, registry=None
         return pa.array(count_fn(batch) == 0)
 
     return mask_fn, count_fn
+
+
+def _col_counts(ev: "_ElemEvaluator", batch: pa.Table, column: str
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row error counts against ev's sub-schema, null mask) for a
+    COLUMN value. Null cells mean the property is ABSENT, so their counts
+    are zeroed — unlike list elements, where null is a value."""
+    n = batch.num_rows
+    col = _get_col(batch, column)
+    if col is None:
+        return np.zeros(n, dtype=np.int32), np.ones(n, dtype=bool)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    cnt = ev.counts(col)
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    cnt[nulls] = 0
+    return cnt, nulls
+
+
+def _combinator_pair(column: str, kw: str, sv, mode: Mode, registry=None
+                     ) -> tuple[MaskFn, Callable[[pa.Table], np.ndarray]]:
+    """Vectorized logical combinators over one column's value
+    (`/root/reference/rules/logical_rules.go:19-304`): each branch schema
+    compiles to an element evaluator; branch validity = zero branch errors.
+    Error arithmetic matches the value engine: allOf adds one error per
+    FAILING branch, anyOf/oneOf/not add one error total."""
+    subs = [sv] if kw == "not" else list(sv)
+    evs = [_ElemEvaluator(s, mode, registry) for s in subs]
+
+    def count_fn(batch: pa.Table) -> np.ndarray:
+        n = batch.num_rows
+        oks, nulls = [], None
+        for ev in evs:
+            cnt, nulls = _col_counts(ev, batch, column)
+            oks.append(cnt == 0)
+        if kw == "allOf":
+            out = np.zeros(n, dtype=np.int32)
+            for ok in oks:
+                out += (~ok).astype(np.int32)
+        elif kw == "anyOf":
+            out = (~np.logical_or.reduce(oks)).astype(np.int32)
+        elif kw == "oneOf":
+            matches = np.zeros(n, dtype=np.int32)
+            for ok in oks:
+                matches += ok.astype(np.int32)
+            out = (matches != 1).astype(np.int32)
+        else:  # not: violation where the value SATISFIES the sub-schema
+            out = oks[0].astype(np.int32)
+        out[nulls] = 0  # absent property: combinators never evaluate
+        return out
+
+    def mask_fn(batch: pa.Table) -> pa.Array:
+        return pa.array(count_fn(batch) == 0)
+
+    return mask_fn, count_fn
+
+
+def _oneof_message_fn(column: str, kw: str, sv, mode: Mode, registry=None):
+    """Per-row oneOf wording (none-match vs more-than-one, VE parity)."""
+    if kw != "oneOf":
+        return None
+    evs = [_ElemEvaluator(s, mode, registry) for s in sv]
+
+    def fn(batch: pa.Table, rows: np.ndarray) -> list:
+        matches = np.zeros(batch.num_rows, dtype=np.int32)
+        for ev in evs:
+            cnt, _ = _col_counts(ev, batch, column)
+            matches += (cnt == 0).astype(np.int32)
+        return ["value matches more than one schema in oneOf" if matches[r] > 1
+                else "value does not match any schema in oneOf"
+                for r in rows]
+
+    return fn
+
+
+def _conditional_pair(column: str, sv: dict, mode: Mode, registry=None
+                      ) -> tuple[MaskFn, Callable[[pa.Table], np.ndarray]]:
+    """Correct if/then/else mask semantics over one column's value —
+    ``viol = (if_ok & ~then_ok) | (~if_ok & ~else_ok)`` (the reference's
+    WORKING ``conditional`` wrapper, rules/conditional_rules.go:134-245;
+    its standalone keywords are broken — SURVEY §2.1). Error counts carry
+    the selected branch's per-keyword failures, like the value engine."""
+    ev_if = _ElemEvaluator(sv["if"], mode, registry) if sv.get("if") else None
+    ev_then = (_ElemEvaluator(sv["then"], mode, registry)
+               if sv.get("then") else None)
+    ev_else = (_ElemEvaluator(sv["else"], mode, registry)
+               if sv.get("else") else None)
+
+    def count_fn(batch: pa.Table) -> np.ndarray:
+        n = batch.num_rows
+        if ev_if is None:
+            return np.zeros(n, dtype=np.int32)
+        cif, nulls = _col_counts(ev_if, batch, column)
+        if_ok = cif == 0
+        cthen = (_col_counts(ev_then, batch, column)[0] if ev_then
+                 else np.zeros(n, dtype=np.int32))
+        celse = (_col_counts(ev_else, batch, column)[0] if ev_else
+                 else np.zeros(n, dtype=np.int32))
+        out = np.where(if_ok, cthen, celse).astype(np.int32)
+        out[nulls] = 0
+        return out
+
+    def mask_fn(batch: pa.Table) -> pa.Array:
+        return pa.array(count_fn(batch) == 0)
+
+    return mask_fn, count_fn
+
+
+def _special_pair(path: str, kw: str, sv, mode: Mode, registry,
+                  siblings: CompiledSchema | None = None):
+    """(mask, count, message, message_fn) for keywords evaluated as
+    composite pairs — items, logical combinators, conditionals — or None
+    when ``kw`` is not one of them. ``if`` consumes sibling then/else;
+    bare ``then``/``else`` are consumed and emit nothing."""
+    if kw == "items":
+        mask, cnt = _items_pair(path, sv, mode, registry)
+        return mask, cnt, _MESSAGES["items"], None
+    if kw in ("allOf", "anyOf", "oneOf", "not"):
+        mask, cnt = _combinator_pair(path, kw, sv, mode, registry)
+        msg = {
+            "allOf": "failed to validate against a schema in allOf",
+            "anyOf": "value does not match any schema in anyOf",
+            "oneOf": "value does not match any schema in oneOf",
+            "not": "value must not validate against the schema in not",
+        }[kw]
+        return mask, cnt, msg, _oneof_message_fn(path, kw, sv, mode, registry)
+    if kw == "conditional" or kw == "if":
+        cond = sv if kw == "conditional" else {
+            "if": sv,
+            "then": (siblings.get("then") if siblings else None),
+            "else": (siblings.get("else") if siblings else None)}
+        mask, cnt = _conditional_pair(path, cond, mode, registry)
+        return mask, cnt, "validation failed against conditional schema", None
+    return None
 
 
 # human-readable message templates — ONE wording shared with the value
@@ -1019,12 +1167,17 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
                         message=_MESSAGES["required"].format(column=child_path),
                         param="", fn=fn))
                 continue
-            if kw == "items":
-                mask, cnt = _items_pair(path, sv, mode, registry)
+            if kw in ("then", "else"):
+                continue  # consumed together with the sibling "if"
+            special = _special_pair(path, kw, sv, mode, registry,
+                                    siblings=sub)
+            if special is not None:
+                mask, cnt, msg, mfn = special
+                tag = "conditional" if kw in ("if", "conditional") else kw
                 plan.constraints.append(CompiledConstraint(
-                    constraint_id=f"items:{path}", column=path, tag="items",
-                    message=_MESSAGES["items"], param="", fn=mask,
-                    count_fn=cnt))
+                    constraint_id=f"{tag}:{path}", column=path, tag=tag,
+                    message=msg, param="", fn=mask, count_fn=cnt,
+                    message_fn=mfn))
                 continue
             kernel = _column_kernel(path, kw, sv, col_type, mode, registry)
             if kernel is None:
@@ -1047,6 +1200,48 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
 
     for column, sub in (compiled.get("properties") or {}).items():
         emit(column, sub, cols_present.get(column))
+
+    # --- table-level dependencies (property and schema form) ---------------
+    for prop, dep in (compiled.get("dependencies") or {}).items():
+        if isinstance(dep, list):
+            # property deps: prop present ⇒ every listed column present
+            # (`/root/reference/rules/object_dependencies.go:54-70`)
+            for d in dep:
+                def dep_fn(batch: pa.Table, _p=prop, _d=d) -> pa.Array:
+                    pcol = _get_col(batch, _p)
+                    if pcol is None:
+                        return pa.array(np.ones(batch.num_rows, dtype=bool))
+                    present = pc.fill_null(pc.is_valid(pcol), False)
+                    dcol = _get_col(batch, _d)
+                    if dcol is None:
+                        return pc.invert(present)
+                    return pc.or_(pc.invert(present),
+                                  pc.fill_null(pc.is_valid(dcol), False))
+
+                plan.constraints.append(CompiledConstraint(
+                    constraint_id=f"dependencies:{prop}->{d}", column=prop,
+                    tag="dependencies",
+                    message=(f"property '{prop}' depends on '{d}', but it "
+                             "is missing"),
+                    param=d, fn=dep_fn))
+        else:
+            # schema deps: validate the PROPERTY'S VALUE against the dep
+            # schema when present (reference semantics, not whole-object —
+            # object_dependencies.go:72-92)
+            ev = _ElemEvaluator(dep, mode, registry)
+
+            def dep_cnt(batch: pa.Table, _p=prop, _ev=ev) -> np.ndarray:
+                return _col_counts(_ev, batch, _p)[0]
+
+            def dep_mask(batch: pa.Table, _f=dep_cnt) -> pa.Array:
+                return pa.array(_f(batch) == 0)
+
+            plan.constraints.append(CompiledConstraint(
+                constraint_id=f"dependencies:{prop}", column=prop,
+                tag="dependencies",
+                message=("dependency validation failed for property "
+                         f"'{prop}'"),
+                param=prop, fn=dep_mask, count_fn=dep_cnt))
 
     # --- patternProperties / additionalProperties: column-name resolution --
     pattern_props = compiled.get("patternProperties") or {}

@@ -37,6 +37,19 @@ _number_kw = st.fixed_dictionaries({}, optional={
     "enum": st.lists(st.integers(-5, 15), min_size=1, max_size=4, unique=True),
 })
 
+# guaranteed-nonempty simple branch schema (compile rejects empty not/…)
+_branch = st.fixed_dictionaries(
+    {"minimum": st.integers(-3, 6)},
+    optional={"maximum": st.integers(6, 14),
+              "multipleOf": st.sampled_from([1, 2])})
+_combo_kw = st.fixed_dictionaries({}, optional={
+    "anyOf": st.lists(_branch, min_size=1, max_size=2),
+    "oneOf": st.lists(_branch, min_size=1, max_size=2),
+    "allOf": st.lists(_branch, min_size=1, max_size=2),
+    "not": _branch,
+    "conditional": st.fixed_dictionaries({}, optional={
+        "if": _branch, "then": _branch, "else": _branch}),
+})
 _elem_kw = st.fixed_dictionaries({}, optional={
     "type": st.sampled_from(["number", "integer"]),
     "minimum": st.integers(-2, 4),
@@ -57,8 +70,8 @@ _list_kw = st.fixed_dictionaries({}, optional={
 # reproduce the engine's per-row type-error / numeric-string-coercion
 # semantics
 _schema = st.fixed_dictionaries({}, optional={
-    "s": st.one_of(_string_kw, _number_kw),
-    "n": st.one_of(_number_kw, _string_kw),
+    "s": st.one_of(_string_kw, _number_kw, _combo_kw),
+    "n": st.one_of(_number_kw, _string_kw, _combo_kw),
     "xs": _list_kw,
 })
 

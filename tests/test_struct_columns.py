@@ -167,16 +167,39 @@ def test_items_with_nested_object_elements_vectorized():
             r, expect.errors, g["violations"])
 
 
-def test_items_with_logical_elements_stays_dynamic():
+def test_items_with_combinator_elements_vectorized():
+    """Combinator element schemas (anyOf inside items) compile into the
+    flat plan (r2) with VE count parity."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"xs": {"items": {
+        "anyOf": [{"minimum": 10}, {"maximum": 0}]}}}}
+    batch = pa.table({
+        "k": pa.array([0, 1], type=pa.int64()),
+        "xs": pa.array([[15.0, -1.0], [5.0, 3.0]],
+                       type=pa.list_(pa.float64())),
+    })
+    got = BatchValidator(schema, "k")(batch).to_pylist()
+    engine = ValueEngine(Options())
+    for r, g in zip(batch.to_pylist(), got):
+        expect = engine.validate({"xs": r["xs"]}, schema)
+        assert expect.valid == g["valid"]
+        assert expect.error_count == g["error_count"], (r, expect.errors)
+
+
+def test_items_with_value_dependencies_stays_dynamic():
     """Element schemas needing per-value recursion the plan cannot express
-    (logical combinators) still raise SchemaError → dynamic-JSON regime."""
+    (value-level dependencies) still raise SchemaError → dynamic regime."""
     from jsonschema_validator_ray.errors import SchemaError
     from jsonschema_validator_ray.plan import compile_table_plan
 
     with pytest.raises(SchemaError):
         compile_table_plan(
             {"properties": {"xs": {"items": {
-                "anyOf": [{"minimum": 1}, {"maximum": 0}]}}}},
+                "dependencies": {"a": ["b"]}}}}},
             "k")
 
 
@@ -324,3 +347,97 @@ def test_map_column_properties_vectorized():
         assert expect.valid == got[r["k"]]["valid"], (r, expect.errors)
         assert expect.error_count == got[r["k"]]["error_count"], (
             r, expect.errors, got[r["k"]]["violations"])
+
+
+def test_logical_combinators_vectorized():
+    """allOf/anyOf/oneOf/not compile into the column plan as branch
+    evaluators — verdicts, error counts, and tags match the value engine."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {
+        "a": {"anyOf": [{"minimum": 10}, {"maximum": 0}]},
+        "b": {"allOf": [{"minimum": 0}, {"multipleOf": 2}]},
+        "c": {"oneOf": [{"minimum": 5}, {"multipleOf": 2}]},
+        "d": {"not": {"minimum": 100}},
+    }}
+    batch = pa.table({
+        "k": pa.array(range(4), type=pa.int64()),
+        "a": pa.array([15.0, 5.0, -1.0, None]),
+        "b": pa.array([4.0, 3.0, -2.0, None]),
+        "c": pa.array([8.0, 3.0, 20.0, None]),   # 8: both match; 3: none
+        "d": pa.array([5.0, 500.0, None, 1.0]),
+    })
+    got = BatchValidator(schema, "k")(batch).to_pylist()
+    engine = ValueEngine(Options())
+    for r, g in zip(batch.to_pylist(), got):
+        doc = {kk: vv for kk, vv in r.items() if vv is not None}
+        expect = engine.validate(doc, schema)
+        assert expect.valid == g["valid"], (r, expect.errors, g["violations"])
+        assert expect.error_count == g["error_count"], (
+            r, expect.errors, g["violations"])
+        assert {e.tag for e in expect.errors} == \
+            {v["tag"] for v in g["violations"]}, (r, expect.errors)
+    # oneOf per-row message wording matches the VE (none vs more-than-one)
+    msgs = {v["message"] for g in got for v in g["violations"]
+            if v["tag"] == "oneOf"}
+    assert "value matches more than one schema in oneOf" in msgs
+    assert "value does not match any schema in oneOf" in msgs
+
+
+def test_conditional_vectorized():
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    for spelling in ("conditional", "bare"):
+        inner = {"if": {"minimum": 10}, "then": {"multipleOf": 5},
+                 "else": {"maximum": 3}}
+        col_schema = ({"conditional": inner} if spelling == "conditional"
+                      else dict(inner))
+        schema = {"properties": {"x": col_schema}}
+        batch = pa.table({
+            "k": pa.array(range(5), type=pa.int64()),
+            "x": pa.array([15.0, 12.0, 2.0, 7.0, None]),
+            # 15: if→then ok; 12: then fails; 2: else ok; 7: else fails
+        })
+        got = BatchValidator(schema, "k")(batch).to_pylist()
+        engine = ValueEngine(Options())
+        for r, g in zip(batch.to_pylist(), got):
+            doc = {kk: vv for kk, vv in r.items() if vv is not None}
+            expect = engine.validate(doc, schema)
+            assert expect.valid == g["valid"], (spelling, r, expect.errors,
+                                                g["violations"])
+            assert expect.error_count == g["error_count"], (spelling, r)
+            assert {e.tag for e in expect.errors} == \
+                {v["tag"] for v in g["violations"]}, (spelling, r)
+
+
+def test_table_dependencies_vectorized():
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {
+        "properties": {"cc": {"type": "string"}},
+        "dependencies": {"cc": ["cvv"],
+                         "amount": {"minimum": 0, "multipleOf": 1}},
+    }
+    batch = pa.table({
+        "k": pa.array(range(4), type=pa.int64()),
+        "cc": pa.array(["4111", None, "5500", None]),
+        "cvv": pa.array(["123", None, None, "999"]),
+        "amount": pa.array([10.0, -5.5, None, 3.0]),
+    })
+    got = BatchValidator(schema, "k")(batch).to_pylist()
+    engine = ValueEngine(Options())
+    for r, g in zip(batch.to_pylist(), got):
+        doc = {kk: vv for kk, vv in r.items() if vv is not None}
+        expect = engine.validate(doc, schema)
+        assert expect.valid == g["valid"], (r, expect.errors, g["violations"])
+        assert expect.error_count == g["error_count"], (
+            r, expect.errors, g["violations"])
