@@ -553,6 +553,28 @@ def _column_kernel(column: str, kw: str, sv: Any, col_type: pa.DataType | None,
             col = _get_col(batch, column)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            vt = col.type.value_type
+            if (pa.types.is_struct(vt) or pa.types.is_list(vt)
+                    or pa.types.is_large_list(vt) or pa.types.is_map(vt)):
+                # Arrow's hash group_by can't key nested types — per-row
+                # DeepEqual fallback (rare column shape, VE parity)
+                from .value_engine import _deep_key
+
+                ok = []
+                for row in col.to_pylist():
+                    if row is None:
+                        ok.append(True)
+                        continue
+                    seen = set()
+                    dup = False
+                    for item in row:
+                        dk = _deep_key(item)
+                        if dk in seen:
+                            dup = True
+                            break
+                        seen.add(dk)
+                    ok.append(not dup)
+                return pa.array(ok, type=pa.bool_())
             lengths = pc.list_value_length(col)
             parent = pc.list_parent_indices(col)
             flat = pc.list_flatten(col)

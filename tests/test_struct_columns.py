@@ -441,3 +441,30 @@ def test_table_dependencies_vectorized():
         assert expect.valid == g["valid"], (r, expect.errors, g["violations"])
         assert expect.error_count == g["error_count"], (
             r, expect.errors, g["violations"])
+
+
+def test_unique_items_nested_element_types():
+    """uniqueItems on list<struct> / list<list> columns: Arrow group_by
+    cannot hash nested keys, so the kernel falls back to per-row DeepEqual
+    keys (value-engine parity)."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"xs": {"uniqueItems": True}}}
+    batch = pa.table({
+        "k": pa.array([0, 1, 2], type=pa.int64()),
+        "xs": pa.array([[{"a": 1}, {"a": 1}], [{"a": 1}, {"a": 2}], None],
+                       type=pa.list_(pa.struct([("a", pa.int64())]))),
+    })
+    out = {r["k"]: r["valid"]
+           for r in BatchValidator(schema, "k")(batch).to_pylist()}
+    assert out == {0: False, 1: True, 2: True}
+    batch2 = pa.table({
+        "k": pa.array([0, 1], type=pa.int64()),
+        "xs": pa.array([[[1, 2], [1, 2]], [[1], [2]]],
+                       type=pa.list_(pa.list_(pa.int64()))),
+    })
+    out2 = {r["k"]: r["valid"]
+            for r in BatchValidator(schema, "k")(batch2).to_pylist()}
+    assert out2 == {0: False, 1: True}
