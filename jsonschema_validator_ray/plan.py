@@ -650,7 +650,8 @@ _CP_ELEM_KEYWORDS = (_STRING_KW | _NUMERIC_KW | _LIST_KW
                      | {"type", "enum", "required", "properties", "items",
                         "minProperties", "maxProperties",
                         "allOf", "anyOf", "oneOf", "not",
-                        "if", "then", "else", "conditional"})
+                        "if", "then", "else", "conditional",
+                        "patternProperties", "additionalProperties"})
 
 
 def _check_cp_supported(sub: CompiledSchema) -> None:
@@ -675,6 +676,12 @@ def _check_cp_supported(sub: CompiledSchema) -> None:
         elif kw == "conditional":
             for s in sv.values():
                 _check_cp_supported(s)
+        elif kw == "patternProperties":
+            for _rx, s in sv.values():
+                _check_cp_supported(s)
+        elif kw == "additionalProperties":
+            if isinstance(sv, CompiledSchema):
+                _check_cp_supported(sv)
 
 
 def _emit_elem_constraints(path: str, sub: CompiledSchema, mode: Mode,
@@ -742,6 +749,12 @@ def _emit_elem_constraints(path: str, sub: CompiledSchema, mode: Mode,
                 continue
             if kw in ("then", "else"):
                 continue  # consumed together with the sibling "if"
+            if kw in ("patternProperties", "additionalProperties"):
+                if t is None:
+                    continue  # field absent from the struct type: never present
+                _emit_name_resolved(out, p, s, t, mode, registry, False,
+                                    emit, kw, sv)
+                continue
             special = _special_pair(p, kw, sv, mode, registry, siblings=s)
             if special is not None:
                 mask, cnt, msg, mfn = special
@@ -975,6 +988,75 @@ def _conditional_pair(column: str, sv: dict, mode: Mode, registry=None
     return mask_fn, count_fn
 
 
+def _struct_field_type(t: pa.DataType | None, name: str
+                       ) -> pa.DataType | None:
+    if t is None or not pa.types.is_struct(t):
+        return None
+    idx = t.get_field_index(name)
+    return t.field(idx).type if idx >= 0 else None
+
+
+def _emit_name_resolved(constraints: list, path: str, sub: CompiledSchema,
+                        col_type: pa.DataType | None, mode: Mode, registry,
+                        allow_unknown_fields: bool, emit_fn, kw: str,
+                        sv) -> None:
+    """Nested-path ``patternProperties`` / ``additionalProperties``: the
+    value's property names come from the STRUCT TYPE, so both resolve at
+    compile time when the Arrow type is known (the typed-table analogue of
+    the reference's per-document name dispatch,
+    `/root/reference/rules/object_patterns.go:11-180`)."""
+    if col_type is None:
+        raise SchemaError(
+            f"{kw} on nested path {path!r} needs a resolvable struct type — "
+            "pass arrow_schema (BatchValidator compiles lazily from the "
+            "first batch) or use the dynamic-JSON regime")
+    if not pa.types.is_struct(col_type):
+        if kw == "patternProperties":
+            # VE: "patternProperties can only be applied to objects"
+            constraints.append(CompiledConstraint(
+                constraint_id=f"patternProperties:{path}", column=path,
+                tag="patternProperties",
+                message="patternProperties can only be applied to objects",
+                param="", fn=_fail_present(path)))
+        # additionalProperties on a non-object value: VE returns silently
+        return
+    names = [col_type.field(i).name for i in range(col_type.num_fields)]
+
+    def suffixed(child_path: str, child: CompiledSchema,
+                 t: pa.DataType | None, suffix: str) -> None:
+        n0 = len(constraints)
+        emit_fn(child_path, child, t)
+        for c in constraints[n0:]:
+            c.constraint_id += suffix
+
+    if kw == "patternProperties":
+        for pat, (rx, child) in sv.items():
+            for name in names:
+                if rx.search(name):
+                    suffixed(f"{path}.{name}", child,
+                             _struct_field_type(col_type, name),
+                             f"#pattern={pat}")
+        return
+    if sv is True:
+        return
+    declared = set((sub.get("properties") or {}).keys())
+    pat_map = sub.get("patternProperties") or {}
+    extras = [n for n in names if n not in declared
+              and not any(rx.search(n) for rx, _c in pat_map.values())]
+    if sv is False:
+        if not allow_unknown_fields:
+            for n in extras:
+                constraints.append(CompiledConstraint(
+                    constraint_id=f"additionalProperties:{path}.{n}",
+                    column=f"{path}.{n}", tag="additionalProperties",
+                    message="unknown field", param="",
+                    fn=_fail_present(f"{path}.{n}")))
+        return
+    for n in extras:
+        suffixed(f"{path}.{n}", sv, _struct_field_type(col_type, n),
+                 "#additional")
+
+
 def _special_pair(path: str, kw: str, sv, mode: Mode, registry,
                   siblings: CompiledSchema | None = None):
     """(mask, count, message, message_fn) for keywords evaluated as
@@ -1104,13 +1186,34 @@ def _message_fn(path: str, kw: str, sv: Any):
 def plan_needs_arrow_schema(table_schema: dict | str | CompiledSchema,
                             mode: Mode = Mode.STRICT) -> bool:
     """True when the table schema carries keywords whose column-plan
-    compilation resolves COLUMN NAMES (patternProperties /
-    additionalProperties) — those require the Arrow schema; callers without
-    one compile lazily from the first batch (stages/validate.BatchValidator)."""
+    compilation resolves PROPERTY NAMES (patternProperties /
+    additionalProperties, at the top level or on nested struct paths) —
+    those require the Arrow schema; callers without one compile lazily from
+    the first batch (stages/validate.BatchValidator)."""
     compiled = (table_schema if isinstance(table_schema, CompiledSchema)
                 else compile_schema(table_schema, mode))
-    return ("patternProperties" in compiled.keywords
-            or "additionalProperties" in compiled.keywords)
+
+    def walk(sub: CompiledSchema) -> bool:
+        for kw, sv in sub.keywords.items():
+            if kw in ("patternProperties", "additionalProperties"):
+                return True
+            if kw == "properties" and any(walk(c) for c in sv.values()):
+                return True
+            if kw == "items":
+                subs = sv if isinstance(sv, list) else [sv]
+                if any(walk(s) for s in subs if isinstance(s, CompiledSchema)):
+                    return True
+            if kw in ("allOf", "anyOf", "oneOf") and \
+                    any(walk(s) for s in sv):
+                return True
+            if kw in ("not", "if", "then", "else") and \
+                    isinstance(sv, CompiledSchema) and walk(sv):
+                return True
+            if kw == "conditional" and any(walk(s) for s in sv.values()):
+                return True
+        return False
+
+    return walk(compiled)
 
 
 def compile_table_plan(table_schema: dict | str | CompiledSchema,
@@ -1164,7 +1267,15 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
                 # a null ancestor nulls the leaf, which the null-as-absent
                 # semantics already treat correctly
                 for name, child in sv.items():
-                    emit(f"{path}.{name}", child, None)
+                    emit(f"{path}.{name}", child,
+                         _struct_field_type(col_type, name))
+                continue
+            if kw in ("patternProperties", "additionalProperties"):
+                if col_type is None and arrow_schema is not None:
+                    continue  # field absent from the struct type: never present
+                _emit_name_resolved(plan.constraints, path, sub, col_type,
+                                    mode, registry, allow_unknown_fields,
+                                    emit, kw, sv)
                 continue
             if kw == "required":
                 # nested required: fails where the PARENT struct is present

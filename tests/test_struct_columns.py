@@ -468,3 +468,45 @@ def test_unique_items_nested_element_types():
     out2 = {r["k"]: r["valid"]
             for r in BatchValidator(schema, "k")(batch2).to_pylist()}
     assert out2 == {0: False, 1: True}
+
+
+def test_nested_pattern_and_additional_properties():
+    """patternProperties / additionalProperties on NESTED struct paths:
+    field names resolve from the struct TYPE at compile; VE parity."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"cfg": {
+        "properties": {"id": {"type": "integer"}},
+        "patternProperties": {"^opt_": {"minLength": 2}},
+        "additionalProperties": False,
+    }}}
+    t = pa.struct([("id", pa.int64()), ("opt_a", pa.string()),
+                   ("opt_b", pa.string()), ("stray", pa.string())])
+    rows = [
+        {"k": 0, "cfg": {"id": 1, "opt_a": "ab", "opt_b": "cd",
+                         "stray": None}},
+        {"k": 1, "cfg": {"id": 2, "opt_a": "x", "opt_b": None,
+                         "stray": "boo"}},   # opt_a short + stray unknown
+        {"k": 2, "cfg": None},
+    ]
+    batch = pa.table({
+        "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+        "cfg": pa.array([r["cfg"] for r in rows], type=t),
+    })
+    got = {g["k"]: g for g in BatchValidator(schema, "k")(batch).to_pylist()}
+    engine = ValueEngine(Options())
+    for r in rows:
+        doc = {}
+        if r["cfg"] is not None:
+            doc["cfg"] = {kk: vv for kk, vv in r["cfg"].items()
+                          if vv is not None}
+        expect = engine.validate(doc, schema)
+        g = got[r["k"]]
+        assert expect.valid == g["valid"], (r, expect.errors, g["violations"])
+        assert expect.error_count == g["error_count"], (
+            r, expect.errors, g["violations"])
+        assert {e.tag for e in expect.errors} == \
+            {v["tag"] for v in g["violations"]}, r
