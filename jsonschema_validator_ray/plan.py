@@ -651,7 +651,8 @@ _CP_ELEM_KEYWORDS = (_STRING_KW | _NUMERIC_KW | _LIST_KW
                         "minProperties", "maxProperties",
                         "allOf", "anyOf", "oneOf", "not",
                         "if", "then", "else", "conditional",
-                        "patternProperties", "additionalProperties"})
+                        "patternProperties", "additionalProperties",
+                        "dependencies"})
 
 
 def _check_cp_supported(sub: CompiledSchema) -> None:
@@ -682,6 +683,10 @@ def _check_cp_supported(sub: CompiledSchema) -> None:
         elif kw == "additionalProperties":
             if isinstance(sv, CompiledSchema):
                 _check_cp_supported(sv)
+        elif kw == "dependencies":
+            for dep in sv.values():
+                if isinstance(dep, CompiledSchema):
+                    _check_cp_supported(dep)
 
 
 def _emit_elem_constraints(path: str, sub: CompiledSchema, mode: Mode,
@@ -754,6 +759,9 @@ def _emit_elem_constraints(path: str, sub: CompiledSchema, mode: Mode,
                     continue  # field absent from the struct type: never present
                 _emit_name_resolved(out, p, s, t, mode, registry, False,
                                     emit, kw, sv)
+                continue
+            if kw == "dependencies":
+                _emit_dependencies(out, f"{p}.", t, sv, mode, registry)
                 continue
             special = _special_pair(p, kw, sv, mode, registry, siblings=s)
             if special is not None:
@@ -986,6 +994,66 @@ def _conditional_pair(column: str, sv: dict, mode: Mode, registry=None
         return pa.array(count_fn(batch) == 0)
 
     return mask_fn, count_fn
+
+
+def _emit_dependencies(constraints: list, prefix: str,
+                       col_type: pa.DataType | None, sv: dict, mode: Mode,
+                       registry) -> None:
+    """``dependencies`` kernels (both forms,
+    `/root/reference/rules/object_dependencies.go:54-92`). ``prefix`` is
+    ``""`` at table level (properties are COLUMNS) or ``"path."`` for a
+    nested object value; ``col_type`` is the nested struct type (None at
+    table level — rows are always objects)."""
+    if prefix and col_type is not None and not pa.types.is_struct(col_type):
+        # VE: "dependencies can only be applied to objects" per present cell
+        base = prefix[:-1]
+        constraints.append(CompiledConstraint(
+            constraint_id=f"dependencies:{base}", column=base,
+            tag="dependencies",
+            message="dependencies can only be applied to objects",
+            param="", fn=_fail_present(base)))
+        return
+    for prop, dep in sv.items():
+        p_path = prefix + prop
+        if isinstance(dep, list):
+            # property deps: prop present ⇒ every listed property present
+            for d in dep:
+                d_path = prefix + d
+
+                def dep_fn(batch: pa.Table, _p=p_path, _d=d_path) -> pa.Array:
+                    pcol = _get_col(batch, _p)
+                    if pcol is None:
+                        return pa.array(np.ones(batch.num_rows, dtype=bool))
+                    present = pc.fill_null(pc.is_valid(pcol), False)
+                    dcol = _get_col(batch, _d)
+                    if dcol is None:
+                        return pc.invert(present)
+                    return pc.or_(pc.invert(present),
+                                  pc.fill_null(pc.is_valid(dcol), False))
+
+                constraints.append(CompiledConstraint(
+                    constraint_id=f"dependencies:{p_path}->{d}",
+                    column=p_path, tag="dependencies",
+                    message=(f"property '{prop}' depends on '{d}', but it "
+                             "is missing"),
+                    param=d, fn=dep_fn))
+        else:
+            # schema deps: validate the PROPERTY'S VALUE against the dep
+            # schema when present (reference semantics, not whole-object)
+            ev = _ElemEvaluator(dep, mode, registry)
+
+            def dep_cnt(batch: pa.Table, _p=p_path, _ev=ev) -> np.ndarray:
+                return _col_counts(_ev, batch, _p)[0]
+
+            def dep_mask(batch: pa.Table, _f=dep_cnt) -> pa.Array:
+                return pa.array(_f(batch) == 0)
+
+            constraints.append(CompiledConstraint(
+                constraint_id=f"dependencies:{p_path}", column=p_path,
+                tag="dependencies",
+                message=("dependency validation failed for property "
+                         f"'{prop}'"),
+                param=prop, fn=dep_mask, count_fn=dep_cnt))
 
 
 def _struct_field_type(t: pa.DataType | None, name: str
@@ -1277,6 +1345,10 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
                                     mode, registry, allow_unknown_fields,
                                     emit, kw, sv)
                 continue
+            if kw == "dependencies":
+                _emit_dependencies(plan.constraints, f"{path}.", col_type,
+                                   sv, mode, registry)
+                continue
             if kw == "required":
                 # nested required: fails where the PARENT struct is present
                 # but the child field is null
@@ -1335,46 +1407,9 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
         emit(column, sub, cols_present.get(column))
 
     # --- table-level dependencies (property and schema form) ---------------
-    for prop, dep in (compiled.get("dependencies") or {}).items():
-        if isinstance(dep, list):
-            # property deps: prop present ⇒ every listed column present
-            # (`/root/reference/rules/object_dependencies.go:54-70`)
-            for d in dep:
-                def dep_fn(batch: pa.Table, _p=prop, _d=d) -> pa.Array:
-                    pcol = _get_col(batch, _p)
-                    if pcol is None:
-                        return pa.array(np.ones(batch.num_rows, dtype=bool))
-                    present = pc.fill_null(pc.is_valid(pcol), False)
-                    dcol = _get_col(batch, _d)
-                    if dcol is None:
-                        return pc.invert(present)
-                    return pc.or_(pc.invert(present),
-                                  pc.fill_null(pc.is_valid(dcol), False))
-
-                plan.constraints.append(CompiledConstraint(
-                    constraint_id=f"dependencies:{prop}->{d}", column=prop,
-                    tag="dependencies",
-                    message=(f"property '{prop}' depends on '{d}', but it "
-                             "is missing"),
-                    param=d, fn=dep_fn))
-        else:
-            # schema deps: validate the PROPERTY'S VALUE against the dep
-            # schema when present (reference semantics, not whole-object —
-            # object_dependencies.go:72-92)
-            ev = _ElemEvaluator(dep, mode, registry)
-
-            def dep_cnt(batch: pa.Table, _p=prop, _ev=ev) -> np.ndarray:
-                return _col_counts(_ev, batch, _p)[0]
-
-            def dep_mask(batch: pa.Table, _f=dep_cnt) -> pa.Array:
-                return pa.array(_f(batch) == 0)
-
-            plan.constraints.append(CompiledConstraint(
-                constraint_id=f"dependencies:{prop}", column=prop,
-                tag="dependencies",
-                message=("dependency validation failed for property "
-                         f"'{prop}'"),
-                param=prop, fn=dep_mask, count_fn=dep_cnt))
+    if compiled.get("dependencies"):
+        _emit_dependencies(plan.constraints, "", None,
+                           compiled.get("dependencies"), mode, registry)
 
     # --- patternProperties / additionalProperties: column-name resolution --
     pattern_props = compiled.get("patternProperties") or {}

@@ -190,17 +190,17 @@ def test_items_with_combinator_elements_vectorized():
         assert expect.error_count == g["error_count"], (r, expect.errors)
 
 
-def test_items_with_value_dependencies_stays_dynamic():
-    """Element schemas needing per-value recursion the plan cannot express
-    (value-level dependencies) still raise SchemaError → dynamic regime."""
-    from jsonschema_validator_ray.errors import SchemaError
+def test_items_with_unknown_keyword_stays_dynamic():
+    """Element schemas with keywords the plan cannot express (loose-mode
+    custom keywords) still raise SchemaError → dynamic regime."""
+    from jsonschema_validator_ray.errors import Mode, SchemaError
     from jsonschema_validator_ray.plan import compile_table_plan
 
     with pytest.raises(SchemaError):
         compile_table_plan(
             {"properties": {"xs": {"items": {
-                "dependencies": {"a": ["b"]}}}}},
-            "k")
+                "x-custom-check": 1, "minimum": 0}}}},
+            "k", mode=Mode.LOOSE)
 
 
 def test_table_pattern_and_additional_properties():
@@ -510,3 +510,40 @@ def test_nested_pattern_and_additional_properties():
             r, expect.errors, g["violations"])
         assert {e.tag for e in expect.errors} == \
             {v["tag"] for v in g["violations"]}, r
+
+
+def test_nested_dependencies_vectorized():
+    """dependencies inside a property schema apply to the struct value:
+    presence implications + value-schema deps via dotted kernels."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"pay": {
+        "dependencies": {"cc": ["cvv"], "amount": {"minimum": 0}},
+    }}}
+    t = pa.struct([("cc", pa.string()), ("cvv", pa.string()),
+                   ("amount", pa.float64())])
+    rows = [
+        {"k": 0, "pay": {"cc": "41", "cvv": "123", "amount": 5.0}},
+        {"k": 1, "pay": {"cc": "55", "cvv": None, "amount": -1.0}},
+        {"k": 2, "pay": {"cc": None, "cvv": None, "amount": None}},
+        {"k": 3, "pay": None},
+    ]
+    batch = pa.table({
+        "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+        "pay": pa.array([r["pay"] for r in rows], type=t),
+    })
+    got = {g["k"]: g for g in BatchValidator(schema, "k")(batch).to_pylist()}
+    engine = ValueEngine(Options())
+    for r in rows:
+        doc = {}
+        if r["pay"] is not None:
+            doc["pay"] = {kk: vv for kk, vv in r["pay"].items()
+                          if vv is not None}
+        expect = engine.validate(doc, schema)
+        g = got[r["k"]]
+        assert expect.valid == g["valid"], (r, expect.errors, g["violations"])
+        assert expect.error_count == g["error_count"], (
+            r, expect.errors, g["violations"])
