@@ -27,10 +27,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from jsonschema_validator_ray.pipelines import analytics, checks, corpus, curation
+    from jsonschema_validator_ray.pipelines import (analytics, checks, corpus,
+                                                    curation, prep)
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
+        "prep_documents": prep.prep_documents,
         "verdict_documents": docs.documents_verdicts,
         "violations_documents": docs.documents_violations,
         "dup_orders_custkey": checks.dup_orders_custkey,

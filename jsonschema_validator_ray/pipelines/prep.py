@@ -1,0 +1,87 @@
+"""End-to-end LLM training-data preparation — the engine's pieces composed
+the way a 100-TB corpus job would run them:
+
+    read → validate (verdicts gate) → quality gates → exact dedup →
+    MinHash near-dup clusters → canonical-doc resolution → token counting →
+    sequence packing → (write partitioned parquet via sinks/resumable)
+
+Every stage is a streaming Ray Data transform; the only all-to-all
+exchanges carry (key, hash/token) pairs or candidate-sized tables — the
+text crosses exactly one shuffle (exact dedup's content-bucket groupby).
+Deterministic end to end: same corpus → same survivors → same packs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.text import token_count_batch
+from ..stages.components import connected_components, dedup_by_components
+from ..stages.dedup import dedup_exact, minhash_near_duplicates
+from ..stages.packing import pack_sequences
+
+# quality gates (kept deliberately simple; curation.py carries the
+# SQL-oracled variant)
+MIN_TOKENS = 10
+MAX_TOKENS = 5000
+
+
+def prepare_training_data(ds, *, key: str = "doc_id", text: str = "text",
+                          pack_budget: int = 512,
+                          near_dup_threshold: float = 0.7,
+                          batch_size: int = 4096):
+    """→ (packed Dataset ``(doc_id, n_tokens, pack_id, oversize)``,
+    stats dict). The full prep chain over a ``(key, text)`` corpus."""
+    stats: dict[str, int] = {"n_input": ds.count()}
+
+    def gate(b: pa.Table) -> pa.Table:
+        toks = token_count_batch(b, text)
+        keep = pc.and_(pc.greater_equal(toks, MIN_TOKENS),
+                       pc.less_equal(toks, MAX_TOKENS))
+        return b.filter(pc.fill_null(keep, False))
+
+    gated = ds.map_batches(gate, batch_format="pyarrow",
+                           batch_size=batch_size)
+
+    deduped = dedup_exact(gated, key, text, batch_size=batch_size)
+    deduped = deduped.materialize()   # reused by pair-gen AND final filter
+    stats["n_after_exact"] = deduped.count()
+
+    pairs = minhash_near_duplicates(deduped, key, text,
+                                    threshold=near_dup_threshold,
+                                    batch_size=batch_size)
+    comps = connected_components(pairs)
+    canonical = dedup_by_components(deduped, key, comps)
+
+    def tok(b: pa.Table) -> pa.Table:
+        return pa.table({key: b.column(key),
+                         "n_tokens": pc.cast(token_count_batch(b, text),
+                                             pa.int64())})
+
+    with_tokens = canonical.map_batches(tok, batch_format="pyarrow",
+                                        batch_size=batch_size)
+    packed = pack_sequences(with_tokens, key, "n_tokens", pack_budget)
+    return packed, stats
+
+
+def prep_documents(sf_dir: str):
+    """Driver query: one summary row of the full prep chain over the
+    documents table (rows-only — the chain is deterministic; per-stage
+    invariants are pinned by tests/test_prep.py)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    packed, stats = prepare_training_data(docs, pack_budget=512)
+    pdf = packed.to_pandas()
+    n_packs = pdf["pack_id"].nunique() if "pack_id" in pdf.columns else 0
+    return pd.DataFrame([{
+        "check": "training_data_prep",
+        "n_input": stats["n_input"],
+        "n_after_exact": stats["n_after_exact"],
+        "n_final_docs": len(pdf),
+        "n_packs": int(n_packs),
+        "total_tokens": int(pdf["n_tokens"].sum()) if len(pdf) else 0,
+    }])
