@@ -108,8 +108,29 @@ def bucketed_join(left, right, on: str, *, right_on: str | None = None,
                                                batch_format="pandas")
 
 
+def _bucketize(ds, key: str, num_buckets: int):
+    def fn(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column(key).to_pandas(), index=False).to_numpy()
+        return b.append_column("__kb", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int32)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _align_time_dtypes(lp: pd.DataFrame, rp: pd.DataFrame, ts: str,
+                       cols: list[str]) -> pd.DataFrame:
+    """merge_asof refuses mixed datetime units (us parquet vs ns
+    pandas-derived timestamps) — align the right side to the left's unit."""
+    if rp[cols[0]].dtype != lp[ts].dtype and \
+            pd.api.types.is_datetime64_any_dtype(lp[ts]):
+        rp = rp.assign(**{c: rp[c].astype(lp[ts].dtype) for c in cols})
+    return rp
+
+
 def range_join(left, right, key: str, ts: str, *, start: str, end: str,
-               inclusive_end: bool = True, how: str = "inner"):
+               inclusive_end: bool = True, how: str = "inner",
+               num_buckets: int = 32):
     """Interval containment join: for each left row, attach the right row
     whose ``[start, end]`` (or ``[start, end)``) interval contains
     ``left[ts]`` and shares ``key``.
@@ -117,71 +138,95 @@ def range_join(left, right, key: str, ts: str, *, start: str, end: str,
     Partitioning assumption (documented per SURVEY custom-operator rule):
     intervals per key are NON-OVERLAPPING (session windows, calendar
     buckets, validity ranges) — the match is the latest interval starting at
-    or before ``ts``, found with ``pd.merge_asof`` inside the per-key group,
-    then bounded by ``end``. Both sides hash-exchange on ``key``; one key's
-    rows must fit one group task. ``how='left_outer'`` keeps unmatched left
-    rows with null interval columns."""
+    or before ``ts``, bounded by ``end``. Both sides hash-exchange on
+    ``key`` into ``num_buckets`` Ray groups; within each group ONE
+    ``pd.merge_asof(by=key)`` handles every key at C speed (one Python call
+    per BUCKET, not per key — r2). ``how='left_outer'`` keeps unmatched
+    left rows with null interval columns."""
     assert start != ts and end != ts, "rename interval columns first"
     both, l_cols, r_cols = _pad_union(left, right, [key])
     r_val = [c for c in r_cols if c != key]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g.loc[g["__side"] == "l", l_cols]
         rpart = g.loc[g["__side"] == "r", [key] + r_val]
         if lpart.empty:
             return lpart
-        lpart = lpart.sort_values(ts, kind="mergesort")
-        if rpart.empty:
+        null_ts = lpart[ts].isna()
+        lp = lpart[~null_ts].sort_values(ts, kind="mergesort")
+        if rpart.empty or lp.empty:
             if how == "inner":
                 return lpart.iloc[0:0].assign(**{c: None for c in r_val})
             out = lpart.copy()
             for c in r_val:
                 out[c] = None
             return out
-        rpart = rpart.sort_values(start, kind="mergesort")
-        if rpart[start].dtype != lpart[ts].dtype and \
-                pd.api.types.is_datetime64_any_dtype(lpart[ts]):
-            # merge_asof refuses mixed datetime units (us parquet vs ns
-            # pandas-derived intervals) — align to the left side's unit
-            rpart = rpart.assign(**{
-                start: rpart[start].astype(lpart[ts].dtype),
-                end: rpart[end].astype(lpart[ts].dtype)})
-        m = pd.merge_asof(lpart, rpart.drop(columns=[key]),
-                          left_on=ts, right_on=start, direction="backward")
+        rp = rpart[rpart[start].notna()].sort_values(start, kind="mergesort")
+        if rp.empty:
+            if how == "inner":
+                return lpart.iloc[0:0].assign(**{c: None for c in r_val})
+            out = lpart.copy()
+            for c in r_val:
+                out[c] = None
+            return out
+        rp = _align_time_dtypes(lp, rp, ts, [start, end])
+        m = pd.merge_asof(lp, rp, left_on=ts, right_on=start, by=key,
+                          direction="backward")
         bound = (m[ts] <= m[end]) if inclusive_end else (m[ts] < m[end])
         inside = m[end].notna() & bound
         if how == "inner":
             return m[inside]
         m.loc[~inside, r_val] = None
+        if null_ts.any():
+            extra = lpart[null_ts].copy()
+            for c in r_val:
+                extra[c] = None
+            m = pd.concat([m, extra], ignore_index=True)
         return m
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _bucketize(both, key, num_buckets).groupby("__kb").map_groups(
+        per_bucket, batch_format="pandas")
 
 
 def asof_join(left, right, key: str, ts: str, *, right_ts: str,
-              direction: str = "backward"):
+              direction: str = "backward", num_buckets: int = 32):
     """For each left row, attach the most recent right row with
     ``right_ts <= ts`` (direction='backward'; 'forward' symmetric) and the
     same key. ``right_ts`` must differ from ``ts``; the only column shared
-    between the two sides must be ``key``."""
+    between the two sides must be ``key``. Hash-bucketed like
+    :func:`range_join`: one ``merge_asof(by=key)`` per bucket group."""
     assert right_ts != ts, "rename the right timestamp column first"
     both, l_cols, r_cols = _pad_union(left, right, [key])
     r_val_cols = [c for c in r_cols if c != key]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g.loc[g["__side"] == "l", l_cols]
         rpart = g.loc[g["__side"] == "r", [key] + r_val_cols]
         if lpart.empty:
             return lpart
-        lpart = lpart.sort_values(ts, kind="mergesort")
-        if rpart.empty:
+        null_ts = lpart[ts].isna()
+        lp = lpart[~null_ts].sort_values(ts, kind="mergesort")
+        if rpart.empty or lp.empty:
             out = lpart.copy()
             for c in r_val_cols:
                 out[c] = None
             return out
-        rpart = rpart.sort_values(right_ts, kind="mergesort")
-        return pd.merge_asof(lpart, rpart.drop(columns=[key]),
-                             left_on=ts, right_on=right_ts,
-                             direction=direction)
+        rp = rpart[rpart[right_ts].notna()].sort_values(right_ts,
+                                                        kind="mergesort")
+        if rp.empty:
+            out = lpart.copy()
+            for c in r_val_cols:
+                out[c] = None
+            return out
+        rp = _align_time_dtypes(lp, rp, ts, [right_ts])
+        m = pd.merge_asof(lp, rp, left_on=ts, right_on=right_ts, by=key,
+                          direction=direction)
+        if null_ts.any():
+            extra = lpart[null_ts].copy()
+            for c in r_val_cols:
+                extra[c] = None
+            m = pd.concat([m, extra], ignore_index=True)
+        return m
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _bucketize(both, key, num_buckets).groupby("__kb").map_groups(
+        per_bucket, batch_format="pandas")

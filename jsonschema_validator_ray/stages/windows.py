@@ -2,8 +2,11 @@
 
 Ray Data is a (streaming-executed) batch engine with no watermarks; the
 stream-shaped semantics come from treating the input as a partitioned log
-(ray_guide "Streaming-shaped workloads"): partition by key, sort by ts
-WITHIN each group, window inside ``groupby(key).map_groups`` with pandas.
+(ray_guide "Streaming-shaped workloads"): hash-partition by key into
+``num_buckets`` Ray groups, then window EVERY key inside the bucket with
+one vectorized pandas pass (r2 — a Ray group per KEY pays one Python task
+per key: measured 27 s for 20k keys vs 0.14 s for 32 buckets on the same
+200k rows).
 
 - **tumbling**: fixed bins — expressible as a plain groupby on the bin (see
   ``pipelines/corpus.events_hourly`` for the partial-aggregated fast path);
@@ -13,9 +16,9 @@ WITHIN each group, window inside ``groupby(key).map_groups`` with pandas.
 - **session**: gap-based — a new session starts when the time since the
   previous event of the same key exceeds ``gap``.
 
-Ordering assumption: ONLY within-group order matters, and each group is
-sorted in-task; input blocks may arrive in any order. Skewed keys make
-skewed groups — salt hot keys upstream if one key dominates.
+Ordering assumption: ONLY within-key order matters, and each bucket sorts
+in-task; input blocks may arrive in any order. Skewed keys make skewed
+buckets — salt hot keys upstream if one key dominates.
 """
 
 from __future__ import annotations
@@ -24,75 +27,102 @@ import numpy as np
 import pandas as pd
 
 
+def _bucket_groups(ds, key: str, num_buckets: int):
+    from .joins import _bucketize
+
+    return _bucketize(ds, key, num_buckets).groupby("__kb")
+
+
 def tumbling(ds, key: str, ts: str, size_s: int,
-             value: str | None = None):
+             value: str | None = None, num_buckets: int = 32):
     """→ (key, window_start, n_events[, value_sum]) per fixed window."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        bins = g[ts].astype("datetime64[us]").astype("int64") // (size_s * 1_000_000)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [key, "window_start", "n_events"] + (
+            ["value_sum"] if value else [])
+        if g.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="float64" if value
+                                              and c == "value_sum" else
+                                              object) for c in cols})
+        bins = g[ts].astype("datetime64[us]").astype("int64") \
+            // (size_s * 1_000_000)
         g = g.assign(_one=1, _bin=bins)
-        out = g.groupby("_bin").agg(
+        out = g.groupby([key, "_bin"], sort=False, dropna=False).agg(
             n_events=("_one", "sum"),
-            **({"value_sum": (value, "sum")} if value else {}))
-        out = out.reset_index()
+            **({"value_sum": (value, "sum")} if value else {})).reset_index()
         out["window_start"] = pd.to_datetime(out["_bin"] * size_s, unit="s")
-        out[key] = g[key].iloc[0]
-        cols = [key, "window_start", "n_events"] + (["value_sum"] if value else [])
         return out[cols]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _bucket_groups(ds, key, num_buckets).map_groups(
+        per_bucket, batch_format="pandas")
 
 
 def sliding(ds, key: str, ts: str, size_s: int, step_s: int,
-            value: str | None = None):
+            value: str | None = None, num_buckets: int = 32):
     """→ (key, window_start, n_events[, value_sum]) for windows of ``size_s``
     starting every ``step_s``. Each event replicates into the ≤ size/step
-    windows containing it (vectorized per group)."""
+    windows containing it (vectorized per bucket)."""
     assert size_s % step_s == 0, "size must be a multiple of step"
     k = size_s // step_s
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [key, "window_start", "n_events"] + (
+            ["value_sum"] if value else [])
+        if g.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in cols})
         t_us = g[ts].astype("datetime64[us]").astype("int64").to_numpy()
         step_us = step_s * 1_000_000
-        last_start = t_us // step_us  # last window (by start step) containing t
-        starts = (last_start[:, None] - np.arange(k)[None, :])  # (n, k)
-        starts = starts.reshape(-1)
-        vals = (np.repeat(g[value].to_numpy(), k) if value else None)
-        df = pd.DataFrame({"_start": starts})
-        df["_one"] = 1
+        last_start = t_us // step_us  # last window (by start step) with t
+        starts = (last_start[:, None] - np.arange(k)[None, :]).reshape(-1)
+        df = pd.DataFrame({key: np.repeat(g[key].to_numpy(), k),
+                           "_start": starts, "_one": 1})
         if value:
-            df["_v"] = vals
-        out = df.groupby("_start").agg(
+            df["_v"] = np.repeat(g[value].to_numpy(), k)
+        out = df.groupby([key, "_start"], sort=False, dropna=False).agg(
             n_events=("_one", "sum"),
-            **({"value_sum": ("_v", "sum")} if value else {}))
-        out = out.reset_index()
-        out["window_start"] = pd.to_datetime(out["_start"] * step_s, unit="s")
-        out[key] = g[key].iloc[0]
-        cols = [key, "window_start", "n_events"] + (["value_sum"] if value else [])
+            **({"value_sum": ("_v", "sum")} if value else {})).reset_index()
+        out["window_start"] = pd.to_datetime(out["_start"] * step_s,
+                                             unit="s")
         return out[cols]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _bucket_groups(ds, key, num_buckets).map_groups(
+        per_bucket, batch_format="pandas")
 
 
-def sessionize(ds, key: str, ts: str, gap_s: int):
-    """→ (key, session_start, session_end, n_events) — gap-based sessions."""
+def sessionize(ds, key: str, ts: str, gap_s: int, num_buckets: int = 32):
+    """→ (key, session_start, session_end, n_events) — gap-based sessions,
+    every key of a bucket sessionized in one vectorized pass (sort by
+    (key, ts), session breaks at key changes or gap exceedance, cumsum
+    session ids, one C-path groupby)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                key: pd.Series([], dtype=g[key].dtype),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64")})
+        g = g.sort_values([key, ts], kind="mergesort")
         t = g[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        kv = g[key].to_numpy()
         gap_us = gap_s * 1_000_000
-        new_session = np.ones(len(t), dtype=bool)
-        if len(t) > 1:
-            new_session[1:] = (t[1:] - t[:-1]) > gap_us
+        n = len(t)
+        new_session = np.ones(n, dtype=bool)
+        if n > 1:
+            same_key = kv[1:] == kv[:-1]
+            new_session[1:] = (~same_key) | ((t[1:] - t[:-1]) > gap_us)
         sid = np.cumsum(new_session)
-        df = pd.DataFrame({"_sid": sid, "_t": t})
-        out = df.groupby("_sid").agg(start=("_t", "min"), end=("_t", "max"),
-                                     n_events=("_t", "size")).reset_index(drop=True)
+        df = pd.DataFrame({"_sid": sid, "_t": t, "_k": kv})
+        out = df.groupby("_sid", sort=False).agg(
+            _k=("_k", "first"), start=("_t", "min"), end=("_t", "max"),
+            n_events=("_t", "size")).reset_index(drop=True)
         return pd.DataFrame({
-            key: g[key].iloc[0],
+            key: out["_k"],
             "session_start": pd.to_datetime(out["start"], unit="us"),
             "session_end": pd.to_datetime(out["end"], unit="us"),
             "n_events": out["n_events"].astype("int64"),
         })
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _bucket_groups(ds, key, num_buckets).map_groups(
+        per_bucket, batch_format="pandas")
