@@ -53,10 +53,13 @@ def _sorted_group_head(t: pa.Table, group: str, sort_keys: list, k: int
 
 
 def grouped_first_k(ds, group: str, order: str, k: int, *,
-                    batch_size: int = 32768):
+                    batch_size: int = 32768, num_buckets: int = 32):
     """→ Dataset of the first ``k`` rows per ``group``, ordered by
     ``order`` ascending (ties keep all sort-stable duplicates of the order
-    value ordering — use a unique order column for determinism)."""
+    value ordering — use a unique order column for determinism). Per-batch
+    partial heads, then hash-bucketed final heads — one Ray group per
+    BUCKET, every group of a bucket finalized in one C-path pandas pass
+    (a Ray group per distinct group value pays one Python task each)."""
     keys = [(group, "ascending"), (order, "ascending")]
 
     def partial(b: pa.Table) -> pa.Table:
@@ -65,10 +68,15 @@ def grouped_first_k(ds, group: str, order: str, k: int, *,
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=batch_size)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order, kind="mergesort").head(k)
+    from .joins import _bucketize
 
-    return partials.groupby(group).map_groups(final, batch_format="pandas")
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__kb"])
+        return g.sort_values([group, order], kind="mergesort") \
+                .groupby(group, sort=False, dropna=False).head(k)
+
+    return _bucketize(partials, group, num_buckets).groupby("__kb") \
+        .map_groups(final, batch_format="pandas")
 
 
 def lcg_fraction_sample(ds, key: str, pct: int, *, batch_size: int = 32768):
