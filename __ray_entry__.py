@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": corpus.langid_documents,
         "fingerprint_documents": corpus.fingerprint_documents,
         "minhash_pairs_documents": corpus.minhash_pairs_documents,
+        "decontam_documents": corpus.decontam_documents,
         "sample_documents_by_lang": corpus.sample_documents_by_lang,
         "sample_documents_pct": corpus.sample_documents_pct,
         "pack_documents": corpus.pack_documents,

@@ -221,6 +221,36 @@ def fingerprint_documents(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def decontam_documents(sf_dir: str):
+    """Benchmark decontamination over the documents table: a synthetic
+    eval set (near-copies of the first 25 docs under offset ids) is removed
+    from the corpus via cross-side MinHash matching (stages/dedup.
+    decontaminate). Rows-only one-row summary — deterministic."""
+    from ..stages.dedup import decontaminate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def as_bench(b: pa.Table) -> pa.Table:
+        keep = pc.less(b.column("doc_id"), 25)
+        sub = b.filter(pc.fill_null(keep, False))
+        return pa.table({
+            "doc_id": pc.add(sub.column("doc_id"), 10_000_000),
+            "text": sub.column("text"),
+        })
+
+    bench = docs.map_batches(as_bench, batch_format="pyarrow")
+    clean, matched = decontaminate(docs, bench, "doc_id", "text",
+                                   threshold=0.7)
+    return pd.DataFrame([{
+        "check": "decontaminate",
+        "n_train": docs.count(),
+        "n_matched_train_docs": int(matched.to_pandas()["key_a"].nunique())
+        if matched.count() else 0,
+        "n_clean": clean.count(),
+    }])
+
+
 def minhash_pairs_documents(sf_dir: str):
     """One-row summary of MinHash-LSH near-dup pairs at Jaccard ≥ 0.7
     (rows-only; the corpus has no planted near-dups, so the expected count is

@@ -392,8 +392,17 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
                           num_buckets=num_buckets).materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(_empty_pairs(key_type))
+    return _verify_pairs(pairs, sigs, key, key_type, n_perm, threshold,
+                         num_buckets)
 
-    # --- verify phase: pairs ⋈ sigs (distributed) --------------------------
+
+def _verify_pairs(pairs, sigs, key: str, key_type: pa.DataType,
+                  n_perm: int, threshold: float, num_buckets: int):
+    """Distributed verify: candidate ``(key_a, key_b, truncated, __pb)``
+    pairs bucket-joined against the ``(key, sig)`` dataset (two probe rows
+    per pair), re-united per pair bucket, Jaccard-estimated with one
+    vectorized ``(A == B).mean`` per bucket, filtered at ``threshold``."""
+
     def to_probes(b: pa.Table) -> pa.Table:
         def cat(col):
             c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -459,6 +468,134 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
         })
 
     return out.map_batches(norm, batch_format="pyarrow")
+
+
+def decontaminate(train, bench, key: str, text: str, *,
+                  threshold: float = 0.8,
+                  n_perm: int = 128, bands: int = 32, seed: int = 42,
+                  batch_size: int = 1024, bucket_cap: int = 200,
+                  num_buckets: int = 16,
+                  strategy: str = "auto",
+                  broadcast_limit: int = 5_000_000):
+    """Benchmark decontamination: drop TRAIN docs whose text is a
+    near-duplicate (MinHash-estimated Jaccard ≥ threshold) of ANY bench
+    doc — the standard eval-set-overlap removal step of LLM data prep.
+
+    Same distributed shape as :func:`minhash_near_duplicates`, with the
+    banding phase generating CROSS-SIDE candidates only (train × bench
+    within a band bucket; within-side duplicates are not this operator's
+    job). The bench corpus is usually tiny next to the train corpus, so
+    the pair space stays small even for generous thresholds. ``key``
+    values must be disjoint across the two inputs (the verify join
+    resolves signatures by key). Returns ``(clean_train, matched_pairs)``
+    where matched pairs are ``(key_a=train key, key_b=bench key,
+    jaccard_est, truncated)``.
+
+    ``strategy``: 'broadcast' filters matched train keys via one gathered
+    key set (right whenever matches ≪ corpus), 'join' uses a bucketed
+    anti-join, 'auto' picks by match count against ``broadcast_limit``."""
+    import ray.data
+
+    lsh = MinHashLSH(n_perm=n_perm, bands=bands, seed=seed)
+    sigs_t = minhash_signatures(train, key, text, n_perm=n_perm, seed=seed,
+                                batch_size=batch_size).materialize()
+    sigs_b = minhash_signatures(bench, key, text, n_perm=n_perm, seed=seed,
+                                batch_size=batch_size).materialize()
+    key_type = dict(zip(sigs_t.schema().names, sigs_t.schema().types))[key]
+
+    def explode(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            if n == 0:
+                return pa.table({
+                    "band": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.uint64()),
+                    key: pa.array([], type=key_type),
+                    "side": pa.array([], type=pa.int8())})
+            mat = _sig_matrix(b.column("sig").to_pylist(), n_perm)
+            bh = lsh.band_hashes_matrix(mat)
+            rep = pa.array(np.repeat(np.arange(n), lsh.bands))
+            return pa.table({
+                "band": pa.array(np.tile(
+                    np.arange(lsh.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                key: b.column(key).take(rep),
+                "side": pa.array(np.full(n * lsh.bands, side, np.int8)),
+            })
+        return fn
+
+    exploded = sigs_t.map_batches(explode(0), batch_format="pyarrow") \
+        .union(sigs_b.map_batches(explode(1), batch_format="pyarrow"))
+
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, bucket in g.groupby("band_hash", sort=False):
+            tk = bucket.loc[bucket["side"] == 0, key].drop_duplicates()
+            bk = bucket.loc[bucket["side"] == 1, key].drop_duplicates()
+            if tk.empty or bk.empty:
+                continue
+            dropped = max(len(tk) - bucket_cap, 0) + max(len(bk) - bucket_cap, 0)
+            if dropped > 0:
+                _LOG.warning("decontaminate band bucket overflow: dropped "
+                             "%d members (cap %d/side)", dropped, bucket_cap)
+                tk, bk = tk.head(bucket_cap), bk.head(bucket_cap)
+            ta, ba = tk.to_numpy(), bk.to_numpy()
+            ii, jj = np.meshgrid(np.arange(ta.size), np.arange(ba.size),
+                                 indexing="ij")
+            out.append(pd.DataFrame({
+                "key_a": ta[ii.ravel()], "key_b": ba[jj.ravel()],
+                "truncated": np.full(ii.size, 1 if dropped else 0,
+                                     dtype=np.int32)}))
+        if not out:
+            return pd.DataFrame({"key_a": pd.Series([], dtype=object),
+                                 "key_b": pd.Series([], dtype=object),
+                                 "truncated": pd.Series([], dtype=np.int32)})
+        return pd.concat(out, ignore_index=True)
+
+    cand = exploded.groupby("band").map_groups(
+        pairs_in_band, batch_format="pandas")
+    pairs = _dedupe_pairs(cand, {"truncated": "max"},
+                          num_buckets=num_buckets).materialize()
+    if pairs.count() == 0:
+        return train, ray.data.from_arrow(_empty_pairs(key_type))
+
+    matched = _verify_pairs(pairs, sigs_t.union(sigs_b), key, key_type,
+                            n_perm, threshold, num_buckets).materialize()
+    n_matched = matched.count()
+    if n_matched == 0:
+        return train, matched
+    if strategy == "auto":
+        strategy = "broadcast" if n_matched <= broadcast_limit else "join"
+
+    if strategy == "broadcast":
+        drop = set(r["key_a"] for r in
+                   matched.select_columns(["key_a"]).take_all())
+        drop_arr = pa.array(list(drop), type=key_type)
+
+        def keep(b: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(b.column(key), value_set=drop_arr))
+            return b.filter(pc.fill_null(mask, True))
+
+        return train.map_batches(keep, batch_format="pyarrow"), matched
+
+    from .joins import bucketed_join
+
+    def drop_rows(b: pa.Table) -> pa.Table:
+        ka = b.column("key_a")
+        return pa.table({key: ka, "__drop": pa.array(
+            np.ones(b.num_rows, dtype=np.int8))})
+
+    drop_ds = matched.select_columns(["key_a"]).map_batches(
+        drop_rows, batch_format="pyarrow")
+    joined = bucketed_join(train, drop_ds, on=key, join_type="left_outer",
+                           num_buckets=32)
+
+    def keep_unmatched(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column("__drop"))) \
+                .drop_columns(["__drop"])
+
+    return joined.map_batches(keep_unmatched,
+                              batch_format="pyarrow"), matched
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,50 @@ def test_langid_script_detection():
     assert langid("นี่คือข้อความภาษาไทย") == "th"
     # Latin still goes through stopword profiles
     assert langid("the cat and the dog is in the house of that man") == "en"
+
+
+def test_decontaminate(ray_session):
+    """Eval-set decontamination: train docs near-duplicate to ANY bench doc
+    are dropped; within-train duplicates are untouched."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.dedup import decontaminate
+
+    train_rows = [{"doc_id": i, "text": f"training document number {i} " * 8}
+                  for i in range(40)]
+    # two train docs share text (within-train duplicate — must survive)
+    train_rows.append({"doc_id": 500, "text": train_rows[0]["text"]})
+    train = ray.data.from_items(train_rows)
+    # bench: near-copies of train docs 3 and 7, plus an unrelated doc
+    bench = ray.data.from_items([
+        {"doc_id": 9001, "text": train_rows[3]["text"] + " tail"},
+        {"doc_id": 9002, "text": train_rows[7]["text"]},
+        {"doc_id": 9003, "text": "completely different benchmark prompt " * 6},
+    ])
+    for strategy in ("broadcast", "join"):
+        clean, matched = decontaminate(train, bench, "doc_id", "text",
+                                       threshold=0.5, batch_size=8,
+                                       strategy=strategy)
+        ids = {r["doc_id"] for r in
+               clean.select_columns(["doc_id"]).take_all()}
+        assert 3 not in ids and 7 not in ids, strategy
+        assert 0 in ids and 500 in ids and len(ids) == 39, (strategy, ids)
+        mp = matched.to_pandas()
+        assert set(mp["key_a"]) == {3, 7}
+        assert set(mp["key_b"]) <= {9001, 9002}
+
+
+def test_decontaminate_no_overlap(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.dedup import decontaminate
+
+    train = ray.data.from_items(
+        [{"doc_id": i, "text": f"unique training text {i} " * 6}
+         for i in range(10)])
+    bench = ray.data.from_items(
+        [{"doc_id": 900, "text": "benchmark only content here " * 6}])
+    clean, matched = decontaminate(train, bench, "doc_id", "text",
+                                   threshold=0.5, batch_size=4)
+    assert clean.count() == 10
+    assert matched.count() == 0
