@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_documents": corpus.decontam_documents,
         "sample_documents_by_lang": corpus.sample_documents_by_lang,
         "sample_documents_pct": corpus.sample_documents_pct,
+        "mix_documents": corpus.mix_documents,
         "pack_documents": corpus.pack_documents,
         "events_in_sessions": corpus.events_in_sessions,
         "events_hourly": corpus.events_hourly,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "verdict_documents_combo": corpus.VERDICT_COMBO_SQL,
         "sample_documents_by_lang": corpus.SAMPLE_BY_LANG_SQL,
         "sample_documents_pct": corpus.SAMPLE_PCT_SQL,
+        "mix_documents": corpus.MIX_SQL,
         "events_in_sessions": corpus.EVENTS_IN_SESSIONS_SQL,
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,

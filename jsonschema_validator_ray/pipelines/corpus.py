@@ -425,6 +425,28 @@ WHERE doc_id IS NOT NULL
 """
 
 
+_MIX = {"src0": 80, "src1": 40, "src2": 10}   # other sources: 20%
+
+
+def mix_documents(sf_dir: str):
+    """Weighted source mixing: per-source deterministic keep rates (80/40/
+    10%, default 20%) via stages/sampling.mix_sources — exact SQL oracle."""
+    from ..stages.sampling import mix_sources
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return mix_sources(docs, "doc_id", "source", _MIX, default_pct=20)
+
+
+MIX_SQL = """
+SELECT doc_id, source FROM documents
+WHERE doc_id IS NOT NULL
+  AND ((48271 * doc_id + 11) % 2147483647) % 100 <
+      (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 40
+                   WHEN 'src2' THEN 10 ELSE 20 END)
+"""
+
+
 def pack_documents(sf_dir: str, budget: int = 512):
     """Sequence packing of documents into 512-token packs (rows-only: the
     greedy assignment is deterministic but not SQL-expressible; invariants

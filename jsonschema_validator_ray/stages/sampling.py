@@ -79,6 +79,32 @@ def grouped_first_k(ds, group: str, order: str, k: int, *,
         .map_groups(final, batch_format="pandas")
 
 
+def mix_sources(ds, key: str, group: str, pcts: dict, *,
+                default_pct: int = 0, batch_size: int = 32768):
+    """Weighted corpus mixing: keep a per-GROUP deterministic percentage of
+    rows (``pcts[group_value] = 0..100``), e.g. up-/down-weighting crawl
+    sources into a target training mix. Same LCG arithmetic as
+    :func:`lcg_fraction_sample` (SQL-exact), with the threshold chosen per
+    row from its group value via one dictionary probe (`pc.index_in` +
+    ``take`` — Arrow hashmap, no Python loop). Unknown groups get
+    ``default_pct``; null keys drop."""
+    groups = pa.array(list(pcts.keys()))
+    th = pa.array(list(pcts.values()), type=pa.int64())
+
+    def keep(b: pa.Table) -> pa.Table:
+        col = pc.cast(b.column(key), pa.int64())
+        h = pc.add(pc.multiply(col, _LCG_A), _LCG_B)
+        bucket = pc.subtract(h, pc.multiply(pc.divide(h, _LCG_M), _LCG_M))
+        r = pc.subtract(bucket, pc.multiply(pc.divide(bucket, 100), 100))
+        idx = pc.index_in(b.column(group), value_set=groups)
+        row_pct = pc.fill_null(th.take(idx), default_pct)
+        sel = pc.less(r, row_pct)
+        return b.filter(pc.fill_null(sel, False))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 def lcg_fraction_sample(ds, key: str, pct: int, *, batch_size: int = 32768):
     """→ Dataset keeping rows whose integer ``key`` lands in the
     deterministic ``pct``-percent sample (see module docstring). Null keys

@@ -113,3 +113,22 @@ def test_range_join_sessions(ray_session):
     lbl = dict(zip(outer["event"], outer["label"]))
     assert lbl["c"] is None or pd.isna(lbl["c"])
     assert lbl["e"] is None or pd.isna(lbl["e"])
+
+
+def test_mix_sources(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.sampling import mix_sources
+
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(3000)]
+    ds = ray.data.from_items(rows)
+    out = mix_sources(ds, "doc_id", "source", {"s0": 100, "s1": 0},
+                      default_pct=50).to_pandas()
+    by = out.groupby("source")["doc_id"].count()
+    assert by.get("s0", 0) == 1000          # keep all
+    assert by.get("s1", 0) == 0             # drop all
+    assert 350 < by.get("s2", 0) < 650      # ~50%
+    # matches the documented formula exactly for the default bucket
+    exp = {i for i in range(3000) if i % 3 == 2
+           and ((48271 * i + 11) % 2147483647) % 100 < 50}
+    assert set(out[out["source"] == "s2"]["doc_id"]) == exp
