@@ -102,6 +102,30 @@ def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     })
 
 
+# ---- PII redaction --------------------------------------------------------
+# RE2-compatible patterns (both pyarrow and DuckDB run RE2, so the SQL
+# oracle applies regexp_replace with the IDENTICAL pattern).
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email first: an address would otherwise leave its digits to the
+    # phone pattern
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+     r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b", "[IP]"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def redact_batch(batch: pa.Table, column: str = "text") -> pa.Array:
+    """PII-redacted text (emails → [EMAIL], IPv4 → [IP], phone-like digit
+    runs → [PHONE]) — one global ``pc.replace_substring_regex`` pass per
+    pattern, fully vectorized. Pattern order matters and is part of the
+    contract (emails before phones)."""
+    s = pc.cast(batch.column(column), pa.large_string())
+    for pat, repl in PII_PATTERNS:
+        s = pc.replace_substring_regex(s, pat, replacement=repl)
+    return s
+
+
 def langid_scores(text: str) -> dict[str, float]:
     """Stopword-profile language scores for one document."""
     words = [w.lower() for w in re.findall(r"[^\W\d_]+", text, re.UNICODE)]

@@ -167,6 +167,37 @@ FROM (
   FROM embeddings)
 """
 
+# ---- PII redaction (oracle: identical RE2 patterns in DuckDB) -------------
+
+
+def redact_documents(sf_dir: str):
+    """(doc_id, clean_text) — PII-redacted text via vectorized RE2 replace
+    passes (functions/text.redact_batch)."""
+    from ..functions.text import redact_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "clean_text": pc.cast(redact_batch(b),
+                                               pa.string())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _redact_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS clean_text FROM documents"
+
+
+REDACT_SQL = _redact_sql()
+
 # ---- similarity -----------------------------------------------------------
 
 

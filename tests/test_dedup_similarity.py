@@ -277,3 +277,21 @@ def test_decontaminate_no_overlap(ray_session):
                                    threshold=0.5, batch_size=4)
     assert clean.count() == 10
     assert matched.count() == 0
+
+
+def test_redact_batch():
+    import pyarrow as pa
+
+    from jsonschema_validator_ray.functions.text import redact_batch
+
+    t = pa.table({"text": [
+        "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567",
+        "server at 192.168.0.1 and 8.8.8.8",
+        "no pii here",
+        None,
+    ]})
+    out = redact_batch(t).to_pylist()
+    assert out[0] == "mail me at [EMAIL] or call [PHONE]"
+    assert out[1] == "server at [IP] and [IP]"
+    assert out[2] == "no pii here"
+    assert out[3] is None
