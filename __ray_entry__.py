@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
         "redact_documents": corpus.redact_documents,
+        "gopher_documents": corpus.gopher_documents,
         "topk_embeddings": corpus.topk_embeddings,
         "verdict_embeddings": corpus.verdict_embeddings,
         "verdict_embeddings_tuple": corpus.verdict_embeddings_tuple,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_documents": corpus.TOKEN_COUNTS_SQL,
         "quality_documents": corpus.QUALITY_SQL,
         "redact_documents": corpus.REDACT_SQL,
+        "gopher_documents": corpus.GOPHER_SQL,
         "topk_embeddings": corpus.TOPK_SQL,
         "verdict_embeddings": corpus.VERDICT_EMB_SQL,
         "verdict_embeddings_tuple": corpus.VERDICT_EMB_TUPLE_SQL,

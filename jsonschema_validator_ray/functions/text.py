@@ -189,6 +189,44 @@ def langid_batch(batch: pa.Table, column: str = "text") -> pa.Array:
                     type=pa.string())
 
 
+# ---- Gopher-style composite quality filter --------------------------------
+# Published web-corpus heuristics (Rae et al. 2021 "Scaling Language
+# Models", appendix A1.1 — public paper): documents outside these bounds
+# are overwhelmingly boilerplate/navigation/junk. Thresholds kept
+# configurable; the defaults follow the paper where our signals align.
+GOPHER_DEFAULTS = dict(
+    min_tokens=50, max_tokens=100_000,
+    min_mean_token_len=3.0, max_mean_token_len=10.0,
+    max_symbol_ratio=0.1,       # 1 - alpha_ratio bound proxy
+    min_alpha_ratio=0.6,
+    min_stopword_ratio=0.02,
+)
+
+
+def gopher_quality_batch(batch: pa.Table, column: str = "text",
+                         **overrides) -> pa.Table:
+    """(…quality signals…, gopher_pass: bool) — the composite web-quality
+    gate over the vectorized signal columns of :func:`quality_batch`.
+    One boolean AND chain over Arrow arrays; null text fails."""
+    cfg = {**GOPHER_DEFAULTS, **overrides}
+    q = quality_batch(batch, column)
+    ok = pc.and_kleene(
+        pc.greater_equal(q.column("n_tokens"), cfg["min_tokens"]),
+        pc.less_equal(q.column("n_tokens"), cfg["max_tokens"]))
+    ok = pc.and_kleene(ok, pc.greater_equal(
+        q.column("mean_token_len"), cfg["min_mean_token_len"]))
+    ok = pc.and_kleene(ok, pc.less_equal(
+        q.column("mean_token_len"), cfg["max_mean_token_len"]))
+    ok = pc.and_kleene(ok, pc.less_equal(
+        q.column("punct_ratio"), cfg["max_symbol_ratio"]))
+    ok = pc.and_kleene(ok, pc.greater_equal(
+        q.column("alpha_ratio"), cfg["min_alpha_ratio"]))
+    ok = pc.and_kleene(ok, pc.greater_equal(
+        q.column("stopword_ratio"), cfg["min_stopword_ratio"]))
+    return q.append_column("gopher_pass",
+                           pc.fill_null(ok, False))
+
+
 _FP_BASE = np.uint64(1_000_003)
 _FP_MOD_MASK = np.uint64((1 << 61) - 1)
 

@@ -167,6 +167,64 @@ FROM (
   FROM embeddings)
 """
 
+# ---- Gopher-style composite quality gate (boolean oracle) -----------------
+
+
+def gopher_documents(sf_dir: str):
+    """(doc_id, gopher_pass) — the composite web-quality gate
+    (functions/text.gopher_quality_batch). The output is BOOLEAN, so the
+    oracle compares exactly even though intermediate ratios are floats (the
+    SQL mirrors the identical double arithmetic)."""
+    from ..functions.text import gopher_quality_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        q = gopher_quality_batch(b, min_tokens=20)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "gopher_pass": q.column("gopher_pass")})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _gopher_sql() -> str:
+    import re as _re
+
+    from ..functions.text import _LANG_PROFILES, _PUNCT
+
+    punct_class = "[" + _re.escape("".join(sorted(_PUNCT))) + "]"
+    punct_sql = punct_class.replace("'", "''")
+    stops = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
+    return rf"""
+WITH sig AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+         CAST(length(text) AS DOUBLE) AS nchars,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonws,
+         CAST(length(text)
+              - length(regexp_replace(text, '{punct_sql}', '', 'g'))
+              AS DOUBLE) AS npunct,
+         CAST(length(text)
+              - length(regexp_replace(text, '\pL', '', 'g'))
+              AS DOUBLE) AS nalpha,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              w -> lower(w) IN ({stops}))) AS DOUBLE) AS nstop
+  FROM documents)
+SELECT doc_id,
+       coalesce(ntok >= 20 AND ntok <= 100000
+            AND nonws / ntok >= 3.0 AND nonws / ntok <= 10.0
+            AND npunct / nchars <= 0.1
+            AND nalpha / nchars >= 0.6
+            AND nstop / ntok >= 0.02, FALSE) AS gopher_pass
+FROM sig
+"""
+
+
+GOPHER_SQL = _gopher_sql()
+
 # ---- PII redaction (oracle: identical RE2 patterns in DuckDB) -------------
 
 

@@ -295,3 +295,23 @@ def test_redact_batch():
     assert out[1] == "server at [IP] and [IP]"
     assert out[2] == "no pii here"
     assert out[3] is None
+
+
+def test_gopher_quality_batch():
+    import pyarrow as pa
+
+    from jsonschema_validator_ray.functions.text import gopher_quality_batch
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the field with great speed and joy ") * 3
+    t = pa.table({"text": [
+        good,
+        "short",                                   # too few tokens
+        "!!! ??? *** " * 30,                       # symbols, no stopwords
+        None,
+    ]})
+    out = gopher_quality_batch(t, min_tokens=20).to_pylist()
+    assert out[0]["gopher_pass"] is True
+    assert out[1]["gopher_pass"] is False
+    assert out[2]["gopher_pass"] is False
+    assert out[3]["gopher_pass"] is False
