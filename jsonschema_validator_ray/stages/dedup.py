@@ -738,8 +738,11 @@ def embedding_near_duplicates(ds, key: str, emb: str, *,
                 "bucket": pa.array([], type=pa.uint64()),
                 key: pa.array([], type=b.schema.field(key).type),
                 "vec": pa.array([], type=pa.binary())})
-        mat = np.stack([np.asarray(v, dtype=np.float32)
-                        for v in b.column(emb).to_pylist()])
+        col = b.column(emb)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(keys), -1).astype(np.float32)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.clip(norms, 1e-12, None)
         signs = (mat @ planes) > 0
