@@ -1473,8 +1473,12 @@ def evaluate_plan(plan: TablePlan, batch: pa.Table, *,
     ``stop_on_first`` mirrors the reference's StopOnFirstError short-circuit
     (`/root/reference/validator/validator.go:543-545`): a row reports only
     its FIRST failing constraint in plan order (required first, then
-    declaration order — the engine's deterministic fix of the reference's
-    map-order nondeterminism), so error_count is 0 or 1 per row."""
+    per-column declaration order, then table-level dependencies /
+    patternProperties / additionalProperties — the engine's deterministic
+    fix of the reference's map-order nondeterminism; WHICH single error
+    surfaces can differ from the value engine's declaration-order walk when
+    those table-level keywords are present), so error_count is 0 or 1 per
+    row."""
     n = batch.num_rows
     valid = np.ones(n, dtype=bool)
     error_count = np.zeros(n, dtype=np.int32)

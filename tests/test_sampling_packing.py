@@ -132,3 +132,35 @@ def test_mix_sources(ray_session):
     exp = {i for i in range(3000) if i % 3 == 2
            and ((48271 * i + 11) % 2147483647) % 100 < 50}
     assert set(out[out["source"] == "s2"]["doc_id"]) == exp
+
+
+def test_pack_rows_property():
+    """pack_rows invariants under random descending inputs: contiguous pack
+    ids, budget respected except singleton-oversize, next-fit greediness."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jsonschema_validator_ray.stages.packing import pack_rows
+
+    @settings(max_examples=300, deadline=None)
+    @given(sizes=st.lists(st.integers(1, 700), max_size=60),
+           budget=st.integers(50, 600))
+    def check(sizes, budget):
+        arr = np.sort(np.array(sizes, dtype=np.int64))[::-1]
+        packs = pack_rows(arr, budget)
+        assert packs.size == arr.size
+        if arr.size == 0:
+            return
+        # pack ids contiguous ascending from 0
+        assert packs[0] == 0
+        assert set(np.diff(packs)) <= {0, 1}
+        for pid in np.unique(packs):
+            members = arr[packs == pid]
+            assert members.sum() <= budget or members.size == 1
+        # next-fit: a pack closes only because the NEXT item didn't fit
+        boundaries = np.flatnonzero(np.diff(packs) == 1)
+        for b in boundaries:
+            pid = packs[b]
+            assert arr[packs == pid].sum() + arr[b + 1] > budget
+
+    check()
