@@ -71,6 +71,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for local runs; on a cluster leave unset")
     p.add_argument("--no-extraction-check", action="store_true")
+    p.add_argument("--pipeline", choices=["validate", "prep"],
+                   default="validate",
+                   help="validate (default): resumable verdict/violation "
+                        "job; prep: the LLM training-data chain (quality "
+                        "gate → dedup → near-dup clusters → packing)")
+    p.add_argument("--text-col", default="text",
+                   help="[prep] text column name")
+    p.add_argument("--pack-budget", type=int, default=512,
+                   help="[prep] tokens per training pack")
     args = p.parse_args(argv)
 
     import ray
@@ -99,6 +108,26 @@ def main(argv: list[str] | None = None) -> int:
     if not files:
         print(f"no input files match {args.input!r}", file=sys.stderr)
         return 2
+
+    if args.pipeline == "prep":
+        # the prep chain contains global stages (dedup shuffle, cluster
+        # resolution), so it runs as one job writing partitioned parquet —
+        # not the per-partition resumable layout of the validate job
+        import ray.data
+
+        from .pipelines.prep import prepare_training_data
+
+        t0 = time.time()
+        ds = ray.data.read_parquet(files,
+                                   columns=[args.key, args.text_col])
+        packed, stats = prepare_training_data(
+            ds, key=args.key, text=args.text_col,
+            pack_budget=args.pack_budget)
+        packed.write_parquet(args.out)
+        stats["elapsed_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(stats))
+        ray.shutdown()
+        return 0
 
     parts = partition_input_files(files, args.partitions)
     pipeline = build_pipeline(schema, args.key, args.mode,

@@ -62,3 +62,32 @@ def test_cli_no_input():
         capture_output=True, text=True, cwd=str(REPO), timeout=120)
     assert out.returncode == 2
     assert "no input files" in out.stderr
+
+
+def test_cli_prep_pipeline(ray_session, tmp_path):
+    """--pipeline prep runs the training-data chain end-to-end and writes
+    packed parquet."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.cli import main
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path / "prep"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--pipeline", "prep",
+                   "--input", f"{SF_SMOKE}/documents.parquet",
+                   "--out", str(out), "--key", "doc_id"])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_input"] == 500
+    files = list(out.glob("*.parquet"))
+    assert files
+    t = pq.read_table(files[0])
+    assert {"doc_id", "n_tokens", "pack_id", "oversize"} <= set(
+        t.column_names)
