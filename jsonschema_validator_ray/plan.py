@@ -1350,6 +1350,18 @@ def compile_table_plan(table_schema: dict | str | CompiledSchema,
                                    sv, mode, registry)
                 continue
             if kw == "required":
+                if col_type is not None and not pa.types.is_struct(col_type) \
+                        and not pa.types.is_map(col_type):
+                    # non-object value: ONE error per present cell
+                    # ('value must be an object for required validation'),
+                    # like the value engine — not one per required name
+                    plan.constraints.append(CompiledConstraint(
+                        constraint_id=f"required:{path}", column=path,
+                        tag="required",
+                        message="value must be an object for required "
+                                "validation",
+                        param="", fn=_fail_present(path)))
+                    continue
                 # nested required: fails where the PARENT struct is present
                 # but the child field is null
                 for name in sv:

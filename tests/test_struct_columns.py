@@ -547,3 +547,28 @@ def test_nested_dependencies_vectorized():
         assert expect.valid == g["valid"], (r, expect.errors, g["violations"])
         assert expect.error_count == g["error_count"], (
             r, expect.errors, g["violations"])
+
+
+def test_nested_required_on_non_object_column():
+    """required inside a NON-OBJECT column's schema: one error per present
+    cell (VE parity), not one per required name."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"x": {"required": ["a", "b"]}}}
+    batch = pa.table({
+        "k": pa.array([0, 1], type=pa.int64()),
+        "x": pa.array([5.0, None]),
+    })
+    # collapse applies when the column's Arrow type is known at compile
+    got = BatchValidator(schema, "k",
+                         arrow_schema=batch.schema)(batch).to_pylist()
+    engine = ValueEngine(Options())
+    for r, g in zip(batch.to_pylist(), got):
+        doc = {kk: vv for kk, vv in r.items() if vv is not None}
+        expect = engine.validate(doc, schema)
+        assert expect.valid == g["valid"], (r, expect.errors)
+        assert expect.error_count == g["error_count"], (
+            r, expect.errors, g["violations"])
