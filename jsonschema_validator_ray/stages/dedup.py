@@ -307,6 +307,20 @@ def _drop_cols(ds, cols: list[str]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _candidate_bucket(band: np.ndarray, band_hash: np.ndarray,
+                      num_buckets: int) -> np.ndarray:
+    """Composite shuffle bucket ``hash(band, band_hash) % num_buckets`` for
+    LSH candidate generation (VERDICT r2 item 1). Grouping candidates by the
+    raw band id caps parallelism at the band count (4-32 Ray groups) and
+    puts the WHOLE corpus × 1 band into a single task at scale; the
+    composite key fans out to ``num_buckets`` groups while never splitting a
+    (band, band_hash) LSH bucket across groups — pairing semantics are
+    unchanged. Size ``num_buckets`` ≳ 2× cluster cores."""
+    mixed = (band_hash ^ (band.astype(np.uint64) * _MIX2)) * _MIX1
+    mixed ^= mixed >> np.uint64(33)
+    return (mixed % np.uint64(num_buckets)).astype(np.int32)
+
+
 def minhash_near_duplicates(ds, key: str, text: str, *,
                             threshold: float = 0.7,
                             n_perm: int = 128, bands: int = 32,
@@ -314,7 +328,9 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
                             batch_size: int = 1024,
                             concurrency: int | None = None,
                             bucket_cap: int = 200,
-                            num_buckets: int = 16):
+                            num_buckets: int = 16,
+                            candidate_buckets: int = 256,
+                            verify_broadcast_limit: int = 50_000):
     """→ Dataset ``(key_a, key_b, jaccard_est, truncated)`` of near-duplicate
     pairs with minhash-estimated Jaccard ≥ threshold. ``truncated`` = 1 marks
     pairs from an LSH bucket that overflowed ``bucket_cap`` (members beyond
@@ -328,13 +344,18 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
        and reused by both later phases instead of re-shingling;
     2. **candidates** — band hashes vectorized from the signature matrix,
        exploded to (band, band_hash, key) rows (~12 bytes/band-row — sigs do
-       NOT cross this shuffle), groupby band → vectorized triu pairing per
-       bucket → distributed pair dedupe via groupby(key_a, key_b);
-    3. **verify** — two probe rows per pair bucket-joined against the
-       signature dataset (stages/joins.bucketed_join), then one pair-bucket
-       groupby re-unites both sides and estimates Jaccard with one
-       vectorized ``(A == B).mean(axis=1)`` per bucket. Signatures cross the
-       exchange once; the pair-side shuffle is candidate-sized.
+       NOT cross this shuffle), groupby ``hash(band, band_hash) %
+       candidate_buckets`` (parallelism scales with the parameter, not the
+       band count) → vectorized triu pairing per LSH bucket → distributed
+       pair dedupe via groupby(key_a, key_b);
+    3. **verify** — below ``verify_broadcast_limit`` candidates the verify
+       runs driver-side (broadcast ``is_in`` pulls only the ≤ 2·pairs
+       needed signatures — no extra shuffle); above it, two probe rows per
+       pair bucket-join against the signature dataset
+       (stages/joins.bucketed_join), one pair-bucket groupby re-unites both
+       sides and estimates Jaccard with one vectorized
+       ``(A == B).mean(axis=1)`` per bucket. Signatures cross the exchange
+       once; the pair-side shuffle is candidate-sized.
     """
     import ray.data
 
@@ -349,14 +370,19 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
         if n == 0:
             return pa.table({"band": pa.array([], type=pa.int32()),
                              "band_hash": pa.array([], type=pa.uint64()),
-                             key: pa.array([], type=key_type)})
+                             key: pa.array([], type=key_type),
+                             "__cb": pa.array([], type=pa.int32())})
         mat = _sig_matrix(b.column("sig").to_pylist(), n_perm)
         bh = lsh.band_hashes_matrix(mat)                       # (n, bands)
         rep = pa.array(np.repeat(np.arange(n), lsh.bands))
+        bands_tiled = np.tile(np.arange(lsh.bands, dtype=np.int32), n)
+        flat = bh.reshape(-1)
         return pa.table({
-            "band": pa.array(np.tile(np.arange(lsh.bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1)),
+            "band": pa.array(bands_tiled),
+            "band_hash": pa.array(flat),
             key: b.column(key).take(rep),
+            "__cb": pa.array(_candidate_bucket(bands_tiled, flat,
+                                               candidate_buckets)),
         })
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow",
@@ -364,7 +390,7 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
 
     def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, bucket in g.groupby("band_hash", sort=False):
+        for _, bucket in g.groupby(["band", "band_hash"], sort=False):
             if len(bucket) < 2:
                 continue
             bucket = bucket.drop_duplicates(subset=[key])
@@ -386,14 +412,56 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
                                  "truncated": pd.Series([], dtype=np.int32)})
         return pd.concat(out, ignore_index=True)
 
-    cand = exploded.groupby("band").map_groups(
+    cand = exploded.groupby("__cb").map_groups(
         pairs_in_band, batch_format="pandas")
     pairs = _dedupe_pairs(cand, {"truncated": "max"},
                           num_buckets=num_buckets).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(_empty_pairs(key_type))
+    if n_pairs <= verify_broadcast_limit:
+        return _verify_pairs_driver(pairs, sigs, key, key_type, n_perm,
+                                    threshold)
     return _verify_pairs(pairs, sigs, key, key_type, n_perm, threshold,
                          num_buckets)
+
+
+def _verify_pairs_driver(pairs, sigs, key: str, key_type: pa.DataType,
+                         n_perm: int, threshold: float):
+    """Driver-side verify for SMALL candidate sets (auto-picked below
+    ``verify_broadcast_limit`` pairs, mirroring components' driver/join
+    split): gather the candidate pairs once, broadcast their key set as an
+    ``is_in`` filter over the signature dataset — only the needed sigs
+    (≤ 2·pairs rows) return to the driver — then one vectorized
+    ``(A == B).mean`` estimate. Saves the distributed verify's two extra
+    shuffles; results identical."""
+    import ray.data
+
+    pdf = pairs.to_pandas()
+    need = pd.unique(pd.concat([pdf["key_a"], pdf["key_b"]],
+                               ignore_index=True))
+    need_arr = pa.array(need, type=key_type)
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column(key), value_set=need_arr)
+        return b.filter(pc.fill_null(m, False))
+
+    sig_rows = sigs.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sig_map = dict(zip(sig_rows[key], sig_rows["sig"]))
+    ka = pdf["key_a"].to_numpy()
+    kb = pdf["key_b"].to_numpy()
+    A = _sig_matrix([sig_map[k] for k in ka], n_perm)
+    B = _sig_matrix([sig_map[k] for k in kb], n_perm)
+    est = (A == B).mean(axis=1)
+    keep = est >= threshold
+    return ray.data.from_arrow(pa.table({
+        "key_a": pa.array(ka[keep], type=key_type),
+        "key_b": pa.array(kb[keep], type=key_type),
+        "jaccard_est": pa.array(est[keep], type=pa.float64()),
+        "truncated": pa.array(
+            pdf["truncated"].to_numpy()[keep].astype(np.int32),
+            type=pa.int32()),
+    }))
 
 
 def _verify_pairs(pairs, sigs, key: str, key_type: pa.DataType,
@@ -475,6 +543,8 @@ def decontaminate(train, bench, key: str, text: str, *,
                   n_perm: int = 128, bands: int = 32, seed: int = 42,
                   batch_size: int = 1024, bucket_cap: int = 200,
                   num_buckets: int = 16,
+                  candidate_buckets: int = 256,
+                  verify_broadcast_limit: int = 50_000,
                   strategy: str = "auto",
                   broadcast_limit: int = 5_000_000):
     """Benchmark decontamination: drop TRAIN docs whose text is a
@@ -511,16 +581,20 @@ def decontaminate(train, bench, key: str, text: str, *,
                     "band": pa.array([], type=pa.int32()),
                     "band_hash": pa.array([], type=pa.uint64()),
                     key: pa.array([], type=key_type),
-                    "side": pa.array([], type=pa.int8())})
+                    "side": pa.array([], type=pa.int8()),
+                    "__cb": pa.array([], type=pa.int32())})
             mat = _sig_matrix(b.column("sig").to_pylist(), n_perm)
             bh = lsh.band_hashes_matrix(mat)
             rep = pa.array(np.repeat(np.arange(n), lsh.bands))
+            bands_tiled = np.tile(np.arange(lsh.bands, dtype=np.int32), n)
+            flat = bh.reshape(-1)
             return pa.table({
-                "band": pa.array(np.tile(
-                    np.arange(lsh.bands, dtype=np.int32), n)),
-                "band_hash": pa.array(bh.reshape(-1)),
+                "band": pa.array(bands_tiled),
+                "band_hash": pa.array(flat),
                 key: b.column(key).take(rep),
                 "side": pa.array(np.full(n * lsh.bands, side, np.int8)),
+                "__cb": pa.array(_candidate_bucket(bands_tiled, flat,
+                                                   candidate_buckets)),
             })
         return fn
 
@@ -529,7 +603,7 @@ def decontaminate(train, bench, key: str, text: str, *,
 
     def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, bucket in g.groupby("band_hash", sort=False):
+        for _, bucket in g.groupby(["band", "band_hash"], sort=False):
             tk = bucket.loc[bucket["side"] == 0, key].drop_duplicates()
             bk = bucket.loc[bucket["side"] == 1, key].drop_duplicates()
             if tk.empty or bk.empty:
@@ -552,15 +626,21 @@ def decontaminate(train, bench, key: str, text: str, *,
                                  "truncated": pd.Series([], dtype=np.int32)})
         return pd.concat(out, ignore_index=True)
 
-    cand = exploded.groupby("band").map_groups(
+    cand = exploded.groupby("__cb").map_groups(
         pairs_in_band, batch_format="pandas")
     pairs = _dedupe_pairs(cand, {"truncated": "max"},
                           num_buckets=num_buckets).materialize()
     if pairs.count() == 0:
         return train, ray.data.from_arrow(_empty_pairs(key_type))
 
-    matched = _verify_pairs(pairs, sigs_t.union(sigs_b), key, key_type,
-                            n_perm, threshold, num_buckets).materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= verify_broadcast_limit:
+        matched = _verify_pairs_driver(pairs, sigs_t.union(sigs_b), key,
+                                       key_type, n_perm,
+                                       threshold).materialize()
+    else:
+        matched = _verify_pairs(pairs, sigs_t.union(sigs_b), key, key_type,
+                                n_perm, threshold, num_buckets).materialize()
     n_matched = matched.count()
     if n_matched == 0:
         return train, matched
@@ -645,10 +725,13 @@ def hamming64(a: int, b: int) -> int:
 
 def simhash_near_duplicates(ds, key: str, text: str, *,
                             max_hamming: int = 3,
-                            batch_size: int = 1024):
+                            batch_size: int = 1024,
+                            candidate_buckets: int = 256):
     """→ Dataset ``(key_a, key_b, hamming)``. Pairs within Hamming ≤ 3 share
     at least one of the 4 16-bit chunks exactly (pigeonhole), so candidates
-    = groupby (chunk_id, chunk_value)."""
+    = groupby (chunk_id, chunk_value), shuffled on the composite
+    ``hash(chunk, chunk_val) % candidate_buckets`` so parallelism scales
+    with the parameter instead of capping at 4 Ray groups."""
 
     def explode(b: pa.Table) -> pa.Table:
         keys = b.column(key).to_pylist()
@@ -664,15 +747,17 @@ def simhash_near_duplicates(ds, key: str, text: str, *,
             "chunk_val": pa.array(chunk_vals),
             key: pa.array(keys).take(rep),
             "simhash": pa.array(np.repeat(sh, 4)),
+            "__cb": pa.array(_candidate_bucket(chunk_ids, chunk_vals,
+                                               candidate_buckets)),
         })
 
     exploded = ds.select_columns([key, text]).map_batches(
         explode, batch_format="pyarrow", batch_size=batch_size)
 
     def pairs_in_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per CHUNK ID (4 total); per-value pairing vectorized
+        # per-(chunk, value) pairing vectorized inside the composite bucket
         out_a, out_b, ham, trunc = [], [], [], []
-        for _, bucket in g.groupby("chunk_val", sort=False):
+        for _, bucket in g.groupby(["chunk", "chunk_val"], sort=False):
             if len(bucket) < 2:
                 continue
             bucket = bucket.drop_duplicates(subset=[key])
@@ -698,7 +783,7 @@ def simhash_near_duplicates(ds, key: str, text: str, *,
         return pd.DataFrame({"key_a": out_a, "key_b": out_b, "hamming": ham,
                              "truncated": pd.Series(trunc, dtype=np.int32)})
 
-    pairs = exploded.groupby("chunk").map_groups(
+    pairs = exploded.groupby("__cb").map_groups(
         pairs_in_chunk, batch_format="pandas")
     return _drop_cols(
         _dedupe_pairs(pairs, {"hamming": "min", "truncated": "max"}),
@@ -713,11 +798,14 @@ def simhash_near_duplicates(ds, key: str, text: str, *,
 def embedding_near_duplicates(ds, key: str, emb: str, *,
                               threshold: float = 0.95,
                               n_planes: int = 12, dim: int | None = None,
-                              seed: int = 42, batch_size: int = 8192):
+                              seed: int = 42, batch_size: int = 8192,
+                              candidate_buckets: int = 256):
     """→ Dataset ``(key_a, key_b, cosine)`` of embedding pairs with cosine ≥
     threshold. Random-hyperplane signs bucket vectors; exact cosine verifies
     within buckets. High thresholds ⇒ near-collinear vectors ⇒ same sign
-    pattern with high probability; n_planes trades recall vs bucket size."""
+    pattern with high probability; n_planes trades recall vs bucket size.
+    Buckets shuffle on ``hash(bucket) % candidate_buckets`` so pairing
+    parallelism scales with the parameter (not a fixed 16-group band)."""
     first = ds.take(1)
     if not first:
         import ray.data
@@ -734,7 +822,7 @@ def embedding_near_duplicates(ds, key: str, emb: str, *,
         keys = b.column(key).to_pylist()
         if not keys:  # empty block (e.g. fully filtered upstream)
             return pa.table({
-                "bucket_band": pa.array([], type=pa.uint64()),
+                "__cb": pa.array([], type=pa.int32()),
                 "bucket": pa.array([], type=pa.uint64()),
                 key: pa.array([], type=b.schema.field(key).type),
                 "vec": pa.array([], type=pa.binary())})
@@ -750,7 +838,9 @@ def embedding_near_duplicates(ds, key: str, emb: str, *,
         for p in range(n_planes):
             bucket |= signs[:, p].astype(np.uint64) << np.uint64(p)
         return pa.table({
-            "bucket_band": pa.array(bucket & np.uint64(0xF)),  # 16 Ray groups
+            "__cb": pa.array(_candidate_bucket(
+                np.zeros(len(keys), dtype=np.int32), bucket,
+                candidate_buckets)),
             "bucket": pa.array(bucket),
             key: pa.array(keys),
             "vec": pa.array([row.tobytes() for row in mat], type=pa.binary()),
@@ -785,7 +875,7 @@ def embedding_near_duplicates(ds, key: str, emb: str, *,
         return pd.DataFrame({"key_a": out_a, "key_b": out_b, "cosine": cos,
                              "truncated": pd.Series(trunc, dtype=np.int32)})
 
-    pairs = exploded.groupby("bucket_band").map_groups(
+    pairs = exploded.groupby("__cb").map_groups(
         pairs_in_band, batch_format="pandas")
     return _drop_cols(
         _dedupe_pairs(pairs, {"cosine": "max", "truncated": "max"}),

