@@ -184,9 +184,104 @@ def langid(text: str | None, min_score: float = 0.02) -> str | None:
     return lang if score >= min_score else None
 
 
-def langid_batch(batch: pa.Table, column: str = "text") -> pa.Array:
-    return pa.array([langid(t) for t in batch.column(column).to_pylist()],
-                    type=pa.string())
+# --- vectorized language-ID (VERDICT r2 item 3) ----------------------------
+# Script ranges flattened to a sorted edge array: np.searchsorted classifies
+# a whole batch's codepoints at once; (idx odd) ⇔ inside a range. Columns of
+# the per-row count matrices are ordered by lang DESCENDING so np.argmax
+# (first max wins) reproduces Python's max((count, lang)) tie-break exactly.
+_SORTED_RANGES = sorted(_SCRIPT_RANGES)
+_RANGE_EDGES = np.array([e for lo, hi, _ in _SORTED_RANGES
+                         for e in (lo, hi + 1)], dtype=np.uint32)
+_SCRIPT_LANGS_DESC = sorted({lang for _, _, lang in _SCRIPT_RANGES},
+                            reverse=True)
+_SCRIPT_COL = np.array([_SCRIPT_LANGS_DESC.index(lang)
+                        for _, _, lang in _SORTED_RANGES], dtype=np.int64)
+_JA_COL = _SCRIPT_LANGS_DESC.index("ja")
+_PROFILE_LANGS_DESC = sorted(_LANG_PROFILES, reverse=True)
+_PROFILE_SETS = {lang: pa.array(sorted(prof))
+                 for lang, prof in _LANG_PROFILES.items()}
+_PROFILE_UNION = pa.array(sorted(set().union(*_LANG_PROFILES.values())))
+# Python's findall class [^\W\d_]+ = Unicode categories L* ∪ Nl ∪ No; the
+# RE2 split below removes runs of the complement, so nonempty fragments are
+# exactly the findall words (pinned row-identical by tests).
+_NONWORD_RE = r"[^\pL\p{Nl}\p{No}]+"
+
+
+def langid_batch(batch: pa.Table, column: str = "text",
+                 min_score: float = 0.02) -> pa.Array:
+    """Vectorized :func:`langid` (row-identical by construction, pinned by
+    tests): ONE utf-32 codepoint array for the batch's first-2000-char
+    slices + ``np.searchsorted`` range histograms for the script stage; the
+    stopword stage factorizes the batch's words once and folds per-row ×
+    per-lang counts with a single ``np.add.at``. No per-character Python."""
+    s = pc.cast(batch.column(column), pa.large_string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+    out: list[str | None] = [None] * n
+    if n == 0:
+        return pa.array(out, type=pa.string())
+
+    # --- script stage over text[:2000] ------------------------------------
+    # pure-ASCII rows (the bulk of Latin-script corpora) cannot hit a script
+    # range — only non-ASCII rows pay the codepoint expansion
+    script_ok = np.zeros(n, dtype=bool)
+    nonascii = np.flatnonzero(~pc.fill_null(
+        pc.string_is_ascii(s), True).to_numpy(zero_copy_only=False))
+    if nonascii.size:
+        sliced = pc.utf8_slice_codeunits(
+            s.take(pa.array(nonascii)), 0, 2000).to_pylist()
+        m = nonascii.size
+        lens = np.array([len(t) for t in sliced], dtype=np.int64)
+        cp = np.frombuffer("".join(sliced).encode("utf-32-le"),
+                           dtype=np.uint32)
+        row_idx = np.repeat(np.arange(m), lens)
+        edge_idx = np.searchsorted(_RANGE_EDGES, cp, side="right")
+        hit = (edge_idx & 1) == 1
+        counts = np.zeros((m, len(_SCRIPT_LANGS_DESC)), dtype=np.int64)
+        np.add.at(counts, (row_idx[hit], _SCRIPT_COL[edge_idx[hit] >> 1]), 1)
+        total = counts.sum(axis=1)
+        best_col = counts.argmax(axis=1)      # desc order ⇒ VE tie-break
+        best_cnt = counts[np.arange(m), best_col]
+        ja = counts[:, _JA_COL] > 0           # any kana → ja, no threshold
+        ok_m = (total > 0) & (ja | (best_cnt >= np.maximum(3, lens * 0.05)))
+        script_col = np.where(ja, _JA_COL, best_col)
+        for i in np.flatnonzero(ok_m):
+            out[nonascii[i]] = _SCRIPT_LANGS_DESC[script_col[i]]
+        script_ok[nonascii[ok_m]] = True
+
+    # --- stopword stage for undecided, non-empty rows ---------------------
+    full_empty = pc.fill_null(pc.equal(pc.binary_length(s), 0),
+                              True).to_numpy(zero_copy_only=False)
+    cand = np.flatnonzero(~script_ok & ~full_empty)
+    if cand.size:
+        toks = pc.split_pattern_regex(s.take(pa.array(cand)), _NONWORD_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.binary_length(flat),
+                              0).to_numpy(zero_copy_only=False)
+        nw = np.zeros(cand.size, dtype=np.int64)
+        np.add.at(nw, parent[nonempty], 1)
+        lowered = pc.utf8_lower(flat)
+        # one union-set membership pass prunes the ~70% non-stopword tokens
+        # before the per-language counts
+        uhit = np.flatnonzero(pc.fill_null(
+            pc.is_in(lowered, value_set=_PROFILE_UNION),
+            False).to_numpy(zero_copy_only=False))
+        low_sel = lowered.take(pa.array(uhit))
+        parent_sel = parent[uhit]
+        sw = np.zeros((cand.size, len(_PROFILE_LANGS_DESC)), dtype=np.int64)
+        for c, lang in enumerate(_PROFILE_LANGS_DESC):
+            h = pc.fill_null(pc.is_in(low_sel, value_set=_PROFILE_SETS[lang]),
+                             False).to_numpy(zero_copy_only=False)
+            np.add.at(sw[:, c], parent_sel[h], 1)
+        best = sw.argmax(axis=1)              # desc order ⇒ VE tie-break
+        bc = sw[np.arange(cand.size), best]
+        score = bc / np.maximum(nw, 1)
+        ok = (nw > 0) & (score >= min_score)
+        for j in np.flatnonzero(ok):
+            out[cand[j]] = _PROFILE_LANGS_DESC[best[j]]
+    return pa.array(out, type=pa.string())
 
 
 # ---- Gopher-style composite quality filter --------------------------------
@@ -246,30 +341,141 @@ def fingerprint(text: str | None) -> int | None:
     return acc
 
 
-def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Array:
-    """Vectorized fingerprint: horner scheme over a padded byte matrix would
-    be memory-heavy for long docs; instead use numpy per row on the byte
-    array — still C-speed per document."""
-    out = []
-    base = int(_FP_BASE)
-    mod = (1 << 61) - 1
-    for t in batch.column(column).to_pylist():
-        if t is None:
+_FP_P = (1 << 61) - 1
+_FP_P64 = np.uint64(_FP_P)
+_MASK29 = np.uint64((1 << 29) - 1)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _mulmod61(a, b):
+    """Vectorized ``a·b mod 2^61-1`` for uint64 residues < 2^61 — 32-bit
+    half splitting with 2^61 ≡ 1 (so 2^64 ≡ 8), every intermediate provably
+    < 2^64. Same trick family as ``dedup.MinHasher``; no object dtype."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a_hi, a_lo = a >> np.uint64(32), a & _MASK32
+    b_hi, b_lo = b >> np.uint64(32), b & _MASK32
+    mid = a_hi * b_lo + a_lo * b_hi                 # < 2^62
+    lo = a_lo * b_lo                                # < 2^64
+    t = (a_hi * b_hi) * np.uint64(8) \
+        + (mid >> np.uint64(29)) + ((mid & _MASK29) << np.uint64(32)) \
+        + (lo >> np.uint64(61)) + (lo & _FP_P64)    # < ~3·2^61
+    t = (t >> np.uint64(61)) + (t & _FP_P64)
+    return np.where(t >= _FP_P64, t - _FP_P64, t)
+
+
+def _fp_pow_table(n: int) -> np.ndarray:
+    """``base^0..base^(n-1) mod 2^61-1`` as uint64 — a 256-entry small table
+    × an n/256-entry stride table combined with one vectorized mulmod, so
+    scalar Python work is O(n/256), not O(n)."""
+    base, p = int(_FP_BASE), _FP_P
+    small = [1] * min(n, 256)
+    for i in range(1, len(small)):
+        small[i] = small[i - 1] * base % p
+    small_arr = np.array(small, dtype=np.uint64)
+    if n <= 256:
+        return small_arr[:n]
+    stride = pow(base, 256, p)
+    nbig = (n + 255) // 256
+    big = [1] * nbig
+    for i in range(1, nbig):
+        big[i] = big[i - 1] * stride % p
+    big_arr = np.array(big, dtype=np.uint64)
+    k = np.arange(n)
+    return _mulmod61(big_arr[k >> 8], small_arr[k & 255])
+
+
+# A row already equal to its `" ".join(t.split())` form contains none of
+# these: non-space whitespace (ASCII incl. \x1c-\x1f separators, or the
+# Unicode space code points Python's split also honors), a double space, a
+# leading or a trailing space. RE2 ^/$ anchor at string bounds here.
+_WS_ANOMALY_RE = ("[\\t\\n\\x0b\\f\\r\\x1c\\x1d\\x1e\\x1f"
+                  "\x85\xa0\u1680\u2000-\u200a"
+                  "\u2028\u2029\u202f\u205f\u3000]|  |^ | $")
+
+
+def _normalized_byte_rows(col) -> list:
+    """Whitespace-normalized UTF-8 byte rows (``" ".join(t.split())``
+    semantics). One vectorized RE2 scan classifies rows: already-normalized
+    rows (the common case in cleaned corpora) are zero-copy slices of the
+    Arrow data buffer; anomalous rows take the exact per-row Python path \u2014
+    measured faster than an RE2 collapse+trim rewrite of the whole column
+    (Python's C split/join beat RE2 replace ~2.5\u00d7 here).
+    Returns ``list[np.ndarray | None]`` (None = null row)."""
+    s = pc.cast(col, pa.large_string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    anomalous = pc.fill_null(
+        pc.match_substring_regex(s, _WS_ANOMALY_RE),
+        False).to_numpy(zero_copy_only=False)
+    nulls = pc.is_null(s).to_numpy(zero_copy_only=False)
+    offsets = np.frombuffer(s.buffers()[1], dtype=np.int64)
+    offsets = offsets[s.offset:s.offset + len(s) + 1]
+    data_buf = s.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.empty(0, dtype=np.uint8))
+    texts = s.to_pylist() if anomalous.any() else None
+    out: list = []
+    for i in range(len(s)):
+        if nulls[i]:
             out.append(None)
-            continue
-        data = np.frombuffer(" ".join(t.split()).encode("utf-8"), dtype=np.uint8)
-        acc = 0
-        # chunked horner: fold 8 bytes at a time to cut Python-loop length 8×
-        k = len(data) - (len(data) % 8)
-        if k:
-            chunk_base = pow(base, 8, mod)
-            chunks = data[:k].reshape(-1, 8)
-            weights = np.array([pow(base, 7 - j, mod) for j in range(8)],
-                               dtype=object)
-            folded = (chunks.astype(object) * weights).sum(axis=1) % mod
-            for f in folded:
-                acc = (acc * chunk_base + int(f)) % mod
-        for b in data[k:]:
-            acc = (acc * base + int(b)) % mod
-        out.append(acc)
-    return pa.array(out, type=pa.uint64())
+        elif anomalous[i]:
+            out.append(np.frombuffer(
+                " ".join(texts[i].split()).encode("utf-8"), dtype=np.uint8))
+        else:
+            out.append(data[offsets[i]:offsets[i + 1]])
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Array:
+    """Vectorized fingerprint, hash-identical to :func:`fingerprint` (the
+    base/mod family is part of the contract): left-zero-padding docs to a
+    common length leaves the polynomial value unchanged (leading zeros
+    contribute 0·base^k), so per segment of similar-length docs the batch
+    reduces to ONE padded byte matrix × a shared power vector —
+    ``Σ b_i · base^(L-1-i) mod 2^61-1`` with uint64 Mersenne-61 arithmetic
+    throughout (VERDICT r2 item 2: no object dtype, no per-row loop).
+    Rows are length-sorted into segments capped at ~4M padded elements so
+    temporaries stay ~32 MB regardless of length skew."""
+    datas = _normalized_byte_rows(batch.column(column))
+    out = np.zeros(len(datas), dtype=np.uint64)
+    null_mask = np.array([d is None for d in datas], dtype=bool)
+    live = [i for i, d in enumerate(datas) if d is not None]
+    if live:
+        live.sort(key=lambda i: len(datas[i]))
+        ptable = _fp_pow_table(max(len(datas[live[-1]]), 1))
+        budget = 1 << 22
+        start = 0
+        while start < len(live):
+            end = start + 1
+            # ascending lengths: the running max is the candidate's length
+            while end < len(live) and \
+                    (end - start + 1) * max(len(datas[live[end]]), 1) <= budget:
+                end += 1
+            seg = live[start:end]
+            start = end
+            L = max(len(datas[seg[-1]]), 1)
+            m = np.zeros((len(seg), L), dtype=np.uint8)
+            for r, i in enumerate(seg):
+                d = datas[i]
+                if len(d):
+                    m[r, L - len(d):] = d
+            w = ptable[:L][::-1]                    # base^(L-1) … base^0
+            w_hi = w >> np.uint64(32)               # < 2^29
+            w_lo = w & _MASK32
+            # Σ b_i·w_i via two integer matvecs with DEFERRED reduction:
+            # per column-chunk of ≤ 2^20 bytes, Σ b·w_lo < 2^8·2^32·2^20 =
+            # 2^60 < p and Σ b·w_hi < 2^57 < p — no per-element mod at all.
+            total = np.zeros(len(seg), dtype=np.uint64)
+            for c0 in range(0, L, 1 << 20):
+                sl = slice(c0, min(c0 + (1 << 20), L))
+                b64 = m[:, sl].astype(np.uint64)
+                s_lo = b64 @ w_lo[sl]               # < 2^60
+                s_hi = b64 @ w_hi[sl]               # < 2^57
+                part = _mulmod61(s_hi, np.uint64(1) << np.uint64(32)) + s_lo
+                part = (part >> np.uint64(61)) + (part & _FP_P64)
+                total = total + np.where(part >= _FP_P64,
+                                         part - _FP_P64, part)
+                total = np.where(total >= _FP_P64, total - _FP_P64, total)
+            out[np.asarray(seg)] = total
+    return pa.array(out, type=pa.uint64(), mask=null_mask)

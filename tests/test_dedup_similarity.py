@@ -251,10 +251,19 @@ def test_fingerprint_batch_matches_scalar():
     from jsonschema_validator_ray.functions.text import (
         fingerprint, fingerprint_batch)
 
-    texts = ["hello world", "x" * 1000, "日本語 テキスト", "", None]
+    texts = ["hello world", "x" * 1000, "日本語 テキスト", "", None,
+             # whitespace-normalization edge cases: the vectorized path must
+             # reproduce " ".join(t.split()) exactly (Unicode spaces, ASCII
+             # separators, runs, leading/trailing, multi-MB column chunking)
+             " lead", "trail ", "double  space", "tab\tsep", "\n\t  ",
+             "a\x1c\x1db\x1e", "nbsp\xa0space", "em space",
+             "ideo\u3000space", "nel\x85line", "w" * (3 << 20),
+             "word " * 9999]
     t = pa.table({"text": texts})
     got = fingerprint_batch(t).to_pylist()
     assert got == [fingerprint(x) for x in texts]
+    # stays uint64 and deterministic across calls
+    assert fingerprint_batch(t).to_pylist() == got
 
 
 def test_langid_script_detection():
@@ -271,6 +280,46 @@ def test_langid_script_detection():
     assert langid("นี่คือข้อความภาษาไทย") == "th"
     # Latin still goes through stopword profiles
     assert langid("the cat and the dog is in the house of that man") == "en"
+
+
+def test_langid_batch_matches_scalar():
+    """The vectorized langid must be ROW-IDENTICAL to the scalar heuristic —
+    script thresholds, kana-beats-CJK, max-(count, lang) tie-breaks, empty /
+    null / whitespace rows, and the ASCII fast path all included."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray.functions.text import langid, langid_batch
+
+    texts = [None, "", " ", "a", "これは日本語のテキストです",
+             "这是一段中文文本没有假名", "日本語のテキスト with english",
+             "это русский текст про валидацию", "한국어 텍스트 예시입니다",
+             "Ελληνικό κείμενο εδώ", "זהו טקסט בעברית",
+             "هذا نص باللغة العربية", "นี่คือข้อความภาษาไทย",
+             "the cat and the dog is in the house of that man",
+             "der hund und die katze ist nicht von den haus",
+             "le chat est dans la maison pour une nuit",
+             "mixed 中文 a bit", "12345 67890", "ß ÄÖÜ é è ñ",
+             "x" * 3000 + " これ",   # kana outside the 2000-char window
+             "j" + "あ" * 2,          # kana → ja with no count threshold
+             "щ", "щщщ",              # below / at the 3-char script floor
+             "roman Ⅻ numerals ² ¾ of the and to in is was for that with"]
+    rng = np.random.default_rng(11)
+    texts += ["".join(chr(rng.integers(0x20, 0x9FFF))
+                      for _ in range(int(rng.integers(0, 300))))
+              for _ in range(300)]
+    t = pa.table({"text": texts})
+    assert langid_batch(t).to_pylist() == [langid(x) for x in texts]
+
+
+def test_langid_batch_matches_scalar_on_sf(ray_session):
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.functions.text import langid, langid_batch
+
+    tb = pq.read_table(f"{SF_SMOKE}/documents.parquet", columns=["text"])
+    got = langid_batch(tb).to_pylist()
+    want = [langid(x) for x in tb.column("text").to_pylist()]
+    assert got == want
 
 
 def test_decontaminate(ray_session):
