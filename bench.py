@@ -34,6 +34,13 @@ from pathlib import Path
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 WEBTEXT_ROWS = int(os.environ.get("GRAFT_WEBTEXT_ROWS", "16000000"))
+
+# silence the benign "Failed to hash the schemas" warning in EVERY Ray
+# worker (read tasks included — blocks from pandas-written parquet carry
+# unhashable pandas schema metadata); must be set before ray initializes
+_LOG_CFG = str(Path(__file__).parent / "tools" / "ray_data_logging.yaml")
+if os.path.exists(_LOG_CFG):
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", _LOG_CFG)
 WEBTEXT_CACHE = f"/tmp/graft_webtext_{WEBTEXT_ROWS}"
 
 

@@ -20,6 +20,20 @@ IMPORTANT: nothing in this package calls ``ray.init``/``ray.shutdown`` — the
 hosting process (driver, bench.py, pytest fixture) owns the Ray session.
 """
 
+import logging as _logging
+
+# Ray's sort/concat schema-deduplication logs "Failed to hash the schemas"
+# (transform_pyarrow.py:181) whenever a block schema carries pandas
+# provenance metadata — hash(pa.Schema-with-metadata) raises on the dict.
+# Our shuffle stages strip the metadata at their boundaries
+# (stages/util.no_meta), but blocks built INSIDE Ray read tasks from
+# pandas-written parquet still trigger it; the condition is benign (the
+# dedup just falls back to full unification), so drop it to ERROR here —
+# this runs in every worker that imports the package, silencing the
+# worker-side spam too (VERDICT r2 item 8).
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)
+
 from .errors import (
     ErrorFormat,
     Mode,

@@ -17,6 +17,14 @@ A custom validator has signature
 (`/root/reference/rules/rule.go:12`). Custom constraints are frozen into the
 compiled plan on the driver and shipped to workers once (actor init), never
 per batch.
+
+``register_validator`` additionally accepts ``compile_fn(schema_value) ->
+(mask_fn, message)`` so a custom keyword stays VECTORIZED on typed tables:
+``mask_fn(pa.Array) -> pa.BooleanArray`` (True = pass; nulls pass
+automatically — null cell ≡ absent property) becomes a column-plan kernel
+like any built-in, instead of steering the table to the per-row dynamic
+regime. Without a compile_fn the column plan wraps the scalar rule as a
+batched per-row fallback (cold path, still one task per batch).
 """
 
 from __future__ import annotations
@@ -77,11 +85,17 @@ class Registry:
 
     def __init__(self) -> None:
         self._validators: dict[str, RuleFunc] = {}
+        self._validator_compilers: dict[str, Callable] = {}
         self._formats: dict[str, FormatFunc] = {}
         self._comparators: dict[str, CompareFunc] = _builtin_comparators()
 
     # validators: duplicates rejected, first wins (validator.go:69-71)
-    def register_validator(self, name: str, fn: RuleFunc) -> None:
+    def register_validator(self, name: str, fn: RuleFunc,
+                           compile_fn: Callable | None = None) -> None:
+        """``compile_fn(schema_value) -> (mask_fn, message)`` (optional)
+        vectorizes the keyword in the column plan; ``fn`` remains the
+        semantics source for the dynamic regime (and the per-row fallback
+        when no compile_fn is given)."""
         if not name:
             raise RegistryError("validator name cannot be empty")
         if fn is None:
@@ -89,9 +103,14 @@ class Registry:
         if name in self._validators:
             raise RegistryError(f"validator {name} already registered")
         self._validators[name] = fn
+        if compile_fn is not None:
+            self._validator_compilers[name] = compile_fn
 
     def get_validator(self, name: str) -> RuleFunc | None:
         return self._validators.get(name)
+
+    def get_validator_compiler(self, name: str) -> "Callable | None":
+        return self._validator_compilers.get(name)
 
     # formats: overwrite allowed (rules/format.go:84-88)
     def register_format(self, name: str, fn: FormatFunc) -> None:

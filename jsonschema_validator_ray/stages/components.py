@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .util import no_meta
+
 
 def _empty_components() -> "ray.data.Dataset":
     return ray.data.from_arrow(
@@ -138,7 +140,7 @@ def _components_join(pairs_ds, key_a: str, key_b: str, *, max_rounds: int,
 
     def by_node_bucket(ds):
         def fn(b: pa.Table) -> pa.Table:
-            return b.append_column("__b", pa.array(
+            return no_meta(b).append_column("__b", pa.array(
                 _bucket_col(b.column("node").to_pandas(), num_buckets)))
         return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -192,7 +194,7 @@ def _components_join(pairs_ds, key_a: str, key_b: str, *, max_rounds: int,
             .union(labels.map_batches(label_side_rows, batch_format="pyarrow"))
 
         def by_probe_bucket(b: pa.Table) -> pa.Table:
-            return b.append_column("__b", pa.array(
+            return no_meta(b).append_column("__b", pa.array(
                 _bucket_col(b.column("probe").to_pandas(), num_buckets)))
 
         def answer_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -223,6 +225,18 @@ def _components_join(pairs_ds, key_a: str, key_b: str, *, max_rounds: int,
             min_combine, batch_format="pandas").materialize()
         if labels.sum("changed") == 0:
             break
+        # second, doubling-ONLY step in the same round (VERDICT r2 item 9):
+        # label ← label(label) over the freshly-relaxed labels — two jumps
+        # per round ≈ halves round count on long chains, and the step is
+        # cheaper than a full round (label-sized probes, no edge rows, no
+        # extra convergence aggregate: if it changes nothing the next
+        # round's check sees changed == 0 and exits).
+        probes2 = labels.map_batches(label_side_rows, batch_format="pyarrow")
+        merged2 = probes2.map_batches(by_probe_bucket,
+                                      batch_format="pyarrow") \
+            .groupby("__b").map_groups(answer_bucket, batch_format="pandas")
+        labels = by_node_bucket(merged2).groupby("__b").map_groups(
+            min_combine, batch_format="pandas").materialize()
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"key": b.column("node"),

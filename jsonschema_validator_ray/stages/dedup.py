@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .util import no_meta
+
 _MERSENNE_P = np.uint64((1 << 61) - 1)
 _MAX_HASH = np.uint64((1 << 61) - 1)
 
@@ -97,7 +99,7 @@ def dedup_exact(ds, key: str, column: str, *, batch_size: int = 32768,
         bucket = pc.cast(
             pc.bit_wise_and(h, pa.scalar(num_buckets - 1, pa.uint64())),
             pa.int32())
-        return b.append_column("__bucket", bucket)
+        return no_meta(b).append_column("__bucket", bucket)
 
     hashed = ds.map_batches(add_bucket, batch_format="pyarrow",
                             batch_size=batch_size)
@@ -277,7 +279,7 @@ def _add_pair_bucket(num_buckets: int):
         hb = pd.util.hash_pandas_object(
             b.column("key_b").to_pandas(), index=False).to_numpy()
         pb = ((ha ^ hb) % np.uint64(num_buckets)).astype(np.int32)
-        return b.append_column("__pb", pa.array(pb))
+        return no_meta(b).append_column("__pb", pa.array(pb))
 
     return fn
 

@@ -24,6 +24,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .util import no_meta
+
 
 def hash_join(left, right, on: str, *, right_on: str | None = None,
               join_type: str = "inner", num_partitions: int = 32):
@@ -92,7 +94,7 @@ def bucketed_join(left, right, on: str, *, right_on: str | None = None,
         h = pd.util.hash_pandas_object(
             b.column(on).to_pandas(), index=False).to_numpy()
         bucket = (h % np.uint64(num_buckets)).astype(np.int32)
-        return b.append_column("__bucket", pa.array(bucket))
+        return no_meta(b).append_column("__bucket", pa.array(bucket))
 
     both = both.map_batches(add_bucket, batch_format="pyarrow")
 
@@ -112,7 +114,7 @@ def _bucketize(ds, key: str, num_buckets: int):
     def fn(b: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
             b.column(key).to_pandas(), index=False).to_numpy()
-        return b.append_column("__kb", pa.array(
+        return no_meta(b).append_column("__kb", pa.array(
             (h % np.uint64(num_buckets)).astype(np.int32)))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -69,7 +69,8 @@ def build_violations_column(batch: pa.Table, n: int,
                             fails: "list[np.ndarray]",
                             meta: "list[tuple[str, str, str, str]]",
                             *, skip_value_columns: frozenset = frozenset(),
-                            message_fns: "list | None" = None
+                            message_fns: "list | None" = None,
+                            tag_fns: "list | None" = None
                             ) -> pa.ListArray:
     """Per-row violations list column, no Python row loop: concatenate
     per-constraint failure index arrays, sort by row, wrap as a ListArray
@@ -113,11 +114,21 @@ def build_violations_column(batch: pa.Table, n: int,
             if pos.size:
                 for p, msg in zip(pos, fn(batch, rows[pos])):
                     messages[p] = msg
+    tags: list[str] = [meta[c][2] for c in consts]
+    if tag_fns is not None:
+        # per-row tag override — items rows report the failing CHILD keyword
+        for ci, fn in enumerate(tag_fns):
+            if fn is None:
+                continue
+            pos = np.flatnonzero(consts == ci)
+            if pos.size:
+                for p, tag in zip(pos, fn(batch, rows[pos])):
+                    tags[p] = tag
     struct = pa.StructArray.from_arrays(
         [pa.array([meta[c][0] for c in consts]),
          pa.array([meta[c][1] for c in consts]),
          pa.array([f"$.{meta[c][1]}" for c in consts]),
-         pa.array([meta[c][2] for c in consts]),
+         pa.array(tags, type=pa.string()),
          pa.array(messages, type=pa.string()),
          pa.array(values, type=pa.string())],
         fields=list(VIOLATION_TYPE))
@@ -171,7 +182,8 @@ class BatchValidator:
                 for c in plan.constraints]
         viol = build_violations_column(
             batch, n, fails, meta,
-            message_fns=[c.message_fn for c in plan.constraints])
+            message_fns=[c.message_fn for c in plan.constraints],
+            tag_fns=[c.tag_fn for c in plan.constraints])
         return pa.table({
             self.key_column: batch.column(self.key_column),
             "valid": pa.array(valid),

@@ -63,8 +63,10 @@ def test_connected_components_join_chain_100k(ray_session):
     pairs = pa.table({"key_a": pa.array(range(n - 1), type=pa.int64()),
                       "key_b": pa.array(range(1, n), type=pa.int64())})
     ds = ray.data.from_arrow(pairs)
+    # two doubling steps per round (r2 item 9): the 10^5 chain must converge
+    # within 9 rounds (the single-doubling version needed ~17)
     out = connected_components(ds, strategy="join", num_buckets=4,
-                               max_rounds=25).to_pandas()
+                               max_rounds=9).to_pandas()
     assert len(out) == n
     assert (out["component"] == 0).all()
 

@@ -84,3 +84,93 @@ def test_error_formatting_modes():
     assert "path=$.a tag=t1 message=m1 param=p1" in detailed
     as_json = json.loads(format_errors(errs, ErrorFormat.JSON))
     assert as_json[0]["tag"] == "t1" and as_json[1]["path"] == "$.b"
+
+
+def test_custom_keyword_vectorized_in_column_plan():
+    """A registered compile_fn keeps a custom keyword VECTORIZED on typed
+    tables (VERDICT r2 item 4): the plan carries a kernel for the keyword
+    (no SchemaError, no dynamic-regime steering), and verdicts match the
+    value engine's scalar rule row by row over a differential value mix."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from jsonschema_validator_ray import Mode, Options, Registry, ValueEngine
+    from jsonschema_validator_ray.plan import compile_table_plan, evaluate_plan
+
+    def scalar_rule(value, sv, path):
+        # divisible-by-sv for ints; everything else fails
+        ok = isinstance(value, int) and not isinstance(value, bool) \
+            and value % sv == 0
+        return ok, None
+
+    def compile_fn(sv):
+        def mask(col: pa.Array) -> pa.Array:
+            if not pa.types.is_integer(col.type):
+                return pa.array(np.zeros(len(col), dtype=bool))
+            rem = pc.subtract(
+                col, pc.multiply(pc.divide(col, sv), sv))  # integer division
+            return pc.equal(rem, 0)
+        return mask, f"value must be divisible by {sv}"
+
+    reg = Registry()
+    reg.register_validator("divisibleBy", scalar_rule, compile_fn=compile_fn)
+    assert reg.get_validator_compiler("divisibleBy") is not None
+
+    plan = compile_table_plan(
+        {"properties": {"x": {"divisibleBy": 3}}}, "id",
+        arrow_schema=pa.schema([("id", pa.int64()), ("x", pa.int64())]),
+        mode=Mode.LOOSE, registry=reg)
+    # plan introspection: the keyword compiled to a column kernel
+    tags = [c.tag for c in plan.constraints]
+    assert "divisibleBy" in tags
+    c = next(c for c in plan.constraints if c.tag == "divisibleBy")
+    assert c.message == "value must be divisible by 3"
+
+    vals = [0, 1, 3, 6, 7, -9, None, 300, 299]
+    batch = pa.table({"id": list(range(len(vals))),
+                      "x": pa.array(vals, type=pa.int64())})
+    valid, counts, fails = evaluate_plan(plan, batch)
+    engine = ValueEngine(Options(mode=Mode.LOOSE), reg)
+    for i, v in enumerate(vals):
+        if v is None:
+            assert valid[i]  # null ≡ absent → constraint passes
+            continue
+        want = engine.validate({"x": v}, {
+            "properties": {"x": {"divisibleBy": 3}}}).valid
+        assert bool(valid[i]) == want, (i, v)
+
+
+def test_custom_keyword_scalar_fallback_in_column_plan():
+    """Without a compile_fn the column plan runs the scalar rule as a
+    batched per-row fallback — the table no longer steers to the dynamic
+    regime, and verdicts still match the value engine."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Mode, Options, Registry, ValueEngine
+    from jsonschema_validator_ray.plan import compile_table_plan, evaluate_plan
+
+    def admin_prefix(value, sv, path):
+        return isinstance(value, str) and value.startswith("ADMIN_"), None
+
+    reg = Registry()
+    reg.register_validator("adminPrefix", admin_prefix)
+    plan = compile_table_plan(
+        {"properties": {"name": {"adminPrefix": True, "minLength": 2}}},
+        "id", mode=Mode.LOOSE, registry=reg)
+    tags = [c.tag for c in plan.constraints]
+    assert "adminPrefix" in tags and "minLength" in tags
+
+    vals = ["ADMIN_ok", "user_x", None, "ADMIN_", "A"]
+    batch = pa.table({"id": list(range(len(vals))), "name": vals})
+    valid, counts, fails = evaluate_plan(plan, batch)
+    engine = ValueEngine(Options(mode=Mode.LOOSE), reg)
+    for i, v in enumerate(vals):
+        if v is None:
+            assert valid[i]
+            continue
+        want = engine.validate(
+            {"name": v},
+            {"properties": {"name": {"adminPrefix": True,
+                                     "minLength": 2}}}).valid
+        assert bool(valid[i]) == want, (i, v)

@@ -572,3 +572,98 @@ def test_nested_required_on_non_object_column():
         assert expect.valid == g["valid"], (r, expect.errors)
         assert expect.error_count == g["error_count"], (
             r, expect.errors, g["violations"])
+
+
+def test_map_presence_contract_null_valued_entries():
+    """Map-column presence CONTRACT (VERDICT r2 item 7): a null-VALUED map
+    entry is a PRESENT key for presence keywords — required and list-form
+    dependencies — exactly like a dict key with value None in the value
+    engine. Value keywords still see null ≡ absent (they need a value).
+    Both regimes are asserted row by row."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"attrs": {
+        "required": ["name"],
+        "properties": {"name": {"minLength": 3}},
+        "dependencies": {"tier": ["name"]},
+    }}}
+    rows = [
+        # null-valued "name": PRESENT for required (passes), absent for
+        # minLength (passes — no value to check)
+        {"k": 0, "attrs": [("name", None)]},
+        # "name" truly absent: required fails AND the (triggered)
+        # tier→name dependency fails
+        {"k": 1, "attrs": [("tier", "gold")]},
+        # null-valued "tier" TRIGGERS the dependency; null-valued "name"
+        # SATISFIES it
+        {"k": 2, "attrs": [("tier", None), ("name", None)]},
+        # null-valued "tier" triggers; "name" missing → dependency fails
+        {"k": 3, "attrs": [("tier", None)]},
+        # value keyword still checks the VALUE when present
+        {"k": 4, "attrs": [("name", "xy")]},
+        {"k": 5, "attrs": None},
+    ]
+    batch = pa.table({
+        "k": pa.array([r["k"] for r in rows], type=pa.int64()),
+        "attrs": pa.array([r["attrs"] for r in rows],
+                          type=pa.map_(pa.string(), pa.string())),
+    })
+    got = {g["k"]: g for g in BatchValidator(schema, "k")(batch).to_pylist()}
+    assert got[0]["valid"], got[0]["violations"]
+    assert {v["tag"] for v in got[1]["violations"]} == {"required",
+                                                        "dependencies"}
+    assert got[2]["valid"], got[2]["violations"]
+    assert {v["tag"] for v in got[3]["violations"]} == {"required",
+                                                        "dependencies"}
+    assert {v["tag"] for v in got[4]["violations"]} == {"minLength"}
+    assert got[5]["valid"]
+    # VE agreement on the rows where the contract promises it (presence
+    # keywords + real values): 1, 3, 4, 5
+    engine = ValueEngine(Options())
+    for k in (1, 3, 4, 5):
+        r = rows[k]
+        doc = {} if r["attrs"] is None else {"attrs": dict(r["attrs"])}
+        expect = engine.validate(doc, schema)
+        assert expect.valid == got[k]["valid"], (
+            r, expect.errors, got[k]["violations"])
+    # …and the PINNED half of the contract: for VALUE keywords the column
+    # regime keeps null ≡ absent engine-wide (structs cannot express a
+    # present null, so maps follow the same rule), while the VE fails a
+    # present None with 'must be a string' — rows 0 and 2 diverge on the
+    # minLength check only
+    for k in (0, 2):
+        r = rows[k]
+        expect = engine.validate({"attrs": dict(r["attrs"])}, schema)
+        assert not expect.valid and got[k]["valid"]
+        assert {e.tag for e in expect.errors} == {"minLength"}, expect.errors
+
+
+def test_struct_presence_contract_null_field_is_absent():
+    """The struct half of the presence contract, pinned: Arrow structs
+    cannot distinguish {"a": null} from {} — a null field is ABSENT in the
+    column regime, so required fails where a VE dict carrying an explicit
+    None would pass. This is the documented null≡absent divergence; the
+    regimes agree whenever the document simply omits absent keys."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {"obj": {"required": ["a"]}}}
+    batch = pa.table({
+        "k": pa.array([0, 1], type=pa.int64()),
+        "obj": pa.array([{"a": None}, {"a": "x"}],
+                        type=pa.struct([("a", pa.string())])),
+    })
+    got = {g["k"]: g for g in BatchValidator(schema, "k")(batch).to_pylist()}
+    assert not got[0]["valid"]   # null field ≡ absent → required fails
+    assert got[1]["valid"]
+    engine = ValueEngine(Options())
+    # regimes agree when the doc OMITS the key (the canonical mapping)
+    assert not engine.validate({"obj": {}}, schema).valid
+    assert engine.validate({"obj": {"a": "x"}}, schema).valid
+    # the pinned divergence: an explicit None key passes in the VE
+    assert engine.validate({"obj": {"a": None}}, schema).valid
