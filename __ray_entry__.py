@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orders_custkey": checks.fk_orders_custkey,
         "stats_exact_lineitem": checks.stats_exact_lineitem,
         "stats_sketch_documents": checks.stats_sketch_documents,
+        "quantiles_lineitem": checks.quantiles_lineitem,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
@@ -64,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verdict_events_props": corpus.verdict_events_props,
         "events_sessions": corpus.events_sessions,
         "hist_lang_documents": corpus.hist_lang_documents,
+        "repetition_documents": corpus.repetition_documents,
+        "dedup_norm_documents": corpus.dedup_norm_documents,
+        "hist_length_documents": corpus.hist_length_documents,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
@@ -102,6 +106,10 @@ def oracle_sql() -> dict[str, str]:
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,
+        "repetition_documents": corpus.REPETITION_SQL,
+        "dedup_norm_documents": corpus.DEDUP_NORM_SQL,
+        "hist_length_documents": corpus.HIST_LENGTH_SQL,
+        "quantiles_lineitem": checks.QUANTILES_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,
         "purchase_last_click": analytics.PURCHASE_LAST_CLICK_SQL,

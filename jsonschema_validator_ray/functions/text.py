@@ -284,6 +284,62 @@ def langid_batch(batch: pa.Table, column: str = "text",
     return pa.array(out, type=pa.string())
 
 
+def normalize_text_batch(batch: pa.Table, column: str = "text") -> pa.Array:
+    """Dedup normalization: lowercase, collapse whitespace runs to one
+    space, strip leading/trailing spaces. Arithmetic-identical to the SQL
+    ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))`` (both engines
+    run RE2 ``\\s`` and Unicode lower; SQL ``trim`` strips SPACES only, so
+    the Arrow side trims ``" "`` — not Unicode whitespace, which ``\\s+``
+    never collapses in either engine). Null → null."""
+    s = pc.cast(batch.column(column), pa.large_string())
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    return pc.utf8_trim(s, " ")
+
+
+def repetition_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-row token-repetition signals — the web-corpus "repetitious
+    document" detectors (Rae et al. 2021 appendix A1.1 use the same family):
+    ``n_tokens`` (nonempty ``\\s+``-split fragments), ``n_distinct``
+    (distinct tokens), ``top_count`` (highest single-token frequency).
+    All integers, so the SQL oracle (unnest + GROUP BY) matches exactly.
+
+    Fully vectorized: one Arrow split over the batch, one
+    ``dictionary_encode`` (Arrow-native factorize), then (row, token-code)
+    pairs folded with ``np.unique``/``bincount``/``maximum.at`` — no Python
+    loop over rows or tokens. Null text → null signals."""
+    s = pc.cast(batch.column(column), pa.large_string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+    nulls = pc.is_null(s).to_numpy(zero_copy_only=False)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    toks = pc.split_pattern_regex(s, r"\s+")
+    flat = pc.list_flatten(toks)
+    if len(flat):
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(pc.greater(
+            pc.binary_length(flat), 0).to_numpy(zero_copy_only=False))
+        if sel.size:
+            par = parent[sel]
+            enc = pc.dictionary_encode(flat.take(pa.array(sel)))
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            u = len(enc.dictionary)
+            pair = par.astype(np.int64) * np.int64(u) + codes
+            pairs_u, cnts = np.unique(pair, return_counts=True)
+            doc_of = (pairs_u // u).astype(np.int64)
+            n_tokens += np.bincount(par, minlength=n).astype(np.int64)
+            n_distinct += np.bincount(doc_of, minlength=n).astype(np.int64)
+            np.maximum.at(top, doc_of, cnts.astype(np.int64))
+    return pa.table({
+        "n_tokens": pa.array(n_tokens, mask=nulls),
+        "n_distinct": pa.array(n_distinct, mask=nulls),
+        "top_count": pa.array(top, mask=nulls),
+    })
+
+
 # ---- Gopher-style composite quality filter --------------------------------
 # Published web-corpus heuristics (Rae et al. 2021 "Scaling Language
 # Models", appendix A1.1 — public paper): documents outside these bounds

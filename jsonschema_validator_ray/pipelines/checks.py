@@ -173,6 +173,36 @@ SELECT * FROM (
 ) ORDER BY "column"
 """
 
+# ---- exact distributed quantiles (order statistics without a sort) --------
+
+_QUANTILE_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def quantiles_lineitem(sf_dir: str):
+    """(q, value) — EXACT discrete quantiles of l_extendedprice via the
+    histogram-refinement stage (stages/quantiles.exact_quantiles): two
+    streaming count passes + per-rank bin gathers instead of a full
+    distributed sort; skewed bins refine recursively, so driver memory is
+    bounded by ``gather_limit`` regardless of corpus size. quantile_disc
+    semantics (rank ceil(q·n)−1) return an actual data element, so the
+    float compares exactly against DuckDB."""
+    import pandas as pd
+
+    from ..stages.quantiles import exact_quantiles
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    got = exact_quantiles(li, "l_extendedprice", _QUANTILE_QS)
+    return pd.DataFrame({"q": _QUANTILE_QS,
+                         "value": [got[q] for q in _QUANTILE_QS]})
+
+
+QUANTILES_SQL = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"CAST(quantile_disc(l_extendedprice, {q}) AS DOUBLE) AS value "
+    f"FROM lineitem"
+    for q in _QUANTILE_QS)
+
 # ---- sketch stats (rows-only: no SQL oracle; accuracy pinned in pytest) ---
 
 

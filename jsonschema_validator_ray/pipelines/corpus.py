@@ -389,6 +389,113 @@ WHERE lang IS NOT NULL AND lang NOT IN ('en','zh','es','de','fr')
 ORDER BY lang
 """
 
+# ---- token-repetition signals (repetitious-document detector) -------------
+
+
+def repetition_documents(sf_dir: str):
+    """(doc_id, n_tokens, n_distinct, top_count) — per-document token
+    repetition signals (total / distinct tokens, max single-token count),
+    the web-corpus repetitious-document detector family (Rae et al. 2021
+    A1.1). One Arrow split + dictionary_encode + np.bincount fold per
+    batch; all-integer so the unnest/GROUP BY oracle matches exactly."""
+    from ..functions.text import repetition_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        sig = repetition_batch(b)
+        return sig.add_column(0, "doc_id", b.column("doc_id"))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL)
+  WHERE strlen(tok) > 0
+), per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_count
+  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.n_tokens, 0) END AS n_tokens,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.n_distinct, 0) END AS n_distinct,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.top_count, 0) END AS top_count
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+# ---- normalized (near-exact) dedup ----------------------------------------
+
+
+def dedup_norm_documents(sf_dir: str):
+    """Surviving doc_ids after NORMALIZED exact dedup (lowercase + collapse
+    whitespace + trim before hashing — catches trivial reformatting dups
+    exact dedup misses). Same distributed shape as dedup_exact: the shuffle
+    key is the hash bucket of the normalized text; min doc_id survives per
+    normalized VALUE inside the bucket."""
+    from ..functions.text import normalize_text_batch
+    from ..stages.dedup import dedup_exact
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def add_norm(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "__norm": normalize_text_batch(b)})
+
+    normed = docs.map_batches(add_norm, batch_format="pyarrow")
+    return dedup_exact(normed, "doc_id", "__norm").select_columns(["doc_id"])
+
+
+DEDUP_NORM_SQL = r"""
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+"""
+
+# ---- byte-length histogram (equal-width bins, partial+merge) --------------
+
+_HIST_LEN_WIDTH = 256
+
+
+def hist_length_documents(sf_dir: str):
+    """(bin, n) — document byte-length histogram in fixed 256-byte bins:
+    per-batch partial counts folded with one tiny ``groupby(bin).sum`` (the
+    counts shuffle, never the documents). Null text is dropped (no length)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    w = _HIST_LEN_WIDTH
+
+    def partial(b: pa.Table) -> pa.Table:
+        lens = pc.drop_null(pc.binary_length(
+            pc.cast(b.column("text"), pa.large_string())))
+        bins = pc.divide(pc.cast(lens, pa.int64()), w)
+        u, c = np.unique(bins.to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"bin": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    merged = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").sum("n").to_pandas()
+    out = pd.DataFrame({"bin": merged["bin"].astype("int64"),
+                        "n": merged["sum(n)"].astype("int64")})
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+HIST_LENGTH_SQL = """
+SELECT CAST(strlen(text) // 256 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents WHERE text IS NOT NULL GROUP BY bin ORDER BY bin
+"""
+
 # ---- table-level patternProperties / additionalProperties (oracle) --------
 
 PP_SCHEMA = {

@@ -667,3 +667,42 @@ def test_struct_presence_contract_null_field_is_absent():
     assert engine.validate({"obj": {"a": "x"}}, schema).valid
     # the pinned divergence: an explicit None key passes in the VE
     assert engine.validate({"obj": {"a": None}}, schema).valid
+
+
+def test_enum_object_array_members_in_column_plan():
+    """Enum members that are ARRAYS/OBJECTS/BOOLS match in the column plan
+    via the VE's DeepEqual set membership (previously the CP blanket-failed
+    any present cell of a non-scalar column) — regimes agree row by row."""
+    import pyarrow as pa
+
+    from jsonschema_validator_ray import Options, ValueEngine
+    from jsonschema_validator_ray.stages.validate import BatchValidator
+
+    schema = {"properties": {
+        "xs": {"enum": [[1, 2], [3]]},
+        "flag": {"enum": [True]},
+        "obj": {"enum": [{"a": 1}]},
+    }}
+    batch = pa.table({
+        "k": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "xs": pa.array([[1, 2], [3], [2, 1], None],
+                       type=pa.list_(pa.float64())),
+        "flag": pa.array([True, False, None, True]),
+        "obj": pa.array([{"a": 1}, {"a": 2}, None, {"a": 1}],
+                        type=pa.struct([("a", pa.int64())])),
+    })
+    got = {g["k"]: g for g in BatchValidator(schema, "k")(batch).to_pylist()}
+    assert got[0]["valid"]
+    assert {v["tag"] for v in got[1]["violations"]} == {"enum"}
+    # row 2: [2,1] != [1,2] (order matters in DeepEqual) → enum fails
+    assert {v["tag"] for v in got[2]["violations"]} == {"enum"}
+    assert got[3]["valid"]
+    engine = ValueEngine(Options())
+    docs = [{"xs": [1.0, 2.0], "flag": True, "obj": {"a": 1}},
+            {"xs": [3.0], "flag": False, "obj": {"a": 2}},
+            {"xs": [2.0, 1.0]},
+            {"flag": True, "obj": {"a": 1}}]
+    for k, doc in enumerate(docs):
+        expect = engine.validate(doc, schema)
+        assert expect.valid == got[k]["valid"], (k, expect.errors,
+                                                 got[k]["violations"])
