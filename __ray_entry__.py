@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": corpus.repetition_documents,
         "dedup_norm_documents": corpus.dedup_norm_documents,
         "hist_length_documents": corpus.hist_length_documents,
+        "dup_lines_documents": corpus.dup_lines_documents,
+        "clean_lines_documents": corpus.clean_lines_documents,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
@@ -109,6 +111,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_documents": corpus.REPETITION_SQL,
         "dedup_norm_documents": corpus.DEDUP_NORM_SQL,
         "hist_length_documents": corpus.HIST_LENGTH_SQL,
+        "dup_lines_documents": corpus.DUP_LINES_SQL,
+        "clean_lines_documents": corpus.CLEAN_LINES_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,

@@ -496,6 +496,69 @@ SELECT CAST(strlen(text) // 256 AS BIGINT) AS bin,
 FROM documents WHERE text IS NOT NULL GROUP BY bin ORDER BY bin
 """
 
+# ---- line-level (boilerplate) dedup ---------------------------------------
+
+
+def dup_lines_documents(sf_dir: str):
+    """One-row summary of corpus-wide duplicated lines (RefinedWeb-style
+    line dedup, stages/linededup): how many distinct lines appear ≥2 times
+    and their total occurrences. A summary row (never empty) because the
+    synthetic corpus has no boilerplate — planted-corpus behavior is pinned
+    in pytest."""
+    from ..stages.linededup import duplicated_lines
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    d = duplicated_lines(docs, "text").to_pandas()
+    n = int(d["n"].sum()) if "n" in d.columns else 0
+    return pd.DataFrame([{"n_dup_lines": len(d), "n_dup_occurrences": n}])
+
+
+DUP_LINES_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_dup_lines,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS n_dup_occurrences
+FROM (
+  SELECT line, count(*) AS n FROM (
+    SELECT unnest(split(text, chr(10))) AS line
+    FROM documents WHERE text IS NOT NULL)
+  WHERE strlen(trim(line, ' ')) > 0 GROUP BY line HAVING count(*) >= 2)
+"""
+
+
+def clean_lines_documents(sf_dir: str):
+    """(doc_id, clean_text) — every document with corpus-wide duplicated
+    lines removed (broadcast filter; byte-exact split/rejoin roundtrip is
+    what the oracle checks on this boilerplate-free corpus)."""
+    from ..stages.linededup import remove_duplicate_lines
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return remove_duplicate_lines(docs, "doc_id", "text",
+                                  strategy="broadcast")
+
+
+CLEAN_LINES_SQL = """
+WITH dups AS (
+  SELECT line FROM (
+    SELECT unnest(split(text, chr(10))) AS line
+    FROM documents WHERE text IS NOT NULL)
+  WHERE strlen(trim(line, ' ')) > 0 GROUP BY line HAVING count(*) >= 2
+)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL
+  ELSE coalesce(array_to_string(array_agg(l.line ORDER BY l.i)
+                                FILTER (l.line IS NOT NULL), chr(10)), '')
+  END AS clean_text
+FROM documents d LEFT JOIN (
+  SELECT doc_id, i, line FROM (
+    SELECT doc_id, generate_subscripts(split(text, chr(10)), 1) AS i,
+           unnest(split(text, chr(10))) AS line
+    FROM documents WHERE text IS NOT NULL)
+  WHERE line NOT IN (SELECT line FROM dups)
+) l USING (doc_id)
+GROUP BY d.doc_id, d.text
+"""
+
 # ---- table-level patternProperties / additionalProperties (oracle) --------
 
 PP_SCHEMA = {
