@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_exact_lineitem": checks.stats_exact_lineitem,
         "stats_sketch_documents": checks.stats_sketch_documents,
         "quantiles_lineitem": checks.quantiles_lineitem,
+        "trim_outliers_documents": checks.trim_outliers_documents,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_lines_documents": corpus.DUP_LINES_SQL,
         "clean_lines_documents": corpus.CLEAN_LINES_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
+        "trim_outliers_documents": checks.TRIM_OUTLIERS_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,
         "purchase_last_click": analytics.PURCHASE_LAST_CLICK_SQL,

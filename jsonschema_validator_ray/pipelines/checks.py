@@ -10,6 +10,7 @@ aggregation.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -202,6 +203,34 @@ QUANTILES_SQL = "\nUNION ALL\n".join(
     f"CAST(quantile_disc(l_extendedprice, {q}) AS DOUBLE) AS value "
     f"FROM lineitem"
     for q in _QUANTILE_QS)
+
+def trim_outliers_documents(sf_dir: str):
+    """(doc_id) — documents whose ``n_chars`` lies inside the exact
+    [p05, p95] band: the quantile thresholds come from the distributed
+    exact-quantile stage (two streaming count passes), then one vectorized
+    filter pass — the length-outlier trim step of corpus curation, with the
+    cut points exactly reproducible in SQL."""
+    from ..stages.quantiles import exact_quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    q = exact_quantiles(docs, "n_chars", [0.05, 0.95])
+    lo, hi = q[0.05], q[0.95]
+
+    def keep(b: pa.Table) -> pa.Table:
+        c = pc.cast(b.column("n_chars"), pa.float64())
+        m = pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+        return pa.table({"doc_id": b.column("doc_id").filter(
+            pc.fill_null(m, False))})
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+TRIM_OUTLIERS_SQL = """
+SELECT doc_id FROM documents
+WHERE n_chars BETWEEN (SELECT quantile_disc(n_chars, 0.05) FROM documents)
+              AND     (SELECT quantile_disc(n_chars, 0.95) FROM documents)
+"""
 
 # ---- sketch stats (rows-only: no SQL oracle; accuracy pinned in pytest) ---
 
