@@ -6,19 +6,21 @@ data element at ascending rank ``ceil(q·n) − 1``, verified against DuckDB)
 — without a global sort:
 
 1. one aggregate pass → (count, min, max) of the non-null values;
-2. one histogram pass → per-batch partial counts over ``num_buckets``
-   equal-width bins, merged by a tiny ``groupby(bin).sum`` (the classic
+2. one histogram pass PER REFINEMENT LEVEL → per-batch partial counts over
+   ``num_buckets`` equal-width bins for EVERY live range at that level,
+   merged by one tiny ``groupby(range·bin).sum`` (the classic
    partial-aggregation shape — the corpus never funnels to the driver);
-3. the cumulative histogram locates the bin holding each target rank;
-   only those bins' rows are filtered out and gathered (expected n/B rows
-   per bin). A skewed bin larger than ``gather_limit`` is REFINED with
-   another histogram pass restricted to its value range (equal values
-   short-circuit: a zero-width range IS the answer), so pathological skew
-   costs extra scans, never driver memory.
+3. the cumulative histograms locate the bin holding each target rank; a
+   bin larger than ``gather_limit`` is REFINED with the next level's
+   histogram restricted to its value range (equal values short-circuit: a
+   zero-width range IS the answer), so pathological skew costs extra
+   scans, never driver memory; all terminal bins across all levels are
+   collected in ONE final filter pass (expected n/B rows per bin).
 
-Wall cost: 2 streaming scans + k tiny filters (3 scans per refinement
-level on skew). Compare a distributed sort: one all-to-all exchange of the
-WHOLE column vs scans that move only counts.
+Wall cost for k quantiles: 3 streaming scans total in the common case
+(count, histogram, gather) — independent of k — plus one histogram scan
+per refinement level on skew. Compare a distributed sort: one all-to-all
+exchange of the WHOLE column vs scans that move only counts.
 """
 
 from __future__ import annotations
@@ -26,12 +28,14 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
 def _minmax_count(ds, column: str) -> tuple[int, float, float]:
-    """(non-null count, min, max) in one streaming pass of partial rows."""
+    """(non-null count, min, max) in one streaming pass of partial rows
+    (one row per block — driver-safe at any corpus size)."""
 
     def partial(b: pa.Table) -> pa.Table:
         col = pc.cast(b.column(column), pa.float64())
@@ -52,50 +56,92 @@ def _minmax_count(ds, column: str) -> tuple[int, float, float]:
     return n, float(parts["lo"].min()), float(parts["hi"].max())
 
 
-def _bin_counts(ds, column: str, lo: float, hi: float, num_buckets: int,
-                closed: bool) -> np.ndarray:
-    """Histogram counts over [lo, hi) — [lo, hi] when ``closed`` — with
-    values OUTSIDE the range dropped (refinement passes scan the full
-    dataset; out-of-range values are already accounted for by the caller's
-    rank offsets)."""
-    edges = np.linspace(lo, hi, num_buckets + 1)
+def _in_range(v: np.ndarray, lo: float, hi: float,
+              closed: bool) -> np.ndarray:
+    return (v >= lo) & ((v <= hi) if closed else (v < hi))
+
+
+def _bin_counts_multi(ds, column: str, ranges: list, num_buckets: int
+                      ) -> np.ndarray:
+    """Histogram counts for EVERY range in one streaming pass.
+    ``ranges``: [(lo, hi, closed)] — [lo, hi) bins, [lo, hi] when closed;
+    values outside all ranges are dropped (the caller's rank offsets
+    account for them). → int64[len(ranges), num_buckets]."""
+    edges = [np.linspace(lo, hi, num_buckets + 1) for lo, hi, _ in ranges]
 
     def partial(b: pa.Table) -> pa.Table:
         col = pc.cast(b.column(column), pa.float64())
         v = pc.drop_null(col).to_numpy(zero_copy_only=False)
-        v = v[(v >= lo) & ((v <= hi) if closed else (v < hi))]
-        if v.size == 0:
-            return pa.table({"bin": pa.array([], type=pa.int64()),
+        keys, cnts = [], []
+        for rid, (lo, hi, closed) in enumerate(ranges):
+            vv = v[_in_range(v, lo, hi, closed)]
+            if vv.size == 0:
+                continue
+            idx = np.clip(np.searchsorted(edges[rid], vv, side="right") - 1,
+                          0, num_buckets - 1)
+            u, c = np.unique(idx, return_counts=True)
+            keys.append(rid * num_buckets + u)
+            cnts.append(c)
+        if not keys:
+            return pa.table({"k": pa.array([], type=pa.int64()),
                              "cnt": pa.array([], type=pa.int64())})
-        idx = np.clip(np.searchsorted(edges, v, side="right") - 1,
-                      0, num_buckets - 1)
-        u, c = np.unique(idx, return_counts=True)
-        return pa.table({"bin": pa.array(u.astype(np.int64)),
-                         "cnt": pa.array(c.astype(np.int64))})
+        return pa.table({
+            "k": pa.array(np.concatenate(keys).astype(np.int64)),
+            "cnt": pa.array(np.concatenate(cnts).astype(np.int64))})
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bin").sum("cnt").to_pandas()
-    counts = np.zeros(num_buckets, dtype=np.int64)
-    if len(merged):
-        counts[merged["bin"].to_numpy()] = merged["sum(cnt)"].to_numpy()
-    return counts
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts = np.zeros(len(ranges) * num_buckets, dtype=np.int64)
+    # partial size is bounded by blocks × nonzero bins; below the
+    # threshold a driver-side pandas sum skips a whole shuffle execution
+    # (~2 s fixed cost in this sandbox); above it (10^5+ blocks at real
+    # scale) the tiny groupby keeps the driver out of the merge
+    if _block_count(ds) <= 512:
+        df = partials.to_pandas()
+        if len(df):
+            s = df.groupby("k")["cnt"].sum()
+            counts[s.index.to_numpy()] = s.to_numpy()
+    else:
+        merged = partials.groupby("k").sum("cnt").to_pandas()
+        if len(merged):
+            counts[merged["k"].to_numpy()] = merged["sum(cnt)"].to_numpy()
+    return counts.reshape(len(ranges), num_buckets)
 
 
-def _gather_range(ds, column: str, lo: float, hi: float,
-                  last: bool) -> np.ndarray:
-    """Values in [lo, hi) — [lo, hi] for the last bin — as a sorted array
-    (bin-sized, driver-safe by construction)."""
+def _block_count(ds) -> int:
+    try:
+        n = ds.num_blocks()
+        return n if n is not None else 1 << 30
+    except Exception:
+        return 1 << 30
+
+
+def _gather_multi(ds, column: str, bins: list) -> "list[np.ndarray]":
+    """Values of every terminal bin in one streaming pass, sorted per bin.
+    ``bins``: [(lo, hi, closed)], pairwise disjoint; total size bounded by
+    the caller (≤ #bins × gather_limit)."""
 
     def pick(b: pa.Table) -> pa.Table:
         col = pc.cast(b.column(column), pa.float64())
-        m = pc.and_kleene(
-            pc.greater_equal(col, lo),
-            pc.less_equal(col, hi) if last else pc.less(col, hi))
-        return pa.table({column: pc.drop_null(col.filter(
-            pc.fill_null(m, False)))})
+        v = pc.drop_null(col).to_numpy(zero_copy_only=False)
+        ids, vals = [], []
+        for bid, (lo, hi, closed) in enumerate(bins):
+            vv = v[_in_range(v, lo, hi, closed)]
+            if vv.size:
+                ids.append(np.full(vv.size, bid, dtype=np.int64))
+                vals.append(vv)
+        if not ids:
+            return pa.table({"bid": pa.array([], type=pa.int64()),
+                             "val": pa.array([], type=pa.float64())})
+        return pa.table({"bid": pa.array(np.concatenate(ids)),
+                         "val": pa.array(np.concatenate(vals))})
 
-    vals = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    return np.sort(vals[column].to_numpy())
+    df = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = []
+    for bid in range(len(bins)):
+        vals = (df.loc[df["bid"] == bid, "val"].to_numpy()
+                if len(df) and "val" in df.columns else np.array([]))
+        out.append(np.sort(vals))
+    return out
 
 
 def exact_quantiles(ds, column: str, qs: list[float], *,
@@ -105,38 +151,68 @@ def exact_quantiles(ds, column: str, qs: list[float], *,
     """→ {q: value} — exact ``quantile_disc`` over a Dataset column.
 
     ``gather_limit`` bounds driver memory: a located bin with more rows
-    refines recursively (new histogram over the bin's value range) before
-    gathering; ``max_refine`` caps the depth (beyond it the gather happens
-    anyway — at that point the bin is a pathological point mass that the
-    equal-bounds short-circuit usually catches first)."""
-    n, lo, hi = _minmax_count(ds, column)
+    refines recursively (next level's batched histogram restricted to the
+    bin's value range) before gathering; ``max_refine`` caps the depth
+    (beyond it the gather happens anyway — at that point the bin is a
+    pathological point mass that the equal-bounds short-circuit usually
+    catches first)."""
+    n, glo, ghi = _minmax_count(ds, column)
     if n == 0:
         return {q: None for q in qs}
     # DuckDB quantile_disc rank (verified): ascending index ceil(q·n) − 1
-    ranks = {q: max(int(np.ceil(q * n)) - 1, 0) for q in qs}
     out: dict[float, float | None] = {}
-
-    def resolve(q: float, rank: int, lo: float, hi: float, base: int,
-                total: int, depth: int, closed: bool) -> float:
-        """rank is GLOBAL; base = count of values strictly below this
-        range; total = count inside it; ``closed`` ⇔ the upper bound is
-        inclusive (true only while the range ends at the global max —
-        interior histogram bins are half-open, and gather must match the
-        binning exactly or ranks shift)."""
-        if lo == hi:
-            return lo
-        if total <= gather_limit or depth >= max_refine:
-            vals = _gather_range(ds, column, lo, hi, last=closed)
-            return float(vals[rank - base])
-        counts = _bin_counts(ds, column, lo, hi, num_buckets, closed)
-        cum = np.cumsum(counts)
-        b = int(np.searchsorted(cum, rank - base + 1))
-        edges = np.linspace(lo, hi, num_buckets + 1)
-        inner_base = base + (int(cum[b - 1]) if b else 0)
-        return resolve(q, rank, float(edges[b]), float(edges[b + 1]),
-                       inner_base, int(counts[b]), depth + 1,
-                       closed and b == num_buckets - 1)
-
-    for q in sorted(set(qs)):
-        out[q] = resolve(q, ranks[q], lo, hi, 0, n, 0, True)
+    # work item: (lo, hi, closed, base, [(q, global_rank), ...]) where
+    # base = count of values strictly below the range; ``closed`` ⇔ the
+    # upper bound is inclusive (true only while the range ends at the
+    # global max — interior bins are half-open, and gather must match the
+    # binning exactly or ranks shift)
+    work = [(glo, ghi, True, 0,
+             [(q, max(int(np.ceil(q * n)) - 1, 0)) for q in set(qs)])]
+    terminal: list = []      # (lo, hi, closed, base, [(q, rank)])
+    depth = 0
+    while work:
+        next_work = []
+        ranges = [(w[0], w[1], w[2]) for w in work]
+        # zero-width ranges and depth/size cutoffs go straight to terminal
+        live_idx = []
+        for i, (lo, hi, closed, base, qr) in enumerate(work):
+            if lo == hi:
+                for q, _ in qr:
+                    out[q] = lo
+            elif depth >= max_refine:
+                terminal.append((lo, hi, closed, base, qr))
+            else:
+                live_idx.append(i)
+        if not live_idx:
+            break
+        live = [work[i] for i in live_idx]
+        counts = _bin_counts_multi(
+            ds, column, [(w[0], w[1], w[2]) for w in live], num_buckets)
+        for (lo, hi, closed, base, qr), row in zip(live, counts):
+            cum = np.cumsum(row)
+            edges = np.linspace(lo, hi, num_buckets + 1)
+            by_bin: dict[int, list] = {}
+            for q, rank in qr:
+                b = int(np.searchsorted(cum, rank - base + 1))
+                by_bin.setdefault(b, []).append((q, rank))
+            for b, sub in by_bin.items():
+                blo, bhi = float(edges[b]), float(edges[b + 1])
+                bclosed = closed and b == num_buckets - 1
+                bbase = base + (int(cum[b - 1]) if b else 0)
+                item = (blo, bhi, bclosed, bbase, sub)
+                if blo == bhi:
+                    for q, _ in sub:
+                        out[q] = blo
+                elif int(row[b]) <= gather_limit:
+                    terminal.append(item)
+                else:
+                    next_work.append(item)
+        work = next_work
+        depth += 1
+    if terminal:
+        gathered = _gather_multi(ds, column,
+                                 [(t[0], t[1], t[2]) for t in terminal])
+        for (lo, hi, closed, base, qr), vals in zip(terminal, gathered):
+            for q, rank in qr:
+                out[q] = float(vals[rank - base])
     return out
