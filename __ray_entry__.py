@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_length_documents": corpus.hist_length_documents,
         "dup_lines_documents": corpus.dup_lines_documents,
         "clean_lines_documents": corpus.clean_lines_documents,
+        "vocab_topk_documents": corpus.vocab_topk_documents,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_length_documents": corpus.HIST_LENGTH_SQL,
         "dup_lines_documents": corpus.DUP_LINES_SQL,
         "clean_lines_documents": corpus.CLEAN_LINES_SQL,
+        "vocab_topk_documents": corpus.VOCAB_TOPK_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "trim_outliers_documents": checks.TRIM_OUTLIERS_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,

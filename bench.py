@@ -163,6 +163,7 @@ def run_bench() -> dict:
         "minhash_pairs_documents", "verdict_embeddings",
         "verdict_documents_combo", "sample_documents_by_lang",
         "events_in_sessions", "pack_documents",
+        "quantiles_lineitem", "repetition_documents", "clean_lines_documents",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -1,0 +1,90 @@
+"""Corpus vocabulary statistics: per-token total counts + document
+frequency, and the global top-k tokens.
+
+The term-statistics pass every corpus pipeline needs (stopword discovery,
+tokenizer-vocab sizing, IDF tables). Shape:
+
+1. per batch, one Arrow whitespace split + ``dictionary_encode``
+   (Arrow-native factorize) folds the batch to distinct-token partials
+   ``(token, n_total, n_docs)`` via ``np.unique``/``bincount`` — no Python
+   loop over tokens; natural-language batches compress hundreds-fold here
+   (Zipf), so only distinct-token partials cross the exchange;
+2. shuffle partials by a hash BUCKET of the token, sum per token VALUE
+   inside the bucket (collision-proof);
+3. per-bucket top-k by ``(n_total desc, token asc)`` — a token lives in
+   exactly one bucket, so per-bucket heads merged on the driver (B·k rows,
+   bounded) give the exact global top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _token_partials(batch: pa.Table, column: str,
+                    num_buckets: int) -> pa.Table:
+    s = pc.cast(batch.column(column), pa.large_string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    toks = pc.split_pattern_regex(s, r"\s+")
+    flat = pc.list_flatten(toks)
+    empty = pa.table({"token": pa.array([], type=pa.large_string()),
+                      "n_total": pa.array([], type=pa.int64()),
+                      "n_docs": pa.array([], type=pa.int64()),
+                      "__bucket": pa.array([], type=pa.int32())})
+    if len(flat) == 0:
+        return empty
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    sel = np.flatnonzero(pc.greater(
+        pc.binary_length(flat), 0).to_numpy(zero_copy_only=False))
+    if sel.size == 0:
+        return empty
+    enc = pc.dictionary_encode(flat.take(pa.array(sel)))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    u = len(enc.dictionary)
+    n_total = np.bincount(codes, minlength=u)
+    pair = parent[sel].astype(np.int64) * np.int64(u) + codes
+    n_docs = np.bincount(np.unique(pair) % u, minlength=u)
+    tokens = pd.Series(enc.dictionary.to_pandas())
+    h = pd.util.hash_pandas_object(tokens, index=False).to_numpy()
+    return pa.table({
+        "token": pc.cast(enc.dictionary, pa.large_string()),
+        "n_total": pa.array(n_total.astype(np.int64)),
+        "n_docs": pa.array(n_docs.astype(np.int64)),
+        "__bucket": pa.array((h % num_buckets).astype(np.int32)),
+    })
+
+
+def vocab_topk(ds, column: str, k: int, *, num_buckets: int = 64,
+               batch_size: int = 8192) -> pd.DataFrame:
+    """→ DataFrame ``(token, n_total, n_docs)`` of the k most frequent
+    whitespace tokens corpus-wide, ordered by ``(n_total desc, token
+    asc)`` — the tiebreak makes the head deterministic, so it compares
+    exactly against a SQL ``ORDER BY count(*) DESC, tok LIMIT k``."""
+
+    partials = ds.map_batches(
+        lambda b: _token_partials(b, column, num_buckets),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def head_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", sort=False).agg(
+            n_total=("n_total", "sum"), n_docs=("n_docs", "sum"))
+        agg = agg.reset_index().sort_values(
+            ["n_total", "token"], ascending=[False, True],
+            kind="mergesort").head(k)
+        return agg[["token", "n_total", "n_docs"]]
+
+    heads = partials.groupby("__bucket").map_groups(
+        head_in_bucket, batch_format="pandas").to_pandas()
+    if "token" not in heads.columns:      # empty corpus loses the schema
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n_total": pd.Series([], dtype=np.int64),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    out = heads.sort_values(["n_total", "token"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    out["n_total"] = out["n_total"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -1,0 +1,74 @@
+"""Corpus vocabulary top-k (stages/vocab.py): exact counts + document
+frequency vs a pure-Python reference, partition invariance, tie handling."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+
+from jsonschema_validator_ray.stages.vocab import vocab_topk
+
+
+def _ref_vocab(texts, k):
+    total: Counter = Counter()
+    docs: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        toks = [x for x in t.split() if x]
+        total.update(toks)
+        docs.update(set(toks))
+    rows = sorted(((tok, n, docs[tok]) for tok, n in total.items()),
+                  key=lambda r: (-r[1], r[0]))[:k]
+    return pd.DataFrame(rows, columns=["token", "n_total", "n_docs"])
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the dog  sat\twhere the\ncat sat",      # repeated tokens, mixed ws
+    "",                                      # empty doc
+    None,                                    # null doc
+    "  leading and trailing  ",              # empty split fragments
+    "zebra zebra zebra",                     # high-count single-doc token
+    "aa ab aa",                              # tie fodder (aa vs others)
+    "the end",
+]
+
+
+def test_vocab_topk_matches_reference(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(TEXTS, type=pa.string())})).repartition(4)
+    got = vocab_topk(ds, "text", 5, num_buckets=8, batch_size=3)
+    want = _ref_vocab(TEXTS, 5)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_vocab_topk_partition_invariant(ray_session):
+    """Same head regardless of bucket count / batch size (ties broken by
+    token asc, so the boundary is deterministic)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(TEXTS * 7, type=pa.string())}))
+    a = vocab_topk(ds.repartition(1), "text", 4, num_buckets=2,
+                   batch_size=1000)
+    b = vocab_topk(ds.repartition(5), "text", 4, num_buckets=32,
+                   batch_size=2)
+    pd.testing.assert_frame_equal(a, b)
+    # 7x duplication scales totals but not the per-doc frequency ordering
+    want = _ref_vocab(TEXTS * 7, 4)
+    pd.testing.assert_frame_equal(a, want)
+
+
+def test_vocab_topk_empty_corpus(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array([], type=pa.string())}))
+    out = vocab_topk(ds, "text", 10)
+    assert list(out.columns) == ["token", "n_total", "n_docs"]
+    assert len(out) == 0
