@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_lines_documents": corpus.dup_lines_documents,
         "clean_lines_documents": corpus.clean_lines_documents,
         "vocab_topk_documents": corpus.vocab_topk_documents,
+        "oov_documents": corpus.oov_documents,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_lines_documents": corpus.DUP_LINES_SQL,
         "clean_lines_documents": corpus.CLEAN_LINES_SQL,
         "vocab_topk_documents": corpus.VOCAB_TOPK_SQL,
+        "oov_documents": corpus.OOV_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "trim_outliers_documents": checks.TRIM_OUTLIERS_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,

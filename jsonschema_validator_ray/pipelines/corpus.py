@@ -923,3 +923,70 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
 FROM sess GROUP BY user_id, sid
 """
+
+
+# ---- corpus vocabulary (global top-k token statistics) ---------------------
+
+
+def vocab_topk_documents(sf_dir: str, k: int = 100):
+    """Top-``k`` whitespace tokens corpus-wide with total count and
+    document frequency (token, n_total, n_docs) — the term-statistics pass
+    behind stopword discovery / tokenizer sizing / IDF tables. Per-batch
+    Arrow split + dictionary_encode fold to distinct-token partials, hash
+    bucketed exchange, exact per-bucket head (stages/vocab.py). The
+    (n_total DESC, token ASC) tiebreak makes the head deterministic, so it
+    compares exactly against the SQL oracle."""
+    from ..stages.vocab import vocab_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return vocab_topk(docs, "text", k)
+
+
+VOCAB_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks WHERE token <> ''
+GROUP BY token ORDER BY n_total DESC, token LIMIT 100
+"""
+
+
+def oov_documents(sf_dir: str, vocab_k: int = 20):
+    """(doc_id, n_tokens, n_oov) — two-pass vocabulary scoring: fit the
+    top-``vocab_k`` corpus vocabulary (bounded driver artifact), broadcast
+    it, then score every document's out-of-vocabulary token count in one
+    vectorized actor pass (stages/vocab.OOVScorer). The CCNet-shaped
+    head-vocabulary quality signal; all-integer so the SQL oracle matches
+    exactly."""
+    from ..stages.vocab import oov_scores, vocab_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    vocab = vocab_topk(docs, "text", vocab_k)
+    return oov_scores(docs, "text", "doc_id", vocab["token"].tolist())
+
+
+OOV_SQL = r"""
+WITH vocab AS (
+  SELECT token FROM (
+    SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE token <> ''
+  GROUP BY token ORDER BY count(*) DESC, token LIMIT 20
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+              AS BIGINT) AS n_oov
+  FROM toks WHERE token <> '' GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""

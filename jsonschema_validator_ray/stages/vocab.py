@@ -88,3 +88,65 @@ def vocab_topk(ds, column: str, k: int, *, num_buckets: int = 64,
     out["n_total"] = out["n_total"].astype(np.int64)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+class OOVScorer:
+    """Actor stage: per-document out-of-vocabulary token counts against a
+    broadcast fitted vocabulary (the CCNet-shaped quality signal — docs
+    whose tokens fall outside the corpus head are boilerplate/noise
+    candidates). Vocabulary resolves ONCE in ``__init__`` (ObjectRef or
+    plain list); per batch one Arrow split + ``pc.is_in`` + two bincounts —
+    no Python loop over tokens."""
+
+    def __init__(self, column: str, key: str, vocab_ref):
+        import ray
+
+        toks = (ray.get(vocab_ref)
+                if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref)
+        self.vocab = pa.array(list(toks), type=pa.large_string())
+        self.column = column
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        s = pc.cast(batch.column(self.column), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat):
+            parent = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False)
+            sel = np.flatnonzero(pc.greater(
+                pc.binary_length(flat), 0).to_numpy(zero_copy_only=False))
+            kept_parents = parent[sel]
+            in_vocab = pc.is_in(
+                flat.take(pa.array(sel)),
+                value_set=self.vocab).to_numpy(zero_copy_only=False)
+            n_tokens = np.bincount(kept_parents, minlength=n)
+            n_oov = np.bincount(kept_parents[~in_vocab], minlength=n)
+        else:
+            n_tokens = n_oov = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            self.key: batch.column(self.key),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "n_oov": pa.array(n_oov.astype(np.int64)),
+        })
+
+
+def oov_scores(ds, column: str, key: str, vocab_tokens, *,
+               batch_size: int = 8192, concurrency: int = 2):
+    """→ Dataset ``(key, n_tokens, n_oov)``: per-row token totals and
+    out-of-vocabulary counts against ``vocab_tokens`` (any iterable; big
+    vocabularies should be ``ray.put`` once and passed as the ObjectRef)."""
+    import ray
+
+    toks = vocab_tokens
+    if not isinstance(toks, ray.ObjectRef):
+        toks = list(toks)
+        if len(toks) > 100_000:
+            toks = ray.put(toks)
+    return ds.map_batches(
+        OOVScorer, fn_constructor_args=(column, key, toks),
+        concurrency=concurrency, batch_format="pyarrow",
+        batch_size=batch_size)

@@ -72,3 +72,37 @@ def test_vocab_topk_empty_corpus(ray_session):
     out = vocab_topk(ds, "text", 10)
     assert list(out.columns) == ["token", "n_total", "n_docs"]
     assert len(out) == 0
+
+
+def test_oov_scores_matches_reference(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.vocab import oov_scores
+
+    vocab = ["the", "cat", "sat"]
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(range(len(TEXTS)), type=pa.int64()),
+        "text": pa.array(TEXTS, type=pa.string()),
+    })).repartition(3)
+    got = (oov_scores(ds, "text", "id", vocab, batch_size=2)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    for i, t in enumerate(TEXTS):
+        toks = [x for x in (t or "").split() if x]
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "n_oov"] == sum(x not in vocab for x in toks)
+
+
+def test_oov_fit_then_score_roundtrip(ray_session):
+    """Fit the full vocabulary then score: every token is in-vocab."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.vocab import oov_scores, vocab_topk
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(range(len(TEXTS)), type=pa.int64()),
+        "text": pa.array(TEXTS, type=pa.string()),
+    }))
+    vocab = vocab_topk(ds, "text", 10_000)
+    got = oov_scores(ds, "text", "id", vocab["token"].tolist()).to_pandas()
+    assert int(got["n_oov"].sum()) == 0
+    assert int(got["n_tokens"].sum()) == int(vocab["n_total"].sum())
