@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": corpus.events_hourly,
         "verdict_events_props": corpus.verdict_events_props,
         "events_sessions": corpus.events_sessions,
+        "events_sequenced": corpus.events_sequenced,
         "hist_lang_documents": corpus.hist_lang_documents,
         "repetition_documents": corpus.repetition_documents,
         "dedup_norm_documents": corpus.dedup_norm_documents,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,
+        "events_sequenced": corpus.EVENTS_SEQUENCED_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,
         "repetition_documents": corpus.REPETITION_SQL,
         "dedup_norm_documents": corpus.DEDUP_NORM_SQL,

@@ -990,3 +990,24 @@ SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
        COALESCE(p.n_oov, 0) AS n_oov
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+
+def events_sequenced(sf_dir: str):
+    """(event_id, user_id, seq, gap_us) — per-user event sequencing
+    (row_number + exact-microsecond lag gap) through the partitioned-log
+    window machinery (stages/windows.sequence)."""
+    from ..stages.windows import sequence
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return sequence(ev, "user_id", "ts", "event_id")
+
+
+EVENTS_SEQUENCED_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1)
+            AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

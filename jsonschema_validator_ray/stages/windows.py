@@ -126,3 +126,44 @@ def sessionize(ds, key: str, ts: str, gap_s: int, num_buckets: int = 32):
 
     return _bucket_groups(ds, key, num_buckets).map_groups(
         per_bucket, batch_format="pandas")
+
+
+def sequence(ds, key: str, ts: str, id_col: str, num_buckets: int = 32):
+    """Per-key ordered sequencing — the lag/row_number window family:
+    → (id_col, key, seq, gap_us) where ``seq`` is the 1-based rank of the
+    row within its key ordered by (ts, id_col) and ``gap_us`` the exact
+    microsecond gap to the key's previous event (-1 for the first — keeps
+    the column all-int64 so the SQL oracle compares exactly; DuckDB's
+    date_diff counts boundary crossings, epoch_us subtraction does not).
+
+    Same partitioned-log contract as the other windows: hash-bucket the key,
+    one vectorized pandas pass per bucket (every key of the bucket in one
+    sort + cumcount — never a Ray group per key)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, key, "seq", "gap_us"]
+        if g.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        g = g.sort_values([key, ts, id_col], kind="mergesort")
+        seq = (g.groupby(key, sort=False).cumcount() + 1).to_numpy()
+        t = g[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        kv = g[key].to_numpy()
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = kv[1:] != kv[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        if n > 1:
+            gap[1:] = t[1:] - t[:-1]
+        gap[first] = -1
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key: kv,
+            "seq": seq.astype(np.int64),
+            "gap_us": gap,
+        })
+
+    return _bucket_groups(ds, key, num_buckets).map_groups(
+        per_bucket, batch_format="pandas")

@@ -74,3 +74,38 @@ def test_sessionize(ray_session):
     assert len(a) == 2 and list(a["n_events"]) == [3, 2]
     assert len(b) == 1 and b["n_events"].iloc[0] == 5
     assert a["session_end"].iloc[0] == base + pd.Timedelta(seconds=200)
+
+
+def test_sequence_ranks_and_gaps(ray_session):
+    """row_number + lag gap vs a pandas reference, duplicate timestamps
+    broken by id, singleton keys get gap -1."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.windows import sequence
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 300, n),
+        # coarse grid => plenty of exact-duplicate timestamps per user
+        "ts": pd.to_datetime(rng.integers(0, 500, n) * 1_000_000, unit="us"),
+    })
+    got = (sequence(ray.data.from_pandas(df).repartition(6),
+                    "user_id", "ts", "event_id", num_buckets=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    ref = df.sort_values(["user_id", "ts", "event_id"],
+                         kind="mergesort").copy()
+    ref["seq"] = ref.groupby("user_id", sort=False).cumcount() + 1
+    t = ref["ts"].astype("datetime64[us]").astype("int64")
+    gap = t.diff()
+    newk = ref["user_id"] != ref["user_id"].shift()
+    gap[newk] = -1
+    ref["gap_us"] = gap.astype("int64")
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (got["seq"].to_numpy() == ref["seq"].to_numpy()).all()
+    assert (got["gap_us"].to_numpy() == ref["gap_us"].to_numpy()).all()
+    assert (got["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
