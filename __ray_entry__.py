@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verdict_events_props": corpus.verdict_events_props,
         "events_sessions": corpus.events_sessions,
         "events_sequenced": corpus.events_sequenced,
+        "events_rolling": corpus.events_rolling,
         "hist_lang_documents": corpus.hist_lang_documents,
         "repetition_documents": corpus.repetition_documents,
         "dedup_norm_documents": corpus.dedup_norm_documents,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,
         "events_sequenced": corpus.EVENTS_SEQUENCED_SQL,
+        "events_rolling": corpus.EVENTS_ROLLING_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,
         "repetition_documents": corpus.REPETITION_SQL,
         "dedup_norm_documents": corpus.DEDUP_NORM_SQL,

@@ -1011,3 +1011,27 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def events_rolling(sf_dir: str, window_s: int = 600):
+    """(event_id, user_id, w_count, w_cents) — trailing 10-minute
+    count/value-cents per user at every event (stages/windows.rolling),
+    the RANGE-frame window analytics shape."""
+    from ..stages.windows import rolling
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    return rolling(ev, "user_id", "ts", "event_id", window_s,
+                   value="value")
+
+
+EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS w_count,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS w_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 600 SECOND PRECEDING AND CURRENT ROW)
+"""

@@ -167,3 +167,52 @@ def sequence(ds, key: str, ts: str, id_col: str, num_buckets: int = 32):
 
     return _bucket_groups(ds, key, num_buckets).map_groups(
         per_bucket, batch_format="pandas")
+
+
+def rolling(ds, key: str, ts: str, id_col: str, window_s: int,
+            value: str | None = None, num_buckets: int = 32):
+    """Per-row trailing time-range aggregate — SQL's ``RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW`` family: for every row, the count
+    (and integer-cents sum of ``value``) of the key's rows with timestamp in
+    the inclusive window ``[ts - window_s, ts]``. Value-based frame: rows
+    sharing the exact timestamp are peers and all included, matching the
+    SQL RANGE contract.
+
+    One vectorized pass per hash bucket: sort by (key, ts), offset each
+    key's segment onto a disjoint int64 range (segment id × span — valid
+    because ``window_s`` never reaches across the span gap), then ONE global
+    ``np.searchsorted`` pair + prefix sums give every row's frame bounds —
+    no per-key loop, no per-key Ray task."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, key, "w_count"] + (["w_cents"] if value else [])
+        if g.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        g = g.sort_values([key, ts, id_col], kind="mergesort")
+        t = g[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        kv = g[key].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = kv[1:] != kv[:-1]
+        seg = np.cumsum(new) - 1
+        w_us = np.int64(window_s) * 1_000_000
+        t0 = t - t.min()
+        span = np.int64(t0.max()) + w_us + 2
+        if (seg[-1] + 1) > np.iinfo(np.int64).max // max(span, 1):
+            raise ValueError("rolling: key-segment offset would overflow "
+                             "int64; reduce bucket span or window")
+        tm = t0 + seg * span
+        lo = np.searchsorted(tm, tm - w_us, side="left")
+        hi = np.searchsorted(tm, tm, side="right")
+        out = {id_col: g[id_col].to_numpy(), key: kv,
+               "w_count": (hi - lo).astype(np.int64)}
+        if value:
+            cents = np.floor(g[value].to_numpy() * 100).astype(np.int64)
+            pref = np.concatenate([[0], np.cumsum(cents)])
+            out["w_cents"] = (pref[hi] - pref[lo]).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return _bucket_groups(ds, key, num_buckets).map_groups(
+        per_bucket, batch_format="pandas")

@@ -109,3 +109,36 @@ def test_sequence_ranks_and_gaps(ray_session):
     assert (got["seq"].to_numpy() == ref["seq"].to_numpy()).all()
     assert (got["gap_us"].to_numpy() == ref["gap_us"].to_numpy()).all()
     assert (got["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+
+
+def test_rolling_range_frame(ray_session):
+    """Trailing time-range count/sum vs a brute-force reference; duplicate
+    timestamps are peers (all included), frame inclusive at t-W."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.windows import rolling
+
+    rng = np.random.default_rng(23)
+    n = 2500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 60, n),
+        "ts": pd.to_datetime(rng.integers(0, 3600, n) * 1_000_000,
+                             unit="us"),
+        "value": rng.uniform(0, 50, n).round(2),
+    })
+    W = 300
+    got = (rolling(ray.data.from_pandas(df).repartition(5),
+                   "user_id", "ts", "event_id", W, value="value",
+                   num_buckets=8)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+    for i in rng.integers(0, n, 200):   # spot-check brute force
+        m = ((df["user_id"].to_numpy() == df.loc[i, "user_id"]) &
+             (t >= t[i] - W * 1_000_000) & (t <= t[i]))
+        assert got.loc[i, "w_count"] == int(m.sum())
+        assert got.loc[i, "w_cents"] == int(cents[m].sum())
