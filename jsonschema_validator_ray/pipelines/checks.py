@@ -243,3 +243,43 @@ def stats_sketch_documents(sf_dir: str):
     out = column_stats(docs, ["doc_id", "text", "lang", "n_chars"]).to_pandas()
     return out[["column", "cnt", "nulls", "null_rate", "distinct_est",
                 "p50", "p95", "p99"]].sort_values("column").reset_index(drop=True)
+
+
+# ---- cross-column row rules ----------------------------------------------
+
+_LINEITEM_RULES = [
+    {"id": "discount_le_tax", "left": "l_discount", "op": "le",
+     "right": "l_tax"},
+    {"id": "qty_positive", "left": "l_quantity", "op": "gt",
+     "right": {"const": 0.0}},
+    {"id": "price_ge_qty", "left": "l_extendedprice", "op": "ge",
+     "right": "l_quantity"},
+]
+
+
+def rowrules_lineitem(sf_dir: str):
+    """(l_orderkey, l_linenumber, constraint_id) — cross-column comparator
+    rules over lineitem (stages/rowrules.py): the reference's eq/ne/gt/…
+    comparators lifted to column-vs-column table invariants. Floats are
+    compared, never accumulated, so verdicts are arithmetic-identical to
+    the SQL oracle."""
+    from ..stages.rowrules import row_rule_violations
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return row_rule_violations(li, _LINEITEM_RULES,
+                               ["l_orderkey", "l_linenumber"])
+
+
+ROWRULES_SQL = """
+SELECT l_orderkey, l_linenumber, 'discount_le_tax' AS constraint_id
+FROM lineitem WHERE NOT (l_discount <= l_tax)
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'qty_positive'
+FROM lineitem WHERE NOT (l_quantity > 0)
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price_ge_qty'
+FROM lineitem WHERE NOT (l_extendedprice >= l_quantity)
+"""

@@ -137,3 +137,52 @@ def test_drift_numeric(ray_session, lineitem):
     base.add_values(lineitem.to_pandas()["l_quantity"].to_numpy(dtype=float))
     rpt = drift_check(lineitem, "l_quantity", base.to_json())
     assert not rpt.drifted and rpt.psi < 1e-6  # identical data
+
+
+def test_row_rules_match_sql(ray_session, lineitem):
+    import duckdb
+
+    from jsonschema_validator_ray.stages.rowrules import row_rule_violations
+
+    rules = [
+        {"id": "discount_le_tax", "left": "l_discount", "op": "le",
+         "right": "l_tax"},
+        {"id": "qty_positive", "left": "l_quantity", "op": "gt",
+         "right": {"const": 0.0}},
+        {"id": "price_ge_qty", "left": "l_extendedprice", "op": "ge",
+         "right": "l_quantity"},
+    ]
+    out = row_rule_violations(lineitem, rules,
+                              ["l_orderkey", "l_linenumber"]).to_pandas()
+    sql = duckdb.connect().execute(f"""
+        WITH li AS (SELECT * FROM '{SF_SMOKE}/lineitem.parquet')
+        SELECT l_orderkey, l_linenumber, 'discount_le_tax' AS cid
+        FROM li WHERE NOT (l_discount <= l_tax)
+        UNION ALL SELECT l_orderkey, l_linenumber, 'qty_positive'
+        FROM li WHERE NOT (l_quantity > 0)
+        UNION ALL SELECT l_orderkey, l_linenumber, 'price_ge_qty'
+        FROM li WHERE NOT (l_extendedprice >= l_quantity)
+    """).df()
+    key = ["l_orderkey", "l_linenumber", "constraint_id"]
+    ours = set(map(tuple, out[key].itertuples(index=False)))
+    theirs = set(map(tuple, sql.itertuples(index=False)))
+    assert ours == theirs and len(out) == len(sql)
+
+
+def test_row_rules_null_sides_not_violations(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_validator_ray.stages.rowrules import row_rule_violations
+
+    t = pa.table({
+        "k": [1, 2, 3, 4],
+        "a": pa.array([1.0, None, 5.0, 2.0]),
+        "b": pa.array([2.0, 1.0, None, 1.0]),
+    })
+    out = row_rule_violations(
+        ray.data.from_arrow(t),
+        [{"id": "a_le_b", "left": "a", "op": "le", "right": "b"}],
+        ["k"]).to_pandas()
+    # rows 2/3 have a null side -> never violations; only k=4 fails
+    assert sorted(out["k"].tolist()) == [4]
