@@ -88,6 +88,8 @@ def run_bench() -> dict:
         logging.getLogger(noisy).setLevel(logging.ERROR)
     import ray.data
 
+    from jsonschema_validator_ray.sources.parquet import read_parquet
+
     import __ray_entry__ as ent
 
     files = _ensure_webtext(WEBTEXT_ROWS)
@@ -115,7 +117,7 @@ def run_bench() -> dict:
     reps = []
     for _rep in range(int(os.environ.get("GRAFT_BENCH_REPS", "3"))):
         t0 = time.perf_counter()
-        ds = ray.data.read_parquet(files)
+        ds = read_parquet(files)
         combined = ds.map_batches(WebtextValidator(True),
                                   batch_format="pyarrow", batch_size=16384)
         agg = combined.aggregate(Count(), Sum("error_count", alias_name="n_viol"))
@@ -146,7 +148,7 @@ def run_bench() -> dict:
     # back-to-back (measured 170s concurrent vs ~57s serial at 16M) ---
     wide_files = files[:max(1, len(files) // 4)]
     t0 = time.perf_counter()
-    rpt = run_webtext_pipeline(ray.data.read_parquet(wide_files),
+    rpt = run_webtext_pipeline(read_parquet(wide_files),
                                check_extraction=False, batch_size=16384)
     n_dups = rpt.dup_urls.count()
     n_langviol = rpt.lang_violations.count()

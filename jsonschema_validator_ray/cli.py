@@ -115,10 +115,12 @@ def main(argv: list[str] | None = None) -> int:
         # not the per-partition resumable layout of the validate job
         import ray.data
 
+        from .sources.parquet import read_parquet
+
         from .pipelines.prep import prepare_training_data
 
         t0 = time.time()
-        ds = ray.data.read_parquet(files,
+        ds = read_parquet(files,
                                    columns=[args.key, args.text_col])
         packed, stats = prepare_training_data(
             ds, key=args.key, text=args.text_col,

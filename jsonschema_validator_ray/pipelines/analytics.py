@@ -10,6 +10,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..sources.parquet import read_parquet
 from ..stages.joins import asof_join, bucketed_join, hash_join
 
 # ---- revenue per market segment: both-sides-meaningful equi-join ----------
@@ -17,9 +18,9 @@ from ..stages.joins import asof_join, bucketed_join, hash_join
 
 def _segment_revenue(join_fn):
     def q(sf_dir: str):
-        orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+        orders = read_parquet(f"{sf_dir}/orders.parquet",
                                        columns=["o_custkey", "o_totalprice"])
-        customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+        customer = read_parquet(f"{sf_dir}/customer.parquet",
                                          columns=["c_custkey", "c_mktsegment"])
         joined = join_fn(orders, customer, "o_custkey", right_on="c_custkey")
 
@@ -73,10 +74,10 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     import numpy as np
     import ray
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey",
                                             "o_totalprice"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     dim = pa.concat_tables(
         ray.get(cust.to_arrow_refs())).combine_chunks()  # tiny dimension
@@ -151,7 +152,7 @@ def purchase_last_click(sf_dir: str):
     """For each purchase event, the most recent earlier click by the same
     user (NaT when none) — the as-of join shape. Output
     (event_id, user_id, click_ts)."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts", "event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'") \
                   .select_columns(["event_id", "user_id", "ts"])

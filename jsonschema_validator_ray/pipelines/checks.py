@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..sources.parquet import read_parquet
 from ..functions.iso639 import ISO_639_1
 from ..stages.referential import fk_violations, referential_violations
 from ..stages.stats import column_stats
@@ -25,7 +26,7 @@ from ..stages.uniqueness import duplicate_keys
 def dup_orders_custkey(sf_dir: str):
     """Customers with more than one order — two-phase groupby-count
     (per-batch combiner, then Sum over partials)."""
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey"])
     return duplicate_keys(orders, "o_custkey")
 
@@ -44,7 +45,7 @@ def referential_lang(sf_dir: str):
     """Documents whose lang is outside a restricted dictionary (the broadcast
     anti-semi-join path; the full ISO-639 set yields zero rows on the clean
     corpus so the fixture narrows the dictionary)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang"])
     return referential_violations(docs, "lang", "doc_id", _LANG_SUBSET,
                                   constraint_id="referential:lang")
@@ -61,7 +62,7 @@ def referential_lang_iso639(sf_dir: str):
     """Full ISO-639-1 dictionary check, reported as a one-row summary
     (always non-empty, so the oracle compare is schema-stable even when the
     corpus is clean and the violation set is empty)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang"])
     n = referential_violations(docs, "lang", "doc_id", ISO_639_1).count()
     import pandas as pd
@@ -83,9 +84,9 @@ def fk_orders_custkey(sf_dir: str):
     """FK check orders.o_custkey ⊆ customer.c_custkey with the dimension side
     restricted (so the check fires): broadcast the small side's key set, anti
     join inside map_batches."""
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
-    dim = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    dim = read_parquet(f"{sf_dir}/customer.parquet",
                                 columns=["c_custkey"]) \
                   .filter(expr="c_custkey <= 100")
     return fk_violations(orders, "o_orderkey", "o_custkey", dim, "c_custkey",
@@ -133,7 +134,7 @@ def stats_exact_lineitem(sf_dir: str):
     rounded, so it hashes identically against the SQL oracle."""
     import pandas as pd
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=_STATS_COLS)
+    li = read_parquet(f"{sf_dir}/lineitem.parquet", columns=_STATS_COLS)
     partials = li.map_batches(_exact_stats_partial, batch_format="pyarrow") \
                  .to_pandas()
     g = partials.groupby("column")
@@ -191,7 +192,7 @@ def quantiles_lineitem(sf_dir: str):
 
     from ..stages.quantiles import exact_quantiles
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_extendedprice"])
     got = exact_quantiles(li, "l_extendedprice", _QUANTILE_QS)
     return pd.DataFrame({"q": _QUANTILE_QS,
@@ -212,7 +213,7 @@ def trim_outliers_documents(sf_dir: str):
     cut points exactly reproducible in SQL."""
     from ..stages.quantiles import exact_quantiles
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
     q = exact_quantiles(docs, "n_chars", [0.05, 0.95])
     lo, hi = q[0.05], q[0.95]
@@ -239,7 +240,7 @@ def stats_sketch_documents(sf_dir: str):
     """Full stats row per documents column, incl. HLL distinct estimate and
     t-digest quantiles (sketch outputs — accuracy-bounded, not
     SQL-reproducible)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(f"{sf_dir}/documents.parquet")
     out = column_stats(docs, ["doc_id", "text", "lang", "n_chars"]).to_pandas()
     return out[["column", "cnt", "nulls", "null_rate", "distinct_est",
                 "p50", "p95", "p99"]].sort_values("column").reset_index(drop=True)
@@ -265,7 +266,7 @@ def rowrules_lineitem(sf_dir: str):
     the SQL oracle."""
     from ..stages.rowrules import row_rule_violations
 
-    li = ray.data.read_parquet(
+    li = read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax"])

@@ -11,6 +11,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..sources.parquet import read_parquet
 from ..functions.text import fingerprint_batch, langid_batch, token_count_batch
 from ..stages.dedup import minhash_near_duplicates
 from ..stages.similarity import topk_cosine
@@ -23,7 +24,7 @@ def dedup_exact_documents(sf_dir: str):
     group), via stages/dedup.dedup_exact."""
     from ..stages.dedup import dedup_exact
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return dedup_exact(docs, "doc_id", "text").select_columns(["doc_id"])
 
@@ -37,7 +38,7 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 
 def token_counts_documents(sf_dir: str):
     """(doc_id, n_tokens) — whitespace tokenization, vectorized regex count."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -59,7 +60,7 @@ FROM documents
 def quality_documents(sf_dir: str):
     """(doc_id, n_chars_q, n_bytes_q, n_tokens) — SQL-checkable quality
     columns (char length, BYTE length, token count)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -114,7 +115,7 @@ def verdict_embeddings(sf_dir: str):
     per-element accumulation."""
     from ..stages.validate import BatchValidator, verdicts_only
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     combined = emb.map_batches(
         BatchValidator, fn_constructor_args=(EMB_SCHEMA, "vec_id"),
@@ -143,7 +144,7 @@ def verdict_embeddings_tuple(sf_dir: str):
     position-selective element evaluator."""
     from ..stages.validate import BatchValidator, verdicts_only
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     combined = emb.map_batches(
         BatchValidator, fn_constructor_args=(EMB_TUPLE_SCHEMA, "vec_id"),
@@ -177,7 +178,7 @@ def gopher_documents(sf_dir: str):
     SQL mirrors the identical double arithmetic)."""
     from ..functions.text import gopher_quality_batch
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -233,7 +234,7 @@ def redact_documents(sf_dir: str):
     passes (functions/text.redact_batch)."""
     from ..functions.text import redact_batch
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -263,7 +264,7 @@ def topk_embeddings(sf_dir: str):
     """Top-10 cosine neighbors of vec_id 0 (brute-force baseline, broadcast
     query, per-batch partial top-k). Scores rounded to 4 decimals for a
     stable cross-engine hash."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet")
     q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float32)
     out = topk_cosine(emb, q, k=10, batch_size=4096)
     out = out[["vec_id", "score"]].copy()
@@ -287,7 +288,7 @@ LIMIT 10
 def langid_documents(sf_dir: str):
     """(doc_id, lang_pred) via the stopword-profile heuristic (rows-only:
     no SQL oracle for a heuristic model)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -300,7 +301,7 @@ def langid_documents(sf_dir: str):
 def fingerprint_documents(sf_dir: str):
     """(doc_id, fp) rolling-hash document fingerprints (rows-only; the hash
     family is engine-specific)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -317,7 +318,7 @@ def decontam_documents(sf_dir: str):
     decontaminate). Rows-only one-row summary — deterministic."""
     from ..stages.dedup import decontaminate
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def as_bench(b: pa.Table) -> pa.Table:
@@ -344,7 +345,7 @@ def minhash_pairs_documents(sf_dir: str):
     """One-row summary of MinHash-LSH near-dup pairs at Jaccard ≥ 0.7
     (rows-only; the corpus has no planted near-dups, so the expected count is
     0 — planted-pair recall is pinned by pytest)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     pairs = minhash_near_duplicates(docs, "doc_id", "text",
                                     threshold=0.7).to_pandas()
@@ -370,7 +371,7 @@ def hist_lang_documents(sf_dir: str):
     from ..stages.drift import compute_histogram
     from ..state.histogram import CategoricalHistogram
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["lang"])
     base = CategoricalHistogram(_LANG_CATS)
     merged = compute_histogram(docs, "lang", base.to_json())
@@ -400,7 +401,7 @@ def repetition_documents(sf_dir: str):
     batch; all-integer so the unnest/GROUP BY oracle matches exactly."""
     from ..functions.text import repetition_batch
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -445,7 +446,7 @@ def dedup_norm_documents(sf_dir: str):
     from ..functions.text import normalize_text_batch
     from ..stages.dedup import dedup_exact
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def add_norm(b: pa.Table) -> pa.Table:
@@ -470,7 +471,7 @@ def hist_length_documents(sf_dir: str):
     """(bin, n) — document byte-length histogram in fixed 256-byte bins:
     per-batch partial counts folded with one tiny ``groupby(bin).sum`` (the
     counts shuffle, never the documents). Null text is dropped (no length)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["text"])
     w = _HIST_LEN_WIDTH
 
@@ -507,7 +508,7 @@ def dup_lines_documents(sf_dir: str):
     in pytest."""
     from ..stages.linededup import duplicated_lines
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["text"])
     d = duplicated_lines(docs, "text").to_pandas()
     n = int(d["n"].sum()) if "n" in d.columns else 0
@@ -531,7 +532,7 @@ def clean_lines_documents(sf_dir: str):
     what the oracle checks on this boilerplate-free corpus)."""
     from ..stages.linededup import remove_duplicate_lines
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return remove_duplicate_lines(docs, "doc_id", "text",
                                   strategy="broadcast")
@@ -580,7 +581,7 @@ def verdict_documents_pp(sf_dir: str):
     Arrow schema. Output (doc_id, valid, error_count)."""
     from ..stages.validate import BatchValidator, verdicts_only
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(f"{sf_dir}/documents.parquet")
     combined = docs.map_batches(
         BatchValidator, fn_constructor_args=(PP_SCHEMA, "doc_id"),
         batch_format="pyarrow", concurrency=2)
@@ -617,7 +618,7 @@ def verdict_documents_combo(sf_dir: str):
     the n_chars column. Output (doc_id, valid, error_count)."""
     from ..stages.validate import BatchValidator, verdicts_only
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
     combined = docs.map_batches(
         BatchValidator, fn_constructor_args=(COMBO_SCHEMA, "doc_id"),
@@ -648,7 +649,7 @@ def sample_documents_by_lang(sf_dir: str, k: int = 5):
     (stages/sampling.grouped_first_k)."""
     from ..stages.sampling import grouped_first_k
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang"])
 
     def nonnull(b: pa.Table) -> pa.Table:
@@ -672,7 +673,7 @@ def sample_documents_pct(sf_dir: str, pct: int = 20):
     identical integer arithmetic on both engines, stages/sampling)."""
     from ..stages.sampling import lcg_fraction_sample
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
     return lcg_fraction_sample(docs, "doc_id", pct)
 
@@ -692,7 +693,7 @@ def mix_documents(sf_dir: str):
     10%, default 20%) via stages/sampling.mix_sources — exact SQL oracle."""
     from ..stages.sampling import mix_sources
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "source"])
     return mix_sources(docs, "doc_id", "source", _MIX, default_pct=20)
 
@@ -713,7 +714,7 @@ def pack_documents(sf_dir: str, budget: int = 512):
     from ..functions.text import token_count_batch
     from ..stages.packing import pack_sequences
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def tok(b: pa.Table) -> pa.Table:
@@ -738,7 +739,7 @@ def events_in_sessions(sf_dir: str):
     from ..stages.joins import range_join
     from ..stages.windows import sessionize
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
     sess = sessionize(ev.select_columns(["user_id", "ts"]),
                       "user_id", "ts", gap_s=3600)
@@ -803,7 +804,7 @@ def verdict_events_props(sf_dir: str):
     per actor). Output (event_id, valid, error_count)."""
     from ..stages.validate import JsonColumnValidator, verdicts_only
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "props"])
     combined = ev.map_batches(
         JsonColumnValidator,
@@ -836,7 +837,7 @@ def events_hourly(sf_dir: str):
     integer cents (floor), via per-batch partial aggregation then a small
     groupby — the streaming-window shape of ray_guide 'Streaming-shaped
     workloads'."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -891,7 +892,7 @@ def events_sessions(sf_dir: str):
     (user_id, session_start, session_end, n_events)."""
     from ..stages.windows import sessionize
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
     out = sessionize(ev, "user_id", "ts", gap_s=3600)
 
@@ -938,7 +939,7 @@ def vocab_topk_documents(sf_dir: str, k: int = 100):
     compares exactly against the SQL oracle."""
     from ..stages.vocab import vocab_topk
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["text"])
     return vocab_topk(docs, "text", k)
 
@@ -964,7 +965,7 @@ def oov_documents(sf_dir: str, vocab_k: int = 20):
     exactly."""
     from ..stages.vocab import oov_scores, vocab_topk
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     vocab = vocab_topk(docs, "text", vocab_k)
     return oov_scores(docs, "text", "doc_id", vocab["token"].tolist())
@@ -998,7 +999,7 @@ def events_sequenced(sf_dir: str):
     window machinery (stages/windows.sequence)."""
     from ..stages.windows import sequence
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
     return sequence(ev, "user_id", "ts", "event_id")
 
@@ -1019,7 +1020,7 @@ def events_rolling(sf_dir: str, window_s: int = 600):
     the RANGE-frame window analytics shape."""
     from ..stages.windows import rolling
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts",
                                         "value"])
     return rolling(ev, "user_id", "ts", "event_id", window_s,

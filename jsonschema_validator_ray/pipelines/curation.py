@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..sources.parquet import read_parquet
 from ..functions.text import token_count_batch
 from ..stages.dedup import dedup_exact
 
@@ -27,7 +28,7 @@ LANGS = ("en", "de", "fr", "es")
 def curated_documents(sf_dir: str):
     """→ Dataset (doc_id) of documents surviving dedup + quality + language
     gates, the canonical curation chain."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     deduped = dedup_exact(docs, "doc_id", "text")
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import ray.data
 
+from ..sources.parquet import read_parquet
 from ..errors import Mode
 from ..stages.validate import BatchValidator, flatten_violations, verdicts_only
 
@@ -34,7 +35,7 @@ COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def read_documents(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=COLUMNS)
+    return read_parquet(f"{sf_dir}/documents.parquet", columns=COLUMNS)
 
 
 def validate_documents(sf_dir: str, *, batch_size: int = 32768):

@@ -41,6 +41,8 @@ from typing import Any, Callable
 
 import ray.data
 
+from ..sources.parquet import read_parquet
+
 # Concurrent wave threads race on Ray's lazy `from fsspec.implementations.
 # http import HTTPFileSystem` probe: in this environment that import always
 # fails (no aiohttp), and under the race the half-imported module surfaces a
@@ -147,7 +149,7 @@ def run_resumable(partitions: list[Partition], out_dir: str,
         if part_dir.exists():
             shutil.rmtree(part_dir)
 
-    reader = read_fn or (lambda paths: ray.data.read_parquet(paths))
+    reader = read_fn or (lambda paths: read_parquet(paths))
     ran: list[str] = []
     total_rows = 0
     from concurrent.futures import ThreadPoolExecutor
@@ -194,4 +196,4 @@ def read_output(out_dir: str):
     done = completed_partitions(out_dir)
     files = [str(f) for pid in sorted(done)
              for f in sorted((Path(out_dir) / f"part-{pid}").glob("*.parquet"))]
-    return ray.data.read_parquet(files)
+    return read_parquet(files)

@@ -1,0 +1,45 @@
+"""Metadata-clean Parquet reads.
+
+The driver's testdata (and most pandas-written Parquet) carries a
+``pandas`` key in the file-level schema metadata. In this Arrow build
+``hash(pa.Schema)`` raises ``TypeError: unhashable type: 'dict'`` when such
+metadata is present, which makes Ray Data's ``unify_schemas`` dedup
+fast-path log "Failed to hash the schemas (for deduplication)" from every
+worker that unifies blocks (ray/data/_internal/arrow_ops/
+transform_pyarrow.py). The metadata is dead weight for an Arrow-native
+pipeline anyway, so we read the footer schema once on the driver, strip the
+metadata, and hand Ray the clean schema — every downstream block then
+hashes (and dedups) fine, and the worker logs stay quiet.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def read_parquet(paths, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's schema metadata stripped.
+
+    Drop-in replacement; column pruning and all other kwargs pass through.
+    Falls back to the plain read when the footer schema can't be probed
+    (e.g. a directory of files from the resumable sink) — correctness is
+    identical either way, only the log noise differs.
+    """
+    if "schema" not in kwargs:
+        probe = paths[0] if isinstance(paths, (list, tuple)) else paths
+        try:
+            sch = pq.read_schema(probe)
+        except Exception:
+            sch = None
+        if sch is not None and sch.metadata:
+            sch = sch.remove_metadata()
+            if columns is not None:
+                # Ray's fragment reader rebuilds batches against the passed
+                # schema AFTER column pruning — hand it the pruned schema.
+                import pyarrow as pa
+
+                sch = pa.schema([sch.field(c) for c in columns])
+            kwargs["schema"] = sch
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
