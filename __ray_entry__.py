@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
         "top_orders_per_segment": analytics.top_orders_per_segment,
+        "orders_without_customer": analytics.orders_without_customer,
+        "parts_in_lineitem": analytics.parts_in_lineitem,
         "curated_documents": curation.curated_documents,
     }
 
@@ -130,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,
         "purchase_last_click": analytics.PURCHASE_LAST_CLICK_SQL,
         "top_orders_per_segment": analytics.TOP_ORDERS_SQL,
+        "orders_without_customer": analytics.ORDERS_WITHOUT_CUSTOMER_SQL,
+        "parts_in_lineitem": analytics.PARTS_IN_LINEITEM_SQL,
         "curated_documents": curation.CURATED_SQL,
         # rows-only (no SQL-expressible oracle): stats_sketch_documents,
         # langid_documents, fingerprint_documents, minhash_pairs_documents

@@ -185,3 +185,50 @@ LEFT JOIN events c
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id
 """
+
+
+# ---- semi / anti joins: EXISTS / NOT EXISTS filters ------------------------
+
+
+def orders_without_customer(sf_dir: str):
+    """(o_orderkey, o_custkey) of orders whose custkey has no customer row —
+    anti join on the shuffle path (both sides hash-exchanged; right side
+    keys-only), the 100-TB shape where the dimension's key set outgrows a
+    worker heap. The dimension is restricted (c_custkey <= 100, as in
+    fk_orders_custkey) so the check fires on this referentially-clean
+    testdata — same answer as the broadcast FK check, via the scale path."""
+    from ..stages.joins import anti_join
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"]).filter(expr="c_custkey <= 100")
+    return anti_join(orders, cust, "o_custkey", right_on="c_custkey",
+                     strategy="shuffle", num_buckets=32
+                     ).select_columns(["o_orderkey", "o_custkey"])
+
+
+ORDERS_WITHOUT_CUSTOMER_SQL = """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE o_custkey IS NOT NULL AND NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_custkey <= 100)
+"""
+
+
+def parts_in_lineitem(sf_dir: str):
+    """(p_partkey, p_name) of parts referenced by at least one lineitem —
+    semi join on the broadcast path (distinct l_partkey gathered once,
+    probed with is_in in an actor pool; no shuffle)."""
+    from ..stages.joins import semi_join
+
+    part = read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_name"])
+    li = read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return semi_join(part, li, "p_partkey", right_on="l_partkey",
+                     strategy="broadcast")
+
+
+PARTS_IN_LINEITEM_SQL = """
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""

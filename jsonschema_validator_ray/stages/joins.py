@@ -13,6 +13,17 @@
   assumption: one KEY's rows fit one group task; keys are hash-distributed
   by the groupby, so only per-key volume matters, not total volume.
 
+- :func:`semi_join` / :func:`anti_join` — EXISTS / NOT EXISTS filters:
+  keep left rows with (semi) or without (anti) a key match on the right.
+  Null left keys never match (SQL NOT EXISTS semantics: null → no match →
+  kept by anti, dropped by semi). Strategy 'broadcast' gathers the right
+  side's distinct keys once (bounded by distinct count) and probes with
+  ``pc.is_in`` in an actor pool — zero shuffle; 'shuffle' pre-distincts
+  right keys per batch (Arrow group_by) then hash-exchanges BOTH sides into
+  ``num_buckets`` groups and filters each bucket with one vectorized
+  ``isin`` — the 100-TB path when the right side's key set outgrows a
+  worker heap. 'auto' picks by right row count.
+
 Broadcast (small-side) joins live in stages/referential.py.
 """
 
@@ -21,7 +32,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 from .util import no_meta
@@ -108,6 +121,94 @@ def bucketed_join(left, right, on: str, *, right_on: str | None = None,
 
     return both.groupby("__bucket").map_groups(join_bucket,
                                                batch_format="pandas")
+
+
+class _KeyMembershipFilter:
+    """Actor stage: keep full left rows by membership of ``column`` in a
+    broadcast key set. ``keep_matches`` True = semi join, False = anti."""
+
+    def __init__(self, column: str, keys_ref, keep_matches: bool):
+        values = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) \
+            else keys_ref
+        self.value_set = pa.array([v for v in values if v is not None])
+        self.column = column
+        self.keep_matches = keep_matches
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        matched = pc.fill_null(pc.is_in(col, value_set=self.value_set), False)
+        # null key: never matches → semi drops it, anti keeps it
+        keep = matched if self.keep_matches else pc.invert(matched)
+        return batch.filter(keep)
+
+
+def _semi_anti(left, right, on: str, right_on: str | None, keep: bool,
+               strategy: str, broadcast_limit: int, num_buckets: int,
+               concurrency: int):
+    right_key = right_on or on
+    if strategy == "auto":
+        strategy = ("broadcast"
+                    if right.count() <= broadcast_limit else "shuffle")
+    if strategy == "broadcast":
+        keys = right.select_columns([right_key]).unique(right_key)
+        ref = ray.put(keys) if len(keys) > 100_000 else keys
+        return left.map_batches(
+            _KeyMembershipFilter, fn_constructor_args=(on, ref, keep),
+            batch_format="pyarrow", concurrency=concurrency)
+
+    # shuffle path: right side reduced to per-batch-distinct keys (keys-only
+    # exchange — the right side's payload columns never move), both sides
+    # hash-bucketed, one vectorized isin per bucket.
+    rk = right.select_columns([right_key])
+    if right_key != on:
+        def ren(b: pa.Table) -> pa.Table:
+            return pa.table({on: b.column(right_key)})
+        rk = rk.map_batches(ren, batch_format="pyarrow")
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        return no_meta(b).group_by(on).aggregate([])
+
+    rk = rk.map_batches(distinct_keys, batch_format="pyarrow")
+    both, l_cols, _ = _pad_union(left, rk, [on])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lpart = g.loc[g["__side"] == "l", l_cols]
+        rkeys = g.loc[g["__side"] == "r", on]
+        matched = lpart[on].isin(rkeys.unique()) & lpart[on].notna()
+        return lpart[matched if keep else ~matched]
+
+    out = _bucketize(both, on, num_buckets).groupby("__kb").map_groups(
+        per_bucket, batch_format="pandas")
+
+    # padded-union nulls upcast int columns to float64 inside the pandas
+    # group fn — cast back to the left schema at the Arrow boundary
+    l_schema = left.schema()
+    target = pa.schema([pa.field(c, dict(zip(l_schema.names,
+                                             l_schema.types))[c])
+                        for c in l_cols])
+
+    def cast_back(b: pa.Table) -> pa.Table:
+        return b.select(l_cols).cast(target)
+
+    return out.map_batches(cast_back, batch_format="pyarrow")
+
+
+def semi_join(left, right, on: str, *, right_on: str | None = None,
+              strategy: str = "auto", broadcast_limit: int = 2_000_000,
+              num_buckets: int = 32, concurrency: int = 2):
+    """Keep left rows whose ``on`` key EXISTS in ``right`` (payload columns
+    of the right side are never read). See module docstring for strategy."""
+    return _semi_anti(left, right, on, right_on, True, strategy,
+                      broadcast_limit, num_buckets, concurrency)
+
+
+def anti_join(left, right, on: str, *, right_on: str | None = None,
+              strategy: str = "auto", broadcast_limit: int = 2_000_000,
+              num_buckets: int = 32, concurrency: int = 2):
+    """Keep left rows whose ``on`` key has NO match in ``right`` (SQL NOT
+    EXISTS; null left keys are kept)."""
+    return _semi_anti(left, right, on, right_on, False, strategy,
+                      broadcast_limit, num_buckets, concurrency)
 
 
 def _bucketize(ds, key: str, num_buckets: int):

@@ -73,3 +73,55 @@ def test_asof_join_semantics(ray_session):
     assert pd.isna(by.loc[3, "rval"])   # b: rts=80 > ts=50 → no match
     assert pd.isna(by.loc[4, "rval"])   # c: no right rows at all
     assert len(out) == 4
+
+
+def test_semi_anti_join_strategies_agree(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import anti_join, semi_join
+
+    orders = ray.data.read_parquet(f"{SF_SMOKE}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{SF_SMOKE}/customer.parquet",
+                                 columns=["c_custkey"]) \
+        .filter(expr="c_custkey <= 50")
+
+    def keyset(ds):
+        return set(ds.to_pandas()["o_orderkey"].tolist())
+
+    for fn in (semi_join, anti_join):
+        bc = keyset(fn(orders, cust, "o_custkey", right_on="c_custkey",
+                       strategy="broadcast"))
+        sh = keyset(fn(orders, cust, "o_custkey", right_on="c_custkey",
+                       strategy="shuffle", num_buckets=8))
+        assert bc == sh and len(bc) > 0
+    n = orders.count()
+    semi_n = len(keyset(semi_join(orders, cust, "o_custkey",
+                                  right_on="c_custkey", strategy="broadcast")))
+    anti_n = len(keyset(anti_join(orders, cust, "o_custkey",
+                                  right_on="c_custkey", strategy="broadcast")))
+    assert semi_n + anti_n == n  # no null custkeys in orders
+
+
+def test_semi_anti_null_key_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import anti_join, semi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 4], type=pa.int64()),
+        "v": ["a", "b", "c", "d"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 4, None], type=pa.int64())}))
+    for strat, kw in (("broadcast", {}), ("shuffle", {"num_buckets": 4})):
+        s_ds = semi_join(left, right, "k", strategy=strat, **kw)
+        a_ds = anti_join(left, right, "k", strategy=strat, **kw)
+        # key column stays int64 at the Arrow boundary (pandas shows
+        # float64 for nullable ints — that's the converter, not the engine)
+        assert str(dict(zip(a_ds.schema().names,
+                            a_ds.schema().types))["k"]) == "int64", strat
+        s, a = s_ds.to_pandas(), a_ds.to_pandas()
+        # null left key: no match → dropped by semi, kept by anti
+        assert sorted(s["v"]) == ["b", "d"], strat
+        assert sorted(a["v"]) == ["a", "c"], strat
