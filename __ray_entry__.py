@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_sketch_documents": checks.stats_sketch_documents,
         "quantiles_lineitem": checks.quantiles_lineitem,
         "rowrules_lineitem": checks.rowrules_lineitem,
+        "inferred_schema_documents": checks.inferred_schema_documents,
         "trim_outliers_documents": checks.trim_outliers_documents,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "token_counts_documents": corpus.token_counts_documents,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_documents": corpus.OOV_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "rowrules_lineitem": checks.ROWRULES_SQL,
+        "inferred_schema_documents": checks.INFERRED_SCHEMA_SQL,
         "trim_outliers_documents": checks.TRIM_OUTLIERS_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,

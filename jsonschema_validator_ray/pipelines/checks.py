@@ -284,3 +284,63 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'price_ge_qty'
 FROM lineitem WHERE NOT (l_extendedprice >= l_quantity)
 """
+
+
+# ---- schema inference ------------------------------------------------------
+
+
+def inferred_schema_documents(sf_dir: str):
+    """One profile row per documents column from the schema-inference stage
+    (stages/infer.py): JSON-schema type, required (zero nulls), capped
+    distinct count (17 = over the 16-value enum cap), numeric min/max,
+    BYTE-length min/max. min/max are exact comparisons (never accumulated),
+    so doubles match the SQL oracle bit-for-bit."""
+    import pandas as pd
+
+    from ..stages.infer import _prop_from_profile, column_profiles
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet")
+    prof = column_profiles(docs).to_pandas()
+    rows = []
+    for _, r in prof.iterrows():
+        rows.append({
+            "column": r["column"],
+            "jtype": _prop_from_profile(r, 16).get("type"),
+            "required": bool(r["nulls"] == 0),
+            "n_distinct_capped": int(r["n_distinct_capped"]),
+            "min_num": r["min_num"],
+            "max_num": r["max_num"],
+            "min_len": None if pd.isna(r["min_len"]) else int(r["min_len"]),
+            "max_len": None if pd.isna(r["max_len"]) else int(r["max_len"]),
+        })
+    out = pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+    out["min_num"] = out["min_num"].astype(float)
+    out["max_num"] = out["max_num"].astype(float)
+    # float64 (not nullable Int64): the SQL side's NULL-padded lengths
+    # come back as doubles, and the gate compares dtype-sensitively
+    out["min_len"] = out["min_len"].astype(float)
+    out["max_len"] = out["max_len"].astype(float)
+    return out
+
+
+def _infer_col_sql(col: str, jtype: str) -> str:
+    if jtype == "integer":
+        num = (f"CAST(MIN({col}) AS DOUBLE) AS min_num, "
+               f"CAST(MAX({col}) AS DOUBLE) AS max_num, "
+               "CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len")
+    else:
+        num = ("CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+               f"MIN(strlen({col})) AS min_len, MAX(strlen({col})) AS max_len")
+    return (f"SELECT '{col}' AS column, '{jtype}' AS jtype, "
+            f"COUNT(*) = COUNT({col}) AS required, "
+            f"LEAST(COUNT(DISTINCT {col}), 17) AS n_distinct_capped, {num} "
+            "FROM documents")
+
+
+INFERRED_SCHEMA_SQL = " UNION ALL ".join([
+    _infer_col_sql("doc_id", "integer"),
+    _infer_col_sql("text", "string"),
+    _infer_col_sql("lang", "string"),
+    _infer_col_sql("source", "string"),
+    _infer_col_sql("n_chars", "integer"),
+])
