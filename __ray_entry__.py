@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem": checks.quantiles_lineitem,
         "rowrules_lineitem": checks.rowrules_lineitem,
         "inferred_schema_documents": checks.inferred_schema_documents,
+        "ks_quantity_returnflag": checks.ks_quantity_returnflag,
         "trim_outliers_documents": checks.trim_outliers_documents,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "token_counts_documents": corpus.token_counts_documents,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": analytics.top_orders_per_segment,
         "orders_without_customer": analytics.orders_without_customer,
         "parts_in_lineitem": analytics.parts_in_lineitem,
+        "pivot_priority_status": analytics.pivot_priority_status,
         "curated_documents": curation.curated_documents,
     }
 
@@ -129,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "rowrules_lineitem": checks.ROWRULES_SQL,
         "inferred_schema_documents": checks.INFERRED_SCHEMA_SQL,
+        "ks_quantity_returnflag": checks.KS_QUANTITY_SQL,
         "trim_outliers_documents": checks.TRIM_OUTLIERS_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,
@@ -136,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_segment": analytics.TOP_ORDERS_SQL,
         "orders_without_customer": analytics.ORDERS_WITHOUT_CUSTOMER_SQL,
         "parts_in_lineitem": analytics.PARTS_IN_LINEITEM_SQL,
+        "pivot_priority_status": analytics.PIVOT_PRIORITY_STATUS_SQL,
         "curated_documents": curation.CURATED_SQL,
         # rows-only (no SQL-expressible oracle): stats_sketch_documents,
         # langid_documents, fingerprint_documents, minhash_pairs_documents

@@ -232,3 +232,40 @@ PARTS_IN_LINEITEM_SQL = """
 SELECT p_partkey, p_name FROM part p
 WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
 """
+
+
+# ---- pivot: long → wide conditional aggregation ----------------------------
+
+
+def pivot_priority_status(sf_dir: str):
+    """Revenue cents per (order priority × order status) as a WIDE table —
+    one row per priority, one column per status (stages/pivot.py). Cents
+    are integer before any accumulation, so sums are arithmetic-identical
+    to the SQL conditional aggregates."""
+    from ..stages.pivot import pivot_table
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderpriority", "o_orderstatus",
+                                   "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "o_orderstatus": b.column("o_orderstatus"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"), 100)), pa.int64()),
+        })
+
+    return pivot_table(orders.map_batches(cents, batch_format="pyarrow"),
+                       "o_orderpriority", "o_orderstatus", "cents",
+                       agg="sum", num_buckets=8)
+
+
+PIVOT_PRIORITY_STATUS_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_F,
+       CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_O,
+       CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_P
+FROM orders
+GROUP BY o_orderpriority
+"""

@@ -344,3 +344,35 @@ INFERRED_SCHEMA_SQL = " UNION ALL ".join([
     _infer_col_sql("source", "string"),
     _infer_col_sql("n_chars", "integer"),
 ])
+
+
+# ---- KS two-sample drift ---------------------------------------------------
+
+
+def ks_quantity_returnflag(sf_dir: str):
+    """Exact KS statistic between l_quantity distributions of returnflag
+    'A' vs 'R' rows (stages/ks.py): integer cross-multiplied numerator,
+    so the result is bit-identical to the SQL window-function oracle."""
+    from ..stages.ks import ks_two_sample
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_quantity", "l_returnflag"])
+    out = ks_two_sample(li, "l_quantity", "l_returnflag", "A", "R")
+    return out[["d_num", "n_a", "n_b"]]
+
+
+KS_QUANTITY_SQL = """
+WITH c AS (
+  SELECT l_quantity AS v,
+         COUNT(*) FILTER (WHERE l_returnflag = 'A') AS na,
+         COUNT(*) FILTER (WHERE l_returnflag = 'R') AS nb
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')
+  GROUP BY 1),
+t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM c),
+cum AS (SELECT SUM(na) OVER (ORDER BY v) AS ca,
+               SUM(nb) OVER (ORDER BY v) AS cb FROM c)
+SELECT CAST(MAX(ABS(ca * t.tb - cb * t.ta)) AS BIGINT) AS d_num,
+       CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b
+FROM cum, t GROUP BY t.ta, t.tb
+"""

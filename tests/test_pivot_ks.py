@@ -1,0 +1,101 @@
+"""Pivot (long→wide) and KS two-sample operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def long_df():
+    rng = np.random.RandomState(7)
+    return pd.DataFrame({
+        "grp": rng.choice(["g1", "g2", "g3", "g4"], 5000),
+        "cat": rng.choice(["x", "y", "z"], 5000),
+        "val": rng.randint(0, 1000, 5000).astype(np.int64),
+    })
+
+
+@pytest.mark.parametrize("agg,np_agg", [("sum", "sum"), ("count", "count"),
+                                        ("min", "min"), ("max", "max")])
+def test_pivot_matches_pandas(ray_session, long_df, agg, np_agg):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.pivot import pivot_table
+
+    ds = ray.data.from_pandas(long_df).repartition(6)
+    out = pivot_table(ds, "grp", "cat", "val", agg=agg, num_buckets=4) \
+        .to_pandas().set_index("grp").sort_index()
+    ref = long_df.pivot_table(index="grp", columns="cat", values="val",
+                              aggfunc=np_agg, fill_value=0).sort_index()
+    ref.columns = [f"val_{c}" for c in ref.columns]
+    assert out.astype(np.int64).equals(ref.astype(np.int64))
+
+
+def test_pivot_missing_combo_and_explicit_values(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.pivot import pivot_table
+
+    df = pd.DataFrame({"grp": ["a", "a", "b"], "cat": ["x", "y", "x"],
+                       "val": [1, 2, 4]})
+    out = pivot_table(ray.data.from_pandas(df), "grp", "cat", "val",
+                      num_buckets=2, pivot_values=["x", "y", "zz"]) \
+        .to_pandas().set_index("grp").sort_index()
+    assert list(out.columns) == ["val_x", "val_y", "val_zz"]
+    assert out.loc["b"].tolist() == [4, 0, 0]   # missing combos zero-filled
+    assert out.loc["a"].tolist() == [1, 2, 0]
+
+
+def test_ks_identical_and_shifted(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.ks import (ks_two_datasets,
+                                                    ks_two_sample)
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 50, 4000)
+    b_same = rng.randint(0, 50, 4000)
+    b_shift = b_same + 5
+
+    def ref_ks(x, y):
+        vals = np.unique(np.concatenate([x, y]))
+        ca = np.searchsorted(np.sort(x), vals, side="right")
+        cb = np.searchsorted(np.sort(y), vals, side="right")
+        return int(np.abs(ca * len(y) - cb * len(x)).max())
+
+    for b, expect_zero in ((b_same, False), (b_shift, False)):
+        df = pd.DataFrame({
+            "v": np.concatenate([a, b]),
+            "side": ["A"] * len(a) + ["B"] * len(b)})
+        out = ks_two_sample(ray.data.from_pandas(df).repartition(5),
+                            "v", "side", "A", "B", num_buckets=4)
+        assert out["d_num"].iloc[0] == ref_ks(a, b)
+        assert out["n_a"].iloc[0] == len(a) and out["n_b"].iloc[0] == len(b)
+
+    # identical datasets → D exactly 0; two-dataset form agrees with grouped
+    ds_a = ray.data.from_pandas(pd.DataFrame({"v": a}))
+    out = ks_two_datasets(ds_a, ray.data.from_pandas(pd.DataFrame({"v": a})),
+                          "v", num_buckets=4)
+    assert out["d_num"].iloc[0] == 0
+
+    out2 = ks_two_datasets(ds_a, ray.data.from_pandas(pd.DataFrame({"v": b_shift})),
+                           "v", num_buckets=4)
+    assert out2["d_num"].iloc[0] == ref_ks(a, b_shift)
+
+
+def test_ks_nulls_dropped(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.ks import ks_two_sample
+
+    t = pa.table({
+        "v": pa.array([1.0, 2.0, None, 1.0, 2.0, None]),
+        "side": ["A", "A", "A", "B", "B", "B"]})
+    out = ks_two_sample(ray.data.from_arrow(t), "v", "side", "A", "B")
+    assert out["d_num"].iloc[0] == 0
+    assert out["n_a"].iloc[0] == 2 and out["n_b"].iloc[0] == 2
