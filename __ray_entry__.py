@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_lines_documents": corpus.clean_lines_documents,
         "vocab_topk_documents": corpus.vocab_topk_documents,
         "oov_documents": corpus.oov_documents,
+        "shuffled_head_documents": corpus.shuffled_head_documents,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_lines_documents": corpus.CLEAN_LINES_SQL,
         "vocab_topk_documents": corpus.VOCAB_TOPK_SQL,
         "oov_documents": corpus.OOV_SQL,
+        "shuffled_head_documents": corpus.SHUFFLED_HEAD_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "rowrules_lineitem": checks.ROWRULES_SQL,
         "inferred_schema_documents": checks.INFERRED_SCHEMA_SQL,

@@ -1036,3 +1036,29 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 600 SECOND PRECEDING AND CURRENT ROW)
 """
+
+
+# ---- deterministic shuffle -------------------------------------------------
+
+
+def shuffled_head_documents(sf_dir: str, k: int = 20):
+    """First k documents in deterministic shuffle order (stages/shuffle.py):
+    the seed-stable training order, witnessed by the Mersenne-61 LCG hash
+    the sort ran on — bit-identical to the SQL HUGEINT oracle."""
+    from ..stages.shuffle import deterministic_shuffle
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return deterministic_shuffle(docs, "doc_id", salt=7,
+                                 hash_col="shuffle_h").limit(k)
+
+
+SHUFFLED_HEAD_SQL = """
+SELECT doc_id,
+       CAST((((CAST(doc_id AS HUGEINT) + 7) % 2305843009213693951)
+             * (CAST(6364136223846793005 AS HUGEINT) % 2305843009213693951))
+            % 2305843009213693951 AS BIGINT)
+       AS shuffle_h
+FROM documents
+ORDER BY shuffle_h
+LIMIT 20
+"""

@@ -99,3 +99,28 @@ def test_ks_nulls_dropped(ray_session):
     out = ks_two_sample(ray.data.from_arrow(t), "v", "side", "A", "B")
     assert out["d_num"].iloc[0] == 0
     assert out["n_a"].iloc[0] == 2 and out["n_b"].iloc[0] == 2
+
+
+def test_deterministic_shuffle(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.shuffle import (MERSENNE61, _MULT,
+                                                         deterministic_shuffle,
+                                                         shuffle_hash)
+
+    keys = np.arange(2000, dtype=np.int64)
+    # hash matches plain-python Mersenne-61 LCG
+    ref = np.array([((int(k) + 7) % MERSENNE61) * _MULT % MERSENNE61
+                    for k in keys[:50]], dtype=np.uint64)
+    assert (shuffle_hash(keys[:50], 7) == ref).all()
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(5)
+    o1 = deterministic_shuffle(ds, "k", salt=7).to_pandas()["k"].tolist()
+    o2 = deterministic_shuffle(ds, "k", salt=7).to_pandas()["k"].tolist()
+    o3 = deterministic_shuffle(ds, "k", salt=8).to_pandas()["k"].tolist()
+    assert o1 == o2                      # same salt → identical order
+    assert o1 != o3                      # new salt → new order
+    assert o1 != sorted(o1)              # actually shuffled
+    assert sorted(o1) == keys.tolist()   # a permutation, nothing lost
+    expect = [k for _, k in sorted(zip(shuffle_hash(keys, 7), keys))]
+    assert o1 == expect                  # exact global order
