@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rowrules_lineitem": checks.rowrules_lineitem,
         "inferred_schema_documents": checks.inferred_schema_documents,
         "ks_quantity_returnflag": checks.ks_quantity_returnflag,
+        "distinct_sources_per_lang": checks.distinct_sources_per_lang,
+        "distinct_users_per_event": checks.distinct_users_per_event,
         "trim_outliers_documents": checks.trim_outliers_documents,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "token_counts_documents": corpus.token_counts_documents,
@@ -134,6 +136,8 @@ def oracle_sql() -> dict[str, str]:
         "rowrules_lineitem": checks.ROWRULES_SQL,
         "inferred_schema_documents": checks.INFERRED_SCHEMA_SQL,
         "ks_quantity_returnflag": checks.KS_QUANTITY_SQL,
+        "distinct_sources_per_lang": checks.DISTINCT_SOURCES_SQL,
+        "distinct_users_per_event": checks.DISTINCT_USERS_SQL,
         "trim_outliers_documents": checks.TRIM_OUTLIERS_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,
         "segment_revenue_bucketed": analytics.SEGMENT_REVENUE_SQL,

@@ -376,3 +376,39 @@ SELECT CAST(MAX(ABS(ca * t.tb - cb * t.ta)) AS BIGINT) AS d_num,
        CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b
 FROM cum, t GROUP BY t.ta, t.tb
 """
+
+
+# ---- per-group exact distinct ----------------------------------------------
+
+
+def distinct_sources_per_lang(sf_dir: str):
+    """(lang, n_distinct) — exact COUNT(DISTINCT source) per language via
+    the two-phase pair-dedup exchange (stages/uniqueness.py): pairs move
+    once, documents never do."""
+    from ..stages.uniqueness import group_distinct_count
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source"])
+    return group_distinct_count(docs, "lang", "source")
+
+
+DISTINCT_SOURCES_SQL = """
+SELECT lang, COUNT(DISTINCT source) AS n_distinct
+FROM documents GROUP BY lang
+"""
+
+
+def distinct_users_per_event(sf_dir: str):
+    """(event_type, n_distinct) — distinct users per event type over the
+    events log; the high-cardinality side (user_id) is the distinct value."""
+    from ..stages.uniqueness import group_distinct_count
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "user_id"])
+    return group_distinct_count(ev, "event_type", "user_id")
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""

@@ -74,3 +74,52 @@ def uniqueness_violations(ds, key: str, constraint_id: str | None = None):
             "constraint_id", pa.array([cid] * batch.num_rows))
 
     return duplicate_keys(ds, key).map_batches(tag, batch_format="pyarrow")
+
+
+def group_distinct_count(ds, group: str, value: str, *,
+                         batch_size: int = 65536, n_buckets: int = 64):
+    """EXACT ``COUNT(DISTINCT value) GROUP BY group`` at scale, two-phase:
+
+    1. each batch reduces to its distinct (group, value) pairs (Arrow
+       ``group_by`` — a skewed value reaches the shuffle once per batch);
+    2. pairs hash-exchange on ``hash(group, value) % n_buckets`` — a pair
+       lands in exactly one bucket, so a per-bucket pandas
+       ``drop_duplicates`` is a GLOBAL dedup — and each bucket emits
+       per-group partial distinct counts;
+    3. a final tiny ``groupby(group).sum`` (≤ n_buckets rows per group)
+       folds the partials.
+
+    → Dataset ``(group, n_distinct)``. Null values are not counted but
+    null-only groups still appear with 0 (SQL COUNT(DISTINCT) parity);
+    null groups count as a group.
+    """
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({group: b.column(group), value: b.column(value)})
+        return t.group_by([group, value]).aggregate([])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+
+    mask = np.uint64(n_buckets - 1)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        df = b.select([group, value]).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        return b.append_column("__b", pa.array(
+            (h & mask).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([group, value])
+        # count non-null distinct values; a group seen only with nulls
+        # still emits a 0 partial so it survives to the final sum
+        return d.assign(__nn=d[value].notna().astype("int64")) \
+            .groupby(group, sort=False, dropna=False, observed=True)["__nn"] \
+            .sum().reset_index(name="partial")
+
+    partials = pairs.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+    out = partials.groupby(group).sum("partial")
+    return out.map_batches(
+        lambda b: pa.table({group: b.column(group),
+                            "n_distinct": b.column("sum(partial)")}),
+        batch_format="pyarrow")

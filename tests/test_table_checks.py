@@ -186,3 +186,39 @@ def test_row_rules_null_sides_not_violations(ray_session):
         ["k"]).to_pandas()
     # rows 2/3 have a null side -> never violations; only k=4 fails
     assert sorted(out["k"].tolist()) == [4]
+
+
+def test_group_distinct_count(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_validator_ray.stages.uniqueness import group_distinct_count
+
+    # planted corner cases: null values (not counted), null group (counted),
+    # heavy skew (one value everywhere)
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "b", None, None, "c"],
+        "v": ["x", "x", "y", "x", None, "z", "z", None],
+    })
+    out = group_distinct_count(ray.data.from_arrow(t), "g", "v",
+                               n_buckets=4).to_pandas()
+    got = {(None if pd_isna(r["g"]) else r["g"]): r["n_distinct"]
+           for _, r in out.iterrows()}
+    assert got == {"a": 2, "b": 1, None: 1, "c": 0}  # null-only group → 0
+
+    sql = duckdb.connect().execute(f"""
+        SELECT lang, COUNT(DISTINCT source) AS n FROM
+        '{SF_SMOKE}/documents.parquet' GROUP BY lang ORDER BY lang
+    """).df()
+    import ray.data as rd
+    ours = group_distinct_count(
+        rd.read_parquet(f"{SF_SMOKE}/documents.parquet",
+                        columns=["lang", "source"]),
+        "lang", "source").to_pandas().sort_values("lang")
+    assert ours["n_distinct"].tolist() == sql["n"].tolist()
+
+
+def pd_isna(x):
+    import pandas as pd
+    return pd.isna(x)
