@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk_documents": corpus.vocab_topk_documents,
         "oov_documents": corpus.oov_documents,
         "shuffled_head_documents": corpus.shuffled_head_documents,
+        "funnel_events": corpus.funnel_events,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk_documents": corpus.VOCAB_TOPK_SQL,
         "oov_documents": corpus.OOV_SQL,
         "shuffled_head_documents": corpus.SHUFFLED_HEAD_SQL,
+        "funnel_events": corpus.FUNNEL_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "rowrules_lineitem": checks.ROWRULES_SQL,
         "inferred_schema_documents": checks.INFERRED_SCHEMA_SQL,

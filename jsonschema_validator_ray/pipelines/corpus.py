@@ -1062,3 +1062,36 @@ FROM documents
 ORDER BY shuffle_h
 LIMIT 20
 """
+
+
+# ---- funnel ---------------------------------------------------------------
+
+
+def funnel_events(sf_dir: str):
+    """(step, step_name, n_users) — ordered view→click→purchase funnel over
+    the events log (stages/funnel.py): each step strictly after the user's
+    previous matched time, first eligible occurrence taken."""
+    from ..stages.funnel import funnel
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+"""

@@ -142,3 +142,45 @@ def test_rolling_range_frame(ray_session):
              (t >= t[i] - W * 1_000_000) & (t <= t[i]))
         assert got.loc[i, "w_count"] == int(m.sum())
         assert got.loc[i, "w_cents"] == int(cents[m].sum())
+
+
+def test_funnel_ordered_matching(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.funnel import funnel, funnel_depths
+
+    rows = []
+
+    def ev(u, t, e):
+        rows.append({"user_id": u, "ts": t, "event_type": e})
+
+    # u1: full ordered funnel
+    ev(1, 10, "view"); ev(1, 20, "click"); ev(1, 30, "purchase")
+    # u2: purchase BEFORE click -> stops at depth 2
+    ev(2, 10, "view"); ev(2, 30, "click"); ev(2, 20, "purchase")
+    # u3: only view
+    ev(3, 5, "view")
+    # u4: click/purchase but never viewed -> depth 0 (absent)
+    ev(4, 1, "click"); ev(4, 2, "purchase")
+    # u5: same-ts click as view -> strict 'after' excludes it
+    ev(5, 10, "view"); ev(5, 10, "click"); ev(5, 40, "click")
+    ev(5, 39, "purchase")
+    # noise
+    ev(1, 15, "error"); ev(2, 11, "signup")
+
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    steps = ["view", "click", "purchase"]
+    depths = funnel_depths(ds, "user_id", "ts", "event_type", steps,
+                           num_buckets=4).to_pandas() \
+        .set_index("user_id")["depth"].to_dict()
+    assert depths == {1: 3, 2: 2, 3: 1, 5: 2}
+    f = funnel(ds, "user_id", "ts", "event_type", steps, num_buckets=4)
+    assert f["n_users"].tolist() == [4, 3, 1]   # reached step 1/2/3
+
+    # first-eligible-occurrence: u5's click matched at ts=40, so its
+    # purchase at 39 can't follow it
+    t_last = funnel_depths(ds, "user_id", "ts", "event_type", steps,
+                           num_buckets=4).to_pandas() \
+        .set_index("user_id")["t_last"].to_dict()
+    assert t_last[5] == 40 and t_last[1] == 30
