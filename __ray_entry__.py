@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_documents": corpus.oov_documents,
         "shuffled_head_documents": corpus.shuffled_head_documents,
         "funnel_events": corpus.funnel_events,
+        "heavy_users_events": corpus.heavy_users_events,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,

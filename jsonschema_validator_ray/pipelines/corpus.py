@@ -1095,3 +1095,14 @@ SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
 UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
 """
+
+
+def heavy_users_events(sf_dir: str):
+    """(value, est_count) — top-10 users by event count via the count-min
+    heavy-hitter recipe (stages/heavyhitters.py). Estimates only ever
+    OVERcount (rows-only check: probabilistic by construction; the exact
+    sibling is vocab_topk / distinct_users_per_event)."""
+    from ..stages.heavyhitters import heavy_hitters
+
+    ev = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ev, "user_id", k=10)

@@ -95,3 +95,52 @@ def test_psi_kl_direction():
     assert same < 0.01 < 0.25 < drift
     assert kl_divergence([0.5, 0.5], [0.5, 0.5]) == pytest.approx(0.0, abs=1e-9)
     assert kl_divergence([0.9, 0.1], [0.1, 0.9]) > 0.5
+
+
+def test_count_min_sketch_bounds():
+    import numpy as np
+
+    from jsonschema_validator_ray.state.cms import CountMinSketch
+
+    rng = np.random.RandomState(3)
+    vals = rng.zipf(1.5, 20000) % 1000
+    cms = CountMinSketch(depth=5, width=16384)
+    cms.add_values(vals)
+    import pandas as pd
+    true = pd.Series(vals).value_counts()
+    est = cms.estimate(true.index.to_numpy())
+    assert (est >= true.to_numpy()).all()          # never undercounts
+    # ε = e/width → error ≤ ε·N with prob 1-e^-depth; allow 3× slack
+    eps_n = np.e / 16384 * len(vals) * 3
+    assert (est - true.to_numpy()).max() <= max(eps_n, 5)
+    # wire format round-trips and merges
+    half1, half2 = vals[:10000], vals[10000:]
+    a, b = CountMinSketch(5, 16384), CountMinSketch(5, 16384)
+    a.add_values(half1); b.add_values(half2)
+    m = CountMinSketch.from_bytes(a.to_bytes()).merge(
+        CountMinSketch.from_bytes(b.to_bytes()))
+    assert (m.estimate(true.index.to_numpy()) == est).all()
+    assert m.n == cms.n == len(vals)
+
+
+def test_heavy_hitters_recovers_top_k(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.heavyhitters import heavy_hitters
+
+    rng = np.random.RandomState(9)
+    # 20 planted heavies over a wide tail
+    tail = rng.randint(1000, 200000, 30000)
+    heavies = np.repeat(np.arange(20), np.linspace(4000, 400, 20).astype(int))
+    vals = np.concatenate([tail, heavies])
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    out = heavy_hitters(ds, "v", k=10, batch_size=4096)
+    true_top = pd.Series(vals).value_counts().head(10)
+    assert set(out["value"]) == set(true_top.index)
+    true_counts = pd.Series(vals).value_counts()
+    for _, r in out.iterrows():
+        assert r["est_count"] >= true_counts[r["value"]]
+        assert r["est_count"] <= true_counts[r["value"]] + np.e / 16384 * len(vals) * 3
