@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_quantity_returnflag": checks.ks_quantity_returnflag,
         "distinct_sources_per_lang": checks.distinct_sources_per_lang,
         "distinct_users_per_event": checks.distinct_users_per_event,
+        "fk_orders_custkey_bloom": checks.fk_orders_custkey_bloom,
         "trim_outliers_documents": checks.trim_outliers_documents,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "token_counts_documents": corpus.token_counts_documents,

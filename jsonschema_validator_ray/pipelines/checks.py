@@ -412,3 +412,20 @@ DISTINCT_USERS_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type
 """
+
+
+def fk_orders_custkey_bloom(sf_dir: str):
+    """Bloom-filter variant of fk_orders_custkey (rows-only: flagged rows
+    are exact violations, but ~fp of violations may escape — the
+    documented trade for broadcasting bits instead of keys at 10^9-key
+    dimension scale)."""
+    from ..stages.referential import fk_violations_bloom
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    dim = read_parquet(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey"]).filter(expr="c_custkey <= 100")
+    return fk_violations_bloom(orders, "o_orderkey", "o_custkey",
+                               dim, "c_custkey",
+                               expected_keys=200, fp=0.001,
+                               constraint_id="referential:o_custkey")

@@ -91,3 +91,78 @@ def fk_violations(fact_ds, fact_key: str, fact_column: str,
     return referential_violations(
         fact_ds, fact_column, fact_key, dim_keys,
         constraint_id=cid, batch_size=batch_size, concurrency=concurrency)
+
+
+class _BloomAntiJoin:
+    """Actor stage: flag rows whose key is DEFINITELY not in the broadcast
+    Bloom filter. No false accusations ever (a flagged key is truly
+    absent); a violation can slip through with probability ≈ the filter's
+    FP rate — the documented trade for never shuffling the fact side and
+    broadcasting bits instead of keys."""
+
+    def __init__(self, column: str, key: str, bloom_ref, constraint_id: str):
+        import ray as _ray
+
+        from ..state.bloom import BloomFilter
+        b = _ray.get(bloom_ref) if isinstance(bloom_ref, _ray.ObjectRef) \
+            else bloom_ref
+        self.bloom = BloomFilter.from_bytes(b)
+        self.column = column
+        self.key = key
+        self.constraint_id = constraint_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        valid = pc.is_valid(col)
+        maybe = self.bloom.contains(col.to_pandas())
+        bad = pc.and_(valid, pa.array(~maybe))
+        sub = batch.filter(bad)
+        return pa.table({
+            self.key: sub.column(self.key),
+            self.column: sub.column(self.column),
+            "constraint_id": pa.array([self.constraint_id] * sub.num_rows,
+                                      type=pa.string()),
+        })
+
+
+def fk_violations_bloom(fact_ds, fact_key: str, fact_column: str,
+                        dim_ds, dim_column: str, *,
+                        expected_keys: int = 1_000_000, fp: float = 0.001,
+                        constraint_id: str | None = None,
+                        batch_size: int = 65536,
+                        concurrency: int | None = None):
+    """FK check via a broadcast Bloom filter of the dimension keys — the
+    100-TB path when the dimension's DISTINCT key set is too large to
+    broadcast exactly (``fk_violations``) but its bit array is not:
+    10^9 keys at 0.1% FP ≈ 1.7 GB of bits vs ≥ 8 GB of raw int keys.
+
+    Dimension side: one partial Bloom per batch (map_batches), OR-folded
+    (bounded: batches × m/8 bytes) and broadcast once. Fact side: an actor
+    probe per batch. Flagged rows are EXACT violations (no false
+    positives); a violation escapes with probability ≈ ``fp``.
+    """
+    import numpy as np
+
+    from ..state.bloom import BloomFilter, bits_for
+
+    m, k = bits_for(expected_keys, fp)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(m, k)
+        col = b.column(dim_column)
+        bf.add_values(pc.drop_null(col).to_pandas())
+        return pa.table({"bloom": pa.array([bf.to_bytes()],
+                                           type=pa.binary())})
+
+    parts = dim_ds.select_columns([dim_column]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    merged = BloomFilter(m, k)
+    for b in parts["bloom"]:
+        merged.merge(BloomFilter.from_bytes(b))
+
+    cid = constraint_id or f"referential-bloom:{fact_column}"
+    ref = ray.put(merged.to_bytes())
+    return fact_ds.select_columns([fact_key, fact_column]).map_batches(
+        _BloomAntiJoin, fn_constructor_args=(fact_column, fact_key, ref, cid),
+        concurrency=concurrency or 2,
+        batch_format="pyarrow", batch_size=batch_size)

@@ -222,3 +222,48 @@ def test_group_distinct_count(ray_session):
 def pd_isna(x):
     import pandas as pd
     return pd.isna(x)
+
+
+def test_bloom_filter_properties():
+    import numpy as np
+
+    from jsonschema_validator_ray.state.bloom import BloomFilter, bits_for
+
+    m, k = bits_for(10_000, 0.01)
+    present = np.arange(10_000)
+    absent = np.arange(20_000, 40_000)
+    bf = BloomFilter(m, k)
+    bf.add_values(present)
+    assert bf.contains(present).all()            # zero false negatives
+    fp_rate = bf.contains(absent).mean()
+    assert fp_rate < 0.03                        # ~1% target, 3x slack
+    # merge == union; wire format round-trips
+    a, b = BloomFilter(m, k), BloomFilter(m, k)
+    a.add_values(present[:5000]); b.add_values(present[5000:])
+    m2 = BloomFilter.from_bytes(a.to_bytes()).merge(
+        BloomFilter.from_bytes(b.to_bytes()))
+    assert m2.contains(present).all()
+    assert (m2.words == bf.words).all()
+
+
+def test_fk_violations_bloom(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.referential import (
+        fk_violations, fk_violations_bloom)
+
+    orders = ray.data.read_parquet(f"{SF_SMOKE}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    dim = ray.data.read_parquet(f"{SF_SMOKE}/customer.parquet",
+                                columns=["c_custkey"]) \
+        .filter(expr="c_custkey <= 100")
+    exact = fk_violations(orders, "o_orderkey", "o_custkey",
+                          dim, "c_custkey").to_pandas()
+    bloom = fk_violations_bloom(orders, "o_orderkey", "o_custkey",
+                                dim, "c_custkey",
+                                expected_keys=200, fp=0.001).to_pandas()
+    exact_keys = set(exact["o_orderkey"])
+    bloom_keys = set(bloom["o_orderkey"])
+    # never flags a valid row; misses at most ~fp of true violations
+    assert bloom_keys <= exact_keys
+    assert len(bloom_keys) >= 0.99 * len(exact_keys)
