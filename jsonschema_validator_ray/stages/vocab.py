@@ -150,3 +150,95 @@ def oov_scores(ds, column: str, key: str, vocab_tokens, *,
         OOVScorer, fn_constructor_args=(column, key, toks),
         concurrency=concurrency, batch_format="pyarrow",
         batch_size=batch_size)
+
+
+class TfidfTopTerms:
+    """Actor stage: top-k terms per document by TF-IDF against a broadcast
+    fitted vocabulary (keyword extraction, the classic corpus summarizer).
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed; Salton & Buckley 1988). The
+    vocabulary + idf table resolve ONCE in ``__init__``; per batch one
+    Arrow split + ``index_in`` + bincount-style pair fold + one lexsort —
+    no Python loop over tokens or documents."""
+
+    def __init__(self, column: str, key: str, vocab_ref, idf_ref, k: int):
+        import ray
+
+        toks = (ray.get(vocab_ref)
+                if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref)
+        idf = (ray.get(idf_ref)
+               if isinstance(idf_ref, ray.ObjectRef) else idf_ref)
+        self.vocab = pa.array(list(toks), type=pa.large_string())
+        self.idf = np.asarray(idf, dtype=np.float64)
+        self.column = column
+        self.key = key
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key_col = batch.column(self.key)
+        empty = pa.table({
+            self.key: key_col.slice(0, 0),
+            "term": pa.array([], type=pa.large_string()),
+            "score": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64())})
+        s = pc.cast(batch.column(self.column), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(pc.greater(
+            pc.binary_length(flat), 0).to_numpy(zero_copy_only=False))
+        if sel.size == 0:
+            return empty
+        codes = pc.index_in(flat.take(pa.array(sel)), value_set=self.vocab)
+        codes_np = codes.to_numpy(zero_copy_only=False)
+        in_vocab = ~pd.isna(codes_np)
+        if not in_vocab.any():
+            return empty
+        doc_idx = parent[sel][in_vocab].astype(np.int64)
+        code = codes_np[in_vocab].astype(np.int64)
+        V = len(self.vocab)
+        pair, tf = np.unique(doc_idx * np.int64(V) + code,
+                             return_counts=True)
+        doc = pair // V
+        c = pair % V
+        score = tf * self.idf[c]
+        # doc asc, score desc, term-code asc (deterministic ties)
+        order = np.lexsort((c, -score, doc))
+        d_sorted = doc[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(d_sorted) != 0])
+        group_id = np.cumsum(np.r_[True, np.diff(d_sorted) != 0]) - 1
+        rank = np.arange(len(d_sorted)) - starts[group_id]
+        keep = rank < self.k
+        kept = order[keep]
+        return pa.table({
+            self.key: key_col.take(pa.array(doc[kept])),
+            "term": self.vocab.take(pa.array(c[kept])),
+            "score": pa.array(score[kept]),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+        })
+
+
+def tfidf_top_terms(ds, column: str, key: str, *, vocab_size: int = 10000,
+                    k: int = 3, n_docs: int | None = None,
+                    batch_size: int = 8192, concurrency: int = 2):
+    """→ Dataset ``(key, term, score, rank)``: top-``k`` TF-IDF terms per
+    document. Fits the vocabulary (top ``vocab_size`` tokens + document
+    frequencies) with the exact distributed ``vocab_topk`` pass, broadcasts
+    tokens + idf once, then scores per batch in an actor pool."""
+    import math
+
+    import ray
+
+    voc = vocab_topk(ds, column, vocab_size, batch_size=batch_size)
+    n = n_docs if n_docs is not None else ds.count()
+    idf = [math.log((n + 1) / (df + 1)) + 1.0 for df in voc["n_docs"]]
+    toks = voc["token"].tolist()
+    tok_ref = ray.put(toks) if len(toks) > 100_000 else toks
+    idf_ref = ray.put(idf) if len(idf) > 100_000 else idf
+    return ds.map_batches(
+        TfidfTopTerms, fn_constructor_args=(column, key, tok_ref, idf_ref, k),
+        concurrency=concurrency, batch_format="pyarrow",
+        batch_size=batch_size)

@@ -106,3 +106,47 @@ def test_oov_fit_then_score_roundtrip(ray_session):
     got = oov_scores(ds, "text", "id", vocab["token"].tolist()).to_pandas()
     assert int(got["n_oov"].sum()) == 0
     assert int(got["n_tokens"].sum()) == int(vocab["n_total"].sum())
+
+
+def test_tfidf_top_terms_matches_reference(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.vocab import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "apple apple banana common common common",
+            "banana banana cherry common common",
+            "cherry cherry cherry apple common",
+            "common common common common",
+        ],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = tfidf_top_terms(ds, "text", "doc_id", vocab_size=100, k=2) \
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    # numpy reference: same formula, brute force
+    n = 4
+    df = {"apple": 2, "banana": 2, "cherry": 2, "common": 4}
+    idf = {t: math.log((n + 1) / (d + 1)) + 1 for t, d in df.items()}
+    def top2(text):
+        tf = pd.Series(text.split()).value_counts()
+        sc = {t: c * idf[t] for t, c in tf.items()}
+        return sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        got = out[out["doc_id"] == doc_id]
+        ref = top2(text)
+        assert got["term"].tolist() == [t for t, _ in ref], doc_id
+        assert np.allclose(got["score"], [s for _, s in ref])
+        assert got["rank"].tolist() == list(range(len(ref)))
+
+    # common appears everywhere → lowest idf: never the top term of a
+    # doc that has any distinctive token
+    top1 = out[out["rank"] == 0]
+    assert "common" not in top1[top1["doc_id"] != 4]["term"].tolist()
+    assert top1[top1["doc_id"] == 4]["term"].tolist() == ["common"]
