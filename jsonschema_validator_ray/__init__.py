@@ -26,13 +26,27 @@ import logging as _logging
 # (transform_pyarrow.py:181) whenever a block schema carries pandas
 # provenance metadata — hash(pa.Schema-with-metadata) raises on the dict.
 # Our shuffle stages strip the metadata at their boundaries
-# (stages/util.no_meta), but blocks built INSIDE Ray read tasks from
-# pandas-written parquet still trigger it; the condition is benign (the
-# dedup just falls back to full unification), so drop it to ERROR here —
-# this runs in every worker that imports the package, silencing the
-# worker-side spam too (VERDICT r2 item 8).
-_logging.getLogger(
-    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)
+# (stages/util.no_meta) and reads go through sources/parquet.read_parquet,
+# but blocks built by Ray itself from pandas ``map_groups`` outputs
+# re-attach the metadata, and the condition is benign (the dedup just
+# falls back to full unification). A plain ``setLevel`` does NOT stick:
+# Ray Data re-runs ``configure_logging()`` per dataset in every worker,
+# and ``logging.config.dictConfig`` resets the LEVEL (to NOTSET) and
+# handlers of every existing child of its configured ``ray.data`` logger —
+# but it never touches logger FILTERS, so a filter is the one hook that
+# survives (VERDICT r2 item 8).
+
+
+class _DropSchemaHashNoise(_logging.Filter):
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        return not str(record.getMessage()).startswith(
+            "Failed to hash the schemas")
+
+
+_tp_logger = _logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow")
+if not any(isinstance(f, _DropSchemaHashNoise) for f in _tp_logger.filters):
+    _tp_logger.addFilter(_DropSchemaHashNoise())
 
 from .errors import (
     ErrorFormat,
