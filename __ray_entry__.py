@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_lines_documents": corpus.clean_lines_documents,
         "vocab_topk_documents": corpus.vocab_topk_documents,
         "oov_documents": corpus.oov_documents,
+        "tfidf_documents": corpus.tfidf_documents,
         "shuffled_head_documents": corpus.shuffled_head_documents,
         "funnel_events": corpus.funnel_events,
         "heavy_users_events": corpus.heavy_users_events,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_lines_documents": corpus.CLEAN_LINES_SQL,
         "vocab_topk_documents": corpus.VOCAB_TOPK_SQL,
         "oov_documents": corpus.OOV_SQL,
+        "tfidf_documents": corpus.TFIDF_SQL,
         "shuffled_head_documents": corpus.SHUFFLED_HEAD_SQL,
         "funnel_events": corpus.FUNNEL_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,

@@ -993,6 +993,53 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def tfidf_documents(sf_dir: str, vocab_size: int = 1000, k: int = 3):
+    """(doc_id, term, score, rank) — top-``k`` TF-IDF terms per document
+    against a top-``vocab_size`` corpus vocabulary (keyword extraction).
+    Two passes: the exact distributed ``vocab_topk`` fit (bounded driver
+    artifact, broadcast once) then one vectorized actor-pool scoring pass
+    (stages/vocab.TfidfTopTerms). Smoothed idf ``ln((N+1)/(df+1))+1``;
+    ``ln``/multiply are the same libm/IEEE ops in both engines, so the
+    float scores compare exactly. Ties rank by vocab code = (n_total DESC,
+    token ASC), mirrored in the oracle's ORDER BY."""
+    from ..stages.vocab import tfidf_top_terms
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, "text", "doc_id",
+                           vocab_size=vocab_size, k=k)
+
+
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents WHERE text IS NOT NULL
+), toks2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM toks2 GROUP BY term ORDER BY n_total DESC, term LIMIT 1000
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term
+), scored AS (
+  SELECT t.doc_id, t.term,
+         t.tf * (ln(((SELECT count(*) FROM documents) + 1.0)
+                    / (v.n_docs + 1.0)) + 1.0) AS score,
+         v.n_total
+  FROM tf t JOIN vocab v USING (term)
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, n_total DESC, term ASC)
+           - 1 AS rnk
+  FROM scored
+)
+SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk < 3
+"""
+
+
 def events_sequenced(sf_dir: str):
     """(event_id, user_id, seq, gap_us) — per-user event sequencing
     (row_number + exact-microsecond lag gap) through the partitioned-log
