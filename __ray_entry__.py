@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rowrules_lineitem": checks.rowrules_lineitem,
         "inferred_schema_documents": checks.inferred_schema_documents,
         "ks_quantity_returnflag": checks.ks_quantity_returnflag,
+        "psi_lang_documents": checks.psi_lang_documents,
         "distinct_sources_per_lang": checks.distinct_sources_per_lang,
         "distinct_users_per_event": checks.distinct_users_per_event,
         "fk_orders_custkey_bloom": checks.fk_orders_custkey_bloom,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "rowrules_lineitem": checks.ROWRULES_SQL,
         "inferred_schema_documents": checks.INFERRED_SCHEMA_SQL,
         "ks_quantity_returnflag": checks.KS_QUANTITY_SQL,
+        "psi_lang_documents": checks.PSI_LANG_SQL,
         "distinct_sources_per_lang": checks.DISTINCT_SOURCES_SQL,
         "distinct_users_per_event": checks.DISTINCT_USERS_SQL,
         "trim_outliers_documents": checks.TRIM_OUTLIERS_SQL,

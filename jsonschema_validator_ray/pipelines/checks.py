@@ -378,6 +378,81 @@ FROM cum, t GROUP BY t.ta, t.tb
 """
 
 
+def psi_lang_documents(sf_dir: str):
+    """(lang, n_base, n_cur, psi_contrib) — PSI drift check of the ``lang``
+    distribution between the even-doc_id half (baseline) and the odd half
+    (current), through the DISTRIBUTED histogram machinery
+    (stages/drift.compute_histogram: per-batch partial histograms merged by
+    addition). Emitting the per-BIN PSI contribution instead of the summed
+    index keeps the floats oracle-exact: each contribution is a pure
+    expression of two integer counts (int/int division, ``max(·, 1e-6)``
+    clamp, one libm ``ln``, one multiply — all bit-identical in DuckDB),
+    with no float accumulation whose summation order could diverge. The
+    total PSI is the oracle-checked column's sum; the ``drift_check``
+    facade applies the 0.25 threshold to it."""
+    import math
+
+    import pandas as pd
+
+    from ..stages.drift import compute_histogram
+    from ..state.histogram import CategoricalHistogram
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
+    langs = sorted(x for x in docs.unique("lang") if x is not None)
+    base_json = CategoricalHistogram(langs).to_json()
+
+    def half(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b.column("doc_id"),
+                                         pa.scalar(1, pa.int64())),
+                         pa.scalar(parity, pa.int64()))
+            return b.filter(pc.fill_null(m, False))
+        return fn
+
+    baseline = compute_histogram(
+        docs.map_batches(half(0), batch_format="pyarrow"), "lang", base_json)
+    current = compute_histogram(
+        docs.map_batches(half(1), batch_format="pyarrow"), "lang", base_json)
+    tb = int(baseline.counts.sum() + baseline.other)
+    tc = int(current.counts.sum() + current.other)
+    rows = []
+    for i, lang in enumerate(langs):
+        nb, nc = int(baseline.counts[i]), int(current.counts[i])
+        p = max(nb / tb, 1e-6)
+        q = max(nc / tc, 1e-6)
+        rows.append((lang, nb, nc, (q - p) * math.log(q / p)))
+    return pd.DataFrame(rows, columns=["lang", "n_base", "n_cur",
+                                       "psi_contrib"])
+
+
+PSI_LANG_SQL = """
+WITH base AS (
+  SELECT lang, count(*) AS n_base FROM documents
+  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY lang),
+cur AS (
+  SELECT lang, count(*) AS n_cur FROM documents
+  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY lang),
+langs AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+tot AS (SELECT
+  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0
+     AND lang IS NOT NULL) AS tb,
+  (SELECT count(*) FROM documents WHERE doc_id % 2 = 1
+     AND lang IS NOT NULL) AS tc),
+j AS (
+  SELECT l.lang, COALESCE(b.n_base, 0) AS n_base,
+         COALESCE(c.n_cur, 0) AS n_cur
+  FROM langs l LEFT JOIN base b USING (lang) LEFT JOIN cur c USING (lang))
+SELECT lang, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       (greatest(n_cur / (SELECT tc * 1.0 FROM tot), 1e-6)
+          - greatest(n_base / (SELECT tb * 1.0 FROM tot), 1e-6))
+       * ln(greatest(n_cur / (SELECT tc * 1.0 FROM tot), 1e-6)
+            / greatest(n_base / (SELECT tb * 1.0 FROM tot), 1e-6))
+         AS psi_contrib
+FROM j ORDER BY lang
+"""
+
+
 # ---- per-group exact distinct ----------------------------------------------
 
 

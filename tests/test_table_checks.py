@@ -267,3 +267,26 @@ def test_fk_violations_bloom(ray_session):
     # never flags a valid row; misses at most ~fp of true violations
     assert bloom_keys <= exact_keys
     assert len(bloom_keys) >= 0.99 * len(exact_keys)
+
+
+def test_psi_lang_matches_sql(ray_session):
+    """PSI drift per-bin contributions are bit-identical to the SQL oracle
+    (int/int division + libm ln, no float accumulation) at sf0.001."""
+    import duckdb
+
+    from jsonschema_validator_ray.pipelines.checks import (
+        PSI_LANG_SQL, psi_lang_documents)
+
+    ours = psi_lang_documents(SF_SMOKE).sort_values("lang") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/documents.parquet')")
+    theirs = con.execute(PSI_LANG_SQL).df().sort_values("lang") \
+        .reset_index(drop=True)
+    assert list(ours.columns) == list(theirs.columns)
+    assert ours["lang"].tolist() == theirs["lang"].tolist()
+    assert (ours["n_base"] + ours["n_cur"]).sum() == 500
+    # float equality is EXACT by construction
+    assert ours["psi_contrib"].tolist() == theirs["psi_contrib"].tolist()
+    assert ours["n_base"].tolist() == [int(x) for x in theirs["n_base"]]
