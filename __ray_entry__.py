@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_documents": corpus.redact_documents,
         "gopher_documents": corpus.gopher_documents,
         "topk_embeddings": corpus.topk_embeddings,
+        "topk_embeddings_ivf": corpus.topk_embeddings_ivf,
         "verdict_embeddings": corpus.verdict_embeddings,
         "verdict_embeddings_tuple": corpus.verdict_embeddings_tuple,
         "verdict_documents_pp": corpus.verdict_documents_pp,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": corpus.REDACT_SQL,
         "gopher_documents": corpus.GOPHER_SQL,
         "topk_embeddings": corpus.TOPK_SQL,
+        "topk_embeddings_ivf": corpus.TOPK_IVF_SQL,
         "verdict_embeddings": corpus.VERDICT_EMB_SQL,
         "verdict_embeddings_tuple": corpus.VERDICT_EMB_TUPLE_SQL,
         "verdict_documents_pp": corpus.VERDICT_PP_SQL,

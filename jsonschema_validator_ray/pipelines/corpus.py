@@ -282,6 +282,36 @@ ORDER BY list_cosine_similarity(embedding,
 LIMIT 10
 """
 
+def topk_embeddings_ivf(sf_dir: str):
+    """Top-10 cosine neighbors of vec_id 0 THROUGH the persisted IVF
+    layout: build the coarse quantizer, write the corpus as
+    ``ivf_cluster=<c>/`` Parquet partitions under /tmp, then search with a
+    partition-pruned read (stages/ivf.topk_cosine_ivf_index). Probing all
+    clusters makes the result exactly the brute-force top-k, so the SAME
+    SQL oracle checks the whole persisted-index round-trip. Scores rounded
+    to 4 decimals for a stable cross-engine hash (as topk_embeddings)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.ivf import build_ivf, topk_cosine_ivf_index, write_ivf_index
+
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float32)
+    index = build_ivf(emb, n_clusters=8, seed=42)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ivf_index_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(emb, index, path)
+    out = topk_cosine_ivf_index(path, q, k=10, nprobe=8, batch_size=4096)
+    out = out[["vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+TOPK_IVF_SQL = TOPK_SQL
+
+
 # ---- rows-only heuristics -------------------------------------------------
 
 

@@ -60,3 +60,47 @@ def test_ivf_full_probe_equals_bruteforce(ray_session):
     full = list(topk_cosine_ivf(emb, index, q, k=10, nprobe=4,
                                 batch_size=128)["vec_id"])
     assert exact == full
+
+
+def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
+    """write_ivf_index → pruned-read search: pruned result == in-memory IVF
+    probe; full probe == brute force; only probed dirs are opened."""
+    import os
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.ivf import (
+        build_ivf, load_ivf_index, topk_cosine_ivf, topk_cosine_ivf_index,
+        write_ivf_index)
+    from jsonschema_validator_ray.stages.similarity import topk_cosine
+
+    emb = ray.data.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    index = build_ivf(emb, n_clusters=8, seed=7)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, index, path)
+
+    # layout: one dir per non-empty cell + the centroid sidecar
+    dirs = [d for d in os.listdir(path) if d.startswith("ivf_cluster=")]
+    assert 1 <= len(dirs) <= 8
+    assert os.path.exists(os.path.join(path, "centroids.json"))
+    loaded = load_ivf_index(path)
+    assert np.allclose(loaded.centroids, index.centroids)
+
+    q = np.array(emb.take(5)[4]["embedding"], dtype=np.float32)
+    mem = topk_cosine_ivf(emb, index, q, k=10, nprobe=4, batch_size=128)
+    disk = topk_cosine_ivf_index(path, q, k=10, nprobe=4, batch_size=128)
+    assert list(mem["vec_id"]) == list(disk["vec_id"])
+    assert np.allclose(mem["score"], disk["score"])
+
+    # full probe over the persisted layout == brute force over the corpus
+    exact = topk_cosine(emb, q, k=10, batch_size=128)
+    full = topk_cosine_ivf_index(path, q, k=10, nprobe=8, batch_size=128)
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    assert np.allclose(full["score"], exact["score"])
+
+    # multi-query: two queries, per-query probe filtering
+    q2 = np.stack([q, np.array(emb.take(3)[2]["embedding"],
+                               dtype=np.float32)])
+    multi = topk_cosine_ivf_index(path, q2, k=5, nprobe=8, batch_size=128)
+    assert set(multi["query_id"]) == {0, 1}
+    assert (multi.groupby("query_id").size() == 5).all()
