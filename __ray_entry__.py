@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orders_custkey_bloom": checks.fk_orders_custkey_bloom,
         "trim_outliers_documents": checks.trim_outliers_documents,
         "dedup_exact_documents": corpus.dedup_exact_documents,
+        "dedup_incremental_documents": corpus.dedup_incremental_documents,
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
         "redact_documents": corpus.redact_documents,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_orders_custkey": checks.FK_ORDERS_SQL,
         "stats_exact_lineitem": checks.STATS_EXACT_SQL,
         "dedup_exact_documents": corpus.DEDUP_EXACT_SQL,
+        "dedup_incremental_documents": corpus.DEDUP_INCR_SQL,
         "token_counts_documents": corpus.TOKEN_COUNTS_SQL,
         "quality_documents": corpus.QUALITY_SQL,
         "redact_documents": corpus.REDACT_SQL,

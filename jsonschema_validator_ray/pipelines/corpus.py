@@ -33,6 +33,44 @@ DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """
 
+
+def dedup_incremental_documents(sf_dir: str):
+    """Incremental cross-run exact dedup THROUGH the persisted hash index
+    (stages/hashindex): even doc_ids play the already-ingested corpus (index
+    built once, no rescan), odd doc_ids are the "new crawl" deduped against
+    the index and themselves. Returns the new-crawl survivors."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.hashindex import dedup_exact_incremental, write_hash_index
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def split(b: pa.Table, parity: int) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), parity)
+        return b.filter(keep)
+
+    old = docs.map_batches(lambda b: split(b, 0), batch_format="pyarrow")
+    new = docs.map_batches(lambda b: split(b, 1), batch_format="pyarrow")
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"hash_index_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_hash_index(old, path, key="doc_id", column="text", num_buckets=32)
+    return dedup_exact_incremental(new, path,
+                                   column="text").select_columns(["doc_id"])
+
+
+DEDUP_INCR_SQL = """
+WITH new AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+SELECT n.doc_id FROM new n
+WHERE n.doc_id = (SELECT min(n2.doc_id) FROM new n2 WHERE n2.text = n.text)
+  AND NOT EXISTS (SELECT 1 FROM documents o
+                  WHERE o.doc_id % 2 = 0 AND o.text = n.text)
+"""
+
 # ---- text analysis --------------------------------------------------------
 
 
