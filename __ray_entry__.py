@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orders_custkey": checks.fk_orders_custkey,
         "stats_exact_lineitem": checks.stats_exact_lineitem,
         "stats_sketch_documents": checks.stats_sketch_documents,
+        "stats_incremental_documents": checks.stats_incremental_documents,
         "quantiles_lineitem": checks.quantiles_lineitem,
         "rowrules_lineitem": checks.rowrules_lineitem,
         "inferred_schema_documents": checks.inferred_schema_documents,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_lang_iso639": checks.REFERENTIAL_ISO_SQL,
         "fk_orders_custkey": checks.FK_ORDERS_SQL,
         "stats_exact_lineitem": checks.STATS_EXACT_SQL,
+        "stats_incremental_documents": checks.STATS_INCR_SQL,
         "dedup_exact_documents": corpus.DEDUP_EXACT_SQL,
         "dedup_incremental_documents": corpus.DEDUP_INCR_SQL,
         "token_counts_documents": corpus.TOKEN_COUNTS_SQL,

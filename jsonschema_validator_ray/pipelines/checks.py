@@ -246,6 +246,71 @@ def stats_sketch_documents(sf_dir: str):
                 "p50", "p95", "p99"]].sort_values("column").reset_index(drop=True)
 
 
+def stats_incremental_documents(sf_dir: str):
+    """Incremental profiling THROUGH the persisted sketch state
+    (stages/statestore): even doc_ids are profiled once into generation 0,
+    odd doc_ids are folded in as a later ingest (one pass over the new rows
+    only — the history is never re-read), then the state is finalized.
+    Returns ONLY the exact-monoid columns (count/null/min/max compose
+    associatively, so the incremental result is arithmetic-identical to a
+    one-shot profile of the union — which is what the SQL oracle computes
+    over the full table)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.statestore import (finalize_stats, update_stats_state,
+                                     write_stats_state)
+
+    cols = ["doc_id", "lang", "n_chars", "text"]
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def split(b: pa.Table, parity: int) -> pa.Table:
+        return b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1),
+                                 parity))
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"stats_state_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_stats_state(docs.map_batches(lambda b: split(b, 0),
+                                       batch_format="pyarrow"), path, cols)
+    update_stats_state(docs.map_batches(lambda b: split(b, 1),
+                                        batch_format="pyarrow"), path)
+    out = finalize_stats(path)[["column", "cnt", "nulls", "null_rate",
+                                "min_num", "max_num", "min_str", "max_str"]]
+    return out.rename(columns={"column": "col_name"}) \
+        .sort_values("col_name").reset_index(drop=True)
+
+
+STATS_INCR_SQL = """
+SELECT * FROM (
+  SELECT 'doc_id' AS col_name, count(*) AS cnt,
+         count(*) - count(doc_id) AS nulls,
+         CAST(count(*) - count(doc_id) AS DOUBLE) / count(*) AS null_rate,
+         CAST(min(doc_id) AS DOUBLE) AS min_num,
+         CAST(max(doc_id) AS DOUBLE) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(*) - count(lang),
+         CAST(count(*) - count(lang) AS DOUBLE) / count(*),
+         NULL, NULL, min(lang), max(lang)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+         CAST(count(*) - count(n_chars) AS DOUBLE) / count(*),
+         CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+         NULL, NULL
+  FROM documents
+  UNION ALL
+  SELECT 'text', count(*), count(*) - count(text),
+         CAST(count(*) - count(text) AS DOUBLE) / count(*),
+         NULL, NULL, min(text), max(text)
+  FROM documents
+) ORDER BY col_name
+"""
+
+
 # ---- cross-column row rules ----------------------------------------------
 
 _LINEITEM_RULES = [
