@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_outliers_documents": checks.trim_outliers_documents,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_incremental_documents": corpus.dedup_incremental_documents,
+        "ngram_decontam_documents": corpus.ngram_decontam_documents,
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
         "redact_documents": corpus.redact_documents,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_incremental_documents": checks.STATS_INCR_SQL,
         "dedup_exact_documents": corpus.DEDUP_EXACT_SQL,
         "dedup_incremental_documents": corpus.DEDUP_INCR_SQL,
+        "ngram_decontam_documents": corpus.NGRAM_DECONTAM_SQL,
         "token_counts_documents": corpus.TOKEN_COUNTS_SQL,
         "quality_documents": corpus.QUALITY_SQL,
         "redact_documents": corpus.REDACT_SQL,

@@ -71,6 +71,53 @@ WHERE n.doc_id = (SELECT min(n2.doc_id) FROM new n2 WHERE n2.text = n.text)
                   WHERE o.doc_id % 2 = 0 AND o.text = n.text)
 """
 
+# ---- exact n-gram decontamination -----------------------------------------
+
+_DECONTAM_N = 8
+
+
+def ngram_decontam_documents(sf_dir: str):
+    """Exact n-gram benchmark decontamination (stages/ngrams): the
+    "benchmark" is one 8-token window (tokens 6..13, 1-based) snipped from
+    every 25th document; every corpus doc sharing ≥1 token 8-gram with any
+    benchmark snippet is flagged with its matching-position count. The
+    snippet's source doc is the planted ground truth; anything else caught
+    shares the window by construction of the corpus."""
+    from ..stages.ngrams import ngram_decontaminate
+
+    n = _DECONTAM_N
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def bench_windows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        is_bench = pa.array(ids % 25 == 0)
+        t = pc.split_pattern(pc.fill_null(b.column("text"), ""), " ")
+        long_enough = pc.greater_equal(pc.list_value_length(t), 5 + n)
+        mask = pc.and_(is_bench, long_enough)
+        sliced = pc.list_slice(t.filter(mask), 5, 5 + n)
+        return pa.table({"snippet": pc.binary_join(sliced, " ")})
+
+    bench = docs.map_batches(bench_windows, batch_format="pyarrow")
+    return ngram_decontaminate(docs, bench, column="text",
+                               bench_column="snippet", id_col="doc_id", n=n)
+
+
+NGRAM_DECONTAM_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bench_g AS (
+  SELECT DISTINCT array_to_string(t[6:{6 + _DECONTAM_N - 1}], ' ') AS g
+  FROM tok WHERE doc_id % 25 = 0 AND len(t) >= {5 + _DECONTAM_N}
+),
+doc_g AS (
+  SELECT doc_id, array_to_string(t[i:i+{_DECONTAM_N - 1}], ' ') AS g
+  FROM tok, UNNEST(range(1, len(t) - {_DECONTAM_N - 2})) AS u(i)
+)
+SELECT d.doc_id, count(*) AS matched_ngrams
+FROM doc_g d JOIN bench_g b USING (g)
+GROUP BY d.doc_id
+"""
+
 # ---- text analysis --------------------------------------------------------
 
 

@@ -1,0 +1,204 @@
+"""Exact n-gram benchmark decontamination.
+
+Training corpora must not contain evaluation data. The standard exact check
+(Brown et al. 2020, appendix C: 13-gram overlap) flags every training
+document that shares at least one token n-gram with the benchmark set. This
+module implements it Ray-Data-first:
+
+- the n-gram builder is fully vectorized over the Arrow buffers — token
+  split (`pc.split_pattern`), position arithmetic in numpy over the list
+  offsets, n shifted `take` gathers joined with one
+  `binary_join_element_wise` — no Python loop over rows or grams;
+- ``strategy="broadcast"`` (default): the DISTINCT benchmark n-grams are
+  collected once (benchmarks are MBs; corpora are TBs), `ray.put` once, and
+  every probe task counts membership with a single `pc.is_in` — the corpus
+  never shuffles;
+- ``strategy="join"``: for benchmark sides too big to broadcast, both sides
+  explode to 64-bit n-gram hashes and meet in hash buckets (keys only — the
+  documents never cross the exchange), then per-doc partial counts reduce
+  in a second bucketed pass. Matching is on the hash (collision odds
+  ~pairs/2^64, same budget as stages/dedup.dedup_exact documents).
+
+Complements the probabilistic MinHash path (stages/dedup.decontaminate):
+that one catches NEAR-duplicate leakage, this one is the exact-substring
+gate evaluation suites actually specify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .util import no_meta
+
+
+def ngrams_batch(texts, n: int) -> tuple[np.ndarray, pa.Array]:
+    """All token ``n``-grams of a string column → (parent row index,
+    n-gram string). Tokenization is a plain single-space split (DuckDB
+    ``string_split(text, ' ')`` parity, empties kept). Vectorized: the only
+    per-``n`` work is one shifted Arrow ``take`` per gram position."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    toks = pc.split_pattern(texts, " ")
+    off = toks.offsets.to_numpy().astype(np.int64)
+    counts = np.maximum(off[1:] - off[:-1] - (n - 1), 0)
+    parent = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    if parent.size == 0:
+        return parent, pa.array([], type=pa.string())
+    first = np.repeat(off[:-1], counts)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    intra = np.arange(int(counts.sum()), dtype=np.int64) \
+        - np.repeat(cum[:-1], counts)
+    p = first + intra
+    vals = toks.values
+    parts = [vals.take(pa.array(p + k, type=pa.int64())) for k in range(n)]
+    ng = pc.binary_join_element_wise(*parts, " ")
+    return parent, ng
+
+
+def _hash64(ng: pa.Array) -> np.ndarray:
+    """Stable 64-bit n-gram hash (SipHash via pandas, fixed key — identical
+    across processes/workers/runs, as stages/dedup.content_hash_batch)."""
+    return pd.util.hash_pandas_object(
+        pd.Series(ng.to_pandas()), index=False).to_numpy().astype(np.uint64)
+
+
+def collect_benchmark_ngrams(bench, column: str, n: int, *,
+                             batch_size: int = 4096,
+                             broadcast_limit: int = 5_000_000):
+    """DISTINCT n-grams of the benchmark side as one driver-side Arrow
+    array, ready for `ray.put`. Per-batch `pc.unique` runs distributed;
+    only the deduplicated grams funnel to the driver. Raises when the
+    distinct count exceeds ``broadcast_limit`` — switch to
+    ``strategy='join'`` instead of raising the limit."""
+
+    def uniq(b: pa.Table) -> pa.Table:
+        _, ng = ngrams_batch(b.column(column), n)
+        return pa.table({"g": pc.unique(ng)})
+
+    parts = bench.select_columns([column]).map_batches(
+        uniq, batch_format="pyarrow", batch_size=batch_size).take_all()
+    grams = pc.unique(pa.concat_arrays(
+        [pa.array([r["g"] for r in parts], type=pa.string())])) \
+        if parts else pa.array([], type=pa.string())
+    if len(grams) > broadcast_limit:
+        raise ValueError(
+            f"{len(grams)} distinct benchmark n-grams exceeds "
+            f"broadcast_limit={broadcast_limit}; use strategy='join'")
+    return grams
+
+
+class _NgramMembershipCounter:
+    """Actor stage: per doc, how many n-gram positions hit the broadcast
+    benchmark set. The gram set deserializes ONCE per actor from the
+    object store; per batch it's one `pc.is_in` + one `np.bincount`."""
+
+    def __init__(self, column: str, id_col: str, n: int, grams_ref):
+        self.column, self.id_col, self.n = column, id_col, n
+        grams = ray.get(grams_ref) \
+            if isinstance(grams_ref, ray.ObjectRef) else grams_ref
+        self.grams = pa.array(grams, type=pa.string()) \
+            if isinstance(grams, list) else grams
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parent, ng = ngrams_batch(batch.column(self.column), self.n)
+        hit = pc.is_in(ng, value_set=self.grams).to_numpy(
+            zero_copy_only=False)
+        counts = np.bincount(parent[hit], minlength=len(batch))
+        keep = counts > 0
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            self.id_col: ids.take(pa.array(np.flatnonzero(keep))),
+            "matched_ngrams": pa.array(counts[keep], type=pa.int64()),
+        })
+
+
+def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
+                        n: int = 13, bench_column: str | None = None,
+                        strategy: str = "broadcast",
+                        concurrency: int = 4, batch_size: int = 4096,
+                        num_buckets: int = 64,
+                        broadcast_limit: int = 5_000_000):
+    """→ Dataset ``(id_col, matched_ngrams)`` of training docs sharing at
+    least one token ``n``-gram with the benchmark side, with the number of
+    matching n-gram POSITIONS in the doc (occurrences, not distinct grams).
+    """
+    bench_column = bench_column or column
+    if strategy == "broadcast":
+        grams = collect_benchmark_ngrams(
+            bench, bench_column, n, batch_size=batch_size,
+            broadcast_limit=broadcast_limit)
+        # small sets ride the task spec as a plain list (an Arrow array's
+        # buffers would be promoted to the object store and make actor
+        # restarts ref-fragile); big ones are ray.put ONCE
+        ref = ray.put(grams) if len(grams) > 100_000 \
+            else grams.to_pylist()
+        return docs.select_columns([id_col, column]).map_batches(
+            _NgramMembershipCounter,
+            fn_constructor_args=(column, id_col, n, ref),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency)
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # exact-at-any-size path: both sides explode to (hash-bucket, gram
+    # hash); a bucket join counts per-doc partials, a second bucketed pass
+    # sums them per id. Shuffled payload is 16-24 B/gram — never documents.
+    def doc_grams(b: pa.Table) -> pa.Table:
+        parent, ng = ngrams_batch(b.column(column), n)
+        h = _hash64(ng)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)[parent]
+        return pa.table({
+            id_col: pa.array(ids),
+            "gh": pa.array(h, type=pa.uint64()),
+            "__gb": pa.array((h % num_buckets).astype(np.int32)),
+            "__side": pa.array(np.zeros(h.size, dtype=np.int8)),
+        })
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        _, ng = ngrams_batch(b.column(bench_column), n)
+        h = np.unique(_hash64(pc.unique(ng)))
+        return pa.table({
+            id_col: pa.array(np.zeros(h.size, dtype=np.int64)),
+            "gh": pa.array(h, type=pa.uint64()),
+            "__gb": pa.array((h % num_buckets).astype(np.int32)),
+            "__side": pa.array(np.ones(h.size, dtype=np.int8)),
+        })
+
+    left = docs.select_columns([id_col, column]).map_batches(
+        doc_grams, batch_format="pyarrow", batch_size=batch_size)
+    right = bench.select_columns([bench_column]).map_batches(
+        bench_grams, batch_format="pyarrow", batch_size=batch_size)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bench_h = g.loc[g["__side"] == 1, "gh"].unique()
+        d = g[g["__side"] == 0]
+        d = d[d["gh"].isin(bench_h)]
+        if not len(d):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "partial": pd.Series([], dtype="int64")})
+        out = d.groupby(id_col, sort=False).size().reset_index(name="partial")
+        return out
+
+    partials = left.union(right).groupby("__gb").map_groups(
+        count_bucket, batch_format="pandas")
+
+    def add_idb(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        idb = (pd.util.hash_pandas_object(pd.Series(ids), index=False)
+               .to_numpy().astype(np.uint64) % num_buckets).astype(np.int32)
+        return no_meta(b).append_column("__ib", pa.array(idb))
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, sort=False, as_index=False)["partial"].sum()
+        return out.rename(columns={"partial": "matched_ngrams"})
+
+    return partials.map_batches(add_idb, batch_format="pyarrow") \
+        .groupby("__ib").map_groups(sum_bucket, batch_format="pandas")

@@ -1,0 +1,66 @@
+"""Exact n-gram decontamination: vectorized gram builder vs a per-row
+reference, and broadcast vs bucketed-join strategy agreement."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from jsonschema_validator_ray.stages.ngrams import (
+    collect_benchmark_ngrams, ngram_decontaminate, ngrams_batch)
+
+
+def _ref_ngrams(text, n):
+    toks = (text or "").split(" ")
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_ngrams_batch_matches_per_row(n):
+    texts = ["a b c d e f", "one two", "", None, "x " * 20 + "y",
+             "solo", "a  b   c d e"]  # consecutive spaces keep empties
+    parent, ng = ngrams_batch(pa.array(texts, type=pa.string()), n)
+    got = {}
+    for p, g in zip(parent, ng.to_pylist()):
+        got.setdefault(int(p), []).append(g)
+    for i, t in enumerate(texts):
+        assert got.get(i, []) == _ref_ngrams(t, n), (i, t)
+
+
+def test_planted_contamination(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox jumps", "the quick brown cat sits",
+                 "quick brown fox jumps high and quick brown fox jumps",
+                 "nothing in common here at all"]})
+    bench = pd.DataFrame({"text": ["quick brown fox jumps"]})
+    out = ngram_decontaminate(
+        ray.data.from_pandas(docs), ray.data.from_pandas(bench),
+        column="text", id_col="doc_id", n=4, concurrency=2).to_pandas()
+    got = dict(zip(out.doc_id, out.matched_ngrams))
+    assert got == {1: 1, 3: 2}
+
+
+def test_strategies_agree_on_testdata(ray_session):
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    bench = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                  columns=["doc_id", "text"]) \
+        .filter(lambda r: r["doc_id"] % 97 == 0)
+    kw = dict(column="text", id_col="doc_id", n=7, concurrency=2,
+              num_buckets=8)
+    a = ngram_decontaminate(docs, bench, strategy="broadcast", **kw) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = ngram_decontaminate(docs, bench, strategy="join", **kw) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a, b[["doc_id", "matched_ngrams"]], check_dtype=False)
+
+
+def test_broadcast_limit_raises(ray_session):
+    bench = ray.data.from_pandas(pd.DataFrame(
+        {"text": ["alpha beta gamma delta epsilon zeta"]}))
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        collect_benchmark_ngrams(bench, "text", 2, broadcast_limit=2)
