@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_incremental_documents": corpus.dedup_incremental_documents,
         "ngram_decontam_documents": corpus.ngram_decontam_documents,
+        "minhash_index_documents": corpus.minhash_index_documents,
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
         "redact_documents": corpus.redact_documents,

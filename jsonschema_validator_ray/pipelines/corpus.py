@@ -470,6 +470,42 @@ def minhash_pairs_documents(sf_dir: str):
                           "n_truncated_pairs": n_trunc}])
 
 
+def minhash_index_documents(sf_dir: str):
+    """One-row summary of the persisted MinHash/LSH index round-trip
+    (stages/minhashindex): index even doc_ids, probe odd doc_ids for
+    near-dups of the indexed history (Jaccard ≥ 0.7) without re-signing
+    the history, and filter the survivors. Rows-only; planted-pair recall
+    and parity with the in-memory cross-side path are pinned by pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.minhashindex import (dedup_near_incremental,
+                                       index_doc_count, write_minhash_index)
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def split(b: pa.Table, parity: int) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), parity)
+        return b.filter(keep)
+
+    old = docs.map_batches(lambda b: split(b, 0), batch_format="pyarrow")
+    new = docs.map_batches(lambda b: split(b, 1), batch_format="pyarrow")
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"minhash_index_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_minhash_index(old, path, key="doc_id", text="text", num_buckets=32)
+    survivors, matched = dedup_near_incremental(new, path, threshold=0.7)
+    return pd.DataFrame([{
+        "check": "minhash_index_incremental",
+        "indexed_docs": index_doc_count(path),
+        "matched_pairs": matched.count(),
+        "survivors": survivors.count(),
+    }])
+
+
 # ---- histogram leg of the drift machinery (oracle-checkable counts) -------
 
 _LANG_CATS = ["en", "zh", "es", "de", "fr"]
