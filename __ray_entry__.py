@@ -28,7 +28,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from jsonschema_validator_ray.pipelines import (analytics, checks, corpus,
-                                                    curation, prep)
+                                                    curation, incremental,
+                                                    prep)
     from jsonschema_validator_ray.pipelines import documents as docs
 
     return {
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_documents": corpus.dedup_incremental_documents,
         "ngram_decontam_documents": corpus.ngram_decontam_documents,
         "minhash_index_documents": corpus.minhash_index_documents,
+        "ingest_documents": incremental.ingest_documents,
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
         "redact_documents": corpus.redact_documents,
