@@ -458,8 +458,9 @@ def decontam_documents(sf_dir: str):
 
 def minhash_pairs_documents(sf_dir: str):
     """One-row summary of MinHash-LSH near-dup pairs at Jaccard ≥ 0.7
-    (rows-only; the corpus has no planted near-dups, so the expected count is
-    0 — planted-pair recall is pinned by pytest)."""
+    (rows-only; the testdata corpus contains generator-planted near-dup
+    pairs — 25 at sf0.01, true 3-gram Jaccard ≥ 0.95 — and the count is
+    deterministic; planted-pair recall is pinned by pytest)."""
     docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     pairs = minhash_near_duplicates(docs, "doc_id", "text",
