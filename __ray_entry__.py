@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_incremental_documents": corpus.dedup_incremental_documents,
         "ngram_decontam_documents": corpus.ngram_decontam_documents,
+        "dup_spans_documents": corpus.dup_spans_documents,
+        "despan_documents": corpus.despan_documents,
         "minhash_index_documents": corpus.minhash_index_documents,
         "ingest_documents": incremental.ingest_documents,
         "token_counts_documents": corpus.token_counts_documents,
@@ -120,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": corpus.DEDUP_EXACT_SQL,
         "dedup_incremental_documents": corpus.DEDUP_INCR_SQL,
         "ngram_decontam_documents": corpus.NGRAM_DECONTAM_SQL,
+        "dup_spans_documents": corpus.DUP_SPANS_SQL,
+        "despan_documents": corpus.DESPAN_SQL,
         "token_counts_documents": corpus.TOKEN_COUNTS_SQL,
         "quality_documents": corpus.QUALITY_SQL,
         "redact_documents": corpus.REDACT_SQL,

@@ -471,6 +471,65 @@ def minhash_pairs_documents(sf_dir: str):
                           "n_truncated_pairs": n_trunc}])
 
 
+_SPAN_N = 6
+
+
+def dup_spans_documents(sf_dir: str):
+    """Docs containing token 6-grams shared by ≥2 distinct docs, with the
+    count of such gram positions (stages/ngrams.flag_duplicate_spans — the
+    detection half of ExactSubstr-style duplicate-passage removal)."""
+    from ..stages.ngrams import flag_duplicate_spans
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    return flag_duplicate_spans(docs, column="text", id_col="doc_id",
+                                n=_SPAN_N, min_docs=2)
+
+
+DUP_SPANS_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+doc_g AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS g
+  FROM tok, UNNEST(range(1, len(t) - {_SPAN_N - 2})) AS u(i)),
+freq AS (SELECT g FROM doc_g GROUP BY g HAVING count(DISTINCT doc_id) >= 2)
+SELECT d.doc_id, count(*) AS dup_positions
+FROM doc_g d JOIN freq USING (g) GROUP BY d.doc_id
+"""
+
+
+def despan_documents(sf_dir: str):
+    """Per-doc tokens removed by duplicate-passage removal (the union of
+    all hot-gram spans — stages/ngrams.remove_duplicate_spans), for docs
+    with at least one removed token. The SQL oracle reproduces the span
+    union exactly via DISTINCT covered token positions."""
+    from ..stages.ngrams import remove_duplicate_spans
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    cleaned = remove_duplicate_spans(docs, column="text", id_col="doc_id",
+                                     n=_SPAN_N, min_docs=2)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("n_tokens_removed"), 0)) \
+            .select(["doc_id", "n_tokens_removed"])
+
+    return cleaned.map_batches(keep, batch_format="pyarrow")
+
+
+DESPAN_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+doc_g AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS g
+  FROM tok, UNNEST(range(1, len(t) - {_SPAN_N - 2})) AS u(i)),
+freq AS (SELECT g FROM doc_g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.i + o.j AS tokpos
+  FROM doc_g d JOIN freq USING (g),
+       UNNEST(range(0, {_SPAN_N})) AS o(j))
+SELECT doc_id, count(*) AS n_tokens_removed FROM cov GROUP BY doc_id
+"""
+
+
 def minhash_index_documents(sf_dir: str):
     """One-row summary of the persisted MinHash/LSH index round-trip
     (stages/minhashindex): index even doc_ids, probe odd doc_ids for

@@ -202,3 +202,160 @@ def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
 
     return partials.map_batches(add_idb, batch_format="pyarrow") \
         .groupby("__ib").map_groups(sum_bucket, batch_format="pandas")
+
+
+# ---- duplicate-passage removal (ExactSubstr-style, n-gram granularity) ----
+
+
+def hot_ngram_hashes(docs, column: str, id_col: str, n: int, *,
+                     min_docs: int = 2, num_buckets: int = 64,
+                     batch_size: int = 4096,
+                     broadcast_limit: int = 10_000_000) -> np.ndarray:
+    """64-bit hashes of every token n-gram appearing in ≥ ``min_docs``
+    DISTINCT documents, gathered driver-side (the hot set is what gets
+    broadcast — boilerplate is rare relative to the corpus; raises past
+    ``broadcast_limit``). Distributed shape: per-batch distinct (gram, doc)
+    pairs → hash-bucketed doc-count reduce → filter. Only 16 B/distinct
+    gram-doc pair crosses the exchange."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        parent, ng = ngrams_batch(b.column(column), n)
+        if parent.size == 0:
+            return pa.table({"gh": pa.array([], type=pa.uint64()),
+                             "__gb": pa.array([], type=pa.int32())})
+        h = _hash64(ng)
+        ih = pd.util.hash_pandas_object(
+            b.column(id_col).to_pandas(), index=False).to_numpy() \
+            .astype(np.uint64)[parent]
+        pairs = np.unique(np.stack([h, ih], axis=1), axis=0)
+        gh = pairs[:, 0]
+        return pa.table({"gh": pa.array(gh, type=pa.uint64()),
+                         "__gb": pa.array((gh % num_buckets)
+                                          .astype(np.int32))})
+
+    pairs = docs.select_columns([id_col, column]).map_batches(
+        per_batch, batch_format="pyarrow", batch_size=batch_size)
+
+    def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["gh"].value_counts()
+        return pd.DataFrame({"gh": vc[vc >= min_docs].index.to_numpy()
+                             .astype(np.uint64)})
+
+    rows = pairs.groupby("__gb").map_groups(
+        hot_in_bucket, batch_format="pandas").take_all()
+    hot = np.array([r["gh"] for r in rows], dtype=np.uint64)
+    if hot.size > broadcast_limit:
+        raise ValueError(f"{hot.size} hot n-grams exceeds broadcast_limit="
+                         f"{broadcast_limit}; raise min_docs or n")
+    return np.sort(hot)
+
+
+class _SpanMasker:
+    """Actor stage over the hot-gram broadcast. ``mode='flag'`` → one row
+    per doc with ≥1 hot position (``dup_positions``); ``mode='clean'`` →
+    every doc with hot token SPANS removed (positions p..p+n-1 of each hot
+    gram, unioned) plus ``n_tokens_removed``. Fully vectorized: coverage is
+    a difference array + cumsum over the batch's flat token values, the
+    cleaned text one ListArray rebuild + ``pc.binary_join``. Cleaning
+    re-joins kept tokens with single spaces (runs of whitespace do not
+    survive — tokenization granularity is the contract)."""
+
+    def __init__(self, column: str, id_col: str, n: int, hot_ref,
+                 mode: str):
+        self.column, self.id_col, self.n, self.mode = column, id_col, n, mode
+        hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) \
+            else hot_ref
+        self.hot = np.asarray(hot, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        texts = batch.column(self.column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        toks = pc.split_pattern(texts, " ")
+        off = toks.offsets.to_numpy().astype(np.int64)
+        base, total = off[0], int(off[-1] - off[0])
+        counts = np.maximum(off[1:] - off[:-1] - (n - 1), 0)
+        parent = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if parent.size == 0:
+            hit = np.zeros(0, dtype=bool)
+            p = np.zeros(0, dtype=np.int64)
+        else:
+            first = np.repeat(off[:-1], counts)
+            cum = np.concatenate(([0], np.cumsum(counts)))
+            p = first + (np.arange(int(counts.sum()), dtype=np.int64)
+                         - np.repeat(cum[:-1], counts))
+            vals = toks.values
+            parts = [vals.take(pa.array(p + k, type=pa.int64()))
+                     for k in range(n)]
+            h = _hash64(pc.binary_join_element_wise(*parts, " "))
+            if self.hot.size:
+                idx = np.searchsorted(self.hot, h) \
+                    .clip(max=self.hot.size - 1)
+                hit = self.hot[idx] == h
+            else:
+                hit = np.zeros(h.size, dtype=bool)
+
+        dup_positions = np.bincount(parent[hit], minlength=len(texts))
+        if self.mode == "flag":
+            keep = dup_positions > 0
+            return pa.table({
+                self.id_col: ids.take(pa.array(np.flatnonzero(keep))),
+                "dup_positions": pa.array(dup_positions[keep],
+                                          type=pa.int64())})
+
+        cover = np.zeros(total + 1, dtype=np.int64)
+        ph = p[hit] - base
+        np.add.at(cover, ph, 1)
+        np.add.at(cover, ph + n, -1)
+        covered = np.cumsum(cover)[:total] > 0
+        csum = np.concatenate(([0], np.cumsum(covered)))
+        removed = csum[off[1:] - base] - csum[off[:-1] - base]
+        kept_abs = np.flatnonzero(~covered) + base
+        kept_vals = toks.values.take(pa.array(kept_abs, type=pa.int64()))
+        new_off = np.concatenate(
+            ([0], np.cumsum((off[1:] - off[:-1]) - removed)))
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()), kept_vals)
+        return pa.table({
+            self.id_col: ids,
+            "clean_text": pc.binary_join(lst, " "),
+            "n_tokens_removed": pa.array(removed, type=pa.int64())})
+
+
+def flag_duplicate_spans(docs, *, column: str, id_col: str, n: int = 13,
+                         min_docs: int = 2, num_buckets: int = 64,
+                         batch_size: int = 4096, concurrency: int = 4,
+                         broadcast_limit: int = 10_000_000):
+    """→ Dataset ``(id_col, dup_positions)``: docs containing ≥1 token
+    n-gram shared by ≥ ``min_docs`` distinct docs, with the count of such
+    gram positions."""
+    hot = hot_ngram_hashes(docs, column, id_col, n, min_docs=min_docs,
+                           num_buckets=num_buckets, batch_size=batch_size,
+                           broadcast_limit=broadcast_limit)
+    ref = ray.put(hot) if hot.size > 100_000 else hot
+    return docs.select_columns([id_col, column]).map_batches(
+        _SpanMasker, fn_constructor_args=(column, id_col, n, ref, "flag"),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def remove_duplicate_spans(docs, *, column: str, id_col: str, n: int = 13,
+                           min_docs: int = 2, num_buckets: int = 64,
+                           batch_size: int = 4096, concurrency: int = 4,
+                           broadcast_limit: int = 10_000_000):
+    """→ Dataset ``(id_col, clean_text, n_tokens_removed)``: every doc with
+    duplicated passages (token spans covered by any hot n-gram) removed —
+    the n-gram-granular form of exact-substring dedup (Lee et al. 2021)."""
+    hot = hot_ngram_hashes(docs, column, id_col, n, min_docs=min_docs,
+                           num_buckets=num_buckets, batch_size=batch_size,
+                           broadcast_limit=broadcast_limit)
+    ref = ray.put(hot) if hot.size > 100_000 else hot
+    return docs.select_columns([id_col, column]).map_batches(
+        _SpanMasker, fn_constructor_args=(column, id_col, n, ref, "clean"),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

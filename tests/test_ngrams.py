@@ -64,3 +64,43 @@ def test_broadcast_limit_raises(ray_session):
         {"text": ["alpha beta gamma delta epsilon zeta"]}))
     with pytest.raises(ValueError, match="broadcast_limit"):
         collect_benchmark_ngrams(bench, "text", 2, broadcast_limit=2)
+
+
+def test_duplicate_span_removal_planted(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import (
+        flag_duplicate_spans, remove_duplicate_spans)
+
+    boiler = "click here to subscribe now"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"alpha beta {boiler} gamma delta",
+                 f"one two three {boiler} four",
+                 "totally unique content with no shared grams at all"]})
+    ds = ray.data.from_pandas(docs)
+    kw = dict(column="text", id_col="doc_id", n=5, min_docs=2,
+              num_buckets=4, concurrency=2)
+    flagged = flag_duplicate_spans(ds, **kw).to_pandas()
+    assert dict(zip(flagged.doc_id, flagged.dup_positions)) == {1: 1, 2: 1}
+    cleaned = remove_duplicate_spans(ds, **kw).to_pandas() \
+        .set_index("doc_id")
+    assert cleaned.loc[1, "clean_text"] == "alpha beta gamma delta"
+    assert cleaned.loc[2, "clean_text"] == "one two three four"
+    assert cleaned.loc[3, "clean_text"] == docs.loc[2, "text"]
+    assert cleaned.loc[1, "n_tokens_removed"] == 5
+    assert cleaned.loc[3, "n_tokens_removed"] == 0
+
+
+def test_span_removal_overlapping_spans(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import remove_duplicate_spans
+
+    # "a b c d" hot as two overlapping 3-grams in both docs: the union of
+    # spans must count each token once
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["x a b c d y", "z a b c d w"]})
+    out = remove_duplicate_spans(
+        ray.data.from_pandas(docs), column="text", id_col="doc_id",
+        n=3, min_docs=2, num_buckets=4, concurrency=2).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[1, "clean_text"] == "x y"
+    assert out.loc[1, "n_tokens_removed"] == 4
