@@ -291,3 +291,131 @@ def image_features(ds, *, key: str = "media_id", column: str = "image",
     return ds.map_batches(
         ImageFeatureActor, fn_constructor_args=(key, column, decoder),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+# ---- video ----------------------------------------------------------------
+
+_VID_MAGIC = b"FVID"
+
+
+def fake_video_bytes(n_frames: int, width: int, height: int, fps: int,
+                     seed: int) -> bytes:
+    """Deterministic fake video: magic + (n_frames, w, h, fps, seed) header
+    + n_frames raw RGB frames. Exercises the full frame-sampling plumbing
+    with realistic payload sizes (w·h·3 bytes/frame)."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=n_frames * width * height * 3,
+                          dtype=np.uint8)
+    return _VID_MAGIC + struct.pack("<IIIIQ", n_frames, width, height,
+                                    fps, seed) + frames.tobytes()
+
+
+def _decode_fake_video(b: bytes) -> tuple[np.ndarray, int] | None:
+    """→ (frames[n, h, w, 3], fps) or None for foreign/corrupt bytes."""
+    if b is None or not b.startswith(_VID_MAGIC):
+        return None
+    n, w, h, fps, _seed = struct.unpack_from("<IIIIQ", b, 4)
+    need = n * w * h * 3
+    pixels = np.frombuffer(b, dtype=np.uint8, count=need, offset=4 + 20)
+    if pixels.size < need:
+        return None
+    return pixels.reshape(n, h, w, 3), int(fps)
+
+
+class VideoFrameSampleActor:
+    """Actor: binary video column → every ``stride``-th frame sampled,
+    per-sampled-frame 64-bit average-hash + mean luma →
+    ``(key, n_frames, width, height, fps, duration_s, n_sampled,
+    frame_hashes, mean_luma)``. The real-codec path (``decoder='av'``,
+    PyAV) is implemented behind an import guard — this container ships no
+    video codecs, so only the deterministic fake format runs here; on an
+    image with ``av`` installed the branch decodes as-is."""
+
+    def __init__(self, stride: int = 10, key: str = "media_id",
+                 column: str = "video", decoder: str = "fake"):
+        self.stride = max(int(stride), 1)
+        self.key = key
+        self.column = column
+        if decoder == "fake":
+            self.decode = _decode_fake_video
+        elif decoder == "av":
+            try:
+                import av  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real video decode needs PyAV, which is not available "
+                    "in this environment — use decoder='fake' or run on an "
+                    "image with av installed") from e
+            self.decode = self._decode_av
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    @staticmethod
+    def _decode_av(b: bytes) -> "tuple[np.ndarray, int] | None":
+        import io
+
+        import av
+
+        if b is None:
+            return None
+        try:
+            with av.open(io.BytesIO(b)) as container:
+                stream = container.streams.video[0]
+                fps = int(round(float(stream.average_rate or 0)))
+                frames = [f.to_ndarray(format="rgb24")
+                          for f in container.decode(stream)]
+        except Exception:
+            return None
+        if not frames:
+            return None
+        return np.stack(frames), fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_pylist()
+        nf, ws, hs, fpss, durs, nsamp, hashes, lumas = \
+            [], [], [], [], [], [], [], []
+        for b in batch.column(self.column).to_pylist():
+            dec = self.decode(b)
+            if dec is None:
+                for lst in (nf, ws, hs, fpss, durs, nsamp, hashes, lumas):
+                    lst.append(None)
+                continue
+            frames, fps = dec
+            n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+            picked = frames[::self.stride]
+            # vectorized over ALL sampled frames at once: luma matrix
+            # (k, h, w) → per-frame mean + 8×8 average-hash
+            luma = picked.astype(np.float32).mean(axis=3)
+            fh = [ImageFeatureActor._ahash64(p) for p in picked]
+            nf.append(n); ws.append(w); hs.append(h); fpss.append(fps)
+            durs.append(n / fps if fps else None)
+            nsamp.append(len(picked))
+            hashes.append([np.uint64(x).item() for x in fh])
+            lumas.append(float(luma.mean()))
+        return pa.table({
+            self.key: pa.array(keys),
+            "n_frames": pa.array(nf, type=pa.int32()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "fps": pa.array(fpss, type=pa.int32()),
+            "duration_s": pa.array(durs, type=pa.float64()),
+            "n_sampled": pa.array(nsamp, type=pa.int32()),
+            "frame_hashes": pa.array(hashes, type=pa.list_(pa.uint64())),
+            "mean_luma": pa.array(lumas, type=pa.float64()),
+        })
+
+
+def video_frame_samples(ds, *, key: str = "media_id", column: str = "video",
+                        stride: int = 10, decoder: str = "fake",
+                        batch_size: int = 32, concurrency: int = 2):
+    """Frame-sampling pipeline entry. Batches are VERY small (a video cell
+    is n_frames·w·h·3 bytes — a 100-frame 64×64 clip is ~1.2 MB, so 32 ×
+    concurrency ≈ 80 MB of payload per actor heap). Consume the result as
+    Arrow (iter_batches / write_parquet / take_all) — ``to_pandas`` would
+    try to tensor-cast the ragged null-bearing ``frame_hashes`` list
+    column."""
+    return ds.map_batches(
+        VideoFrameSampleActor, fn_constructor_args=(stride, key, column,
+                                                    decoder),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

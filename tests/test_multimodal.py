@@ -155,3 +155,42 @@ def test_real_audio_codec_roundtrip():
     out = AudioFrameSampleActor(decoder="soundfile")(batch).to_pylist()
     assert out[0]["sample_rate"] == 8000
     assert out[0]["duration_s"] == pytest.approx(1.0)
+
+
+def test_video_frame_samples_fake(ray_session):
+    import pandas as pd
+
+    from jsonschema_validator_ray.stages.multimodal import (
+        fake_video_bytes, video_frame_samples)
+
+    import ray.data
+
+    rows = pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "video": [fake_video_bytes(25, 16, 12, 5, seed=1),
+                  fake_video_bytes(7, 8, 8, 10, seed=2),
+                  b"not a video"]})
+    def collect(ds):
+        # to_pandas would tensor-cast the ragged frame_hashes list column
+        # (nulls + varying lengths) — consume rows as dicts instead
+        return pd.DataFrame(ds.take_all()).set_index("media_id").sort_index()
+
+    out = collect(video_frame_samples(
+        ray.data.from_pandas(rows), stride=10, batch_size=2, concurrency=2))
+    assert out.loc[1, "n_frames"] == 25
+    assert out.loc[1, "n_sampled"] == 3           # frames 0, 10, 20
+    assert out.loc[1, "duration_s"] == 5.0
+    assert len(out.loc[1, "frame_hashes"]) == 3
+    assert out.loc[2, "n_sampled"] == 1
+    assert pd.isna(out.loc[3, "n_frames"])        # foreign bytes → nulls
+    # determinism: same bytes → same hashes
+    out2 = collect(video_frame_samples(
+        ray.data.from_pandas(rows), stride=10, batch_size=2, concurrency=2))
+    assert list(out.loc[1, "frame_hashes"]) == list(out2.loc[1, "frame_hashes"])
+
+
+def test_video_real_decoder_guard(ray_session):
+    pytest.importorskip("av", reason="PyAV not in this container")
+    # only runs where av exists: the guard must not raise there
+    from jsonschema_validator_ray.stages.multimodal import VideoFrameSampleActor
+    VideoFrameSampleActor(decoder="av")
