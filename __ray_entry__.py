@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_documents": corpus.dup_spans_documents,
         "despan_documents": corpus.despan_documents,
         "minhash_index_documents": corpus.minhash_index_documents,
+        "semdedup_embeddings": corpus.semdedup_embeddings,
         "ingest_documents": incremental.ingest_documents,
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,

@@ -471,6 +471,26 @@ def minhash_pairs_documents(sf_dir: str):
                           "n_truncated_pairs": n_trunc}])
 
 
+def semdedup_embeddings(sf_dir: str):
+    """One-row summary of semantic dedup over the embeddings table
+    (stages/semdedup: spherical k-means clusters → within-cluster cosine
+    τ-components → min-key survivor). Rows-only; planted-duplicate
+    behavior and brute-force parity are pinned by tests/test_semdedup."""
+    from ..stages.semdedup import semantic_dedup
+
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    out = semantic_dedup(emb, key="vec_id", emb="embedding",
+                         n_clusters=16, threshold=0.95).to_pandas()
+    return pd.DataFrame([{
+        "check": "semdedup",
+        "n_input": len(out),
+        "n_kept": int(out["keep"].sum()),
+        "n_dropped": int((~out["keep"]).sum()),
+        "n_truncated": int((out["truncated"] > 0).sum()),
+    }])
+
+
 _SPAN_N = 6
 
 
