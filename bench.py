@@ -166,6 +166,9 @@ def run_bench() -> dict:
         "verdict_documents_combo", "sample_documents_by_lang",
         "events_in_sessions", "pack_documents",
         "quantiles_lineitem", "repetition_documents", "clean_lines_documents",
+        "ngram_decontam_documents", "dup_spans_documents",
+        "dedup_incremental_documents", "ingest_documents",
+        "semdedup_embeddings",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
