@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "despan_documents": corpus.despan_documents,
         "minhash_index_documents": corpus.minhash_index_documents,
         "semdedup_embeddings": corpus.semdedup_embeddings,
+        "vocab_incremental_documents": corpus.vocab_incremental_documents,
         "ingest_documents": incremental.ingest_documents,
         "token_counts_documents": corpus.token_counts_documents,
         "quality_documents": corpus.quality_documents,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontam_documents": corpus.NGRAM_DECONTAM_SQL,
         "dup_spans_documents": corpus.DUP_SPANS_SQL,
         "despan_documents": corpus.DESPAN_SQL,
+        "vocab_incremental_documents": corpus.VOCAB_INCR_SQL,
         "token_counts_documents": corpus.TOKEN_COUNTS_SQL,
         "quality_documents": corpus.QUALITY_SQL,
         "redact_documents": corpus.REDACT_SQL,

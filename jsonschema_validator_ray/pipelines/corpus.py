@@ -471,6 +471,50 @@ def minhash_pairs_documents(sf_dir: str):
                           "n_truncated_pairs": n_trunc}])
 
 
+def vocab_incremental_documents(sf_dir: str):
+    """Incremental vocabulary THROUGH the persisted store
+    (stages/vocabstore): even doc_ids fitted once, odd doc_ids folded in
+    as a later ingest, exact global top-100 read from the store. Counts
+    are integer monoids, so the result is arithmetic-identical to fitting
+    the full table — which is what the SQL oracle computes."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.vocabstore import (update_vocab_store,
+                                     vocab_topk_from_store,
+                                     write_vocab_store)
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def split(b: pa.Table, parity: int) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), parity)
+        return b.filter(keep)
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"vocab_store_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_vocab_store(docs.map_batches(lambda b: split(b, 0),
+                                       batch_format="pyarrow"),
+                      path, column="text")
+    update_vocab_store(docs.map_batches(lambda b: split(b, 1),
+                                        batch_format="pyarrow"), path)
+    return vocab_topk_from_store(path, 100)
+
+
+VOCAB_INCR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks WHERE token <> ''
+GROUP BY token ORDER BY n_total DESC, token LIMIT 100
+"""
+
+
 def semdedup_embeddings(sf_dir: str):
     """One-row summary of semantic dedup over the embeddings table
     (stages/semdedup: spherical k-means clusters → within-cluster cosine
