@@ -42,20 +42,10 @@ import ray.data
 
 from ..stages import hashindex, minhashindex, statestore
 from ..stages.dedup import dedup_exact
+from ..stages.util import read_meta as _read_meta
+from ..stages.util import write_meta as _write_meta
 
 _META = "meta.json"
-
-
-def _write_meta(root: str, meta: dict) -> None:
-    tmp = os.path.join(root, _META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(root, _META))
-
-
-def _read_meta(root: str) -> dict:
-    with open(os.path.join(root, _META)) as f:
-        return json.load(f)
 
 
 def init_incremental_corpus(root: str, *, key: str = "doc_id",
@@ -93,19 +83,23 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
     histogram column is configured and history exists)."""
     meta = _read_meta(root)
     key, text = meta["key"], meta["text"]
-    g = len(meta["ingests"])
-    gen = f"gen-{g:06d}"
-    first = g == 0
+    gen = f"gen-{len(meta['ingests']):06d}"
     hash_dir = os.path.join(root, "hash_index")
     mh_dir = os.path.join(root, "minhash_index")
     stats_dir = os.path.join(root, "stats_state")
     corpus_gen = os.path.join(root, "corpus", gen)
+    # stores materialize on the first NON-EMPTY ingest, so their presence
+    # (not the ingest count) decides write-vs-update
+    first = not os.path.exists(os.path.join(hash_dir, "meta.json"))
 
+    # the crawl is consumed by count, drift, and the dedup probes —
+    # materialize ONCE so the upstream pipeline runs a single time
+    ds = ds.materialize()
     n_new = ds.count()
 
     # drift of the RAW crawl vs history, before history advances
     drift = {}
-    if not first:
+    if not first and n_new > 0:
         for col in list(meta["hist_edges"]) + list(meta["hist_categories"]):
             drift[col] = statestore.psi_vs_state(ds, stats_dir, col,
                                                  batch_size=batch_size)
@@ -125,40 +119,63 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
             batch_size=max(batch_size // 4, 256))
         matched_pairs = matched.count()
 
-    # survivors land FIRST; every store update reads the written generation
-    survivors.write_parquet(corpus_gen)
-    n_kept = _corpus_gen_rows(corpus_gen)
-    kept = ray.data.read_parquet(corpus_gen)
+    # survivors land FIRST; every store update reads the written
+    # generation; fresh_dir makes a crash-retry of the same gen safe
+    from ..stages.util import fresh_dir
 
-    if first:
-        hashindex.write_hash_index(kept, hash_dir, key=key, column=text,
-                                   num_buckets=meta["num_buckets"],
-                                   batch_size=batch_size)
-        minhashindex.write_minhash_index(
-            kept, mh_dir, key=key, text=text, n_perm=meta["n_perm"],
-            bands=meta["bands"], seed=meta["seed"],
-            num_buckets=meta["num_buckets"],
-            batch_size=max(batch_size // 4, 256))
-        statestore.write_stats_state(
-            kept, stats_dir, meta["stats_columns"],
-            hist_edges=meta["hist_edges"] or None,
-            hist_categories=meta["hist_categories"] or None,
-            batch_size=batch_size)
-    else:
-        hashindex.update_hash_index(kept, hash_dir, column=text,
-                                    batch_size=batch_size)
-        minhashindex.update_minhash_index(
-            kept, mh_dir, batch_size=max(batch_size // 4, 256))
-        statestore.update_stats_state(kept, stats_dir,
-                                      batch_size=batch_size)
+    survivors.write_parquet(fresh_dir(corpus_gen))
+    n_kept = _corpus_gen_rows(corpus_gen)
+
+    if n_kept > 0:
+        kept = ray.data.read_parquet(corpus_gen)
+        if first:
+            hashindex.write_hash_index(kept, hash_dir, key=key, column=text,
+                                       num_buckets=meta["num_buckets"],
+                                       batch_size=batch_size)
+            minhashindex.write_minhash_index(
+                kept, mh_dir, key=key, text=text, n_perm=meta["n_perm"],
+                bands=meta["bands"], seed=meta["seed"],
+                num_buckets=meta["num_buckets"],
+                batch_size=max(batch_size // 4, 256))
+            statestore.write_stats_state(
+                kept, stats_dir, meta["stats_columns"],
+                hist_edges=meta["hist_edges"] or None,
+                hist_categories=meta["hist_categories"] or None,
+                batch_size=batch_size)
+        else:
+            hashindex.update_hash_index(kept, hash_dir, column=text,
+                                        batch_size=batch_size)
+            minhashindex.update_minhash_index(
+                kept, mh_dir, batch_size=max(batch_size // 4, 256))
+            statestore.update_stats_state(kept, stats_dir,
+                                          batch_size=batch_size)
+    # n_kept == 0 (fully-deduplicated re-crawl): nothing to fold — the
+    # ingest is still recorded, the stores stay at their current
+    # generation, and repair_state's store-behind-root case is a no-op
 
     summary = {"gen": gen, "n_new": int(n_new), "n_kept": int(n_kept),
                "n_dropped": int(n_new - n_kept),
                "near_matched_pairs": int(matched_pairs),
-               "psi_drift": drift}
+               "psi_drift": drift,
+               # the store generation counts this COMPLETED ingest left
+               # behind — repair_state's rollback target (empty ingests
+               # skip store updates, so len(ingests) is not it)
+               "store_gens": _store_gen_counts(root)}
     meta["ingests"].append(summary)
     _write_meta(root, meta)   # root meta swaps LAST (crash contract)
     return summary
+
+
+def _store_gen_counts(root: str) -> dict:
+    out = {}
+    for store in ("hash_index", "minhash_index", "stats_state"):
+        p = os.path.join(root, store, _META)
+        if os.path.exists(p):
+            with open(p) as f:
+                out[store] = len(json.load(f)["generations"])
+        else:
+            out[store] = 0
+    return out
 
 
 def corpus_dataset(root: str):
@@ -224,14 +241,16 @@ def ingest_documents(sf_dir: str):
 
 
 def repair_state(root: str) -> dict:
-    """Roll every store back to the completed-ingest count after a crash
-    mid-ingest (see module docstring). Returns {store: generations
-    dropped}. Orphaned data directories are left on disk — they are
-    unreferenced, and the re-run of the failed crawl writes fresh ones."""
+    """Roll every store back to the generation count the last COMPLETED
+    ingest recorded, after a crash mid-ingest (see module docstring).
+    Returns {store: generations dropped}. Orphaned data directories are
+    left on disk — they are unreferenced, and the re-run of the failed
+    crawl clears and rewrites its generation directories."""
     meta = _read_meta(root)
-    n = len(meta["ingests"])
+    targets = (meta["ingests"][-1]["store_gens"] if meta["ingests"]
+               else {"hash_index": 0, "minhash_index": 0, "stats_state": 0})
     dropped = {}
-    for store in ("hash_index", "minhash_index", "stats_state"):
+    for store, n in targets.items():
         p = os.path.join(root, store, _META)
         if not os.path.exists(p):
             continue

@@ -31,7 +31,6 @@ way.
 
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 
@@ -42,21 +41,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .dedup import content_hash_batch
-from .util import no_meta
-
-_META = "meta.json"
-
-
-def _write_meta(path: str, meta: dict) -> None:
-    tmp = os.path.join(path, _META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _META))
-
-
-def _read_meta(path: str) -> dict:
-    with open(os.path.join(path, _META)) as f:
-        return json.load(f)
+from .util import fresh_dir, no_meta
+from .util import read_meta as _read_meta
+from .util import write_meta as _write_meta
 
 
 def _bucket_expr(h: pa.Array, num_buckets: int) -> pa.Array:
@@ -98,7 +85,7 @@ def write_hash_index(ds, path: str, *, key: str, column: str,
     assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
     rows = _distinct_hash_rows(ds, key, column, num_buckets=num_buckets,
                                batch_size=batch_size)
-    gen_dir = os.path.join(path, "gen-000000")
+    gen_dir = fresh_dir(os.path.join(path, "gen-000000"))
     rows.write_parquet(gen_dir, partition_cols=["hash_bucket"])
     _write_meta(path, {"num_buckets": num_buckets, "key": key,
                        "generations": ["gen-000000"]})
@@ -115,7 +102,7 @@ def update_hash_index(ds, path: str, *, column: str,
     rows = _distinct_hash_rows(ds, meta["key"], column,
                                num_buckets=meta["num_buckets"],
                                batch_size=batch_size)
-    rows.write_parquet(os.path.join(path, gen),
+    rows.write_parquet(fresh_dir(os.path.join(path, gen)),
                        partition_cols=["hash_bucket"])
     meta["generations"].append(gen)
     _write_meta(path, meta)
@@ -211,7 +198,8 @@ def compact_hash_index(path: str, *, batch_size: int = 32768) -> None:
     compacted = f"gen-{len(old_gens):06d}-compact"
     rebucketed.groupby("hash_bucket").map_groups(
         mins, batch_format="pandas").write_parquet(
-        os.path.join(path, compacted), partition_cols=["hash_bucket"])
+        fresh_dir(os.path.join(path, compacted)),
+        partition_cols=["hash_bucket"])
     meta["generations"] = [compacted]
     _write_meta(path, meta)
     for g in old_gens:

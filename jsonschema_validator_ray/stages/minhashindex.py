@@ -38,7 +38,6 @@ docs).
 
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 
@@ -50,21 +49,9 @@ import pyarrow.parquet as pq
 
 from .dedup import (MinHashLSH, _candidate_bucket, _dedupe_pairs,
                     _empty_pairs, _sig_matrix, minhash_signatures)
-from .util import no_meta
-
-_META = "meta.json"
-
-
-def _write_meta(path: str, meta: dict) -> None:
-    tmp = os.path.join(path, _META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _META))
-
-
-def _read_meta(path: str) -> dict:
-    with open(os.path.join(path, _META)) as f:
-        return json.load(f)
+from .util import fresh_dir, no_meta
+from .util import read_meta as _read_meta
+from .util import write_meta as _write_meta
 
 
 def _explode_bands(meta: dict, key_type: pa.DataType):
@@ -110,6 +97,7 @@ def _write_generation(ds, path: str, gen: str, meta: dict,
         kb = _key_bucket(b.column(key).to_pandas(), nb)
         return no_meta(b).append_column("sig_bucket", pa.array(kb))
 
+    fresh_dir(os.path.join(path, gen))
     sig_dir = os.path.join(path, gen, "sigs")
     sigs.map_batches(add_sb, batch_format="pyarrow").write_parquet(
         sig_dir, partition_cols=["sig_bucket"])
@@ -152,6 +140,15 @@ def update_minhash_index(ds, path: str, *, batch_size: int = 1024) -> None:
     _write_meta(path, meta)
 
 
+def _index_key_type(path: str, meta: dict) -> pa.DataType:
+    """Key dtype as persisted in the sig store (metadata-only read)."""
+    for gen in meta["generations"]:
+        for f in Path(path, gen, "sigs").rglob("*.parquet"):
+            schema = pq.ParquetFile(f).schema_arrow
+            return schema.field(meta["key"]).type
+    return pa.int64()
+
+
 def _read_bucket(path: str, generations: list[str], store: str,
                  part: str, bucket: int, columns: list[str]) -> pd.DataFrame:
     parts = []
@@ -186,6 +183,12 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     sigs = minhash_signatures(ds, key, meta["text"], n_perm=meta["n_perm"],
                               seed=meta["seed"],
                               batch_size=batch_size).materialize()
+    if sigs.count() == 0:
+        # empty crawl (e.g. everything already dropped upstream): an empty
+        # Dataset has no schema to read the key type from — take it from
+        # the index's own sig store
+        return ray.data.from_arrow(
+            _empty_pairs(_index_key_type(index_path, meta)))
     key_type = dict(zip(sigs.schema().names, sigs.schema().types))[key]
 
     explode = _explode_bands(meta, key_type)
@@ -208,23 +211,29 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
                            ["band", "band_hash", key])
         if not len(old):
             return empty
-        # cap each side of an LSH bucket BEFORE the cross merge
+        # cap each side of an LSH bucket BEFORE the cross merge; the
+        # truncated flag marks only pairs from the OVERFLOWED (band,
+        # band_hash) buckets (stages/dedup contract), not the whole group
         gb = g.groupby(["band", "band_hash"], sort=False)
         ob = old.groupby(["band", "band_hash"], sort=False)
-        dropped = int((gb.size() - bucket_cap).clip(lower=0).sum()
-                      + (ob.size() - bucket_cap).clip(lower=0).sum())
+        over = (gb.size().rename("na").to_frame()
+                .join(ob.size().rename("nb"), how="outer").fillna(0))
+        over["__tr"] = ((over["na"] > bucket_cap)
+                        | (over["nb"] > bucket_cap)).astype(np.int32)
         new_c = gb.head(bucket_cap)
         old_c = ob.head(bucket_cap)
         m = new_c[["band", "band_hash", key]].merge(
             old_c, on=["band", "band_hash"], suffixes=("_a", "_b"))
         if not len(m):
             return empty
-        out = m[[f"{key}_a", f"{key}_b"]].rename(
-            columns={f"{key}_a": "key_a", f"{key}_b": "key_b"})
+        m = m.merge(over["__tr"].reset_index(), on=["band", "band_hash"])
+        out = m[[f"{key}_a", f"{key}_b", "__tr"]].rename(
+            columns={f"{key}_a": "key_a", f"{key}_b": "key_b",
+                     "__tr": "truncated"})
         out = out[out["key_a"] != out["key_b"]]
         if not len(out):
             return empty
-        out["truncated"] = np.int32(1 if dropped else 0)
+        out["truncated"] = out["truncated"].astype(np.int32)
         return out
 
     cand = exploded.groupby("__cb").map_groups(candidates,

@@ -314,11 +314,14 @@ def _decode_fake_video(b: bytes) -> tuple[np.ndarray, int] | None:
     """→ (frames[n, h, w, 3], fps) or None for foreign/corrupt bytes."""
     if b is None or not b.startswith(_VID_MAGIC):
         return None
+    header = 4 + struct.calcsize("<IIIIQ")
+    if len(b) < header:
+        return None
     n, w, h, fps, _seed = struct.unpack_from("<IIIIQ", b, 4)
     need = n * w * h * 3
-    pixels = np.frombuffer(b, dtype=np.uint8, count=need, offset=4 + 20)
-    if pixels.size < need:
+    if len(b) < header + need:      # truncated/hostile payload → null row
         return None
+    pixels = np.frombuffer(b, dtype=np.uint8, count=need, offset=header)
     return pixels.reshape(n, h, w, 3), int(fps)
 
 

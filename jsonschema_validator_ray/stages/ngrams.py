@@ -36,11 +36,11 @@ import ray
 from .util import no_meta
 
 
-def ngrams_batch(texts, n: int) -> tuple[np.ndarray, pa.Array]:
-    """All token ``n``-grams of a string column → (parent row index,
-    n-gram string). Tokenization is a plain single-space split (DuckDB
-    ``string_split(text, ' ')`` parity, empties kept). Vectorized: the only
-    per-``n`` work is one shifted Arrow ``take`` per gram position."""
+def _gram_positions(texts, n: int):
+    """Token/position machinery shared by the gram builder and the span
+    masker: → (parent row index, flat token position of each gram, token
+    ListArray, int64 offsets). Tokenization is a plain single-space split
+    (DuckDB ``string_split(text, ' ')`` parity, empties kept)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
@@ -49,16 +49,30 @@ def ngrams_batch(texts, n: int) -> tuple[np.ndarray, pa.Array]:
     counts = np.maximum(off[1:] - off[:-1] - (n - 1), 0)
     parent = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
     if parent.size == 0:
-        return parent, pa.array([], type=pa.string())
+        return parent, np.zeros(0, dtype=np.int64), toks, off
     first = np.repeat(off[:-1], counts)
     cum = np.concatenate(([0], np.cumsum(counts)))
     intra = np.arange(int(counts.sum()), dtype=np.int64) \
         - np.repeat(cum[:-1], counts)
-    p = first + intra
+    return parent, first + intra, toks, off
+
+
+def _join_grams(toks: pa.ListArray, p: np.ndarray, n: int) -> pa.Array:
+    """Gram strings for flat token positions ``p`` — one shifted Arrow
+    ``take`` per gram slot, joined element-wise."""
+    if p.size == 0:
+        return pa.array([], type=pa.string())
     vals = toks.values
     parts = [vals.take(pa.array(p + k, type=pa.int64())) for k in range(n)]
-    ng = pc.binary_join_element_wise(*parts, " ")
-    return parent, ng
+    return pc.binary_join_element_wise(*parts, " ")
+
+
+def ngrams_batch(texts, n: int) -> tuple[np.ndarray, pa.Array]:
+    """All token ``n``-grams of a string column → (parent row index,
+    n-gram string). Vectorized: the only per-``n`` work is one shifted
+    Arrow ``take`` per gram position."""
+    parent, p, toks, _ = _gram_positions(texts, n)
+    return parent, _join_grams(toks, p, n)
 
 
 def _hash64(ng: pa.Array) -> np.ndarray:
@@ -151,6 +165,17 @@ def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
     # exact-at-any-size path: both sides explode to (hash-bucket, gram
     # hash); a bucket join counts per-doc partials, a second bucketed pass
     # sums them per id. Shuffled payload is 16-24 B/gram — never documents.
+    schema = docs.schema()
+    raw = dict(zip(schema.names, schema.types))[id_col]
+    if isinstance(raw, pa.DataType):
+        id_type = raw
+    else:
+        # pandas-backed datasets report numpy dtypes (object for strings)
+        try:
+            id_type = pa.from_numpy_dtype(np.dtype(raw))
+        except (TypeError, pa.ArrowNotImplementedError):
+            id_type = pa.string()
+
     def doc_grams(b: pa.Table) -> pa.Table:
         parent, ng = ngrams_batch(b.column(column), n)
         h = _hash64(ng)
@@ -166,7 +191,9 @@ def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
         _, ng = ngrams_batch(b.column(bench_column), n)
         h = np.unique(_hash64(pc.unique(ng)))
         return pa.table({
-            id_col: pa.array(np.zeros(h.size, dtype=np.int64)),
+            # nulls typed to the LEFT schema: a concrete int64 here would
+            # break the union for string/other doc-id types
+            id_col: pa.nulls(h.size, type=id_type),
             "gh": pa.array(h, type=pa.uint64()),
             "__gb": pa.array((h % num_buckets).astype(np.int32)),
             "__side": pa.array(np.ones(h.size, dtype=np.int8)),
@@ -182,7 +209,7 @@ def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
         d = g[g["__side"] == 0]
         d = d[d["gh"].isin(bench_h)]
         if not len(d):
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype),
                                  "partial": pd.Series([], dtype="int64")})
         out = d.groupby(id_col, sort=False).size().reset_index(name="partial")
         return out
@@ -200,8 +227,17 @@ def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
         out = g.groupby(id_col, sort=False, as_index=False)["partial"].sum()
         return out.rename(columns={"partial": "matched_ngrams"})
 
+    def norm(b: pa.Table) -> pa.Table:
+        # the null-padded bench rows upcast int ids to float64 in pandas;
+        # restore the input id type at the Arrow boundary
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), id_type),
+            "matched_ngrams": pc.cast(b.column("matched_ngrams"),
+                                      pa.int64())})
+
     return partials.map_batches(add_idb, batch_format="pyarrow") \
-        .groupby("__ib").map_groups(sum_bucket, batch_format="pandas")
+        .groupby("__ib").map_groups(sum_bucket, batch_format="pandas") \
+        .map_batches(norm, batch_format="pyarrow")
 
 
 # ---- duplicate-passage removal (ExactSubstr-style, n-gram granularity) ----
@@ -269,38 +305,19 @@ class _SpanMasker:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = self.n
-        texts = batch.column(self.column)
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "")
-        toks = pc.split_pattern(texts, " ")
-        off = toks.offsets.to_numpy().astype(np.int64)
+        parent, p, toks, off = _gram_positions(batch.column(self.column), n)
         base, total = off[0], int(off[-1] - off[0])
-        counts = np.maximum(off[1:] - off[:-1] - (n - 1), 0)
-        parent = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
         ids = batch.column(self.id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        if parent.size == 0:
-            hit = np.zeros(0, dtype=bool)
-            p = np.zeros(0, dtype=np.int64)
+        if parent.size == 0 or not self.hot.size:
+            hit = np.zeros(parent.size, dtype=bool)
         else:
-            first = np.repeat(off[:-1], counts)
-            cum = np.concatenate(([0], np.cumsum(counts)))
-            p = first + (np.arange(int(counts.sum()), dtype=np.int64)
-                         - np.repeat(cum[:-1], counts))
-            vals = toks.values
-            parts = [vals.take(pa.array(p + k, type=pa.int64()))
-                     for k in range(n)]
-            h = _hash64(pc.binary_join_element_wise(*parts, " "))
-            if self.hot.size:
-                idx = np.searchsorted(self.hot, h) \
-                    .clip(max=self.hot.size - 1)
-                hit = self.hot[idx] == h
-            else:
-                hit = np.zeros(h.size, dtype=bool)
+            h = _hash64(_join_grams(toks, p, n))
+            idx = np.searchsorted(self.hot, h).clip(max=self.hot.size - 1)
+            hit = self.hot[idx] == h
 
-        dup_positions = np.bincount(parent[hit], minlength=len(texts))
+        dup_positions = np.bincount(parent[hit], minlength=batch.num_rows)
         if self.mode == "flag":
             keep = dup_positions > 0
             return pa.table({

@@ -44,20 +44,9 @@ from ..state.histogram import (CategoricalHistogram, NumericHistogram, psi)
 from ..state.hll import HyperLogLog
 from ..state.tdigest import TDigest
 from .stats import PARTIAL_SCHEMA, StatsPartial, merge_partials
-
-_META = "meta.json"
-
-
-def _write_meta(path: str, meta: dict) -> None:
-    tmp = os.path.join(path, _META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _META))
-
-
-def _read_meta(path: str) -> dict:
-    with open(os.path.join(path, _META)) as f:
-        return json.load(f)
+from .util import fresh_dir
+from .util import read_meta as _read_meta
+from .util import write_meta as _write_meta
 
 
 def _hist_cls(payload: str):
@@ -141,7 +130,8 @@ def write_stats_state(ds, path: str, columns: list[str] | None = None, *,
             "generations": []}
     os.makedirs(path, exist_ok=True)
     gen = "gen-000000"
-    _run_partials(ds, meta, batch_size).write_parquet(os.path.join(path, gen))
+    _run_partials(ds, meta, batch_size).write_parquet(
+        fresh_dir(os.path.join(path, gen)))
     meta["generations"] = [gen]
     _write_meta(path, meta)
 
@@ -152,7 +142,8 @@ def update_stats_state(ds, path: str, *, batch_size: int = 65536) -> None:
     replaced — a crash mid-update leaves the previous state valid)."""
     meta = _read_meta(path)
     gen = f"gen-{len(meta['generations']):06d}"
-    _run_partials(ds, meta, batch_size).write_parquet(os.path.join(path, gen))
+    _run_partials(ds, meta, batch_size).write_parquet(
+        fresh_dir(os.path.join(path, gen)))
     meta["generations"].append(gen)
     _write_meta(path, meta)
 

@@ -20,7 +20,6 @@ The incremental result is arithmetic-identical to refitting on the union
 
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 
@@ -28,21 +27,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .util import fresh_dir
+from .util import read_meta as _read_meta
+from .util import write_meta as _write_meta
 from .vocab import _token_partials
-
-_META = "meta.json"
-
-
-def _write_meta(path: str, meta: dict) -> None:
-    tmp = os.path.join(path, _META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _META))
-
-
-def _read_meta(path: str) -> dict:
-    with open(os.path.join(path, _META)) as f:
-        return json.load(f)
 
 
 def _gen_rows(ds, column: str, num_buckets: int, batch_size: int):
@@ -67,7 +55,7 @@ def write_vocab_store(ds, path: str, *, column: str, num_buckets: int = 64,
     os.makedirs(path, exist_ok=True)
     gen = "gen-000000"
     _gen_rows(ds, column, num_buckets, batch_size).write_parquet(
-        os.path.join(path, gen), partition_cols=["vocab_bucket"])
+        fresh_dir(os.path.join(path, gen)), partition_cols=["vocab_bucket"])
     _write_meta(path, {"column": column, "num_buckets": num_buckets,
                        "generations": [gen]})
 
@@ -78,7 +66,7 @@ def update_vocab_store(ds, path: str, *, batch_size: int = 8192) -> None:
     meta = _read_meta(path)
     gen = f"gen-{len(meta['generations']):06d}"
     _gen_rows(ds, meta["column"], meta["num_buckets"], batch_size) \
-        .write_parquet(os.path.join(path, gen),
+        .write_parquet(fresh_dir(os.path.join(path, gen)),
                        partition_cols=["vocab_bucket"])
     meta["generations"].append(gen)
     _write_meta(path, meta)
@@ -160,7 +148,7 @@ def compact_vocab_store(path: str, *, batch_size: int = 8192) -> None:
     compacted = f"gen-{len(old):06d}-compact"
     ds.map_batches(rebucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(fold, batch_format="pandas") \
-        .write_parquet(os.path.join(path, compacted),
+        .write_parquet(fresh_dir(os.path.join(path, compacted)),
                        partition_cols=["vocab_bucket"])
     meta["generations"] = [compacted]
     _write_meta(path, meta)

@@ -100,3 +100,20 @@ def test_drift_reported_with_histogram(ray_session, tmp_path):
     s2 = ingest_increment(ray.data.from_pandas(c2), r)
     assert "text" in s2["psi_drift"]
     assert s2["psi_drift"]["text"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_empty_crawl_ingest(ray_session, root):
+    c1, _, _ = _crawls()
+    ingest_increment(ray.data.from_pandas(c1), root)
+    # a full re-crawl of already-ingested docs: everything dedupes away
+    recrawl = c1.assign(doc_id=c1.doc_id + 5000)
+    s = ingest_increment(ray.data.from_pandas(recrawl), root)
+    assert s["n_kept"] == 0 and s["n_new"] == 20
+    assert corpus_size(root) == 20
+    # stores did not advance on the empty ingest
+    assert s["store_gens"] == {"hash_index": 1, "minhash_index": 1,
+                               "stats_state": 1}
+    # and the pipeline keeps working afterwards
+    _, c2, _ = _crawls()
+    s2 = ingest_increment(ray.data.from_pandas(c2), root)
+    assert s2["n_kept"] == 10

@@ -106,3 +106,14 @@ def test_probe_empty_when_disjoint(ray_session, tmp_path):
     probed = probe_minhash_index(ray.data.from_pandas(other), path,
                                  threshold=0.6)
     assert probed.count() == 0
+
+
+def test_probe_with_empty_crawl(ray_session, tmp_path):
+    old, _ = _corpus()
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(ray.data.from_pandas(old), path,
+                        key="doc_id", text="text", num_buckets=16, **KW)
+    empty = ray.data.from_pandas(old.iloc[:0])
+    probed = probe_minhash_index(empty, path, threshold=0.6)
+    assert probed.count() == 0
+    assert "key_a" in probed.schema().names

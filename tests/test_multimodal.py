@@ -194,3 +194,20 @@ def test_video_real_decoder_guard(ray_session):
     # only runs where av exists: the guard must not raise there
     from jsonschema_validator_ray.stages.multimodal import VideoFrameSampleActor
     VideoFrameSampleActor(decoder="av")
+
+
+def test_fake_video_decode_alignment_and_truncation():
+    import numpy as np
+
+    from jsonschema_validator_ray.stages.multimodal import (
+        _decode_fake_video, fake_video_bytes)
+
+    b = fake_video_bytes(2, 4, 3, 5, seed=123)
+    frames, fps = _decode_fake_video(b)
+    rng = np.random.default_rng(123)
+    true = rng.integers(0, 256, size=2 * 4 * 3 * 3,
+                        dtype=np.uint8).reshape(2, 3, 4, 3)
+    assert np.array_equal(frames, true)     # header offset regression
+    assert fps == 5
+    assert _decode_fake_video(b[:-10]) is None   # truncated → null row
+    assert _decode_fake_video(b[:8]) is None

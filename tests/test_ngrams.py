@@ -104,3 +104,17 @@ def test_span_removal_overlapping_spans(ray_session):
         .set_index("doc_id")
     assert out.loc[1, "clean_text"] == "x y"
     assert out.loc[1, "n_tokens_removed"] == 4
+
+
+def test_join_strategy_string_ids(ray_session):
+    docs = pd.DataFrame({
+        "url": ["a.com", "b.com", "c.com"],
+        "text": ["the quick brown fox jumps over", "quick brown fox jumps high",
+                 "unrelated words only here now yes"]})
+    bench = pd.DataFrame({"text": ["quick brown fox jumps"]})
+    out = ngram_decontaminate(
+        ray.data.from_pandas(docs), ray.data.from_pandas(bench),
+        column="text", id_col="url", n=4, strategy="join",
+        num_buckets=4).to_pandas()
+    assert dict(zip(out.url, out.matched_ngrams)) == {"a.com": 1, "b.com": 1}
+    assert out["url"].dtype == object

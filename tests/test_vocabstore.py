@@ -46,3 +46,19 @@ def test_compaction_preserves_counts(ray_session, tmp_path):
     assert len(meta["generations"]) == 1
     after = vocab_topk_from_store(path, 100)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_crashed_update_retry_is_clean(ray_session, tmp_path):
+    # simulate a crash mid-update: stale partial files sit in the NEXT
+    # generation's directory; the retried update must not merge them
+    import shutil
+
+    df = _docs()
+    path = str(tmp_path / "vstore")
+    write_vocab_store(ray.data.from_pandas(df.iloc[:250]), path,
+                      column="text", num_buckets=8)
+    shutil.copytree(f"{path}/gen-000000", f"{path}/gen-000001")  # stale
+    update_vocab_store(ray.data.from_pandas(df.iloc[250:]), path)
+    inc = vocab_topk_from_store(path, 50)
+    one = vocab_topk(ray.data.from_pandas(df), "text", 50)
+    pd.testing.assert_frame_equal(inc, one)
