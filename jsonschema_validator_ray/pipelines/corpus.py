@@ -1376,7 +1376,9 @@ def shuffled_head_documents(sf_dir: str, k: int = 20):
 
 SHUFFLED_HEAD_SQL = """
 SELECT doc_id,
-       CAST((((CAST(doc_id AS HUGEINT) + 7) % 2305843009213693951)
+       CAST(((((CAST(doc_id AS HUGEINT) % 2305843009213693951)
+               + 2305843009213693951) % 2305843009213693951 + 7)
+              % 2305843009213693951
              * (CAST(6364136223846793005 AS HUGEINT) % 2305843009213693951))
             % 2305843009213693951 AS BIGINT)
        AS shuffle_h

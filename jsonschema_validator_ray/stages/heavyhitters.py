@@ -26,7 +26,13 @@ from ..state.cms import CountMinSketch
 
 def _partial(column: str, candidates_per_batch: int, depth: int, width: int):
     def fn(batch: pa.Table) -> pa.Table:
-        vc = batch.column(column).value_counts()
+        col = batch.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # drop nulls BEFORE counting: a null candidate would crash the
+        # driver's sorted() candidate union (None < str) and a null is
+        # not a value
+        vc = col.drop_null().value_counts()
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
         vals = pc.struct_field(vc, "values")
@@ -35,12 +41,9 @@ def _partial(column: str, candidates_per_batch: int, depth: int, width: int):
         pyvals = vals.to_pylist()
         cms.add_values(pyvals, cnts)
         order = np.argsort(-cnts, kind="stable")[:candidates_per_batch]
-        top_vals = [pyvals[i] for i in order]
-        top_cnts = cnts[order].astype(np.int64)
         return pa.table({
             "cms": pa.array([cms.to_bytes()], type=pa.binary()),
-            "cand_vals": pa.array([top_vals]),
-            "cand_cnts": pa.array([top_cnts.tolist()], type=pa.list_(pa.int64())),
+            "cand_vals": pa.array([[pyvals[i] for i in order]]),
         })
     return fn
 

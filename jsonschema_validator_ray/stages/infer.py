@@ -40,6 +40,8 @@ PARTIAL_SCHEMA = pa.schema([
     ("nulls", pa.int64()),
     ("min_num", pa.float64()),
     ("max_num", pa.float64()),
+    ("min_int", pa.int64()),     # integer columns: exact bounds — a
+    ("max_int", pa.int64()),     # float64 funnel would round past 2^53
     ("min_len", pa.int64()),
     ("max_len", pa.int64()),
     ("min_items", pa.int64()),
@@ -75,10 +77,14 @@ class InferPartial:
             rows["cnt"].append(len(col))
             rows["nulls"].append(col.null_count)
             min_num = max_num = None
+            min_int = max_int = None
             min_len = max_len = None
             min_items = max_items = None
             enum_json, enum_over = None, False
-            if pa.types.is_integer(t) or pa.types.is_floating(t):
+            if pa.types.is_integer(t):
+                lo, hi = _scalar_min_max(col)
+                min_int, max_int = lo, hi     # python ints — exact
+            elif pa.types.is_floating(t):
                 lo, hi = _scalar_min_max(col)
                 min_num = float(lo) if lo is not None else None
                 max_num = float(hi) if hi is not None else None
@@ -99,6 +105,8 @@ class InferPartial:
                     enum_over = True
             rows["min_num"].append(min_num)
             rows["max_num"].append(max_num)
+            rows["min_int"].append(min_int)
+            rows["max_int"].append(max_int)
             rows["min_len"].append(min_len)
             rows["max_len"].append(max_len)
             rows["min_items"].append(min_items)
@@ -136,6 +144,8 @@ def _merge_profiles(enum_max: int):
             "nulls": [int(g["nulls"].sum())],
             "min_num": [agg_min(g["min_num"])],
             "max_num": [agg_max(g["max_num"])],
+            "min_int": [agg_min(g["min_int"])],
+            "max_int": [agg_max(g["max_int"])],
             "min_len": [agg_min(g["min_len"])],
             "max_len": [agg_max(g["max_len"])],
             "min_items": [agg_min(g["min_items"])],
@@ -164,9 +174,9 @@ def _prop_from_profile(r: pd.Series, enum_max: int) -> dict:
     dtype = r["dtype"]
     if t is not None and pa.types.is_integer(t):
         prop: dict = {"type": "integer"}
-        if r["min_num"] is not None and not pd.isna(r["min_num"]):
-            prop["minimum"] = int(r["min_num"])
-            prop["maximum"] = int(r["max_num"])
+        if r["min_int"] is not None and not pd.isna(r["min_int"]):
+            prop["minimum"] = int(r["min_int"])
+            prop["maximum"] = int(r["max_int"])
         if r["enum_json"]:
             prop["enum"] = json.loads(r["enum_json"])
         return prop

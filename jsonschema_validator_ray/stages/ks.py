@@ -70,13 +70,22 @@ def ks_two_sample(ds, column: str, side_col: str, side_a, side_b, *,
     totals = counts.sum(["na", "nb"]) or {"sum(na)": 0, "sum(nb)": 0}
     ta, tb = int(totals["sum(na)"]), int(totals["sum(nb)"])
     d_num, ca, cb = 0, 0, 0
+    # the cross-multiplied gap tops out at ta·tb; past ~2^62 int64 numpy
+    # arithmetic would silently wrap, so big sides drop to exact
+    # object-dtype Python ints (per DISTINCT value, not per row — slow
+    # only in proportion to the value space)
+    exact = ta * tb > (1 << 62)
     if ta and tb:
         for b in counts.sort("v").iter_batches(batch_format="pandas"):
             na = b["na"].to_numpy(np.int64)
             nb = b["nb"].to_numpy(np.int64)
             cum_a = ca + np.cumsum(na)
             cum_b = cb + np.cumsum(nb)
-            gap = np.abs(cum_a * tb - cum_b * ta)
+            if exact:
+                gap = np.abs(cum_a.astype(object) * tb
+                             - cum_b.astype(object) * ta)
+            else:
+                gap = np.abs(cum_a * tb - cum_b * ta)
             d_num = max(d_num, int(gap.max()))
             ca, cb = int(cum_a[-1]), int(cum_b[-1])
     return pd.DataFrame([{

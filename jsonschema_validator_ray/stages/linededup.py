@@ -136,8 +136,10 @@ def remove_duplicate_lines(ds, key: str, column: str, *,
     """→ Dataset ``(key, out_column)`` with corpus-wide duplicated lines
     removed from every document (see module docstring for the two filter
     strategies)."""
+    # materialize: auto's count() and the chosen filter branch both
+    # consume dups — without this the corpus-wide line scan runs twice
     dups = duplicated_lines(ds, column, min_count=min_count,
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets).materialize()
     if strategy == "auto":
         strategy = ("broadcast" if dups.count() <= broadcast_limit
                     else "join")

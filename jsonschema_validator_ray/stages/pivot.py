@@ -60,8 +60,11 @@ def pivot_table(ds, index: str, pivot: str, values: str, *,
             (h % np.uint64(num_buckets)).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a null INDEX key is a group (SQL GROUP BY keeps
+        # the NULL group); null PIVOT values are excluded from the column
+        # set above, matching an explicit SQL PIVOT ... IN list
         wide = g.pivot_table(index=index, columns=pivot, values="__v",
-                             aggfunc=final, fill_value=fill)
+                             aggfunc=final, fill_value=fill, dropna=False)
         wide = wide.reindex(columns=pivot_values, fill_value=fill)
         wide.columns = out_cols
         return wide.reset_index().drop(columns=[], errors="ignore")

@@ -39,13 +39,17 @@ def _minmax_count(ds, column: str) -> tuple[int, float, float]:
 
     def partial(b: pa.Table) -> pa.Table:
         col = pc.cast(b.column(column), pa.float64())
-        valid = pc.drop_null(col)
-        n = len(valid)
+        # NaN is treated as null throughout this module: the histogram and
+        # gather ranges exclude it via comparisons, so it must not inflate
+        # n here either (a NaN-counted n pushes target ranks past cum[-1])
+        v = pc.drop_null(col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        n = int(v.size)
         return pa.table({
             "n": pa.array([n], type=pa.int64()),
-            "lo": pa.array([pc.min(valid).as_py() if n else None],
+            "lo": pa.array([float(v.min()) if n else None],
                            type=pa.float64()),
-            "hi": pa.array([pc.max(valid).as_py() if n else None],
+            "hi": pa.array([float(v.max()) if n else None],
                            type=pa.float64()),
         })
 
@@ -149,6 +153,11 @@ def exact_quantiles(ds, column: str, qs: list[float], *,
                     gather_limit: int = 2_000_000,
                     max_refine: int = 4) -> "dict[float, float | None]":
     """→ {q: value} — exact ``quantile_disc`` over a Dataset column.
+
+    NaN is treated as NULL (excluded from n and every bin). DuckDB
+    instead orders NaN after every number — a documented divergence on
+    NaN-bearing float columns; integer and NaN-free columns are
+    bit-identical.
 
     ``gather_limit`` bounds driver memory: a located bin with more rows
     refines recursively (next level's batched histogram restricted to the

@@ -59,12 +59,16 @@ class RowRuleValidator:
             left, l_col = _resolve(batch, r["left"])
             right, r_col = _resolve(batch, r["right"])
             ok = _OPS[r["op"]](left, right)
-            present = pa.array([True] * batch.num_rows)
-            if l_col:
-                present = pc.and_(present, pc.is_valid(left))
-            if r_col:
-                present = pc.and_(present, pc.is_valid(right))
-            bad = pc.fill_null(pc.and_kleene(present, pc.invert(ok)), False)
+            # a null on either side makes ok null (Arrow comparison
+            # kernels propagate), so fill_null(False) alone implements
+            # "absent side ⇒ no violation" — no per-row Python mask.
+            # const-vs-const is the one case where ok is a SCALAR and
+            # needs explicit broadcast.
+            if not l_col and not r_col:
+                v = ok.as_py()   # null const compares to null → no violation
+                ok = pa.array([True if v is None else bool(v)]
+                              * batch.num_rows)
+            bad = pc.fill_null(pc.invert(ok), False)
             sub = batch.filter(bad)
             cols = {c: sub.column(c) for c in self.key_cols}
             cols["constraint_id"] = pa.array([r["id"]] * sub.num_rows,

@@ -26,23 +26,33 @@ _MULT = 6364136223846793005 % MERSENNE61   # Knuth LCG multiplier, reduced
 
 
 def shuffle_hash(keys: np.ndarray, salt: int = 0) -> np.ndarray:
-    """uint64 ``(((key + salt) mod P)·MULT) mod P`` with P = 2^61-1 — the
-    same value ``(((key + salt) % P) * (6364136223846793005 % P)) % P``
-    computed in SQL HUGEINT arithmetic. The salt enters BEFORE the
-    multiply: the output then shifts by ``salt·MULT mod P``, whose
-    wraparound reorders ~a third of all pairs even between adjacent salts
-    (a purely additive post-multiply salt would only shift the ordering).
-    """
-    k = (np.asarray(keys).astype(np.uint64)
-         + np.uint64(salt % MERSENNE61)) % np.uint64(MERSENNE61)
-    return _mulmod61(k, np.uint64(_MULT))
+    """uint64 ``(((key mod P) + salt) mod P)·MULT mod P`` with P = 2^61-1,
+    using FLOOR modulo (non-negative remainder) so negative keys hash the
+    same here and in SQL — the HUGEINT expression is
+    ``((((key % P) + P) % P + salt % P) % P * (6364136223846793005 % P)) %
+    P`` (the ``+ P) % P`` wrapper lifts SQL's sign-preserving ``%`` to
+    floor modulo; for non-negative keys both collapse to ``(key + salt) %
+    P``). The salt enters BEFORE the multiply: the output then shifts by
+    ``salt·MULT mod P``, whose wraparound reorders ~a third of all pairs
+    even between adjacent salts (a purely additive post-multiply salt
+    would only shift the ordering)."""
+    k = np.asarray(keys).astype(np.int64)
+    # numpy % on int64 is floor modulo (sign of divisor) — already
+    # non-negative for the positive P
+    r = (k % np.int64(MERSENNE61)
+         + np.int64(salt % MERSENNE61)) % np.int64(MERSENNE61)
+    return _mulmod61(r.astype(np.uint64), np.uint64(_MULT))
 
 
 def deterministic_shuffle(ds, key: str, *, salt: int = 0,
                           hash_col: str | None = None):
     """→ ``ds`` globally re-ordered by ``h(key, salt)``. Keeps the hash
     as ``hash_col`` when given (int64 — h < 2^61 always fits), else drops
-    it after the sort."""
+    it after the sort.
+
+    Byte-identical ordering across runs/cluster sizes requires a UNIQUE
+    key (doc_id, url): duplicate keys share a hash and Ray's sort orders
+    ties by block arrival, which varies with parallelism."""
     col = hash_col or "__shuffle_h"
 
     def add_h(b: pa.Table) -> pa.Table:

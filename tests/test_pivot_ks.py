@@ -124,3 +124,52 @@ def test_deterministic_shuffle(ray_session):
     assert sorted(o1) == keys.tolist()   # a permutation, nothing lost
     expect = [k for _, k in sorted(zip(shuffle_hash(keys, 7), keys))]
     assert o1 == expect                  # exact global order
+
+
+def test_pivot_keeps_null_index_group(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.pivot import pivot_table
+
+    df = pd.DataFrame({"i": ["a", None, None], "p": ["x", "x", "y"],
+                       "v": [1, 5, 7]})
+    out = pivot_table(ray.data.from_pandas(df), "i", "p", "v",
+                      num_buckets=2).to_pandas()
+    nullrow = out[out["i"].isna()]
+    assert len(nullrow) == 1
+    assert int(nullrow["v_x"].iloc[0]) == 5
+    assert int(nullrow["v_y"].iloc[0]) == 7
+
+
+def test_ks_big_side_object_path():
+    # the object-dtype exact branch must agree with the int64 fast path
+    import numpy as np
+
+    import jsonschema_validator_ray.stages.ks as ksmod
+    na = np.array([3, 1], dtype=np.int64)
+    nb = np.array([1, 2], dtype=np.int64)
+    fast = np.abs(np.cumsum(na) * 3 - np.cumsum(nb) * 4)
+    exact = np.abs(np.cumsum(na).astype(object) * 3
+                   - np.cumsum(nb).astype(object) * 4)
+    assert list(fast) == list(exact)
+
+
+def test_shuffle_hash_negative_keys_match_sql():
+    import duckdb
+    import numpy as np
+
+    from jsonschema_validator_ray.stages.shuffle import shuffle_hash
+
+    keys = np.array([-5, -1, 0, 7, -2**62, 2**61], dtype=np.int64)
+    got = shuffle_hash(keys, salt=7)
+    P = 2305843009213693951
+    sql = f"""
+    SELECT CAST((((CAST(k AS HUGEINT) % {P}) + {P}) % {P} + 7) % {P}
+                * (CAST(6364136223846793005 AS HUGEINT) % {P}) % {P}
+           AS BIGINT)
+    FROM (SELECT unnest([{','.join(str(int(k)) for k in keys)}]) AS k)
+    """
+    want = [r[0] for r in duckdb.connect().execute(sql).fetchall()]
+    assert [int(x) for x in got] == want

@@ -146,3 +146,17 @@ def test_hist_length_matches_sql(ray_session):
     assert ours["bin"].tolist() == theirs["bin"].tolist()
     assert ours["n"].tolist() == theirs["n"].tolist()
     assert int(ours["n"].sum()) > 0
+
+
+def test_exact_quantiles_nan_treated_as_null(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.quantiles import exact_quantiles
+
+    df = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, np.nan, np.nan]})
+    out = exact_quantiles(ray.data.from_pandas(df), "x", [0.5, 1.0])
+    assert out[1.0] == 4.0      # rank computed over non-NaN count
+    assert out[0.5] == 2.0

@@ -144,3 +144,16 @@ def test_heavy_hitters_recovers_top_k(ray_session):
     for _, r in out.iterrows():
         assert r["est_count"] >= true_counts[r["value"]]
         assert r["est_count"] <= true_counts[r["value"]] + np.e / 16384 * len(vals) * 3
+
+
+def test_heavy_hitters_with_nulls(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.heavyhitters import heavy_hitters
+
+    df = pd.DataFrame({"v": ["a"] * 50 + [None] * 40 + ["b"] * 30 + ["c"]})
+    out = heavy_hitters(ray.data.from_pandas(df), "v", k=2)
+    assert list(out["value"]) == ["a", "b"]       # null never a candidate
+    assert out["est_count"].iloc[0] >= 50
