@@ -368,13 +368,19 @@ def inferred_schema_documents(sf_dir: str):
     prof = column_profiles(docs).to_pandas()
     rows = []
     for _, r in prof.iterrows():
+        # integer bounds live in the exact min_int/max_int channel
+        # (float64 would round past 2^53); this DISPLAY query funnels
+        # them into the double min_num column, same as the SQL oracle's
+        # CAST(MIN(col) AS DOUBLE)
+        mn = r["min_num"] if not pd.isna(r["min_num"]) else r["min_int"]
+        mx = r["max_num"] if not pd.isna(r["max_num"]) else r["max_int"]
         rows.append({
             "column": r["column"],
             "jtype": _prop_from_profile(r, 16).get("type"),
             "required": bool(r["nulls"] == 0),
             "n_distinct_capped": int(r["n_distinct_capped"]),
-            "min_num": r["min_num"],
-            "max_num": r["max_num"],
+            "min_num": mn,
+            "max_num": mx,
             "min_len": None if pd.isna(r["min_len"]) else int(r["min_len"]),
             "max_len": None if pd.isna(r["max_len"]) else int(r["max_len"]),
         })

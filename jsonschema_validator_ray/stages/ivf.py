@@ -178,11 +178,9 @@ def topk_cosine_ivf_index(path: str, query_vecs, k: int, *,
 
     partials = ds.map_batches(scan, batch_format="pyarrow",
                               batch_size=batch_size).to_pandas()
-    partials = partials.sort_values(["query_id", "score", key],
-                                    ascending=[True, False, True],
-                                    kind="mergesort")
-    return partials.groupby("query_id", as_index=False).head(k) \
-                   .reset_index(drop=True)
+    from .similarity import _finalize_topk
+
+    return _finalize_topk(partials, key, k)
 
 
 def topk_cosine_ivf(ds, index: IvfIndex, query_vecs, k: int, *,
@@ -220,8 +218,6 @@ def topk_cosine_ivf(ds, index: IvfIndex, query_vecs, k: int, *,
 
     partials = ds.select_columns([key, emb]).map_batches(
         scan, batch_format="pyarrow", batch_size=batch_size).to_pandas()
-    partials = partials.sort_values(["query_id", "score", key],
-                                    ascending=[True, False, True],
-                                    kind="mergesort")
-    return partials.groupby("query_id", as_index=False).head(k) \
-                   .reset_index(drop=True)
+    from .similarity import _finalize_topk
+
+    return _finalize_topk(partials, key, k)

@@ -119,8 +119,32 @@ def bucketed_join(left, right, on: str, *, right_on: str | None = None,
         rpart = g.loc[g["__side"] == "r", r_cols]
         return lpart.merge(rpart, how=how, on=on)
 
-    return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pandas")
+    joined = both.groupby("__bucket").map_groups(join_bucket,
+                                                 batch_format="pandas")
+
+    # the padded union upcast every int column to float64 inside the
+    # pandas groups (CLAUDE.md) — restore the input Arrow types where the
+    # cast is lossless (outer-join rows with REAL nulls keep float64, the
+    # same representation pandas itself would give them)
+    types: dict = {}
+    for side in (right, left):     # left wins for shared columns
+        sch = side.schema()
+        for nm, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):
+                types[nm] = t
+
+    def cast_back(b: pa.Table) -> pa.Table:
+        for i, nm in enumerate(b.column_names):
+            t = types.get(nm)
+            if t is None or b.column(nm).type == t:
+                continue
+            try:
+                b = b.set_column(i, nm, pc.cast(b.column(nm), t))
+            except pa.ArrowInvalid:
+                pass
+        return b
+
+    return joined.map_batches(cast_back, batch_format="pyarrow")
 
 
 class _KeyMembershipFilter:
@@ -136,7 +160,14 @@ class _KeyMembershipFilter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.column)
-        matched = pc.fill_null(pc.is_in(col, value_set=self.value_set), False)
+        if len(self.value_set) == 0:
+            # empty right side: nothing matches (is_in with a null-typed
+            # empty set raises ArrowTypeError) — semi drops everything,
+            # anti is the identity
+            matched = pa.array([False] * batch.num_rows)
+        else:
+            matched = pc.fill_null(pc.is_in(col, value_set=self.value_set),
+                                   False)
         # null key: never matches → semi drops it, anti keeps it
         keep = matched if self.keep_matches else pc.invert(matched)
         return batch.filter(keep)
@@ -151,6 +182,8 @@ def _semi_anti(left, right, on: str, right_on: str | None, keep: bool,
                     if right.count() <= broadcast_limit else "shuffle")
     if strategy == "broadcast":
         keys = right.select_columns([right_key]).unique(right_key)
+        if keys is None:      # Dataset.unique on an EMPTY dataset
+            keys = []
         ref = ray.put(keys) if len(keys) > 100_000 else keys
         return left.map_batches(
             _KeyMembershipFilter, fn_constructor_args=(on, ref, keep),
@@ -257,20 +290,24 @@ def range_join(left, right, key: str, ts: str, *, start: str, end: str,
             return lpart
         null_ts = lpart[ts].isna()
         lp = lpart[~null_ts].sort_values(ts, kind="mergesort")
+        # empty-right branches take their null right-columns FROM the
+        # padded frame g, which carries the union's unified dtypes —
+        # object-dtype all-None columns would diverge from matched
+        # buckets' blocks and poison Ray's schema unification
         if rpart.empty or lp.empty:
             if how == "inner":
-                return lpart.iloc[0:0].assign(**{c: None for c in r_val})
+                return g[l_cols + r_val].iloc[0:0]
             out = lpart.copy()
             for c in r_val:
-                out[c] = None
+                out[c] = g.loc[out.index, c]
             return out
         rp = rpart[rpart[start].notna()].sort_values(start, kind="mergesort")
         if rp.empty:
             if how == "inner":
-                return lpart.iloc[0:0].assign(**{c: None for c in r_val})
+                return g[l_cols + r_val].iloc[0:0]
             out = lpart.copy()
             for c in r_val:
-                out[c] = None
+                out[c] = g.loc[out.index, c]
             return out
         rp = _align_time_dtypes(lp, rp, ts, [start, end])
         m = pd.merge_asof(lp, rp, left_on=ts, right_on=start, by=key,
@@ -283,7 +320,7 @@ def range_join(left, right, key: str, ts: str, *, start: str, end: str,
         if null_ts.any():
             extra = lpart[null_ts].copy()
             for c in r_val:
-                extra[c] = None
+                extra[c] = g.loc[extra.index, c]
             m = pd.concat([m, extra], ignore_index=True)
         return m
 
@@ -312,14 +349,14 @@ def asof_join(left, right, key: str, ts: str, *, right_ts: str,
         if rpart.empty or lp.empty:
             out = lpart.copy()
             for c in r_val_cols:
-                out[c] = None
+                out[c] = g.loc[out.index, c]   # typed padded nulls
             return out
         rp = rpart[rpart[right_ts].notna()].sort_values(right_ts,
                                                         kind="mergesort")
         if rp.empty:
             out = lpart.copy()
             for c in r_val_cols:
-                out[c] = None
+                out[c] = g.loc[out.index, c]
             return out
         rp = _align_time_dtypes(lp, rp, ts, [right_ts])
         m = pd.merge_asof(lp, rp, left_on=ts, right_on=right_ts, by=key,
@@ -327,7 +364,7 @@ def asof_join(left, right, key: str, ts: str, *, right_ts: str,
         if null_ts.any():
             extra = lpart[null_ts].copy()
             for c in r_val_cols:
-                extra[c] = None
+                extra[c] = g.loc[extra.index, c]
             m = pd.concat([m, extra], ignore_index=True)
         return m
 

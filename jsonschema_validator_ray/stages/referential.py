@@ -42,10 +42,14 @@ class _AntiJoin:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.column)
-        bad = pc.and_kleene(
-            pc.is_valid(col),
-            pc.invert(pc.is_in(col, value_set=self.value_set)))
-        bad = pc.fill_null(bad, False)
+        if len(self.value_set) == 0:
+            # empty dimension: every non-null key is a violation (is_in
+            # with a null-typed empty set would raise ArrowTypeError)
+            bad = pc.is_valid(col)
+        else:
+            bad = pc.fill_null(pc.and_kleene(
+                pc.is_valid(col),
+                pc.invert(pc.is_in(col, value_set=self.value_set))), False)
         sub = batch.filter(bad)
         return pa.table({
             self.key: sub.column(self.key),
@@ -88,6 +92,8 @@ def fk_violations(fact_ds, fact_key: str, fact_column: str,
     """
     cid = constraint_id or f"referential:{fact_column}"
     dim_keys = dim_ds.select_columns([dim_column]).unique(dim_column)
+    if dim_keys is None:      # Dataset.unique on an EMPTY dimension
+        dim_keys = []
     return referential_violations(
         fact_ds, fact_column, fact_key, dim_keys,
         constraint_id=cid, batch_size=batch_size, concurrency=concurrency)
@@ -157,8 +163,11 @@ def fk_violations_bloom(fact_ds, fact_key: str, fact_column: str,
     parts = dim_ds.select_columns([dim_column]).map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size).to_pandas()
     merged = BloomFilter(m, k)
-    for b in parts["bloom"]:
-        merged.merge(BloomFilter.from_bytes(b))
+    # an empty dimension dataset drops its blocks through to_pandas and
+    # loses the column (CLAUDE.md) — the all-zeros filter is correct then
+    if "bloom" in parts.columns:
+        for b in parts["bloom"]:
+            merged.merge(BloomFilter.from_bytes(b))
 
     cid = constraint_id or f"referential-bloom:{fact_column}"
     ref = ray.put(merged.to_bytes())

@@ -37,6 +37,13 @@ def _emb_matrix(batch: pa.Table, emb: str) -> np.ndarray:
         # matrix instead of crashing reshape
         d = getattr(col.type, "list_size", None) or 1
         return np.empty((0, d), dtype=np.float32)
+    if not hasattr(col, "flatten"):
+        # Ray tensor-extension column (from_pandas of ndarray cells):
+        # to_numpy yields the (n, d) matrix directly
+        mat = col.to_numpy(zero_copy_only=False)
+        if mat.dtype == object:
+            mat = np.stack(mat)
+        return mat.astype(np.float32)
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(n, -1).astype(np.float32)
 
@@ -78,6 +85,21 @@ class _BatchTopK:
         })
 
 
+def _finalize_topk(partials: pd.DataFrame, key: str, k: int
+                   ) -> pd.DataFrame:
+    """Partial-top-k rows → exact global head per query. Guards the
+    empty-input case: a Dataset with no emitted partials loses its schema
+    through to_pandas (CLAUDE.md), so the sort columns must be rebuilt."""
+    if "query_id" not in partials.columns:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int32),
+                             key: pd.Series([], dtype=object),
+                             "score": pd.Series([], dtype=np.float64)})
+    partials = partials.sort_values(["query_id", "score", key],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+    return partials.groupby("query_id", as_index=False).head(k)                    .reset_index(drop=True)
+
+
 def topk_cosine(ds, query_vecs, k: int, *, key: str = "vec_id",
                 emb: str = "embedding", batch_size: int = 8192,
                 concurrency: int | None = None) -> pd.DataFrame:
@@ -93,11 +115,7 @@ def topk_cosine(ds, query_vecs, k: int, *, key: str = "vec_id",
         _BatchTopK, fn_constructor_args=(ref, k, key, emb),
         concurrency=concurrency or 2, **kwargs).to_pandas()
     # final merge: tiny (k rows per query per batch)
-    partials = partials.sort_values(
-        ["query_id", "score", key], ascending=[True, False, True],
-        kind="mergesort")
-    return partials.groupby("query_id", as_index=False).head(k) \
-                   .reset_index(drop=True)
+    return _finalize_topk(partials, key, k)
 
 
 class LshIndex:
@@ -128,6 +146,8 @@ def topk_cosine_lsh(ds, query_vecs, k: int, *, key: str = "vec_id",
     """Approximate top-k: scan only rows whose bucket is in each query's
     probe set (own bucket + Hamming-1). Same output schema as topk_cosine."""
     first = ds.take(1)
+    if not first:   # empty corpus → empty result, not IndexError
+        return _finalize_topk(pd.DataFrame(), key, k)
     dim = len(first[0][emb])
     index = LshIndex(dim, n_planes=n_planes, seed=seed)
     q = np.asarray(query_vecs, dtype=np.float32)

@@ -88,6 +88,7 @@ def _fold_group(group: pd.DataFrame) -> pd.DataFrame:
         "column": group["column"].iloc[0],
         "cnt": int(group["cnt"].sum()),
         "nulls": int(group["nulls"].sum()),
+        "n_nan": int(group["n_nan"].sum()),
         "min_num": float(mn.min()) if len(mn) else None,
         "max_num": float(mx.max()) if len(mx) else None,
         "sum_num": float(sm.sum()) if len(sm) else None,

@@ -25,6 +25,7 @@ PARTIAL_SCHEMA = pa.schema([
     ("column", pa.string()),
     ("cnt", pa.int64()),
     ("nulls", pa.int64()),
+    ("n_nan", pa.int64()),
     ("min_num", pa.float64()),
     ("max_num", pa.float64()),
     ("sum_num", pa.float64()),
@@ -64,6 +65,7 @@ class StatsPartial:
             rows["column"].append(name)
             rows["cnt"].append(n)
             rows["nulls"].append(nulls)
+            n_nan = 0
 
             hll = HyperLogLog(self.hll_p)
             valid = col.drop_null()
@@ -75,6 +77,15 @@ class StatsPartial:
 
             if _is_numeric(t) and len(valid):
                 v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+                # NaN is not an Arrow null and survives drop_null; one NaN
+                # would otherwise poison min/max/sum/mean AND the t-digest
+                # for the whole column — treat it as missing (documented:
+                # null_rate still counts only true nulls)
+                n_nan = int(np.isnan(v).sum())
+                v = v[~np.isnan(v)]
+            else:
+                v = np.empty(0)
+            if _is_numeric(t) and v.size:
                 rows["min_num"].append(float(v.min()))
                 rows["max_num"].append(float(v.max()))
                 rows["sum_num"].append(float(v.sum()))
@@ -111,6 +122,7 @@ class StatsPartial:
                 for k in ("min_num", "max_num", "sum_num", "tdigest",
                           "min_str", "max_str", "hist"):
                     rows[k].append(None)
+            rows["n_nan"].append(n_nan)
         return pa.table(rows, schema=PARTIAL_SCHEMA)
 
 
@@ -119,6 +131,7 @@ def merge_partials(group: pd.DataFrame) -> pd.DataFrame:
     name = group["column"].iloc[0]
     cnt = int(group["cnt"].sum())
     nulls = int(group["nulls"].sum())
+    n_nan = int(group["n_nan"].sum())
     hll = HyperLogLog.from_bytes(group["hll"].iloc[0])
     for b in group["hll"].iloc[1:]:
         hll.merge(HyperLogLog.from_bytes(b))
@@ -157,8 +170,8 @@ def merge_partials(group: pd.DataFrame) -> pd.DataFrame:
         "distinct_est": hll.estimate(),
         "min_num": float(min_num.min()) if len(min_num) else np.nan,
         "max_num": float(max_num.max()) if len(max_num) else np.nan,
-        "mean_num": (float(sum_num.sum()) / (cnt - nulls)
-                     if len(sum_num) and cnt > nulls else np.nan),
+        "mean_num": (float(sum_num.sum()) / (cnt - nulls - n_nan)
+                     if len(sum_num) and cnt > nulls + n_nan else np.nan),
         "min_str": mins.min() if len(mins) else None,
         "max_str": maxs.max() if len(maxs) else None,
         "p50": td.quantile(0.5) if td else np.nan,

@@ -25,11 +25,23 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def _bucket_groups(ds, key: str, num_buckets: int):
+def _bucket_groups(ds, key: str, num_buckets: int, *, ts: str | None = None):
+    """Hash-partitioned groups; rows with a NULL timestamp are dropped
+    FIRST when ``ts`` is given — a NaT reaching the int64 view would read
+    as min-int64 and silently unsort/overflow every window computation in
+    its bucket (SQL window functions over a NULL ts produce NULL rows; the
+    documented contract here is that they are excluded)."""
     from .joins import _bucketize
 
+    if ts is not None:
+        def drop_null_ts(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_valid(b.column(ts)))
+
+        ds = ds.map_batches(drop_null_ts, batch_format="pyarrow")
     return _bucketize(ds, key, num_buckets).groupby("__kb")
 
 
@@ -53,7 +65,7 @@ def tumbling(ds, key: str, ts: str, size_s: int,
         out["window_start"] = pd.to_datetime(out["_bin"] * size_s, unit="s")
         return out[cols]
 
-    return _bucket_groups(ds, key, num_buckets).map_groups(
+    return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
         per_bucket, batch_format="pandas")
 
 
@@ -86,7 +98,7 @@ def sliding(ds, key: str, ts: str, size_s: int, step_s: int,
                                              unit="s")
         return out[cols]
 
-    return _bucket_groups(ds, key, num_buckets).map_groups(
+    return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
         per_bucket, batch_format="pandas")
 
 
@@ -124,7 +136,7 @@ def sessionize(ds, key: str, ts: str, gap_s: int, num_buckets: int = 32):
             "n_events": out["n_events"].astype("int64"),
         })
 
-    return _bucket_groups(ds, key, num_buckets).map_groups(
+    return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
         per_bucket, batch_format="pandas")
 
 
@@ -165,7 +177,7 @@ def sequence(ds, key: str, ts: str, id_col: str, num_buckets: int = 32):
             "gap_us": gap,
         })
 
-    return _bucket_groups(ds, key, num_buckets).map_groups(
+    return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
         per_bucket, batch_format="pandas")
 
 
@@ -209,10 +221,15 @@ def rolling(ds, key: str, ts: str, id_col: str, window_s: int,
         out = {id_col: g[id_col].to_numpy(), key: kv,
                "w_count": (hi - lo).astype(np.int64)}
         if value:
-            cents = np.floor(g[value].to_numpy() * 100).astype(np.int64)
+            # NULL/NaN values contribute 0 to the windowed sum (SQL SUM
+            # skips NULLs) while the row still counts toward w_count;
+            # floor(NaN).astype(int64) would poison the whole prefix sum
+            vals = np.nan_to_num(g[value].to_numpy(dtype=np.float64),
+                                 nan=0.0)
+            cents = np.floor(vals * 100).astype(np.int64)
             pref = np.concatenate([[0], np.cumsum(cents)])
             out["w_cents"] = (pref[hi] - pref[lo]).astype(np.int64)
         return pd.DataFrame(out)
 
-    return _bucket_groups(ds, key, num_buckets).map_groups(
+    return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
         per_bucket, batch_format="pandas")
