@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "despan_documents": corpus.despan_documents,
         "minhash_index_documents": corpus.minhash_index_documents,
         "semdedup_embeddings": corpus.semdedup_embeddings,
+        "semdedup_incremental_embeddings":
+            corpus.semdedup_incremental_embeddings,
         "vocab_incremental_documents": corpus.vocab_incremental_documents,
         "ingest_documents": incremental.ingest_documents,
         "token_counts_documents": corpus.token_counts_documents,
@@ -74,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": corpus.langid_documents,
         "fingerprint_documents": corpus.fingerprint_documents,
         "minhash_pairs_documents": corpus.minhash_pairs_documents,
+        "jaccard_documents": corpus.jaccard_documents,
         "decontam_documents": corpus.decontam_documents,
         "sample_documents_by_lang": corpus.sample_documents_by_lang,
         "sample_documents_pct": corpus.sample_documents_pct,
@@ -124,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": corpus.DEDUP_EXACT_SQL,
         "dedup_incremental_documents": corpus.DEDUP_INCR_SQL,
         "ngram_decontam_documents": corpus.NGRAM_DECONTAM_SQL,
+        "jaccard_documents": corpus.JACCARD_SQL,
         "dup_spans_documents": corpus.DUP_SPANS_SQL,
         "despan_documents": corpus.DESPAN_SQL,
         "vocab_incremental_documents": corpus.VOCAB_INCR_SQL,

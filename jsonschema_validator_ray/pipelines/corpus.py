@@ -456,6 +456,51 @@ def decontam_documents(sf_dir: str):
     }])
 
 
+_JACCARD_N = 3
+_JACCARD_CAP = 64
+_JACCARD_TH = 0.35
+
+
+def jaccard_documents(sf_dir: str):
+    """EXACT n-gram Jaccard near-duplicate pairs over the documents table
+    (stages/ngrams.jaccard_near_duplicates): every pair sharing ≥ 35%
+    distinct token 3-grams (restricted to grams in ≤ 64 docs), with the
+    exact Jaccard value — the deterministic complement to the MinHash
+    estimate in minhash_pairs_documents. Oracle-checked: the SQL below
+    computes the identical capped measure; the one float is a single
+    integer division (IEEE-identical in both engines)."""
+    from ..stages.ngrams import jaccard_near_duplicates
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    return jaccard_near_duplicates(docs, column="text", id_col="doc_id",
+                                   n=_JACCARD_N, threshold=_JACCARD_TH,
+                                   df_cap=_JACCARD_CAP)
+
+
+JACCARD_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+doc_g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_JACCARD_N - 1}], ' ') AS g
+  FROM tok, UNNEST(range(1, len(t) - {_JACCARD_N - 2})) AS u(i)
+),
+kept AS (SELECT * FROM doc_g WHERE g IN (
+  SELECT g FROM doc_g GROUP BY g HAVING count(*) <= {_JACCARD_CAP})),
+sz AS (SELECT doc_id, count(*) AS s FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS inter
+  FROM kept a JOIN kept b USING (g) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       CAST(p.inter AS DOUBLE) / (sa.s + sb.s - p.inter) AS jaccard
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.key_a
+JOIN sz sb ON sb.doc_id = p.key_b
+WHERE CAST(p.inter AS DOUBLE) / (sa.s + sb.s - p.inter) >= {_JACCARD_TH}
+"""
+
+
 def minhash_pairs_documents(sf_dir: str):
     """One-row summary of MinHash-LSH near-dup pairs at Jaccard ≥ 0.7
     (rows-only; the testdata corpus contains generator-planted near-dup
@@ -532,6 +577,60 @@ def semdedup_embeddings(sf_dir: str):
         "n_kept": int(out["keep"].sum()),
         "n_dropped": int((~out["keep"]).sum()),
         "n_truncated": int((out["truncated"] > 0).sum()),
+    }])
+
+
+def semdedup_incremental_embeddings(sf_dir: str):
+    """One-row summary of CROSS-RUN semantic dedup through the persisted
+    embedding index (stages/embindex): even vec_ids indexed as history; the
+    new "crawl" is the odd vec_ids (no near-dups exist in the synthetic
+    table — max off-diagonal cosine ≈ 0.51) plus EXACT copies of every
+    vec_id % 10 == 0 vector under offset ids (the planted cross-run
+    duplicates, cosine 1.0). Full probe (nprobe = n_clusters) at τ = 0.9 →
+    matched ≡ the planted copies, exactly. Rows-only; update≡rebuild and
+    brute-force parity are pinned by tests/test_embindex."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.embindex import (dedup_near_incremental_emb,
+                                   index_vec_count, write_emb_index)
+
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+
+    def split(b: pa.Table, parity: int) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b.column("vec_id"), 1), parity)
+        return b.filter(keep)
+
+    def planted(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(ids % 10 == 0))
+        return pa.table({
+            "vec_id": pc.add(sub.column("vec_id"), 10_000_000),
+            "embedding": sub.column("embedding")})
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"emb_index_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(root, ignore_errors=True)
+    n_clusters = 16
+    write_emb_index(emb.map_batches(lambda b: split(b, 0),
+                                    batch_format="pyarrow"),
+                    root, key="vec_id", emb="embedding",
+                    n_clusters=n_clusters, seed=42)
+    crawl = emb.map_batches(lambda b: split(b, 1),
+                            batch_format="pyarrow") \
+        .union(emb.map_batches(planted, batch_format="pyarrow"))
+    survivors, matched = dedup_near_incremental_emb(
+        crawl, root, threshold=0.9, nprobe=n_clusters)
+    m = matched.to_pandas()
+    return pd.DataFrame([{
+        "check": "semdedup_incremental",
+        "n_indexed": index_vec_count(root),
+        "n_probed_matched": int(m["key_a"].nunique()) if len(m) else 0,
+        "n_pairs": len(m),
+        "n_survivors": survivors.count(),
+        "n_truncated": int((m["truncated"] > 0).sum()) if len(m) else 0,
     }])
 
 

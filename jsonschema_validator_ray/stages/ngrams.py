@@ -240,6 +240,248 @@ def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
         .map_batches(norm, batch_format="pyarrow")
 
 
+# ---- exact n-gram Jaccard near-duplicate pairs ----------------------------
+
+
+def _jaccard_empty(id_type: pa.DataType) -> pa.Table:
+    return pa.table({"key_a": pa.array([], type=id_type),
+                     "key_b": pa.array([], type=id_type),
+                     "jaccard": pa.array([], type=pa.float64())})
+
+
+class _JaccardSizeAttacher:
+    """Actor stage: attach the broadcast doc→set-size lookup to candidate
+    pair rows and emit thresholded exact Jaccard. The lookup deserializes
+    ONCE per actor from the object store; per batch it's two dict gathers
+    and one vectorized division."""
+
+    def __init__(self, lut_ref, threshold: float, id_type: pa.DataType):
+        self.lut = ray.get(lut_ref) \
+            if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+        self.threshold = threshold
+        self.id_type = id_type
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _jaccard_empty(self.id_type)
+        ka = b.column("key_a").to_numpy(zero_copy_only=False)
+        kb = b.column("key_b").to_numpy(zero_copy_only=False)
+        it = b.column("inter").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sa = np.array([self.lut[k] for k in ka], dtype=np.float64)
+        sb = np.array([self.lut[k] for k in kb], dtype=np.float64)
+        jac = it / (sa + sb - it)
+        keep = jac >= self.threshold
+        return pa.table({
+            "key_a": pc.cast(b.column("key_a").filter(pa.array(keep)),
+                             self.id_type),
+            "key_b": pc.cast(b.column("key_b").filter(pa.array(keep)),
+                             self.id_type),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+        })
+
+
+def jaccard_near_duplicates(docs, *, column: str, id_col: str, n: int = 3,
+                            threshold: float = 0.5, df_cap: int = 64,
+                            num_buckets: int = 64, pair_buckets: int = 16,
+                            batch_size: int = 4096,
+                            size_broadcast_limit: int = 2_000_000):
+    """→ Dataset ``(key_a, key_b, jaccard)`` of document pairs whose EXACT
+    n-gram Jaccard similarity is ≥ ``threshold`` — the deterministic
+    complement to the probabilistic MinHash estimate
+    (stages/dedup.minhash_near_duplicates).
+
+    Measure: Jaccard over each document's DISTINCT token ``n``-gram set
+    RESTRICTED to grams appearing in ≤ ``df_cap`` documents. The document
+    -frequency cap is part of the measure, not an approximation: grams
+    shared by more than ``df_cap`` docs are boilerplate (stopword phrases,
+    headers) whose inclusion both drowns the signal and makes candidate
+    generation quadratic in the hottest gram. Within the capped measure
+    the result is EXACT and complete — any pair with jaccard > 0 shares at
+    least one retained gram (df ≥ 2), so it is always generated as a
+    candidate; nothing is sampled or truncated.
+
+    Shape (all exchanges carry 16-24 B key/hash rows, never documents):
+
+    1. one ``map_batches`` pass explodes each doc to distinct 64-bit gram
+       hashes (`ngrams_batch` + `_hash64`, the decontamination kernels);
+    2. a ``groupby(gh % num_buckets)`` pass computes each gram's exact
+       document frequency IN-BUCKET (the bucket key is the gram hash, so a
+       gram never splits), drops grams past ``df_cap``, and emits
+       - per-doc partial SET SIZES (one row per doc per bucket), and
+       - per-pair intersection contributions (vectorized triu over each
+         df ≥ 2 gram's members, pre-summed per pair within the bucket);
+    3. sizes reduce by doc-hash bucket; intersections reduce by pair-hash
+       bucket (`_add_pair_bucket` discipline from stages/dedup);
+    4. sizes attach to pairs via broadcast below ``size_broadcast_limit``
+       docs, else two hash-bucketed joins — then one exact division
+       ``inter / (sz_a + sz_b - inter)`` (IEEE-identical to the SQL
+       oracle's) and the threshold filter.
+
+    Matching is on the 64-bit gram hash (collision odds ~grams/2^64 — the
+    same budget as dedup_exact / ngram_decontaminate).
+    """
+    import ray.data
+
+    from .dedup import _add_pair_bucket
+
+    schema = docs.schema()
+    raw = dict(zip(schema.names, schema.types))[id_col]
+    id_type = raw if isinstance(raw, pa.DataType) else pa.string()
+
+    def doc_grams(b: pa.Table) -> pa.Table:
+        parent, ng = ngrams_batch(b.column(column), n)
+        ids = b.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if parent.size == 0:
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "gh": pa.array([], type=pa.uint64()),
+                             "__gb": pa.array([], type=pa.int32())})
+        h = _hash64(ng)
+        # distinct (doc, gram) within the batch ≡ globally distinct: a doc
+        # lives in exactly one batch row
+        u = np.unique(np.stack([parent.astype(np.uint64), h], axis=1),
+                      axis=0)
+        up, uh = u[:, 0].astype(np.int64), u[:, 1]
+        return pa.table({
+            id_col: ids.take(pa.array(up, type=pa.int64())),
+            "gh": pa.array(uh, type=pa.uint64()),
+            "__gb": pa.array((uh % num_buckets).astype(np.int32)),
+        })
+
+    grams = docs.select_columns([id_col, column]).map_batches(
+        doc_grams, batch_format="pyarrow", batch_size=batch_size)
+
+    def bucket_pass(g: pd.DataFrame) -> pd.DataFrame:
+        # exact df per gram (bucket key = gram hash → a gram never splits).
+        # key_a/key_b keep the id dtype in EVERY output row (kind-0 size
+        # rows carry key_b = key_a, ignored downstream) — None padding
+        # would flip blocks between null/object/float schemas and
+        # hash_pandas_object hashes int64 vs float64 differently, splitting
+        # one pair's contributions across __pb buckets.
+        df = g.groupby("gh", sort=False)["gh"].transform("size")
+        kept = g[df.to_numpy() <= df_cap]
+        if not len(kept):
+            return pd.DataFrame({
+                "key_a": pd.Series([], dtype=g[id_col].dtype),
+                "key_b": pd.Series([], dtype=g[id_col].dtype),
+                "cnt": pd.Series([], dtype=np.int64),
+                "kind": pd.Series([], dtype=np.int8)})
+        sz = kept.groupby(id_col, sort=False).size().reset_index(name="cnt")
+        sizes_part = pd.DataFrame({
+            "key_a": sz[id_col], "key_b": sz[id_col],
+            "cnt": sz["cnt"].astype(np.int64), "kind": np.int8(0)})
+        # vectorized triu over every df>=2 gram: sort by (gh, id); the
+        # element at local position j within its gram group emits j pairs
+        # (key_a = each earlier member, key_b = itself) — ascending ids,
+        # so key_a < key_b matches the SQL oracle's a.id < b.id
+        ks = kept.sort_values(["gh", id_col], kind="mergesort")
+        ghv = ks["gh"].to_numpy()
+        ids = ks[id_col].to_numpy()
+        gstart = np.flatnonzero(np.r_[True, ghv[1:] != ghv[:-1]])
+        starts = np.repeat(gstart, np.diff(np.r_[gstart, ghv.size]))
+        local = np.arange(ghv.size, dtype=np.int64) - starts
+        total = int(local.sum())
+        if total == 0:
+            return sizes_part
+        key_b = np.repeat(ids, local)
+        cum = np.concatenate(([0], np.cumsum(local)))
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], local)
+        key_a = ids[np.repeat(starts, local) + intra]
+        # pre-sum pair contributions within the bucket before the exchange
+        pairs = pd.DataFrame({"key_a": key_a, "key_b": key_b}) \
+            .groupby(["key_a", "key_b"], sort=False, as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        pairs["cnt"] = pairs["cnt"].astype(np.int64)
+        pairs["kind"] = np.int8(1)
+        return pd.concat([sizes_part, pairs], ignore_index=True)
+
+    parts = grams.groupby("__gb").map_groups(
+        bucket_pass, batch_format="pandas").materialize()
+
+    def add_doc_bucket(b: pa.Table) -> pa.Table:
+        hb = (pd.util.hash_pandas_object(
+            b.column("key_a").to_pandas(), index=False).to_numpy()
+            .astype(np.uint64) % pair_buckets).astype(np.int32)
+        return no_meta(b).append_column("__db", pa.array(hb))
+
+    def sum_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("key_a", sort=False, as_index=False)["cnt"].sum()
+        return out.rename(columns={"key_a": id_col, "cnt": "sz"})
+
+    sizes = parts.filter(expr="kind == 0") \
+        .map_batches(add_doc_bucket, batch_format="pyarrow") \
+        .groupby("__db").map_groups(sum_sizes, batch_format="pandas")
+
+    def sum_inter(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["key_a", "key_b"], sort=False,
+                         as_index=False)["cnt"].sum() \
+            .rename(columns={"cnt": "inter"})
+
+    cand = parts.filter(expr="kind == 1")
+    # empty candidate sets would lose the output schema through Ray's
+    # empty-block drop; parts is materialized, so this count is one cheap
+    # pass over candidate-sized (never corpus-sized) rows
+    if cand.count() == 0:
+        return ray.data.from_arrow(_jaccard_empty(id_type))
+    inter = cand \
+        .map_batches(_add_pair_bucket(pair_buckets),
+                     batch_format="pyarrow") \
+        .groupby("__pb").map_groups(sum_inter, batch_format="pandas")
+
+    n_docs = docs.count()
+    if n_docs <= size_broadcast_limit:
+        sz_df = sizes.to_pandas()
+        if "sz" not in sz_df.columns or not len(sz_df):
+            return ray.data.from_arrow(_jaccard_empty(id_type))
+        lut = dict(zip(sz_df[id_col], sz_df["sz"]))
+        ref = ray.put(lut) if len(lut) > 100_000 else lut
+        return inter.map_batches(
+            _JaccardSizeAttacher,
+            fn_constructor_args=(ref, threshold, id_type),
+            batch_format="pyarrow", concurrency=2)
+
+    # join path: sizes attach via two hash-bucketed joins (pair side is
+    # candidate-sized; the sizes side crosses the exchange once per join)
+    from .joins import bucketed_join
+
+    def ren(col_from: str, col_to: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [col_to if c == col_from else c for c in b.column_names])
+        return f
+
+    sa = bucketed_join(inter, sizes.map_batches(
+        ren(id_col, "key_a"), batch_format="pyarrow"), on="key_a",
+        num_buckets=pair_buckets)
+    sa = sa.map_batches(ren("sz", "sz_a"), batch_format="pyarrow")
+    sb = bucketed_join(sa, sizes.map_batches(
+        ren(id_col, "key_b"), batch_format="pyarrow"), on="key_b",
+        num_buckets=pair_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _jaccard_empty(id_type)
+        it = b.column("inter").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s_a = b.column("sz_a").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s_b = b.column("sz").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        jac = it / (s_a + s_b - it)
+        keep = jac >= threshold
+        return pa.table({
+            "key_a": pc.cast(b.column("key_a").filter(pa.array(keep)),
+                             id_type),
+            "key_b": pc.cast(b.column("key_b").filter(pa.array(keep)),
+                             id_type),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+        })
+
+    return sb.map_batches(finalize, batch_format="pyarrow")
+
+
 # ---- duplicate-passage removal (ExactSubstr-style, n-gram granularity) ----
 
 

@@ -106,6 +106,101 @@ def test_span_removal_overlapping_spans(ray_session):
     assert out.loc[1, "n_tokens_removed"] == 4
 
 
+def _ref_jaccard(docs_map, n, df_cap, threshold):
+    """Brute-force capped n-gram Jaccard over a dict id→text."""
+    from collections import Counter
+
+    grams = {k: set(_ref_ngrams(t, n)) for k, t in docs_map.items()}
+    df = Counter(g for s in grams.values() for g in s)
+    kept = {k: {g for g in s if df[g] <= df_cap}
+            for k, s in grams.items()}
+    out = []
+    keys = sorted(kept)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            inter = len(kept[a] & kept[b])
+            if inter == 0:
+                continue
+            j = inter / (len(kept[a]) + len(kept[b]) - inter)
+            if j >= threshold:
+                out.append((a, b, j))
+    return sorted(out)
+
+
+def _planted_corpus():
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = {}
+    for i in range(30):
+        words = [f"w{i}_{j}" for j in range(12)]
+        texts[i] = " ".join(words)
+    # near-dup pair: doc 100/101 share a long run
+    texts[100] = " ".join(base)
+    texts[101] = " ".join(base[:18] + ["different", "tail"])
+    # moderately similar pair
+    texts[102] = " ".join(base[:10] + [f"u{j}" for j in range(10)])
+    # every doc also carries one BOILERPLATE sentence (df > cap at cap=8)
+    boiler = "click here to subscribe to our newsletter"
+    return {k: v + " " + boiler for k, v in texts.items()}
+
+
+def test_jaccard_matches_brute_force(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import jaccard_near_duplicates
+
+    docs_map = _planted_corpus()
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs_map), "text": list(docs_map.values())}))
+    kw = dict(column="text", id_col="doc_id", n=3, threshold=0.2,
+              df_cap=8, num_buckets=8, pair_buckets=4)
+    got = jaccard_near_duplicates(docs, **kw).to_pandas() \
+        .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    ref = _ref_jaccard(docs_map, 3, 8, 0.2)
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
+    # the planted near-dup pair survives, boilerplate-only overlap doesn't
+    assert (100, 101) in {(a, b) for a, b, _ in ref}
+    assert len(ref) >= 2
+
+
+def test_jaccard_join_path_agrees(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import jaccard_near_duplicates
+
+    docs_map = _planted_corpus()
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs_map), "text": list(docs_map.values())}))
+    kw = dict(column="text", id_col="doc_id", n=3, threshold=0.2,
+              df_cap=8, num_buckets=8, pair_buckets=4)
+    bc = jaccard_near_duplicates(docs, **kw).to_pandas() \
+        .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    jn = jaccard_near_duplicates(docs, size_broadcast_limit=0, **kw) \
+        .to_pandas().sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, jn[list(bc.columns)],
+                                  check_dtype=False)
+
+
+def test_jaccard_string_ids_and_empty(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import jaccard_near_duplicates
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "url": ["a.com", "b.com", "c.com"],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy cat",
+                 "short"]}))  # "short" has no 3-grams
+    out = jaccard_near_duplicates(docs, column="text", id_col="url", n=3,
+                                  threshold=0.3, df_cap=8, num_buckets=4,
+                                  pair_buckets=2).to_pandas()
+    assert set(zip(out.key_a, out.key_b)) == {("a.com", "b.com")}
+    assert out["jaccard"].iloc[0] == 6 / 8  # 6 shared of 7+7 grams
+    # no doc shares a gram → empty result, stable schema
+    lone = ray.data.from_pandas(pd.DataFrame({
+        "url": ["x", "y"], "text": ["one two three", "four five six"]}))
+    empty = jaccard_near_duplicates(lone, column="text", id_col="url", n=3,
+                                    threshold=0.0, df_cap=8, num_buckets=2,
+                                    pair_buckets=2)
+    assert empty.count() == 0
+    # Dataset-level schema survives emptiness (to_pandas drops empty blocks)
+    assert empty.schema().names == ["key_a", "key_b", "jaccard"]
+
+
 def test_join_strategy_string_ids(ray_session):
     docs = pd.DataFrame({
         "url": ["a.com", "b.com", "c.com"],
