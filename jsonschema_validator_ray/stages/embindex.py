@@ -93,8 +93,14 @@ def _write_generation(ds, path: str, gen: str, meta: dict,
     def add(b: pa.Table) -> pa.Table:
         mat = _normalize(_emb_matrix(b, emb)).astype(np.float32)
         cl = index.assign(mat) if len(mat) else np.array([], dtype=np.int64)
+        # `cell` duplicates the partition value INSIDE the data files:
+        # write_parquet strips partition_cols from the data, and file-list
+        # reads lose hive values — compaction repartitions from `cell`
+        # verbatim instead of re-deriving assignments (bit-stable: a
+        # vector can never drift to a different cell across compactions)
+        c32 = pa.array(cl.astype(np.int32))
         return pa.table({key: b.column(key), "emb": _vec_list(mat),
-                         "ivf_cluster": pa.array(cl.astype(np.int32))})
+                         "cell": c32, "ivf_cluster": c32})
 
     ds.select_columns([key, emb]) \
         .map_batches(add, batch_format="pyarrow", batch_size=batch_size) \
@@ -263,6 +269,44 @@ def dedup_near_incremental_emb(ds, index_path: str, *,
     survivors = anti_join(ds, matched, on=meta["key"], right_on="key_a",
                           strategy=strategy)
     return survivors, matched
+
+
+def compact_emb_index(path: str, *, batch_size: int = 8192) -> None:
+    """Merge all generations into one (vectors are immutable rows — no
+    merge logic, just a repartitioned rewrite), then atomically swap meta
+    to the compacted generation. Cell membership is copied verbatim from
+    the stored ``cell`` column, so probes are pair-identical before and
+    after. Old generation data is removed only AFTER the meta swap; a
+    crash in between leaves unreferenced directories, never a broken
+    index (the hashindex/vocabstore compaction contract)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    meta = _read_meta(path)
+    if len(meta["generations"]) <= 1:
+        return
+    old_gens = list(meta["generations"])
+    files = sorted(str(f) for g in old_gens
+                   for f in Path(path, g).rglob("*.parquet"))
+    ds = ray.data.read_parquet(files)
+
+    def repartition_col(b: pa.Table) -> pa.Table:
+        c32 = pc.cast(b.column("cell"), pa.int32())
+        return pa.table({meta["key"]: b.column(meta["key"]),
+                         "emb": b.column("emb"),
+                         "cell": c32, "ivf_cluster": c32})
+
+    compacted = f"gen-{len(old_gens):06d}-compact"
+    ds.map_batches(repartition_col, batch_format="pyarrow",
+                   batch_size=batch_size) \
+        .write_parquet(fresh_dir(os.path.join(path, compacted)),
+                       partition_cols=["ivf_cluster"])
+    meta["generations"] = [compacted]
+    _write_meta(path, meta)
+    for g in old_gens:
+        shutil.rmtree(os.path.join(path, g), ignore_errors=True)
 
 
 def index_vec_count(path: str) -> int:

@@ -114,6 +114,32 @@ def test_update_equals_rebuild(ray_session, root):
     assert index_vec_count(root) == 120
 
 
+def test_compaction_probe_identical(ray_session, root):
+    from jsonschema_validator_ray.stages.embindex import compact_emb_index
+
+    a, b = _mk_vecs(50, seed=40), _mk_vecs(50, seed=41)
+    probe = _mk_vecs(20, seed=42, planted_from=np.vstack([a[:3], b[:3]]),
+                     n_planted=6)
+    write_emb_index(_ds(np.arange(50), a), root, n_clusters=4, seed=43)
+    update_emb_index(_ds(np.arange(100, 150), b), root)
+    pids = np.arange(9000, 9020)
+    before = probe_emb_index(_ds(pids, probe), root, threshold=0.9,
+                             nprobe=4, probe_buckets=4).to_pandas() \
+        .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    compact_emb_index(root)
+    from jsonschema_validator_ray.stages.util import read_meta
+    assert len(read_meta(root)["generations"]) == 1
+    assert index_vec_count(root) == 100
+    after = probe_emb_index(_ds(pids, probe), root, threshold=0.9,
+                            nprobe=4, probe_buckets=4).to_pandas() \
+        .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    assert len(before) >= 6
+    # compacting a single generation is a no-op
+    compact_emb_index(root)
+    assert index_vec_count(root) == 100
+
+
 def test_dedup_survivors_and_empty(ray_session, root):
     hist = _mk_vecs(50, seed=20)
     new = _mk_vecs(20, seed=21, planted_from=hist, n_planted=4, noise=0.003)
