@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": corpus.fingerprint_documents,
         "minhash_pairs_documents": corpus.minhash_pairs_documents,
         "jaccard_documents": corpus.jaccard_documents,
+        "dedup_jaccard_documents": corpus.dedup_jaccard_documents,
         "decontam_documents": corpus.decontam_documents,
         "sample_documents_by_lang": corpus.sample_documents_by_lang,
         "sample_documents_pct": corpus.sample_documents_pct,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_documents": corpus.DEDUP_INCR_SQL,
         "ngram_decontam_documents": corpus.NGRAM_DECONTAM_SQL,
         "jaccard_documents": corpus.JACCARD_SQL,
+        "dedup_jaccard_documents": corpus.DEDUP_JACCARD_SQL,
         "dup_spans_documents": corpus.DUP_SPANS_SQL,
         "despan_documents": corpus.DESPAN_SQL,
         "vocab_incremental_documents": corpus.VOCAB_INCR_SQL,

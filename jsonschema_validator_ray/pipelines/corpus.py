@@ -501,6 +501,62 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.s + sb.s - p.inter) >= {_JACCARD_TH}
 """
 
 
+def dedup_jaccard_documents(sf_dir: str):
+    """END-TO-END near-duplicate dedup with an EXACT oracle: the
+    jaccard_documents pair graph → connected components
+    (stages/components, min-key labels) → canonical survivors
+    (dedup_by_components). The SQL oracle recomputes the identical capped
+    Jaccard pairs and labels components with a recursive transitive
+    closure — so the full near-dup dedup pipeline, not just the pair
+    stage, is value-checked."""
+    from ..stages.components import connected_components, dedup_by_components
+    from ..stages.ngrams import jaccard_near_duplicates
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    pairs = jaccard_near_duplicates(docs, column="text", id_col="doc_id",
+                                    n=_JACCARD_N, threshold=_JACCARD_TH,
+                                    df_cap=_JACCARD_CAP)
+    comps = connected_components(pairs)
+    return dedup_by_components(docs, "doc_id", comps) \
+        .select_columns(["doc_id"])
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+doc_g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_JACCARD_N - 1}], ' ') AS g
+  FROM tok, UNNEST(range(1, len(t) - {_JACCARD_N - 2})) AS u(i)
+),
+kept AS (SELECT * FROM doc_g WHERE g IN (
+  SELECT g FROM doc_g GROUP BY g HAVING count(*) <= {_JACCARD_CAP})),
+sz AS (SELECT doc_id, count(*) AS s FROM kept GROUP BY doc_id),
+dup_pairs AS (
+  SELECT key_a, key_b FROM (
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS inter
+    FROM kept a JOIN kept b USING (g) WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2) p
+  JOIN sz sa ON sa.doc_id = p.key_a
+  JOIN sz sb ON sb.doc_id = p.key_b
+  WHERE CAST(p.inter AS DOUBLE) / (sa.s + sb.s - p.inter)
+        >= {_JACCARD_TH}
+),
+edges AS (SELECT key_a AS a, key_b AS b FROM dup_pairs
+          UNION ALL SELECT key_b, key_a FROM dup_pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+comp AS (SELECT src AS node, least(src, min(dst)) AS label
+         FROM reach GROUP BY src)
+SELECT d.doc_id FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+WHERE c.node IS NULL OR c.label = d.doc_id
+"""
+
+
 def minhash_pairs_documents(sf_dir: str):
     """One-row summary of MinHash-LSH near-dup pairs at Jaccard ≥ 0.7
     (rows-only; the testdata corpus contains generator-planted near-dup

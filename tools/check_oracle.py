@@ -2,7 +2,8 @@
 entry AND its ``oracle_sql()`` SQL over the same parquet tables, compare
 row-count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+(names filter the run to just those queries; default = all)
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ def canon(df):
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
     import ray
 
@@ -71,6 +72,12 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = ent.queries(), ent.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"[FAIL] unknown query names: {unknown}")
+            return 1
+        qs = {n: qs[n] for n in only}
     failures = 0
     for name, fn in qs.items():
         sql = oracles.get(name)
@@ -110,4 +117,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    raise SystemExit(main(sf, only=sys.argv[2:] or None))
