@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": corpus.events_sessions,
         "events_sequenced": corpus.events_sequenced,
         "events_rolling": corpus.events_rolling,
+        "latest_events": corpus.latest_events,
+        "bigram_documents": corpus.bigram_documents,
         "hist_lang_documents": corpus.hist_lang_documents,
         "repetition_documents": corpus.repetition_documents,
         "dedup_norm_documents": corpus.dedup_norm_documents,
@@ -152,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,
         "events_sequenced": corpus.EVENTS_SEQUENCED_SQL,
         "events_rolling": corpus.EVENTS_ROLLING_SQL,
+        "latest_events": corpus.LATEST_EVENTS_SQL,
+        "bigram_documents": corpus.BIGRAM_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,
         "repetition_documents": corpus.REPETITION_SQL,
         "dedup_norm_documents": corpus.DEDUP_NORM_SQL,

@@ -340,6 +340,80 @@ def repetition_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     })
 
 
+def top_bigram_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-row TOP-BIGRAM repetition signal — the n-gram member of the
+    Gopher repetitious-document family (Rae et al. 2021 A1.2 "fraction of
+    characters in the most common n-gram"; here expressed in bigram counts
+    so the SQL oracle is integer-exact): for every row with ≥2 nonempty
+    whitespace tokens, the most frequent adjacent token pair, its count,
+    the total bigram count, and ``bigram_frac = top_count / n_bigrams``
+    (ONE float division — IEEE-identical in DuckDB). Ties on count break to
+    the lexicographically smallest bigram string, mirrored in the oracle's
+    ``ORDER BY c DESC, g ASC``.
+
+    Vectorized: one Arrow regex split per batch, ``dictionary_encode``
+    factorize, adjacent-code pairing where parent rows match, np.unique
+    count fold; bigram STRINGS are built only for the per-row argmax
+    candidates (count == row max), a tiny set."""
+    s = pc.cast(batch.column(column), pa.large_string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+    empty = pa.table({
+        "top_bigram": pa.array([], pa.large_string()),
+        "top_bigram_count": pa.array([], pa.int64()),
+        "n_bigrams": pa.array([], pa.int64()),
+        "bigram_frac": pa.array([], pa.float64()),
+        "__row": pa.array([], pa.int64()),
+    })
+    if n == 0:
+        return empty
+    toks = pc.split_pattern_regex(s, r"\s+")
+    flat = pc.list_flatten(toks)
+    if not len(flat):
+        return empty
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(pc.greater(
+        pc.binary_length(flat), 0).to_numpy(zero_copy_only=False))
+    if keep.size < 2:
+        return empty
+    par = parent[keep].astype(np.int64)
+    enc = pc.dictionary_encode(flat.take(pa.array(keep)))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    V = np.int64(len(vocab))
+    # adjacent pairs within the same row (empty fragments removed in order)
+    adj = np.flatnonzero(par[:-1] == par[1:])
+    if adj.size == 0:
+        return empty
+    doc = par[adj]
+    combo = codes[adj] * V + codes[adj + 1]
+    combo_u, combo_rank = np.unique(combo, return_inverse=True)
+    pair = doc * np.int64(len(combo_u)) + combo_rank
+    pair_u, cnts = np.unique(pair, return_counts=True)
+    doc_of = pair_u // len(combo_u)
+    combo_of = combo_u[pair_u % len(combo_u)]
+    n_big = np.bincount(doc, minlength=n).astype(np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, doc_of, cnts)
+    # argmax with lexicographic tiebreak: materialize strings only for
+    # entries tied at their row's max count
+    cand = np.flatnonzero(cnts == top[doc_of])
+    import pandas as pd
+    g = [f"{vocab[c // V]} {vocab[c % V]}" for c in combo_of[cand]]
+    best = (pd.DataFrame({"doc": doc_of[cand], "g": g})
+            .groupby("doc", sort=True)["g"].min())
+    rows = best.index.to_numpy()
+    return pa.table({
+        "top_bigram": pa.array(best.to_numpy(), pa.large_string()),
+        "top_bigram_count": pa.array(top[rows]),
+        "n_bigrams": pa.array(n_big[rows]),
+        "bigram_frac": pa.array(top[rows].astype(np.float64)
+                                / n_big[rows].astype(np.float64)),
+        "__row": pa.array(rows),
+    })
+
+
 # ---- Gopher-style composite quality filter --------------------------------
 # Published web-corpus heuristics (Rae et al. 2021 "Scaling Language
 # Models", appendix A1.1 — public paper): documents outside these bounds

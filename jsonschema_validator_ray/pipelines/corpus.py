@@ -864,6 +864,51 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
+def bigram_documents(sf_dir: str):
+    """(doc_id, top_bigram, top_bigram_count, n_bigrams, bigram_frac) —
+    per-document top-BIGRAM repetition signal (Rae et al. 2021 A1.2
+    "fraction of characters in the most common n-gram" family, in exact
+    bigram counts + one IEEE-safe division). Rows = documents with ≥2
+    nonempty tokens; count ties break to the lexicographically smallest
+    bigram in BOTH engines."""
+    from ..functions.text import top_bigram_batch
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        sig = top_bigram_batch(b)
+        ids = b.column("doc_id").take(sig.column("__row"))
+        return sig.drop_columns(["__row"]).add_column(0, "doc_id", ids)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+BIGRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> strlen(x) > 0) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM tok, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM cnt GROUP BY 1),
+top AS (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM cnt)
+SELECT t.doc_id, t.g AS top_bigram, CAST(t.c AS BIGINT) AS top_bigram_count,
+       tt.n_bigrams, CAST(t.c AS DOUBLE) / tt.n_bigrams AS bigram_frac
+FROM top t JOIN tot tt USING (doc_id) WHERE t.rn = 1
+"""
+
+
 # ---- normalized (near-exact) dedup ----------------------------------------
 
 
@@ -1488,6 +1533,30 @@ SELECT event_id, user_id,
             AS BIGINT) AS gap_us
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def latest_events(sf_dir: str):
+    """(event_id, ts, user_id, event_type, value) — keep-latest-per-key
+    compaction: ONE surviving row per (user_id, event_type), the greatest
+    ts (tiebreak: greatest event_id). The CDC / crawl-snapshot dedup shape
+    (latest warc_ts per url) via stages/compaction.keep_latest — hash
+    bucket of the key tuple is the only shuffle key."""
+    from ..stages.compaction import keep_latest
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "ts", "user_id", "event_type",
+                               "value"])
+    return keep_latest(ev, ["user_id", "event_type"], "ts",
+                       tiebreak="event_id")
+
+
+LATEST_EVENTS_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
 """
 
 
