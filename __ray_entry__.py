@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_quantity_returnflag": checks.ks_quantity_returnflag,
         "psi_lang_documents": checks.psi_lang_documents,
         "distinct_sources_per_lang": checks.distinct_sources_per_lang,
+        "chisq_lang_source": checks.chisq_lang_source_documents,
         "distinct_users_per_event": checks.distinct_users_per_event,
         "fk_orders_custkey_bloom": checks.fk_orders_custkey_bloom,
         "trim_outliers_documents": checks.trim_outliers_documents,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_quantity_returnflag": checks.KS_QUANTITY_SQL,
         "psi_lang_documents": checks.PSI_LANG_SQL,
         "distinct_sources_per_lang": checks.DISTINCT_SOURCES_SQL,
+        "chisq_lang_source": checks.CHISQ_LANG_SOURCE_SQL,
         "distinct_users_per_event": checks.DISTINCT_USERS_SQL,
         "trim_outliers_documents": checks.TRIM_OUTLIERS_SQL,
         "segment_revenue": analytics.SEGMENT_REVENUE_SQL,

@@ -524,6 +524,40 @@ FROM j ORDER BY lang
 """
 
 
+def chisq_lang_source_documents(sf_dir: str):
+    """(lang, source, observed, expected, contrib) — chi-square
+    INDEPENDENCE check of lang × source (is the language mix uniform
+    across sources, or does some source drift?), via
+    stages/contingency.chi_square_cells. Per-CELL contributions keep the
+    floats oracle-exact (pure expressions of integer counts, no
+    accumulation — the PSI-per-bin discipline); the statistic is the
+    checked column's sum."""
+    from ..stages.contingency import chi_square_cells
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source"])
+    return chi_square_cells(docs, "lang", "source")
+
+
+CHISQ_LANG_SOURCE_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+),
+m AS (
+  SELECT lang, source, observed,
+         CAST(sum(observed) OVER (PARTITION BY lang) AS DOUBLE) AS rt,
+         CAST(sum(observed) OVER (PARTITION BY source) AS DOUBLE) AS ct,
+         CAST(sum(observed) OVER () AS DOUBLE) AS n
+  FROM cells
+),
+e AS (SELECT lang, source, observed, rt * ct / n AS expected FROM m)
+SELECT lang, source, observed, expected,
+       (observed - expected) * (observed - expected) / expected AS contrib
+FROM e
+"""
+
+
 # ---- per-group exact distinct ----------------------------------------------
 
 

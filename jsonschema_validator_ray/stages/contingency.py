@@ -1,0 +1,77 @@
+"""Chi-square contingency (independence) check between two categorical
+columns — the fourth member of the distribution-check family (PSI, KL, KS
+live in stages/drift and stages/ks): are ``lang`` and ``source`` (host,
+shard, crawl…) independent, or does some source carry a skewed language
+mix?
+
+Distributed shape: per-batch pandas ``groupby.size`` partials (a few-KB
+table per batch — raw rows never shuffle), folded per hash bucket of the
+cell pair, then the FINAL cell table (|A|×|B| rows — bounded by the
+category-pair count, not the corpus) is gathered to the driver for the
+marginal totals, which need every cell by definition.
+
+Float contract (CLAUDE.md): the per-cell contribution is a pure expression
+of integer counts — ``e = (rt · ct) / n`` in float64 (marginals cast to
+float BEFORE the product so 10^12-row marginals cannot overflow int64),
+``contrib = (o − e)·(o − e)/e`` — with NO accumulation, so the SQL oracle
+spelling the identical expression tree matches bitwise. The summed
+statistic is the checked column's sum; callers compare it to the
+chi-square critical value for (|A|−1)(|B|−1) degrees of freedom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def contingency_counts(ds, col_a: str, col_b: str, *,
+                       num_buckets: int = 16, batch_size: int = 65536):
+    """→ Dataset of (col_a, col_b, observed): exact cell counts of the
+    contingency table, via per-batch partial counts + per-bucket fold
+    (never one Ray group per cell). Null category values count as their
+    own cell only if present in the data — they are kept verbatim."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([col_a, col_b]).to_pandas()
+        cells = (df.groupby([col_a, col_b], sort=False, dropna=False)
+                   .size().reset_index(name="observed"))
+        h = pd.util.hash_pandas_object(
+            cells[[col_a, col_b]], index=False).to_numpy()
+        cells["__kb"] = (h.astype(np.uint64)
+                         % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(cells, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([col_a, col_b], sort=False, dropna=False,
+                         as_index=False)["observed"].sum())
+        out["observed"] = out["observed"].astype(np.int64)
+        return out
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+              .groupby("__kb").map_groups(fold, batch_format="pandas"))
+
+
+def chi_square_cells(ds, col_a: str, col_b: str, *,
+                     num_buckets: int = 16,
+                     batch_size: int = 65536) -> pd.DataFrame:
+    """→ pandas DataFrame (col_a, col_b, observed, expected, contrib):
+    per-cell chi-square contributions of the independence test. The final
+    table is cell-count-sized (bounded by |A|·|B|), so the driver gather is
+    safe at any corpus scale."""
+    cells = contingency_counts(ds, col_a, col_b, num_buckets=num_buckets,
+                               batch_size=batch_size).to_pandas()
+    if cells.empty:
+        return pd.DataFrame(columns=[col_a, col_b, "observed", "expected",
+                                     "contrib"])
+    n = np.float64(cells["observed"].sum())
+    rt = cells.groupby(col_a, dropna=False)["observed"].transform("sum")
+    ct = cells.groupby(col_b, dropna=False)["observed"].transform("sum")
+    e = rt.to_numpy(np.float64) * ct.to_numpy(np.float64) / n
+    o = cells["observed"].to_numpy(np.float64)
+    cells = cells[[col_a, col_b, "observed"]].copy()
+    cells["expected"] = e
+    cells["contrib"] = (o - e) * (o - e) / e
+    return cells.sort_values([col_a, col_b]).reset_index(drop=True)

@@ -173,3 +173,40 @@ def test_shuffle_hash_negative_keys_match_sql():
     """
     want = [r[0] for r in duckdb.connect().execute(sql).fetchall()]
     assert [int(x) for x in got] == want
+
+
+def test_chi_square_cells_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.contingency import chi_square_cells
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z", None], 4000, p=[.4, .3, .2, .1]),
+        "b": rng.choice(["p", "q", "r"], 4000),
+    })
+    got = chi_square_cells(ray.data.from_pandas(df).repartition(5),
+                           "a", "b", num_buckets=4)
+    # brute force: full crosstab marginals (dropna=False keeps the null row)
+    cnt = (df.groupby(["a", "b"], dropna=False).size()
+             .reset_index(name="o"))
+    n = float(cnt["o"].sum())
+    rt = cnt.groupby("a", dropna=False)["o"].transform("sum").to_numpy(float)
+    ct = cnt.groupby("b", dropna=False)["o"].transform("sum").to_numpy(float)
+    e = rt * ct / n
+    o = cnt["o"].to_numpy(float)
+    want = cnt.rename(columns={"o": "observed"}).copy()
+    want["expected"] = e
+    want["contrib"] = (o - e) * (o - e) / e
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert list(got["observed"]) == list(want["observed"])
+    assert np.array_equal(got["expected"].to_numpy(),
+                          want["expected"].to_numpy())   # bitwise
+    assert np.array_equal(got["contrib"].to_numpy(),
+                          want["contrib"].to_numpy())
+    # statistic sanity: independent-ish draws → chi2 not astronomically big
+    assert got["contrib"].sum() < 100
