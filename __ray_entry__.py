@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_documents": corpus.bigram_documents,
         "hist_lang_documents": corpus.hist_lang_documents,
         "repetition_documents": corpus.repetition_documents,
+        "signals_documents": corpus.signals_documents,
         "dedup_norm_documents": corpus.dedup_norm_documents,
         "hist_length_documents": corpus.hist_length_documents,
         "dup_lines_documents": corpus.dup_lines_documents,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_documents": corpus.BIGRAM_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,
         "repetition_documents": corpus.REPETITION_SQL,
+        "signals_documents": corpus.SIGNALS_SQL,
         "dedup_norm_documents": corpus.DEDUP_NORM_SQL,
         "hist_length_documents": corpus.HIST_LENGTH_SQL,
         "dup_lines_documents": corpus.DUP_LINES_SQL,

@@ -864,6 +864,57 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
+def signals_documents(sf_dir: str):
+    """ONE-SCAN text-signal sweep: a single read + a single ``map_batches``
+    pass emitting every SQL-checkable per-document signal at once —
+    lengths, token count, the Gopher composite gate, token-repetition
+    stats, and the top-bigram stats. At 100 TB this is the shape that
+    matters: one pass over the corpus instead of five independent scans
+    (the per-signal queries stay for à-la-carte use; this is the fused
+    production sweep). Oracle = the verified per-signal SQLs joined on
+    doc_id."""
+    from ..functions.text import (gopher_quality_batch, repetition_batch,
+                                  top_bigram_batch)
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def sweep(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        g = gopher_quality_batch(b, min_tokens=20)
+        r = repetition_batch(b)
+        tb = top_bigram_batch(b)
+        rows = tb.column("__row").to_numpy(zero_copy_only=False)
+        absent = np.ones(n, dtype=bool)
+        absent[rows] = False
+
+        def scat_int(col: str) -> pa.Array:
+            arr = np.zeros(n, dtype=np.int64)
+            arr[rows] = tb.column(col).to_numpy(zero_copy_only=False)
+            return pa.array(arr, mask=absent)
+
+        frac = np.zeros(n, dtype=np.float64)
+        frac[rows] = tb.column("bigram_frac").to_numpy(zero_copy_only=False)
+        grams = np.full(n, None, dtype=object)
+        grams[rows] = np.asarray(tb.column("top_bigram").to_pylist(),
+                                 dtype=object)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars_q": g.column("n_chars"),
+            "n_bytes_q": g.column("n_bytes"),
+            "n_tokens": g.column("n_tokens"),
+            "gopher_pass": g.column("gopher_pass"),
+            "n_distinct": r.column("n_distinct"),
+            "top_count": r.column("top_count"),
+            "top_bigram": pa.array(grams, pa.large_string()),
+            "top_bigram_count": scat_int("top_bigram_count"),
+            "n_bigrams": scat_int("n_bigrams"),
+            "bigram_frac": pa.array(frac, mask=absent),
+        })
+
+    return docs.map_batches(sweep, batch_format="pyarrow")
+
+
 def bigram_documents(sf_dir: str):
     """(doc_id, top_bigram, top_bigram_count, n_bigrams, bigram_frac) —
     per-document top-BIGRAM repetition signal (Rae et al. 2021 A1.2
@@ -906,6 +957,19 @@ top AS (SELECT doc_id, g, c,
 SELECT t.doc_id, t.g AS top_bigram, CAST(t.c AS BIGINT) AS top_bigram_count,
        tt.n_bigrams, CAST(t.c AS DOUBLE) / tt.n_bigrams AS bigram_frac
 FROM top t JOIN tot tt USING (doc_id) WHERE t.rn = 1
+"""
+
+
+# fused sweep oracle: the individually-verified per-signal SQLs joined on
+# doc_id (derived tables, so their own WITH clauses nest cleanly)
+SIGNALS_SQL = f"""
+SELECT q.doc_id, q.n_chars_q, q.n_bytes_q, q.n_tokens,
+       g.gopher_pass, r.n_distinct, r.top_count,
+       b.top_bigram, b.top_bigram_count, b.n_bigrams, b.bigram_frac
+FROM ({QUALITY_SQL}) q
+JOIN ({GOPHER_SQL}) g USING (doc_id)
+JOIN ({REPETITION_SQL}) r USING (doc_id)
+LEFT JOIN ({BIGRAM_SQL}) b USING (doc_id)
 """
 
 

@@ -109,3 +109,46 @@ def test_keep_latest_null_order_loses(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     # x: non-null 10 beats null; y: all-null → greatest rid survives
     assert list(got["rid"]) == [1, 4]
+
+
+# ---- fused one-scan signal sweep ---------------------------------------------
+
+
+def test_signals_sweep_agrees_with_parts(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.pipelines.corpus import (
+        bigram_documents, quality_documents, repetition_documents,
+        signals_documents)
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    # add edge rows: null text, empty, single token
+    extra = pa.table({
+        "doc_id": pa.array([10**6, 10**6 + 1, 10**6 + 2], pa.int64()),
+        "text": pa.array([None, "", "solo"], pa.string()),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["t"] * 3),
+        "n_chars": pa.array([0, 0, 4], pa.int64()),
+    })
+    pq.write_table(pa.concat_tables([src.select(extra.column_names), extra]),
+                   str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    fused = (signals_documents(sf).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    q = quality_documents(sf).to_pandas().sort_values("doc_id")
+    r = repetition_documents(sf).to_pandas().sort_values("doc_id")
+    b = (bigram_documents(sf).to_pandas()
+         .set_index("doc_id").sort_index())
+    def eq(a, b):   # NaN-tolerant column equality
+        return list(pd.Series(a).fillna(-1)) == list(pd.Series(b).fillna(-1))
+
+    assert eq(fused["n_tokens"], q["n_tokens"].to_numpy())
+    assert eq(fused["n_distinct"], r["n_distinct"].to_numpy())
+    assert eq(fused["top_count"], r["top_count"].to_numpy())
+    sub = fused.set_index("doc_id").loc[b.index]
+    assert list(sub["top_bigram"]) == list(b["top_bigram"])
+    assert list(sub["n_bigrams"]) == list(b["n_bigrams"])
+    assert list(sub["bigram_frac"]) == list(b["bigram_frac"])
+    # rows WITHOUT a bigram carry nulls in the bigram columns
+    no_big = fused[~fused["doc_id"].isin(b.index)]
+    assert no_big["top_bigram"].isna().all()
+    assert no_big["bigram_frac"].isna().all()
