@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_last_click": analytics.purchase_last_click,
         "top_orders_per_segment": analytics.top_orders_per_segment,
         "orders_without_customer": analytics.orders_without_customer,
+        "orders_customer_left": analytics.orders_customer_left,
         "parts_in_lineitem": analytics.parts_in_lineitem,
         "pivot_priority_status": analytics.pivot_priority_status,
         "curated_documents": curation.curated_documents,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_last_click": analytics.PURCHASE_LAST_CLICK_SQL,
         "top_orders_per_segment": analytics.TOP_ORDERS_SQL,
         "orders_without_customer": analytics.ORDERS_WITHOUT_CUSTOMER_SQL,
+        "orders_customer_left": analytics.ORDERS_CUSTOMER_LEFT_SQL,
         "parts_in_lineitem": analytics.PARTS_IN_LINEITEM_SQL,
         "pivot_priority_status": analytics.PIVOT_PRIORITY_STATUS_SQL,
         "curated_documents": curation.CURATED_SQL,

@@ -234,6 +234,35 @@ WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
 """
 
 
+def orders_customer_left(sf_dir: str):
+    """(o_orderkey, o_custkey, c_name) — LEFT OUTER enrichment join of
+    orders against a RESTRICTED customer dimension (c_custkey <= 100, so
+    most orders miss and carry a NULL c_name): the padded-null join shape,
+    via the explicit bucketed join (both sides hash-exchanged on the key
+    bucket — the 100-TB path when the dimension outgrows broadcast).
+    Exercises the null-padding / int64-upcast boundary documented in
+    stages/joins."""
+    from ..stages.joins import bucketed_join
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"]
+                        ).filter(expr="c_custkey <= 100")
+    return bucketed_join(orders, cust, "o_custkey", right_on="c_custkey",
+                         join_type="left_outer", num_buckets=32
+                         ).select_columns(["o_orderkey", "o_custkey",
+                                           "c_name"])
+
+
+ORDERS_CUSTOMER_LEFT_SQL = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) c
+  ON c.c_custkey = o.o_custkey
+"""
+
+
 # ---- pivot: long → wide conditional aggregation ----------------------------
 
 
