@@ -168,7 +168,7 @@ def run_bench() -> dict:
         "quantiles_lineitem", "repetition_documents", "clean_lines_documents",
         "ngram_decontam_documents", "dup_spans_documents",
         "dedup_incremental_documents", "ingest_documents",
-        "semdedup_embeddings",
+        "semdedup_embeddings", "signals_documents", "latest_events",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
