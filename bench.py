@@ -60,6 +60,28 @@ def _ensure_webtext(n_rows: int) -> list[str]:
     return sorted(str(p) for p in d.glob("*.parquet"))
 
 
+def _probe_spin(secs: float) -> int:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < secs:
+        x += 1
+    return x
+
+
+def _parallelism_probe(workers: int = 8, secs: float = 0.2) -> float:
+    """Measured deliverable parallel speedup (spin workers, wall-clock
+    ratio) — the honest starvation detector. NOTE `nproc` is misleading in
+    this sandbox: it reads OMP_NUM_THREADS=1 from the env and reports 1
+    regardless of actual allocation; this probe measures reality."""
+    import multiprocessing as mp
+
+    with mp.Pool(workers) as p:
+        t0 = time.perf_counter()
+        p.map(_probe_spin, [secs] * workers)
+        wall = time.perf_counter() - t0
+    return round(secs * workers / wall, 1)
+
+
 def _warm(files: list[str]) -> None:
     """Warm the OS page cache so timing measures compute, not first-read."""
     for f in files:
@@ -138,6 +160,11 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "webtext_rows": WEBTEXT_ROWS,
             "docs_per_sec": round(WEBTEXT_ROWS / headline, 1),
+            # sandbox CPU allocation drifts (see BASELINE.md); stamp the
+            # window so contaminated numbers are identifiable post-hoc
+            "host_cpus": os.cpu_count(),
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "parallel_speedup_8": _parallelism_probe(),
         }
         ray.shutdown()
         return result
@@ -190,6 +217,9 @@ def run_bench() -> dict:
         "violations": n_viol,
         "dup_urls": n_dups,
         "lang_violations": n_langviol,
+        "host_cpus": os.cpu_count(),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "parallel_speedup_8": _parallelism_probe(),
     }
     ray.shutdown()
     return result
@@ -248,6 +278,9 @@ def run_scaling() -> dict:
                       "eff": [round(e, 3) for e in effs]},
         "webtext_rows": rows,
         "criterion": "efficiency >= 0.8 from N to 4N parallelism",
+        "host_cpus": os.cpu_count(),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "parallel_speedup_8": _parallelism_probe(),
         "pass": eff >= 0.8,
     }
 
