@@ -75,7 +75,10 @@ def _parallelism_probe(workers: int = 8, secs: float = 0.2) -> float:
     regardless of actual allocation; this probe measures reality."""
     import multiprocessing as mp
 
-    with mp.Pool(workers) as p:
+    # spawn, not fork: forking while Ray is initialized can inherit held
+    # gRPC/raylet locks into the child and deadlock the pool
+    with mp.get_context("spawn").Pool(workers) as p:
+        p.map(_probe_spin, [0.01] * workers)      # absorb spawn startup
         t0 = time.perf_counter()
         p.map(_probe_spin, [secs] * workers)
         wall = time.perf_counter() - t0

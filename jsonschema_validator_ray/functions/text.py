@@ -380,8 +380,7 @@ def top_bigram_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     par = parent[keep].astype(np.int64)
     enc = pc.dictionary_encode(flat.take(pa.array(keep)))
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = enc.dictionary.to_pylist()
-    V = np.int64(len(vocab))
+    V = np.int64(len(enc.dictionary))
     # adjacent pairs within the same row (empty fragments removed in order)
     adj = np.flatnonzero(par[:-1] == par[1:])
     if adj.size == 0:
@@ -397,10 +396,17 @@ def top_bigram_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     top = np.zeros(n, dtype=np.int64)
     np.maximum.at(top, doc_of, cnts)
     # argmax with lexicographic tiebreak: materialize strings only for
-    # entries tied at their row's max count
+    # entries tied at their row's max count — and only the TOKENS those
+    # candidates reference (never the whole batch vocabulary)
     cand = np.flatnonzero(cnts == top[doc_of])
     import pandas as pd
-    g = [f"{vocab[c // V]} {vocab[c % V]}" for c in combo_of[cand]]
+    cand_codes = combo_of[cand]
+    need, inv = np.unique(
+        np.concatenate([cand_codes // V, cand_codes % V]),
+        return_inverse=True)
+    words = enc.dictionary.take(pa.array(need)).to_pylist()
+    half = len(cand_codes)
+    g = [f"{words[inv[i]]} {words[inv[half + i]]}" for i in range(half)]
     best = (pd.DataFrame({"doc": doc_of[cand], "g": g})
             .groupby("doc", sort=True)["g"].min())
     rows = best.index.to_numpy()

@@ -1,16 +1,23 @@
 """ORC / Feather (Arrow IPC) ingestion — columnar formats Ray Data has no
 built-in reader for in this version, expressed Ray-Data-natively: the
-driver lists WORK ITEMS (one per ORC stripe / one per Feather file — a
-metadata-only pass), and the byte-heavy decode runs inside ``map_batches``
-tasks, so parallelism scales with total stripe count, not file count, and
-no file's bytes ever pass through the driver.
+driver lists WORK ITEMS (one per ORC stripe / one per Feather record
+batch group — a metadata-only pass), and the byte-heavy decode runs inside
+``map_batches`` tasks, so parallelism scales with total stripe count, not
+file count, and no file's bytes ever pass through the driver.
 
 Both readers return a plain ``ray.data.Dataset`` of Arrow blocks, so every
 downstream stage (validation plans, dedup, stats …) composes unchanged.
+
+Write side follows the resumable-sink discipline: shards land under a
+temp name and are renamed into place atomically, a ``_manifest.json``
+listing the completed shards is written LAST, and ``read_orc`` prefers the
+manifest over a directory glob — so a crashed or Ray-retried write can
+never feed truncated or duplicate shards to a later read.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from pathlib import Path
 
@@ -18,15 +25,30 @@ import pyarrow as pa
 
 import ray.data
 
+_MANIFEST = "_manifest.json"
 
-def _expand(paths) -> list[str]:
+
+def _expand(paths, suffixes: tuple[str, ...]) -> list[str]:
+    """File list from paths/dirs. Directories prefer ``_manifest.json``
+    (the completed-shard list of :func:`write_orc`), else glob by suffix —
+    stray files (_SUCCESS markers, in-flight temps, checksums) are never
+    picked up."""
     if isinstance(paths, (str, os.PathLike)):
         paths = [paths]
     out: list[str] = []
     for p in paths:
         p = Path(p)
         if p.is_dir():
-            out.extend(sorted(str(f) for f in p.rglob("*") if f.is_file()))
+            man = p / _MANIFEST
+            if man.exists():
+                with open(man) as f:
+                    out.extend(f"{p}/{Path(s).name}"
+                               for s in json.load(f)["shards"])
+            else:
+                out.extend(sorted(
+                    str(f) for f in p.rglob("*")
+                    if f.is_file() and f.suffix.lower() in suffixes
+                    and not f.name.startswith((".", "_"))))
         else:
             out.append(str(p))
     return out
@@ -40,7 +62,7 @@ def read_orc(paths, *, columns: list[str] | None = None,
     import pyarrow.orc as orc
 
     items = []
-    for f in _expand(paths):
+    for f in _expand(paths, (".orc",)):
         n = orc.ORCFile(f).nstripes
         items.extend({"path": f, "stripe": s} for s in range(n))
     if not items:
@@ -59,18 +81,23 @@ def read_orc(paths, *, columns: list[str] | None = None,
 def read_feather(paths, *, columns: list[str] | None = None,
                  concurrency: int | None = None):
     """→ Dataset over Feather-v2 / Arrow-IPC file(s)/dir(s). One work item
-    per file (IPC files are usually written pre-sharded; batches inside a
-    file stream out as separate blocks)."""
-    items = [{"path": f} for f in _expand(paths)]
+    per file; INSIDE the task the file's record batches stream out as
+    separate blocks (``pa.ipc.open_file`` handles Feather v2 including
+    compression), so one big unsharded file never materializes as a
+    single block."""
+    items = [{"path": f}
+             for f in _expand(paths, (".feather", ".arrow", ".ipc"))]
     if not items:
         return ray.data.from_items([])
 
     def load(batch):
-        import pyarrow.feather as feather
-
         for path in batch["path"]:
-            t = feather.read_table(path, columns=columns)
-            yield t if t.num_rows else t  # empty table still a valid block
+            with pa.OSFile(str(path), "rb") as fh:
+                reader = pa.ipc.open_file(fh)
+                for i in range(reader.num_record_batches):
+                    rb = reader.get_batch(i)
+                    t = pa.Table.from_batches([rb])
+                    yield t.select(columns) if columns else t
 
     return ray.data.from_items(items).map_batches(
         load, batch_size=1, batch_format="numpy", concurrency=concurrency)
@@ -78,8 +105,11 @@ def read_feather(paths, *, columns: list[str] | None = None,
 
 def write_orc(ds, out_dir: str, *, batch_rows: int = 1 << 20) -> list[str]:
     """Write a Dataset to a directory of ORC shards (one file per task
-    call — resumable-output discipline: never one giant file). Returns the
-    shard paths (driver-side listing after the distributed write)."""
+    call — resumable-output discipline: never one giant file). Each shard
+    lands under a temp name and is atomically renamed; the completed list
+    is committed to ``_manifest.json`` LAST, which ``read_orc`` prefers —
+    so crashes or Ray task retries can't surface truncated/orphan shards.
+    Returns the shard paths."""
     import pyarrow.orc as orc
 
     os.makedirs(out_dir, exist_ok=True)
@@ -95,11 +125,19 @@ def write_orc(ds, out_dir: str, *, batch_rows: int = 1 << 20) -> list[str]:
             if b.num_rows == 0:
                 return pa.table({"path": pa.array([], pa.string()),
                                  "rows": pa.array([], pa.int64())})
-            p = os.path.join(out_dir, f"shard-{self.prefix}-{self.n:06d}.orc")
+            name = f"shard-{self.prefix}-{self.n:06d}.orc"
             self.n += 1
-            orc.write_table(b, p)
+            tmp = os.path.join(out_dir, f"_tmp-{name}")
+            orc.write_table(b, tmp)
+            p = os.path.join(out_dir, name)
+            os.replace(tmp, p)                    # atomic publish
             return pa.table({"path": [p], "rows": [b.num_rows]})
 
     manifest = ds.map_batches(_Write, batch_format="pyarrow",
                               batch_size=batch_rows, concurrency=(1, 8))
-    return sorted(r["path"] for r in manifest.take_all())
+    paths = sorted(r["path"] for r in manifest.take_all())
+    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"shards": [Path(p).name for p in paths]}, f)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return paths

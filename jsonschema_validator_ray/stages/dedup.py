@@ -219,7 +219,10 @@ class MinHasher:
             return out
         sizes = np.fromiter((s.size for s in per_doc), dtype=np.int64,
                             count=n_docs)
-        if (sizes == 0).any():   # callers never produce empties; be safe
+        empty_rows = np.flatnonzero(sizes == 0)
+        if empty_rows.size:   # callers never produce empties; be safe —
+            # pad for reduceat, then overwrite with signature_fast's
+            # empty-input value (all uint64-max) to keep bit parity
             per_doc = [s if s.size else np.array([np.uint64(0)], np.uint64)
                        for s in per_doc]
             sizes = np.maximum(sizes, 1)
@@ -231,6 +234,8 @@ class MinHasher:
             prod ^= prod >> np.uint64(33)
             out[:, c0:c0 + perm_chunk] = np.minimum.reduceat(
                 prod, starts, axis=1).T
+        if empty_rows.size:
+            out[empty_rows] = np.iinfo(np.uint64).max
         return out
 
 

@@ -85,3 +85,48 @@ def test_columnar_empty_inputs(ray_session, tmp_path):
     (tmp_path / "empty").mkdir()
     assert read_orc(str(tmp_path / "empty")).count() == 0
     assert read_feather(str(tmp_path / "empty")).count() == 0
+
+
+def test_write_orc_manifest_shields_stray_files(ray_session, tmp_path):
+    """A truncated temp shard and stray marker files in the output dir are
+    invisible to read_orc (manifest preferred; glob filters extensions and
+    _/.-prefixed names)."""
+    import ray.data
+
+    from jsonschema_validator_ray.sources.columnar import read_orc, write_orc
+
+    df = _df(1000, seed=3)
+    out = str(tmp_path / "out")
+    write_orc(ray.data.from_pandas(df), out, batch_rows=500)
+    # simulate a crashed retry: truncated temp shard + marker files
+    (tmp_path / "out" / "_tmp-shard-dead-000000.orc").write_bytes(b"ORC\x00tr")
+    (tmp_path / "out" / "_SUCCESS").write_text("")
+    (tmp_path / "out" / "junk.crc").write_text("x")
+    got = read_orc(out).to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df)
+    # no-manifest dir (plain glob): extension + prefix filter still applies
+    (tmp_path / "out" / "_manifest.json").unlink()
+    got2 = read_orc(out).to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, df)
+
+
+def test_read_feather_streams_batches(ray_session, tmp_path):
+    """A multi-record-batch IPC file comes out as multiple blocks (no
+    whole-file materialization)."""
+    import pyarrow.ipc as ipc
+
+    from jsonschema_validator_ray.sources.columnar import read_feather
+
+    df = _df(4000, seed=4)
+    t = pa.Table.from_pandas(df)
+    path = str(tmp_path / "big.arrow")
+    with pa.OSFile(path, "wb") as fh:
+        with ipc.new_file(fh, t.schema) as w:
+            for i in range(0, 4000, 500):
+                w.write_table(t.slice(i, 500))
+    ds = read_feather(path)
+    assert ds.count() == 4000
+    got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df)
+    pruned = read_feather(path, columns=["id"]).schema().names
+    assert pruned == ["id"]
