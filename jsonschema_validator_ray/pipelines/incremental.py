@@ -24,9 +24,13 @@ which point re-running the failed crawl is safe — probes only read
 generations listed in each store's meta.
 
 Survivor data flows through the WRITTEN corpus generation: survivors are
-written to Parquet once, then the three store updates read that generation
-back (~KBs of hashes/signatures/sketches per MB of text) instead of
+written to Parquet once, then the hash/stats store updates read that
+generation back (~KBs of hashes/sketches per MB of text) instead of
 re-executing — or worse, materializing — the dedup pipeline three times.
+The MINHASH update goes one better: the near-dedup probe already
+materialized the crawl's signatures, so they are filtered to the
+survivors and handed to ``update_minhash_index(sigs=...)`` — each crawl's
+text is shingled exactly once per ingest.
 """
 
 from __future__ import annotations
@@ -111,12 +115,15 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
         survivors = hashindex.dedup_exact_incremental(
             ds, hash_dir, column=text, batch_size=batch_size)
 
-    # near dedup against the indexed history (cross-crawl only)
+    # near dedup against the indexed history (cross-crawl only); the
+    # probe's materialized signatures flow through to the index update
+    # below — the crawl text is shingled exactly once
     matched_pairs = 0
+    surv_sigs = None
     if not first:
-        survivors, matched = minhashindex.dedup_near_incremental(
+        survivors, matched, surv_sigs = minhashindex.dedup_near_incremental(
             survivors, mh_dir, threshold=meta["near_threshold"],
-            batch_size=max(batch_size // 4, 256))
+            batch_size=max(batch_size // 4, 256), return_sigs=True)
         matched_pairs = matched.count()
 
     # survivors land FIRST; every store update reads the written
@@ -146,7 +153,8 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
             hashindex.update_hash_index(kept, hash_dir, column=text,
                                         batch_size=batch_size)
             minhashindex.update_minhash_index(
-                kept, mh_dir, batch_size=max(batch_size // 4, 256))
+                kept, mh_dir, batch_size=max(batch_size // 4, 256),
+                sigs=surv_sigs)
             statestore.update_stats_state(kept, stats_dir,
                                           batch_size=batch_size)
     # n_kept == 0 (fully-deduplicated re-crawl): nothing to fold — the

@@ -88,10 +88,17 @@ def _key_bucket(keys, num_buckets: int) -> np.ndarray:
 
 
 def _write_generation(ds, path: str, gen: str, meta: dict,
-                      batch_size: int) -> None:
+                      batch_size: int, sigs=None) -> None:
+    """``sigs`` (a ``(key, sig)`` dataset, e.g. the probe's materialized
+    signatures filtered to the survivors) skips the signature recompute —
+    at scale the shingle+hash pass is the whole cost of an index update."""
     key, nb = meta["key"], meta["num_buckets"]
-    sigs = minhash_signatures(ds, key, meta["text"], n_perm=meta["n_perm"],
-                              seed=meta["seed"], batch_size=batch_size)
+    if sigs is None:
+        sigs = minhash_signatures(ds, key, meta["text"],
+                                  n_perm=meta["n_perm"],
+                                  seed=meta["seed"], batch_size=batch_size)
+    else:
+        sigs = sigs.select_columns([key, "sig"])
 
     def add_sb(b: pa.Table) -> pa.Table:
         kb = _key_bucket(b.column(key).to_pandas(), nb)
@@ -129,13 +136,16 @@ def write_minhash_index(ds, path: str, *, key: str, text: str,
     _write_meta(path, meta)
 
 
-def update_minhash_index(ds, path: str, *, batch_size: int = 1024) -> None:
+def update_minhash_index(ds, path: str, *, batch_size: int = 1024,
+                         sigs=None) -> None:
     """Append a new generation with ``ds``'s signatures/band rows (pass the
     SURVIVORS of the incremental dedup so the index tracks the kept corpus).
-    Atomic: data lands fully before meta.json is replaced."""
+    Atomic: data lands fully before meta.json is replaced. Pass ``sigs``
+    (survivor signatures from :func:`dedup_near_incremental`) to skip
+    recomputing them from text."""
     meta = _read_meta(path)
     gen = f"gen-{len(meta['generations']):06d}"
-    _write_generation(ds, path, gen, meta, batch_size)
+    _write_generation(ds, path, gen, meta, batch_size, sigs=sigs)
     meta["generations"].append(gen)
     _write_meta(path, meta)
 
@@ -163,7 +173,7 @@ def _read_bucket(path: str, generations: list[str], store: str,
 
 def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
                         batch_size: int = 1024, bucket_cap: int = 200,
-                        pair_buckets: int = 16):
+                        pair_buckets: int = 16, return_sigs: bool = False):
     """→ Dataset ``(key_a, key_b, jaccard_est, truncated)``: every (new
     doc, indexed doc) pair with estimated Jaccard ≥ ``threshold``. ``ds``
     is the new crawl; only it is signed and shuffled — index I/O is
@@ -173,8 +183,12 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     (hot buckets emit capped pairs with ``truncated=1``, same contract as
     stages/dedup). New-side signatures are materialized once (~8·n_perm
     B/doc — the increment, not the corpus) because both the candidate and
-    verify stages consume them."""
+    verify stages consume them. ``return_sigs=True`` → (pairs, sigs) so
+    the caller can reuse the materialized signatures (index update)."""
     import ray.data
+
+    def ret(pairs, sigs):
+        return (pairs, sigs) if return_sigs else pairs
 
     meta = _read_meta(index_path)
     key, nb = meta["key"], meta["num_buckets"]
@@ -187,8 +201,8 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
         # empty crawl (e.g. everything already dropped upstream): an empty
         # Dataset has no schema to read the key type from — take it from
         # the index's own sig store
-        return ray.data.from_arrow(
-            _empty_pairs(_index_key_type(index_path, meta)))
+        return ret(ray.data.from_arrow(
+            _empty_pairs(_index_key_type(index_path, meta))), sigs)
     key_type = dict(zip(sigs.schema().names, sigs.schema().types))[key]
 
     explode = _explode_bands(meta, key_type)
@@ -241,7 +255,7 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     pairs = _dedupe_pairs(cand, {"truncated": "max"},
                           num_buckets=pair_buckets).materialize()
     if pairs.count() == 0:
-        return ray.data.from_arrow(_empty_pairs(key_type))
+        return ret(ray.data.from_arrow(_empty_pairs(key_type)), sigs)
 
     from .joins import bucketed_join
 
@@ -297,27 +311,35 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
             "truncated": pc.cast(b.column("truncated"), pa.int32()),
         })
 
-    return out.map_batches(norm, batch_format="pyarrow")
+    return ret(out.map_batches(norm, batch_format="pyarrow"), sigs)
 
 
 def dedup_near_incremental(ds, index_path: str, *, threshold: float = 0.7,
                            batch_size: int = 1024, bucket_cap: int = 200,
-                           pair_buckets: int = 16, strategy: str = "auto"):
+                           pair_buckets: int = 16, strategy: str = "auto",
+                           return_sigs: bool = False):
     """→ (survivors, matched_pairs): drop new docs that near-duplicate any
     indexed doc. Within-new near-dedup is a separate concern — run
     stages/dedup.minhash_near_duplicates on the survivors, then
-    ``update_minhash_index`` with what you keep."""
+    ``update_minhash_index`` with what you keep. ``return_sigs=True`` →
+    (survivors, matched, survivor_sigs): the probe's materialized
+    signatures filtered to the survivors, ready to hand to
+    ``update_minhash_index(sigs=...)`` so the text is never re-shingled."""
     meta = _read_meta(index_path)
-    matched = probe_minhash_index(ds, index_path, threshold=threshold,
-                                  batch_size=batch_size,
-                                  bucket_cap=bucket_cap,
-                                  pair_buckets=pair_buckets).materialize()
+    matched, sigs = probe_minhash_index(
+        ds, index_path, threshold=threshold, batch_size=batch_size,
+        bucket_cap=bucket_cap, pair_buckets=pair_buckets, return_sigs=True)
+    matched = matched.materialize()
     if matched.count() == 0:
-        return ds, matched
+        return (ds, matched, sigs) if return_sigs else (ds, matched)
     from .joins import anti_join
     survivors = anti_join(ds, matched, on=meta["key"], right_on="key_a",
                           strategy=strategy)
-    return survivors, matched
+    if not return_sigs:
+        return survivors, matched
+    surv_sigs = anti_join(sigs, matched, on=meta["key"], right_on="key_a",
+                          strategy=strategy)
+    return survivors, matched, surv_sigs
 
 
 def index_doc_count(path: str) -> int:

@@ -117,3 +117,43 @@ def test_probe_with_empty_crawl(ray_session, tmp_path):
     probed = probe_minhash_index(empty, path, threshold=0.6)
     assert probed.count() == 0
     assert "key_a" in probed.schema().names
+
+
+def test_update_with_reused_sigs_identical_index(ray_session, tmp_path):
+    """update_minhash_index(sigs=...) (the ingest path: probe signatures
+    filtered to survivors) must build a generation probe-identical to the
+    recompute-from-text path — the sig blob is an on-disk contract."""
+    import pyarrow.parquet as pq
+
+    old, new = _corpus()
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    for p in (a, b):
+        write_minhash_index(ray.data.from_pandas(old), p,
+                            key="doc_id", text="text", num_buckets=16, **KW)
+    surv_a, matched_a, sigs_a = dedup_near_incremental(
+        ray.data.from_pandas(new), a, threshold=0.6, return_sigs=True)
+    surv_b, matched_b = dedup_near_incremental(
+        ray.data.from_pandas(new), b, threshold=0.6)
+    update_minhash_index(surv_a, a, sigs=sigs_a)       # reuse path
+    update_minhash_index(surv_b, b)                    # recompute path
+    assert index_doc_count(a) == index_doc_count(b)
+    # byte-level: the new generation's sig rows agree
+    import pandas as pd
+    from pathlib import Path
+
+    def gen_sigs(root):
+        fs = sorted(Path(root).glob("gen-000001/sigs/**/*.parquet"))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in fs])
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    ga, gb = gen_sigs(a), gen_sigs(b)
+    assert list(ga["doc_id"]) == list(gb["doc_id"])
+    assert all(bytes(x) == bytes(y) for x, y in zip(ga["sig"], gb["sig"]))
+    # probes over both indexes agree
+    probe_new = pd.DataFrame({"doc_id": [9000], "text": [old["text"][31]]})
+    pa_ = probe_minhash_index(ray.data.from_pandas(probe_new), a,
+                              threshold=0.6).to_pandas()
+    pb_ = probe_minhash_index(ray.data.from_pandas(probe_new), b,
+                              threshold=0.6).to_pandas()
+    assert _pairs_set(pa_) == _pairs_set(pb_) and len(pa_) >= 1
