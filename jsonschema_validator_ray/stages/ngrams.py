@@ -488,7 +488,8 @@ def jaccard_near_duplicates(docs, *, column: str, id_col: str, n: int = 3,
 def hot_ngram_hashes(docs, column: str, id_col: str, n: int, *,
                      min_docs: int = 2, num_buckets: int = 64,
                      batch_size: int = 4096,
-                     broadcast_limit: int = 10_000_000) -> np.ndarray:
+                     broadcast_limit: int = 10_000_000,
+                     driver_limit: int = 2_000_000) -> np.ndarray:
     """64-bit hashes of every token n-gram appearing in ≥ ``min_docs``
     DISTINCT documents, gathered driver-side (the hot set is what gets
     broadcast — boilerplate is rare relative to the corpus; raises past
@@ -519,9 +520,28 @@ def hot_ngram_hashes(docs, column: str, id_col: str, n: int, *,
         return pd.DataFrame({"gh": vc[vc >= min_docs].index.to_numpy()
                              .astype(np.uint64)})
 
-    rows = pairs.groupby("__gb").map_groups(
-        hot_in_bucket, batch_format="pandas").take_all()
-    hot = np.array([r["gh"] for r in rows], dtype=np.uint64)
+    # auto-switch (components/minhash-verify discipline): the per-batch
+    # partials are distinct (gram, doc) HASH pairs — when they fit the
+    # driver comfortably, one gather + C-path value_counts beats a full
+    # hash-bucket exchange (measured ~2-3 s of fixed shuffle cost saved at
+    # small corpus sizes); past the limit, the distributed reduce runs.
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_limit:
+        # a doc is one row, so all its grams land in one batch and the
+        # per-batch np.unique leaves (gram, doc) pairs globally distinct —
+        # counting gh occurrences here counts distinct docs, exactly like
+        # the bucketed value_counts below.
+        chunks = [b.column("gh").to_numpy(zero_copy_only=False)
+                  for b in pairs.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)]
+        gh = (np.concatenate(chunks) if chunks
+              else np.empty(0, np.uint64))
+        u, c = np.unique(gh, return_counts=True)
+        hot = u[c >= min_docs]
+    else:
+        rows = pairs.groupby("__gb").map_groups(
+            hot_in_bucket, batch_format="pandas").take_all()
+        hot = np.array([r["gh"] for r in rows], dtype=np.uint64)
     if hot.size > broadcast_limit:
         raise ValueError(f"{hot.size} hot n-grams exceeds broadcast_limit="
                          f"{broadcast_limit}; raise min_docs or n")
