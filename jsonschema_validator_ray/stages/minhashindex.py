@@ -173,7 +173,8 @@ def _read_bucket(path: str, generations: list[str], store: str,
 
 def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
                         batch_size: int = 1024, bucket_cap: int = 200,
-                        pair_buckets: int = 16, return_sigs: bool = False):
+                        pair_buckets: int = 16, return_sigs: bool = False,
+                        sig_broadcast_limit: int = 64 << 20):
     """→ Dataset ``(key_a, key_b, jaccard_est, truncated)``: every (new
     doc, indexed doc) pair with estimated Jaccard ≥ ``threshold``. ``ds``
     is the new crawl; only it is signed and shuffled — index I/O is
@@ -252,15 +253,36 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
 
     cand = exploded.groupby("__cb").map_groups(candidates,
                                                batch_format="pandas")
-    pairs = _dedupe_pairs(cand, {"truncated": "max"},
-                          num_buckets=pair_buckets).materialize()
-    if pairs.count() == 0:
-        return ret(ray.data.from_arrow(_empty_pairs(key_type)), sigs)
 
-    from .joins import bucketed_join
+    # attach the NEW side's signature to each candidate pair. Small
+    # increments (the common crawl-ingest case) broadcast the materialized
+    # sig dict and skip BOTH the pair-dedupe exchange and the bucketed
+    # join (two all-to-alls) — duplicate pairs from multiple bands are
+    # dropped inside verify instead (a pair's __ob bucket is a pure
+    # function of key_b, so all its band copies land in one group). Past
+    # the limit, the shuffle path runs unchanged.
+    broadcast = (sigs.count() * meta["n_perm"] * 8) <= sig_broadcast_limit
+    if broadcast:
+        sig_map = {r[key]: r["sig"] for r in sigs.take_all()}
+        ref = ray.put(sig_map)
 
-    joined = bucketed_join(pairs, sigs, on="key_a", right_on=key,
-                           num_buckets=pair_buckets)
+        def attach(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            ka = b.column("key_a").to_pandas()
+            return no_meta(b).append_column(
+                "sig", pa.array(ka.map(m).to_numpy(), type=pa.binary()))
+
+        joined = cand.map_batches(attach, batch_format="pyarrow")
+    else:
+        pairs = _dedupe_pairs(cand, {"truncated": "max"},
+                              num_buckets=pair_buckets).materialize()
+        if pairs.count() == 0:
+            return ret(ray.data.from_arrow(_empty_pairs(key_type)), sigs)
+
+        from .joins import bucketed_join
+
+        joined = bucketed_join(pairs, sigs, on="key_a", right_on=key,
+                               num_buckets=pair_buckets)
 
     def add_ob(b: pa.Table) -> pa.Table:
         # the join's padded union upcast int keys to float64; the sig-store
@@ -279,6 +301,12 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
             "key_b": pd.Series([], dtype=g["key_b"].dtype),
             "jaccard_est": pd.Series([], dtype=np.float64),
             "truncated": pd.Series([], dtype=np.int32)})
+        # broadcast path skips the pair-dedupe exchange: a pair hit by
+        # several bands appears once per band — keep one copy, preserving
+        # truncated's max (the join path arrives pre-deduped; this is a
+        # no-op there)
+        g = (g.sort_values("truncated", ascending=False, kind="mergesort")
+              .drop_duplicates(["key_a", "key_b"]))
         old = _read_bucket(index_path, generations, "sigs", "sig_bucket",
                            int(g["__ob"].iloc[0]), [key, "sig"])
         if not len(old):

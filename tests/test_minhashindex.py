@@ -157,3 +157,23 @@ def test_update_with_reused_sigs_identical_index(ray_session, tmp_path):
     pb_ = probe_minhash_index(ray.data.from_pandas(probe_new), b,
                               threshold=0.6).to_pandas()
     assert _pairs_set(pa_) == _pairs_set(pb_) and len(pa_) >= 1
+
+
+def test_probe_broadcast_and_join_paths_agree(ray_session, tmp_path):
+    """sig_broadcast_limit=0 forces the shuffle path (pair-dedupe exchange
+    + bucketed join); default uses the broadcast fast path — identical
+    pairs and estimates either way."""
+    old, new = _corpus()
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(ray.data.from_pandas(old), path,
+                        key="doc_id", text="text", num_buckets=16, **KW)
+    pb = probe_minhash_index(ray.data.from_pandas(new), path,
+                             threshold=0.6).to_pandas()
+    pj = probe_minhash_index(ray.data.from_pandas(new), path,
+                             threshold=0.6,
+                             sig_broadcast_limit=0).to_pandas()
+    assert _pairs_set(pb) == _pairs_set(pj) and len(pb) >= 5
+    a = pb.set_index(["key_a", "key_b"]).sort_index()
+    b = pj.set_index(["key_a", "key_b"]).sort_index()
+    assert list(a["jaccard_est"]) == list(b["jaccard_est"])
+    assert list(a["truncated"]) == list(b["truncated"])
