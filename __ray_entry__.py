@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": analytics.top_orders_per_segment,
         "orders_without_customer": analytics.orders_without_customer,
         "orders_customer_left": analytics.orders_customer_left,
+        "rollup_revenue_lineitem": analytics.rollup_revenue_lineitem,
+        "corr_qty_price_lineitem": analytics.corr_qty_price_lineitem,
         "parts_in_lineitem": analytics.parts_in_lineitem,
         "pivot_priority_status": analytics.pivot_priority_status,
         "curated_documents": curation.curated_documents,
@@ -186,6 +188,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_segment": analytics.TOP_ORDERS_SQL,
         "orders_without_customer": analytics.ORDERS_WITHOUT_CUSTOMER_SQL,
         "orders_customer_left": analytics.ORDERS_CUSTOMER_LEFT_SQL,
+        "rollup_revenue_lineitem": analytics.ROLLUP_REVENUE_SQL,
+        "corr_qty_price_lineitem": analytics.CORR_QTY_PRICE_SQL,
         "parts_in_lineitem": analytics.PARTS_IN_LINEITEM_SQL,
         "pivot_priority_status": analytics.PIVOT_PRIORITY_STATUS_SQL,
         "curated_documents": curation.CURATED_SQL,

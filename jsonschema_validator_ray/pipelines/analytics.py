@@ -187,6 +187,121 @@ GROUP BY p.event_id, p.user_id
 """
 
 
+# ---- ROLLUP: aggregate once at the finest grain, derive coarser levels -----
+
+
+def rollup_revenue_lineitem(sf_dir: str):
+    """(l_returnflag, l_linestatus, n_rows, revenue_cents) for GROUP BY
+    ROLLUP(l_returnflag, l_linestatus): the finest grain is aggregated
+    distributed (per-batch pandas partials — bounded by 6 distinct pairs
+    per batch), then the coarser levels derive from the tiny finest table
+    driver-side with the SAME integer arithmetic — one corpus scan for
+    all three levels, never one scan per level."""
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_linestatus",
+                               "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"),
+                                             100)), pa.int64())
+        df = pa.table({"l_returnflag": b.column("l_returnflag"),
+                       "l_linestatus": b.column("l_linestatus"),
+                       "cents": cents}).to_pandas()
+        out = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                 .agg(n_rows=("cents", "size"), revenue_cents=("cents", "sum"))
+                 .reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    fine = (li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+              .to_pandas()
+              .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+              .sum())
+    lvl1 = (fine.groupby("l_returnflag", as_index=False)
+                [["n_rows", "revenue_cents"]].sum())
+    lvl1["l_linestatus"] = None
+    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                          "n_rows": [fine["n_rows"].sum()],
+                          "revenue_cents": [fine["revenue_cents"].sum()]})
+    out = pd.concat([fine, lvl1, total], ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "n_rows", "revenue_cents"]]
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# ---- exact two-column correlation from integer moments ----------------------
+
+
+def corr_qty_price_lineitem(sf_dir: str):
+    """One-row Pearson correlation of l_quantity vs l_extendedprice with
+    EXACT integer moments: per-batch int64 partial sums (batch sized so
+    cents² sums can't overflow), folded driver-side in arbitrary-precision
+    Python ints, one float conversion per output column — the same
+    expression tree the HUGEINT oracle evaluates, so the floats match
+    bitwise."""
+    import math
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b.column("l_quantity")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": [len(q)], "sx": [int(q.sum())], "sy": [int(c.sum())],
+            "sxx": [int((q * q).sum())], "syy": [int((c * c).sum())],
+            "sxy": [int((q * c).sum())]})
+
+    # cents² ≤ 1.2e14 ⇒ ≤ 32768 rows/batch keeps the int64 partial exact;
+    # the driver fold below is arbitrary-precision
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=32768).to_pandas()
+    n, sx, sy, sxx, syy, sxy = (int(parts[k].astype(object).sum())
+                                for k in ("n", "sx", "sy", "sxx", "syy",
+                                          "sxy"))
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    corr = float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    return pd.DataFrame({
+        "n_rows": [n], "sum_qty": [sx], "sum_cents": [sy], "sxx": [sxx],
+        "syy": [float(syy)], "sxy": [float(sxy)], "corr_qp": [corr]})
+
+
+CORR_QTY_PRICE_SQL = """
+WITH m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+           AS sy,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS syy,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sxy
+  FROM lineitem)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(sx AS BIGINT) AS sum_qty,
+       CAST(sy AS BIGINT) AS sum_cents, CAST(sxx AS BIGINT) AS sxx,
+       CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qp
+FROM m
+"""
+
+
 # ---- semi / anti joins: EXISTS / NOT EXISTS filters ------------------------
 
 
