@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": corpus.events_sessions,
         "events_sequenced": corpus.events_sequenced,
         "events_rolling": corpus.events_rolling,
+        "events_cumulative": corpus.events_cumulative,
         "latest_events": corpus.latest_events,
         "bigram_documents": corpus.bigram_documents,
         "hist_lang_documents": corpus.hist_lang_documents,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,
         "events_sequenced": corpus.EVENTS_SEQUENCED_SQL,
         "events_rolling": corpus.EVENTS_ROLLING_SQL,
+        "events_cumulative": corpus.EVENTS_CUMULATIVE_SQL,
         "latest_events": corpus.LATEST_EVENTS_SQL,
         "bigram_documents": corpus.BIGRAM_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,

@@ -1624,6 +1624,28 @@ SELECT event_id, ts, user_id, event_type, value FROM (
 """
 
 
+def events_cumulative(sf_dir: str):
+    """(event_id, user_id, run_count, run_cents) — per-user RUNNING
+    count/value totals at every event (stages/windows.cumulative), the
+    UNBOUNDED-PRECEDING window-frame shape. Integer cents end-to-end."""
+    from ..stages.windows import cumulative
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"])
+    return cumulative(ev, "user_id", "ts", "event_id", "value")
+
+
+EVENTS_CUMULATIVE_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS run_count,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+         AS run_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def events_rolling(sf_dir: str, window_s: int = 600):
     """(event_id, user_id, w_count, w_cents) — trailing 10-minute
     count/value-cents per user at every event (stages/windows.rolling),

@@ -181,6 +181,49 @@ def sequence(ds, key: str, ts: str, id_col: str, num_buckets: int = 32):
         per_bucket, batch_format="pandas")
 
 
+def cumulative(ds, key: str, ts: str, id_col: str, value: str,
+               num_buckets: int = 32):
+    """Per-key RUNNING totals — the cumulative window-frame family
+    (``SUM(...) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)``): → (id_col, key, run_count, run_cents) where
+    ``run_cents`` is the integer-cents running sum of ``value`` within
+    the key ordered by (ts, id_col) — integer arithmetic end-to-end, so
+    the SQL oracle compares exactly.
+
+    Same partitioned-log contract as the other windows: hash-bucket the
+    key, one vectorized pandas pass per bucket (global cumsum minus each
+    key's segment offset — never a Ray group per key)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, key, "run_count", "run_cents"]
+        if g.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        g = g.sort_values([key, ts, id_col], kind="mergesort")
+        cents = np.rint(g[value].to_numpy(np.float64) * 100).astype(np.int64)
+        kv = g[key].to_numpy()
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = kv[1:] != kv[:-1]
+        csum = np.cumsum(cents)
+        # running values within a key = global cumsum − the cumsum just
+        # before the key's first row (segment offset, forward-filled via
+        # a running max of each row's segment-start index)
+        seg_idx = np.maximum.accumulate(np.where(first, np.arange(n), -1))
+        base = (csum - cents)[seg_idx]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key: kv,
+            "run_count": (np.arange(n, dtype=np.int64)
+                          - seg_idx.astype(np.int64) + 1),
+            "run_cents": (csum - base).astype(np.int64),
+        })
+
+    return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
+        per_bucket, batch_format="pandas")
+
+
 def rolling(ds, key: str, ts: str, id_col: str, window_s: int,
             value: str | None = None, num_buckets: int = 32):
     """Per-row trailing time-range aggregate — SQL's ``RANGE BETWEEN

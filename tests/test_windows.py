@@ -184,3 +184,31 @@ def test_funnel_ordered_matching(ray_session):
                            num_buckets=4).to_pandas() \
         .set_index("user_id")["t_last"].to_dict()
     assert t_last[5] == 40 and t_last[1] == 30
+
+
+def test_cumulative_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.windows import cumulative
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "uid": rng.integers(0, 60, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    got = (cumulative(ray.data.from_pandas(df).repartition(5),
+                      "uid", "ts", "eid", "value", num_buckets=8)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    sf = df.sort_values(["uid", "ts", "eid"], kind="mergesort").copy()
+    cents = np.rint(sf["value"].to_numpy() * 100).astype(np.int64)
+    sf["run_cents"] = pd.Series(cents, index=sf.index).groupby(
+        sf["uid"]).cumsum()
+    sf["run_count"] = sf.groupby("uid").cumcount() + 1
+    want = sf.sort_values("eid").reset_index(drop=True)
+    assert list(got["run_count"]) == list(want["run_count"])
+    assert list(got["run_cents"]) == list(want["run_cents"])
