@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_documents": corpus.decontam_documents,
         "sample_documents_by_lang": corpus.sample_documents_by_lang,
         "sample_documents_pct": corpus.sample_documents_pct,
+        "split_documents": corpus.split_documents,
         "mix_documents": corpus.mix_documents,
         "pack_documents": corpus.pack_documents,
         "events_in_sessions": corpus.events_in_sessions,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sequenced": corpus.events_sequenced,
         "events_rolling": corpus.events_rolling,
         "events_cumulative": corpus.events_cumulative,
+        "mode_event_per_user": corpus.mode_event_per_user,
         "latest_events": corpus.latest_events,
         "bigram_documents": corpus.bigram_documents,
         "hist_lang_documents": corpus.hist_lang_documents,
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "verdict_documents_combo": corpus.VERDICT_COMBO_SQL,
         "sample_documents_by_lang": corpus.SAMPLE_BY_LANG_SQL,
         "sample_documents_pct": corpus.SAMPLE_PCT_SQL,
+        "split_documents": corpus.SPLIT_SQL,
         "mix_documents": corpus.MIX_SQL,
         "events_in_sessions": corpus.EVENTS_IN_SESSIONS_SQL,
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
@@ -161,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sequenced": corpus.EVENTS_SEQUENCED_SQL,
         "events_rolling": corpus.EVENTS_ROLLING_SQL,
         "events_cumulative": corpus.EVENTS_CUMULATIVE_SQL,
+        "mode_event_per_user": corpus.MODE_EVENT_SQL,
         "latest_events": corpus.LATEST_EVENTS_SQL,
         "bigram_documents": corpus.BIGRAM_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,

@@ -1224,6 +1224,29 @@ WHERE doc_id IS NOT NULL
 """
 
 
+def split_documents(sf_dir: str):
+    """(doc_id, split) — deterministic 80/10/10 train/val/test assignment
+    by the MINSTD LCG percentile of doc_id (stages/sampling.assign_splits)
+    — stable across runs/machines/engines; the SQL oracle evaluates the
+    identical integer arithmetic."""
+    from ..stages.sampling import assign_splits
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return assign_splits(docs, "doc_id",
+                         [("train", 80), ("val", 10), ("test", 10)])
+
+
+SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN p < 80 THEN 'train'
+            WHEN p < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ((48271 * doc_id + 11) % 2147483647) % 100 AS p
+      FROM documents WHERE doc_id IS NOT NULL)
+"""
+
+
 _MIX = {"src0": 80, "src1": 40, "src2": 10}   # other sources: 20%
 
 
@@ -1621,6 +1644,28 @@ SELECT event_id, ts, user_id, event_type, value FROM (
          row_number() OVER (PARTITION BY user_id, event_type
                             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1
+"""
+
+
+def mode_event_per_user(sf_dir: str):
+    """(user_id, mode_value, mode_count) — each user's most frequent
+    event_type (exact grouped mode via stages/heavyhitters.grouped_mode;
+    ties break to the smallest event_type in both engines)."""
+    from ..stages.heavyhitters import grouped_mode
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+MODE_EVENT_SQL = """
+SELECT user_id, event_type AS mode_value, CAST(c AS BIGINT) AS mode_count
+FROM (
+  SELECT user_id, event_type, count(*) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
 """
 
 

@@ -68,3 +68,40 @@ def heavy_hitters(ds, column: str, k: int = 10, *, depth: int = 5,
     return out.sort_values(["est_count", "value"],
                            ascending=[False, True], kind="mergesort") \
         .head(k).reset_index(drop=True)
+
+
+def grouped_mode(ds, group: str, value: str, *, num_buckets: int = 32,
+                 batch_size: int = 65536):
+    """→ Dataset (group, mode_value, mode_count): each group's most
+    frequent value — the EXACT per-group heavy hitter (k=1). Count ties
+    break to the smallest value, so the result is deterministic and the
+    SQL oracle (row_number OVER count DESC, value ASC) matches exactly.
+
+    Distributed shape: per-batch (group, value) partial counts (raw rows
+    never shuffle), hash bucket of the GROUP so every value of a group
+    meets in one task, one pandas C-path argmax pass per bucket."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group, value]).to_pandas()
+        cells = (df.groupby([group, value], sort=False)
+                   .size().reset_index(name="c"))
+        h = pd.util.hash_pandas_object(cells[group], index=False).to_numpy()
+        cells["__kb"] = (h.astype(np.uint64)
+                         % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(cells, preserve_index=False)
+
+    def mode_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        full = (g.groupby([group, value], sort=False, as_index=False)["c"]
+                 .sum())
+        full = full.sort_values([group, "c", value], kind="mergesort",
+                                ascending=[True, False, True])
+        out = full.drop_duplicates(group, keep="first")
+        return pd.DataFrame({
+            group: out[group].to_numpy(),
+            "mode_value": out[value].to_numpy(),
+            "mode_count": out["c"].to_numpy().astype(np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+              .groupby("__kb")
+              .map_groups(mode_in_bucket, batch_format="pandas"))

@@ -122,3 +122,32 @@ def lcg_fraction_sample(ds, key: str, pct: int, *, batch_size: int = 32768):
         return b.filter(pc.fill_null(sel, False))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
+
+
+def assign_splits(ds, key: str, splits: list[tuple[str, int]], *,
+                  batch_size: int = 32768):
+    """→ Dataset with a ``split`` column: deterministic train/val/test
+    partitioning by the same MINSTD LCG percentile as
+    :func:`lcg_fraction_sample` — a pure function of the integer key, so
+    the assignment is stable across runs, machines, and engines (SQL
+    CASE on the identical arithmetic). ``splits`` = ordered (name, pct)
+    pairs summing to 100, e.g. [("train", 80), ("val", 10),
+    ("test", 10)]. Null keys are dropped."""
+    assert sum(p for _, p in splits) == 100
+    names = [n for n, _ in splits]
+    edges = np.cumsum([p for _, p in splits])
+
+    def assign(b: pa.Table) -> pa.Table:
+        col = pc.cast(b.column(key), pa.int64())
+        b = b.filter(pc.is_valid(col))
+        col = pc.cast(b.column(key), pa.int64())
+        h = pc.add(pc.multiply(col, _LCG_A), _LCG_B)
+        bucket = pc.subtract(h, pc.multiply(pc.divide(h, _LCG_M), _LCG_M))
+        pctile = pc.subtract(bucket, pc.multiply(
+            pc.divide(bucket, 100), 100)).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, pctile, side="right")
+        lab = np.asarray(names, dtype=object)[idx]
+        return b.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=batch_size)

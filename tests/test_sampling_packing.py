@@ -164,3 +164,51 @@ def test_pack_rows_property():
             assert arr[packs == pid].sum() + arr[b + 1] > budget
 
     check()
+
+
+def test_assign_splits_partition_properties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.sampling import (assign_splits,
+                                                          lcg_fraction_sample)
+
+    df = pd.DataFrame({"k": np.arange(10000, dtype=np.int64)})
+    out = (assign_splits(ray.data.from_pandas(df).repartition(4), "k",
+                         [("train", 80), ("val", 10), ("test", 10)])
+           .to_pandas())
+    # exact partition: every key exactly once, three labels only
+    assert len(out) == 10000 and set(out["split"]) == {"train", "val",
+                                                       "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    # consistency with the sampling primitive: the 80% LCG sample IS the
+    # train split (same arithmetic)
+    kept = set(lcg_fraction_sample(ray.data.from_pandas(df), "k", 80)
+               .to_pandas()["k"])
+    assert set(out.loc[out["split"] == "train", "k"]) == kept
+
+
+def test_grouped_mode_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.heavyhitters import grouped_mode
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 50, 6000),
+        "v": rng.choice(list("abcde"), 6000),
+    })
+    got = (grouped_mode(ray.data.from_pandas(df).repartition(5), "g", "v",
+                        num_buckets=8)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    cnt = df.groupby(["g", "v"]).size().reset_index(name="c")
+    want = (cnt.sort_values(["g", "c", "v"], ascending=[True, False, True],
+                            kind="mergesort")
+               .drop_duplicates("g").reset_index(drop=True))
+    assert list(got["g"]) == list(want["g"])
+    assert list(got["mode_value"]) == list(want["v"])
+    assert list(got["mode_count"]) == list(want["c"])
