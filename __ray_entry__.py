@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": corpus.events_rolling,
         "events_cumulative": corpus.events_cumulative,
         "mode_event_per_user": corpus.mode_event_per_user,
+        "grouped_quantiles_lineitem": corpus.grouped_quantiles_lineitem,
         "latest_events": corpus.latest_events,
         "bigram_documents": corpus.bigram_documents,
         "hist_lang_documents": corpus.hist_lang_documents,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": corpus.EVENTS_ROLLING_SQL,
         "events_cumulative": corpus.EVENTS_CUMULATIVE_SQL,
         "mode_event_per_user": corpus.MODE_EVENT_SQL,
+        "grouped_quantiles_lineitem": corpus.GROUPED_QUANTILES_SQL,
         "latest_events": corpus.LATEST_EVENTS_SQL,
         "bigram_documents": corpus.BIGRAM_SQL,
         "hist_lang_documents": corpus.HIST_LANG_SQL,

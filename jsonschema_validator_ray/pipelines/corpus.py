@@ -1647,6 +1647,27 @@ SELECT event_id, ts, user_id, event_type, value FROM (
 """
 
 
+def grouped_quantiles_lineitem(sf_dir: str):
+    """(l_returnflag, q_0_25, q_0_5, q_0_95) — EXACT discrete quantiles of
+    l_quantity per return flag (stages/quantiles.grouped_quantiles_disc;
+    DuckDB quantile_disc rank semantics, data elements compared exactly)."""
+    from ..stages.quantiles import grouped_quantiles_disc
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity"])
+    return grouped_quantiles_disc(li, "l_returnflag", "l_quantity",
+                                  [0.25, 0.5, 0.95])
+
+
+GROUPED_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS q_0_25,
+       quantile_disc(l_quantity, 0.5)  AS q_0_5,
+       quantile_disc(l_quantity, 0.95) AS q_0_95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def mode_event_per_user(sf_dir: str):
     """(user_id, mode_value, mode_count) — each user's most frequent
     event_type (exact grouped mode via stages/heavyhitters.grouped_mode;

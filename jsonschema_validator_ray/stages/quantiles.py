@@ -225,3 +225,58 @@ def exact_quantiles(ds, column: str, qs: list[float], *,
             for q, rank in qr:
                 out[q] = float(vals[rank - base])
     return out
+
+
+def grouped_quantiles_disc(ds, group: str, column: str, qs: list[float], *,
+                           num_buckets: int = 32, batch_size: int = 65536):
+    """→ Dataset (group, q_<..> …): EXACT discrete quantiles per group —
+    the element at ascending rank ``ceil(q·n) − 1`` within each group
+    (DuckDB ``quantile_disc`` semantics, so the oracle compares the
+    returned data elements exactly).
+
+    Partitioning contract: intended for LOW-cardinality analytical groups
+    (flags, statuses, languages). Groups hash into ``num_buckets``
+    buckets; every group of a bucket is solved in ONE vectorized pass
+    (one sort + segment-boundary searchsorted per bucket — never a Ray
+    group per key). For millions of groups or heavily skewed group sizes
+    use :func:`exact_quantiles` per partition of interest instead."""
+    import pandas as pd
+
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {group: pd.Series([], dtype=g[group].dtype)}
+        cols.update({nm: pd.Series([], dtype="float64") for nm in names})
+        g = g.dropna(subset=[column])
+        if g.empty:
+            return pd.DataFrame(cols)
+        g = g.sort_values([group, column], kind="mergesort")
+        kv = g[group].to_numpy()
+        x = g[column].to_numpy(np.float64)
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        out = {group: kv[starts]}
+        for q, nm in zip(qs, names):
+            rank = np.maximum(np.ceil(q * sizes).astype(np.int64) - 1, 0)
+            out[nm] = x[starts + rank]
+        return pd.DataFrame(out)
+
+    def add_bucket(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        h = pd.util.hash_pandas_object(
+            b.select([group]).to_pandas()[group], index=False).to_numpy()
+        kb = (h.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("__kb", pa.array(kb))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=batch_size)
+              .groupby("__kb")
+              .map_groups(lambda g: per_bucket(g.drop(columns="__kb")),
+                          batch_format="pandas"))

@@ -160,3 +160,30 @@ def test_exact_quantiles_nan_treated_as_null(ray_session):
     out = exact_quantiles(ray.data.from_pandas(df), "x", [0.5, 1.0])
     assert out[1.0] == 4.0      # rank computed over non-NaN count
     assert out[0.5] == 2.0
+
+
+def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.quantiles import (
+        grouped_quantiles_disc)
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abcdef"), 8000),
+        "x": np.round(rng.normal(50, 20, 8000), 3),
+    })
+    df.loc[rng.choice(8000, 100, replace=False), "x"] = np.nan
+    qs = [0.0, 0.25, 0.5, 0.95, 1.0]
+    got = (grouped_quantiles_disc(ray.data.from_pandas(df).repartition(4),
+                                  "g", "x", qs, num_buckets=4)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    for _, row in got.iterrows():
+        vals = np.sort(df.loc[(df["g"] == row["g"]) & df["x"].notna(),
+                              "x"].to_numpy())
+        for q in qs:
+            nm = f"q_{str(q).replace('.', '_')}"
+            want = vals[max(int(np.ceil(q * len(vals))) - 1, 0)]
+            assert row[nm] == want, (row["g"], q)
