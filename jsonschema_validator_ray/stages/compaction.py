@@ -5,7 +5,7 @@ per primary key in a change log), with a deterministic tiebreak column so
 the survivor is unique.
 
 Distributed shape: ONE all-to-all of the table keyed by a hash bucket of
-the key tuple (never one Ray group per distinct key — CLAUDE.md), then a
+the key tuple (never one Ray group per distinct key; see repo conventions), then a
 single pandas C-path ``sort_values`` + ``drop_duplicates`` per bucket.
 Output carries full rows (inherent to compaction); at 100 TB the shuffle
 payload is the surviving-column subset the caller projects BEFORE calling.

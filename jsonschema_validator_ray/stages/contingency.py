@@ -10,7 +10,7 @@ cell pair, then the FINAL cell table (|A|×|B| rows — bounded by the
 category-pair count, not the corpus) is gathered to the driver for the
 marginal totals, which need every cell by definition.
 
-Float contract (CLAUDE.md): the per-cell contribution is a pure expression
+Float contract (repo conventions): the per-cell contribution is a pure expression
 of integer counts — ``e = (rt · ct) / n`` in float64 (marginals cast to
 float BEFORE the product so 10^12-row marginals cannot overflow int64),
 ``contrib = (o − e)·(o − e)/e`` — with NO accumulation, so the SQL oracle

@@ -31,7 +31,7 @@ Scale shape: ``n_clusters`` is the scaling parameter (SemDeDup used 50k
 cells at LAION scale) — per-task working set and probe I/O both follow
 corpus/n_clusters; the groupby key is ``cell % probe_buckets`` so Ray task
 count stays bounded regardless of n_clusters (the repo's measured
-one-task-per-key overhead, CLAUDE.md). ``cluster_cap`` bounds any single
+one-task-per-key overhead; repo conventions). ``cluster_cap`` bounds any single
 matmul; pairs from a capped cell carry ``truncated=1`` (the honest-cap
 contract of stages/dedup). With ``nprobe=1`` a pair is found iff both
 sides share a cell — exactly the one-shot SemDeDup candidate semantics;

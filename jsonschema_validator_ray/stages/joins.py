@@ -123,7 +123,7 @@ def bucketed_join(left, right, on: str, *, right_on: str | None = None,
                                                  batch_format="pandas")
 
     # the padded union upcast every int column to float64 inside the
-    # pandas groups (CLAUDE.md) — restore the input Arrow types where the
+    # pandas groups (repo conventions) — restore the input Arrow types where the
     # cast is lossless (outer-join rows with REAL nulls keep float64, the
     # same representation pandas itself would give them)
     types: dict = {}

@@ -164,7 +164,7 @@ def fk_violations_bloom(fact_ds, fact_key: str, fact_column: str,
         partial, batch_format="pyarrow", batch_size=batch_size).to_pandas()
     merged = BloomFilter(m, k)
     # an empty dimension dataset drops its blocks through to_pandas and
-    # loses the column (CLAUDE.md) — the all-zeros filter is correct then
+    # loses the column (repo conventions) — the all-zeros filter is correct then
     if "bloom" in parts.columns:
         for b in parts["bloom"]:
             merged.merge(BloomFilter.from_bytes(b))

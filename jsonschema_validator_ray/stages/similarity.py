@@ -89,7 +89,7 @@ def _finalize_topk(partials: pd.DataFrame, key: str, k: int
                    ) -> pd.DataFrame:
     """Partial-top-k rows → exact global head per query. Guards the
     empty-input case: a Dataset with no emitted partials loses its schema
-    through to_pandas (CLAUDE.md), so the sort columns must be rebuilt."""
+    through to_pandas (repo conventions), so the sort columns must be rebuilt."""
     if "query_id" not in partials.columns:
         return pd.DataFrame({"query_id": pd.Series([], dtype=np.int32),
                              key: pd.Series([], dtype=object),
