@@ -141,3 +141,42 @@ def write_orc(ds, out_dir: str, *, batch_rows: int = 1 << 20) -> list[str]:
         json.dump({"shards": [Path(p).name for p in paths]}, f)
     os.replace(tmp, os.path.join(out_dir, _MANIFEST))
     return paths
+
+
+def write_feather(ds, out_dir: str, *, batch_rows: int = 1 << 20,
+                  compression: str = "zstd") -> list[str]:
+    """Write a Dataset to a directory of Feather-v2 (Arrow IPC) shards —
+    same resumable discipline as :func:`write_orc`: temp-name + atomic
+    rename per shard, ``_manifest.json`` committed last, preferred by
+    :func:`read_feather`."""
+    import pyarrow.feather as feather
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    class _Write:
+        def __init__(self):
+            import uuid
+
+            self.prefix = uuid.uuid4().hex[:12]
+            self.n = 0
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"path": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64())})
+            name = f"shard-{self.prefix}-{self.n:06d}.feather"
+            self.n += 1
+            tmp = os.path.join(out_dir, f"_tmp-{name}")
+            feather.write_feather(b, tmp, compression=compression)
+            p = os.path.join(out_dir, name)
+            os.replace(tmp, p)
+            return pa.table({"path": [p], "rows": [b.num_rows]})
+
+    manifest = ds.map_batches(_Write, batch_format="pyarrow",
+                              batch_size=batch_rows, concurrency=(1, 8))
+    paths = sorted(r["path"] for r in manifest.take_all())
+    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"shards": [Path(p).name for p in paths]}, f)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return paths

@@ -130,3 +130,19 @@ def test_read_feather_streams_batches(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, df)
     pruned = read_feather(path, columns=["id"]).schema().names
     assert pruned == ["id"]
+
+
+def test_write_feather_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from jsonschema_validator_ray.sources.columnar import (read_feather,
+                                                           write_feather)
+
+    df = _df(2500, seed=5)
+    out = str(tmp_path / "fout")
+    paths = write_feather(ray.data.from_pandas(df).repartition(3), out,
+                          batch_rows=1000)
+    assert len(paths) >= 3
+    got = (read_feather(out).to_pandas().sort_values("id")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, df)
