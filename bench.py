@@ -133,23 +133,25 @@ def run_bench() -> dict:
     from ray.data.aggregate import Count, Sum
 
     # Stateless tasks: the compiled plan pickles small, warm Ray workers
-    # beat actor-pool startup at this job size. ONE streaming pass: validate
-    # → tiny aggregate (row count + violation count); no materialization,
-    # no object-store round-trip. Three repetitions, keep the fastest: the
-    # first run pays worker-process spawn and the sandbox shows multi-second
-    # run-to-run drift at high parallelism (measured r2) — best-of-3 keeps
-    # the scaling-efficiency ratio from being swamped by that noise.
+    # beat actor-pool startup at this job size. ONE streaming pass: FUSED
+    # read+validate (each task reads a parquet row group and validates its
+    # slices — Ray 2.49 never fuses ReadParquet with a downstream map, so
+    # the classic two-operator pipeline round-trips the 18.7 GB decoded
+    # corpus through the object store; fused measured 8.1-10.4 s vs
+    # classic 12.6-17.5 s at 32 CPUs, byte-identical outputs) → tiny
+    # aggregate (row count + violation count). Three repetitions, keep the
+    # fastest: the first run pays worker-process spawn and the sandbox
+    # shows multi-second run-to-run drift at high parallelism (measured
+    # r2) — best-of-N keeps the scaling-efficiency ratio from being
+    # swamped by that noise.
+    from jsonschema_validator_ray.pipelines.webtext import (
+        validate_webtext_files)
+
     reps = []
     for _rep in range(int(os.environ.get("GRAFT_BENCH_REPS", "3"))):
         t0 = time.perf_counter()
-        # fixed block-SIZE policy: one block per 250k-row shard (~120 MB
-        # compressed — inside Ray's recommended block range) instead of the
-        # default row-group splits (576 tasks): measured 10.2 -> 8.6 s at
-        # 32 CPUs, noise-equal at 8. Scale-honest: at 100 TB this policy
-        # yields ~400k blocks, still >> any cluster's core count.
-        ds = read_parquet(files, override_num_blocks=len(files))
-        combined = ds.map_batches(WebtextValidator(True),
-                                  batch_format="pyarrow", batch_size=16384)
+        combined = validate_webtext_files(files, check_extraction=True,
+                                          batch_size=16384)
         agg = combined.aggregate(Count(), Sum("error_count", alias_name="n_viol"))
         n_verdicts, n_viol = agg["count()"], agg["n_viol"]
         reps.append(time.perf_counter() - t0)

@@ -99,6 +99,46 @@ class WebtextValidator:
         })
 
 
+def validate_webtext_files(files, *, check_extraction: bool = True,
+                           batch_size: int = 16384,
+                           columns: list[str] | None = None,
+                           concurrency=None):
+    """FUSED read+validate over parquet files: the driver lists one work
+    item per ROW GROUP (footer metadata only), and each task reads its
+    row group and runs the validator on its slices — read and validate in
+    the same task. This is the operator fusion Ray Data does not perform
+    across read boundaries in this build (measured: ReadParquet →
+    MapBatches never fuses, so the decoded corpus — 18.7 GB at 16M rows —
+    round-trips the object store; fused 8.1–10.4 s vs classic 12.6–17.5 s
+    at 32 CPUs in the same window, byte-identical outputs, and it wins at
+    8 CPUs too). Returns the combined verdict/violation dataset of
+    :class:`WebtextValidator`.
+
+    Scale note: work items are row groups (576 for the 16M-row bench
+    corpus; ~4·10^6 at 10^12 docs — a driver list of that size is fine,
+    or lift to per-file items past that)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    items = []
+    for f in files:
+        n = pq.ParquetFile(f).metadata.num_row_groups
+        items.extend({"path": f, "rg": i} for i in range(n))
+    v = WebtextValidator(check_extraction)
+
+    def load_validate(batch):
+        for p, rg in zip(batch["path"], batch["rg"]):
+            t = pq.ParquetFile(p).read_row_group(int(rg), columns=columns)
+            for off in range(0, t.num_rows, batch_size):
+                yield v(t.slice(off, batch_size))
+
+    kwargs: dict = dict(batch_size=1, batch_format="numpy")
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ray.data.from_items(items).map_batches(load_validate, **kwargs)
+
+
 @dataclass
 class WebtextReport:
     verdicts: Any          # Dataset (url, valid, error_count)
