@@ -871,13 +871,13 @@ def signals_documents(sf_dir: str):
     stats, and the top-bigram stats. At 100 TB this is the shape that
     matters: one pass over the corpus instead of five independent scans
     (the per-signal queries stay for à-la-carte use; this is the fused
-    production sweep). Oracle = the verified per-signal SQLs joined on
+    production sweep) — and the read itself fuses into the compute task
+    (sources/parquet.fused_map_parquet), so decoded text never crosses
+    the object store. Oracle = the verified per-signal SQLs joined on
     doc_id."""
     from ..functions.text import (gopher_quality_batch, repetition_batch,
                                   top_bigram_batch)
-
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
+    from ..sources.parquet import fused_map_parquet
 
     def sweep(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -912,7 +912,8 @@ def signals_documents(sf_dir: str):
             "bigram_frac": pa.array(frac, mask=absent),
         })
 
-    return docs.map_batches(sweep, batch_format="pyarrow")
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", sweep,
+                            columns=["doc_id", "text"])
 
 
 def bigram_documents(sf_dir: str):
