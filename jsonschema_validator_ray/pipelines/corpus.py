@@ -45,8 +45,6 @@ def dedup_incremental_documents(sf_dir: str):
 
     from ..stages.hashindex import dedup_exact_incremental, write_hash_index
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
 
     def split(b: pa.Table, parity: int) -> pa.Table:
         keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), parity)
@@ -130,7 +128,10 @@ def token_counts_documents(sf_dir: str):
         return pa.table({"doc_id": b.column("doc_id"),
                          "n_tokens": pc.cast(token_count_batch(b), pa.int64())})
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                            columns=["doc_id", "text"])
 
 
 TOKEN_COUNTS_SQL = r"""
@@ -145,8 +146,6 @@ FROM documents
 def quality_documents(sf_dir: str):
     """(doc_id, n_chars_q, n_bytes_q, n_tokens) — SQL-checkable quality
     columns (char length, BYTE length, token count)."""
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         text = pc.cast(b.column("text"), pa.large_string())
@@ -157,7 +156,10 @@ def quality_documents(sf_dir: str):
             "n_tokens": pc.cast(token_count_batch(b), pa.int64()),
         })
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                            columns=["doc_id", "text"])
 
 
 QUALITY_SQL = r"""
@@ -263,15 +265,16 @@ def gopher_documents(sf_dir: str):
     SQL mirrors the identical double arithmetic)."""
     from ..functions.text import gopher_quality_batch
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         q = gopher_quality_batch(b, min_tokens=20)
         return pa.table({"doc_id": b.column("doc_id"),
                          "gopher_pass": q.column("gopher_pass")})
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                            columns=["doc_id", "text"])
 
 
 def _gopher_sql() -> str:
@@ -319,15 +322,16 @@ def redact_documents(sf_dir: str):
     passes (functions/text.redact_batch)."""
     from ..functions.text import redact_batch
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"),
                          "clean_text": pc.cast(redact_batch(b),
                                                pa.string())})
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                            columns=["doc_id", "text"])
 
 
 def _redact_sql() -> str:
@@ -403,27 +407,29 @@ TOPK_IVF_SQL = TOPK_SQL
 def langid_documents(sf_dir: str):
     """(doc_id, lang_pred) via the stopword-profile heuristic (rows-only:
     no SQL oracle for a heuristic model)."""
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"),
                          "lang_pred": langid_batch(b)})
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                            columns=["doc_id", "text"])
 
 
 def fingerprint_documents(sf_dir: str):
     """(doc_id, fp) rolling-hash document fingerprints (rows-only; the hash
     family is engine-specific)."""
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"),
                          "fp": fingerprint_batch(b)})
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                            columns=["doc_id", "text"])
 
 
 def decontam_documents(sf_dir: str):
@@ -433,8 +439,6 @@ def decontam_documents(sf_dir: str):
     decontaminate). Rows-only one-row summary — deterministic."""
     from ..stages.dedup import decontaminate
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
 
     def as_bench(b: pa.Table) -> pa.Table:
         keep = pc.less(b.column("doc_id"), 25)
@@ -838,7 +842,10 @@ def repetition_documents(sf_dir: str):
         sig = repetition_batch(b)
         return sig.add_column(0, "doc_id", b.column("doc_id"))
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                            columns=["doc_id", "text"])
 
 
 REPETITION_SQL = r"""
@@ -925,15 +932,16 @@ def bigram_documents(sf_dir: str):
     bigram in BOTH engines."""
     from ..functions.text import top_bigram_batch
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         sig = top_bigram_batch(b)
         ids = b.column("doc_id").take(sig.column("__row"))
         return sig.drop_columns(["__row"]).add_column(0, "doc_id", ids)
 
-    return docs.map_batches(f, batch_format="pyarrow")
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                            columns=["doc_id", "text"])
 
 
 BIGRAM_SQL = r"""
