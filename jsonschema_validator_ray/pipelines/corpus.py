@@ -45,6 +45,8 @@ def dedup_incremental_documents(sf_dir: str):
 
     from ..stages.hashindex import dedup_exact_incremental, write_hash_index
 
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
 
     def split(b: pa.Table, parity: int) -> pa.Table:
         keep = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), parity)
@@ -121,8 +123,6 @@ GROUP BY d.doc_id
 
 def token_counts_documents(sf_dir: str):
     """(doc_id, n_tokens) — whitespace tokenization, vectorized regex count."""
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id"),
@@ -439,6 +439,8 @@ def decontam_documents(sf_dir: str):
     decontaminate). Rows-only one-row summary — deterministic."""
     from ..stages.dedup import decontaminate
 
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
 
     def as_bench(b: pa.Table) -> pa.Table:
         keep = pc.less(b.column("doc_id"), 25)
@@ -834,9 +836,6 @@ def repetition_documents(sf_dir: str):
     A1.1). One Arrow split + dictionary_encode + np.bincount fold per
     batch; all-integer so the unnest/GROUP BY oracle matches exactly."""
     from ..functions.text import repetition_batch
-
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         sig = repetition_batch(b)
