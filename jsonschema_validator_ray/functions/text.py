@@ -393,28 +393,48 @@ def top_bigram_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     doc_of = pair_u // len(combo_u)
     combo_of = combo_u[pair_u % len(combo_u)]
     n_big = np.bincount(doc, minlength=n).astype(np.int64)
-    top = np.zeros(n, dtype=np.int64)
-    np.maximum.at(top, doc_of, cnts)
-    # argmax with lexicographic tiebreak: materialize strings only for
-    # entries tied at their row's max count — and only the TOKENS those
-    # candidates reference (never the whole batch vocabulary)
-    cand = np.flatnonzero(cnts == top[doc_of])
-    import pandas as pd
-    cand_codes = combo_of[cand]
-    need, inv = np.unique(
-        np.concatenate([cand_codes // V, cand_codes % V]),
-        return_inverse=True)
+    # Resolve (count DESC, "w1 w2" ASC) fully NUMERICALLY: in typical
+    # non-repetitive text nearly every pair ties at count 1, so a
+    # string-materializing tie-break would build strings for almost the
+    # whole batch vocabulary. Instead rank the dictionary once with Arrow's
+    # native byte-order sort (UTF-8 byte order == code-point order) and
+    # lexsort the candidate codes. Joined-string order decomposes exactly:
+    # tokens contain no whitespace, so comparing "w1 w2" vs "w1' w2'" is
+    # (w1+' ', w2) vs (w1'+' ', w2') tuple order — w1+' ' can never be a
+    # proper prefix of w1'+' ' (w1' would need to contain the space), so
+    # the first-component comparison always resolves at a real byte.
+    dict_s = pc.cast(enc.dictionary, pa.large_string())
+    keyed = pc.binary_join_element_wise(
+        dict_s, pa.scalar(" ", pa.large_string()),
+        pa.scalar("", pa.large_string()))
+    rank1 = np.empty(V, dtype=np.int64)
+    rank1[pc.sort_indices(keyed).to_numpy(zero_copy_only=False)] = \
+        np.arange(V)
+    rank2 = np.empty(V, dtype=np.int64)
+    rank2[pc.sort_indices(dict_s).to_numpy(zero_copy_only=False)] = \
+        np.arange(V)
+    c1 = combo_of // V
+    c2 = combo_of % V
+    sel = np.lexsort((rank2[c2], rank1[c1], -cnts, doc_of))
+    sd = doc_of[sel]
+    firsts = np.ones(sd.size, dtype=bool)
+    if sd.size > 1:
+        firsts[1:] = sd[1:] != sd[:-1]
+    win = sel[firsts]                 # one winner per row, rows ascending
+    rows = doc_of[win]
+    top = cnts[win]
+    # strings materialize ONLY for the winners (≤ one pair per row)
+    wc = combo_of[win]
+    need, inv = np.unique(np.concatenate([wc // V, wc % V]),
+                          return_inverse=True)
     words = enc.dictionary.take(pa.array(need)).to_pylist()
-    half = len(cand_codes)
+    half = len(wc)
     g = [f"{words[inv[i]]} {words[inv[half + i]]}" for i in range(half)]
-    best = (pd.DataFrame({"doc": doc_of[cand], "g": g})
-            .groupby("doc", sort=True)["g"].min())
-    rows = best.index.to_numpy()
     return pa.table({
-        "top_bigram": pa.array(best.to_numpy(), pa.large_string()),
-        "top_bigram_count": pa.array(top[rows]),
+        "top_bigram": pa.array(g, pa.large_string()),
+        "top_bigram_count": pa.array(top),
         "n_bigrams": pa.array(n_big[rows]),
-        "bigram_frac": pa.array(top[rows].astype(np.float64)
+        "bigram_frac": pa.array(top.astype(np.float64)
                                 / n_big[rows].astype(np.float64)),
         "__row": pa.array(rows),
     })

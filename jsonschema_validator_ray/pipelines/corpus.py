@@ -1712,7 +1712,7 @@ def events_cumulative(sf_dir: str):
 EVENTS_CUMULATIVE_SQL = """
 SELECT event_id, user_id,
        CAST(row_number() OVER w AS BIGINT) AS run_count,
-       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+       CAST(sum(CAST(floor(value*100) AS BIGINT)) OVER w AS BIGINT)
          AS run_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -103,6 +103,53 @@ def read_feather(paths, *, columns: list[str] | None = None,
         load, batch_size=1, batch_format="numpy", concurrency=concurrency)
 
 
+class _ShardWriter:
+    """Module-level actor class (repo rule: classes handed to
+    ``map_batches`` live in the library package — workers import them by
+    module reference). One shard per batch, temp-name + atomic rename."""
+
+    def __init__(self, out_dir: str, fmt: str, compression: str | None):
+        import uuid
+
+        self.out_dir = out_dir
+        self.fmt = fmt
+        self.compression = compression
+        self.prefix = uuid.uuid4().hex[:12]       # unique per actor
+        self.n = 0
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        name = f"shard-{self.prefix}-{self.n:06d}.{self.fmt}"
+        self.n += 1
+        tmp = os.path.join(self.out_dir, f"_tmp-{name}")
+        if self.fmt == "orc":
+            import pyarrow.orc as orc
+
+            orc.write_table(b, tmp)
+        else:
+            import pyarrow.feather as feather
+
+            feather.write_feather(b, tmp, compression=self.compression)
+        p = os.path.join(self.out_dir, name)
+        os.replace(tmp, p)                        # atomic publish
+        return pa.table({"path": [p], "rows": [b.num_rows]})
+
+
+def _commit_manifest(ds, out_dir: str, fmt: str, compression: str | None,
+                     batch_rows: int) -> list[str]:
+    manifest = ds.map_batches(
+        _ShardWriter, fn_constructor_args=(out_dir, fmt, compression),
+        batch_format="pyarrow", batch_size=batch_rows, concurrency=(1, 8))
+    paths = sorted(r["path"] for r in manifest.take_all())
+    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"shards": [Path(p).name for p in paths]}, f)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return paths
+
+
 def write_orc(ds, out_dir: str, *, batch_rows: int = 1 << 20) -> list[str]:
     """Write a Dataset to a directory of ORC shards (one file per task
     call — resumable-output discipline: never one giant file). Each shard
@@ -110,37 +157,8 @@ def write_orc(ds, out_dir: str, *, batch_rows: int = 1 << 20) -> list[str]:
     is committed to ``_manifest.json`` LAST, which ``read_orc`` prefers —
     so crashes or Ray task retries can't surface truncated/orphan shards.
     Returns the shard paths."""
-    import pyarrow.orc as orc
-
     os.makedirs(out_dir, exist_ok=True)
-
-    class _Write:
-        def __init__(self):
-            import uuid
-
-            self.prefix = uuid.uuid4().hex[:12]   # unique per actor
-            self.n = 0
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table({"path": pa.array([], pa.string()),
-                                 "rows": pa.array([], pa.int64())})
-            name = f"shard-{self.prefix}-{self.n:06d}.orc"
-            self.n += 1
-            tmp = os.path.join(out_dir, f"_tmp-{name}")
-            orc.write_table(b, tmp)
-            p = os.path.join(out_dir, name)
-            os.replace(tmp, p)                    # atomic publish
-            return pa.table({"path": [p], "rows": [b.num_rows]})
-
-    manifest = ds.map_batches(_Write, batch_format="pyarrow",
-                              batch_size=batch_rows, concurrency=(1, 8))
-    paths = sorted(r["path"] for r in manifest.take_all())
-    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"shards": [Path(p).name for p in paths]}, f)
-    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
-    return paths
+    return _commit_manifest(ds, out_dir, "orc", None, batch_rows)
 
 
 def write_feather(ds, out_dir: str, *, batch_rows: int = 1 << 20,
@@ -149,34 +167,5 @@ def write_feather(ds, out_dir: str, *, batch_rows: int = 1 << 20,
     same resumable discipline as :func:`write_orc`: temp-name + atomic
     rename per shard, ``_manifest.json`` committed last, preferred by
     :func:`read_feather`."""
-    import pyarrow.feather as feather
-
     os.makedirs(out_dir, exist_ok=True)
-
-    class _Write:
-        def __init__(self):
-            import uuid
-
-            self.prefix = uuid.uuid4().hex[:12]
-            self.n = 0
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table({"path": pa.array([], pa.string()),
-                                 "rows": pa.array([], pa.int64())})
-            name = f"shard-{self.prefix}-{self.n:06d}.feather"
-            self.n += 1
-            tmp = os.path.join(out_dir, f"_tmp-{name}")
-            feather.write_feather(b, tmp, compression=compression)
-            p = os.path.join(out_dir, name)
-            os.replace(tmp, p)
-            return pa.table({"path": [p], "rows": [b.num_rows]})
-
-    manifest = ds.map_batches(_Write, batch_format="pyarrow",
-                              batch_size=batch_rows, concurrency=(1, 8))
-    paths = sorted(r["path"] for r in manifest.take_all())
-    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"shards": [Path(p).name for p in paths]}, f)
-    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
-    return paths
+    return _commit_manifest(ds, out_dir, "feather", compression, batch_rows)

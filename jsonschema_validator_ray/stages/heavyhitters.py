@@ -83,7 +83,10 @@ def grouped_mode(ds, group: str, value: str, *, num_buckets: int = 32,
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.select([group, value]).to_pandas()
-        cells = (df.groupby([group, value], sort=False)
+        # dropna=False: SQL GROUP BY keeps NULL groups/values — pandas'
+        # default would silently drop those rows (latent, testdata is
+        # null-free; same rule as contingency.py)
+        cells = (df.groupby([group, value], sort=False, dropna=False)
                    .size().reset_index(name="c"))
         h = pd.util.hash_pandas_object(cells[group], index=False).to_numpy()
         cells["__kb"] = (h.astype(np.uint64)
@@ -91,8 +94,8 @@ def grouped_mode(ds, group: str, value: str, *, num_buckets: int = 32,
         return pa.Table.from_pandas(cells, preserve_index=False)
 
     def mode_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        full = (g.groupby([group, value], sort=False, as_index=False)["c"]
-                 .sum())
+        full = (g.groupby([group, value], sort=False, as_index=False,
+                          dropna=False)["c"].sum())
         full = full.sort_values([group, "c", value], kind="mergesort",
                                 ascending=[True, False, True])
         out = full.drop_duplicates(group, keep="first")

@@ -79,13 +79,17 @@ def duplicated_lines(ds, column: str, *, min_count: int = 2,
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=batch_size)
 
-    def total_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def total_in_bucket(g: pd.DataFrame) -> pa.Table:
         # grouping is by line VALUE inside the bucket — hash collisions
-        # cannot merge distinct lines
+        # cannot merge distinct lines. Arrow (not pandas) return: Ray's
+        # pandas-block size estimator np.vectorize()s over object columns
+        # and errors loudly on EMPTY ones ("Error calculating size for
+        # column 'line'"); Arrow blocks size exactly either way.
         tot = g.groupby("line", sort=False)["n"].sum()
         tot = tot[tot >= min_count]
-        return pd.DataFrame({"line": tot.index.to_numpy(),
-                             "n": tot.to_numpy().astype(np.int64)})
+        return pa.table({
+            "line": pa.array(tot.index.to_numpy(), type=pa.large_string()),
+            "n": pa.array(tot.to_numpy().astype(np.int64))})
 
     return partials.groupby("__bucket").map_groups(
         total_in_bucket, batch_format="pandas")

@@ -82,6 +82,25 @@ def _explode_bands(meta: dict, key_type: pa.DataType):
     return fn
 
 
+_SIG_MAP_CACHE: dict = {}
+
+
+def _cached_sig_map(ref):
+    """Per-worker memo for the broadcast sig dict: ``ray.get`` of a plain
+    dict re-deserializes the whole object (up to the 64 MB broadcast limit,
+    ~10× that as Python objects) on EVERY call — cache one probe's map per
+    worker process, keyed by the ObjectRef."""
+    import ray as _ray
+
+    key = ref.hex()
+    m = _SIG_MAP_CACHE.get(key)
+    if m is None:
+        _SIG_MAP_CACHE.clear()      # hold at most one probe's map
+        m = _ray.get(ref)
+        _SIG_MAP_CACHE[key] = m
+    return m
+
+
 def _key_bucket(keys, num_buckets: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
     return (h.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
@@ -267,10 +286,18 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
         ref = ray.put(sig_map)
 
         def attach(b: pa.Table) -> pa.Table:
-            m = ray.get(ref)
+            m = _cached_sig_map(ref)
             ka = b.column("key_a").to_pandas()
-            return no_meta(b).append_column(
-                "sig", pa.array(ka.map(m).to_numpy(), type=pa.binary()))
+            sig = pa.array(ka.map(m).to_numpy(), type=pa.binary())
+            if sig.null_count:
+                # every key_a came from this probe's own signatures — a
+                # miss is a membership bug; fail HERE, not later inside
+                # _sig_matrix's opaque reshape
+                missing = ka[pd.isna(ka.map(m))].head(3).tolist()
+                raise ValueError(
+                    f"probe sig_map missing {sig.null_count} key_a values "
+                    f"(e.g. {missing}) — broadcast map out of sync")
+            return no_meta(b).append_column("sig", sig)
 
         joined = cand.map_batches(attach, batch_format="pyarrow")
     else:

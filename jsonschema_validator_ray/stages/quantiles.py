@@ -256,7 +256,11 @@ def grouped_quantiles_disc(ds, group: str, column: str, qs: list[float], *,
         n = len(g)
         first = np.ones(n, dtype=bool)
         if n > 1:
-            first[1:] = kv[1:] != kv[:-1]
+            # factorize: NaN group keys fail the != boundary test
+            # (NaN != NaN) and would splinter into per-row segments;
+            # codes give one segment per group incl. the NULL group
+            codes = pd.factorize(kv, use_na_sentinel=False)[0]
+            first[1:] = codes[1:] != codes[:-1]
         starts = np.flatnonzero(first)
         ends = np.append(starts[1:], n)
         sizes = ends - starts

@@ -200,7 +200,13 @@ def cumulative(ds, key: str, ts: str, id_col: str, value: str,
             return pd.DataFrame({c: pd.Series([], dtype="int64")
                                  for c in cols})
         g = g.sort_values([key, ts, id_col], kind="mergesort")
-        cents = np.rint(g[value].to_numpy(np.float64) * 100).astype(np.int64)
+        # floor, not round: np.rint is half-to-even while SQL round() is
+        # half-away-from-zero — a value*100 landing exactly on .5 would
+        # skew the oracle by one cent. floor matches rolling()'s contract
+        # and DuckDB floor() exactly. NULL/NaN contributes 0 (SQL SUM
+        # skips NULLs; floor(NaN).astype(int64) would poison the cumsum).
+        vals = np.nan_to_num(g[value].to_numpy(np.float64), nan=0.0)
+        cents = np.floor(vals * 100).astype(np.int64)
         kv = g[key].to_numpy()
         n = len(g)
         first = np.ones(n, dtype=bool)

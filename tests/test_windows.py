@@ -205,7 +205,9 @@ def test_cumulative_matches_pandas(ray_session):
                       "uid", "ts", "eid", "value", num_buckets=8)
            .to_pandas().sort_values("eid").reset_index(drop=True))
     sf = df.sort_values(["uid", "ts", "eid"], kind="mergesort").copy()
-    cents = np.rint(sf["value"].to_numpy() * 100).astype(np.int64)
+    # floor, matching cumulative()'s contract (and DuckDB floor()) — rint's
+    # half-to-even would diverge from the SQL oracle on exact .5 cents
+    cents = np.floor(sf["value"].to_numpy() * 100).astype(np.int64)
     sf["run_cents"] = pd.Series(cents, index=sf.index).groupby(
         sf["uid"]).cumsum()
     sf["run_count"] = sf.groupby("uid").cumcount() + 1
