@@ -179,19 +179,35 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
-    # --- the wide table-level stages (uniqueness / referential / stats) over
-    # a quarter of the corpus, SERIALLY: three concurrent 16M-row scans
-    # through one object store spill and take 3× longer than running them
-    # back-to-back (measured 170s concurrent vs ~57s serial at 16M) ---
+    # --- the wide table-level stages (validation + uniqueness + referential
+    # + stats) over a quarter of the corpus in ONE fused scan: each task
+    # reads a row group and emits a tagged union of verdicts + uniqueness
+    # partials + lang violations + sketch partials; consumers filter the
+    # small materialized union. Replaces three serial corpus scans (r3:
+    # 12.4 s serial; same-window A/B r4: fused 10.8-13.7 s vs classic
+    # 25.9-35.2 s — the classic leg is kept below as the A/B record) ---
+    from jsonschema_validator_ray.pipelines.webtext import wide_checks_files
+
     wide_files = files[:max(1, len(files) // 4)]
     t0 = time.perf_counter()
-    rpt = run_webtext_pipeline(read_parquet(wide_files),
-                               check_extraction=False, batch_size=16384)
+    rpt = wide_checks_files(wide_files, check_extraction=False,
+                            batch_size=16384)
     n_dups = rpt.dup_urls.count()
     n_langviol = rpt.lang_violations.count()
     _stats = rpt.stats.to_pandas()
     timings["webtext_wide_checks"] = round(time.perf_counter() - t0, 3)
     timings["webtext_wide_rows"] = WEBTEXT_ROWS // 4
+
+    # same-window A/B: the classic three-serial-scan pipeline
+    t0 = time.perf_counter()
+    rptc = run_webtext_pipeline(read_parquet(wide_files),
+                                check_extraction=False, batch_size=16384)
+    n_dups_c = rptc.dup_urls.count()
+    n_langviol_c = rptc.lang_violations.count()
+    _stats_c = rptc.stats.to_pandas()
+    timings["webtext_wide_checks_classic"] = round(
+        time.perf_counter() - t0, 3)
+    assert (n_dups, n_langviol) == (n_dups_c, n_langviol_c)
 
     # --- per-query timings over the sf tables (driver-contract surface) ---
     qs = ent.queries()

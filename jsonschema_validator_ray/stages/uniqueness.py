@@ -45,15 +45,11 @@ def _bucket_partial(key: str, n_buckets: int):
     return fn
 
 
-def duplicate_keys(ds, key: str, *, batch_size: int = 65536,
-                   n_buckets: int = 64):
-    """→ Dataset (key, dup_count) for keys appearing more than once.
-    ``n_buckets`` must be a power of two; size it ≳ 2× total cores so the
-    merge stage saturates the cluster while each task stays coarse."""
-    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
-    partials = ds.select_columns([key]).map_batches(
-        _bucket_partial(key, n_buckets), batch_format="pyarrow",
-        batch_size=batch_size)
+def merge_duplicate_partials(partials, key: str):
+    """Phase 2: ``(key, partial_count, bucket)`` partial rows →
+    ``(key, dup_count)`` for keys with total count > 1. Exposed so a fused
+    multi-output corpus pass (pipelines/webtext.wide_checks_files) can emit
+    phase-1 partials inline and reuse this exchange unchanged."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(key, sort=False)["partial_count"].sum()
@@ -63,6 +59,18 @@ def duplicate_keys(ds, key: str, *, batch_size: int = 65536,
 
     return partials.groupby("bucket").map_groups(per_bucket,
                                                  batch_format="pandas")
+
+
+def duplicate_keys(ds, key: str, *, batch_size: int = 65536,
+                   n_buckets: int = 64):
+    """→ Dataset (key, dup_count) for keys appearing more than once.
+    ``n_buckets`` must be a power of two; size it ≳ 2× total cores so the
+    merge stage saturates the cluster while each task stays coarse."""
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    partials = ds.select_columns([key]).map_batches(
+        _bucket_partial(key, n_buckets), batch_format="pyarrow",
+        batch_size=batch_size)
+    return merge_duplicate_partials(partials, key)
 
 
 def uniqueness_violations(ds, key: str, constraint_id: str | None = None):
