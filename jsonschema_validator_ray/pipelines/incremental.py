@@ -44,8 +44,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..stages import hashindex, minhashindex, statestore
-from ..stages.dedup import dedup_exact
+from ..stages import minhashindex, statestore
 from ..stages.util import read_meta as _read_meta
 from ..stages.util import write_meta as _write_meta
 
@@ -80,13 +79,161 @@ def _corpus_gen_rows(gen_dir: str) -> int:
                for f in Path(gen_dir).rglob("*.parquet"))
 
 
+def _dedup_exact_sigs(ds, cfg: dict, hash_index_dir: str | None, *,
+                      batch_size: int):
+    """FUSED exact-dedup + MinHash-signature pass over one crawl: → Dataset
+    of survivor rows (all input columns) + ``content_hash`` (uint64) +
+    ``sig`` (binary, n_perm uint64 minima).
+
+    One exchange of the crawl (hash-bucket groupby, exactly
+    stages/hashindex.dedup_exact_incremental's shape); each bucket task
+    drops within-crawl duplicates (min key per content VALUE), anti-joins
+    the persisted index bucket (partition-pruned read) when one exists, and
+    signs the survivors' text in the same task — the crawl's text is
+    shingled exactly once per ingest, and the signature pass that used to
+    be its own Ray job disappears into this one."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.dedup import (MinHasher, batch_shingle_hashes,
+                                content_hash_batch)
+    from ..stages.hashindex import _bucket_expr, _bucket_hashes
+    from ..stages.util import no_meta
+
+    key, text = cfg["key"], cfg["text"]
+    nb = cfg["num_buckets"]
+    generations: list[str] = []
+    if hash_index_dir is not None and \
+            os.path.exists(os.path.join(hash_index_dir, _META)):
+        hmeta = _read_meta(hash_index_dir)
+        generations = list(hmeta["generations"])
+        nb = hmeta["num_buckets"]
+    hasher = MinHasher(cfg["n_perm"], cfg["seed"])
+
+    def add_bucket(b: "pa.Table") -> "pa.Table":
+        h = content_hash_batch(b, text)
+        return (no_meta(b).append_column("content_hash", h)
+                .append_column("__hb", _bucket_expr(h, nb)))
+
+    hashed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__hb"].iloc[0])
+        keep = g.groupby(text, sort=False, dropna=False)[key].transform("min")
+        g = g[g[key] == keep]
+        if generations:
+            seen = _bucket_hashes(hash_index_dir, generations, bucket)
+            g = g[~np.isin(g["content_hash"].to_numpy().astype(np.uint64),
+                           seen)]
+        per_doc = batch_shingle_hashes(g[text].tolist(), unique=False)
+        mat = hasher.signature_matrix(per_doc)
+        g = g.assign(sig=[mat[i].tobytes() for i in range(mat.shape[0])])
+        return g.drop(columns=["__hb"])
+
+    return hashed.groupby("__hb").map_groups(survivors,
+                                             batch_format="pandas")
+
+
+def _commit_fn(cfg: dict, dirs: dict):
+    """ONE job that writes EVERY store's data for a generation: corpus
+    parquet + hash-index rows (``hash_bucket=<b>/``) + minhash sig rows
+    (``sigs/sig_bucket=<b>/``) + band rows (``bands/band_bucket=<b>/``),
+    returning per-batch column-stats partial rows as the ack stream (folded
+    and persisted driver-side — KBs). Replaces three separate store-update
+    jobs plus the sig-store read-back. Crash contract unchanged: nothing
+    here touches any ``meta.json`` — data lands fully, metas swap after.
+
+    Returns a plain FUNCTION for a task-pool ``map_batches`` (an actor
+    pool would pay actor startup on every ingest — measured as a visible
+    slice of the ~0.5 s/job floor this refactor exists to cut); shard
+    names are uuid-per-call so parallel tasks never collide."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.hashindex import _bucket_expr
+    from ..stages.minhashindex import _explode_bands, _key_bucket
+    from ..stages.stats import PARTIAL_SCHEMA, StatsPartial
+    from ..stages.util import no_meta
+
+    key, num_buckets = cfg["key"], cfg["num_buckets"]
+    stats_partial = StatsPartial(
+        cfg["stats_columns"], hll_p=cfg.get("hll_p", 14),
+        tdigest_compression=cfg.get("compression", 100.0),
+        hist_edges=cfg["hist_edges"] or None,
+        hist_categories=cfg["hist_categories"] or None)
+    mh_meta = {"key": key, "n_perm": cfg["n_perm"], "bands": cfg["bands"],
+               "seed": cfg["seed"], "num_buckets": num_buckets}
+
+    def write_bucketed(t, bk, base, part, tag):
+        for b in np.unique(bk):
+            d = os.path.join(base, f"{part}={int(b)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t.filter(pa.array(bk == b)),
+                           os.path.join(d, f"part-{tag}.parquet"))
+
+    def commit(b: pa.Table) -> pa.Table:
+        import uuid
+
+        if b.num_rows == 0:
+            return PARTIAL_SCHEMA.empty_table()
+        tag = uuid.uuid4().hex[:16]
+
+        corpus_t = no_meta(b.drop_columns(
+            [c for c in ("content_hash", "sig") if c in b.column_names]))
+        os.makedirs(dirs["corpus"], exist_ok=True)
+        pq.write_table(corpus_t,
+                       os.path.join(dirs["corpus"], f"part-{tag}.parquet"))
+
+        h = pc.cast(b.column("content_hash"), pa.uint64())
+        write_bucketed(
+            pa.table({key: b.column(key), "content_hash": h}),
+            _bucket_expr(h, num_buckets).to_numpy(zero_copy_only=False),
+            dirs["hash"], "hash_bucket", tag)
+
+        sig_t = pa.table({key: b.column(key),
+                          "sig": pc.cast(b.column("sig"), pa.binary())})
+        write_bucketed(
+            sig_t, _key_bucket(b.column(key).to_pandas(), num_buckets),
+            dirs["sigs"], "sig_bucket", tag)
+
+        bands = _explode_bands(mh_meta, sig_t.schema.field(key).type)(sig_t)
+        write_bucketed(
+            bands.drop_columns(["band_bucket"]),
+            bands.column("band_bucket").to_numpy(zero_copy_only=False),
+            dirs["bands"], "band_bucket", tag)
+
+        return stats_partial(corpus_t)
+
+    return commit
+
+
 def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
     """Ingest one crawl. Returns the summary dict that is also appended to
     the root meta: generation, input/survivor counts, per-stage drops, and
     the PSI drift of the crawl against the accumulated history (when a
-    histogram column is configured and history exists)."""
+    histogram column is configured and history exists).
+
+    Execution shape (r4 — fused; each bullet is ONE Ray job, cutting the
+    per-ingest fixed scheduling overhead that dominated the bench leg):
+
+    1. materialize the crawl (consumed by drift + dedup);
+    2. PSI drift of the raw crawl vs history (skipped on gen 0);
+    3. FUSED exact-dedup + signature pass (:func:`_dedup_exact_sigs`) —
+       within-crawl min-key dedup, partition-pruned index anti-join, and
+       MinHash signing all in the same bucket tasks;
+    4. near-dup probe against the index, reusing those signatures
+       (``probe_minhash_index(sigs=...)`` — nothing is re-shingled);
+    5. FUSED commit (:class:`_IngestCommit`) — one pass over the survivor
+       rows writes the corpus generation AND the hash-index, sig-store,
+       band-store partitions, returning stats partials folded driver-side.
+
+    Crash contract unchanged: all generation data lands before any store's
+    ``meta.json`` swaps, and the ROOT meta swaps last; ``repair_state``
+    semantics are identical."""
     meta = _read_meta(root)
-    key, text = meta["key"], meta["text"]
+    key = meta["key"]
     gen = f"gen-{len(meta['ingests']):06d}"
     hash_dir = os.path.join(root, "hash_index")
     mh_dir = os.path.join(root, "minhash_index")
@@ -94,9 +241,9 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
     corpus_gen = os.path.join(root, "corpus", gen)
     # stores materialize on the first NON-EMPTY ingest, so their presence
     # (not the ingest count) decides write-vs-update
-    first = not os.path.exists(os.path.join(hash_dir, "meta.json"))
+    first = not os.path.exists(os.path.join(hash_dir, _META))
 
-    # the crawl is consumed by count, drift, and the dedup probes —
+    # the crawl is consumed by count, drift, and the dedup pass —
     # materialize ONCE so the upstream pipeline runs a single time
     ds = ds.materialize()
     n_new = ds.count()
@@ -108,55 +255,107 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
             drift[col] = statestore.psi_vs_state(ds, stats_dir, col,
                                                  batch_size=batch_size)
 
-    # exact dedup: within the crawl AND (after gen 0) against the index
-    if first:
-        survivors = dedup_exact(ds, key, text, batch_size=batch_size)
-    else:
-        survivors = hashindex.dedup_exact_incremental(
-            ds, hash_dir, column=text, batch_size=batch_size)
+    # exact dedup (within-crawl + vs index) fused with the signature pass
+    combined = _dedup_exact_sigs(
+        ds, meta, hash_dir if not first else None,
+        batch_size=batch_size).materialize()
 
-    # near dedup against the indexed history (cross-crawl only); the
-    # probe's materialized signatures flow through to the index update
-    # below — the crawl text is shingled exactly once
     matched_pairs = 0
-    surv_sigs = None
-    if not first:
-        survivors, matched, surv_sigs = minhashindex.dedup_near_incremental(
-            survivors, mh_dir, threshold=meta["near_threshold"],
-            batch_size=max(batch_size // 4, 256), return_sigs=True)
+    survivors = combined
+    if not first and combined.count() > 0:
+        matched = minhashindex.probe_minhash_index(
+            None, mh_dir, threshold=meta["near_threshold"],
+            batch_size=max(batch_size // 4, 256),
+            sigs=combined).materialize()
         matched_pairs = matched.count()
+        if matched_pairs and matched_pairs <= 2_000_000:
+            # small matched set (the common crawl-ingest case): broadcast
+            # the dropped keys into a TASK filter — stages/joins.anti_join
+            # would spin up an actor pool per ingest, and actor startup is
+            # exactly the fixed overhead this pipeline is trimming
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-    # survivors land FIRST; every store update reads the written
-    # generation; fresh_dir makes a crash-retry of the same gen safe
+            drop = pa.array(list({r["key_a"] for r in matched.take_all()}))
+
+            def keep_fn(b: "pa.Table") -> "pa.Table":
+                bad = pc.fill_null(
+                    pc.is_in(b.column(key), value_set=drop), False)
+                return b.filter(pc.invert(bad))
+
+            survivors = combined.map_batches(keep_fn,
+                                             batch_format="pyarrow")
+        elif matched_pairs:
+            from ..stages.joins import anti_join
+
+            survivors = anti_join(combined, matched, on=key,
+                                  right_on="key_a")
+
+    # FUSED commit: every store's generation data in one job. Generation
+    # names come from each store's CURRENT meta (they advance in lockstep,
+    # but read each to stay robust); fresh_dir makes a crash-retry of the
+    # same generation safe.
     from ..stages.util import fresh_dir
 
-    survivors.write_parquet(fresh_dir(corpus_gen))
+    def _next_gen(store_dir: str) -> str:
+        p = os.path.join(store_dir, _META)
+        if not os.path.exists(p):
+            return "gen-000000"
+        with open(p) as f:
+            return f"gen-{len(json.load(f)['generations']):06d}"
+
+    hgen, mgen, sgen = (_next_gen(d)
+                        for d in (hash_dir, mh_dir, stats_dir))
+    dirs = {
+        "corpus": fresh_dir(corpus_gen),
+        "hash": fresh_dir(os.path.join(hash_dir, hgen)),
+        "sigs": os.path.join(mh_dir, mgen, "sigs"),
+        "bands": os.path.join(mh_dir, mgen, "bands"),
+    }
+    fresh_dir(os.path.join(mh_dir, mgen))
+    cfg = {"key": key, "num_buckets": meta["num_buckets"],
+           "n_perm": meta["n_perm"], "bands": meta["bands"],
+           "seed": meta["seed"], "stats_columns": meta["stats_columns"],
+           "hist_edges": meta["hist_edges"],
+           "hist_categories": meta["hist_categories"]}
+    acks = survivors.map_batches(
+        _commit_fn(cfg, dirs), batch_format="pyarrow",
+        batch_size=max(batch_size * 8, 32768)).to_pandas()
     n_kept = _corpus_gen_rows(corpus_gen)
 
     if n_kept > 0:
-        kept = ray.data.read_parquet(corpus_gen)
+        # fold + persist the stats partials (driver-side, KBs), then swap
+        # every store meta — data is fully on disk at this point
+        import pyarrow as pa
+
+        stats_tbl = pa.concat_tables(
+            [statestore._fold_group(g)
+             for _, g in acks.groupby("column", sort=True)])
+        sdir = fresh_dir(os.path.join(stats_dir, sgen))
+        os.makedirs(sdir, exist_ok=True)
+        pq.write_table(stats_tbl, os.path.join(sdir, "partials.parquet"))
+
         if first:
-            hashindex.write_hash_index(kept, hash_dir, key=key, column=text,
-                                       num_buckets=meta["num_buckets"],
-                                       batch_size=batch_size)
-            minhashindex.write_minhash_index(
-                kept, mh_dir, key=key, text=text, n_perm=meta["n_perm"],
-                bands=meta["bands"], seed=meta["seed"],
-                num_buckets=meta["num_buckets"],
-                batch_size=max(batch_size // 4, 256))
-            statestore.write_stats_state(
-                kept, stats_dir, meta["stats_columns"],
-                hist_edges=meta["hist_edges"] or None,
-                hist_categories=meta["hist_categories"] or None,
-                batch_size=batch_size)
+            _write_meta(hash_dir, {"num_buckets": meta["num_buckets"],
+                                   "key": key, "generations": [hgen]})
+            _write_meta(mh_dir, {"key": key, "text": meta["text"],
+                                 "n_perm": meta["n_perm"],
+                                 "bands": meta["bands"],
+                                 "seed": meta["seed"],
+                                 "num_buckets": meta["num_buckets"],
+                                 "generations": [mgen]})
+            _write_meta(stats_dir, {"columns": meta["stats_columns"],
+                                    "hll_p": 14, "compression": 100.0,
+                                    "hist_edges": meta["hist_edges"],
+                                    "hist_categories":
+                                        meta["hist_categories"],
+                                    "generations": [sgen]})
         else:
-            hashindex.update_hash_index(kept, hash_dir, column=text,
-                                        batch_size=batch_size)
-            minhashindex.update_minhash_index(
-                kept, mh_dir, batch_size=max(batch_size // 4, 256),
-                sigs=surv_sigs)
-            statestore.update_stats_state(kept, stats_dir,
-                                          batch_size=batch_size)
+            for d, g in ((hash_dir, hgen), (mh_dir, mgen),
+                         (stats_dir, sgen)):
+                m = _read_meta(d)
+                m["generations"].append(g)
+                _write_meta(d, m)
     # n_kept == 0 (fully-deduplicated re-crawl): nothing to fold — the
     # ingest is still recorded, the stores stay at their current
     # generation, and repair_state's store-behind-root case is a no-op

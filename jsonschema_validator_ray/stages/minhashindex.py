@@ -193,7 +193,7 @@ def _read_bucket(path: str, generations: list[str], store: str,
 def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
                         batch_size: int = 1024, bucket_cap: int = 200,
                         pair_buckets: int = 16, return_sigs: bool = False,
-                        sig_broadcast_limit: int = 64 << 20):
+                        sig_broadcast_limit: int = 64 << 20, sigs=None):
     """→ Dataset ``(key_a, key_b, jaccard_est, truncated)``: every (new
     doc, indexed doc) pair with estimated Jaccard ≥ ``threshold``. ``ds``
     is the new crawl; only it is signed and shuffled — index I/O is
@@ -204,7 +204,11 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     stages/dedup). New-side signatures are materialized once (~8·n_perm
     B/doc — the increment, not the corpus) because both the candidate and
     verify stages consume them. ``return_sigs=True`` → (pairs, sigs) so
-    the caller can reuse the materialized signatures (index update)."""
+    the caller can reuse the materialized signatures (index update).
+    ``sigs`` skips the signing pass entirely: pass a dataset already
+    carrying (key, sig) columns (e.g. the fused exact-dedup+signature pass
+    of pipelines/incremental) and ``ds`` is ignored — at scale the
+    shingle+hash pass is the whole probe cost."""
     import ray.data
 
     def ret(pairs, sigs):
@@ -214,9 +218,12 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     key, nb = meta["key"], meta["num_buckets"]
     generations = list(meta["generations"])
 
-    sigs = minhash_signatures(ds, key, meta["text"], n_perm=meta["n_perm"],
-                              seed=meta["seed"],
-                              batch_size=batch_size).materialize()
+    if sigs is None:
+        sigs = minhash_signatures(ds, key, meta["text"],
+                                  n_perm=meta["n_perm"], seed=meta["seed"],
+                                  batch_size=batch_size).materialize()
+    else:
+        sigs = sigs.select_columns([key, "sig"]).materialize()
     if sigs.count() == 0:
         # empty crawl (e.g. everything already dropped upstream): an empty
         # Dataset has no schema to read the key type from — take it from
