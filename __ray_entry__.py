@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_documents": corpus.mix_documents,
         "pack_documents": corpus.pack_documents,
         "events_in_sessions": corpus.events_in_sessions,
+        "events_in_windows": corpus.events_in_windows,
         "events_hourly": corpus.events_hourly,
         "verdict_events_props": corpus.verdict_events_props,
         "events_sessions": corpus.events_sessions,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "split_documents": corpus.SPLIT_SQL,
         "mix_documents": corpus.MIX_SQL,
         "events_in_sessions": corpus.EVENTS_IN_SESSIONS_SQL,
+        "events_in_windows": corpus.EVENTS_IN_WINDOWS_SQL,
         "events_hourly": corpus.EVENTS_HOURLY_SQL,
         "verdict_events_props": corpus.VERDICT_PROPS_SQL,
         "events_sessions": corpus.EVENTS_SESSIONS_SQL,

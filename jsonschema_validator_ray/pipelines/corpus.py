@@ -1303,28 +1303,20 @@ def pack_documents(sf_dir: str, budget: int = 512):
 
 
 def events_in_sessions(sf_dir: str):
-    """Range join: each event attached to the session window containing it
-    (sessionize → interval containment via stages/joins.range_join).
-    Output (event_id, user_id, session_start)."""
-    from ..stages.joins import range_join
-    from ..stages.windows import sessionize
+    """Each event attached to the gap-based session containing it — the
+    FUSED sessionize-and-assign operator (stages/windows.sessionize_assign):
+    sessions derive from these same events, so one hash exchange both
+    builds the sessions and tags every event, instead of sessionize +
+    range_join double-scanning the events table (r3: 5.6 s → the join
+    showcase now lives in events_in_windows). Output
+    (event_id, user_id, session_start); oracle unchanged."""
+    from ..stages.windows import sessionize_assign
 
     ev = read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
-    sess = sessionize(ev.select_columns(["user_id", "ts"]),
-                      "user_id", "ts", gap_s=3600)
-
-    def slim(b: pa.Table) -> pa.Table:
-        return pa.table({"user_id": b.column("user_id"),
-                         "session_start": b.column("session_start"),
-                         "session_end": b.column("session_end")})
-
-    out = range_join(ev, sess.map_batches(slim, batch_format="pyarrow"),
-                     "user_id", "ts",
-                     start="session_start", end="session_end")
+    out = sessionize_assign(ev, "user_id", "ts", "event_id", gap_s=3600)
 
     def norm(b: pa.Table) -> pa.Table:
-        # padded-union upcasts int64 through pandas; restore types
         return pa.table({
             "event_id": pc.cast(b.column("event_id"), pa.int64()),
             "user_id": pc.cast(b.column("user_id"), pa.int64()),
@@ -1333,6 +1325,51 @@ def events_in_sessions(sf_dir: str):
         })
 
     return out.map_batches(norm, batch_format="pyarrow")
+
+
+def events_in_windows(sf_dir: str):
+    """Interval-containment RANGE JOIN showcase (stages/joins.range_join —
+    kept as its own oracle-checked query now that events_in_sessions uses
+    the fused operator): each event joined to its user's first-2-hours
+    activation window. Output (event_id, user_id, w_start)."""
+    from ..stages.joins import range_join
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    first = ev.select_columns(["user_id", "ts"]).groupby("user_id").min("ts")
+
+    def window(b: pa.Table) -> pa.Table:
+        lo = pc.cast(b.column("min(ts)"), pa.timestamp("us"))
+        hi = pc.add(lo, pa.scalar(7200_000_000, pa.duration("us")))
+        return pa.table({"user_id": b.column("user_id"),
+                         "w_start": lo, "w_end": hi})
+
+    out = range_join(ev, first.map_batches(window, batch_format="pyarrow"),
+                     "user_id", "ts", start="w_start", end="w_end")
+
+    def norm(b: pa.Table) -> pa.Table:
+        # padded-union upcasts int64 through pandas; restore types
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "w_start": pc.cast(b.column("w_start"), pa.timestamp("us")),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
+EVENTS_IN_WINDOWS_SQL = """
+WITH w AS (
+  SELECT user_id, min(ts) AS w_start,
+         min(ts) + INTERVAL 7200 SECOND AS w_end
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, w.w_start
+FROM events e
+JOIN w ON e.user_id = w.user_id
+      AND e.ts BETWEEN w.w_start AND w.w_end
+"""
 
 
 EVENTS_IN_SESSIONS_SQL = """

@@ -140,6 +140,48 @@ def sessionize(ds, key: str, ts: str, gap_s: int, num_buckets: int = 32):
         per_bucket, batch_format="pandas")
 
 
+def sessionize_assign(ds, key: str, ts: str, id_col: str, gap_s: int,
+                      num_buckets: int = 32):
+    """FUSED sessionize-and-assign: → (id_col, key, session_start) — every
+    event tagged with the start of the gap-based session containing it, in
+    ONE hash exchange of the events table.
+
+    The unfused decomposition (``sessionize`` → ``range_join`` back onto
+    the same events table) scans and shuffles events twice; but since the
+    sessions DERIVE from these very events, the assignment is just a
+    forward-fill of each session's first timestamp within the sessionize
+    pass itself. Gap-based sessions are disjoint per key, so this equals
+    the interval-containment join exactly (oracle unchanged)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                key: pd.Series([], dtype=g[key].dtype),
+                "session_start": pd.Series([], dtype="datetime64[us]")})
+        g = g.sort_values([key, ts], kind="mergesort")
+        t = g[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        kv = g[key].to_numpy()
+        gap_us = gap_s * 1_000_000
+        n = len(t)
+        new_session = np.ones(n, dtype=bool)
+        if n > 1:
+            same_key = kv[1:] == kv[:-1]
+            new_session[1:] = (~same_key) | ((t[1:] - t[:-1]) > gap_us)
+        # session_start per row = its session's first timestamp,
+        # forward-filled via a running max of session-start indices
+        start_idx = np.maximum.accumulate(
+            np.where(new_session, np.arange(n), -1))
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key: kv,
+            "session_start": pd.to_datetime(t[start_idx], unit="us"),
+        })
+
+    return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
+        per_bucket, batch_format="pandas")
+
+
 def sequence(ds, key: str, ts: str, id_col: str, num_buckets: int = 32):
     """Per-key ordered sequencing — the lag/row_number window family:
     → (id_col, key, seq, gap_us) where ``seq`` is the 1-based rank of the

@@ -214,3 +214,59 @@ def test_cumulative_matches_pandas(ray_session):
     want = sf.sort_values("eid").reset_index(drop=True)
     assert list(got["run_count"]) == list(want["run_count"])
     assert list(got["run_cents"]) == list(want["run_cents"])
+
+
+def test_sessionize_assign_matches_unfused(ray_session):
+    """Fused sessionize-and-assign == sessionize → range_join back onto
+    the same events (the decomposition it replaces), incl. null-ts rows
+    (dropped by both paths) and gap boundary ties."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import range_join
+    from jsonschema_validator_ray.stages.windows import (sessionize,
+                                                         sessionize_assign)
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    ts = pd.to_datetime(rng.integers(0, 500_000, n), unit="s")
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "uid": rng.integers(0, 40, n),
+        "ts": ts,
+    })
+    # exact gap boundary: two events exactly gap_s apart stay in-session
+    df.loc[1, ["uid", "ts"]] = [999, pd.Timestamp("2020-01-01 00:00:00")]
+    df.loc[2, ["uid", "ts"]] = [999, pd.Timestamp("2020-01-01 01:00:00")]
+    df.loc[3, ["uid", "ts"]] = [999, pd.Timestamp("2020-01-01 02:00:01")]
+    ev = ray.data.from_pandas(df).repartition(5)
+
+    fused = (sessionize_assign(ev, "uid", "ts", "eid", gap_s=3600,
+                               num_buckets=8)
+             .to_pandas().sort_values("eid").reset_index(drop=True))
+
+    sess = sessionize(ev.select_columns(["uid", "ts"]), "uid", "ts",
+                      gap_s=3600, num_buckets=8)
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"uid": b.column("uid"),
+                         "session_start": b.column("session_start"),
+                         "session_end": b.column("session_end")})
+
+    joined = range_join(ev, sess.map_batches(slim, batch_format="pyarrow"),
+                        "uid", "ts", start="session_start",
+                        end="session_end", num_buckets=8)
+    want = (joined.to_pandas()[["eid", "uid", "session_start"]]
+            .astype({"eid": "int64", "uid": "int64"})
+            .sort_values("eid").reset_index(drop=True))
+    got = fused[["eid", "uid", "session_start"]].astype(
+        {"eid": "int64", "uid": "int64"})
+    got["session_start"] = got["session_start"].astype(
+        want["session_start"].dtype)
+    pd.testing.assert_frame_equal(got, want)
+    # boundary: the 1h-gap pair shares a session, the 1h+1s one does not
+    u999 = got[got["uid"] == 999].sort_values("eid")
+    assert u999["session_start"].iloc[0] == u999["session_start"].iloc[1]
+    assert u999["session_start"].iloc[2] != u999["session_start"].iloc[1]
