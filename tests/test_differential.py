@@ -111,10 +111,6 @@ def test_column_plan_agrees_with_value_engine(props, required, rows):
     })
     plan_out = BatchValidator(table_schema, "k")(batch).to_pylist()
 
-    # the CP emits ONE violation row per failing (row, constraint); its
-    # items row carries the FIRST failing child keyword's tag (VERDICT r2
-    # item 5 — VE recursion reports child tags, rules/array.go:43-76), so
-    # with items in play the CP tag set is a SUBSET of the VE's
     has_items = "items" in (props.get("xs") or {})
 
     engine = ValueEngine(Options())
@@ -133,15 +129,15 @@ def test_column_plan_agrees_with_value_engine(props, required, rows):
             r, table_schema, expect.errors, got["violations"])
         ve_tags = {e.tag for e in expect.errors}
         cp_tags = {v["tag"] for v in got["violations"]}
-        if not has_items:
-            assert ve_tags == cp_tags, (r, table_schema)
-        else:
-            # tag agreement THROUGH items: every CP tag (child keyword or
-            # otherwise) must be a tag the VE reported, and never the
-            # blanket "items"
-            assert cp_tags <= ve_tags, (
-                r, table_schema, expect.errors, got["violations"])
+        # full tag-SET equality, items included: the CP emits one violation
+        # row per failing (element, child keyword) occurrence — VE
+        # recursion parity (rules/array.go:43-76), r4 upgrade from the r3
+        # subset contract
+        assert ve_tags == cp_tags, (
+            r, table_schema, expect.errors, got["violations"])
+        if has_items:
             assert "items" not in cp_tags, (r, table_schema,
                                             got["violations"])
-            if len(ve_tags) == 1:
-                assert cp_tags == ve_tags, (r, table_schema)
+            # and one CP violation ROW per VE error, not just equal sets
+            assert len(got["violations"]) == expect.error_count, (
+                r, table_schema, expect.errors, got["violations"])
