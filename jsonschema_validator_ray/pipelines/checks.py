@@ -329,14 +329,15 @@ def rowrules_lineitem(sf_dir: str):
     comparators lifted to column-vs-column table invariants. Floats are
     compared, never accumulated, so verdicts are arithmetic-identical to
     the SQL oracle."""
-    from ..stages.rowrules import row_rule_violations
+    from ..sources.parquet import fused_map_parquet
+    from ..stages.rowrules import RowRuleValidator
 
-    li = read_parquet(
+    return fused_map_parquet(
         f"{sf_dir}/lineitem.parquet",
+        RowRuleValidator(_LINEITEM_RULES, ["l_orderkey", "l_linenumber"]),
         columns=["l_orderkey", "l_linenumber", "l_quantity",
-                 "l_extendedprice", "l_discount", "l_tax"])
-    return row_rule_violations(li, _LINEITEM_RULES,
-                               ["l_orderkey", "l_linenumber"])
+                 "l_extendedprice", "l_discount", "l_tax"],
+        batch_size=65536)
 
 
 ROWRULES_SQL = """

@@ -1018,8 +1018,8 @@ def hist_length_documents(sf_dir: str):
     """(bin, n) — document byte-length histogram in fixed 256-byte bins:
     per-batch partial counts folded with one tiny ``groupby(bin).sum`` (the
     counts shuffle, never the documents). Null text is dropped (no length)."""
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["text"])
+    from ..sources.parquet import fused_map_parquet
+
     w = _HIST_LEN_WIDTH
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1031,7 +1031,9 @@ def hist_length_documents(sf_dir: str):
         return pa.table({"bin": pa.array(u.astype(np.int64)),
                          "n": pa.array(c.astype(np.int64))})
 
-    merged = docs.map_batches(partial, batch_format="pyarrow") \
+    # fused read+partial: only (bin, n) partials leave the read task
+    merged = fused_map_parquet(f"{sf_dir}/documents.parquet", partial,
+                               columns=["text"]) \
         .groupby("bin").sum("n").to_pandas()
     out = pd.DataFrame({"bin": merged["bin"].astype("int64"),
                         "n": merged["sum(n)"].astype("int64")})
@@ -1570,12 +1572,18 @@ def oov_documents(sf_dir: str, vocab_k: int = 20):
     vectorized actor pass (stages/vocab.OOVScorer). The CCNet-shaped
     head-vocabulary quality signal; all-integer so the SQL oracle matches
     exactly."""
-    from ..stages.vocab import oov_scores, vocab_topk
+    from ..sources.parquet import fused_map_parquet
+    from ..stages.vocab import OOVScorer, vocab_topk
 
     docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     vocab = vocab_topk(docs, "text", vocab_k)
-    return oov_scores(docs, "text", "doc_id", vocab["token"].tolist())
+    # scoring leg fused into the read (one task per row group); the tiny
+    # vocabulary travels in the pickled scorer
+    return fused_map_parquet(
+        f"{sf_dir}/documents.parquet",
+        OOVScorer("text", "doc_id", vocab["token"].tolist()),
+        columns=["doc_id", "text"], batch_size=8192)
 
 
 OOV_SQL = r"""
@@ -1609,12 +1617,21 @@ def tfidf_documents(sf_dir: str, vocab_size: int = 1000, k: int = 3):
     ``ln``/multiply are the same libm/IEEE ops in both engines, so the
     float scores compare exactly. Ties rank by vocab code = (n_total DESC,
     token ASC), mirrored in the oracle's ORDER BY."""
-    from ..stages.vocab import tfidf_top_terms
+    import math
+
+    from ..sources.parquet import fused_map_parquet
+    from ..stages.vocab import TfidfTopTerms, vocab_topk
 
     docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    return tfidf_top_terms(docs, "text", "doc_id",
-                           vocab_size=vocab_size, k=k)
+    voc = vocab_topk(docs, "text", vocab_size)
+    n = docs.count()
+    idf = [math.log((n + 1) / (df + 1)) + 1.0 for df in voc["n_docs"]]
+    # scoring leg fused into the read; vocab+idf travel in the scorer
+    return fused_map_parquet(
+        f"{sf_dir}/documents.parquet",
+        TfidfTopTerms("text", "doc_id", voc["token"].tolist(), idf, k),
+        columns=["doc_id", "text"], batch_size=8192)
 
 
 TFIDF_SQL = r"""

@@ -39,10 +39,16 @@ def read_documents(sf_dir: str) -> "ray.data.Dataset":
 
 
 def validate_documents(sf_dir: str, *, batch_size: int = 32768):
-    """→ combined dataset (doc_id, valid, error_count, violations)."""
-    ds = read_documents(sf_dir)
+    """→ combined dataset (doc_id, valid, error_count, violations).
+    FUSED read+validate: one task per parquet row group reads and runs the
+    vectorized plan in place (sources/parquet.fused_map_parquet — Ray 2.49
+    never fuses ReadParquet with a downstream map, so the classic pipeline
+    ships every decoded block through the object store)."""
+    from ..sources.parquet import fused_map_parquet
+
     validator = BatchValidator(DOCUMENTS_SCHEMA, "doc_id")
-    return ds.map_batches(validator, batch_format="pyarrow", batch_size=batch_size)
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", validator,
+                             columns=COLUMNS, batch_size=batch_size)
 
 
 def documents_verdicts(sf_dir: str):
