@@ -131,13 +131,22 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def run_resumable(partitions: list[Partition], out_dir: str,
-                  pipeline_fn: Callable[["ray.data.Dataset"], "ray.data.Dataset"],
+                  pipeline_fn: Callable[["ray.data.Dataset"], "ray.data.Dataset"] | None = None,
                   *,
                   read_fn: Callable[[list[str]], "ray.data.Dataset"] | None = None,
+                  files_pipeline_fn: Callable[[list[str]], "ray.data.Dataset"] | None = None,
                   metrics_fn: Callable[[list[str]], dict] | None = None,
                   wave_size: int = 4) -> dict:
     """Run ``pipeline_fn`` over every not-yet-done partition; skip completed
-    ones. Returns a summary dict (ran / skipped / rows)."""
+    ones. Returns a summary dict (ran / skipped / rows).
+
+    ``files_pipeline_fn`` (mutually exclusive with ``pipeline_fn``) receives
+    the partition's FILE LIST instead of a read Dataset — the hook for
+    fused read+compute pipelines (pipelines/webtext.validate_webtext_files
+    lists its own row-group work items), so the flagship fused job is
+    checkpointable with the same per-partition manifest discipline."""
+    if (pipeline_fn is None) == (files_pipeline_fn is None):
+        raise ValueError("pass exactly one of pipeline_fn / files_pipeline_fn")
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
     pending = [p for p in partitions if p.part_id not in done]
@@ -155,7 +164,8 @@ def run_resumable(partitions: list[Partition], out_dir: str,
     from concurrent.futures import ThreadPoolExecutor
 
     def _process(p: Partition) -> tuple[Partition, Path]:
-        ds_out = pipeline_fn(reader(p.paths))
+        ds_out = (files_pipeline_fn(p.paths) if files_pipeline_fn is not None
+                  else pipeline_fn(reader(p.paths)))
         part_dir = Path(out_dir) / f"part-{p.part_id}"
         ds_out.write_parquet(str(part_dir))  # blocks this thread only
         return p, part_dir
