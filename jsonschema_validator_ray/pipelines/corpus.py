@@ -11,7 +11,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..sources.parquet import read_parquet
+from ..sources.parquet import fused_map_parquet, read_parquet
 from ..functions.text import fingerprint_batch, langid_batch, token_count_batch
 from ..stages.dedup import minhash_near_duplicates
 from ..stages.similarity import topk_cosine
@@ -202,11 +202,9 @@ def verdict_embeddings(sf_dir: str):
     per-element accumulation."""
     from ..stages.validate import BatchValidator, verdicts_only
 
-    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
-    combined = emb.map_batches(
-        BatchValidator, fn_constructor_args=(EMB_SCHEMA, "vec_id"),
-        batch_format="pyarrow", concurrency=2)
+    combined = fused_map_parquet(
+        f"{sf_dir}/embeddings.parquet", BatchValidator(EMB_SCHEMA, "vec_id"),
+        columns=["vec_id", "embedding"])
     return verdicts_only(combined)
 
 
@@ -231,11 +229,10 @@ def verdict_embeddings_tuple(sf_dir: str):
     position-selective element evaluator."""
     from ..stages.validate import BatchValidator, verdicts_only
 
-    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
-    combined = emb.map_batches(
-        BatchValidator, fn_constructor_args=(EMB_TUPLE_SCHEMA, "vec_id"),
-        batch_format="pyarrow", concurrency=2)
+    combined = fused_map_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        BatchValidator(EMB_TUPLE_SCHEMA, "vec_id"),
+        columns=["vec_id", "embedding"])
     return verdicts_only(combined)
 
 
@@ -1130,10 +1127,9 @@ def verdict_documents_pp(sf_dir: str):
     Arrow schema. Output (doc_id, valid, error_count)."""
     from ..stages.validate import BatchValidator, verdicts_only
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet")
-    combined = docs.map_batches(
-        BatchValidator, fn_constructor_args=(PP_SCHEMA, "doc_id"),
-        batch_format="pyarrow", concurrency=2)
+    # all columns by design: additionalProperties must SEE the unknowns
+    combined = fused_map_parquet(
+        f"{sf_dir}/documents.parquet", BatchValidator(PP_SCHEMA, "doc_id"))
     return verdicts_only(combined)
 
 
@@ -1167,11 +1163,10 @@ def verdict_documents_combo(sf_dir: str):
     the n_chars column. Output (doc_id, valid, error_count)."""
     from ..stages.validate import BatchValidator, verdicts_only
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "n_chars"])
-    combined = docs.map_batches(
-        BatchValidator, fn_constructor_args=(COMBO_SCHEMA, "doc_id"),
-        batch_format="pyarrow", concurrency=2)
+    combined = fused_map_parquet(
+        f"{sf_dir}/documents.parquet",
+        BatchValidator(COMBO_SCHEMA, "doc_id"),
+        columns=["doc_id", "n_chars"])
     return verdicts_only(combined)
 
 

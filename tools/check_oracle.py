@@ -62,6 +62,14 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    # same benign-noise config as bench.py: empty-block RefBundle schema
+    # warnings from group-heavy queries and the unhashable-pandas-schema
+    # dedup message would otherwise spam the replay tail
+    for noisy in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                  "ray.data._internal.execution.streaming_executor_state"):
+        logging.getLogger(noisy).setLevel(logging.ERROR)
 
     import __ray_entry__ as ent
 
