@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_head_documents": corpus.shuffled_head_documents,
         "funnel_events": corpus.funnel_events,
         "heavy_users_events": corpus.heavy_users_events,
+        "cohort_retention": analytics.cohort_retention,
+        "dup_cluster_sizes": corpus.dup_cluster_sizes_documents,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
         "purchase_last_click": analytics.purchase_last_click,
@@ -183,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_documents": corpus.TFIDF_SQL,
         "shuffled_head_documents": corpus.SHUFFLED_HEAD_SQL,
         "funnel_events": corpus.FUNNEL_SQL,
+        "cohort_retention": analytics.COHORT_RETENTION_SQL,
+        "dup_cluster_sizes": corpus.DUP_CLUSTER_SIZES_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "rowrules_lineitem": checks.ROWRULES_SQL,
         "inferred_schema_documents": checks.INFERRED_SCHEMA_SQL,

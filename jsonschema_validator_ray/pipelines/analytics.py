@@ -413,3 +413,77 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+def cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix over the events log: users grouped by
+    the epoch-week of their FIRST event (cohort), distinct active users
+    counted per (cohort_week, week_offset). The classic product-analytics
+    wide shape, built from two exchanges that both move only keys:
+
+    1. first-event week per user — native ``groupby(user).min(ts)``
+       (shuffle of (user, ts) pairs), broadcast as a dict (bounded by the
+       DISTINCT user count; for 10^9 users swap in a bucketed join — the
+       pattern of stages/joins);
+    2. exact distinct users per cell via the two-phase pair exchange of
+       stages/uniqueness.group_distinct_count over a packed int64
+       ``cohort_week * 100000 + week_offset`` cell key (epoch weeks < 10^4
+       and offsets are bounded by the log's time span, so the pack is
+       collision-free), unpacked after the final fold.
+
+    Output (cohort_week, week_offset, n_users) — all int64, exact oracle.
+    """
+    import numpy as np
+
+    from ..stages.uniqueness import group_distinct_count
+
+    WEEK_US = 7 * 86400 * 1_000_000
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+    first = ev.groupby("user_id").min("ts").to_pandas()
+    fmap = {int(u): int(pd.Timestamp(t).value // 1000)   # ns → us epoch
+            for u, t in zip(first["user_id"], first["min(ts)"])}
+    ref = ray.put(fmap)
+
+    def cell(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        t = pc.cast(b.column("ts"), pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        f = np.array([m[int(u)] for u in uid], dtype=np.int64)
+        cohort = f // WEEK_US
+        offset = t // WEEK_US - cohort
+        return pa.table({
+            "cell": pa.array(cohort * 100000 + offset, type=pa.int64()),
+            "user_id": b.column("user_id"),
+        })
+
+    cells = ev.map_batches(cell, batch_format="pyarrow")
+    out = group_distinct_count(cells, "cell", "user_id")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        c = b.column("cell").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cohort_week": pa.array(c // 100000, type=pa.int64()),
+            "week_offset": pa.array(c % 100000, type=pa.int64()),
+            "n_users": pc.cast(b.column("n_distinct"), pa.int64()),
+        })
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+COHORT_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
+         AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

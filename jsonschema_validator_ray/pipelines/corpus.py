@@ -1863,3 +1863,49 @@ def heavy_users_events(sf_dir: str):
 
     ev = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return heavy_hitters(ev, "user_id", k=10)
+
+
+def dup_cluster_sizes_documents(sf_dir: str):
+    """(cluster_size, n_clusters) — the duplicate-cluster SIZE DISTRIBUTION
+    of exact text dedup (how much of the corpus is 2×, 3×, … duplicated —
+    the standard report before choosing dedup thresholds). Two-phase like
+    stages/uniqueness: per-batch (text, partial_count) combiner, hash-bucket
+    exchange, per-bucket exact sizes grouped by the text VALUE (collisions
+    can't merge clusters), then per-bucket partial histograms folded by one
+    tiny groupby — the second phase shuffles (size, n) pairs only."""
+    from ..stages.uniqueness import _bucket_partial
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("text")))
+
+    partials = docs.map_batches(drop_null, batch_format="pyarrow") \
+        .map_batches(_bucket_partial("text", 64), batch_format="pyarrow")
+
+    def hist_in_bucket(g: "pd.DataFrame") -> pa.Table:
+        sizes = g.groupby("text", sort=False)["partial_count"].sum()
+        vc = sizes.value_counts()
+        return pa.table({
+            "cluster_size": pa.array(vc.index.to_numpy(), type=pa.int64()),
+            "n": pa.array(vc.to_numpy(), type=pa.int64())})
+
+    folded = partials.groupby("bucket").map_groups(
+        hist_in_bucket, batch_format="pandas").groupby("cluster_size") \
+        .sum("n")
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_size": pc.cast(b.column("cluster_size"), pa.int64()),
+            "n_clusters": pc.cast(b.column("sum(n)"), pa.int64())})
+
+    return folded.map_batches(norm, batch_format="pyarrow")
+
+
+DUP_CLUSTER_SIZES_SQL = """
+SELECT CAST(cnt AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT count(*) AS cnt FROM documents
+      WHERE text IS NOT NULL GROUP BY text)
+GROUP BY cnt
+"""
