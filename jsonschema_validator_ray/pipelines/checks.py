@@ -84,8 +84,11 @@ def fk_orders_custkey(sf_dir: str):
     """FK check orders.o_custkey ⊆ customer.c_custkey with the dimension side
     restricted (so the check fires): broadcast the small side's key set, anti
     join inside map_batches."""
-    orders = read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey"])
+    from ..sources.parquet import FusedParquetScan
+
+    # fact-side probe fuses into the read (map-only broadcast anti-join)
+    orders = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
     dim = read_parquet(f"{sf_dir}/customer.parquet",
                                 columns=["c_custkey"]) \
                   .filter(expr="c_custkey <= 100")
@@ -192,8 +195,12 @@ def quantiles_lineitem(sf_dir: str):
 
     from ..stages.quantiles import exact_quantiles
 
-    li = read_parquet(f"{sf_dir}/lineitem.parquet",
-                               columns=["l_extendedprice"])
+    from ..sources.parquet import FusedParquetScan
+
+    # every refinement pass re-scans the column: hand the stage a fused
+    # multi-pass source so each pass reads+computes in the same tasks
+    li = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_extendedprice"])
     got = exact_quantiles(li, "l_extendedprice", _QUANTILE_QS)
     return pd.DataFrame({"q": _QUANTILE_QS,
                          "value": [got[q] for q in _QUANTILE_QS]})

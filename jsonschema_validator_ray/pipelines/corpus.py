@@ -350,8 +350,17 @@ def topk_embeddings(sf_dir: str):
     """Top-10 cosine neighbors of vec_id 0 (brute-force baseline, broadcast
     query, per-batch partial top-k). Scores rounded to 4 decimals for a
     stable cross-engine hash."""
-    emb = read_parquet(f"{sf_dir}/embeddings.parquet")
-    q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float32)
+    import pyarrow.parquet as _pq
+
+    from ..sources.parquet import FusedParquetScan
+
+    # the query vector is row 0 of the file (footer-local read); the scan
+    # itself fuses read+partial-topk per row group
+    q = np.asarray(
+        _pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        .read_row_group(0, columns=["embedding"]).column("embedding")[0]
+        .as_py(), dtype=np.float32)
+    emb = FusedParquetScan(f"{sf_dir}/embeddings.parquet")
     out = topk_cosine(emb, q, k=10, batch_size=4096)
     out = out[["vec_id", "score"]].copy()
     out["score"] = out["score"].round(4)
@@ -1052,10 +1061,11 @@ def dup_lines_documents(sf_dir: str):
     and their total occurrences. A summary row (never empty) because the
     synthetic corpus has no boilerplate — planted-corpus behavior is pinned
     in pytest."""
+    from ..sources.parquet import FusedParquetScan
     from ..stages.linededup import duplicated_lines
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["text"])
+    docs = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
     d = duplicated_lines(docs, "text").to_pandas()
     n = int(d["n"].sum()) if "n" in d.columns else 0
     return pd.DataFrame([{"n_dup_lines": len(d), "n_dup_occurrences": n}])
@@ -1076,10 +1086,12 @@ def clean_lines_documents(sf_dir: str):
     """(doc_id, clean_text) — every document with corpus-wide duplicated
     lines removed (broadcast filter; byte-exact split/rejoin roundtrip is
     what the oracle checks on this boilerplate-free corpus)."""
+    from ..sources.parquet import FusedParquetScan
     from ..stages.linededup import remove_duplicate_lines
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    # both scans (dup-line fit, then the filter) fuse into their reads
+    docs = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     return remove_duplicate_lines(docs, "doc_id", "text",
                                   strategy="broadcast")
 

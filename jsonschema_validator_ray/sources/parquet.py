@@ -80,3 +80,57 @@ def fused_map_parquet(paths, fn, *, columns=None, batch_size: int = 16384,
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return ray.data.from_items(items).map_batches(load, **kwargs)
+
+
+class FusedParquetScan:
+    """Duck-typed minimal Dataset stand-in for MULTI-PASS scan stages
+    (exact quantiles' count/histogram/gather, KS, refinement loops): every
+    ``map_batches`` call is a fused read+fn over the files' row groups
+    (one task per row group — the read-map fusion Ray 2.49 lacks), so a
+    k-pass algorithm pays k fused scans instead of k reads + k decoded
+    object-store hops.
+
+    Implements exactly the surface those stages use: ``map_batches(fn)``
+    (kwargs other than batch_size are accepted and ignored — the fused
+    loader always feeds pyarrow tables) and ``num_blocks()``."""
+
+    def __init__(self, paths, *, columns=None, batch_size: int = 16384):
+        if isinstance(paths, (str, bytes)):
+            paths = [paths]
+        self.paths = list(paths)
+        self.columns = columns
+        self.batch_size = batch_size
+        self._blocks = sum(pq.ParquetFile(f).metadata.num_row_groups
+                           for f in self.paths)
+
+    def map_batches(self, fn, *, batch_size=None, fn_constructor_args=None,
+                    **_ignored):
+        if isinstance(fn, type):
+            # actor-class callables (broadcast filters etc.) instantiate
+            # driver-side and ride into the fused tasks as pickled state
+            fn = fn(*(fn_constructor_args or ()))
+        return fused_map_parquet(self.paths, fn, columns=self.columns,
+                                 batch_size=batch_size or self.batch_size)
+
+    def num_blocks(self) -> int:
+        return self._blocks
+
+    def select_columns(self, cols) -> "FusedParquetScan":
+        return FusedParquetScan(self.paths, columns=list(cols),
+                                batch_size=self.batch_size)
+
+    def count(self) -> int:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in self.paths)
+
+    def schema(self):
+        """Footer schema (pruned), shaped like Dataset.schema() for the
+        ``.base_schema`` / ``.names`` / ``.types`` accessors stages use."""
+        import types
+
+        import pyarrow as pa
+
+        sch = pq.read_schema(self.paths[0]).remove_metadata()
+        if self.columns is not None:
+            sch = pa.schema([sch.field(c) for c in self.columns])
+        return types.SimpleNamespace(base_schema=sch, names=sch.names,
+                                     types=list(sch.types))
