@@ -266,9 +266,13 @@ def wide_checks_files(files, *, check_extraction: bool = False,
 
     def _select(kind: int, out_cols: list[str]):
         def f(b: pa.Table) -> pa.Table:
-            sub = b.filter(pc.equal(b.column("kind"),
-                                    pa.scalar(kind, pa.int8())))
-            return pa.table({c: sub.column(c) for c in out_cols})
+            # prune BEFORE filtering: consumers must never drag the other
+            # kinds' columns (esp. the verdicts' violations lists) through
+            # their filter pass
+            sub = b.select(out_cols + ["kind"])
+            sub = sub.filter(pc.equal(sub.column("kind"),
+                                      pa.scalar(kind, pa.int8())))
+            return sub.drop_columns(["kind"])
 
         return combined.map_batches(f, batch_format="pyarrow")
 
@@ -278,8 +282,26 @@ def wide_checks_files(files, *, check_extraction: bool = False,
     dups = merge_duplicate_partials(
         _select(KIND_DUP, ["url", "partial_count", "bucket"]), "url")
     langs = _select(KIND_LANG, ["url", "lang", "constraint_id"])
-    stats = _select(KIND_STATS, [f.name for f in PARTIAL_SCHEMA]) \
-        .groupby("column").map_groups(merge_partials, batch_format="pandas")
+    stats_partials = _select(KIND_STATS, [f.name for f in PARTIAL_SCHEMA])
+    if combined.num_blocks() <= 512:
+        # a groupby over a few hundred TINY partial rows spread across
+        # ~150 blocks costs ~2.3 s of pure Sort scheduling (measured) —
+        # below the block gate, fold driver-side (blocks × columns rows,
+        # every merge commutative) and wrap for API parity
+        import pandas as pd
+
+        sdf = stats_partials.to_pandas()
+        if "column" in sdf.columns and len(sdf):
+            merged = pd.concat(
+                [merge_partials(g)
+                 for _, g in sdf.groupby("column", sort=True)],
+                ignore_index=True)
+        else:                      # empty corpus loses block schema
+            merged = pd.DataFrame({"column": pd.Series([], dtype=object)})
+        stats = ray.data.from_pandas(merged)
+    else:
+        stats = stats_partials.groupby("column").map_groups(
+            merge_partials, batch_format="pandas")
 
     return WebtextReport(
         verdicts=verdicts, violations=row_viol, row_violations=row_viol,
