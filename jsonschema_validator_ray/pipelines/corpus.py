@@ -574,6 +574,10 @@ def minhash_pairs_documents(sf_dir: str):
     (rows-only; the testdata corpus contains generator-planted near-dup
     pairs — 25 at sf0.01, true 3-gram Jaccard ≥ 0.95 — and the count is
     deterministic; planted-pair recall is pinned by pytest)."""
+    # classic (parallel) read: the signature pass is the heaviest per-row
+    # compute in the suite and documents.parquet has few row groups — a
+    # fused scan would serialize it into row-group-count tasks (measured
+    # 2.3 -> 6.8 s); fusion pays only when work items >= cores
     docs = read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     pairs = minhash_near_duplicates(docs, "doc_id", "text",
@@ -709,10 +713,12 @@ def dup_spans_documents(sf_dir: str):
     """Docs containing token 6-grams shared by ≥2 distinct docs, with the
     count of such gram positions (stages/ngrams.flag_duplicate_spans — the
     detection half of ExactSubstr-style duplicate-passage removal)."""
+    from ..sources.parquet import FusedParquetScan
     from ..stages.ngrams import flag_duplicate_spans
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
+    # both scans (hot-gram fit, then the masking pass) fuse into reads
+    docs = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     return flag_duplicate_spans(docs, column="text", id_col="doc_id",
                                 n=_SPAN_N, min_docs=2)
 
@@ -733,10 +739,11 @@ def despan_documents(sf_dir: str):
     all hot-gram spans — stages/ngrams.remove_duplicate_spans), for docs
     with at least one removed token. The SQL oracle reproduces the span
     union exactly via DISTINCT covered token positions."""
+    from ..sources.parquet import FusedParquetScan
     from ..stages.ngrams import remove_duplicate_spans
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
+    docs = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     cleaned = remove_duplicate_spans(docs, column="text", id_col="doc_id",
                                      n=_SPAN_N, min_docs=2)
 
