@@ -574,12 +574,14 @@ def minhash_pairs_documents(sf_dir: str):
     (rows-only; the testdata corpus contains generator-planted near-dup
     pairs — 25 at sf0.01, true 3-gram Jaccard ≥ 0.95 — and the count is
     deterministic; planted-pair recall is pinned by pytest)."""
-    # classic (parallel) read: the signature pass is the heaviest per-row
-    # compute in the suite and documents.parquet has few row groups — a
-    # fused scan would serialize it into row-group-count tasks (measured
-    # 2.3 -> 6.8 s); fusion pays only when work items >= cores
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    from ..sources.parquet import FusedParquetScan
+
+    # the signature pass is the heaviest per-row compute in the suite and
+    # documents.parquet has ONE row group — split each row group across 32
+    # fused tasks (duplicate decode, sliced compute: right when compute
+    # dwarfs decode; plain fused serialized it, 2.3 -> 6.8 s)
+    docs = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"], split_per_rg=32)
     pairs = minhash_near_duplicates(docs, "doc_id", "text",
                                     threshold=0.7).to_pandas()
     n_trunc = (int(pairs["truncated"].sum())

@@ -46,7 +46,7 @@ def read_parquet(paths, *, columns=None, **kwargs):
 
 
 def fused_map_parquet(paths, fn, *, columns=None, batch_size: int = 16384,
-                      concurrency=None):
+                      concurrency=None, split_per_rg: int = 1):
     """FUSED read+transform over parquet: one work item per ROW GROUP
     (listed from footer metadata only), each task reads its row group and
     applies ``fn`` to its slices — read and compute in the same task.
@@ -58,11 +58,14 @@ def fused_map_parquet(paths, fn, *, columns=None, batch_size: int = 16384,
     at 32 CPUs). Use for read→map→aggregate/write shapes; keep the classic
     path when the dataset branches to several consumers.
 
-    Parallelism = ROW-GROUP COUNT: a compute-heavy ``fn`` over a file with
-    fewer row groups than cores serializes (measured: the MinHash
-    signature pass over a single-row-group table went 2.3 → 6.8 s fused).
-    Fuse when work items ≥ cores or per-row compute is light; at corpus
-    scale row groups number in the millions and this is moot."""
+    Parallelism = ROW-GROUP COUNT × ``split_per_rg``: a compute-heavy
+    ``fn`` over a file with fewer row groups than cores serializes
+    (measured: the MinHash signature pass over a single-row-group table
+    went 2.3 → 6.8 s fused). ``split_per_rg > 1`` fans one row group out
+    to that many tasks — each re-decodes the row group (parquet's decode
+    granularity) but computes only its slice, the right trade exactly when
+    per-row compute dwarfs decode. Default 1: at corpus scale row groups
+    number in the millions and finer items are pure overhead."""
     import pyarrow.parquet as pq
 
     import ray.data
@@ -72,13 +75,19 @@ def fused_map_parquet(paths, fn, *, columns=None, batch_size: int = 16384,
     items = []
     for f in paths:
         n = pq.ParquetFile(f).metadata.num_row_groups
-        items.extend({"path": f, "rg": i} for i in range(n))
+        items.extend({"path": f, "rg": i, "s": s}
+                     for i in range(n) for s in range(split_per_rg))
     if not items:
         return ray.data.from_items([])
 
     def load(batch):
-        for p, rg in zip(batch["path"], batch["rg"]):
+        for p, rg, s in zip(batch["path"], batch["rg"], batch["s"]):
             t = pq.ParquetFile(p).read_row_group(int(rg), columns=columns)
+            if split_per_rg > 1:
+                n = t.num_rows
+                lo = int(s) * n // split_per_rg
+                hi = (int(s) + 1) * n // split_per_rg
+                t = t.slice(lo, hi - lo)
             for off in range(0, t.num_rows, batch_size):
                 yield fn(t.slice(off, batch_size))
 
@@ -100,14 +109,16 @@ class FusedParquetScan:
     (kwargs other than batch_size are accepted and ignored — the fused
     loader always feeds pyarrow tables) and ``num_blocks()``."""
 
-    def __init__(self, paths, *, columns=None, batch_size: int = 16384):
+    def __init__(self, paths, *, columns=None, batch_size: int = 16384,
+                 split_per_rg: int = 1):
         if isinstance(paths, (str, bytes)):
             paths = [paths]
         self.paths = list(paths)
         self.columns = columns
         self.batch_size = batch_size
-        self._blocks = sum(pq.ParquetFile(f).metadata.num_row_groups
-                           for f in self.paths)
+        self.split_per_rg = split_per_rg
+        self._blocks = split_per_rg * sum(
+            pq.ParquetFile(f).metadata.num_row_groups for f in self.paths)
 
     def map_batches(self, fn, *, batch_size=None, fn_constructor_args=None,
                     **_ignored):
@@ -116,14 +127,16 @@ class FusedParquetScan:
             # driver-side and ride into the fused tasks as pickled state
             fn = fn(*(fn_constructor_args or ()))
         return fused_map_parquet(self.paths, fn, columns=self.columns,
-                                 batch_size=batch_size or self.batch_size)
+                                 batch_size=batch_size or self.batch_size,
+                                 split_per_rg=self.split_per_rg)
 
     def num_blocks(self) -> int:
         return self._blocks
 
     def select_columns(self, cols) -> "FusedParquetScan":
         return FusedParquetScan(self.paths, columns=list(cols),
-                                batch_size=self.batch_size)
+                                batch_size=self.batch_size,
+                                split_per_rg=self.split_per_rg)
 
     def count(self) -> int:
         return sum(pq.ParquetFile(f).metadata.num_rows for f in self.paths)
