@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_documents": corpus.redact_documents,
         "gopher_documents": corpus.gopher_documents,
         "topk_embeddings": corpus.topk_embeddings,
+        "quantize_embeddings": corpus.quantize_embeddings,
         "topk_embeddings_ivf": corpus.topk_embeddings_ivf,
         "verdict_embeddings": corpus.verdict_embeddings,
         "verdict_embeddings_tuple": corpus.verdict_embeddings_tuple,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": corpus.REDACT_SQL,
         "gopher_documents": corpus.GOPHER_SQL,
         "topk_embeddings": corpus.TOPK_SQL,
+        "quantize_embeddings": corpus.QUANTIZE_EMB_SQL,
         "topk_embeddings_ivf": corpus.TOPK_IVF_SQL,
         "verdict_embeddings": corpus.VERDICT_EMB_SQL,
         "verdict_embeddings_tuple": corpus.VERDICT_EMB_TUPLE_SQL,

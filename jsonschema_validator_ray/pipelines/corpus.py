@@ -1930,3 +1930,38 @@ FROM (SELECT count(*) AS cnt FROM documents
       WHERE text IS NOT NULL GROUP BY text)
 GROUP BY cnt
 """
+
+
+def quantize_embeddings(sf_dir: str):
+    """(vec_id, scale, q_sum, q_min, q_max) — per-vector symmetric int8
+    quantization digest (stages/similarity.quantize_batch): the embedding
+    compression step of a quantized ANN index, fused into the read and
+    reported as scalar digests so every quantized code is oracle-checked
+    bit-for-bit (floor + identical float64 op sequence in both engines)."""
+    from ..sources.parquet import fused_map_parquet
+    from ..stages.similarity import quantize_batch
+
+    return fused_map_parquet(f"{sf_dir}/embeddings.parquet", quantize_batch,
+                             columns=["vec_id", "embedding"])
+
+
+QUANTIZE_EMB_SQL = """
+WITH t AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                END) AS qv
+  FROM t
+)
+SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
+       COALESCE(CAST(list_sum(qv) AS BIGINT), 0) AS q_sum,
+       COALESCE(CAST(list_min(qv) AS BIGINT), 0) AS q_min,
+       COALESCE(CAST(list_max(qv) AS BIGINT), 0) AS q_max
+FROM q
+"""

@@ -186,3 +186,58 @@ def topk_cosine_lsh(ds, query_vecs, k: int, *, key: str = "vec_id",
         kind="mergesort")
     return partials.groupby("query_id", as_index=False).head(k) \
                    .reset_index(drop=True)
+
+
+def quantize_batch(batch: pa.Table, *, key: str = "vec_id",
+                   emb: str = "embedding", levels: int = 127) -> pa.Table:
+    """Per-vector symmetric int8-style quantization (the embedding-index
+    compression step: q_i = floor(x_i · levels / max|x|)) — fully
+    vectorized via reduceat over the flattened list buffer, reported as a
+    per-vector digest (scale + sum/min/max of the quantized codes) so the
+    result is scalar-exact against a SQL oracle:
+
+    - ``scale`` = max|x| (a pure max of casts — no accumulated arithmetic);
+    - every code computed in float64 (cast → ·levels → /scale → floor: the
+      same IEEE op sequence DuckDB's DOUBLE lambda performs, so each code
+      is bit-identical cross-engine); all-zero vectors quantize to 0.
+
+    Output (key, scale float64, q_sum/q_min/q_max int64); null or empty
+    embeddings yield a null scale and zero digests."""
+    import pyarrow.compute as pc
+
+    col = batch.column(emb)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = batch.num_rows
+    lengths = pc.fill_null(pc.list_value_length(col), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    # list_flatten concatenates NON-NULL rows' values in row order, so the
+    # flat buffer segments exactly by `lengths` (null/empty rows are 0)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+
+    scale = np.full(n, np.nan)
+    q_sum = np.zeros(n, dtype=np.int64)
+    q_min = np.zeros(n, dtype=np.int64)
+    q_max = np.zeros(n, dtype=np.int64)
+    live = np.flatnonzero(lengths > 0)
+    if live.size:
+        ends = np.cumsum(lengths[live])
+        segstarts = np.concatenate(([0], ends[:-1]))
+        sc = np.maximum.reduceat(np.abs(flat), segstarts)
+        scale[live] = sc
+        per_elem = np.repeat(sc, lengths[live])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(flat * float(levels) / per_elem)
+        q = np.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)  # scale == 0
+        q = q.astype(np.int64)
+        q_sum[live] = np.add.reduceat(q, segstarts)
+        q_min[live] = np.minimum.reduceat(q, segstarts)
+        q_max[live] = np.maximum.reduceat(q, segstarts)
+    return pa.table({
+        key: batch.column(key),
+        "scale": pa.array(scale, type=pa.float64(), from_pandas=True),
+        "q_sum": pa.array(q_sum),
+        "q_min": pa.array(q_min),
+        "q_max": pa.array(q_max),
+    })

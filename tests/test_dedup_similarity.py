@@ -427,3 +427,26 @@ def test_signature_matrix_identical_to_per_doc():
     assert np.array_equal(want, got)
     # odd perm_chunk boundary
     assert np.array_equal(want, hasher.signature_matrix(per_m, perm_chunk=7))
+
+
+def test_quantize_batch_edges(ray_session):
+    """int8 quantization digest: floor semantics, all-zero vectors, null
+    and empty embeddings, negative extremes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jsonschema_validator_ray.stages.similarity import quantize_batch
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([[0.5, -1.0, 0.25], [0.0, 0.0], None, [],
+                               [2.0]], pa.list_(pa.float32())),
+    })
+    out = quantize_batch(t).to_pandas()
+    # 0.5*127/1 = 63.5 -> 63; -1 -> -127; 0.25 -> 31 (floor)
+    assert out.loc[0, ["q_sum", "q_min", "q_max"]].tolist() == [-33, -127, 63]
+    assert out.loc[0, "scale"] == 1.0
+    assert out.loc[1, ["scale", "q_sum"]].tolist() == [0.0, 0]   # all-zero
+    assert np.isnan(out.loc[2, "scale"]) and out.loc[2, "q_sum"] == 0
+    assert np.isnan(out.loc[3, "scale"])
+    assert out.loc[4, ["q_min", "q_max"]].tolist() == [127, 127]
