@@ -102,15 +102,31 @@ def _fold_group(group: pd.DataFrame) -> pd.DataFrame:
 
 def _run_partials(ds, meta: dict, batch_size: int):
     """One merged partial row per column for ``ds`` — the distributed pass.
-    Sketch bytes shuffle (≤ ~16 KB per batch-partial), raw values never do;
-    the groupby has one group per COLUMN (a handful), which is fine because
-    each group holds only one tiny row per input batch."""
+    Sketch bytes shuffle (≤ ~16 KB per batch-partial), raw values never do.
+    Below a 512-block gate the fold runs DRIVER-side: Ray's sort-based
+    groupby costs ~0.5-2 s of pure scheduling for a handful of tiny rows
+    spread over many blocks (measured in the wide-checks stats leg), while
+    the partials here are blocks × columns rows of sketch bytes — KBs.
+    Past the gate the distributed groupby keeps the driver out of it."""
+    import ray.data
+
+    from .quantiles import _block_count
+
     partial = StatsPartial(meta["columns"], hll_p=meta["hll_p"],
                            tdigest_compression=meta["compression"],
                            hist_edges=meta["hist_edges"] or None,
                            hist_categories=meta["hist_categories"] or None)
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=batch_size)
+    if _block_count(ds) <= 512:
+        df = partials.to_pandas()
+        if len(df) and "column" in df.columns:
+            merged = pa.concat_tables(
+                [_fold_group(g)
+                 for _, g in df.groupby("column", sort=True)])
+        else:                    # empty input loses its block schema
+            merged = PARTIAL_SCHEMA.empty_table()
+        return ray.data.from_arrow(merged)
     return partials.groupby("column").map_groups(
         _fold_group, batch_format="pandas")
 
