@@ -1481,7 +1481,30 @@ def events_hourly(sf_dir: str):
             "n_partial": g.column("cents_count"),
         })
 
-    partials = ev.map_batches(partial, batch_format="pyarrow")
+    from ..sources.parquet import FusedParquetScan
+
+    src = FusedParquetScan(f"{sf_dir}/events.parquet",
+                           columns=["ts", "event_type", "value"])
+    partials = src.map_batches(partial)
+    if src.num_blocks() <= 512:
+        # partials are types × hours × blocks rows (KBs): a multi-key Ray
+        # groupby costs seconds of scheduling here — fold driver-side,
+        # keep the distributed aggregate past the block gate
+        df = partials.to_pandas()
+        g = (df.groupby(["event_type", "window_start"], as_index=False,
+                        sort=False)
+               .agg(value_cents=("cents_sum", "sum"),
+                    n_events=("n_partial", "sum")))
+        out = pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "window_start": pc.cast(
+                pa.array(g["window_start"]), pa.timestamp("us")),
+            "value_cents": pa.array(g["value_cents"].astype("int64")),
+            "n_events": pa.array(g["n_events"].astype("int64")),
+        })
+        import ray.data
+
+        return ray.data.from_arrow(out)
     from ray.data.aggregate import Sum
 
     out = partials.groupby(["event_type", "window_start"]).aggregate(
