@@ -79,11 +79,64 @@ def _corpus_gen_rows(gen_dir: str) -> int:
                for f in Path(gen_dir).rglob("*.parquet"))
 
 
+def _dummy_column(col: "pa.ChunkedArray", n: int):
+    """``n`` cheap NON-NULL placeholder values of ``col``'s type (partial
+    rows' data cells). Non-null matters: an all-null int64 column would
+    upcast sibling rows to float64 inside downstream pandas group fns (the
+    padded-union footgun in the repo conventions)."""
+    import pyarrow as pa
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.array([""] * n, type=t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.array([b""] * n, type=t)
+    if pa.types.is_boolean(t):
+        return pa.array([False] * n, type=t)
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return pa.array([0] * n, type=t)
+    # exotic types: repeat the first real value (cheap — n is 1-3 rows)
+    return col.take(pa.array([0] * n))
+
+
+def _batch_hist_json(col: "pa.ChunkedArray", kind: str, cfg) -> str:
+    """One batch's drift histogram for a column, with the exact same
+    null/NaN semantics as stages/stats.StatsPartial (integer bin counts, so
+    batching never changes the merged result)."""
+    import numpy as np
+
+    from ..state.histogram import CategoricalHistogram, NumericHistogram
+
+    valid = col.drop_null()
+    if kind == "num":
+        h = NumericHistogram(np.asarray(cfg, dtype=np.float64))
+        if len(valid):
+            v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+            h.add_values(v[~np.isnan(v)])
+    else:
+        h = CategoricalHistogram(cfg)
+        if len(valid):
+            vc = valid.value_counts()
+            h.add_counts({str(x["values"]): x["counts"]
+                          for x in vc.to_pylist()})
+        h.n_null = col.null_count
+    return h.to_json()
+
+
+# tagged-union kind column of the fused dedup pass (int8):
+_KIND_DATA, _KIND_HIST, _KIND_COUNT = 0, 1, 2
+
+
 def _dedup_exact_sigs(ds, cfg: dict, hash_index_dir: str | None, *,
-                      batch_size: int):
-    """FUSED exact-dedup + MinHash-signature pass over one crawl: → Dataset
-    of survivor rows (all input columns) + ``content_hash`` (uint64) +
-    ``sig`` (binary, n_perm uint64 minima).
+                      batch_size: int, emit_drift: bool = False):
+    """FUSED exact-dedup + MinHash-signature + drift/count-partial pass over
+    one crawl: → Dataset of survivor rows (all input columns) +
+    ``content_hash`` (uint64) + ``sig`` (binary, n_perm uint64 minima) +
+    the tagged-union bookkeeping columns ``__kind``/``__pcol``/``__hist``/
+    ``__pcnt`` (``__kind != 0`` rows are per-batch PARTIALS: raw-row counts
+    and, when ``emit_drift``, drift histograms of the RAW pre-dedup crawl —
+    they ride the same exchange in a reserved bucket so the crawl is read
+    exactly once per ingest, with no separate count or drift job).
 
     One exchange of the crawl (hash-bucket groupby, exactly
     stages/hashindex.dedup_exact_incremental's shape); each bucket task
@@ -109,17 +162,48 @@ def _dedup_exact_sigs(ds, cfg: dict, hash_index_dir: str | None, *,
         generations = list(hmeta["generations"])
         nb = hmeta["num_buckets"]
     hasher = MinHasher(cfg["n_perm"], cfg["seed"])
+    drift_cols = []
+    if emit_drift:
+        drift_cols = ([(c, "num", e) for c, e in
+                       (cfg.get("hist_edges") or {}).items()]
+                      + [(c, "cat", v) for c, v in
+                         (cfg.get("hist_categories") or {}).items()])
 
     def add_bucket(b: "pa.Table") -> "pa.Table":
         h = content_hash_batch(b, text)
-        return (no_meta(b).append_column("content_hash", h)
-                .append_column("__hb", _bucket_expr(h, nb)))
+        n = b.num_rows
+        data = (no_meta(b).append_column("content_hash", h)
+                .append_column("__hb", _bucket_expr(h, nb))
+                .append_column("__kind",
+                               pa.array(np.zeros(n, np.int8)))
+                .append_column("__pcol", pa.array([""] * n))
+                .append_column("__hist", pa.array([""] * n))
+                .append_column("__pcnt",
+                               pa.array(np.zeros(n, np.int64))))
+        # per-batch partial rows (raw-row count + drift histograms of the
+        # RAW crawl), dummy-filled data cells, reserved bucket -1
+        np_ = 1 + len(drift_cols)
+        pcols = {c: _dummy_column(b.column(c), np_) for c in b.column_names}
+        pcols["content_hash"] = pa.array([0] * np_, type=pa.uint64())
+        pcols["__hb"] = pa.array([-1] * np_, type=pa.int32())
+        pcols["__kind"] = pa.array(
+            [_KIND_COUNT] + [_KIND_HIST] * len(drift_cols), type=pa.int8())
+        pcols["__pcol"] = pa.array([""] + [c for c, _, _ in drift_cols])
+        pcols["__hist"] = pa.array(
+            [""] + [_batch_hist_json(b.column(c), k, cfg_)
+                    for c, k, cfg_ in drift_cols])
+        pcols["__pcnt"] = pa.array([n] + [0] * len(drift_cols),
+                                   type=pa.int64())
+        partial = pa.table(pcols, schema=data.schema)
+        return pa.concat_tables([data, partial])
 
     hashed = ds.map_batches(add_bucket, batch_format="pyarrow",
                             batch_size=batch_size)
 
     def survivors(g: pd.DataFrame) -> pd.DataFrame:
         bucket = int(g["__hb"].iloc[0])
+        if bucket < 0:                       # partial rows: pass through
+            return g.assign(sig=b"").drop(columns=["__hb"])
         keep = g.groupby(text, sort=False, dropna=False)[key].transform("min")
         g = g[g[key] == keep]
         if generations:
@@ -133,6 +217,42 @@ def _dedup_exact_sigs(ds, cfg: dict, hash_index_dir: str | None, *,
 
     return hashed.groupby("__hb").map_groups(survivors,
                                              batch_format="pandas")
+
+
+def _data_rows_only(b: "pa.Table") -> "pa.Table":
+    """Filter a fused-dedup union batch to its data rows, dropping the
+    tagged-union bookkeeping columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    b = b.filter(pc.equal(b.column("__kind"), pa.scalar(0, pa.int8())))
+    return b.drop_columns(["__kind", "__pcol", "__hist", "__pcnt"])
+
+
+def _partial_rows_only(b: "pa.Table") -> "pa.Table":
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    b = b.filter(pc.not_equal(b.column("__kind"), pa.scalar(0, pa.int8())))
+    return b.select(["__kind", "__pcol", "__hist", "__pcnt"])
+
+
+def _extract_partials(combined) -> pd.DataFrame:
+    """Driver-side fallback extraction of the count/drift partial rows, in
+    the same synthetic (column, cnt, hist) form _commit_fn forwards them —
+    used only when the survivor stream routes through an anti-join that
+    data-only-filters the union first."""
+    df = combined.map_batches(_partial_rows_only,
+                              batch_format="pyarrow").to_pandas()
+    if not len(df) or "__kind" not in df.columns:
+        return pd.DataFrame({"column": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64"),
+                             "hist": pd.Series([], dtype=object)})
+    return pd.DataFrame({
+        "column": [("__nnew" if k == _KIND_COUNT else f"__drift:{c}")
+                   for k, c in zip(df["__kind"], df["__pcol"])],
+        "cnt": df["__pcnt"].astype("int64"),
+        "hist": [h or None for h in df["__hist"]]})
 
 
 def _commit_fn(cfg: dict, dirs: dict):
@@ -176,8 +296,31 @@ def _commit_fn(cfg: dict, dirs: dict):
     def commit(b: pa.Table) -> pa.Table:
         import uuid
 
+        acks = []
+        if "__kind" in b.column_names:
+            # tagged-union input (fused dedup pass): forward the drift /
+            # raw-count partial rows as synthetic ack rows ("__"-prefixed
+            # column names, folded separately driver-side) and commit only
+            # the data rows
+            pmask = pc.not_equal(b.column("__kind"),
+                                 pa.scalar(0, pa.int8()))
+            p = b.filter(pmask)
+            if p.num_rows:
+                kinds = p.column("__kind").to_pylist()
+                pcol = p.column("__pcol").to_pylist()
+                acks.append(pa.Table.from_pylist([
+                    {"column": ("__nnew" if k == _KIND_COUNT
+                                else f"__drift:{c}"),
+                     "cnt": n, "nulls": 0, "n_nan": 0, "hist": h or None}
+                    for k, c, h, n in zip(kinds, pcol,
+                                          p.column("__hist").to_pylist(),
+                                          p.column("__pcnt").to_pylist())],
+                    schema=PARTIAL_SCHEMA))
+            b = b.filter(pc.invert(pmask)).drop_columns(
+                ["__kind", "__pcol", "__hist", "__pcnt"])
         if b.num_rows == 0:
-            return PARTIAL_SCHEMA.empty_table()
+            return (pa.concat_tables(acks) if acks
+                    else PARTIAL_SCHEMA.empty_table())
         tag = uuid.uuid4().hex[:16]
 
         corpus_t = no_meta(b.drop_columns(
@@ -204,7 +347,7 @@ def _commit_fn(cfg: dict, dirs: dict):
             bands.column("band_bucket").to_numpy(zero_copy_only=False),
             dirs["bands"], "band_bucket", tag)
 
-        return stats_partial(corpus_t)
+        return pa.concat_tables(acks + [stats_partial(corpus_t)])
 
     return commit
 
@@ -215,19 +358,24 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
     the PSI drift of the crawl against the accumulated history (when a
     histogram column is configured and history exists).
 
-    Execution shape (r4 — fused; each bullet is ONE Ray job, cutting the
-    per-ingest fixed scheduling overhead that dominated the bench leg):
+    Execution shape (r5 — three Ray jobs per ingest, two on the first; the
+    ~0.5 s/job scheduling floor dominated this pipeline's bench leg, so
+    every driver-side loop over the crawl is gone):
 
-    1. materialize the crawl (consumed by drift + dedup);
-    2. PSI drift of the raw crawl vs history (skipped on gen 0);
-    3. FUSED exact-dedup + signature pass (:func:`_dedup_exact_sigs`) —
-       within-crawl min-key dedup, partition-pruned index anti-join, and
-       MinHash signing all in the same bucket tasks;
-    4. near-dup probe against the index, reusing those signatures
+    1. FUSED exact-dedup + signature + partials pass
+       (:func:`_dedup_exact_sigs`) — the crawl is READ here (no separate
+       materialize), within-crawl min-key dedup, partition-pruned index
+       anti-join, and MinHash signing run in the same bucket tasks, and
+       per-batch raw-row-count + drift-histogram partial rows ride the
+       same exchange in a reserved bucket (n_new and PSI never get their
+       own jobs — the histograms are integer bin counts, so the fold is
+       exactly ``statestore.psi_vs_state``'s result);
+    2. near-dup probe against the index, reusing those signatures
        (``probe_minhash_index(sigs=...)`` — nothing is re-shingled);
-    5. FUSED commit (:class:`_IngestCommit`) — one pass over the survivor
+    3. FUSED commit (:func:`_commit_fn`) — one pass over the survivor
        rows writes the corpus generation AND the hash-index, sig-store,
-       band-store partitions, returning stats partials folded driver-side.
+       band-store partitions, returning stats partials + the forwarded
+       count/drift partials as one ack stream folded driver-side.
 
     Crash contract unchanged: all generation data lands before any store's
     ``meta.json`` swaps, and the ROOT meta swaps last; ``repair_state``
@@ -243,30 +391,21 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
     # (not the ingest count) decides write-vs-update
     first = not os.path.exists(os.path.join(hash_dir, _META))
 
-    # the crawl is consumed by count, drift, and the dedup pass —
-    # materialize ONCE so the upstream pipeline runs a single time
-    ds = ds.materialize()
-    n_new = ds.count()
-
-    # drift of the RAW crawl vs history, before history advances
-    drift = {}
-    if not first and n_new > 0:
-        for col in list(meta["hist_edges"]) + list(meta["hist_categories"]):
-            drift[col] = statestore.psi_vs_state(ds, stats_dir, col,
-                                                 batch_size=batch_size)
-
     # exact dedup (within-crawl + vs index) fused with the signature pass
+    # AND the raw-crawl count/drift partials — the one read of the crawl
     combined = _dedup_exact_sigs(
         ds, meta, hash_dir if not first else None,
-        batch_size=batch_size).materialize()
+        batch_size=batch_size, emit_drift=not first).materialize()
 
     matched_pairs = 0
     survivors = combined
+    pre_extracted_partials = None
     if not first and combined.count() > 0:
         matched = minhashindex.probe_minhash_index(
             None, mh_dir, threshold=meta["near_threshold"],
             batch_size=max(batch_size // 4, 256),
-            sigs=combined).materialize()
+            sigs=combined.map_batches(
+                _data_rows_only, batch_format="pyarrow")).materialize()
         matched_pairs = matched.count()
         if matched_pairs and matched_pairs <= 2_000_000:
             # small matched set (the common crawl-ingest case): broadcast
@@ -281,15 +420,25 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
             def keep_fn(b: "pa.Table") -> "pa.Table":
                 bad = pc.fill_null(
                     pc.is_in(b.column(key), value_set=drop), False)
+                # partial rows carry dummy keys — never near-dup-filter them
+                bad = pc.and_(bad, pc.equal(b.column("__kind"),
+                                            pa.scalar(0, pa.int8())))
                 return b.filter(pc.invert(bad))
 
             survivors = combined.map_batches(keep_fn,
                                              batch_format="pyarrow")
         elif matched_pairs:
+            # huge matched set: distributed anti-join. The join side must
+            # be data rows only (partial rows carry dummy keys), so the
+            # count/drift partials are extracted in their own small job
+            # here — this path only triggers past 2M matched pairs, where
+            # one extra metadata-scale job is noise
             from ..stages.joins import anti_join
 
-            survivors = anti_join(combined, matched, on=key,
-                                  right_on="key_a")
+            pre_extracted_partials = _extract_partials(combined)
+            data = combined.map_batches(_data_rows_only,
+                                        batch_format="pyarrow")
+            survivors = anti_join(data, matched, on=key, right_on="key_a")
 
     # FUSED commit: every store's generation data in one job. Generation
     # names come from each store's CURRENT meta (they advance in lockstep,
@@ -322,6 +471,29 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
         _commit_fn(cfg, dirs), batch_format="pyarrow",
         batch_size=max(batch_size * 8, 32768)).to_pandas()
     n_kept = _corpus_gen_rows(corpus_gen)
+
+    # split the ack stream: "__"-prefixed synthetic rows are the forwarded
+    # raw-crawl count/drift partials; the rest are the survivor stats
+    # partials for the state store
+    if pre_extracted_partials is not None:
+        syn = pre_extracted_partials
+    elif len(acks) and "column" in acks.columns:
+        syn = acks[acks["column"].str.startswith("__")]
+    else:                          # empty crawl loses its block schema
+        syn = pd.DataFrame({"column": pd.Series([], dtype=object),
+                            "cnt": pd.Series([], dtype="int64"),
+                            "hist": pd.Series([], dtype=object)})
+    if len(acks) and "column" in acks.columns:
+        acks = acks[~acks["column"].str.startswith("__")]
+
+    n_new = int(syn.loc[syn["column"] == "__nnew", "cnt"].sum())
+    drift = {}
+    if not first and n_new > 0:
+        for col in list(meta["hist_edges"]) + list(meta["hist_categories"]):
+            hj = syn.loc[syn["column"] == f"__drift:{col}", "hist"].dropna()
+            if len(hj):
+                drift[col] = statestore.psi_from_partials(
+                    stats_dir, col, list(hj))
 
     if n_kept > 0:
         # fold + persist the stats partials (driver-side, KBs), then swap

@@ -198,12 +198,9 @@ def state_row_count(path: str) -> int:
     return int(rows.loc[rows["column"] == first, "cnt"].sum())
 
 
-def psi_vs_state(ds, path: str, column: str, *,
-                 batch_size: int = 65536) -> float:
-    """Population-stability index of ``ds``'s distribution on ``column``
-    against the ACCUMULATED history in the state (requires the column to
-    have histogram config in meta.json). One distributed pass over ``ds``;
-    the history side comes from the persisted sketch bytes."""
+def _baseline_hist(path: str, column: str):
+    """The ACCUMULATED history histogram of ``column`` from the persisted
+    state (all generations merged driver-side — KBs)."""
     meta = _read_meta(path)
     if (column not in meta["hist_edges"]
             and column not in meta["hist_categories"]):
@@ -216,6 +213,31 @@ def psi_vs_state(ds, path: str, column: str, *,
     baseline = cls.from_json(hist_rows.iloc[0])
     for s in hist_rows.iloc[1:]:
         baseline.merge(cls.from_json(s))
+    return cls, baseline
+
+
+def psi_from_partials(path: str, column: str,
+                      hist_jsons: list[str]) -> float:
+    """PSI of a fresh run against the accumulated state, where the fresh
+    run's per-batch histogram partials were already computed inline by
+    another pass (pipelines/incremental's fused dedup+drift exchange).
+    Identical to :func:`psi_vs_state` — histogram merges are integer bin
+    adds, so the fold is batching-invariant."""
+    cls, baseline = _baseline_hist(path, column)
+    cur = cls.from_json(hist_jsons[0])
+    for s in hist_jsons[1:]:
+        cur.merge(cls.from_json(s))
+    return float(psi(baseline.proportions(), cur.proportions()))
+
+
+def psi_vs_state(ds, path: str, column: str, *,
+                 batch_size: int = 65536) -> float:
+    """Population-stability index of ``ds``'s distribution on ``column``
+    against the ACCUMULATED history in the state (requires the column to
+    have histogram config in meta.json). One distributed pass over ``ds``;
+    the history side comes from the persisted sketch bytes."""
+    meta = _read_meta(path)
+    cls, baseline = _baseline_hist(path, column)
 
     cur_rows = _run_partials(
         ds.select_columns([column]),
