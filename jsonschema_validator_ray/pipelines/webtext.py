@@ -163,6 +163,7 @@ def _wide_schema() -> pa.Schema:
               ("valid", pa.bool_()),
               ("error_count", pa.int32()),
               ("violations", pa.list_(VIOLATION_TYPE)),
+              ("key_hash", pa.uint64()),
               ("partial_count", pa.int64()),
               ("bucket", pa.int32()),
               ("lang", pa.string()),
@@ -199,13 +200,27 @@ class WideChecksPass:
 
     def __init__(self, check_extraction: bool = False, n_buckets: int = 64,
                  stats_columns: tuple = ("url", "text", "lang"),
-                 hll_p: int = 14):
+                 hll_p: int = 14, dup_exchange: str = "string"):
         from ..stages.referential import _AntiJoin
         from ..stages.stats import StatsPartial
-        from ..stages.uniqueness import _bucket_partial
+        from ..stages.uniqueness import _bucket_partial, _hash_partial
 
         self.validator = WebtextValidator(check_extraction)
-        self.dup_partial = _bucket_partial("url", n_buckets)
+        # dup_exchange="hash": partials carry the 8-byte url HASH, not the
+        # url — the merge exchange moves ~4× fewer bytes and true strings
+        # are recovered from the union's own verdict rows for the (few)
+        # candidate hashes. Measured tradeoff (16-file A/B, 4M rows): the
+        # hash path costs one extra exchange/scan round, and at single-node
+        # bench scale Ray's ~2 s-per-exchange scheduling floor dominates
+        # bytes (string 7.5-8.1 s total vs hash 10.1-11.5 s), while this
+        # corpus's high dup multiplicity (2.57M of 4M per-block-distinct
+        # instances are candidates) erases the byte savings. Default is
+        # therefore "string"; choose "hash" when the exchange is
+        # network-bound and the dup rate is low (the realistic 100-TB
+        # crawl shape). Both paths are exact (collisions only ever ADD
+        # recovery candidates) and pinned equal by test.
+        self.dup_partial = (_hash_partial if dup_exchange == "hash"
+                            else _bucket_partial)("url", n_buckets)
         self.anti = _AntiJoin("lang", "url", list(ISO_639_1),
                               "referential:lang")
         self.stats_cols = list(stats_columns)
@@ -223,9 +238,93 @@ class WideChecksPass:
             [_pad_wide(t, k, self.schema) for k, t in parts])
 
 
+def _dup_urls_from_union(combined, hash_partials, *,
+                         hash_broadcast_limit: int = 8_000_000):
+    """Exact duplicate urls from the wide-checks union, hash-first:
+
+    1. merge the (key_hash, partial_count, bucket) partials per bucket —
+       an 8-byte-key exchange — into candidate hashes with total count > 1
+       (collisions only add candidates, never merge distinct urls);
+    2. broadcast the candidate hashes (uint64 numpy, zero-copy via the
+       object store) and re-count BY STRING only the urls whose hash is a
+       candidate, reading them from the union's own verdict rows (the
+       union is materialized — no second corpus read). Exact: every true
+       dup's hash totals > 1, and the recovery counts true strings.
+
+    Below the 512-block gate the candidate fold runs DRIVER-side (the
+    gathered partials are blocks × per-block-distinct hash/count rows —
+    ~20 B each — while a distributed groupby costs ~2 s of pure Sort
+    scheduling at that block count, measured), so the whole dup check costs
+    ONE distributed exchange; past the gate the candidate merge is its own
+    hash-bucket exchange (8-byte keys). Past ``hash_broadcast_limit``
+    candidates (≈64 MB of hashes — pathological dup rates) the recovery
+    falls back to exchanging the url strings themselves, which is the
+    pre-hash behavior."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    import ray.data
+
+    from ..stages.uniqueness import merge_duplicate_partials
+
+    def _empty():
+        return ray.data.from_arrow(pa.table(
+            {"url": pa.array([], pa.string()),
+             "dup_count": pa.array([], pa.int64())}))
+
+    hashes = None
+    if combined.num_blocks() <= 512:
+        df = hash_partials.to_pandas()
+        if not len(df) or "key_hash" not in df.columns:
+            return _empty()
+        agg = df.groupby("key_hash", sort=False)["partial_count"].sum()
+        hashes = agg.index.to_numpy().astype(np.uint64)[agg.to_numpy() > 1]
+        n_cand = len(hashes)
+        if n_cand > hash_broadcast_limit:
+            hashes = None
+    else:
+        cand = merge_duplicate_partials(
+            hash_partials, "key_hash").materialize()
+        n_cand = cand.count()
+        if 0 < n_cand <= hash_broadcast_limit:
+            hashes = cand.to_pandas()["key_hash"].to_numpy() \
+                .astype(np.uint64)
+    if n_cand == 0:
+        return _empty()
+
+    def url_counts(b: pa.Table, keep=None) -> pa.Table:
+        sub = b.select(["url", "kind"])
+        sub = sub.filter(pc.equal(sub.column("kind"),
+                                  pa.scalar(KIND_VERDICT, pa.int8())))
+        vc = sub.column("url").value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        vals = pc.struct_field(vc, "values")
+        cnts = pc.struct_field(vc, "counts")
+        h = pd.util.hash_pandas_object(
+            vals.to_pandas(), index=False).to_numpy()
+        if keep is not None:
+            m = np.isin(h, ray.get(keep))
+            vals, cnts, h = (vals.filter(pa.array(m)),
+                             cnts.filter(pa.array(m)), h[m])
+        bucket = (h & np.uint64(63)).astype(np.int32)
+        return pa.table({"url": vals, "partial_count": cnts,
+                         "bucket": pa.array(bucket)})
+
+    if hashes is not None:
+        ref = ray.put(hashes)
+        partials = combined.map_batches(
+            lambda b: url_counts(b, keep=ref), batch_format="pyarrow")
+    else:
+        partials = combined.map_batches(url_counts, batch_format="pyarrow")
+    return merge_duplicate_partials(partials, "url")
+
+
 def wide_checks_files(files, *, check_extraction: bool = False,
                       batch_size: int = 16384, n_buckets: int = 64,
-                      concurrency=None) -> "WebtextReport":
+                      concurrency=None,
+                      dup_exchange: str = "string") -> "WebtextReport":
     """ONE fused read+validate+checks scan over parquet files (one task per
     row group, sources/parquet.fused_map_parquet pattern) → WebtextReport
     whose verdicts / violations / dup_urls / lang_violations / stats all
@@ -243,14 +342,14 @@ def wide_checks_files(files, *, check_extraction: bool = False,
     import ray.data
 
     from ..stages.stats import PARTIAL_SCHEMA, merge_partials
-    from ..stages.uniqueness import merge_duplicate_partials
 
     cols = ["url", "text", "lang"] + (["html"] if check_extraction else [])
     items = []
     for f in files:
         n = pq.ParquetFile(f).metadata.num_row_groups
         items.extend({"path": f, "rg": i} for i in range(n))
-    w = WideChecksPass(check_extraction, n_buckets)
+    w = WideChecksPass(check_extraction, n_buckets,
+                       dup_exchange=dup_exchange)
 
     def load_sweep(batch):
         for p, rg in zip(batch["path"], batch["rg"]):
@@ -279,8 +378,15 @@ def wide_checks_files(files, *, check_extraction: bool = False,
     verdicts = _select(KIND_VERDICT, ["url", "valid", "error_count"])
     row_viol = flatten_violations(
         _select(KIND_VERDICT, ["url", "valid", "error_count", "violations"]))
-    dups = merge_duplicate_partials(
-        _select(KIND_DUP, ["url", "partial_count", "bucket"]), "url")
+    if dup_exchange == "hash":
+        dups = _dup_urls_from_union(
+            combined,
+            _select(KIND_DUP, ["key_hash", "partial_count", "bucket"]))
+    else:
+        from ..stages.uniqueness import merge_duplicate_partials
+
+        dups = merge_duplicate_partials(
+            _select(KIND_DUP, ["url", "partial_count", "bucket"]), "url")
     langs = _select(KIND_LANG, ["url", "lang", "constraint_id"])
     stats_partials = _select(KIND_STATS, [f.name for f in PARTIAL_SCHEMA])
     if combined.num_blocks() <= 512:

@@ -45,6 +45,29 @@ def _bucket_partial(key: str, n_buckets: int):
     return fn
 
 
+def _hash_partial(key: str, n_buckets: int):
+    """Like :func:`_bucket_partial` but emits the 64-bit KEY HASH instead of
+    the key itself — the shuffle then moves 8-byte hashes, not strings
+    (~6× fewer bytes for urls). Consumers must recover the true strings for
+    the (rare) duplicate hashes afterwards; hash collisions only ever ADD
+    candidates, never merge distinct keys (recovery re-counts by string)."""
+    mask = np.uint64(n_buckets - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vc = batch.column(key).value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        vals = pc.struct_field(vc, "values")
+        cnts = pc.struct_field(vc, "counts")
+        h = pd.util.hash_pandas_object(vals.to_pandas(), index=False).to_numpy()
+        bucket = (h & mask).astype(np.int32)
+        return pa.table({"key_hash": pa.array(h.astype(np.uint64)),
+                         "partial_count": cnts,
+                         "bucket": pa.array(bucket)})
+
+    return fn
+
+
 def merge_duplicate_partials(partials, key: str):
     """Phase 2: ``(key, partial_count, bucket)`` partial rows →
     ``(key, dup_count)`` for keys with total count > 1. Exposed so a fused

@@ -83,3 +83,53 @@ def test_wide_fused_verdict_counts_match_validator(ray_session, corpus):
                                                  alias_name="v"))
     assert agg["count()"] == fagg["count()"] == 20_000
     assert agg["v"] == fagg["v"]
+
+
+def test_wide_fused_hash_dup_exchange_parity(ray_session, corpus):
+    """dup_exchange="hash" (8-byte-key exchange + string recovery from the
+    union's verdict rows) produces the exact same duplicate-url table as
+    the default string exchange, including the broadcast-limit fallback
+    that re-counts every url string."""
+    from jsonschema_validator_ray.pipelines.webtext import (
+        _dup_urls_from_union, wide_checks_files)
+
+    base = wide_checks_files(corpus, batch_size=4096)
+    hashed = wide_checks_files(corpus, batch_size=4096, dup_exchange="hash")
+    da = _sorted(base.dup_urls.to_pandas(), "url")
+    db = _sorted(hashed.dup_urls.to_pandas(), "url")
+    pd.testing.assert_frame_equal(da, db)
+    assert len(da) > 0
+
+    # fallback path: a zero broadcast limit forces the full string re-count
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jsonschema_validator_ray.pipelines.webtext import (
+        KIND_DUP, WideChecksPass)
+
+    w = WideChecksPass(False, 64, dup_exchange="hash")
+
+    def load(batch):
+        for p, rg in zip(batch["path"], batch["rg"]):
+            t = pq.ParquetFile(p).read_row_group(
+                int(rg), columns=["url", "text", "lang"])
+            for off in range(0, t.num_rows, 4096):
+                yield w(t.slice(off, 4096))
+
+    items = [{"path": f, "rg": i} for f in corpus
+             for i in range(pq.ParquetFile(f).metadata.num_row_groups)]
+    combined = ray.data.from_items(items).map_batches(
+        load, batch_size=1, batch_format="numpy").materialize()
+
+    def sel(b):
+        sub = b.select(["key_hash", "partial_count", "bucket", "kind"])
+        sub = sub.filter(pc.equal(sub.column("kind"),
+                                  pa.scalar(KIND_DUP, pa.int8())))
+        return sub.drop_columns(["kind"])
+
+    parts = combined.map_batches(sel, batch_format="pyarrow")
+    dc = _sorted(_dup_urls_from_union(
+        combined, parts, hash_broadcast_limit=0).to_pandas(), "url")
+    pd.testing.assert_frame_equal(da, dc)
