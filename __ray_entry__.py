@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": corpus.funnel_events,
         "heavy_users_events": corpus.heavy_users_events,
         "cohort_retention": analytics.cohort_retention,
+        "event_gaps_users": analytics.event_gaps_users,
+        "value_share_by_type": analytics.value_share_by_type,
+        "new_users_daily": analytics.new_users_daily,
         "dup_cluster_sizes": corpus.dup_cluster_sizes_documents,
         "segment_revenue": analytics.segment_revenue,
         "segment_revenue_bucketed": analytics.segment_revenue_bucketed,
@@ -188,6 +191,9 @@ def oracle_sql() -> dict[str, str]:
         "shuffled_head_documents": corpus.SHUFFLED_HEAD_SQL,
         "funnel_events": corpus.FUNNEL_SQL,
         "cohort_retention": analytics.COHORT_RETENTION_SQL,
+        "event_gaps_users": analytics.EVENT_GAPS_SQL,
+        "value_share_by_type": analytics.VALUE_SHARE_SQL,
+        "new_users_daily": analytics.NEW_USERS_DAILY_SQL,
         "dup_cluster_sizes": corpus.DUP_CLUSTER_SIZES_SQL,
         "quantiles_lineitem": checks.QUANTILES_SQL,
         "rowrules_lineitem": checks.ROWRULES_SQL,

@@ -487,3 +487,163 @@ SELECT f.cohort_week,
 FROM events e JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ---- lag windows: per-user inter-event gaps --------------------------------
+
+
+def event_gaps_users(sf_dir: str):
+    """Per-user inter-event-time aggregates (the LAG window shape): events
+    are hash-bucketed by user, each bucket task sorts its slice once and
+    diffs per user in one pandas C-path pass — one key exchange, no global
+    sort, never one Ray task per user (the measured 27 s/20k-keys rule).
+    Gaps are integer microseconds (epoch_us parity with the oracle), so
+    every output is exact. Users with a single event have no gap and are
+    dropped (HAVING count(*) >= 2), which also keeps the output null-free.
+
+    Output (user_id, n_events, max_gap_us, span_us) — all int64."""
+    import numpy as np
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+            "__b": pa.array((uid % 32).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        gaps = g.groupby("user_id", sort=False)["t"].diff()
+        agg = g.assign(__gap=gaps).groupby("user_id", sort=False).agg(
+            n_events=("t", "size"), max_gap_us=("__gap", "max"),
+            t_min=("t", "min"), t_max=("t", "max"))
+        agg = agg[agg["n_events"] >= 2]
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(),
+            "n_events": agg["n_events"].to_numpy().astype(np.int64),
+            "max_gap_us": agg["max_gap_us"].to_numpy().astype(np.int64),
+            "span_us": (agg["t_max"] - agg["t_min"]).to_numpy()
+            .astype(np.int64),
+        })
+
+    return ev.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pt
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       max(t - pt) AS max_gap_us,
+       max(t) - min(t) AS span_us
+FROM g GROUP BY user_id HAVING count(*) >= 2
+"""
+
+
+# ---- percent-of-total window: value share per event type -------------------
+
+
+def value_share_by_type(sf_dir: str):
+    """Share of total event value per event type, in integer basis points
+    (the SUM() OVER () percent-of-total window shape): one partial pass
+    folds per-batch (type, cents, count) rows, the grand total and shares
+    are computed driver-side over the handful of type rows. Values are
+    floor-cents and the share is integer division — exact in both engines
+    (cents are non-negative here, where truncating and floor division
+    agree; epsilon-free)."""
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+        t = pa.table({"event_type": b.column("event_type"), "cents": cents})
+        g = t.group_by(["event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "cents_sum": g.column("cents_sum"),
+                         "n_partial": g.column("cents_count")})
+
+    src = FusedParquetScan(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"])
+    df = src.map_batches(partial).to_pandas()
+    g = (df.groupby("event_type", as_index=False, sort=True)
+           .agg(value_cents=("cents_sum", "sum"),
+                n_events=("n_partial", "sum")))
+    total = int(g["value_cents"].sum())
+    return pa.table({
+        "event_type": pa.array(g["event_type"]),
+        "value_cents": pa.array(g["value_cents"].astype("int64")),
+        "n_events": pa.array(g["n_events"].astype("int64")),
+        "share_bp": pa.array(
+            (g["value_cents"].astype("int64") * 10000 // total)
+            .astype("int64")),
+    })
+
+
+VALUE_SHARE_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         count(*) AS n_events
+  FROM events GROUP BY event_type)
+SELECT event_type, value_cents, n_events,
+       CAST(value_cents * 10000 // sum(value_cents) OVER () AS BIGINT)
+         AS share_bp
+FROM t
+"""
+
+
+# ---- first-seen cohorts: new users per day ---------------------------------
+
+
+def new_users_daily(sf_dir: str):
+    """New (first-ever-seen) users per day — the growth-accounting shape:
+    per-batch combiner reduces to distinct (user, min_ts) pairs, then the
+    per-user global min and the per-day count fold driver-side below the
+    512-block gate (pairs are bounded by the distinct user count — KBs
+    here; past the gate, swap the fold for the bucketed grouped-min
+    exchange of stages/uniqueness.group_distinct_count's shape). Exact:
+    integer microsecond min, day = truncation to 86400-second bins.
+
+    Output (day timestamp[us], new_users int64)."""
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64())})
+        return t.group_by(["user_id"]).aggregate([("t", "min")])
+
+    src = FusedParquetScan(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"])
+    df = src.map_batches(partial).to_pandas()
+    first = df.groupby("user_id", sort=False)["t_min"].min()
+    DAY_US = 86400 * 1_000_000
+    day = (first.to_numpy() // DAY_US) * DAY_US
+    days, counts = np.unique(day, return_counts=True)
+    return pa.table({
+        "day": pc.cast(pa.array(days, type=pa.int64()),
+                       pa.timestamp("us")),
+        "new_users": pa.array(counts.astype(np.int64)),
+    })
+
+
+NEW_USERS_DAILY_SQL = """
+SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+       count(*) AS new_users
+FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+GROUP BY 1
+"""

@@ -1,0 +1,116 @@
+"""Lag-window gaps, percent-of-total shares, first-seen daily cohorts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value",
+                                     "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df
+
+
+@pytest.fixture()
+def sf_dir(ray_session, tmp_path):
+    rows = [
+        # user 1: three events, gaps 60 s and 3600 s
+        (1, 1, "2024-01-01 00:00:00", 1.00, "click"),
+        (2, 1, "2024-01-01 00:01:00", 2.50, "view"),
+        (3, 1, "2024-01-01 01:01:00", 0.25, "click"),
+        # user 2: single event (dropped from gaps)
+        (4, 2, "2024-01-02 12:00:00", 10.00, "view"),
+        # user 3: duplicate timestamp (tie broken by event_id, gap 0)
+        (5, 3, "2024-01-03 08:00:00", 3.00, "click"),
+        (6, 3, "2024-01-03 08:00:00", 4.00, "click"),
+    ]
+    df = _events(rows)
+    d = tmp_path / "sf"
+    d.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    return str(d)
+
+
+def test_event_gaps_users(sf_dir):
+    from jsonschema_validator_ray.pipelines.analytics import event_gaps_users
+
+    out = event_gaps_users(sf_dir).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 3]          # single-event user 2 gone
+    u1 = out.iloc[0]
+    assert u1["n_events"] == 3
+    assert u1["max_gap_us"] == 3600 * 1_000_000
+    assert u1["span_us"] == 3660 * 1_000_000
+    u3 = out.iloc[1]
+    assert (u3["n_events"], u3["max_gap_us"], u3["span_us"]) == (2, 0, 0)
+
+
+def test_value_share_by_type(sf_dir):
+    from jsonschema_validator_ray.pipelines.analytics import (
+        value_share_by_type)
+
+    out = value_share_by_type(sf_dir).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    # cents: click 100+25+300+400=825, view 250+1000=1250, total 2075
+    assert list(out["event_type"]) == ["click", "view"]
+    assert list(out["value_cents"]) == [825, 1250]
+    assert list(out["n_events"]) == [4, 2]
+    assert list(out["share_bp"]) == [825 * 10000 // 2075,
+                                     1250 * 10000 // 2075]
+    assert out["share_bp"].sum() <= 10000          # floor shares never overshoot
+
+
+def test_new_users_daily(sf_dir):
+    from jsonschema_validator_ray.pipelines.analytics import new_users_daily
+
+    out = new_users_daily(sf_dir).to_pandas().sort_values("day") \
+        .reset_index(drop=True)
+    assert list(out["new_users"]) == [1, 1, 1]
+    assert list(out["day"]) == [pd.Timestamp("2024-01-01"),
+                                pd.Timestamp("2024-01-02"),
+                                pd.Timestamp("2024-01-03")]
+
+
+def test_event_gaps_many_users_bucketed(ray_session, tmp_path):
+    """1000 users across 32 buckets: pandas-path parity with a brute-force
+    per-user computation."""
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 1000, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf2"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+
+    from jsonschema_validator_ray.pipelines.analytics import event_gaps_users
+
+    out = event_gaps_users(str(d)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    t = df.assign(t=df["ts"].astype("int64")) \
+        .sort_values(["user_id", "t", "event_id"], kind="mergesort")
+    gaps = t.groupby("user_id")["t"].diff()
+    ref = t.assign(g=gaps).groupby("user_id").agg(
+        n_events=("t", "size"), max_gap_us=("g", "max"),
+        span_us=("t", lambda s: s.max() - s.min()))
+    ref = ref[ref["n_events"] >= 2].reset_index()
+    ref["max_gap_us"] = ref["max_gap_us"].astype("int64")
+    ref["span_us"] = ref["span_us"].astype("int64")
+    pd.testing.assert_frame_equal(
+        out, ref[["user_id", "n_events", "max_gap_us", "span_us"]],
+        check_dtype=False)
