@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chisq_lang_source": checks.chisq_lang_source_documents,
         "distinct_users_per_event": checks.distinct_users_per_event,
         "fk_orders_custkey_bloom": checks.fk_orders_custkey_bloom,
+        "reconcile_orders_lineitem": checks.reconcile_orders_lineitem,
+        "quartile_bins_lineitem": checks.quartile_bins_lineitem,
         "trim_outliers_documents": checks.trim_outliers_documents,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_incremental_documents": corpus.dedup_incremental_documents,
@@ -192,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": corpus.FUNNEL_SQL,
         "cohort_retention": analytics.COHORT_RETENTION_SQL,
         "event_gaps_users": analytics.EVENT_GAPS_SQL,
+        "reconcile_orders_lineitem": checks.RECONCILE_ORDERS_SQL,
+        "quartile_bins_lineitem": checks.QUARTILE_BINS_SQL,
         "value_share_by_type": analytics.VALUE_SHARE_SQL,
         "new_users_daily": analytics.NEW_USERS_DAILY_SQL,
         "dup_cluster_sizes": corpus.DUP_CLUSTER_SIZES_SQL,

@@ -617,3 +617,145 @@ def fk_orders_custkey_bloom(sf_dir: str):
                                dim, "c_custkey",
                                expected_keys=200, fp=0.001,
                                constraint_id="referential:o_custkey")
+
+
+# ---- cross-table reconciliation: orders vs lineitem sums -------------------
+
+
+def reconcile_orders_lineitem(sf_dir: str):
+    """Cross-table reconciliation report — the classic warehouse
+    consistency check (does the header total match the sum of its lines?):
+    per-order line count + floor-cent price sum from lineitem vs the
+    order's own floor-cent total, with the signed difference. ONE exchange
+    total: lineitem reduces to per-batch (orderkey, cents, count) partials
+    (combiner — a hot order reaches the shuffle once per batch), both
+    sides ride the same bucket exchange as a tagged union with non-null
+    zero fills, and each bucket task folds partials and merges sides in
+    one pandas pass. Inner-join semantics: only orderkeys present on BOTH
+    sides report (presence flags summed per key).
+
+    Output (o_orderkey, n_lines, line_cents, total_cents, diff_cents) —
+    all int64, exact."""
+    import numpy as np
+    import pandas as pd
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_extendedprice"])
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"])
+    NB = 64
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64())
+        t = pa.table({"o_orderkey": b.column("l_orderkey"), "cents": cents})
+        g = t.group_by(["o_orderkey"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = g.num_rows
+        return pa.table({
+            "o_orderkey": g.column("o_orderkey"),
+            "n_lines": pc.cast(g.column("cents_count"), pa.int64()),
+            "line_cents": g.column("cents_sum"),
+            "total_cents": pa.array(np.zeros(n, np.int64)),
+            "__has_l": pa.array(np.ones(n, np.int64)),
+            "__has_o": pa.array(np.zeros(n, np.int64)),
+            "__b": pa.array((okey % NB).astype(np.int32)),
+        })
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "n_lines": pa.array(np.zeros(n, np.int64)),
+            "line_cents": pa.array(np.zeros(n, np.int64)),
+            "total_cents": pc.cast(pc.floor(pc.multiply(
+                b.column("o_totalprice"), 100.0)), pa.int64()),
+            "__has_l": pa.array(np.zeros(n, np.int64)),
+            "__has_o": pa.array(np.ones(n, np.int64)),
+            "__b": pa.array((okey % NB).astype(np.int32)),
+        })
+
+    both = li.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(o_partial, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_orderkey", sort=False).agg(
+            n_lines=("n_lines", "sum"), line_cents=("line_cents", "sum"),
+            total_cents=("total_cents", "sum"), hl=("__has_l", "sum"),
+            ho=("__has_o", "sum"))
+        agg = agg[(agg["hl"] > 0) & (agg["ho"] > 0)]
+        out = pd.DataFrame({
+            "o_orderkey": agg.index.to_numpy(),
+            "n_lines": agg["n_lines"].to_numpy().astype(np.int64),
+            "line_cents": agg["line_cents"].to_numpy().astype(np.int64),
+            "total_cents": agg["total_cents"].to_numpy().astype(np.int64),
+        })
+        out["diff_cents"] = out["total_cents"] - out["line_cents"]
+        return out
+
+    return both.groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+RECONCILE_ORDERS_SQL = """
+SELECT l.o_orderkey, n_lines, line_cents, total_cents,
+       total_cents - line_cents AS diff_cents
+FROM (SELECT l_orderkey AS o_orderkey, count(*) AS n_lines,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey) l
+JOIN (SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders) o
+ON l.o_orderkey = o.o_orderkey
+"""
+
+
+# ---- quantile binning: feature discretization ------------------------------
+
+
+def quartile_bins_lineitem(sf_dir: str):
+    """Feature discretization by the column's OWN exact quartiles (the
+    NTILE-by-value / width_bucket shape used to bin features for training):
+    thresholds come from the histogram-refinement exact-quantile stage
+    (quantile_disc semantics — an actual data element, so the comparison
+    doubles are identical in both engines), then one streaming pass counts
+    rows per bin with a per-batch combiner folded driver-side (4 rows).
+
+    Output (bucket, n_rows) — bucket 1..4, both int64, exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.quantiles import exact_quantiles
+
+    li = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_quantity"])
+    qs = exact_quantiles(li, "l_quantity", [0.25, 0.5, 0.75])
+    t1, t2, t3 = qs[0.25], qs[0.5], qs[0.75]
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        bucket = (1 + (v > t1).astype(np.int64) + (v > t2) + (v > t3))
+        vals, counts = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(vals.astype(np.int64)),
+                         "n_partial": pa.array(counts.astype(np.int64))})
+
+    df = li.map_batches(partial).to_pandas()
+    g = df.groupby("bucket", sort=True)["n_partial"].sum()
+    return pa.table({"bucket": pa.array(g.index.to_numpy(), pa.int64()),
+                     "n_rows": pa.array(g.to_numpy(), pa.int64())})
+
+
+QUARTILE_BINS_SQL = """
+WITH q AS (SELECT quantile_disc(l_quantity, 0.25) AS t1,
+                  quantile_disc(l_quantity, 0.50) AS t2,
+                  quantile_disc(l_quantity, 0.75) AS t3
+           FROM lineitem)
+SELECT CAST(1 + CAST(l_quantity > t1 AS INT) + CAST(l_quantity > t2 AS INT)
+            + CAST(l_quantity > t3 AS INT) AS BIGINT) AS bucket,
+       count(*) AS n_rows
+FROM lineitem, q
+GROUP BY 1
+"""

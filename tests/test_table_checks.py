@@ -290,3 +290,61 @@ def test_psi_lang_matches_sql(ray_session):
     # float equality is EXACT by construction
     assert ours["psi_contrib"].tolist() == theirs["psi_contrib"].tolist()
     assert ours["n_base"].tolist() == [int(x) for x in theirs["n_base"]]
+
+
+def test_reconcile_orders_lineitem_inner_semantics(ray_session, tmp_path):
+    """Reconciliation keeps only orderkeys present on BOTH sides, counts
+    lines, and reports exact signed cent diffs."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    orders = pd.DataFrame({"o_orderkey": [1, 2, 3],
+                           "o_totalprice": [30.00, 10.00, 5.00]})
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 99],            # 99: no matching order
+        "l_extendedprice": [10.00, 19.99, 10.00, 7.00]})
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   str(d / "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   str(d / "lineitem.parquet"))
+
+    from jsonschema_validator_ray.pipelines.checks import (
+        reconcile_orders_lineitem)
+
+    out = reconcile_orders_lineitem(str(d)).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert list(out["o_orderkey"]) == [1, 2]     # 3 (no lines), 99 dropped
+    assert list(out["n_lines"]) == [2, 1]
+    # floor-cents: 19.99 is not representable, floor(19.99*100) == 1998 —
+    # identical in both engines by construction
+    assert list(out["line_cents"]) == [2998, 1000]
+    assert list(out["total_cents"]) == [3000, 1000]
+    assert list(out["diff_cents"]) == [2, 0]
+
+
+def test_quartile_bins_boundary_semantics(ray_session, tmp_path):
+    """Bin edges are the column's own exact discrete quartiles; values
+    EQUAL to a threshold fall in the lower bin (v > t comparisons)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # 8 values: quantile_disc(.25)=2, (.5)=4, (.75)=6
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"l_quantity": vals}), preserve_index=False),
+        str(d / "lineitem.parquet"))
+
+    from jsonschema_validator_ray.pipelines.checks import (
+        quartile_bins_lineitem)
+
+    out = quartile_bins_lineitem(str(d)).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    assert list(out["bucket"]) == [1, 2, 3, 4]
+    assert list(out["n_rows"]) == [2, 2, 2, 2]
