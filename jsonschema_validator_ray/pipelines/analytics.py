@@ -647,3 +647,40 @@ SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
 FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
 GROUP BY 1
 """
+
+
+# ---- full-output window ranking: length rank within language ----------------
+
+
+def rank_length_in_lang(sf_dir: str):
+    """Every document's length rank WITHIN its language plus the partition
+    size (the full-output ROW_NUMBER()/COUNT() OVER (PARTITION BY ...)
+    window shape — top_orders_per_segment truncates to k, this ranks all
+    rows). lang has a handful of values, so the partition groupby is a few
+    coarse tasks, each one pandas mergesort + arange — for a high-
+    cardinality partition key, hash-bucket the key and offset ranks by
+    per-bucket counts instead. doc_id tiebreak makes ranks deterministic;
+    everything int64-exact.
+
+    Output (doc_id, lang, n_chars, rank_in_lang, n_lang)."""
+    import numpy as np
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        return g.assign(
+            rank_in_lang=np.arange(1, len(g) + 1, dtype=np.int64),
+            n_lang=np.int64(len(g)))
+
+    return docs.groupby("lang").map_groups(per_lang, batch_format="pandas")
+
+
+RANK_IN_LANG_SQL = """
+SELECT doc_id, lang, n_chars,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY n_chars, doc_id) AS rank_in_lang,
+       count(*) OVER (PARTITION BY lang) AS n_lang
+FROM documents
+"""

@@ -114,3 +114,29 @@ def test_event_gaps_many_users_bucketed(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out, ref[["user_id", "n_events", "max_gap_us", "span_us"]],
         check_dtype=False)
+
+
+def test_rank_length_in_lang(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["en", "en", "en", "de", "de"],
+        "n_chars": [50, 10, 50, 7, 7],   # en tie on 50 → doc_id breaks it
+    })
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(d / "documents.parquet"))
+
+    from jsonschema_validator_ray.pipelines.analytics import (
+        rank_length_in_lang)
+
+    out = rank_length_in_lang(str(d)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    by = out.set_index("doc_id")
+    assert list(by.loc[[2, 1, 3], "rank_in_lang"]) == [1, 2, 3]
+    assert list(by.loc[[4, 5], "rank_in_lang"]) == [1, 2]
+    assert set(by.loc[[1, 2, 3], "n_lang"]) == {3}
+    assert set(by.loc[[4, 5], "n_lang"]) == {2}
