@@ -363,6 +363,73 @@ def _candidate_bucket(band: np.ndarray, band_hash: np.ndarray,
     return (mixed % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _pairs_driver(sigs, key: str, key_type: pa.DataType, lsh: "MinHashLSH",
+                  n_perm: int, threshold: float, bucket_cap: int):
+    """Driver-side LSH candidates + verify for SMALL signature sets (gated
+    by ``driver_candidates_limit`` in :func:`minhash_near_duplicates`). One
+    lexsort over (band, band_hash) replaces the two distributed exchanges;
+    triu pairing loops ONLY over multi-member segments (near-dup buckets,
+    a tiny fraction of the corpus); verify reads straight from the
+    in-memory signature matrix. Pair set identical to the distributed path
+    (overflow-cap membership aside — see the caller's docstring)."""
+    import ray.data
+
+    pdf = sigs.to_pandas()
+    if len(pdf) == 0:
+        return ray.data.from_arrow(_empty_pairs(key_type))
+    # mirror the distributed verify's sig_map dict: last occurrence wins
+    pdf = pdf.drop_duplicates(subset=[key], keep="last").reset_index(drop=True)
+    n = len(pdf)
+    keys = pdf[key].to_numpy()
+    mat = _sig_matrix(pdf["sig"].tolist(), n_perm)
+    bh = lsh.band_hashes_matrix(mat)                       # (n, bands)
+    nb = lsh.bands
+    band_col = np.repeat(np.arange(nb, dtype=np.int64), n)
+    hash_col = bh.T.reshape(-1)                            # band-major
+    doc_idx = np.tile(np.arange(n), nb)
+    order = np.lexsort((doc_idx, hash_col, band_col))
+    bc, hc, di = band_col[order], hash_col[order], doc_idx[order]
+    cuts = np.flatnonzero((np.diff(bc) != 0) | (np.diff(hc) != 0)) + 1
+    starts = np.r_[0, cuts]
+    ends = np.r_[cuts, bc.size]
+    multi = (ends - starts) >= 2
+    out_a, out_b, out_t = [], [], []
+    for s, e in zip(starts[multi], ends[multi]):
+        ks = np.unique(keys[di[s:e]])
+        if len(ks) < 2:
+            continue
+        dropped = len(ks) - bucket_cap
+        if dropped > 0:
+            _LOG.warning("minhash LSH bucket overflow: dropped %d of %d "
+                         "members (cap %d)", dropped, len(ks), bucket_cap)
+            ks = ks[:bucket_cap]
+        ii, jj = np.triu_indices(len(ks), k=1)
+        out_a.append(ks[ii])
+        out_b.append(ks[jj])
+        out_t.append(np.full(ii.size, 1 if dropped > 0 else 0,
+                             dtype=np.int32))
+    if not out_a:
+        return ray.data.from_arrow(_empty_pairs(key_type))
+    cand = pd.DataFrame({"key_a": np.concatenate(out_a),
+                         "key_b": np.concatenate(out_b),
+                         "truncated": np.concatenate(out_t)})
+    cand = cand.groupby(["key_a", "key_b"], sort=False,
+                        as_index=False)["truncated"].max()
+    row_of = pd.Series(np.arange(n), index=keys)
+    A = mat[row_of[cand["key_a"]].to_numpy()]
+    B = mat[row_of[cand["key_b"]].to_numpy()]
+    est = (A == B).mean(axis=1)
+    keep = est >= threshold
+    return ray.data.from_arrow(pa.table({
+        "key_a": pa.array(cand["key_a"].to_numpy()[keep], type=key_type),
+        "key_b": pa.array(cand["key_b"].to_numpy()[keep], type=key_type),
+        "jaccard_est": pa.array(est[keep], type=pa.float64()),
+        "truncated": pa.array(
+            cand["truncated"].to_numpy()[keep].astype(np.int32),
+            type=pa.int32()),
+    }))
+
+
 def minhash_near_duplicates(ds, key: str, text: str, *,
                             threshold: float = 0.7,
                             n_perm: int = 128, bands: int = 32,
@@ -372,7 +439,8 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
                             bucket_cap: int = 200,
                             num_buckets: int = 16,
                             candidate_buckets: int = 256,
-                            verify_broadcast_limit: int = 50_000):
+                            verify_broadcast_limit: int = 50_000,
+                            driver_candidates_limit: int = 100_000):
     """→ Dataset ``(key_a, key_b, jaccard_est, truncated)`` of near-duplicate
     pairs with minhash-estimated Jaccard ≥ threshold. ``truncated`` = 1 marks
     pairs from an LSH bucket that overflowed ``bucket_cap`` (members beyond
@@ -398,6 +466,16 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
        sides and estimates Jaccard with one vectorized
        ``(A == B).mean(axis=1)`` per bucket. Signatures cross the exchange
        once; the pair-side shuffle is candidate-sized.
+
+    **Driver fast path**: when the corpus holds ≤ ``driver_candidates_limit``
+    signatures (≤ ~100 MB at n_perm=128), phases 2+3 fold driver-side in one
+    vectorized numpy pass — the two candidate exchanges over tiny band rows
+    otherwise cost ~2 s of pure Ray Sort scheduling (the measured
+    many-tiny-blocks trap). Results are identical to the distributed path
+    except for WHICH cap-overflow members survive a > ``bucket_cap`` LSH
+    bucket (arrival order there, key order here; both keep ``bucket_cap``
+    members and flag ``truncated``). Set ``driver_candidates_limit=0`` to
+    force the distributed path (parity-tested both ways).
     """
     import ray.data
 
@@ -406,6 +484,9 @@ def minhash_near_duplicates(ds, key: str, text: str, *,
                               batch_size=batch_size,
                               concurrency=concurrency).materialize()
     key_type = dict(zip(sigs.schema().names, sigs.schema().types))[key]
+    if sigs.count() <= driver_candidates_limit:
+        return _pairs_driver(sigs, key, key_type, lsh, n_perm, threshold,
+                             bucket_cap)
 
     def explode(b: pa.Table) -> pa.Table:
         n = b.num_rows

@@ -146,13 +146,22 @@ def test_minhash_verify_paths_agree(ray_session):
 
     ds, _ = _corpus_with_near_dups(ray_session)
     kw = dict(threshold=0.5, batch_size=16, candidate_buckets=256)
-    fast = minhash_near_duplicates(ds, "doc_id", "text", **kw).to_pandas()
+    # default: the gated driver-side candidates+verify fast path
+    drv = minhash_near_duplicates(ds, "doc_id", "text", **kw).to_pandas()
+    # distributed candidates + driver (broadcast) verify
+    fast = minhash_near_duplicates(ds, "doc_id", "text",
+                                   driver_candidates_limit=0,
+                                   **kw).to_pandas()
+    # distributed candidates + distributed (bucketed-join) verify
     dist = minhash_near_duplicates(ds, "doc_id", "text",
+                                   driver_candidates_limit=0,
                                    verify_broadcast_limit=0, **kw).to_pandas()
     key = ["key_a", "key_b"]
+    drv = drv.sort_values(key).reset_index(drop=True)
     fast = fast.sort_values(key).reset_index(drop=True)
     dist = dist.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, dist, check_like=True)
+    pd.testing.assert_frame_equal(drv, fast, check_like=True)
     assert len(fast) >= 3
 
 
