@@ -75,6 +75,21 @@ def test_pack_sequences_invariants(ray_session):
     m2 = dict(zip(out2["doc_id"], out2["pack_id"]))
     assert m1 == m2
 
+    # pack_summary ≡ per-pack aggregate of pack_sequences (same exchange,
+    # summary folded inside the map_groups UDF — no second all-to-all)
+    from jsonschema_validator_ray.stages.packing import pack_summary
+
+    summ = pack_summary(ds, "doc_id", "n_tokens", 512,
+                        num_buckets=8).to_pandas()
+    ref = out.groupby("pack_id", sort=False).agg(
+        n_docs=("pack_id", "size"), pack_tokens=("n_tokens", "sum"),
+        oversize=("oversize", "max")).reset_index()
+    a = summ.sort_values("pack_id").reset_index(drop=True)
+    b = ref.sort_values("pack_id").reset_index(drop=True).astype(
+        {"pack_id": np.int64, "n_docs": np.int64,
+         "pack_tokens": np.int64, "oversize": bool})
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
 
 def test_pack_rows_kernel():
     from jsonschema_validator_ray.stages.packing import pack_rows
