@@ -684,3 +684,146 @@ SELECT doc_id, lang, n_chars,
        count(*) OVER (PARTITION BY lang) AS n_lang
 FROM documents
 """
+
+
+# ---- hourly active users: two-phase distinct on a derived time bucket ------
+
+
+def hourly_active_users(sf_dir: str):
+    """(hour, n_users) — distinct active users per hour of the events log
+    (the DAU/HAU shape). The hour key derives per batch with
+    ``pc.floor_temporal`` and rides the existing two-phase distinct
+    exchange (stages/uniqueness.group_distinct_count): each batch reduces
+    to its distinct (hour, user) pairs first, so a chatty user reaches the
+    shuffle once per batch, not once per event."""
+    from ..stages.uniqueness import group_distinct_count
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["ts", "user_id"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(pc.cast(b.column("ts"),
+                                              pa.timestamp("us")),
+                                      unit="hour"),
+            "user_id": b.column("user_id"),
+        })
+
+    out = ev.map_batches(add_hour, batch_format="pyarrow")
+    return group_distinct_count(out, "hour", "user_id")
+
+
+HOURLY_ACTIVE_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
+# ---- event transition counts: per-user LAG pairs → global Markov counts ----
+
+
+def event_transitions(sf_dir: str):
+    """(prev_type, event_type, n) — how often each event type follows each
+    other within a user's timeline (the behavioral transition-matrix /
+    Markov-chain shape). Events hash-bucket on user, each bucket sorts its
+    slice once and shifts per user in one pandas C-path pass (never a task
+    per user), then emits per-bucket PARTIAL pair counts — only ≤ |types|²
+    rows per bucket cross to the final fold, folded driver-side (the pair
+    vocabulary is tiny by construction; counts are integer-exact)."""
+    import numpy as np
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+            "__b": pa.array((uid % 32).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        by_user = g.groupby("user_id", sort=False)
+        prev = by_user["event_type"].shift()
+        pairs = pd.DataFrame({"prev_type": prev,
+                              "event_type": g["event_type"]})
+        pairs = pairs[pairs["prev_type"].notna()]  # first event has no prev
+        # dropna=False: a NULL event_type still forms a (prev, NULL) pair,
+        # matching the SQL GROUP BY (zero nulls in testdata; latent parity)
+        cnt = pairs.groupby(["prev_type", "event_type"], sort=False,
+                            dropna=False).size().reset_index(name="n")
+        cnt["n"] = cnt["n"].astype(np.int64)
+        return cnt
+
+    partials = ev.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = partials.groupby(["prev_type", "event_type"], sort=False,
+                           as_index=False)["n"].sum()
+    return out
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, count(*) AS n
+FROM g WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+# ---- JSON field extraction + aggregate over the semi-structured column -----
+
+
+def props_value_by_type(sf_dir: str):
+    """(event_type, k_sum, n_extracted) — extract the integer ``k`` field
+    from the events' JSON ``props`` string with ONE vectorized RE2 pass
+    (``pc.extract_regex`` — no per-row json.loads), then integer-sum per
+    event type: per-batch C-path partials, driver fold of the tiny
+    per-type rows. The oracle extracts with the same RE2 pattern in
+    DuckDB, so sums are arithmetic-identical."""
+    import numpy as np
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(pc.fill_null(b.column("props"), ""),
+                              pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        # non-matching rows: count 0, contribute 0 — stays int64 end to end
+        valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "k": kv, "m": valid.astype("int64")})
+        agg = df.groupby("event_type", sort=False).agg(
+            k_sum=("k", "sum"), n_extracted=("m", "sum")).reset_index()
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], type=pa.string()),
+            "k_sum": pa.array(agg["k_sum"].to_numpy(), type=pa.int64()),
+            "n_extracted": pa.array(agg["n_extracted"].to_numpy(),
+                                    type=pa.int64()),
+        })
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby("event_type", sort=False, as_index=False)[
+        ["k_sum", "n_extracted"]].sum()
+
+
+PROPS_VALUE_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS k_sum,
+       count(regexp_extract(props, '"k": (\\d+)', 1)) AS n_extracted
+FROM events GROUP BY event_type
+"""

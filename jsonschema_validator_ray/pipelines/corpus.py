@@ -1989,3 +1989,38 @@ SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
        COALESCE(CAST(list_max(qv) AS BIGINT), 0) AS q_max
 FROM q
 """
+
+
+# ---- vectorized pattern scan (the PII / contamination-marker shape) --------
+
+_SCAN_PATTERN = r"(fast|slow) (table|value)"
+
+
+def pattern_scan_documents(sf_dir: str):
+    """(doc_id, n_matches) — documents containing the scan pattern, with
+    the count of non-overlapping RE2 matches. The per-batch kernel is ONE
+    ``pc.count_substring_regex`` call (Arrow's RE2 — the same engine DuckDB
+    compiles the oracle's ``regexp_extract_all`` with, so counts are
+    identical by construction). This is the PII / contamination-marker scan
+    shape: at 100 TB it's a single fused read+count pass, no shuffle, and
+    only hit rows leave the scan."""
+
+    def f(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.fill_null(b.column("text"), ""),
+                                     pattern=_SCAN_PATTERN)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "n_matches": pc.cast(n, pa.int64())})
+        return t.filter(pc.greater(t.column("n_matches"), 0))
+
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                             columns=["doc_id", "text"])
+
+
+PATTERN_SCAN_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '(fast|slow) (table|value)')) AS n_matches
+FROM documents
+WHERE len(regexp_extract_all(text, '(fast|slow) (table|value)')) > 0
+"""

@@ -27,6 +27,9 @@ def sf_dir(ray_session, tmp_path):
         (6, 3, "2024-01-03 08:00:00", 4.00, "click"),
     ]
     df = _events(rows)
+    # JSON props: one malformed row exercises the 0-extract path
+    df["props"] = ['{"k": 10}', '{"k": 20}', '{"k": 5}',
+                   'not json', '{"k": 1}', '{"k": 2}']
     d = tmp_path / "sf"
     d.mkdir()
     import pyarrow as pa
@@ -140,3 +143,55 @@ def test_rank_length_in_lang(ray_session, tmp_path):
     assert list(by.loc[[4, 5], "rank_in_lang"]) == [1, 2]
     assert set(by.loc[[1, 2, 3], "n_lang"]) == {3}
     assert set(by.loc[[4, 5], "n_lang"]) == {2}
+
+
+def test_event_transitions(sf_dir):
+    from jsonschema_validator_ray.pipelines.analytics import event_transitions
+
+    out = event_transitions(sf_dir)
+    got = {(r.prev_type, r.event_type): r.n for r in out.itertuples()}
+    # user 1: click->view, view->click; user 3: click->click (ts tie broken
+    # by event_id); user 2 has a single event -> no pair
+    assert got == {("click", "view"): 1, ("view", "click"): 1,
+                   ("click", "click"): 1}
+
+
+def test_hourly_active_users(sf_dir):
+    from jsonschema_validator_ray.pipelines.analytics import hourly_active_users
+
+    out = hourly_active_users(sf_dir).to_pandas()
+    got = {str(r.hour): r.n_distinct for r in out.itertuples()}
+    assert got == {"2024-01-01 00:00:00": 1, "2024-01-01 01:00:00": 1,
+                   "2024-01-02 12:00:00": 1, "2024-01-03 08:00:00": 1}
+
+
+def test_props_value_by_type(sf_dir):
+    from jsonschema_validator_ray.pipelines.analytics import props_value_by_type
+
+    out = props_value_by_type(sf_dir).set_index("event_type")
+    # clicks: k = 10 + 5 + 1 + 2 = 18 (4 rows all parse)
+    assert int(out.loc["click", "k_sum"]) == 18
+    assert int(out.loc["click", "n_extracted"]) == 4
+    # views: 20 parses, 'not json' does not -> count 1 of 2 rows
+    assert int(out.loc["view", "k_sum"]) == 20
+    assert int(out.loc["view", "n_extracted"]) == 1
+    assert out["k_sum"].dtype == np.int64  # never drifts to float
+
+
+def test_pattern_scan_documents(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.pipelines.corpus import pattern_scan_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["fast table and slow value", "no hits here",
+                          None, "fast table fast table fast table"]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = pattern_scan_documents(str(d)).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_matches"]))
+    assert got == {1: 2, 4: 3}  # null and no-hit rows never leave the scan
