@@ -827,3 +827,133 @@ SELECT event_type,
        count(regexp_extract(props, '"k": (\\d+)', 1)) AS n_extracted
 FROM events GROUP BY event_type
 """
+
+
+# ---- one-scan correlation matrix: 10 integer moments, 3 exact floats -------
+
+
+def corr_matrix_lineitem(sf_dir: str):
+    """(var_x, var_y, corr) — all three pairwise Pearson correlations of
+    quantity / price-cents / discount-percent in ONE scan: each batch emits
+    the 10 shared integer moments (n, 3 sums, 3 squares, 3 cross-products)
+    as int64 partials (batch sized against cents² overflow), folded
+    driver-side in arbitrary-precision ints, one float conversion per
+    output — the identical expression tree the HUGEINT oracle evaluates, so
+    the floats match bitwise. The multi-statistic-per-scan shape: k
+    correlations never cost k passes."""
+    import math
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_quantity", "l_extendedprice",
+                               "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b.column("l_quantity")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": [len(q)],
+            "s1": [int(q.sum())], "s2": [int(c.sum())], "s3": [int(d.sum())],
+            "s11": [int((q * q).sum())], "s22": [int((c * c).sum())],
+            "s33": [int((d * d).sum())], "s12": [int((q * c).sum())],
+            "s13": [int((q * d).sum())], "s23": [int((c * d).sum())]})
+
+    # cents² ≤ ~1e14 ⇒ ≤ 32768 rows/batch keeps every int64 partial exact
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=32768).to_pandas()
+    m = {k: int(parts[k].astype(object).sum()) for k in parts.columns}
+
+    def corr(sx, sy, sxx, syy, sxy):
+        num = m["n"] * m[sxy] - m[sx] * m[sy]
+        d1 = m["n"] * m[sxx] - m[sx] * m[sx]
+        d2 = m["n"] * m[syy] - m[sy] * m[sy]
+        return float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+
+    return pd.DataFrame({
+        "var_x": ["qty", "qty", "cents"],
+        "var_y": ["cents", "disc", "disc"],
+        "corr": [corr("s1", "s2", "s11", "s22", "s12"),
+                 corr("s1", "s3", "s11", "s33", "s13"),
+                 corr("s2", "s3", "s22", "s33", "s23")]})
+
+
+CORR_MATRIX_SQL = """
+WITH m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+           AS s2,
+         CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS HUGEINT) AS s3,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s11,
+         sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS s22,
+         sum(CAST(round(l_discount*100) AS HUGEINT)
+             * CAST(round(l_discount*100) AS HUGEINT)) AS s33,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS s12,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_discount*100) AS HUGEINT)) AS s13,
+         sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_discount*100) AS HUGEINT)) AS s23
+  FROM lineitem)
+SELECT 'qty' AS var_x, 'cents' AS var_y,
+       CAST(n*s12 - s1*s2 AS DOUBLE)
+         / (sqrt(CAST(n*s11 - s1*s1 AS DOUBLE))
+            * sqrt(CAST(n*s22 - s2*s2 AS DOUBLE))) AS corr FROM m
+UNION ALL
+SELECT 'qty', 'disc',
+       CAST(n*s13 - s1*s3 AS DOUBLE)
+         / (sqrt(CAST(n*s11 - s1*s1 AS DOUBLE))
+            * sqrt(CAST(n*s33 - s3*s3 AS DOUBLE))) FROM m
+UNION ALL
+SELECT 'cents', 'disc',
+       CAST(n*s23 - s2*s3 AS DOUBLE)
+         / (sqrt(CAST(n*s22 - s2*s2 AS DOUBLE))
+            * sqrt(CAST(n*s33 - s3*s3 AS DOUBLE))) FROM m
+"""
+
+
+# ---- grouped ordered string_agg: the manifest-building shape ---------------
+
+
+def manifest_by_lang(sf_dir: str):
+    """(lang, n_docs, doc_ids) — per language, the count and the
+    comma-joined doc_id list in ascending order (the training-manifest /
+    shard-listing shape). Groups hash-bucket into Ray tasks; each bucket
+    sorts once and joins per group on the pandas path. Contract (same as
+    grouped quantiles): one GROUP's id list must fit a task — groups here
+    are languages, a bounded vocabulary; at 100 TB you'd shard the manifest
+    by (lang, id-range) instead of concatenating one string per lang."""
+    import numpy as np
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column("lang").to_pandas(), index=False).to_numpy()
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "__b": pa.array((h % np.uint64(8)).astype(np.int32))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "doc_id"], kind="mergesort")
+        agg = g.groupby("lang", sort=False)["doc_id"].agg(
+            n_docs="size",
+            doc_ids=lambda s: ",".join(map(str, s))).reset_index()
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        return agg[["lang", "n_docs", "doc_ids"]]
+
+    return docs.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+MANIFEST_BY_LANG_SQL = """
+SELECT lang, count(*) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM documents GROUP BY lang
+"""

@@ -195,3 +195,49 @@ def test_pattern_scan_documents(ray_session, tmp_path):
     out = pattern_scan_documents(str(d)).to_pandas()
     got = dict(zip(out["doc_id"], out["n_matches"]))
     assert got == {1: 2, 4: 3}  # null and no-hit rows never leave the scan
+
+
+def test_corr_matrix_lineitem(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.pipelines.analytics import (
+        corr_matrix_lineitem)
+
+    rng = np.random.default_rng(11)
+    q = rng.integers(1, 50, 400).astype(float)
+    c = (q * 100 + rng.integers(0, 1000, 400)).astype(float) / 100.0
+    d = rng.integers(0, 11, 400).astype(float) / 100.0
+    df = pd.DataFrame({"l_quantity": q, "l_extendedprice": c,
+                       "l_discount": d})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(sf / "lineitem.parquet"))
+    out = corr_matrix_lineitem(str(sf)).set_index(["var_x", "var_y"])
+
+    qi = np.rint(q).astype(np.int64)
+    ci = np.rint(c * 100).astype(np.int64)
+    di = np.rint(d * 100).astype(np.int64)
+    for (x, y), (a, b) in {("qty", "cents"): (qi, ci),
+                           ("qty", "disc"): (qi, di),
+                           ("cents", "disc"): (ci, di)}.items():
+        ref = np.corrcoef(a, b)[0, 1]
+        assert abs(out.loc[(x, y), "corr"] - ref) < 1e-12
+
+
+def test_manifest_by_lang(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.pipelines.analytics import manifest_by_lang
+
+    docs = pa.table({"doc_id": pa.array([5, 3, 9, 1, 7], type=pa.int64()),
+                     "lang": pa.array(["en", "de", "en", "en", "de"])})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, str(sf / "documents.parquet"))
+    out = manifest_by_lang(str(sf)).to_pandas().set_index("lang")
+    assert out.loc["en", "doc_ids"] == "1,5,9"     # ascending order
+    assert out.loc["de", "doc_ids"] == "3,7"
+    assert int(out.loc["en", "n_docs"]) == 3
