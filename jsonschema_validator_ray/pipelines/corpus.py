@@ -2024,3 +2024,90 @@ SELECT doc_id,
 FROM documents
 WHERE len(regexp_extract_all(text, '(fast|slow) (table|value)')) > 0
 """
+
+
+# ---- per-label quantized centroids: grouped aggregate over list columns ----
+
+
+def label_centroids_embeddings(sf_dir: str):
+    """(label, dim, q_sum, n_vecs, centroid_q) — per-class centroid of the
+    int8-quantized embeddings (classifier-init / semdedup-seeding shape):
+    each batch quantizes exactly like ``quantize_batch`` (float64 cast →
+    ·127 → /scale → floor, zero-scale → 0 — the identical IEEE sequence
+    DuckDB's DOUBLE lambda performs), then emits per-(label, dim) INTEGER
+    partial sums (≤ labels × dim tiny rows per batch); the driver folds
+    int64 partials and performs ONE float division per cell, so the
+    centroid floats match the oracle bitwise. ``dim`` is 1-based to align
+    with SQL ``generate_subscripts``."""
+    import numpy as np
+
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        labels = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        live = lengths > 0
+        if not live.any():
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "q_sum": pa.array([], type=pa.int64()),
+                             "n_vecs": pa.array([], type=pa.int64())})
+        ll = lengths[live]
+        ends = np.cumsum(ll)
+        segstarts = np.concatenate(([0], ends[:-1]))
+        sc = np.maximum.reduceat(np.abs(flat), segstarts)
+        per_elem = np.repeat(sc, ll)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(flat * 127.0 / per_elem)
+        q = np.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0).astype(np.int64)
+        lab = np.repeat(labels[live], ll)
+        dim = np.concatenate([np.arange(1, n + 1) for n in ll]) \
+            if ll.size else np.array([], dtype=np.int64)
+        df = pd.DataFrame({"label": lab, "dim": dim, "q": q})
+        agg = df.groupby(["label", "dim"], sort=False).agg(
+            q_sum=("q", "sum"), n_vecs=("q", "size")).reset_index()
+        return pa.table({
+            "label": pa.array(agg["label"].to_numpy(), type=pa.int64()),
+            "dim": pa.array(agg["dim"].to_numpy(), type=pa.int64()),
+            "q_sum": pa.array(agg["q_sum"].to_numpy(), type=pa.int64()),
+            "n_vecs": pa.array(agg["n_vecs"].to_numpy(), type=pa.int64()),
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["label", "dim"], sort=False, as_index=False)[
+        ["q_sum", "n_vecs"]].sum()
+    out["centroid_q"] = out["q_sum"].map(float) / out["n_vecs"].map(float)
+    return out
+
+
+LABEL_CENTROIDS_SQL = """
+WITH t AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                END) AS qv
+  FROM t
+), e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim,
+         unnest(qv) AS val
+  FROM q)
+SELECT label, dim, CAST(sum(val) AS BIGINT) AS q_sum,
+       count(*) AS n_vecs,
+       CAST(CAST(sum(val) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
+FROM e GROUP BY label, dim
+"""

@@ -241,3 +241,32 @@ def test_manifest_by_lang(ray_session, tmp_path):
     assert out.loc["en", "doc_ids"] == "1,5,9"     # ascending order
     assert out.loc["de", "doc_ids"] == "3,7"
     assert int(out.loc["en", "n_docs"]) == 3
+
+
+def test_label_centroids_embeddings(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.pipelines.corpus import (
+        label_centroids_embeddings)
+
+    emb = pa.table({
+        "label": pa.array([0, 0, 1, 1, 1], type=pa.int32()),
+        "embedding": pa.array(
+            [[1.0, -2.0], [3.0, 3.0], [0.0, 0.0],   # zero vector -> codes 0
+             None, [2.0, 4.0]],                      # null row contributes 0
+            type=pa.list_(pa.float32())),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(emb, str(sf / "embeddings.parquet"))
+    out = label_centroids_embeddings(str(sf)).set_index(["label", "dim"])
+    # label 0 dim 1: floor(1*127/2)=63, floor(3*127/3)=127 -> sum 190, n 2
+    assert int(out.loc[(0, 1), "q_sum"]) == 63 + 127
+    assert out.loc[(0, 1), "centroid_q"] == (63 + 127) / 2.0
+    # label 0 dim 2: floor(-2*127/2)=-127, 127 -> sum 0
+    assert int(out.loc[(0, 2), "q_sum"]) == 0
+    # label 1: zero vector gives codes 0; null row absent; [2,4] -> 63,127
+    assert int(out.loc[(1, 1), "q_sum"]) == 63
+    assert int(out.loc[(1, 1), "n_vecs"]) == 2     # zero-vec counted, null not
+    assert int(out.loc[(1, 2), "q_sum"]) == 127
