@@ -222,6 +222,9 @@ def run_bench() -> dict:
         "ngram_decontam_documents", "dup_spans_documents",
         "dedup_incremental_documents", "ingest_documents",
         "semdedup_embeddings", "signals_documents", "latest_events",
+        "pattern_scan_documents", "event_transitions",
+        "hourly_active_users", "props_value_by_type",
+        "corr_matrix_lineitem", "label_centroids_embeddings",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
