@@ -108,7 +108,8 @@ def uniqueness_violations(ds, key: str, constraint_id: str | None = None):
 
 
 def group_distinct_count(ds, group: str, value: str, *,
-                         batch_size: int = 65536, n_buckets: int = 64):
+                         batch_size: int = 65536, n_buckets: int = 64,
+                         driver_fold_limit: int = 5_000_000):
     """EXACT ``COUNT(DISTINCT value) GROUP BY group`` at scale, two-phase:
 
     1. each batch reduces to its distinct (group, value) pairs (Arrow
@@ -117,8 +118,12 @@ def group_distinct_count(ds, group: str, value: str, *,
        lands in exactly one bucket, so a per-bucket pandas
        ``drop_duplicates`` is a GLOBAL dedup — and each bucket emits
        per-group partial distinct counts;
-    3. a final tiny ``groupby(group).sum`` (≤ n_buckets rows per group)
-       folds the partials.
+    3. the ≤ n_buckets-per-group partial rows fold driver-side below
+       ``driver_fold_limit`` rows (Ray's sort-based aggregate measured
+       13.8 s for 46k partial rows / 720 groups — the known
+       tiny-rows-many-blocks trap); above it (billions of groups, e.g.
+       per-user distincts) one more hash exchange on the GROUP folds per
+       bucket on the pandas C-path.
 
     → Dataset ``(group, n_distinct)``. Null values are not counted but
     null-only groups still appear with 0 (SQL COUNT(DISTINCT) parity);
@@ -148,9 +153,58 @@ def group_distinct_count(ds, group: str, value: str, *,
             .sum().reset_index(name="partial")
 
     partials = pairs.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
-    out = partials.groupby(group).sum("partial")
-    return out.map_batches(
-        lambda b: pa.table({group: b.column(group),
-                            "n_distinct": b.column("sum(partial)")}),
-        batch_format="pyarrow")
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas") \
+        .materialize()
+    import ray.data
+    if partials.count() == 0:
+        # empty input: partials lost their schema with their blocks — the
+        # answer is the empty (group, n_distinct) table, typed from ds
+        raw0 = dict(zip(ds.schema().names, ds.schema().types))[group]
+        if not isinstance(raw0, pa.DataType):
+            try:
+                raw0 = pa.from_numpy_dtype(np.dtype(raw0))
+            except (TypeError, ValueError, pa.ArrowNotImplementedError):
+                raw0 = pa.string()
+        return ray.data.from_arrow(pa.table({
+            group: pa.array([], type=raw0),
+            "n_distinct": pa.array([], type=pa.int64())}))
+    # group Arrow type from the MATERIALIZED partials (schema() on the lazy
+    # input would trigger a fragment execution); pandas-backed datasets
+    # report numpy dtypes / Python classes — normalize, else let pa infer
+    raw = dict(zip(partials.schema().names, partials.schema().types))[group]
+    if isinstance(raw, pa.DataType):
+        gtype = raw
+    else:
+        try:
+            gtype = pa.from_numpy_dtype(np.dtype(raw))
+        except (TypeError, ValueError, pa.ArrowNotImplementedError):
+            gtype = None
+
+    def _fold(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby(group, sort=False, dropna=False,
+                         observed=True)["partial"].sum() \
+            .reset_index(name="n_distinct")
+        return pa.table({
+            group: pa.array(out[group], type=gtype, from_pandas=True),
+            "n_distinct": pa.array(out["n_distinct"].to_numpy(),
+                                   type=pa.int64()),
+        }) if gtype is not None else pa.table({
+            group: pa.array(out[group], from_pandas=True),
+            "n_distinct": pa.array(out["n_distinct"].to_numpy(),
+                                   type=pa.int64()),
+        })
+
+    if partials.count() <= driver_fold_limit:
+        return ray.data.from_arrow(_fold(partials.to_pandas()))
+
+    def add_gbucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column(group).to_pandas(), index=False).to_numpy()
+        return b.append_column("__gb", pa.array(
+            (h & mask).astype(np.int32)))
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _fold(g).to_pandas()
+
+    return partials.map_batches(add_gbucket, batch_format="pyarrow") \
+        .groupby("__gb").map_groups(fold_bucket, batch_format="pandas")

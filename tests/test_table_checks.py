@@ -207,6 +207,13 @@ def test_group_distinct_count(ray_session):
            for _, r in out.iterrows()}
     assert got == {"a": 2, "b": 1, None: 1, "c": 0}  # null-only group → 0
 
+    # distributed final fold (forced with limit=0) ≡ driver fold
+    out2 = group_distinct_count(ray.data.from_arrow(t), "g", "v",
+                                n_buckets=4, driver_fold_limit=0).to_pandas()
+    got2 = {(None if pd_isna(r["g"]) else r["g"]): r["n_distinct"]
+            for _, r in out2.iterrows()}
+    assert got2 == got
+
     sql = duckdb.connect().execute(f"""
         SELECT lang, COUNT(DISTINCT source) AS n FROM
         '{SF_SMOKE}/documents.parquet' GROUP BY lang ORDER BY lang
