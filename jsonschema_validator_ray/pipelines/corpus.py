@@ -2111,3 +2111,84 @@ SELECT label, dim, CAST(sum(val) AS BIGINT) AS q_sum,
        CAST(CAST(sum(val) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
 FROM e GROUP BY label, dim
 """
+
+
+# ---- document chunking: context-window splits with stride/overlap ----------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+def chunk_documents(sf_dir: str):
+    """(doc_id, chunk_id, chunk_text, n_tokens_chunk) — every document
+    split into 64-token context windows advancing by 48 tokens (16-token
+    overlap), the training/embedding chunking step. Fully vectorized
+    flat_map shape: one ``split_pattern`` per batch, then ONE
+    ``list_slice`` + ``binary_join`` per chunk POSITION (bounded by the
+    longest doc in the batch, not the row count) gathers that chunk from
+    every doc long enough to have it. Null/empty docs produce no chunks;
+    chunk text is byte-checked against the unnest(range)/list-slice
+    oracle."""
+    import numpy as np
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        keep = pc.and_(pc.is_valid(txt), pc.not_equal(
+            pc.fill_null(txt, ""), ""))
+        t = b.filter(keep)
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+            "n_tokens_chunk": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(t.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = np.ceil(n / float(_CHUNK_STRIDE)).astype(np.int64)
+        ids = t.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        parts = []
+        for i in range(int(k.max())):
+            sel = np.flatnonzero(k > i)
+            sub = toks.take(pa.array(sel))
+            lo = i * _CHUNK_STRIDE
+            sl = pc.list_slice(sub, lo, lo + _CHUNK_TOKENS)
+            nt = np.minimum(lo + _CHUNK_TOKENS, n[sel]) - lo
+            parts.append(pa.table({
+                "doc_id": ids.take(pa.array(sel)),
+                "chunk_id": pa.array(np.full(sel.size, i, dtype=np.int64)),
+                "chunk_text": pc.binary_join(sl, " "),
+                "n_tokens_chunk": pa.array(nt, type=pa.int64()),
+            }))
+        return pa.concat_tables(parts) if parts else empty
+
+    from ..sources.parquet import fused_map_parquet
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                             columns=["doc_id", "text"])
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL AND text <> ''),
+ex AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, CAST(ceil(n/{_CHUNK_STRIDE}.0) AS BIGINT))) AS i
+  FROM tok)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(t[i*{_CHUNK_STRIDE}+1 :
+                         least(i*{_CHUNK_STRIDE}+{_CHUNK_TOKENS}, n)],
+                       ' ') AS chunk_text,
+       CAST(least(i*{_CHUNK_STRIDE}+{_CHUNK_TOKENS}, n)
+            - i*{_CHUNK_STRIDE} AS BIGINT) AS n_tokens_chunk
+FROM ex
+"""

@@ -270,3 +270,39 @@ def test_label_centroids_embeddings(ray_session, tmp_path):
     assert int(out.loc[(1, 1), "q_sum"]) == 63
     assert int(out.loc[(1, 1), "n_vecs"]) == 2     # zero-vec counted, null not
     assert int(out.loc[(1, 2), "q_sum"]) == 127
+
+
+def test_chunk_documents(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.pipelines.corpus import (
+        _CHUNK_STRIDE, _CHUNK_TOKENS, chunk_documents)
+
+    words = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([words(10),                    # one short chunk
+                          words(_CHUNK_TOKENS),         # exactly one window
+                          words(_CHUNK_STRIDE * 2 + 5), # three chunks
+                          None, ""]),                   # no chunks
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, str(sf / "documents.parquet"))
+    out = chunk_documents(str(sf)).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    by = out.groupby("doc_id")
+    assert by.size().to_dict() == {1: 1, 2: 2, 3: 3}
+    # doc 1: single 10-token chunk, text round-trips
+    assert out.loc[0, "chunk_text"] == words(10)
+    assert out.loc[0, "n_tokens_chunk"] == 10
+    # doc 2: 64 tokens -> chunk 0 full, chunk 1 = the 16-token overlap tail
+    d2 = out[out["doc_id"] == 2].reset_index(drop=True)
+    assert list(d2["n_tokens_chunk"]) == [_CHUNK_TOKENS,
+                                          _CHUNK_TOKENS - _CHUNK_STRIDE]
+    # overlap: chunk 1 starts at token STRIDE
+    assert d2.loc[1, "chunk_text"].split(" ")[0] == f"w{_CHUNK_STRIDE}"
+    # doc 3: strides 0/48/96 over 101 tokens -> 64, 53, 5 tokens
+    d3 = out[out["doc_id"] == 3].reset_index(drop=True)
+    assert list(d3["n_tokens_chunk"]) == [64, 53, 5]
