@@ -2192,3 +2192,47 @@ SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
             - i*{_CHUNK_STRIDE} AS BIGINT) AS n_tokens_chunk
 FROM ex
 """
+
+
+def hard_negatives_embeddings(sf_dir: str):
+    """(vec_id, score) — the 10 nearest cosine neighbors of vec 0 among
+    vectors with a DIFFERENT label (contrastive-training hard-negative
+    mining). Same fused scan + per-batch partial top-k as topk_embeddings,
+    with the label inequality applied INSIDE the scan so excluded vectors
+    never reach the ranking. Scores rounded to 4 decimals for a stable
+    cross-engine hash."""
+    import pyarrow.parquet as _pq
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.similarity import topk_cosine
+
+    head = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet") \
+        .read_row_group(0, columns=["embedding", "label"])
+    q = np.asarray(head.column("embedding")[0].as_py(), dtype=np.float32)
+    q_label = head.column("label")[0].as_py()
+
+    def other_label(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.not_equal(b.column("label"),
+                                      pa.scalar(q_label)), False)
+        return b.filter(m).select(["vec_id", "embedding"])
+
+    emb = FusedParquetScan(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding", "label"]) \
+        .map_batches(other_label)
+    out = topk_cosine(emb, q, k=10, batch_size=4096)
+    out = out[["vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)
+
+
+HARD_NEGATIVES_SQL = """
+SELECT vec_id,
+       round(CAST(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE), 4) AS score
+FROM embeddings
+WHERE label <> (SELECT label FROM embeddings WHERE vec_id = 0)
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""

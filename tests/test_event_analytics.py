@@ -306,3 +306,29 @@ def test_chunk_documents(ray_session, tmp_path):
     # doc 3: strides 0/48/96 over 101 tokens -> 64, 53, 5 tokens
     d3 = out[out["doc_id"] == 3].reset_index(drop=True)
     assert list(d3["n_tokens_chunk"]) == [64, 53, 5]
+
+
+def test_hard_negatives_embeddings(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.pipelines.corpus import (
+        hard_negatives_embeddings)
+
+    # query = vec 0 (label 0). Same-label vec 1 is IDENTICAL to the query
+    # (cosine 1.0) and must still be excluded; different-label vecs rank by
+    # true cosine.
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "label": pa.array([0, 0, 1, 1, 2], type=pa.int32()),
+        "embedding": pa.array([[1.0, 0.0], [1.0, 0.0], [0.9, 0.1],
+                               [0.0, 1.0], [1.0, 0.05]],
+                              type=pa.list_(pa.float32())),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(emb, str(sf / "embeddings.parquet"))
+    out = hard_negatives_embeddings(str(sf))
+    assert list(out["vec_id"]) [:2] == [4, 2]   # nearest different-label
+    assert 1 not in set(out["vec_id"])          # same-label twin excluded
+    assert 0 not in set(out["vec_id"])
