@@ -212,6 +212,42 @@ QUANTILES_SQL = "\nUNION ALL\n".join(
     f"FROM lineitem"
     for q in _QUANTILE_QS)
 
+def mad_lineitem(sf_dir: str):
+    """(median, mad) — exact median absolute deviation of
+    l_extendedprice, the robust dispersion statistic: pass 1 finds the
+    exact discrete median via histogram refinement; pass 2 runs the same
+    stage over the DERIVED column ``|x − median|``, fused into the read
+    by TransformedScan so the deviation column is never materialized.
+    Both medians are actual data elements (quantile_disc rank
+    ceil(0.5·n)−1) and the absolute deviations are single IEEE-754
+    subtractions, so the floats compare exactly against DuckDB."""
+    import pandas as pd
+
+    from ..sources.parquet import FusedParquetScan, TransformedScan
+    from ..stages.quantiles import exact_quantiles
+
+    li = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_extendedprice"])
+    med = exact_quantiles(li, "l_extendedprice", [0.5])[0.5]
+
+    def absdev(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column("l_extendedprice"), pa.float64())
+        return pa.table({"absdev": pc.abs(pc.subtract(v, med))})
+
+    mad = exact_quantiles(TransformedScan(li, absdev), "absdev", [0.5])[0.5]
+    return pd.DataFrame({"median": [med], "mad": [mad]})
+
+
+MAD_SQL = """
+WITH m AS (SELECT quantile_disc(l_extendedprice, 0.5) AS med FROM lineitem)
+SELECT CAST(m.med AS DOUBLE) AS median,
+       CAST(quantile_disc(abs(l_extendedprice - m.med), 0.5) AS DOUBLE)
+           AS mad
+FROM lineitem, m
+GROUP BY m.med
+"""
+
+
 def trim_outliers_documents(sf_dir: str):
     """(doc_id) — documents whose ``n_chars`` lies inside the exact
     [p05, p95] band: the quantile thresholds come from the distributed

@@ -153,3 +153,37 @@ class FusedParquetScan:
             sch = pa.schema([sch.field(c) for c in self.columns])
         return types.SimpleNamespace(base_schema=sch, names=sch.names,
                                      types=list(sch.types))
+
+
+class TransformedScan:
+    """Multi-pass scan with a fused per-batch pre-transform: wraps a
+    ``FusedParquetScan`` (or another TransformedScan) so EVERY pass of a
+    multi-pass stage reads, applies ``pre``, and runs the stage's fn in
+    the SAME task — e.g. exact quantiles over a DERIVED column such as
+    ``|x − median|`` (MAD) without materializing the derived column.
+
+    ``pre`` must be a pure pyarrow.Table → pyarrow.Table function; it is
+    pickled by value into each fused task (task pool, not an actor pool,
+    so closure capture is safe)."""
+
+    def __init__(self, inner, pre):
+        self.inner = inner
+        self.pre = pre
+
+    def map_batches(self, fn, *, batch_size=None, fn_constructor_args=None,
+                    **kwargs):
+        if isinstance(fn, type):
+            fn = fn(*(fn_constructor_args or ()))
+        pre = self.pre
+
+        def fused(t, _fn=fn, _pre=pre):
+            return _fn(_pre(t))
+
+        return self.inner.map_batches(fused, batch_size=batch_size,
+                                      **kwargs)
+
+    def num_blocks(self) -> int:
+        return self.inner.num_blocks()
+
+    def count(self) -> int:
+        return self.inner.count()
