@@ -795,3 +795,26 @@ SELECT CAST(1 + CAST(l_quantity > t1 AS INT) + CAST(l_quantity > t2 AS INT)
 FROM lineitem, q
 GROUP BY 1
 """
+
+
+def basket_pairs_lineitem(sf_dir: str):
+    """(item_a, item_b, support) — part pairs co-occurring in ≥2 orders:
+    market-basket pair mining (stages/itemsets.cooccur_pairs; two
+    partial-aggregated bucket exchanges, baskets then pairs — the
+    co-occurrence instances are combined per bucket before the pair
+    exchange, so the shuffle carries distinct pairs, never instances)."""
+    from ..stages.itemsets import cooccur_pairs
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    return cooccur_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+BASKET_PAIRS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+       count(*) AS support
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""

@@ -2236,3 +2236,81 @@ ORDER BY list_cosine_similarity(embedding,
          (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
 LIMIT 10
 """
+
+
+def fuzzy_pairs_documents(sf_dir: str):
+    """(key_a, key_b, dist) — blocked edit-distance matching: document
+    pairs in the same (lang, n_chars//64) block whose Levenshtein
+    distance over the first-40-character prefix is ≤ 10
+    (stages/fuzzy.blocked_fuzzy_pairs: block-bucket exchange of
+    (key, prefix) only, vectorized bag-distance prefilter, then
+    Wagner-Fischer DP vectorized across surviving pairs). Distances are
+    integers over UTF-8 bytes — exactly DuckDB ``levenshtein``."""
+    from ..stages.fuzzy import blocked_fuzzy_pairs
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang", "n_chars"])
+
+    def block(b: pa.Table) -> pa.Array:
+        lb = pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("n_chars"), pa.float64()), 64.0)), pa.int64())
+        return pc.binary_join_element_wise(
+            pc.cast(b.column("lang"), pa.string()),
+            pc.cast(lb, pa.string()), "|")
+
+    return blocked_fuzzy_pairs(docs, "doc_id", "text", block,
+                               prefix_len=40, max_dist=10)
+
+
+FUZZY_PAIRS_SQL = """
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+            AS BIGINT) AS dist
+FROM documents a
+JOIN documents b ON a.lang = b.lang
+                AND a.n_chars // 64 = b.n_chars // 64
+                AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10
+"""
+
+
+def mad_by_lang_documents(sf_dir: str):
+    """(lang, median, mad) — per-language robust location/dispersion of
+    n_chars: grouped discrete median (stages/quantiles.
+    grouped_quantiles_disc, one vectorized pass per hash bucket), then
+    the per-group medians broadcast into a second grouped-median pass
+    over the derived |n_chars − median(lang)| column. All quantities are
+    integer data elements, so the floats compare exactly."""
+    import pandas as pd
+
+    from ..stages.quantiles import grouped_quantiles_disc
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "n_chars"])
+    med = grouped_quantiles_disc(docs, "lang", "n_chars", [0.5]).to_pandas()
+    med_map = dict(zip(med["lang"], med["q_0_5"]))
+
+    def absdev(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        m = df["lang"].map(med_map).to_numpy(np.float64)
+        return pa.table({
+            "lang": b.column("lang"),
+            "absdev": pa.array(np.abs(
+                df["n_chars"].to_numpy(np.float64) - m))})
+
+    mad = grouped_quantiles_disc(
+        docs.map_batches(absdev, batch_format="pyarrow"),
+        "lang", "absdev", [0.5]).to_pandas()
+    out = med.rename(columns={"q_0_5": "median"}).merge(
+        mad.rename(columns={"q_0_5": "mad"}), on="lang")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+MAD_BY_LANG_SQL = """
+WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+           FROM documents GROUP BY lang)
+SELECT d.lang, CAST(m.med AS DOUBLE) AS median,
+       CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS DOUBLE) AS mad
+FROM documents d JOIN m USING (lang)
+GROUP BY d.lang, m.med
+"""

@@ -1,0 +1,81 @@
+"""Frequent-itemset pair mining — market-basket co-occurrence counting.
+
+``cooccur_pairs`` counts, for every unordered pair of DISTINCT items that
+ever share a basket, the number of baskets containing both (the pair's
+*support*) — the A-priori counting primitive behind "parts bought
+together" / "tokens co-occurring in a document" analyses.
+
+Scale shape (the 100-TB contract):
+- exchange 1 hash-buckets BASKETS, so each bucket task holds complete
+  baskets; it dedups ``(basket, item)``, self-merges per basket into
+  ordered pairs (``item_a < item_b``) and PRE-AGGREGATES pair counts
+  within the bucket — the combiner, so the second exchange carries one
+  row per distinct pair per bucket, never one row per co-occurrence;
+- exchange 2 hash-buckets PAIRS and folds the partials to global
+  supports, filtering ``min_support`` inside the fold.
+Only key/item integers ride the exchanges; payload columns are pruned at
+the read by the caller. Pair fan-out is quadratic in basket SIZE, so the
+operator takes ``max_basket`` (drop pathological baskets, counted
+honestly — the standard guard in co-occurrence mining over web data
+where one bad crawl page can contain a million items).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _basket_bucket(s: pd.Series, num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    return (h.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def cooccur_pairs(ds, basket: str, item: str, *, min_support: int = 2,
+                  max_basket: int | None = None, num_buckets: int = 32,
+                  batch_size: int = 65536):
+    """→ Dataset ``(item_a, item_b, support)`` with ``item_a < item_b``
+    and ``support >= min_support``: the number of distinct baskets in
+    ``ds`` containing both items. Baskets larger than ``max_basket``
+    distinct items (when set) are skipped whole."""
+    import pyarrow as pa
+
+    def add_bucket(b: "pa.Table") -> "pa.Table":
+        kb = _basket_bucket(b.select([basket]).to_pandas()[basket],
+                            num_buckets)
+        return b.select([basket, item]).append_column("__kb", pa.array(kb))
+
+    def pairs_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__kb").drop_duplicates([basket, item])
+        if max_basket is not None:
+            g = g[g.groupby(basket, sort=False, dropna=False)[item]
+                   .transform("size") <= max_basket]
+        m = g.merge(g, on=basket, suffixes=("_a", "_b"))
+        ia, ib = f"{item}_a", f"{item}_b"
+        m = m[m[ia] < m[ib]]
+        out = (m.groupby([ia, ib], sort=False, dropna=False)
+                .size().reset_index(name="__n"))
+        return out.rename(columns={ia: "item_a", ib: "item_b"})
+
+    partials = (ds.map_batches(add_bucket, batch_format="pyarrow",
+                               batch_size=batch_size)
+                  .groupby("__kb")
+                  .map_groups(pairs_partial, batch_format="pandas"))
+
+    def add_pair_bucket(b: "pa.Table") -> "pa.Table":
+        df = b.select(["item_a", "item_b"]).to_pandas()
+        pb = (pd.util.hash_pandas_object(df, index=False).to_numpy()
+                .astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("__pb", pa.array(pb))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["item_a", "item_b"], sort=False, dropna=False)
+              ["__n"].sum().reset_index(name="support"))
+        s = s[s["support"] >= min_support]
+        s["support"] = s["support"].astype("int64")
+        return s
+
+    return (partials.map_batches(add_pair_bucket, batch_format="pyarrow")
+                    .groupby("__pb")
+                    .map_groups(lambda g: fold(g.drop(columns="__pb")),
+                                batch_format="pandas"))
