@@ -818,3 +818,34 @@ FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
                  AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
+
+
+def assoc_rules_lineitem(sf_dir: str):
+    """(item_a, item_b, support, conf_ab, conf_ba, lift) — association
+    rules over the co-occurring part pairs (stages/itemsets.assoc_rules):
+    pair supports from the two-exchange basket mining, item supports from
+    the grouped-distinct exchange broadcast into the pair stream; every
+    score is one int÷int IEEE division, so floats compare exactly."""
+    from ..stages.itemsets import assoc_rules
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    return assoc_rules(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+ASSOC_RULES_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+     n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM lineitem),
+     s AS (SELECT l_partkey, count(*) AS sup FROM d GROUP BY 1),
+     p AS (SELECT a.l_partkey AS ia, b.l_partkey AS ib, count(*) AS sup
+           FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.ia AS item_a, p.ib AS item_b, p.sup AS support,
+       CAST(p.sup AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS conf_ab,
+       CAST(p.sup AS DOUBLE) / CAST(sb.sup AS DOUBLE) AS conf_ba,
+       CAST(p.sup * n.nb AS DOUBLE) / CAST(sa.sup * sb.sup AS DOUBLE)
+           AS lift
+FROM p JOIN s sa ON sa.l_partkey = p.ia
+       JOIN s sb ON sb.l_partkey = p.ib, n
+"""

@@ -2314,3 +2314,27 @@ SELECT d.lang, CAST(m.med AS DOUBLE) AS median,
 FROM documents d JOIN m USING (lang)
 GROUP BY d.lang, m.med
 """
+
+
+def bpe_pairs_documents(sf_dir: str):
+    """(pair, n) — the 20 most frequent adjacent character pairs across
+    the corpus (the BPE tokenizer-training inner-loop statistic;
+    stages/bpestats.pair_counts: one fused UTF-32 counting pass with
+    document boundaries masked, sparse per-block histograms folded under
+    the block gate). Tiebreak = pair string ascending; sorting the integer
+    codepoint pair code IS that order."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.bpestats import pair_counts
+
+    docs = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return pair_counts(docs, "text", top_k=20)
+
+
+BPE_PAIRS_SQL = """
+SELECT pair, count(*) AS n FROM (
+  SELECT substr(text, CAST(i AS INT), 2) AS pair FROM (
+    SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+    FROM documents))
+GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""

@@ -79,3 +79,61 @@ def cooccur_pairs(ds, basket: str, item: str, *, min_support: int = 2,
                     .groupby("__pb")
                     .map_groups(lambda g: fold(g.drop(columns="__pb")),
                                 batch_format="pandas"))
+
+
+def assoc_rules(ds, basket: str, item: str, *, min_support: int = 2,
+                max_basket: int | None = None, broadcast_limit: int = 5_000_000,
+                num_buckets: int = 32, batch_size: int = 65536):
+    """→ Dataset ``(item_a, item_b, support, conf_ab, conf_ba, lift)`` —
+    association-rule scores over the co-occurrence pairs: for each
+    surviving pair, the rule confidences ``support(ab)/support(a)`` (and
+    b→a) and the lift ``support(ab)·N / (support(a)·support(b))`` with
+    ``N`` = distinct baskets.
+
+    Float parity contract: every score is ONE IEEE-754 division of two
+    exactly-representable integers (int64 → float64 is exact below 2^53,
+    and the lift products stay far below it for any realistic vocabulary),
+    so the values compare bit-exactly against the SQL oracle.
+
+    Item supports come from the two-phase grouped-distinct exchange
+    (stages/uniqueness.group_distinct_count — pairs move once, baskets
+    never do) and are BROADCAST into the pair stream as a plain dict when
+    the item vocabulary is below ``broadcast_limit`` rows; beyond that the
+    caller should join (the vocabulary of a 100-TB corpus still fits — it
+    is items, not pairs)."""
+    import pyarrow as pa
+
+    from .uniqueness import group_distinct_count
+
+    pairs = cooccur_pairs(ds, basket, item, min_support=min_support,
+                          max_basket=max_basket, num_buckets=num_buckets,
+                          batch_size=batch_size)
+    sup = group_distinct_count(ds, item, basket,
+                               batch_size=batch_size).to_pandas()
+    if len(sup) > broadcast_limit:
+        raise ValueError(
+            f"item vocabulary {len(sup)} exceeds broadcast_limit "
+            f"{broadcast_limit}; join item supports instead of broadcasting")
+    sup_map = dict(zip(sup[item], sup["n_distinct"].astype(np.int64)))
+    n_baskets = np.int64(
+        group_distinct_count(
+            ds.map_batches(
+                lambda b: b.select([basket]).append_column(
+                    "__one", pa.array(np.zeros(b.num_rows, np.int8))),
+                batch_format="pyarrow", batch_size=batch_size),
+            "__one", basket).to_pandas()["n_distinct"].iloc[0])
+
+    def score(b: "pa.Table") -> "pa.Table":
+        df = b.to_pandas()
+        sa = df["item_a"].map(sup_map).to_numpy(np.int64)
+        sb = df["item_b"].map(sup_map).to_numpy(np.int64)
+        sab = df["support"].to_numpy(np.int64)
+        return pa.table({
+            "item_a": b.column("item_a"), "item_b": b.column("item_b"),
+            "support": b.column("support"),
+            "conf_ab": sab.astype(np.float64) / sa.astype(np.float64),
+            "conf_ba": sab.astype(np.float64) / sb.astype(np.float64),
+            "lift": (sab * n_baskets).astype(np.float64)
+                    / (sa * sb).astype(np.float64)})
+
+    return pairs.map_batches(score, batch_format="pyarrow")

@@ -111,3 +111,51 @@ def test_cooccur_max_basket_drops_whole_basket(ray_session):
                         max_basket=2, num_buckets=2).to_pandas()
     got = sorted(zip(out["item_a"], out["item_b"], out["support"]))
     assert got == [(10, 11, 1)]         # basket 1 (3 items) skipped whole
+
+
+def test_assoc_rules_brute_force(ray_session):
+    from jsonschema_validator_ray.stages.itemsets import assoc_rules
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "basket": rng.integers(0, 40, size=500),
+        "item": rng.integers(0, 15, size=500)})
+    ds = ray.data.from_pandas(df)
+    out = assoc_rules(ds, "basket", "item", min_support=2,
+                      num_buckets=4).to_pandas()
+    d = df.drop_duplicates()
+    n_baskets = d["basket"].nunique()
+    item_sup = d.groupby("item")["basket"].nunique().to_dict()
+    pair_sup = {}
+    for _, g in d.groupby("basket"):
+        for a, b in itertools.combinations(sorted(g["item"].unique()), 2):
+            pair_sup[(a, b)] = pair_sup.get((a, b), 0) + 1
+    want = sorted(
+        (a, b, n, n / item_sup[a], n / item_sup[b],
+         (n * n_baskets) / (item_sup[a] * item_sup[b]))
+        for (a, b), n in pair_sup.items() if n >= 2)
+    got = sorted(zip(out["item_a"], out["item_b"], out["support"],
+                     out["conf_ab"], out["conf_ba"], out["lift"]))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == w[3] and g[4] == w[4] and g[5] == w[5]  # bit-exact
+
+
+def test_bpe_pair_counts_brute_force(ray_session):
+    from collections import Counter
+
+    from jsonschema_validator_ray.stages.bpestats import pair_counts
+
+    texts = ["abracadabra", "the cat sat", "日本語テスト日本", "xy",
+             "", "a", None, "ααββ", "abracadabra"]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    out = pair_counts(ds, "text", top_k=50).to_pandas()
+    ref = Counter()
+    for t in texts:
+        if t:
+            for i in range(len(t) - 1):
+                ref[t[i:i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = list(zip(out["pair"], out["n"]))
+    assert got == want
