@@ -2338,3 +2338,38 @@ SELECT pair, count(*) AS n FROM (
     FROM documents))
 GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """
+
+
+def xent_documents(sf_dir: str):
+    """(doc_id, n_tokens, xent_micronats, xent_per_token) — per-document
+    cross-entropy against the corpus's own unigram token LM, the CCNet-
+    shaped perplexity quality signal (stages/lmscore.xent_scores). Integer
+    micro-nats end-to-end: each token's floor(ln(c/T)·10⁶) is the single
+    float op, accumulated as int64, so every value — including the one
+    final per-token division — compares bit-exactly against the oracle."""
+    from ..stages.lmscore import xent_scores
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    return xent_scores(docs, "text", "doc_id")
+
+
+XENT_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents) WHERE token <> ''),
+cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+tot AS (SELECT count(*) AS t FROM tk),
+lp AS (SELECT token,
+              CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                         * 1000000) AS BIGINT) AS lp
+       FROM cnt, tot),
+per_doc AS (SELECT tk.doc_id, count(*) AS n_tokens, -sum(lp.lp) AS xent
+            FROM tk JOIN lp USING (token) GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       CAST(COALESCE(p.xent, 0) AS BIGINT) AS xent_micronats,
+       CAST(p.xent AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS xent_per_token
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
