@@ -957,3 +957,68 @@ SELECT lang, count(*) AS n_docs,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
 FROM documents GROUP BY lang
 """
+
+
+def pagerank_custsupp(sf_dir: str):
+    """(node, rank) — 3 exact-integer PageRank rounds over the symmetric
+    customer–supplier trade graph (distinct (o_custkey, l_suppkey) pairs
+    from orders ⋈ lineitem, both directions, nodes namespaced 'c…'/'s…').
+    stages/pagerank: all-integer micro-rank updates, so a fixed iteration
+    count is bit-reproducible — and SQL-checkable via chained CTEs."""
+    import numpy as np
+
+    from ..stages.pagerank import pagerank
+
+    o = read_parquet(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderkey", "o_custkey"])
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey"])
+    j = bucketed_join(li, o, on="l_orderkey", right_on="o_orderkey")
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        src = pc.binary_join_element_wise(
+            "c", pc.cast(b.column("o_custkey"), pa.string()), "")
+        dst = pc.binary_join_element_wise(
+            "s", pc.cast(b.column("l_suppkey"), pa.string()), "")
+        t = pa.table({"src": src, "dst": dst})
+        df = t.to_pandas().drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            df["src"] + "\x00" + df["dst"], index=False).to_numpy()
+        return pa.Table.from_pandas(
+            df.assign(__pb=(h % 32).astype(np.int32)),
+            preserve_index=False)
+
+    dedup = j.map_batches(pair_partials, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(
+            lambda g: g.drop(columns="__pb").drop_duplicates(),
+            batch_format="pandas")
+
+    def symmetric(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            b, pa.table({"src": b.column("dst"), "dst": b.column("src")})])
+
+    edges = dedup.map_batches(symmetric, batch_format="pyarrow")
+    return pagerank(edges, "src", "dst", iterations=3)
+
+
+_PR_STEP = """
+c{k} AS (SELECT e.dst AS node, sum(r{p}.rank // r{p}.d) AS s
+         FROM e JOIN r{p} ON r{p}.node = e.src GROUP BY e.dst),
+r{k} AS (SELECT deg.node, deg.d,
+                CAST((15 * 1000000) // 100
+                     + (85 * COALESCE(c{k}.s, 0)) // 100 AS BIGINT) AS rank
+         FROM deg LEFT JOIN c{k} USING (node))"""
+
+PAGERANK_SQL = ("""
+WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM e0
+      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, d, CAST(1000000 AS BIGINT) AS rank FROM deg),"""
+                + ",".join(_PR_STEP.format(k=k, p=k - 1)
+                           for k in (1, 2, 3))
+                + """
+SELECT node, rank FROM r3
+""")
