@@ -602,6 +602,45 @@ FROM e
 """
 
 
+def entropy_lang_by_source(sf_dir: str):
+    """(source, n_rows, n_values, entropy_micronats) — Shannon entropy of
+    the language mix within each source (the corpus-balance diagnostic: a
+    near-zero entropy source is monolingual; a high one is mixed). Exact
+    floats via stages/contingency.grouped_entropy's integer-ln technique:
+    per cell floor(ln(obs/total)·10⁶) is the only float op (libm log of one
+    IEEE division of exact ints), accumulated as exact integer products."""
+    from ..stages.contingency import grouped_entropy
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source"])
+    return grouped_entropy(docs, "source", "lang")
+
+
+ENTROPY_LANG_SOURCE_SQL = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT source, CAST(sum(observed) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_values
+  FROM cells GROUP BY source
+),
+lp AS (
+  SELECT c.source, c.observed,
+         CAST(floor(ln(CAST(c.observed AS DOUBLE)
+                       / CAST(t.n_rows AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lp
+  FROM cells c JOIN t USING (source)
+)
+SELECT t.source, t.n_rows, t.n_values,
+       CAST(-sum(CAST(lp.observed AS HUGEINT) * lp.lp) AS DOUBLE)
+         / CAST(t.n_rows AS DOUBLE) AS entropy_micronats
+FROM lp JOIN t USING (source)
+GROUP BY t.source, t.n_rows, t.n_values
+"""
+
+
 # ---- per-group exact distinct ----------------------------------------------
 
 

@@ -75,3 +75,53 @@ def chi_square_cells(ds, col_a: str, col_b: str, *,
     cells["expected"] = e
     cells["contrib"] = (o - e) * (o - e) / e
     return cells.sort_values([col_a, col_b]).reset_index(drop=True)
+
+
+def grouped_entropy(ds, group: str, value: str, *, num_buckets: int = 16,
+                    batch_size: int = 65536):
+    """→ Dataset ``(group, n_rows, n_values, entropy_micronats)`` — Shannon
+    entropy of the ``value`` distribution within each ``group`` (language-
+    mix diversity per source, the corpus-balance diagnostic).
+
+    Exact-float contract (the integer-ln technique): per cell the only
+    float op is ``floor(ln(obs/total)·10⁶)`` — one IEEE division of two
+    exact int64s, one libm log, one floor — accumulated as int64
+    ``obs · lp`` products; the final entropy is ONE division of those
+    exact integers, so values compare bit-exactly against the SQL oracle.
+
+    Shape: the contingency cell partials exchange once (bounded by the
+    category-pair count, never the corpus), then a second group-bucket
+    exchange co-locates each group's cells for the per-group fold."""
+
+    cells = contingency_counts(ds, group, value, num_buckets=num_buckets,
+                               batch_size=batch_size)
+
+    def add_gb(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column(group).to_pandas(), index=False).to_numpy()
+        return b.append_column(
+            "__gb", pa.array((h.astype(np.uint64)
+                              % np.uint64(num_buckets)).astype(np.int32)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = g.drop(columns="__gb")
+        rows = []
+        for key, sub in g.groupby(group, sort=False, dropna=False):
+            obs = [int(o) for o in sub["observed"].to_numpy(np.int64)]
+            total = sum(obs)
+            # scalar math.log, not np.log: numpy's SIMD double log can
+            # diverge from libm by 1 ulp, which moves floor across an
+            # integer boundary; math.log is the libm DuckDB's ln calls.
+            # python-int o·lp products: ~rows·14e6 overflows int64 past
+            # ~6·10^11 rows per group (cells per group are few — loop ok)
+            s = sum(o * math.floor(math.log(o / total) * 1_000_000)
+                    for o in obs)
+            rows.append((key, total, len(obs),
+                         float(-s) / float(total)))
+        return pd.DataFrame(rows, columns=[group, "n_rows", "n_values",
+                                           "entropy_micronats"])
+
+    return cells.map_batches(add_gb, batch_format="pyarrow") \
+        .groupby("__gb").map_groups(fold, batch_format="pandas")

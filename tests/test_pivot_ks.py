@@ -210,3 +210,50 @@ def test_chi_square_cells_matches_bruteforce(ray_session):
                           want["contrib"].to_numpy())
     # statistic sanity: independent-ish draws → chi2 not astronomically big
     assert got["contrib"].sum() < 100
+
+
+def test_grouped_entropy_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.contingency import grouped_entropy
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "src": rng.choice(["a", "b", "c", "d"], size=2000),
+        "lang": rng.choice(["en", "de", "fr", "zz", "pt"], size=2000,
+                           p=[0.5, 0.2, 0.15, 0.1, 0.05]),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = grouped_entropy(ds, "src", "lang", num_buckets=4) \
+        .to_pandas().sort_values("src").reset_index(drop=True)
+
+    rows = []
+    for key, sub in df.groupby("src"):
+        counts = sub["lang"].value_counts()
+        total = int(counts.sum())
+        s = sum(int(c) * math.floor(math.log(int(c) / total) * 1_000_000)
+                for c in counts)
+        rows.append((key, total, len(counts), float(-s) / float(total)))
+    exp = pd.DataFrame(rows, columns=["src", "n_rows", "n_values",
+                                      "entropy_micronats"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # entropy in micronats is bounded by ln(|values|)·1e6 and non-negative
+    assert (got["entropy_micronats"] >= 0).all()
+    assert (got["entropy_micronats"] <= math.log(5) * 1e6).all()
+
+
+def test_grouped_entropy_single_value_group(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.contingency import grouped_entropy
+
+    df = pd.DataFrame({"g": ["x"] * 10 + ["y"] * 3,
+                       "v": ["only"] * 10 + ["p", "q", "q"]})
+    got = grouped_entropy(ray.data.from_pandas(df), "g", "v",
+                          num_buckets=2).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert got.loc[0, "entropy_micronats"] == 0.0  # ln(1) == 0 exactly
+    assert got.loc[0, "n_values"] == 1
+    assert got.loc[1, "n_rows"] == 3 and got.loc[1, "n_values"] == 2
