@@ -641,6 +641,52 @@ GROUP BY t.source, t.n_rows, t.n_values
 """
 
 
+def moments_quantity_returnflag(sf_dir: str):
+    """(l_returnflag, n_rows, mean, std, skewness, kurtosis_excess) —
+    per-group distribution-shape statistics of l_quantity via
+    stages/stats.grouped_moments' exact-integer power sums: one scan, tiny
+    partial rows, floats bitwise ≡ the HUGEINT oracle."""
+    from ..stages.stats import grouped_moments
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity"])
+    return grouped_moments(li, "l_returnflag", "l_quantity", scale=1)
+
+
+MOMENTS_QUANTITY_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s1,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s2,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s3,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n, s1,
+         n*s2 - s1*s1 AS a,
+         n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS b3,
+         n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS b4
+  FROM m
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1.0 AS mean,
+       sqrt(CAST(a AS DOUBLE)) / CAST(n AS DOUBLE) / 1.0 AS std,
+       CAST(b3 AS DOUBLE)
+         / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE))) AS skewness,
+       CAST(b4 AS DOUBLE) / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) - 3.0
+         AS kurtosis_excess
+FROM d ORDER BY l_returnflag
+"""
+
+
 # ---- per-group exact distinct ----------------------------------------------
 
 

@@ -201,3 +201,69 @@ def column_stats(ds, columns: list[str] | None = None, *,
                               batch_size=batch_size)
     return partials.groupby("column").map_groups(
         merge_partials, batch_format="pandas")
+
+
+def grouped_moments(ds, group: str, value: str, *, scale: int = 1,
+                    batch_size: int = 65536) -> pd.DataFrame:
+    """→ pandas DataFrame ``(group, n_rows, mean, std, skewness,
+    kurtosis_excess)`` — per-group population mean / std / skewness / excess
+    kurtosis from EXACT integer power sums (the distribution-shape check:
+    a long-tailed length or score column shows up as skew/kurtosis drift
+    long before min/max move).
+
+    The value column is integerized as ``round(value·scale)`` (scale=1 for
+    integral columns, 100 for 2-decimal money). Each batch emits one
+    ``(group, n, Σx, Σx², Σx³, Σx⁴)`` int64 partial row per group present;
+    the driver folds partials in arbitrary-precision python ints (rows are
+    bounded by groups × batches) and evaluates each statistic as ONE float
+    expression of exact integers:
+
+        A  = n·S2 − S1²                                  (= n²·m2)
+        B3 = n²·S3 − 3n·S1·S2 + 2·S1³                    (= n³·m3)
+        B4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴       (= n⁴·m4)
+        mean = S1/n   std = √A/n   g1 = B3/(A·√A)   g2 = B4/A² − 3
+
+    so the floats match a HUGEINT SQL oracle bitwise (no float
+    accumulation; √ is IEEE-exact; each ·/÷ rounds once, identically).
+    int64 partial bound: |x·scale|⁴ · batch_size < 2⁶³ — 65536 rows/batch
+    is safe for |x·scale| ≤ ~6000; pass a smaller batch_size for wider
+    values. The SQL side's HUGEINT ceiling (~1.7e38) caps n³·S4 — at
+    ~10¹² rows per group with |x·scale| ≤ 6000 the exact python-int path
+    here still holds, only the ORACLE spelling would need DECIMAL."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(b.column(value), scale)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        g = b.column(group).to_pandas()
+        df = pd.DataFrame({group: g})
+        df["n"] = 1
+        df["s1"] = x
+        x2 = x * x
+        df["s2"] = x2
+        df["s3"] = x2 * x
+        df["s4"] = x2 * x2
+        out = df.groupby(group, sort=False, dropna=False,
+                         as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    rows = []
+    for key, sub in parts.groupby(group, sort=False, dropna=False):
+        n = int(sub["n"].astype(object).sum())
+        s1, s2, s3, s4 = (int(sub[c].astype(object).sum())
+                          for c in ("s1", "s2", "s3", "s4"))
+        a = n * s2 - s1 * s1
+        b3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        b4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        ad = float(a)
+        rows.append((key, n,
+                     float(s1) / float(n) / float(scale),
+                     math.sqrt(ad) / float(n) / float(scale),
+                     float(b3) / (ad * math.sqrt(ad)) if a else float("nan"),
+                     float(b4) / (ad * ad) - 3.0 if a else float("nan")))
+    out = pd.DataFrame(rows, columns=[group, "n_rows", "mean", "std",
+                                      "skewness", "kurtosis_excess"])
+    return out.sort_values(group).reset_index(drop=True)

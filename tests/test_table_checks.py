@@ -355,3 +355,53 @@ def test_quartile_bins_boundary_semantics(ray_session, tmp_path):
         .sort_values("bucket").reset_index(drop=True)
     assert list(out["bucket"]) == [1, 2, 3, 4]
     assert list(out["n_rows"]) == [2, 2, 2, 2]
+
+
+def test_grouped_moments_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.stats import grouped_moments
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["A", "B", "C"], size=3000),
+        "x": rng.integers(1, 51, size=3000).astype(float),
+    })
+    got = grouped_moments(ray.data.from_pandas(df).repartition(5), "g", "x")
+    for _, row in got.iterrows():
+        x = df.loc[df["g"] == row["g"], "x"].to_numpy()
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert row["n_rows"] == len(x)
+        assert np.isclose(row["mean"], m, rtol=1e-12)
+        assert np.isclose(row["std"], np.sqrt(m2), rtol=1e-12)
+        assert np.isclose(row["skewness"], m3 / m2 ** 1.5, rtol=1e-9)
+        assert np.isclose(row["kurtosis_excess"], m4 / m2 ** 2 - 3,
+                          rtol=1e-9)
+
+
+def test_grouped_moments_constant_and_scale(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.stats import grouped_moments
+
+    df = pd.DataFrame({"g": ["k"] * 7 + ["s"] * 4,
+                       "x": [3.25] * 7 + [1.00, 2.50, 2.50, 4.75]})
+    got = grouped_moments(ray.data.from_pandas(df), "g", "x", scale=100)
+    k = got[got["g"] == "k"].iloc[0]
+    # constant column: zero variance => shape stats undefined (NaN), std 0
+    assert k["std"] == 0.0 and np.isnan(k["skewness"]) \
+        and np.isnan(k["kurtosis_excess"])
+    assert np.isclose(k["mean"], 3.25, rtol=0)
+    s = got[got["g"] == "s"].iloc[0]
+    x = np.array([1.00, 2.50, 2.50, 4.75])
+    assert np.isclose(s["mean"], x.mean(), rtol=1e-12)
+    assert np.isclose(s["std"], x.std(), rtol=1e-12)
