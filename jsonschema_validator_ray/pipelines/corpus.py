@@ -1605,6 +1605,34 @@ GROUP BY token ORDER BY n_total DESC, token LIMIT 100
 """
 
 
+def postings_documents(sf_dir: str, min_df: int = 2):
+    """(token, df, postings) — exact inverted index over the corpus's
+    whitespace tokens with df ≥ min_df, postings = ascending comma-joined
+    doc_ids (stages/vocab.inverted_index): distinct (token, doc_id) pairs
+    exchange by token bucket, text never shuffles, the index stays
+    distributed. The testdata vocabulary is tiny and hot (every token in
+    >20% of docs), so no max_df here; a real web corpus would cap df —
+    the stage's stopword-guard contract."""
+    from ..stages.vocab import inverted_index
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    return inverted_index(docs, "text", "doc_id", min_df=min_df)
+
+
+POSTINGS_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents WHERE text IS NOT NULL)
+  WHERE token <> ''
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY token HAVING count(*) >= 2
+"""
+
+
 def oov_documents(sf_dir: str, vocab_k: int = 20):
     """(doc_id, n_tokens, n_oov) — two-pass vocabulary scoring: fit the
     top-``vocab_k`` corpus vocabulary (bounded driver artifact), broadcast

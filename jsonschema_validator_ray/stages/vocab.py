@@ -242,3 +242,70 @@ def tfidf_top_terms(ds, column: str, key: str, *, vocab_size: int = 10000,
         TfidfTopTerms, fn_constructor_args=(column, key, tok_ref, idf_ref, k),
         concurrency=concurrency, batch_format="pyarrow",
         batch_size=batch_size)
+
+
+def inverted_index(ds, text_col: str, id_col: str, *, min_df: int = 2,
+                   max_df: int | None = None, num_buckets: int = 64,
+                   batch_size: int = 8192):
+    """→ Dataset ``(token, df, postings)`` — the search-index-build shape:
+    for every whitespace token with document frequency in
+    ``[min_df, max_df]``, its exact df and the comma-joined ascending
+    ``id_col`` posting list.
+
+    Shape: each batch folds to DISTINCT ``(token, doc_id)`` pairs (a doc
+    row lives in exactly one batch, so per-batch pair dedup is global
+    dedup), pairs exchange by a hash bucket of the token — a token's full
+    posting set lands in one task, raw text never shuffles — and each
+    bucket builds its tokens' postings in one pandas pass. ``max_df``
+    (default: unbounded) is the stopword guard: one TOKEN's postings must
+    fit a task, so at corpus scale cap df (an index entry listing half the
+    corpus is useless anyway) or shard hot tokens by id-range downstream.
+    Output stays a Dataset — the index is corpus-sized, never gathered."""
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(text_col), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        empty = pa.table({"token": pa.array([], type=pa.large_string()),
+                          id_col: pa.array([], type=pa.int64()),
+                          "__bucket": pa.array([], type=pa.int32())})
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(pc.greater(
+            pc.binary_length(flat), 0).to_numpy(zero_copy_only=False))
+        if sel.size == 0:
+            return empty
+        enc = pc.dictionary_encode(flat.take(pa.array(sel)))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = len(enc.dictionary)
+        pair = np.unique(parent[sel].astype(np.int64) * np.int64(u) + codes)
+        row_idx, tok_code = pair // u, pair % u
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tokens = enc.dictionary.take(pa.array(tok_code))
+        h = pd.util.hash_pandas_object(
+            pd.Series(tokens.to_pandas()), index=False).to_numpy()
+        return pa.table({
+            "token": pc.cast(tokens, pa.large_string()),
+            id_col: pa.array(ids[row_idx]),
+            "__bucket": pa.array((h % num_buckets).astype(np.int32)),
+        })
+
+    def postings_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        agg = g.groupby("token", sort=False)[id_col].agg(
+            df="size",
+            postings=lambda s: ",".join(map(str, s))).reset_index()
+        agg["df"] = agg["df"].astype(np.int64)
+        keep = agg["df"] >= min_df
+        if max_df is not None:
+            keep &= agg["df"] <= max_df
+        return agg.loc[keep, ["token", "df", "postings"]]
+
+    return ds.map_batches(pair_partials, batch_format="pyarrow",
+                          batch_size=batch_size) \
+        .groupby("__bucket").map_groups(postings_in_bucket,
+                                        batch_format="pandas")

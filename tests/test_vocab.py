@@ -150,3 +150,59 @@ def test_tfidf_top_terms_matches_reference(ray_session):
     top1 = out[out["rank"] == 0]
     assert "common" not in top1[top1["doc_id"] != 4]["term"].tolist()
     assert top1[top1["doc_id"] == 4]["term"].tolist() == ["common"]
+
+
+def test_inverted_index_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.vocab import inverted_index
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts, ids = [], []
+    for i in range(300):
+        n = rng.integers(0, 8)
+        # adversarial whitespace: tabs, runs of spaces, leading/trailing
+        texts.append(" \t ".join(rng.choice(vocab, size=n)) + "  ")
+        ids.append(1000 + i)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = inverted_index(ds, "text", "doc_id", min_df=2, max_df=250,
+                         num_buckets=4).to_pandas() \
+        .sort_values("token").reset_index(drop=True)
+
+    exp_rows = []
+    posting = {}
+    for did, t in zip(ids, texts):
+        for tok in set(t.split()):
+            posting.setdefault(tok, set()).add(did)
+    for tok in sorted(posting):
+        dids = sorted(posting[tok])
+        if 2 <= len(dids) <= 250:
+            exp_rows.append((tok, len(dids), ",".join(map(str, dids))))
+    exp = pd.DataFrame(exp_rows, columns=["token", "df", "postings"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_inverted_index_df_band_and_dup_tokens(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.vocab import inverted_index
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        # "rep rep" within one doc counts df once; "solo" has df 1
+        "text": ["rep rep both", "both solo2", "both"],
+    })
+    got = inverted_index(ray.data.from_pandas(df), "text", "doc_id",
+                         min_df=1, max_df=2, num_buckets=2).to_pandas() \
+        .sort_values("token").reset_index(drop=True)
+    # "both" df=3 excluded by max_df=2; rep df=1 (deduped within doc)
+    assert list(got["token"]) == ["rep", "solo2"]
+    assert list(got["df"]) == [1, 1]
+    assert list(got["postings"]) == ["1", "2"]
