@@ -1022,3 +1022,112 @@ r0 AS (SELECT node, d, CAST(1000000 AS BIGINT) AS rank FROM deg),"""
                 + """
 SELECT node, rank FROM r3
 """)
+
+
+# ---- TPC-H-Q5-shaped 5-table join ------------------------------------------
+
+
+def revenue_by_nation(sf_dir: str, region: str = "ASIA"):
+    """(n_name, revenue_x10000, n_items) — the classic 5-table star join
+    (TPC-H Q5 shape): revenue per nation for line items whose CUSTOMER and
+    SUPPLIER share a nation inside ``region``.
+
+    Join plan, sized by table role: the two FACT joins
+    (lineitem ⋈ orders on orderkey, then ⋈ customer on custkey) are
+    bucketed hash exchanges — both sides corpus-scale, so they must
+    shuffle; supplier / nation / region are DIMENSIONS and broadcast once
+    (``ray.put`` Arrow arrays, ``pc.index_in`` probe per batch — never
+    re-shipped, never shuffled). The nation filter applies inside the fact
+    scan so only matching rows reach the final 25-group aggregate.
+
+    Exact floats: revenue accumulates as int64
+    ``extprice_cents · (100 − disc_pct)`` (= extprice·(1−discount)·10⁴
+    exactly); the SQL oracle sums the identical integers. int64 partial
+    bound: ~1e9/row · 65k rows/batch ≪ 2⁶³; the GLOBAL sum stays exact to
+    ~9·10⁹ rows per nation — past that the oracle spelling (HUGEINT) and a
+    two-level Ray fold would both widen."""
+    import numpy as np
+    import ray
+
+    from ..stages.joins import bucketed_join
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey",
+                               "l_extendedprice", "l_discount"])
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+
+    # dimension side: supplier→nation map + region-restricted nation names
+    sup = pa.concat_tables(ray.get(
+        read_parquet(f"{sf_dir}/supplier.parquet",
+                     columns=["s_suppkey", "s_nationkey"]).to_arrow_refs()))
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = reg.filter(pc.equal(reg.column("r_name"), region)) \
+        .column("r_regionkey")
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                 value_set=rkeys.combine_chunks()))
+    name_by_key = dict(zip(nat.column("n_nationkey").to_pylist(),
+                           nat.column("n_name").to_pylist()))
+    dim_ref = ray.put((sup.column("s_suppkey").combine_chunks(),
+                       sup.column("s_nationkey").combine_chunks(),
+                       pa.array(sorted(name_by_key), type=pa.int64())))
+
+    j = bucketed_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    j = bucketed_join(j, cust, on="o_custkey", right_on="c_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        skeys, snats, region_nats = ray.get(dim_ref)
+        snat = snats.take(pc.index_in(b.column("l_suppkey"),
+                                      value_set=skeys))
+        cnat = pc.cast(b.column("c_nationkey"), pa.int64())
+        keep = pc.and_kleene(
+            pc.equal(pc.cast(snat, pa.int64()), cnat),
+            pc.is_in(cnat, value_set=region_nats))
+        t = pa.table({
+            "n_nationkey": cnat,
+            "x": pc.multiply(
+                pc.cast(pc.round(pc.multiply(
+                    b.column("l_extendedprice"), 100)), pa.int64()),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            pc.cast(pc.round(pc.multiply(
+                                b.column("l_discount"), 100)), pa.int64()))),
+        }).filter(pc.fill_null(keep, False))
+        g = t.group_by("n_nationkey").aggregate(
+            [("x", "sum"), ("x", "count")])
+        return pa.table({"n_nationkey": g.column("n_nationkey"),
+                         "rev": g.column("x_sum"),
+                         "cnt": g.column("x_count")})
+
+    from ray.data.aggregate import Sum
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_nationkey").aggregate(
+            Sum("rev", alias_name="revenue_x10000"),
+            Sum("cnt", alias_name="n_items")).to_pandas()
+    agg["n_name"] = agg["n_nationkey"].map(name_by_key)
+    agg["n_items"] = agg["n_items"].astype(np.int64)
+    return agg[["n_name", "revenue_x10000", "n_items"]] \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_x10000,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY n_name
+"""
