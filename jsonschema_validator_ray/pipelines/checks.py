@@ -687,6 +687,36 @@ FROM d ORDER BY l_returnflag
 """
 
 
+def outlier_events_zscore(sf_dir: str):
+    """(event_id, event_type, value) — events whose value is >3 population
+    σ from its event_type mean, via stages/stats.zscore_outliers' fully
+    integer predicate (n·x−S1)² > 9·(n·S2−S1²): boundary rows cannot flip
+    between engines because no float enters the comparison."""
+    from ..stages.stats import zscore_outliers
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "event_type", "value"])
+    return zscore_outliers(ev, "event_type", "value",
+                           ["event_id"], k=3, scale=100)
+
+
+OUTLIER_EVENTS_SQL = """
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value*100) AS HUGEINT) AS x
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS s1, sum(x*x) AS s2
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.value
+FROM v JOIN s USING (event_type)
+WHERE (s.n*v.x - s.s1)*(s.n*v.x - s.s1) > 9*(s.n*s.s2 - s.s1*s.s1)
+"""
+
+
 # ---- per-group exact distinct ----------------------------------------------
 
 

@@ -267,3 +267,76 @@ def grouped_moments(ds, group: str, value: str, *, scale: int = 1,
     out = pd.DataFrame(rows, columns=[group, "n_rows", "mean", "std",
                                       "skewness", "kurtosis_excess"])
     return out.sort_values(group).reset_index(drop=True)
+
+
+def zscore_outliers(ds, group: str, value: str, keep_cols: list[str], *,
+                    k: int = 3, scale: int = 100, batch_size: int = 65536):
+    """→ Dataset of the rows whose ``value`` lies more than ``k`` population
+    standard deviations from its GROUP mean — the per-group anomaly
+    quarantine pass.
+
+    The predicate is evaluated entirely in exact integers: with
+    ``x = round(value·scale)``, per-group sums ``S1 = Σx``, ``S2 = Σx²``
+    and count ``n``,
+
+        |x − S1/n| > k·σ  ⟺  (n·x − S1)² > k²·(n·S2 − S1²)
+
+    — no float ever enters the comparison, so boundary rows can't flip
+    between engines (SQL spells the identical HUGEINT inequality).
+
+    Two passes: a stats pass reduces to one (group, n, S1, S2) int64
+    partial per (group, batch) folded driver-side in python ints (exact at
+    any scale), then the flag scan probes the tiny broadcast per-group
+    {group: (n, S1, rhs)} dict per batch. When the int64 bound
+    ``(n·|x|·scale + |S1|)² < 2⁶³`` fails for a group, that group's rows
+    compare in object-dtype python-int arithmetic instead (exact, slower —
+    only fires past ~10⁹ rows·cents per group)."""
+
+    def spartial(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b.column(value))
+        t = b.filter(m)
+        x = pc.cast(pc.round(pc.multiply(t.column(value), scale)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({group: t.column(group).to_pandas()})
+        df["n"] = 1
+        df["s1"] = x
+        df["s2"] = x * x
+        return pa.Table.from_pandas(
+            df.groupby(group, sort=False, dropna=False,
+                       as_index=False).sum(), preserve_index=False)
+
+    parts = ds.map_batches(spartial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    stats = {}
+    for key, sub in parts.groupby(group, sort=False, dropna=False):
+        n = int(sub["n"].astype(object).sum())
+        s1 = int(sub["s1"].astype(object).sum())
+        s2 = int(sub["s2"].astype(object).sum())
+        stats[key] = (n, s1, k * k * (n * s2 - s1 * s1))
+
+    cols = list(dict.fromkeys([*keep_cols, group, value]))
+
+    def flag(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b.column(value))
+        t = b.select(cols).filter(m)
+        x = pc.cast(pc.round(pc.multiply(t.column(value), scale)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        g = t.column(group).to_pandas().to_numpy()
+        keep = np.zeros(len(x), dtype=bool)
+        for key, (n, s1, rhs) in stats.items():
+            sel = g == key
+            if not sel.any():
+                continue
+            xs = x[sel]
+            bound = (n * int(np.abs(xs).max(initial=0)) + abs(s1))
+            if bound * bound < 2 ** 63 - 1:
+                lhs = n * xs - s1
+                keep[sel] = lhs * lhs > min(rhs, 2 ** 63 - 1)
+            else:                      # exact object-int fallback
+                xo = xs.astype(object)
+                lhs = n * xo - s1
+                keep[sel] = np.asarray(lhs * lhs > rhs, dtype=bool)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -405,3 +405,63 @@ def test_grouped_moments_constant_and_scale(ray_session):
     x = np.array([1.00, 2.50, 2.50, 4.75])
     assert np.isclose(s["mean"], x.mean(), rtol=1e-12)
     assert np.isclose(s["std"], x.std(), rtol=1e-12)
+
+
+def test_zscore_outliers_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.stats import zscore_outliers
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "g": rng.choice(["a", "b"], size=n),
+        "v": np.round(rng.normal(50, 10, size=n), 2),
+    })
+    # plant extreme rows and a null
+    df.loc[0, "v"] = 500.0
+    df.loc[1, "v"] = -400.0
+    df.loc[2, "v"] = np.nan
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = zscore_outliers(ds, "g", "v", ["id"], k=3).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+
+    want = []
+    clean = df.dropna(subset=["v"])
+    for key, sub in clean.groupby("g"):
+        x = np.round(sub["v"].to_numpy() * 100).astype(np.int64)
+        nn, s1, s2 = len(x), int(x.sum()), int((x * x).sum())
+        lhs = (nn * x.astype(object) - s1) ** 2
+        rhs = 9 * (nn * s2 - s1 * s1)
+        want.extend(sub.loc[np.asarray(lhs > rhs, dtype=bool), "id"])
+    assert sorted(got["id"]) == sorted(want)
+    assert {0, 1} <= set(got["id"])      # planted extremes flagged
+    assert 2 not in set(got["id"])       # null value dropped
+
+
+def test_zscore_outliers_object_fallback(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.stats import zscore_outliers
+
+    # x stays inside the stats pass's per-batch int64 bound, but
+    # (n·|x| + |S1|)² > 2⁶³ so the flag scan's exact object-int path
+    # must fire — and still flag only the planted row
+    n = 3000
+    noise = np.round(np.linspace(-0.5, 0.5, n), 2)
+    vals = 10000.0 + noise
+    vals[7] = 10100.0                    # the lone genuine outlier
+    df = pd.DataFrame({"id": range(n), "g": ["z"] * n, "v": vals})
+    st = zscore_outliers(ray.data.from_pandas(df).repartition(3),
+                         "g", "v", ["id"], k=2).to_pandas()
+    # bound check really exceeded int64 (fallback exercised, not int path)
+    x = np.round(vals * 100).astype(np.int64)
+    assert (n * int(np.abs(x).max()) + abs(int(x.sum()))) ** 2 >= 2 ** 63
+    assert list(st["id"]) == [7]
