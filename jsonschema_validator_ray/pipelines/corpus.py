@@ -1798,6 +1798,46 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def quantiles_cont_lineitem(sf_dir: str):
+    """(l_returnflag, q_0_25, q_0_5, q_0_75) — EXACT linearly-interpolated
+    quantiles of l_extendedprice per return flag
+    (stages/quantiles.grouped_quantiles_cont). The oracle spells the same
+    x_lo + (x_hi−x_lo)·frac expression over row_number picks — bitwise
+    float parity without relying on quantile_cont's internals."""
+    from ..stages.quantiles import grouped_quantiles_cont
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_extendedprice"])
+    return grouped_quantiles_cont(li, "l_returnflag", "l_extendedprice",
+                                  [0.25, 0.5, 0.75])
+
+
+QUANTILES_CONT_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice AS x,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice) - 1 AS DOUBLE)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY l_returnflag) - 1 AS DOUBLE) AS m
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_returnflag,
+       max(CASE WHEN rn = floor(0.25*m) THEN x END)
+         + (max(CASE WHEN rn = ceil(0.25*m) THEN x END)
+            - max(CASE WHEN rn = floor(0.25*m) THEN x END))
+           * (0.25*max(m) - floor(0.25*max(m))) AS q_0_25,
+       max(CASE WHEN rn = floor(0.5*m) THEN x END)
+         + (max(CASE WHEN rn = ceil(0.5*m) THEN x END)
+            - max(CASE WHEN rn = floor(0.5*m) THEN x END))
+           * (0.5*max(m) - floor(0.5*max(m))) AS q_0_5,
+       max(CASE WHEN rn = floor(0.75*m) THEN x END)
+         + (max(CASE WHEN rn = ceil(0.75*m) THEN x END)
+            - max(CASE WHEN rn = floor(0.75*m) THEN x END))
+           * (0.75*max(m) - floor(0.75*max(m))) AS q_0_75
+FROM r GROUP BY l_returnflag
+"""
+
+
 def mode_event_per_user(sf_dir: str):
     """(user_id, mode_value, mode_count) — each user's most frequent
     event_type (exact grouped mode via stages/heavyhitters.grouped_mode;

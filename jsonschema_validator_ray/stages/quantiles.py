@@ -284,3 +284,65 @@ def grouped_quantiles_disc(ds, group: str, column: str, qs: list[float], *,
               .groupby("__kb")
               .map_groups(lambda g: per_bucket(g.drop(columns="__kb")),
                           batch_format="pandas"))
+
+
+def grouped_quantiles_cont(ds, group: str, column: str, qs: list[float], *,
+                           num_buckets: int = 32, batch_size: int = 65536):
+    """→ Dataset (group, q_<..> …): EXACT linearly-interpolated quantiles
+    per group — ``x_lo + (x_hi − x_lo)·frac`` at fractional rank
+    ``q·(n−1)`` (the numpy ``linear`` / SQL ``quantile_cont`` convention).
+
+    Float contract: the data values pass through from the Arrow column
+    untouched, and the interpolation is ONE subtract + multiply + add of
+    IEEE doubles with ``frac = q·(n−1) − floor(q·(n−1))`` — every term is
+    the same expression a SQL oracle can spell with ``row_number`` picks,
+    so results match bitwise without quantile_cont's engine internals.
+
+    Same partitioning contract as :func:`grouped_quantiles_disc`:
+    low-cardinality groups, one vectorized sort + segment pass per hash
+    bucket, never a Ray group per key."""
+    import pandas as pd
+
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {group: pd.Series([], dtype=g[group].dtype)}
+        cols.update({nm: pd.Series([], dtype="float64") for nm in names})
+        g = g.dropna(subset=[column])
+        if g.empty:
+            return pd.DataFrame(cols)
+        g = g.sort_values([group, column], kind="mergesort")
+        kv = g[group].to_numpy()
+        x = g[column].to_numpy(np.float64)
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            codes = pd.factorize(kv, use_na_sentinel=False)[0]
+            first[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.append(starts[1:], n) - starts
+        out = {group: kv[starts]}
+        m = (sizes - 1).astype(np.float64)        # exact below 2^53
+        for q, nm in zip(qs, names):
+            rf = np.float64(q) * m
+            lo = np.floor(rf).astype(np.int64)
+            hi = np.ceil(rf).astype(np.int64)
+            frac = rf - np.floor(rf)
+            xlo = x[starts + lo]
+            xhi = x[starts + hi]
+            out[nm] = xlo + (xhi - xlo) * frac
+        return pd.DataFrame(out)
+
+    def add_bucket(b):
+        import pyarrow as pa
+
+        h = pd.util.hash_pandas_object(
+            b.select([group]).to_pandas()[group], index=False).to_numpy()
+        kb = (h.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("__kb", pa.array(kb))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=batch_size)
+              .groupby("__kb")
+              .map_groups(lambda g: per_bucket(g.drop(columns="__kb")),
+                          batch_format="pandas"))

@@ -187,3 +187,50 @@ def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
             nm = f"q_{str(q).replace('.', '_')}"
             want = vals[max(int(np.ceil(q * len(vals))) - 1, 0)]
             assert row[nm] == want, (row["g"], q)
+
+
+def test_grouped_quantiles_cont_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.quantiles import \
+        grouped_quantiles_cont
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=1501),
+        "x": np.round(rng.normal(100, 25, size=1501), 2),
+    })
+    df.loc[5, "x"] = np.nan
+    qs = [0.25, 0.5, 0.75, 0.9]
+    got = grouped_quantiles_cont(
+        ray.data.from_pandas(df).repartition(4), "g", "x", qs,
+        num_buckets=4).to_pandas().sort_values("g").reset_index(drop=True)
+    for _, row in got.iterrows():
+        x = df.loc[df["g"] == row["g"], "x"].dropna().to_numpy()
+        for q in qs:
+            nm = f"q_{str(q).replace('.', '_')}"
+            # numpy 'linear' interpolation is the same convention
+            assert np.isclose(row[nm], np.quantile(x, q), rtol=0,
+                              atol=1e-9), (row["g"], q)
+
+
+def test_grouped_quantiles_cont_small_groups(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.quantiles import \
+        grouped_quantiles_cont
+
+    # 1-element group: every quantile is the element; 2-element group:
+    # exact midpoint interpolation
+    df = pd.DataFrame({"g": ["one", "two", "two"], "x": [7.0, 1.0, 4.0]})
+    got = grouped_quantiles_cont(ray.data.from_pandas(df), "g", "x",
+                                 [0.5], num_buckets=2).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert got.loc[0, "q_0_5"] == 7.0
+    assert got.loc[1, "q_0_5"] == 2.5
