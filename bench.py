@@ -225,6 +225,9 @@ def run_bench() -> dict:
         "pattern_scan_documents", "event_transitions",
         "hourly_active_users", "props_value_by_type",
         "corr_matrix_lineitem", "label_centroids_embeddings",
+        "revenue_by_nation", "postings_documents", "outlier_events_zscore",
+        "entropy_lang_source", "moments_quantity_returnflag",
+        "quantiles_cont_lineitem",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -49,6 +49,19 @@ segment_revenue = _segment_revenue(hash_join)
 segment_revenue_bucketed = _segment_revenue(
     lambda l, r, on, right_on: bucketed_join(l, r, on, right_on=right_on))
 
+
+def _skew_join(l, r, on, right_on):
+    """Exercise the salted hot-key path end-to-end: a low threshold makes
+    the busiest custkeys 'hot' (capped at max_hot_keys), so both the
+    salted-broadcast and the cold hashed path contribute rows; the oracle
+    (plain SQL join) proves the split loses/duplicates nothing."""
+    from ..stages.joins import skewed_join
+
+    return skewed_join(l, r, on, right_on=right_on, hot_threshold=5)
+
+
+segment_revenue_skewed = _segment_revenue(_skew_join)
+
 SEGMENT_REVENUE_SQL = """
 SELECT c_mktsegment,
        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,

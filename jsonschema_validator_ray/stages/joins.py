@@ -370,3 +370,141 @@ def asof_join(left, right, key: str, ts: str, *, right_ts: str,
 
     return _bucketize(both, key, num_buckets).groupby("__kb").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def skewed_join(left, right, on: str, *, right_on: str | None = None,
+                num_buckets: int = 32, salt: int = 8,
+                hot_threshold: int | None = None, max_hot_keys: int = 64,
+                cand_per_batch: int = 64, broadcast_limit: int = 1_000_000):
+    """Inner equi-join with HOT-KEY SALTING — the skew-safe variant of
+    :func:`bucketed_join` for left sides where a few keys dominate (one
+    host = half the crawl): a plain hash exchange sends every row of a hot
+    key to ONE bucket task, which then holds the whole skewed partition.
+
+    Plan:
+
+    1. *Detection pass* (left, partial counts only — a few rows per batch
+       cross): per-batch ``value_counts`` heads fold driver-side; keys with
+       observed count ≥ ``hot_threshold`` (default: a fair bucket share,
+       ``total_rows // num_buckets``) become the hot set (≤
+       ``max_hot_keys``). Per-batch head truncation can only UNDERCOUNT a
+       key — detection is a routing choice, never a correctness input: a
+       missed hot key just degrades to the classic path.
+    2. The RIGHT rows of hot keys gather to the driver (bounded:
+       ``limit(broadcast_limit+1)`` — if exceeded, the whole join falls
+       back to :func:`bucketed_join`) and broadcast once via ``ray.put``.
+    3. ONE padded-union exchange: cold rows hash into ``num_buckets`` as
+       usual; LEFT hot rows spread uniformly over ``salt`` extra buckets
+       (deterministic per-batch round-robin) — no bucket ever holds a
+       whole hot key. Hot-bucket folds merge against the broadcast
+       right-hot table; cold folds merge their two in-bucket sides.
+
+    Inner join only (outer semantics across the hot/cold split need
+    null-row bookkeeping this operator doesn't promise). Scans: left ×2
+    (detect + join), right ×1 + a bounded hot-filter read."""
+    right_key = right_on or on
+
+    # ---- 1. hot-key detection ----------------------------------------
+    def key_partial(b: pa.Table) -> pa.Table:
+        vc = b.column(on).to_pandas().value_counts().head(cand_per_batch)
+        return pa.table({
+            "k": pa.Array.from_pandas(pd.Series(vc.index)),
+            "cnt": pa.array(vc.to_numpy(np.int64)),
+            "batch_n": pa.array(
+                np.r_[np.int64(b.num_rows), np.zeros(len(vc) - 1,
+                                                     np.int64)]
+                if len(vc) else np.array([], np.int64)),
+        })
+
+    parts = left.map_batches(key_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty:
+        return bucketed_join(left, right, on, right_on=right_key,
+                             num_buckets=num_buckets)
+    total = int(parts["batch_n"].sum())
+    thresh = (hot_threshold if hot_threshold is not None
+              else max(total // num_buckets, 2))
+    counts = parts.groupby("k")["cnt"].sum().sort_values(ascending=False)
+    hot = counts[counts >= thresh].head(max_hot_keys)
+    if hot.empty:
+        return bucketed_join(left, right, on, right_on=right_key,
+                             num_buckets=num_buckets)
+    hot_arr = pa.Array.from_pandas(pd.Series(hot.index))
+
+    # ---- 2. bounded gather + broadcast of the right-hot rows ---------
+    def keep_hot(b: pa.Table) -> pa.Table:
+        return b.filter(pc.fill_null(
+            pc.is_in(b.column(right_key), value_set=hot_arr), False))
+
+    rhot_ds = right.map_batches(keep_hot, batch_format="pyarrow") \
+        .limit(broadcast_limit + 1)
+    rhot = pa.concat_tables(
+        ray.get(rhot_ds.to_arrow_refs()), promote_options="default")
+    if rhot.num_rows > broadcast_limit:   # too big to broadcast — classic
+        return bucketed_join(left, right, on, right_on=right_key,
+                             num_buckets=num_buckets)
+    if right_key != on:
+        i = rhot.schema.get_field_index(right_key)
+        rhot = rhot.set_column(i, on, rhot.column(right_key))
+    rhot_ref = ray.put(no_meta(rhot))
+
+    def keep_cold(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.fill_null(
+            pc.is_in(b.column(right_key), value_set=hot_arr), False)))
+
+    right_cold = right.map_batches(keep_cold, batch_format="pyarrow")
+    if right_key != on:
+        def ren(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index(right_key)
+            return b.set_column(i, on, b.column(right_key))
+        right_cold = right_cold.map_batches(ren, batch_format="pyarrow")
+
+    # ---- 3. one exchange: cold hashed, left-hot salted ----------------
+    both, l_cols, r_cols = _pad_union(left, right_cold, [on])
+    r_cols = [on if c == right_key else c for c in r_cols]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column(on).to_pandas(), index=False).to_numpy()
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        ishot = pc.and_(
+            pc.fill_null(pc.is_in(b.column(on), value_set=hot_arr), False),
+            pc.equal(b.column("__side"), "l")) \
+            .to_numpy(zero_copy_only=False)
+        nh = int(ishot.sum())
+        if nh:
+            bucket[ishot] = num_buckets + (
+                np.arange(nh, dtype=np.int64) % salt).astype(np.int32)
+        return no_meta(b).append_column("__bucket", pa.array(bucket))
+
+    both = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["__bucket"].iloc[0]) >= num_buckets:   # salted hot bucket
+            rpart = ray.get(rhot_ref).to_pandas()[r_cols]
+        else:
+            rpart = g.loc[g["__side"] == "r", r_cols]
+        lpart = g.loc[g["__side"] == "l", l_cols]
+        return lpart.merge(rpart, how="inner", on=on)
+
+    joined = both.groupby("__bucket").map_groups(join_bucket,
+                                                 batch_format="pandas")
+
+    types: dict = {}
+    for side in (right, left):
+        sch = side.schema()
+        for nm, t in zip(sch.names, sch.types):
+            types[nm if nm != right_key else on] = t
+
+    def cast_back(b: pa.Table) -> pa.Table:
+        for i, nm in enumerate(b.column_names):
+            t = types.get(nm)
+            if t is None or b.column(nm).type == t:
+                continue
+            try:
+                b = b.set_column(i, nm, pc.cast(b.column(nm), t))
+            except pa.ArrowInvalid:
+                pass
+        return b
+
+    return joined.map_batches(cast_back, batch_format="pyarrow")

@@ -125,3 +125,65 @@ def test_semi_anti_null_key_semantics(ray_session):
         # null left key: no match → dropped by semi, kept by anti
         assert sorted(s["v"]) == ["b", "d"], strat
         assert sorted(a["v"]) == ["a", "c"], strat
+
+
+def test_skewed_join_matches_bucketed_on_planted_skew(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import (bucketed_join,
+                                                       skewed_join)
+
+    rng = np.random.default_rng(17)
+    # one key owns 60% of the left side; right has 1-3 rows per key
+    keys = np.r_[np.full(3000, 7), rng.integers(0, 400, size=2000)]
+    left = pd.DataFrame({"k": keys, "lv": np.arange(len(keys))})
+    rk = np.r_[np.arange(0, 400), np.arange(0, 400, 2), [7, 7]]
+    right = pd.DataFrame({"k2": rk, "rv": np.arange(len(rk)) * 10})
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right).repartition(3)
+
+    got = skewed_join(lds, rds, "k", right_on="k2", num_buckets=4,
+                      salt=3, hot_threshold=100).to_pandas()
+    want = bucketed_join(ray.data.from_pandas(left).repartition(6),
+                         ray.data.from_pandas(right).repartition(3),
+                         "k", right_on="k2", num_buckets=4).to_pandas()
+    key_cols = ["k", "lv", "rv"]
+    got = got[key_cols].sort_values(key_cols).reset_index(drop=True)
+    want = want[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the hot key's fan-out really is in the result (3 right rows × the
+    # ≥3000 planted hot rows; the random tail may add a few more 7s)
+    assert (got["k"] == 7).sum() >= 3000 * 3
+
+
+def test_skewed_join_fallbacks(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import (bucketed_join,
+                                                       skewed_join)
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2, 3], "lv": range(5)})
+    right = pd.DataFrame({"k": [1, 2, 2, 4], "rv": range(4)})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    want = bucketed_join(ray.data.from_pandas(left),
+                         ray.data.from_pandas(right), "k",
+                         num_buckets=2).to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+
+    # (a) nothing hot (threshold too high) → classic path
+    a = skewed_join(lds, rds, "k", num_buckets=2,
+                    hot_threshold=1000).to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[want.columns], want)
+
+    # (b) hot side too big to broadcast → classic path
+    b = skewed_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    "k", num_buckets=2, hot_threshold=2,
+                    broadcast_limit=0).to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[want.columns], want)
