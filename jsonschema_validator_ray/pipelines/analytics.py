@@ -1045,13 +1045,20 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA"):
     (TPC-H Q5 shape): revenue per nation for line items whose CUSTOMER and
     SUPPLIER share a nation inside ``region``.
 
-    Join plan, sized by table role: the two FACT joins
-    (lineitem ⋈ orders on orderkey, then ⋈ customer on custkey) are
-    bucketed hash exchanges — both sides corpus-scale, so they must
-    shuffle; supplier / nation / region are DIMENSIONS and broadcast once
-    (``ray.put`` Arrow arrays, ``pc.index_in`` probe per batch — never
-    re-shipped, never shuffled). The nation filter applies inside the fact
-    scan so only matching rows reach the final 25-group aggregate.
+    Join plan, sized by table role — and pruned BEFORE the exchanges:
+
+    - supplier / nation / region are DIMENSIONS, broadcast once (``ray.put``
+      Arrow arrays, ``pc.index_in`` probe — never re-shipped or shuffled);
+    - the lineitem SCAN probes the supplier→nation map, keeps only rows
+      whose supplier nation lies in ``region`` (~1/|regions| of the fact
+      never leaves the scan), and reduces each row to THREE int64s
+      ``(l_orderkey, snat, x)`` — the float price/discount columns die at
+      the read;
+    - fact join 1: pruned lineitem ⋈ orders on orderkey (hash exchange);
+    - a per-batch COMBINER collapses to (o_custkey, snat) partial sums
+      before fact join 2 against the region-filtered customer side —
+      the second exchange moves ~|orders-per-region| rows, not lineitem;
+    - final filter snat == c_nationkey, 25-group aggregate.
 
     Exact floats: revenue accumulates as int64
     ``extprice_cents · (100 − disc_pct)`` (= extprice·(1−discount)·10⁴
@@ -1062,15 +1069,10 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA"):
     import numpy as np
     import ray
 
-    from ..stages.joins import bucketed_join
+    from ..stages.joins import hash_join
 
-    li = read_parquet(f"{sf_dir}/lineitem.parquet",
-                      columns=["l_orderkey", "l_suppkey",
-                               "l_extendedprice", "l_discount"])
     orders = read_parquet(f"{sf_dir}/orders.parquet",
                           columns=["o_orderkey", "o_custkey"])
-    cust = read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_nationkey"])
 
     # dimension side: supplier→nation map + region-restricted nation names
     sup = pa.concat_tables(ray.get(
@@ -1091,35 +1093,73 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA"):
                        sup.column("s_nationkey").combine_chunks(),
                        pa.array(sorted(name_by_key), type=pa.int64())))
 
-    j = bucketed_join(li, orders, on="l_orderkey", right_on="o_orderkey")
-    j = bucketed_join(j, cust, on="o_custkey", right_on="c_custkey")
-
-    def partial(b: pa.Table) -> pa.Table:
+    def li_prune(b: pa.Table) -> pa.Table:
         skeys, snats, region_nats = ray.get(dim_ref)
-        snat = snats.take(pc.index_in(b.column("l_suppkey"),
-                                      value_set=skeys))
-        cnat = pc.cast(b.column("c_nationkey"), pa.int64())
-        keep = pc.and_kleene(
-            pc.equal(pc.cast(snat, pa.int64()), cnat),
-            pc.is_in(cnat, value_set=region_nats))
+        snat = pc.cast(snats.take(pc.index_in(
+            b.column("l_suppkey"), value_set=skeys)), pa.int64())
         t = pa.table({
-            "n_nationkey": cnat,
+            "l_orderkey": b.column("l_orderkey"),
+            "snat": snat,
             "x": pc.multiply(
                 pc.cast(pc.round(pc.multiply(
                     b.column("l_extendedprice"), 100)), pa.int64()),
                 pc.subtract(pa.scalar(100, pa.int64()),
                             pc.cast(pc.round(pc.multiply(
                                 b.column("l_discount"), 100)), pa.int64()))),
-        }).filter(pc.fill_null(keep, False))
-        g = t.group_by("n_nationkey").aggregate(
-            [("x", "sum"), ("x", "count")])
-        return pa.table({"n_nationkey": g.column("n_nationkey"),
+        })
+        return t.filter(pc.fill_null(
+            pc.is_in(snat, value_set=region_nats), False))
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey",
+                               "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prune, batch_format="pyarrow")
+
+    def cust_prune(b: pa.Table) -> pa.Table:
+        _, _, region_nats = ray.get(dim_ref)
+        cnat = pc.cast(b.column("c_nationkey"), pa.int64())
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "cnat": cnat}).filter(
+            pc.fill_null(pc.is_in(cnat, value_set=region_nats), False))
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_prune, batch_format="pyarrow")
+
+    # BOTH native joins are live at once in the streaming executor and
+    # each reserves num_partitions aggregator actors — size them so the
+    # pair plus map tasks fits the session (32 each deadlocks an 8-CPU
+    # session; repo conventions: partitions ≲ CPUs)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, cpus // 4))
+
+    j1 = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                   num_partitions=nparts)
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.select(["o_custkey", "snat", "x"]) \
+            .group_by(["o_custkey", "snat"]).aggregate(
+                [("x", "sum"), ("x", "count")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "snat": g.column("snat"),
                          "rev": g.column("x_sum"),
                          "cnt": g.column("x_count")})
 
+    j2 = hash_join(j1.map_batches(combine, batch_format="pyarrow"),
+                   cust, on="o_custkey", right_on="c_custkey",
+                   num_partitions=nparts)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("snat"), b.column("cnat")))
+        g = t.select(["snat", "rev", "cnt"]).group_by("snat").aggregate(
+            [("rev", "sum"), ("cnt", "sum")])
+        return pa.table({"n_nationkey": g.column("snat"),
+                         "rev": g.column("rev_sum"),
+                         "cnt": g.column("cnt_sum")})
+
     from ray.data.aggregate import Sum
 
-    agg = j.map_batches(partial, batch_format="pyarrow") \
+    agg = j2.map_batches(partial, batch_format="pyarrow") \
         .groupby("n_nationkey").aggregate(
             Sum("rev", alias_name="revenue_x10000"),
             Sum("cnt", alias_name="n_items")).to_pandas()
