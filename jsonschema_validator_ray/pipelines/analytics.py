@@ -1184,3 +1184,106 @@ JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY n_name ORDER BY n_name
 """
+
+
+# ---- TPC-H-Q1-shaped pricing summary ---------------------------------------
+
+
+def pricing_summary_lineitem(sf_dir: str):
+    """(l_returnflag, l_linestatus, sum_qty, sum_base_price_cents,
+    sum_disc_price_x10000, sum_charge_x1000000, avg_qty, avg_price,
+    avg_disc, count_order) — the canonical one-scan pricing summary
+    (TPC-H Q1 shape): shipdate-filtered, 8 aggregates per
+    (returnflag, linestatus) cell computed from ONE pass of integer
+    partials.
+
+    Exact-float contract: every sum is an exact int64 —
+    qty, price cents, cents·(100−disc), cents·(100−disc)·(100+tax) —
+    and each avg is ONE float division (÷ a power of ten after), the
+    identical expression the SQL oracle spells. The date predicate is a
+    timestamp comparison against the same literal in both engines."""
+    from datetime import datetime
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    cutoff = datetime(1998, 9, 2)
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_linestatus", "l_quantity",
+                               "l_extendedprice", "l_discount", "l_tax",
+                               "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(
+            b.column("l_shipdate"),
+            pa.scalar(cutoff, type=pa.timestamp("us"))))
+        q = pc.cast(pc.round(b.column("l_quantity")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), 100)), pa.int64())
+        dk = pc.subtract(pa.scalar(100, pa.int64()),
+                         pc.cast(pc.round(pc.multiply(
+                             b.column("l_discount"), 100)), pa.int64()))
+        tk = pc.add(pa.scalar(100, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(
+                        b.column("l_tax"), 100)), pa.int64()))
+        disc_price = pc.multiply(cents, dk)
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": q,
+            "sum_base_price_cents": cents,
+            "sum_disc_price_x10000": disc_price,
+            "sum_charge_x1000000": pc.multiply(disc_price, tk),
+            "sum_disc_pct": pc.subtract(pa.scalar(100, pa.int64()), dk),
+            "n": pa.array(np.ones(len(q), np.int64)),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in t.column_names[2:]])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus"]
+            + [c[:-4] for c in g.column_names[2:]])
+
+    cols = ["sum_qty", "sum_base_price_cents", "sum_disc_price_x10000",
+            "sum_charge_x1000000", "sum_disc_pct", "n"]
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            *[Sum(c, alias_name=c) for c in cols]).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    agg["avg_qty"] = agg["sum_qty"].to_numpy(np.float64) / n
+    agg["avg_price"] = (agg["sum_base_price_cents"].to_numpy(np.float64)
+                        / n / 100.0)
+    agg["avg_disc"] = agg["sum_disc_pct"].to_numpy(np.float64) / n / 100.0
+    agg["count_order"] = agg["n"].astype(np.int64)
+    return agg[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price_cents", "sum_disc_price_x10000",
+                "sum_charge_x1000000", "avg_qty", "avg_price", "avg_disc",
+                "count_order"]] \
+        .sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS sum_disc_price_x10000,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)
+         AS sum_charge_x1000000,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 100.0 AS avg_price,
+       CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 100.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
