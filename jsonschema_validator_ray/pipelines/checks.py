@@ -717,6 +717,40 @@ WHERE (s.n*v.x - s.s1)*(s.n*v.x - s.s1) > 9*(s.n*s.s2 - s.s1*s.s1)
 """
 
 
+def geomean_quantity_returnflag(sf_dir: str):
+    """(l_returnflag, n_rows, log_gm, geo_mean) — per-group geometric mean
+    of l_quantity via stages/contingency.grouped_geomean's per-distinct-
+    value integer-ln technique; floats bitwise ≡ oracle (two divisions +
+    one libm exp of an exact integer ratio)."""
+    from ..stages.contingency import grouped_geomean
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity"])
+    return grouped_geomean(li, "l_returnflag", "l_quantity")
+
+
+GEOMEAN_QUANTITY_SQL = """
+WITH cells AS (
+  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND CAST(round(l_quantity) AS BIGINT) > 0
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT l_returnflag, CAST(sum(obs) AS BIGINT) AS n_rows,
+         sum(CAST(obs AS HUGEINT)
+             * CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000) AS BIGINT)) AS t
+  FROM cells GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       CAST(t AS DOUBLE) / CAST(n_rows AS DOUBLE) / 1000000.0 AS log_gm,
+       exp(CAST(t AS DOUBLE) / CAST(n_rows AS DOUBLE) / 1000000.0)
+         AS geo_mean
+FROM s
+"""
+
+
 # ---- per-group exact distinct ----------------------------------------------
 
 

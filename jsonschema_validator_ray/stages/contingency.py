@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def contingency_counts(ds, col_a: str, col_b: str, *,
@@ -125,3 +126,60 @@ def grouped_entropy(ds, group: str, value: str, *, num_buckets: int = 16,
 
     return cells.map_batches(add_gb, batch_format="pyarrow") \
         .groupby("__gb").map_groups(fold, batch_format="pandas")
+
+
+def grouped_geomean(ds, group: str, value: str, *, num_buckets: int = 16,
+                    batch_size: int = 65536):
+    """→ Dataset ``(group, n_rows, log_gm, geo_mean)`` — per-group
+    geometric mean of a POSITIVE discrete numeric column (the
+    multiplicative-average shape: typical-token-count per language, mean
+    compression ratio per source).
+
+    Same integer-ln technique as :func:`grouped_entropy`, applied per
+    DISTINCT VALUE instead of per row: cells (group, x, obs) exchange once
+    (bounded by the distinct-pair count — the discrete-column contract),
+    each cell contributes ``obs · floor(ln(x)·10⁶)`` in exact integer
+    arithmetic, and the group's result is two float divisions + one exp of
+    that exact ratio — each a single IEEE/libm op the SQL oracle spells
+    identically. Rows with x ≤ 0 or null are excluded in both engines."""
+    import math
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(b.column(value)), pa.int64())
+        t = pa.table({group: b.column(group), "x": x}).filter(
+            pc.fill_null(pc.greater(x, 0), False))
+        df = (t.to_pandas().groupby([group, "x"], sort=False, dropna=False)
+               .size().reset_index(name="obs"))
+        h = pd.util.hash_pandas_object(df[[group, "x"]],
+                                       index=False).to_numpy()
+        df["__kb"] = (h.astype(np.uint64)
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold_cells(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([group, "x"], sort=False, dropna=False,
+                         as_index=False)["obs"].sum())
+        h = pd.util.hash_pandas_object(out[group], index=False).to_numpy()
+        out["__gb"] = (h.astype(np.uint64)
+                       % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in g.groupby(group, sort=False, dropna=False):
+            n = int(sub["obs"].astype(object).sum())
+            t = sum(int(o) * math.floor(math.log(int(x)) * 1_000_000)
+                    for o, x in zip(sub["obs"], sub["x"]))
+            lg = float(t) / float(n) / 1_000_000.0
+            rows.append((key, n, lg, math.exp(lg)))
+        return pd.DataFrame(rows, columns=[group, "n_rows", "log_gm",
+                                           "geo_mean"])
+
+    return (ds.map_batches(to_cells, batch_format="pyarrow",
+                           batch_size=batch_size)
+              .groupby("__kb").map_groups(
+                  lambda g: fold_cells(g.drop(columns="__kb")),
+                  batch_format="pandas")
+              .groupby("__gb").map_groups(
+                  lambda g: per_group(g.drop(columns="__gb")),
+                  batch_format="pandas"))

@@ -257,3 +257,37 @@ def test_grouped_entropy_single_value_group(ray_session):
     assert got.loc[0, "entropy_micronats"] == 0.0  # ln(1) == 0 exactly
     assert got.loc[0, "n_values"] == 1
     assert got.loc[1, "n_rows"] == 3 and got.loc[1, "n_values"] == 2
+
+
+def test_grouped_geomean_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.contingency import grouped_geomean
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "g": rng.choice(["p", "q"], size=1200),
+        "x": rng.integers(1, 60, size=1200).astype(float),
+    })
+    # zero / negative / null rows must be excluded in both engines
+    df.loc[0, "x"] = 0.0
+    df.loc[1, "x"] = -3.0
+    df.loc[2, "x"] = np.nan
+    got = grouped_geomean(ray.data.from_pandas(df).repartition(4),
+                          "g", "x", num_buckets=4).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[(df["g"] == row["g"]) & (df["x"] > 0)]["x"]
+        xs = np.round(sub.to_numpy()).astype(np.int64)
+        t = sum(int(c) * math.floor(math.log(int(v)) * 1_000_000)
+                for v, c in pd.Series(xs).value_counts().items()
+                for _ in [0])
+        lg = float(t) / float(len(xs)) / 1_000_000.0
+        assert row["n_rows"] == len(xs)
+        assert row["log_gm"] == lg
+        assert row["geo_mean"] == math.exp(lg)
+        # sanity: close to the true geometric mean
+        assert np.isclose(row["geo_mean"],
+                          np.exp(np.log(xs).mean()), rtol=1e-4)
