@@ -1287,3 +1287,122 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---- TPC-H-Q3-shaped ranked join -------------------------------------------
+
+
+def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
+                         cutoff_s: str = "1997-01-01", k: int = 10):
+    """(l_orderkey, revenue_x10000, o_orderdate, o_orderpriority) — the
+    classic shipping-priority query (TPC-H Q3 shape): the ``k`` highest-
+    revenue orders of one customer segment, ordered before the cutoff but
+    (partly) shipped after it.
+
+    Distributed shape: both fact scans filter AT THE READ (orderdate /
+    shipdate predicates inside the first map — rows die before any
+    exchange); the segment restriction is a SEMI join (stages/joins —
+    payload never moves, broadcast/shuffle auto-switch); one hash join
+    keys the surviving facts; per-batch integer partials aggregate per
+    order; the global top-k merges BOUNDED per-block heads
+    (each block's top-k, then one driver head over blocks·k rows) —
+    no global sort of the aggregate. Ties break (revenue DESC,
+    o_orderdate ASC, l_orderkey ASC) in both engines."""
+    from datetime import datetime
+
+    import numpy as np
+    import ray
+
+    from ..stages.joins import hash_join, semi_join
+
+    cutoff = datetime.fromisoformat(cutoff_s)
+    ts = pa.scalar(cutoff, type=pa.timestamp("us"))
+
+    def o_prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("o_orderdate"), ts))
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                   "o_orderpriority"]) \
+        .map_batches(o_prune, batch_format="pyarrow")
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+
+    def c_prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("c_mktsegment"), segment)) \
+            .select(["c_custkey"])
+
+    orders = semi_join(orders, cust.map_batches(c_prune,
+                                                batch_format="pyarrow"),
+                       on="o_custkey", right_on="c_custkey")
+
+    def l_prune(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), ts))
+        x = pc.multiply(
+            pc.cast(pc.round(pc.multiply(
+                b.column("l_extendedprice"), 100)), pa.int64()),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        pc.cast(pc.round(pc.multiply(
+                            b.column("l_discount"), 100)), pa.int64())))
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "x": x})
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_extendedprice",
+                               "l_discount", "l_shipdate"]) \
+        .map_batches(l_prune, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                  num_partitions=max(2, min(16, cpus // 2)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["l_orderkey", "o_orderdate", "o_orderpriority", "x"]) \
+            .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .aggregate([("x", "sum")])
+        return g.rename_columns(list(g.column_names[:-1]) + ["rev"])
+
+    def add_kb(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column("l_orderkey").to_pandas(), index=False).to_numpy()
+        return b.append_column(
+            "__kb", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def fold_head(g: pd.DataFrame) -> pd.DataFrame:
+        # an order lives in exactly one bucket: full sums here, then the
+        # bucket's own top-k — the driver merges only 32·k rows
+        agg = (g.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                         sort=False, as_index=False)["rev"].sum())
+        return agg.sort_values(["rev", "o_orderdate", "l_orderkey"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(k)
+
+    heads = j.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(add_kb, batch_format="pyarrow") \
+        .groupby("__kb").map_groups(
+            lambda g: fold_head(g.drop(columns="__kb")),
+            batch_format="pandas").to_pandas()
+    heads = heads.sort_values(
+        ["rev", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True], kind="mergesort").head(k)
+    heads["revenue_x10000"] = heads["rev"].astype(np.int64)
+    return heads[["l_orderkey", "revenue_x10000", "o_orderdate",
+                  "o_orderpriority"]].reset_index(drop=True)
+
+
+TOP_UNSHIPPED_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_x10000,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_x10000 DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
