@@ -227,7 +227,9 @@ def run_bench() -> dict:
         "corr_matrix_lineitem", "label_centroids_embeddings",
         "revenue_by_nation", "postings_documents", "outlier_events_zscore",
         "entropy_lang_source", "moments_quantity_returnflag",
-        "quantiles_cont_lineitem",
+        "quantiles_cont_lineitem", "pricing_summary_lineitem",
+        "top_unshipped_orders", "segment_revenue_skewed",
+        "geomean_quantity_returnflag",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -287,7 +287,10 @@ def zscore_outliers(ds, group: str, value: str, keep_cols: list[str], *,
     Two passes: a stats pass reduces to one (group, n, S1, S2) int64
     partial per (group, batch) folded driver-side in python ints (exact at
     any scale), then the flag scan probes the tiny broadcast per-group
-    {group: (n, S1, rhs)} dict per batch. When the int64 bound
+    {group: (n, S1, rhs)} dict per batch. Cardinality contract: groups are
+    ANALYTICAL categories (event types, languages, flags) — the flag scan
+    masks once per group per batch; for millions of groups, factorize and
+    gather per-row stats instead. When the int64 bound
     ``(n·|x|·scale + |S1|)² < 2⁶³`` fails for a group, that group's rows
     compare in object-dtype python-int arithmetic instead (exact, slower —
     only fires past ~10⁹ rows·cents per group)."""
