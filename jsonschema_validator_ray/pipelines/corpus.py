@@ -1978,6 +1978,50 @@ def heavy_users_events(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=10)
 
 
+def top_users_exact(sf_dir: str, k: int = 20):
+    """(user_id, n_events) — EXACT top-k users by event count: per-batch
+    combiner (a user's rows fold to one partial per batch — the implicit
+    salt, no skewed user ever floods the exchange), user-hash bucket fold,
+    per-bucket top-k head, driver merge of 32·k rows. The exact sibling of
+    the count-min ``heavy_users_events``; ties break user_id ASC in both
+    engines."""
+    import numpy as np
+
+    ev = read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate([("user_id", "count")])
+        t = g.rename_columns(["user_id", "n_events"])
+        h = pd.util.hash_pandas_object(
+            t.column("user_id").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "__kb", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("user_id", sort=False, as_index=False)
+                ["n_events"].sum())
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg.sort_values(["n_events", "user_id"],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    heads = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__kb").map_groups(
+            lambda g: head(g.drop(columns="__kb")),
+            batch_format="pandas").to_pandas()
+    return heads.sort_values(["n_events", "user_id"],
+                             ascending=[False, True],
+                             kind="mergesort").head(k) \
+        .reset_index(drop=True)
+
+
+TOP_USERS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 20
+"""
+
+
 def dup_cluster_sizes_documents(sf_dir: str):
     """(cluster_size, n_clusters) — the duplicate-cluster SIZE DISTRIBUTION
     of exact text dedup (how much of the corpus is 2×, 3×, … duplicated —
