@@ -1458,6 +1458,59 @@ FROM events
 # ---- windowed events ------------------------------------------------------
 
 
+def trending_events(sf_dir: str, k: int = 3):
+    """(window_start, event_type, n_events, rnk) — the top-``k`` event
+    types of every hour (the "trending" dashboard shape): per-batch
+    (hour, type) count partials, hour-hash bucket fold — an hour's full
+    cell set lands in one task, cells bounded by hours × types — then a
+    vectorized within-hour rank head. Ties break event_type ASC in both
+    engines."""
+    import numpy as np
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        g = pa.table({"window_start": hour,
+                      "event_type": b.column("event_type")}) \
+            .group_by(["window_start", "event_type"]) \
+            .aggregate([("event_type", "count")])
+        t = g.rename_columns(["window_start", "event_type", "n_events"])
+        h = pd.util.hash_pandas_object(
+            t.column("window_start").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "__kb", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["window_start", "event_type"], sort=False,
+                         as_index=False)["n_events"].sum())
+        agg = agg.sort_values(["window_start", "n_events", "event_type"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        rnk = agg.groupby("window_start", sort=False).cumcount() + 1
+        agg["rnk"] = rnk.astype(np.int64)
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg[agg["rnk"] <= k]
+
+    return ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__kb").map_groups(
+            lambda g: head(g.drop(columns="__kb")),
+            batch_format="pandas")
+
+
+TRENDING_EVENTS_SQL = """
+SELECT window_start, event_type, n_events, rnk FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                 ORDER BY count(*) DESC, event_type)
+              AS BIGINT) AS rnk
+  FROM events GROUP BY 1, 2
+) WHERE rnk <= 3
+"""
+
+
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type: count + exact value sum in
     integer cents (floor), via per-batch partial aggregation then a small
