@@ -751,6 +751,52 @@ FROM s
 """
 
 
+def slope_price_qty_returnflag(sf_dir: str):
+    """(l_returnflag, n_rows, slope, intercept, r2) — per-group
+    least-squares line of extendedprice CENTS on quantity via
+    stages/stats.grouped_slope; every float op a single IEEE instruction
+    on exact integer sums, in the oracle's exact expression order."""
+    from ..stages.stats import grouped_slope
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity",
+                               "l_extendedprice"])
+    return grouped_slope(li, "l_returnflag", "l_quantity",
+                         "l_extendedprice", xscale=1, yscale=100)
+
+
+SLOPE_PRICE_QTY_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+           AS sy,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS syy,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n, sx, sy,
+         n*sxy - sx*sy AS num, n*sxx - sx*sx AS den1,
+         n*syy - sy*sy AS den2
+  FROM m
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(num AS DOUBLE) / CAST(den1 AS DOUBLE) AS slope,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(num AS DOUBLE) / CAST(den1 AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
+       (CAST(num AS DOUBLE) / CAST(den1 AS DOUBLE))
+         * (CAST(num AS DOUBLE) / CAST(den2 AS DOUBLE)) AS r2
+FROM d ORDER BY l_returnflag
+"""
+
+
 # ---- per-group exact distinct ----------------------------------------------
 
 

@@ -343,3 +343,65 @@ def zscore_outliers(ds, group: str, value: str, keep_cols: list[str], *,
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def grouped_slope(ds, group: str, xcol: str, ycol: str, *,
+                  xscale: int = 1, yscale: int = 100,
+                  batch_size: int = 32768) -> pd.DataFrame:
+    """→ pandas DataFrame ``(group, n_rows, slope, intercept, r2)`` — the
+    per-group least-squares line of ``ycol`` on ``xcol`` (trend checks:
+    does price scale with quantity the same way in every segment?).
+
+    Exact-float contract (the grouped_moments discipline): per batch one
+    ``(group, n, Σx, Σy, Σx², Σy², Σxy)`` int64 partial row per group
+    (values integerized ``round(v·scale)``), folded driver-side in python
+    ints; then with num = n·Σxy − Σx·Σy, den1 = n·Σx² − (Σx)²,
+    den2 = n·Σy² − (Σy)²:
+
+        slope     = num / den1                       (one division)
+        intercept = Σy/n − slope·(Σx/n)              (two divisions, one
+                                                      product, one subtract)
+        r2        = (num/den1)·(num/den2)            (spelled as the
+                    PRODUCT of two divisions — num² would overflow a SQL
+                    HUGEINT long before the python ints here care)
+
+    every float op is a single IEEE instruction on exact integers, in the
+    same order the SQL oracle spells. Scales cancel nowhere — the oracle
+    uses the identical scaled integers. int64 partial bound:
+    ``|x·xscale|·|y·yscale|·batch_size < 2⁶³``."""
+
+    def spartial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(b.column(xcol), xscale)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.round(pc.multiply(b.column(ycol), yscale)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({group: b.column(group).to_pandas()})
+        df["n"] = 1
+        df["sx"] = x
+        df["sy"] = y
+        df["sxx"] = x * x
+        df["syy"] = y * y
+        df["sxy"] = x * y
+        return pa.Table.from_pandas(
+            df.groupby(group, sort=False, dropna=False,
+                       as_index=False).sum(), preserve_index=False)
+
+    parts = ds.map_batches(spartial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    rows = []
+    for key, sub in parts.groupby(group, sort=False, dropna=False):
+        n = int(sub["n"].astype(object).sum())
+        sx, sy, sxx, syy, sxy = (int(sub[c].astype(object).sum())
+                                 for c in ("sx", "sy", "sxx", "syy", "sxy"))
+        num = n * sxy - sx * sy
+        den1 = n * sxx - sx * sx
+        den2 = n * syy - sy * sy
+        slope = float(num) / float(den1) if den1 else float("nan")
+        intercept = (float(sy) / float(n)
+                     - slope * (float(sx) / float(n)))
+        r2 = ((float(num) / float(den1)) * (float(num) / float(den2))
+              if den1 and den2 else float("nan"))
+        rows.append((key, n, slope, intercept, r2))
+    out = pd.DataFrame(rows, columns=[group, "n_rows", "slope",
+                                      "intercept", "r2"])
+    return out.sort_values(group).reset_index(drop=True)

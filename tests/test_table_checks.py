@@ -465,3 +465,48 @@ def test_zscore_outliers_object_fallback(ray_session):
     x = np.round(vals * 100).astype(np.int64)
     assert (n * int(np.abs(x).max()) + abs(int(x.sum()))) ** 2 >= 2 ** 63
     assert list(st["id"]) == [7]
+
+
+def test_grouped_slope_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.stats import grouped_slope
+
+    rng = np.random.default_rng(29)
+    n = 2500
+    x = rng.integers(1, 51, size=n).astype(float)
+    df = pd.DataFrame({
+        "g": rng.choice(["r", "s"], size=n),
+        "x": x,
+        "y": np.round(3.5 * x + 20 + rng.normal(0, 5, size=n), 2),
+    })
+    got = grouped_slope(ray.data.from_pandas(df).repartition(4),
+                        "g", "x", "y", xscale=1, yscale=100)
+    for _, row in got.iterrows():
+        sub = df[df["g"] == row["g"]]
+        xs = sub["x"].to_numpy()
+        ys = np.round(sub["y"].to_numpy() * 100)   # cents, like the stage
+        b, a = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert row["n_rows"] == len(sub)
+        assert np.isclose(row["slope"], b, rtol=1e-9)
+        assert np.isclose(row["intercept"], a, rtol=1e-7)
+        assert np.isclose(row["r2"], r * r, rtol=1e-9)
+
+
+def test_grouped_slope_degenerate(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.stats import grouped_slope
+
+    # constant x → zero variance → NaN slope/r2, not a crash
+    df = pd.DataFrame({"g": ["c"] * 5, "x": [4.0] * 5,
+                       "y": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = grouped_slope(ray.data.from_pandas(df), "g", "x", "y")
+    assert np.isnan(got.loc[0, "slope"]) and np.isnan(got.loc[0, "r2"])
