@@ -229,7 +229,8 @@ def run_bench() -> dict:
         "entropy_lang_source", "moments_quantity_returnflag",
         "quantiles_cont_lineitem", "pricing_summary_lineitem",
         "top_unshipped_orders", "segment_revenue_skewed",
-        "geomean_quantity_returnflag",
+        "geomean_quantity_returnflag", "slope_price_qty_returnflag",
+        "trending_events", "top_users_exact",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

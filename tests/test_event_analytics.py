@@ -332,3 +332,24 @@ def test_hard_negatives_embeddings(ray_session, tmp_path):
     assert list(out["vec_id"]) [:2] == [4, 2]   # nearest different-label
     assert 1 not in set(out["vec_id"])          # same-label twin excluded
     assert 0 not in set(out["vec_id"])
+
+
+def test_star_joins_run_in_tiny_session(ray_session):
+    """Regression guard for the concurrent-native-join deadlock: TWO live
+    JoinOperators each reserving num_partitions aggregator actors starved
+    an 8-CPU session at 32+32 (observed hang >10 min). The pipelines size
+    partitions from the session's CPUs — they must finish promptly even
+    on the 4-CPU test session."""
+    from jsonschema_validator_ray.pipelines.analytics import (
+        revenue_by_nation, top_unshipped_orders)
+
+    out = revenue_by_nation("/root/testdata/sf0.001")
+    assert list(out.columns) == ["n_name", "revenue_x10000", "n_items"]
+    assert (out["n_items"] > 0).all()
+
+    top = top_unshipped_orders("/root/testdata/sf0.001")
+    assert list(top.columns) == ["l_orderkey", "revenue_x10000",
+                                 "o_orderdate", "o_orderpriority"]
+    # descending by revenue with deterministic tiebreak
+    assert (top["revenue_x10000"].to_numpy()[:-1]
+            >= top["revenue_x10000"].to_numpy()[1:]).all()
