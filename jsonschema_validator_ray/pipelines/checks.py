@@ -797,6 +797,47 @@ FROM d ORDER BY l_returnflag
 """
 
 
+def decile_documents(sf_dir: str):
+    """(doc_id, n_chars, decile) — FULL-OUTPUT decile assignment of every
+    document by length (the feature-discretization / curriculum-binning
+    shape): exact discrete decile edges from the histogram-refinement
+    quantile stage (one counting pass, driver holds 9 ints), broadcast
+    into one assignment scan — ``decile = 1 + #edges < x`` via
+    searchsorted, an integer comparison with no float anywhere, so
+    boundary rows cannot disagree with the oracle."""
+    import numpy as np
+
+    from ..stages.quantiles import exact_quantiles
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+    qs = [i / 10 for i in range(1, 10)]
+    edges = exact_quantiles(docs, "n_chars", qs)
+    e = np.sort(np.array([edges[q] for q in qs], dtype=np.int64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy(zero_copy_only=False)
+        dec = 1 + np.searchsorted(e, x, side="left")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars": b.column("n_chars"),
+                         "decile": pa.array(dec.astype(np.int64))})
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+DECILE_DOCUMENTS_SQL = """
+WITH e AS (
+  SELECT quantile_disc(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(1 + (SELECT count(*) FROM unnest((SELECT qs FROM e)) AS t(v)
+                 WHERE n_chars > v) AS BIGINT) AS decile
+FROM documents
+"""
+
+
 # ---- per-group exact distinct ----------------------------------------------
 
 

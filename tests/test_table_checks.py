@@ -510,3 +510,30 @@ def test_grouped_slope_degenerate(ray_session):
                        "y": [1.0, 2.0, 3.0, 4.0, 5.0]})
     got = grouped_slope(ray.data.from_pandas(df), "g", "x", "y")
     assert np.isnan(got.loc[0, "slope"]) and np.isnan(got.loc[0, "r2"])
+
+
+def test_decile_assignment_boundary_ties(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.pipelines.checks import decile_documents
+    # drive the REAL query end-to-end and re-derive with DuckDB directly
+    got = decile_documents(SF_SMOKE).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.connect().execute(f"""
+        WITH d AS (SELECT * FROM '{SF_SMOKE}/documents.parquet'),
+        e AS (SELECT quantile_disc(n_chars,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM d)
+        SELECT doc_id, n_chars,
+               CAST(1 + (SELECT count(*) FROM unnest((SELECT qs FROM e))
+                         AS t(v) WHERE n_chars > v) AS BIGINT) AS decile
+        FROM d ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every decile 1..10 present and ordered with n_chars
+    assert got["decile"].min() == 1 and got["decile"].max() == 10
+    s = got.sort_values("n_chars")
+    assert (np.diff(s["decile"].to_numpy()) >= 0).all()
