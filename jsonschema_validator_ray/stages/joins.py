@@ -438,8 +438,13 @@ def skewed_join(left, right, on: str, *, right_on: str | None = None,
 
     rhot_ds = right.map_batches(keep_hot, batch_format="pyarrow") \
         .limit(broadcast_limit + 1)
-    rhot = pa.concat_tables(
-        ray.get(rhot_ds.to_arrow_refs()), promote_options="default")
+    rhot_blocks = ray.get(rhot_ds.to_arrow_refs())
+    if not rhot_blocks:       # hot keys absent on the right: inner-join
+        # semantics make the hot-left rows childless — classic path is
+        # simplest and loses nothing
+        return bucketed_join(left, right, on, right_on=right_key,
+                             num_buckets=num_buckets)
+    rhot = pa.concat_tables(rhot_blocks, promote_options="default")
     if rhot.num_rows > broadcast_limit:   # too big to broadcast — classic
         return bucketed_join(left, right, on, right_on=right_key,
                              num_buckets=num_buckets)

@@ -187,3 +187,20 @@ def test_skewed_join_fallbacks(ray_session):
                     broadcast_limit=0).to_pandas() \
         .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(b[want.columns], want)
+
+
+def test_skewed_join_hot_keys_absent_on_right(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import skewed_join
+
+    # the hot key (and everything else) is missing from the right side →
+    # empty gather must fall back cleanly, and the result is empty
+    left = pd.DataFrame({"k": [9] * 10 + [1], "lv": range(11)})
+    right = pd.DataFrame({"k": [2, 3], "rv": [20, 30]})
+    out = skewed_join(ray.data.from_pandas(left),
+                      ray.data.from_pandas(right), "k",
+                      num_buckets=2, hot_threshold=3).to_pandas()
+    assert len(out) == 0
