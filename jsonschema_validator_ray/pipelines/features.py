@@ -1,0 +1,188 @@
+"""Feature-engineering stages for training-data pipelines: global-statistic
+feature scaling and the corpus k-NN graph over the embedding column.
+
+Both follow the broadcast-small / stream-large rule: the tiny derived state
+(per-group min/max, the normalized corpus matrix at bench scale) is computed
+once and broadcast; the big side streams through ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..sources.parquet import read_parquet
+from ..stages.similarity import _emb_matrix
+
+# ---- integer-exact min-max normalization ------------------------------------
+
+
+def minmax_normalize_documents(sf_dir: str):
+    """(doc_id, lang, n_chars, norm_ppm) — per-language min-max feature
+    scaling of the length column, emitted as EXACT parts-per-million:
+    ``(x − min) · 1e6 // (max − min)`` in pure int64 (floor division of
+    non-negative ints — CLAUDE.md's float rule), so the oracle comparison
+    has no rounding mode to disagree on. Constant groups normalize to 0.
+
+    Shape: pass 1 folds per-batch per-group (min, max) partials driver-side
+    (groups × 2 ints — KBs at any corpus size); the fold broadcasts into a
+    second streaming pass. The same two-pass pattern serves z-score or
+    quantile scaling with the matching exact encodings."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"),
+                      "x": pc.cast(b.column("n_chars"), pa.int64())})
+        g = t.group_by("lang").aggregate([("x", "min"), ("x", "max")])
+        return pa.table({"lang": g.column("lang"),
+                         "mn": g.column("x_min"), "mx": g.column("x_max")})
+
+    part = docs.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    if "lang" not in part.columns or not len(part):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "lang": pd.Series([], dtype=object),
+                             "n_chars": pd.Series([], dtype=np.int64),
+                             "norm_ppm": pd.Series([], dtype=np.int64)})
+    folded = part.groupby("lang").agg(mn=("mn", "min"), mx=("mx", "max"))
+    langs = pa.array(folded.index.to_numpy())
+    mns = folded["mn"].to_numpy().astype(np.int64)
+    mxs = folded["mx"].to_numpy().astype(np.int64)
+
+    def scale(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column("lang"), value_set=langs) \
+            .to_numpy(zero_copy_only=False)
+        x = pc.cast(b.column("n_chars"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mn, mx = mns[idx], mxs[idx]
+        rng = mx - mn
+        ppm = np.where(rng > 0,
+                       (x - mn) * 1_000_000 // np.where(rng > 0, rng, 1), 0)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "n_chars": pa.array(x),
+                         "norm_ppm": pa.array(ppm.astype(np.int64))})
+
+    return docs.map_batches(scale, batch_format="pyarrow")
+
+
+MINMAX_NORMALIZE_SQL = """
+WITH s AS (SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+            ELSE ((d.n_chars - s.mn) * 1000000) // (s.mx - s.mn)
+            END AS BIGINT) AS norm_ppm
+FROM documents d JOIN s USING (lang)
+"""
+
+
+# ---- corpus k-NN graph -------------------------------------------------------
+
+
+_Q_SCALE = 100_000
+
+
+def knn_graph_embeddings(sf_dir: str, k: int = 5,
+                         broadcast_limit_rows: int = 4_000_000):
+    """(vec_id, neighbor_id, rank, dot) — the k-nearest-neighbor GRAPH of
+    the embedding corpus under maximum-inner-product search (each vector's
+    top-k neighbors, excluding itself; ties broken by neighbor id). The
+    corpus×corpus sibling of the query-top-k operator: the quantized
+    matrix broadcasts once (`ray.put`), and each streaming batch does one
+    int64 matmul against it plus a vectorized argpartition top-k.
+
+    The similarity is EXACT in both engines (CLAUDE.md float rule): each
+    component quantizes as ``floor(float64(x) · 1e5)`` — float32 inputs
+    are exact binary values, the ×1e5 product is correctly rounded
+    identically in numpy and DuckDB, and floor has no tie mode — and the
+    dot of quantized vectors stays far under 2^53 (|x| < 1 ⇒ products
+    < 1e10, d = 64 ⇒ sums < 1e12), so even a double-accumulating engine
+    (DuckDB's list_dot_product) produces the exact integer. Cosine-ranked
+    variants of the same graph: stages/similarity.topk_cosine per query,
+    stages/semdedup within clusters.
+
+    Scale path: the broadcast side holds the WHOLE corpus, so past
+    ``broadcast_limit_rows`` (~2 GB at d=64) this brute-force layout stops
+    fitting and the graph should be built per IVF cell (stages/ivf:
+    neighbors probed within nprobe cells — approximate, as any
+    billion-scale k-NN graph is); the limit raises loudly rather than
+    silently thrashing the object store."""
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    n = emb.count()
+    if n > broadcast_limit_rows:
+        raise ValueError(
+            f"knn_graph_embeddings broadcast path holds the whole corpus "
+            f"({n} rows > {broadcast_limit_rows}); build per-IVF-cell "
+            f"graphs instead (stages/ivf)")
+    whole = pa.concat_tables(ray.get(emb.to_arrow_refs())).combine_chunks()
+    ids = whole.column("vec_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    mat = np.floor(_emb_matrix(whole, "embedding").astype(np.float64)
+                   * _Q_SCALE).astype(np.int64)
+    ref = ray.put((ids, mat))
+
+    class Knn:
+        def __init__(self, r, kk):
+            self.ids, self.mat = ray.get(r) \
+                if isinstance(r, ray.ObjectRef) else r
+            self.k = kk
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.int64()),
+                                 "dot": pa.array([], pa.int64())})
+            q = np.floor(_emb_matrix(b, "embedding").astype(np.float64)
+                         * _Q_SCALE).astype(np.int64)
+            qid = b.column("vec_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sims = q @ self.mat.T                        # (nb, N) int64 exact
+            self_mask = qid[:, None] == self.ids[None, :]
+            # sentinel below any real dot that still negates safely
+            # (-INT64_MIN overflows back to itself and would win -sims
+            # argpartition); real dots are < 2^40 at d=64, |x|<1, scale 1e5
+            sims[self_mask] = -(np.int64(1) << 62)       # no self-edge
+            kk = min(self.k, sims.shape[1] - 1)
+            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qid)), kk)
+            s = sims[rows, top.ravel()]
+            nid = self.ids[top.ravel()]
+            # exact head order: dot desc, neighbor id asc (within row)
+            order = np.lexsort((nid, -s, rows))
+            rows, s, nid = rows[order], s[order], nid[order]
+            return pa.table({
+                "vec_id": pa.array(qid[rows]),
+                "neighbor_id": pa.array(nid),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1), len(qid))
+                                 .astype(np.int64)),
+                "dot": pa.array(s),
+            })
+
+    return emb.map_batches(Knn, fn_constructor_args=(ref, k),
+                           concurrency=2, batch_size=1024,
+                           batch_format="pyarrow")
+
+
+KNN_GRAPH_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS qv
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.qv, b.qv) DESC, b.vec_id) AS rn
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dot
+FROM pairs WHERE rn <= 5
+"""

@@ -1,0 +1,545 @@
+"""Relational composites round 2 — the TPC-H shapes the suite did not yet
+exercise, plus set-op and gaps-and-islands patterns over the events log.
+
+Every query follows the repo's scale rules: facts are pre-aggregated per
+batch before any exchange, keys are hash-bucketed (never one Ray group per
+key), small derived sets broadcast with documented gates, and every float
+that reaches an oracle comparison is integer-scaled (cents / ppm / counts)
+so both engines do identical arithmetic.
+
+New shapes covered here (each is a classic relational pattern):
+- Q13: aggregate-of-an-aggregate with LEFT-JOIN zeros
+  (:func:`order_count_distribution`);
+- Q18: HAVING-filtered keys re-joined into the fact scan
+  (:func:`big_orders`);
+- Q4: EXISTS semi-join feeding a grouped count (:func:`priority_counts`);
+- Q22: scalar-subquery broadcast predicate + NOT-EXISTS anti join
+  (:func:`rich_quiet_customers`);
+- INTERSECT of two distinct key sets (:func:`click_purchase_days`);
+- gaps-and-islands longest consecutive-day streak
+  (:func:`longest_streak_users`);
+- ordered grouped string concatenation (:func:`first_events_path`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..sources.parquet import read_parquet
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _epoch_us(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+# ---- Q13 shape: distribution of per-customer order counts ------------------
+
+
+def order_count_distribution(sf_dir: str):
+    """(c_count, n_cust) — how many customers placed exactly c_count orders,
+    INCLUDING zero-order customers (the LEFT JOIN subtlety of TPC-H Q13).
+
+    Shape: aggregate of an aggregate. Orders pre-reduce per batch to
+    (custkey, n) partial counts; customer contributes marker rows (n = 0).
+    ONE hash-bucket exchange co-locates each custkey's partials with its
+    marker; each bucket folds counts per customer at pandas C speed and
+    emits its LOCAL (c_count, n_cust) histogram, so the second aggregate's
+    input is buckets × distinct-counts rows (~KBs at any corpus size) and
+    folds driver-side. Order keys referencing no customer drop, matching
+    the LEFT JOIN direction."""
+    orders = read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        vc = b.column("o_custkey").combine_chunks().value_counts()
+        keys = pc.struct_field(vc, "values")
+        return pa.table({
+            "custkey": keys,
+            "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            "is_cust": pa.nulls(len(keys), pa.int8()).fill_null(0),
+            "__b": pc.cast(pc.bit_wise_and(keys, 31), pa.int32()),
+        })
+
+    def c_partial(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey")
+        n = b.num_rows
+        return pa.table({
+            "custkey": keys,
+            "n": pa.nulls(n, pa.int64()).fill_null(0),
+            "is_cust": pa.nulls(n, pa.int8()).fill_null(1),
+            "__b": pc.cast(pc.bit_wise_and(keys, 31), pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("custkey", sort=False).agg(
+            c_count=("n", "sum"), has=("is_cust", "max"))
+        agg = agg[agg["has"] == 1]
+        hist = agg.groupby("c_count", sort=False).size()
+        return pd.DataFrame({
+            "c_count": hist.index.to_numpy().astype(np.int64),
+            "n_cust": hist.to_numpy().astype(np.int64),
+        })
+
+    partial_hists = (
+        orders.map_batches(o_partial, batch_format="pyarrow")
+        .union(cust.map_batches(c_partial, batch_format="pyarrow"))
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
+    # final fold: buckets × distinct counts (tiny) — driver-side
+    df = partial_hists.to_pandas()
+    if "c_count" not in df.columns:          # empty input loses block schema
+        return pd.DataFrame({"c_count": pd.Series([], dtype=np.int64),
+                             "n_cust": pd.Series([], dtype=np.int64)})
+    out = df.groupby("c_count", as_index=False)["n_cust"].sum()
+    return out.sort_values(["n_cust", "c_count"], ascending=[False, False],
+                           kind="mergesort").reset_index(drop=True)
+
+
+ORDER_COUNT_DIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_cust FROM (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY n_cust DESC, c_count DESC
+"""
+
+
+# ---- Q18 shape: HAVING-filtered keys re-joined into the fact scan ----------
+
+
+def big_orders(sf_dir: str, min_qty_cents: int = 25_000,
+               driver_limit: int = 2_000_000):
+    """Orders whose lineitems total more than 250 units of quantity, with
+    the customer name attached (TPC-H Q18's large-volume-customer shape).
+
+    Shape: grouped HAVING filter producing a SMALL hot-key set, re-joined
+    into the fact table. Lineitem pre-reduces (l_orderkey, qty_cents) per
+    batch, one hash-bucket exchange folds exact per-order totals and keeps
+    only totals past the threshold — a ~1 %-selectivity set that is
+    gathered once and broadcast into the orders scan (`ray.put`, probed
+    with Arrow ``index_in``: semi filter + attach in one kernel pass). The
+    customer dimension broadcasts the same way for the name. Past
+    ``driver_limit`` surviving orders the gather would not fit a driver
+    heap; the documented fallback is stages/joins.bucketed_join of orders
+    against the surviving totals (same result, one more exchange).
+
+    Quantities are integer cents before any accumulation, so the HAVING
+    boundary is exact in both engines."""
+    import ray
+
+    from ..stages.joins import bucketed_join
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "qc": pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100)),
+                          pa.int64()),
+        })
+        g = t.group_by("l_orderkey").aggregate([("qc", "sum")])
+        keys = g.column("l_orderkey")
+        return pa.table({
+            "l_orderkey": keys,
+            "qc_sum": g.column("qc_sum"),
+            "__b": pc.cast(pc.bit_wise_and(keys, 31), pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("l_orderkey", sort=False)["qc_sum"].sum()
+        tot = tot[tot > min_qty_cents]
+        return pd.DataFrame({
+            "o_orderkey": tot.index.to_numpy().astype(np.int64),
+            "sum_qty_cents": tot.to_numpy().astype(np.int64),
+        })
+
+    hot = (li.map_batches(li_partial, batch_format="pyarrow")
+           .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+           ).materialize()
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    if hot.count() > driver_limit:           # scale fallback: join, no gather
+        joined = bucketed_join(orders, hot, "o_orderkey", num_buckets=32)
+        hot_t = None
+    else:
+        # empty buckets emit null-typed blocks — drop them before concat
+        tabs = [t for t in ray.get(hot.to_arrow_refs()) if t.num_rows]
+        hot_t = (pa.concat_tables(tabs).combine_chunks() if tabs else
+                 pa.table({"o_orderkey": pa.array([], pa.int64()),
+                           "sum_qty_cents": pa.array([], pa.int64())}))
+        joined = None
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"])
+    dim = pa.concat_tables(ray.get(cust.to_arrow_refs())).combine_chunks()
+    ref = ray.put((None if hot_t is None else hot_t.column("o_orderkey"),
+                   None if hot_t is None else hot_t.column("sum_qty_cents"),
+                   dim.column("c_custkey").combine_chunks(),
+                   dim.column("c_name").combine_chunks()))
+
+    class Attach:
+        def __init__(self, r):
+            self.hot_keys, self.hot_qty, self.ckeys, self.cnames = ray.get(r) \
+                if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cols = {"o_orderkey": b.column("o_orderkey"),
+                    "o_custkey": b.column("o_custkey"),
+                    "total_cents": pc.cast(pc.round(pc.multiply(
+                        b.column("o_totalprice"), 100)), pa.int64())}
+            if self.hot_keys is not None:
+                idx = pc.index_in(b.column("o_orderkey"),
+                                  value_set=self.hot_keys)
+                live = pc.is_valid(idx)
+                b2 = pa.table(cols).append_column(
+                    "sum_qty_cents", self.hot_qty.take(idx))
+                b2 = b2.filter(live)
+            else:                             # join path already attached it
+                b2 = pa.table({**cols,
+                               "sum_qty_cents": b.column("sum_qty_cents")})
+            cidx = pc.index_in(b2.column("o_custkey"), value_set=self.ckeys)
+            return b2.append_column("c_name", self.cnames.take(cidx))
+
+    base = orders if joined is None else joined
+    return base.map_batches(Attach, fn_constructor_args=(ref,),
+                            concurrency=2, batch_format="pyarrow")
+
+
+BIG_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 25000)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS total_cents,
+       b.sum_qty_cents, c.c_name
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+# ---- Q4 shape: EXISTS semi-join feeding a grouped count ---------------------
+
+
+def priority_counts(sf_dir: str):
+    """(o_orderpriority, n_orders) over a two-year order window, counting
+    only orders with at least one returned ('R') lineitem — TPC-H Q4's
+    EXISTS shape: a predicate-filtered fact scan reduced to DISTINCT keys,
+    semi-joined into the probe side, then a tiny grouped count.
+
+    The semi join takes the SHUFFLE strategy deliberately (the broadcast
+    path is already exercised by parts_in_lineitem): both sides exchange
+    keys-only on the hash bucket — the 100-TB path when the EXISTS side's
+    key set outgrows a worker heap. The grouped count pre-reduces per batch
+    (5 priorities) and folds driver-side."""
+    from ..stages.joins import semi_join
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+
+    def window(b: pa.Table) -> pa.Table:
+        d = pc.cast(b.column("o_orderdate"), pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return b.filter(keep)
+
+    orders = read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(window, batch_format="pyarrow")
+
+    returned = read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"]
+    ).filter(expr="l_returnflag == 'R'")
+
+    hits = semi_join(orders, returned, "o_orderkey", right_on="l_orderkey",
+                     strategy="shuffle", num_buckets=32)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = b.column("o_orderpriority").combine_chunks().value_counts()
+        return pa.table({
+            "o_orderpriority": pc.struct_field(vc, "values"),
+            "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+        })
+
+    df = hits.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    if "o_orderpriority" not in df.columns:
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                             "n_orders": pd.Series([], dtype=np.int64)})
+    out = df.groupby("o_orderpriority", as_index=False)["n"].sum()
+    out = out.rename(columns={"n": "n_orders"})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+PRIORITY_COUNTS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---- Q22 shape: scalar-subquery broadcast + NOT EXISTS ----------------------
+
+
+def rich_quiet_customers(sf_dir: str):
+    """(c_nationkey, n_cust, bal_cents) of customers whose balance is above
+    the positive-balance average and who never placed an URGENT order —
+    TPC-H Q22's shape: a global scalar aggregate broadcast into a filter,
+    then a NOT-EXISTS anti join, then a grouped count.
+
+    The above-average predicate is FULLY INTEGER (CLAUDE.md float rule):
+    ``bal_cents · n_pos > sum_pos_cents`` is the same comparison as
+    ``bal > avg`` with no float ever materialized, so boundary customers
+    cannot flip between engines. Pass 1 folds (n_pos, sum_pos) from
+    per-batch partials driver-side (two ints); pass 2 filters and
+    anti-joins on the shuffle path (urgent custkeys are keys-only)."""
+    from ..stages.joins import anti_join
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100)),
+                        pa.int64())
+        pos = pc.filter(cents, pc.greater(cents, 0))
+        return pa.table({"n_pos": pa.array([len(pos)], pa.int64()),
+                         "sum_pos": pa.array(
+                             [pc.sum(pos).as_py() or 0], pa.int64())})
+
+    tot = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    n_pos = int(tot["n_pos"].sum()) if "n_pos" in tot.columns else 0
+    sum_pos = int(tot["sum_pos"].sum()) if "n_pos" in tot.columns else 0
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100)),
+                        pa.int64())
+        t = pa.table({"c_custkey": b.column("c_custkey"),
+                      "c_nationkey": b.column("c_nationkey"),
+                      "bal_cents": cents})
+        return t.filter(pc.greater(pc.multiply(cents, n_pos), sum_pos))
+
+    urgent = read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+
+    quiet = anti_join(cust.map_batches(rich, batch_format="pyarrow"),
+                      urgent, "c_custkey", right_on="o_custkey",
+                      strategy="shuffle", num_buckets=32)
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_nationkey": pc.cast(b.column("c_nationkey"),
+                                             pa.int32()),
+                      "bal_cents": b.column("bal_cents")})
+        g = t.group_by("c_nationkey").aggregate(
+            [("bal_cents", "sum"), ("bal_cents", "count")])
+        return pa.table({"c_nationkey": g.column("c_nationkey"),
+                         "bal": g.column("bal_cents_sum"),
+                         "n": pc.cast(g.column("bal_cents_count"),
+                                      pa.int64())})
+
+    df = quiet.map_batches(nation_partial, batch_format="pyarrow").to_pandas()
+    if "c_nationkey" not in df.columns:
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype=np.int32),
+                             "n_cust": pd.Series([], dtype=np.int64),
+                             "bal_cents": pd.Series([], dtype=np.int64)})
+    out = df.groupby("c_nationkey", as_index=False).agg(
+        n_cust=("n", "sum"), bal_cents=("bal", "sum"))
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int32)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+RICH_QUIET_SQL = """
+WITH t AS (SELECT count(*) AS n_pos,
+                  sum(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_pos
+           FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer c, t
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * t.n_pos > t.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# ---- INTERSECT: days where a user both clicked and purchased ----------------
+
+
+def click_purchase_days(sf_dir: str):
+    """(user_id, day) pairs active on BOTH sides — the set-intersection
+    shape (SQL INTERSECT) between two DISTINCT key sets drawn from the same
+    log. Each batch pre-reduces to distinct (user, day) rows carrying two
+    0/1 side flags (an Arrow group-by max — the partial of the OR-fold);
+    ONE hash-bucket exchange on user co-locates each pair's partials and
+    the bucket fold keeps pairs whose both flags reached 1. Days are
+    integer epoch days (timestamp µs // 86400e6) so the comparison is
+    exact."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        b = b.filter(keep)
+        day = pc.divide(_epoch_us(b.column("ts")), _US_PER_DAY)
+        is_p = pc.cast(pc.equal(b.column("event_type"), "purchase"),
+                       pa.int8())
+        t = pa.table({"user_id": b.column("user_id"), "day": day,
+                      "p": is_p,
+                      "c": pc.subtract(pa.scalar(1, pa.int8()), is_p)})
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("p", "max"), ("c", "max")])
+        keys = g.column("user_id")
+        return pa.table({
+            "user_id": keys, "day": g.column("day"),
+            "p": g.column("p_max"), "c": g.column("c_max"),
+            "__b": pc.cast(pc.bit_wise_and(keys, 31), pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "day"], sort=False).agg(
+            p=("p", "max"), c=("c", "max"))
+        agg = agg[(agg["p"] == 1) & (agg["c"] == 1)]
+        idx = agg.index.to_frame(index=False)
+        return pd.DataFrame({
+            "user_id": idx["user_id"].to_numpy().astype(np.int64),
+            "day": idx["day"].to_numpy().astype(np.int64),
+        })
+
+    return ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+CLICK_PURCHASE_DAYS_SQL = """
+SELECT user_id, epoch_us(ts) // 86400000000 AS day
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, epoch_us(ts) // 86400000000 AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# ---- gaps-and-islands: longest consecutive-day activity streak --------------
+
+
+def longest_streak_users(sf_dir: str):
+    """(user_id, longest_streak, n_active_days) — the gaps-and-islands
+    pattern: per user, the longest run of CONSECUTIVE days with at least
+    one event. Per-batch distinct (user, epoch-day) partials → one
+    hash-bucket exchange on user → each bucket re-dedups, sorts once, and
+    labels islands with the classic ``day − rank`` anchor (two pandas
+    C-path passes for every user in the bucket — never a task per user).
+    All-integer arithmetic, so both engines agree exactly."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(_epoch_us(b.column("ts")), _US_PER_DAY)
+        t = pa.table({"user_id": b.column("user_id"), "day": day})
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        keys = g.column("user_id")
+        return g.append_column(
+            "__b", pc.cast(pc.bit_wise_and(keys, 31), pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "day"]].drop_duplicates()
+        d = d.sort_values(["user_id", "day"], kind="mergesort")
+        anchor = d["day"].to_numpy() - d.groupby(
+            "user_id", sort=False).cumcount().to_numpy()
+        runs = d.assign(__a=anchor).groupby(
+            ["user_id", "__a"], sort=False).size()
+        per_user = runs.groupby(level=0, sort=False).agg(["max", "sum"])
+        return pd.DataFrame({
+            "user_id": per_user.index.to_numpy().astype(np.int64),
+            "longest_streak": per_user["max"].to_numpy().astype(np.int64),
+            "n_active_days": per_user["sum"].to_numpy().astype(np.int64),
+        })
+
+    return ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+LONGEST_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+  FROM days),
+runs AS (SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id
+"""
+
+
+# ---- ordered grouped string concatenation -----------------------------------
+
+
+def first_events_path(sf_dir: str, k: int = 5):
+    """(user_id, path) — the user's first ``k`` event types joined with
+    '>' in time order (ordered string_agg — the path/journey shape of
+    product analytics). Each batch pre-truncates to its LOCAL first-k per
+    user (the global first-k is a subset of the union of per-batch
+    first-k's, so the exchange carries at most k rows per (batch, user));
+    the bucket fold re-sorts and joins at C speed via a single
+    ``str.cat``-free ``groupby.agg(join)`` over at most k·users rows.
+    Timestamps compare as integer microseconds with event_id tiebreak, so
+    the order — and therefore the string — is deterministic."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "t": _epoch_us(b.column("ts")),
+                      "event_id": b.column("event_id"),
+                      "event_type": b.column("event_type")})
+        df = t.to_pandas()
+        df = df.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        df = df[df.groupby("user_id", sort=False).cumcount() < k]
+        df["__b"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        # strip pandas metadata: unhashable schema meta breaks Ray's
+        # schema-dedup cache (log spam) downstream of the exchange
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        g = g[g.groupby("user_id", sort=False).cumcount() < k]
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(
+            ">".join)
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy().astype(np.int64),
+            "path": agg.to_numpy(),
+        })
+
+    return ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+FIRST_EVENTS_PATH_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+FROM r WHERE rn <= 5 GROUP BY user_id
+"""

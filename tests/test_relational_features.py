@@ -1,0 +1,157 @@
+"""Differential tests for the round-4 relational composites (Q13/Q18/Q4/Q22
+shapes, INTERSECT, gaps-and-islands, ordered string_agg) and the feature
+stages (min-max ppm scaling, integer-MIPS k-NN graph), plus edge cases the
+sf-dir oracles can't reach (zero-order customers, the Q18 join fallback, the
+self-edge sentinel overflow regression)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+_TABLES = ("customer", "orders", "lineitem", "events", "documents",
+           "embeddings")
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _cmp(ours: pd.DataFrame, sql: str, sort_cols):
+    theirs = _oracle(sql)
+    a = ours.sort_values(sort_cols).reset_index(drop=True)[sorted(ours.columns)]
+    b = theirs.sort_values(sort_cols).reset_index(drop=True)[
+        sorted(theirs.columns)]
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def _df(out):
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+
+@pytest.mark.parametrize("qname,sort_cols", [
+    ("order_count_distribution", ["c_count"]),
+    ("big_orders", ["o_orderkey"]),
+    ("priority_counts", ["o_orderpriority"]),
+    ("rich_quiet_customers", ["c_nationkey"]),
+    ("click_purchase_days", ["user_id", "day"]),
+    ("longest_streak_users", ["user_id"]),
+    ("first_events_path", ["user_id"]),
+])
+def test_relational_matches_oracle(ray_session, qname, sort_cols):
+    from jsonschema_validator_ray.pipelines import relational
+
+    import __ray_entry__ as entry
+
+    out = _df(getattr(relational, qname)(SF))
+    _cmp(out, entry.oracle_sql()[qname], sort_cols)
+
+
+@pytest.mark.parametrize("qname,sort_cols", [
+    ("minmax_normalize_documents", ["doc_id"]),
+    ("knn_graph_embeddings", ["vec_id", "rank"]),
+])
+def test_features_match_oracle(ray_session, qname, sort_cols):
+    from jsonschema_validator_ray.pipelines import features
+
+    import __ray_entry__ as entry
+
+    out = _df(getattr(features, qname)(SF))
+    _cmp(out, entry.oracle_sql()[qname], sort_cols)
+
+
+def test_big_orders_join_fallback(ray_session):
+    """driver_limit=0 forces the bucketed-join scale path; results must be
+    identical to the broadcast path."""
+    from jsonschema_validator_ray.pipelines.relational import big_orders
+
+    broad = _df(big_orders(SF)).sort_values("o_orderkey") \
+        .reset_index(drop=True)
+    joined = _df(big_orders(SF, driver_limit=0))[broad.columns] \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+
+def test_order_count_distribution_zero_customers(ray_session, tmp_path):
+    """Customers without any order must appear in the c_count=0 bin (the
+    LEFT-JOIN subtlety); order custkeys missing from customer must NOT."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+                   str(d / "customer.parquet"))
+    pq.write_table(pa.table({"o_custkey": pa.array([1, 1, 2, 99], pa.int64())}),
+                   str(d / "orders.parquet"))
+    from jsonschema_validator_ray.pipelines.relational import (
+        order_count_distribution)
+
+    out = order_count_distribution(str(d)).set_index("c_count")["n_cust"]
+    assert out.to_dict() == {2: 1, 1: 1, 0: 2}
+
+
+def test_longest_streak_islands(ray_session, tmp_path):
+    """Hand-built islands: user 7 has days {0,1,2, 4,5, 9} → longest 3,
+    active 6; duplicate events on one day collapse."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    days = [0, 0, 1, 2, 4, 5, 9]
+    ts = pd.to_datetime(np.array(days) * 86_400_000_000_000 + 5)
+    pq.write_table(pa.table({
+        "user_id": pa.array([7] * len(days), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    }), str(d / "events.parquet"))
+    from jsonschema_validator_ray.pipelines.relational import (
+        longest_streak_users)
+
+    out = _df(longest_streak_users(str(d)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["user_id"], row["longest_streak"], row["n_active_days"]) \
+        == (7, 3, 6)
+
+
+def test_knn_graph_no_self_edges_and_sentinel(ray_session):
+    """Self-edges excluded; regression for the -INT64_MIN argpartition
+    overflow (self rows used to win the top-k)."""
+    from jsonschema_validator_ray.pipelines.features import (
+        knn_graph_embeddings)
+
+    out = _df(knn_graph_embeddings(SF))
+    assert (out["vec_id"] != out["neighbor_id"]).all()
+    assert (out["dot"] > -(1 << 62)).all()
+    # each vector contributes exactly k=5 ranked rows
+    per = out.groupby("vec_id")["rank"].agg(["count", "min", "max"])
+    assert (per["count"] == 5).all()
+    assert (per["min"] == 1).all() and (per["max"] == 5).all()
+
+
+def test_knn_graph_broadcast_gate(ray_session):
+    from jsonschema_validator_ray.pipelines.features import (
+        knn_graph_embeddings)
+
+    with pytest.raises(ValueError, match="IVF"):
+        knn_graph_embeddings(SF, broadcast_limit_rows=3)
+
+
+def test_minmax_constant_group(ray_session, tmp_path):
+    """A single-doc language has max == min → norm_ppm 0, not a div0."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "zz"]),
+        "n_chars": pa.array([10, 30, 7], pa.int64()),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.features import (
+        minmax_normalize_documents)
+
+    out = _df(minmax_normalize_documents(str(d))).set_index("doc_id")
+    assert out.loc[3, "norm_ppm"] == 0
+    assert out.loc[1, "norm_ppm"] == 0
+    assert out.loc[2, "norm_ppm"] == 1_000_000
