@@ -231,6 +231,9 @@ def run_bench() -> dict:
         "top_unshipped_orders", "segment_revenue_skewed",
         "geomean_quantity_returnflag", "slope_price_qty_returnflag",
         "trending_events", "top_users_exact",
+        "order_count_distribution", "big_orders", "priority_counts",
+        "rich_quiet_customers", "longest_streak_users",
+        "minmax_normalize_documents", "knn_graph_embeddings",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
