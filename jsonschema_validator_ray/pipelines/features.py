@@ -186,3 +186,89 @@ pairs AS (
 SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS rank, dot
 FROM pairs WHERE rn <= 5
 """
+
+
+# ---- target (mean) encoding --------------------------------------------------
+
+
+def target_encode_customers(sf_dir: str):
+    """(c_custkey, c_mktsegment, enc_microcents) — target encoding: each
+    customer carries its segment's mean order value, the categorical →
+    numeric feature encoder of tabular ML. The grouped statistic comes
+    from ONE fact pass (segment looked up per order via the broadcast
+    customer dimension, per-batch (segment, sum_cents, n) partials, driver
+    fold of a handful of groups — all Python ints, so no int64 overflow at
+    any scale) and broadcasts back onto the entity rows as exact
+    micro-cents: ``(sum_cents · 1e6) // n`` — floor division of exact
+    integers, identical in both engines (DuckDB folds through HUGEINT)."""
+    import ray
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    dim = pa.concat_tables(ray.get(cust.to_arrow_refs())).combine_chunks()
+    ref = ray.put((dim.column("c_custkey").combine_chunks(),
+                   dim.column("c_mktsegment").combine_chunks()))
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_totalprice"])
+
+    class SegPartial:
+        def __init__(self, r):
+            self.keys, self.segs = ray.get(r) \
+                if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b.column("o_custkey"), value_set=self.keys)
+            seg = self.segs.take(idx)
+            cents = pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"), 100)), pa.int64())
+            t = pa.table({"seg": seg, "cents": cents}).filter(
+                pc.is_valid(seg))
+            g = t.group_by("seg").aggregate(
+                [("cents", "sum"), ("cents", "count")])
+            return pa.table({"seg": g.column("seg"),
+                             "s": g.column("cents_sum"),
+                             "n": pc.cast(g.column("cents_count"),
+                                          pa.int64())})
+
+    part = orders.map_batches(SegPartial, fn_constructor_args=(ref,),
+                              concurrency=2, batch_format="pyarrow") \
+        .to_pandas()
+    if "seg" not in part.columns or not len(part):
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                             "c_mktsegment": pd.Series([], dtype=object),
+                             "enc_microcents": pd.Series([],
+                                                         dtype=np.int64)})
+    # Python-int fold: sums × 1e6 exceed int64 at large SFs; the driver
+    # fold is groups-count sized either way
+    enc = {seg: (int(g["s"].sum()) * 1_000_000) // int(g["n"].sum())
+           for seg, g in part.groupby("seg")}
+    segs = pa.array(list(enc))
+    vals = np.fromiter(enc.values(), dtype=np.int64, count=len(enc))
+
+    def attach(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column("c_mktsegment"), value_set=segs) \
+            .to_numpy(zero_copy_only=False)
+        live = idx >= 0 if idx.dtype != object else np.array(
+            [i is not None for i in idx])
+        out = pa.table({"c_custkey": b.column("c_custkey"),
+                        "c_mktsegment": b.column("c_mktsegment"),
+                        "enc_microcents": pa.array(
+                            vals[np.where(np.isnan(idx.astype(np.float64)),
+                                          0, idx).astype(np.int64)],
+                            pa.int64())})
+        return out.filter(pa.array(~np.isnan(idx.astype(np.float64))))
+
+    return cust.map_batches(attach, batch_format="pyarrow")
+
+
+TARGET_ENCODE_SQL = """
+WITH e AS (
+  SELECT c_mktsegment,
+         CAST((sum(CAST(round(o_totalprice*100) AS BIGINT)) * 1000000)
+              // count(*) AS BIGINT) AS enc_microcents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment)
+SELECT c.c_custkey, c.c_mktsegment, e.enc_microcents
+FROM customer c JOIN e USING (c_mktsegment)
+"""

@@ -543,3 +543,191 @@ WITH r AS (
 SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
 FROM r WHERE rn <= 5 GROUP BY user_id
 """
+
+
+# ---- interval overlap join: sessions × per-type daily activity spans --------
+
+
+def session_type_overlaps(sf_dir: str):
+    """(user_id, s_start_us, s_end_us, event_type, day, w_start_us,
+    w_end_us) — every user session overlapping each event type's daily
+    activity span (first..last event of that type that day): the interval
+    OVERLAP join shape (arbitrary intervals both sides —
+    stages/joins.interval_overlap_join; range_join's non-overlapping
+    assumption does not hold here).
+
+    Sessions come from the gap-sessionize operator; the span side is
+    (types × days) rows — bounded metadata scale, folded driver-side from
+    per-batch (type, day, min, max) partials and re-distributed. Cell
+    width = 1 day ≈ the span length, so replication is ~2× for sessions
+    (most fit one day) and ~1× for spans."""
+    import ray.data
+
+    from ..stages.joins import interval_overlap_join
+    from ..stages.windows import sessionize
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+
+    sess = sessionize(ev.select_columns(["user_id", "ts"]),
+                      "user_id", "ts", gap_s=3600)
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "s_start_us": _epoch_us(b.column("session_start")),
+            "s_end_us": _epoch_us(b.column("session_end")),
+        })
+
+    left = sess.map_batches(to_us, batch_format="pyarrow")
+
+    def span_partial(b: pa.Table) -> pa.Table:
+        us = _epoch_us(b.column("ts"))
+        t = pa.table({"event_type": b.column("event_type"),
+                      "day": pc.divide(us, _US_PER_DAY), "us": us})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("us", "min"), ("us", "max")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "w_start_us": g.column("us_min"),
+                         "w_end_us": g.column("us_max")})
+
+    spans_df = ev.map_batches(span_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if "event_type" not in spans_df.columns or not len(spans_df):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
+                             ("user_id", "s_start_us", "s_end_us",
+                              "event_type", "day", "w_start_us",
+                              "w_end_us")})
+    spans = spans_df.groupby(["event_type", "day"], as_index=False).agg(
+        w_start_us=("w_start_us", "min"), w_end_us=("w_end_us", "max"))
+    right = ray.data.from_pandas(spans)
+
+    return interval_overlap_join(
+        left, right, l_start="s_start_us", l_end="s_end_us",
+        r_start="w_start_us", r_end="w_end_us", cell_us=_US_PER_DAY)
+
+
+SESSION_TYPE_OVERLAPS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sessions AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_start_us,
+         max(epoch_us(ts)) AS s_end_us
+  FROM sess GROUP BY user_id, sid
+), spans AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         min(epoch_us(ts)) AS w_start_us, max(epoch_us(ts)) AS w_end_us
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, s.s_start_us, s.s_end_us,
+       p.event_type, p.day, p.w_start_us, p.w_end_us
+FROM sessions s JOIN spans p
+  ON s.s_start_us <= p.w_end_us AND p.w_start_us <= s.s_end_us
+"""
+
+
+# ---- EXCEPT: sources publishing in one language but not another -------------
+
+
+def sources_except_zh(sf_dir: str):
+    """(source) — sources with English documents but NO Chinese documents:
+    the set-difference shape (SQL EXCEPT). Same one-exchange partial-flag
+    fold as the INTERSECT (:func:`click_purchase_days`), with the keep
+    condition flipped to present-left AND absent-right."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang")
+        keep = pc.or_(pc.equal(lang, "en"), pc.equal(lang, "zh"))
+        b = b.filter(keep)
+        is_zh = pc.cast(pc.equal(b.column("lang"), "zh"), pa.int8())
+        t = pa.table({"source": b.column("source"), "zh": is_zh,
+                      "en": pc.subtract(pa.scalar(1, pa.int8()), is_zh)})
+        g = t.group_by("source").aggregate([("en", "max"), ("zh", "max")])
+        src = g.column("source").combine_chunks()
+        h = pd.util.hash_pandas_object(src.to_pandas(),
+                                       index=False).to_numpy()
+        return pa.table({"source": src, "en": g.column("en_max"),
+                         "zh": g.column("zh_max"),
+                         "__b": pa.array((h % np.uint64(32))
+                                         .astype(np.int32))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("source", sort=False).agg(en=("en", "max"),
+                                                  zh=("zh", "max"))
+        return pd.DataFrame({
+            "source": agg.index[(agg["en"] == 1)
+                                & (agg["zh"] == 0)].to_numpy()})
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+SOURCES_EXCEPT_SQL = """
+SELECT source FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT source FROM documents WHERE lang = 'zh'
+"""
+
+
+# ---- conditional-min aggregate: time to first conversion --------------------
+
+
+def time_to_first_purchase(sf_dir: str):
+    """(user_id, us_to_first_purchase) — microseconds from each user's
+    FIRST event to their FIRST purchase (time-to-conversion): the
+    conditional-aggregate shape (min FILTER / min CASE). Per-batch
+    partials carry (min_all, min_purchase) per user — the purchase min
+    uses the int64 max as the absent sentinel so the fold is a plain
+    integer min — one bucket exchange, users without a purchase dropped
+    at the fold (SQL HAVING)."""
+    _ABSENT = np.iinfo(np.int64).max
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _epoch_us(b.column("ts"))
+        is_p = pc.equal(b.column("event_type"), "purchase")
+        p_us = pc.if_else(is_p, us, pa.scalar(_ABSENT, pa.int64()))
+        t = pa.table({"user_id": b.column("user_id"), "a": us, "p": p_us})
+        g = t.group_by("user_id").aggregate([("a", "min"), ("p", "min")])
+        keys = g.column("user_id")
+        return pa.table({"user_id": keys, "a": g.column("a_min"),
+                         "p": g.column("p_min"),
+                         "__b": pc.cast(pc.bit_wise_and(keys, 31),
+                                        pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", sort=False).agg(a=("a", "min"),
+                                                   p=("p", "min"))
+        agg = agg[agg["p"] < _ABSENT]
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy().astype(np.int64),
+            "us_to_first_purchase": (agg["p"] - agg["a"]).to_numpy()
+            .astype(np.int64),
+        })
+
+    return ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+TIME_TO_FIRST_PURCHASE_SQL = """
+SELECT user_id,
+       CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+            - min(epoch_us(ts)) AS BIGINT) AS us_to_first_purchase
+FROM events GROUP BY user_id
+HAVING min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       IS NOT NULL
+"""

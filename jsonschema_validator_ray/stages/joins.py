@@ -513,3 +513,115 @@ def skewed_join(left, right, on: str, *, right_on: str | None = None,
         return b
 
     return joined.map_batches(cast_back, batch_format="pyarrow")
+
+
+def interval_overlap_join(left, right, *, l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          cell_us: int = 86_400_000_000,
+                          num_buckets: int = 32):
+    """Interval OVERLAP join: every (left, right) pair whose CLOSED
+    intervals intersect — ``l_start <= r_end AND r_start <= l_end``. The
+    arbitrary-overlap sibling of :func:`range_join` (which assumes
+    non-overlapping right intervals and matches point-in-interval).
+
+    Plan: each side replicates its rows to every time CELL of width
+    ``cell_us`` its interval touches (vectorized ``np.repeat`` expansion),
+    both sides exchange once on the cell hash, and each bucket
+    pandas-merges its co-located cells and filters the overlap predicate.
+    An overlapping pair exists in every cell BOTH intervals touch; it is
+    emitted exactly once — in the cell containing ``max(l_start, r_start)``
+    (the overlap's own start, which lies inside both intervals, so both
+    replicas are present there) — so no dedup exchange is needed.
+
+    Exactness: interval bounds are int64 microseconds and travel the
+    padded union under the SHARED names ``__s``/``__e`` (present on both
+    sides — never null-padded, so pandas cannot upcast them to float64,
+    which corrupts epoch-µs magnitudes past 2^53). Payload columns ARE
+    padded; int64 payloads come back from the float upcast via the
+    recorded-dtype cast (exact for values < 2^53 — document larger ones).
+
+    Partitioning assumptions (custom-operator rule): ``cell_us`` should be
+    on the order of the TYPICAL interval length — replication factor is
+    ``interval_len / cell_us + 1`` per row, and a cell's work is
+    |lefts| × |rights| within the cell, so extremely long intervals or a
+    hot cell need a coarser cell or an upstream split."""
+    assert not (set(left.schema().names) & set(right.schema().names)), \
+        "interval_overlap_join requires disjoint column names"
+
+    def replicate(start_col: str, end_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            s = b.column(start_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            e = b.column(end_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            c0, c1 = s // cell_us, e // cell_us
+            reps = (c1 - c0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(n), reps)
+            offs = np.arange(reps.sum()) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+            cells = c0[idx] + offs
+            t = b.drop_columns([start_col, end_col]).take(idx)
+            t = t.append_column("__s", pa.array(s[idx]))
+            t = t.append_column("__e", pa.array(e[idx]))
+            t = t.append_column("__cell", pa.array(cells))
+            h = pd.util.hash_pandas_object(pd.Series(cells),
+                                           index=False).to_numpy()
+            return no_meta(t).append_column(
+                "__cb", pa.array((h % np.uint64(num_buckets))
+                                 .astype(np.int32)))
+        return fn
+
+    l_rep = left.map_batches(replicate(l_start, l_end),
+                             batch_format="pyarrow")
+    r_rep = right.map_batches(replicate(r_start, r_end),
+                              batch_format="pyarrow")
+    both, l_cols_all, r_cols_all = _pad_union(l_rep, r_rep, [])
+    shared = {"__s", "__e", "__cell", "__cb"}
+    l_pay = [c for c in l_cols_all if c not in shared]
+    r_pay = [c for c in r_cols_all if c not in shared]
+
+    # dtypes for the exact cast-back of padded payload columns
+    pay_types: dict = {}
+    for side, pay in ((left, l_pay), (right, r_pay)):
+        sch = side.schema()
+        for nm, t in zip(sch.names, sch.types):
+            # pandas-backed datasets report numpy/python types here;
+            # only Arrow DataTypes are castable targets
+            if nm in pay and isinstance(t, pa.DataType):
+                pay_types[nm] = t
+
+    out_cols = l_pay + [l_start, l_end] + r_pay + [r_start, r_end]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lp = g.loc[g["__side"] == "l",
+                   l_pay + ["__s", "__e", "__cell"]].rename(
+            columns={"__s": l_start, "__e": l_end})
+        rp = g.loc[g["__side"] == "r",
+                   r_pay + ["__s", "__e", "__cell"]].rename(
+            columns={"__s": r_start, "__e": r_end})
+        if lp.empty or rp.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in out_cols})
+        m = lp.merge(rp, on="__cell")
+        ls, le = m[l_start].to_numpy(), m[l_end].to_numpy()
+        rs, re_ = m[r_start].to_numpy(), m[r_end].to_numpy()
+        keep = (ls <= re_) & (rs <= le) & \
+            (np.maximum(ls, rs) // cell_us == m["__cell"].to_numpy())
+        return m.loc[keep, out_cols]
+
+    joined = both.groupby("__cb").map_groups(per_bucket,
+                                             batch_format="pandas")
+
+    def cast_back(b: pa.Table) -> pa.Table:
+        for i, nm in enumerate(b.column_names):
+            t = pay_types.get(nm)
+            if t is None or b.column(nm).type == t:
+                continue
+            try:
+                b = b.set_column(i, nm, pc.cast(b.column(nm), t))
+            except pa.ArrowInvalid:
+                pass
+        return b
+
+    return joined.map_batches(cast_back, batch_format="pyarrow")

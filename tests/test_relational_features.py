@@ -155,3 +155,84 @@ def test_minmax_constant_group(ray_session, tmp_path):
     assert out.loc[3, "norm_ppm"] == 0
     assert out.loc[1, "norm_ppm"] == 0
     assert out.loc[2, "norm_ppm"] == 1_000_000
+
+
+@pytest.mark.parametrize("qname,sort_cols", [
+    ("session_type_overlaps", ["user_id", "s_start_us", "event_type", "day"]),
+    ("sources_except_zh", ["source"]),
+    ("time_to_first_purchase", ["user_id"]),
+])
+def test_relational_batch2_matches_oracle(ray_session, qname, sort_cols):
+    from jsonschema_validator_ray.pipelines import relational
+
+    import __ray_entry__ as entry
+
+    out = _df(getattr(relational, qname)(SF))
+    _cmp(out, entry.oracle_sql()[qname], sort_cols)
+
+
+def test_target_encode_matches_oracle(ray_session):
+    from jsonschema_validator_ray.pipelines import features
+
+    import __ray_entry__ as entry
+
+    out = _df(features.target_encode_customers(SF))
+    _cmp(out, entry.oracle_sql()["target_encode_customers"], ["c_custkey"])
+
+
+def test_interval_overlap_join_exact_once(ray_session):
+    """Hand-built intervals: multi-cell spans are emitted exactly once,
+    closed endpoints touch-match, disjoint intervals never match."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import interval_overlap_join
+
+    cell = 100
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1, 2, 3], pa.int64()),
+        "ls": pa.array([0, 250, 990], pa.int64()),
+        "le": pa.array([350, 260, 1000], pa.int64()),   # 1 spans 4 cells
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array([10, 11, 12], pa.int64()),
+        "rs": pa.array([340, 351, 250], pa.int64()),
+        "re": pa.array([400, 360, 250], pa.int64()),
+    }))
+    out = interval_overlap_join(
+        left, right, l_start="ls", l_end="le",
+        r_start="rs", r_end="re", cell_us=cell).to_pandas()
+    pairs = sorted(map(tuple, out[["lid", "rid"]].to_numpy()))
+    # 1×10 touch at 340..350 (closed); 1×12 contains 250; 2×12 touches 250
+    # exactly; 1×11 disjoint (351 > 350); 3 overlaps nothing
+    assert pairs == [(1, 10), (1, 12), (2, 12)]
+    # exact-once: no duplicate pairs despite interval 1 spanning 4 cells
+    assert len(pairs) == len(set(pairs))
+    # bounds survive the exchange exactly (never float-upcast)
+    row = out[(out.lid == 1) & (out.rid == 10)].iloc[0]
+    assert (row["ls"], row["le"], row["rs"], row["re"]) == (0, 350, 340, 400)
+    assert out.dtypes["ls"] == np.int64
+
+
+def test_interval_overlap_join_epoch_magnitudes(ray_session):
+    """Epoch-µs magnitudes (≈1.7e18 > 2^53) must survive exactly — the
+    float64-upcast corruption this operator is built to dodge."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import interval_overlap_join
+
+    base = 1_700_000_000_000_001_237               # not float64-representable
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1], pa.int64()),
+        "ls": pa.array([base], pa.int64()),
+        "le": pa.array([base + 7], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array([2], pa.int64()),
+        "rs": pa.array([base + 3], pa.int64()),
+        "re": pa.array([base + 11], pa.int64()),
+    }))
+    out = interval_overlap_join(
+        left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+        cell_us=86_400_000_000).to_pandas()
+    assert len(out) == 1
+    assert int(out.iloc[0]["ls"]) == base and int(out.iloc[0]["rs"]) == base + 3
