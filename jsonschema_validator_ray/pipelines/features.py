@@ -272,3 +272,43 @@ WITH e AS (
 SELECT c.c_custkey, c.c_mktsegment, e.enc_microcents
 FROM customer c JOIN e USING (c_mktsegment)
 """
+
+
+# ---- embedding diagnostics: argmax-dimension histogram ------------------------
+
+
+def dim_argmax_embeddings(sf_dir: str):
+    """(dim, n_vecs) — how often each dimension is a vector's maximum
+    component: the embedding-health diagnostic (a collapsed representation
+    shows a few dominant dims). EXACT across engines because comparisons
+    of exactly-stored float32 values never accumulate error: numpy argmax
+    and DuckDB list_indexof(l, list_max(l)) both take the FIRST maximal
+    index. Per-batch bincount partials, driver fold of d ints."""
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b, "embedding")
+        if m.shape[0] == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        am = np.argmax(m, axis=1)
+        cnt = np.bincount(am, minlength=m.shape[1])
+        return pa.table({"dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "dim" not in df.columns or not len(df):
+        return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                             "n_vecs": pd.Series([], dtype=np.int64)})
+    out = df.groupby("dim", as_index=False)["n"].sum()
+    out = out[out["n"] > 0].rename(columns={"n": "n_vecs"})
+    return out.reset_index(drop=True)
+
+
+DIM_ARGMAX_SQL = """
+SELECT CAST(list_indexof(embedding, list_max(embedding)) - 1 AS BIGINT)
+         AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""

@@ -731,3 +731,196 @@ FROM events GROUP BY user_id
 HAVING min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
        IS NOT NULL
 """
+
+
+# ---- BFS levels: iterative frontier expansion over the trade graph ----------
+
+
+def bfs_levels_custsupp(sf_dir: str, seed: str = "c1", hops: int = 3,
+                        frontier_limit: int = 8_000_000):
+    """(node, level) — breadth-first hop distance from a seed over the
+    symmetric customer–supplier trade graph (same edge construction as
+    pagerank_custsupp), levels 0..hops. The iterative-frontier shape:
+    each round broadcasts the current frontier into ONE edges scan
+    (``pc.is_in`` on src), two-phase-distincts the neighbors, and labels
+    the unseen ones with the next level.
+
+    The frontier/label sets are bounded by the NODE count (not the edge
+    count); the driver gather is gated at ``frontier_limit`` — past it,
+    swap the broadcast probe for stages/joins.semi_join(shuffle) + an
+    anti_join against labels, which is the same rounds with one extra
+    exchange each (the PageRank stage already demonstrates the fully
+    distributed iterative exchange)."""
+    from ..stages.joins import bucketed_join
+
+    o = read_parquet(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderkey", "o_custkey"])
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey"])
+    j = bucketed_join(li, o, on="l_orderkey", right_on="o_orderkey")
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        src = pc.binary_join_element_wise(
+            "c", pc.cast(b.column("o_custkey"), pa.string()), "")
+        dst = pc.binary_join_element_wise(
+            "s", pc.cast(b.column("l_suppkey"), pa.string()), "")
+        df = pa.table({"src": src, "dst": dst}).to_pandas() \
+            .drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            df["src"] + "\x00" + df["dst"], index=False).to_numpy()
+        return pa.Table.from_pandas(
+            df.assign(__pb=(h % 32).astype(np.int32)),
+            preserve_index=False).replace_schema_metadata(None)
+
+    dedup = j.map_batches(pair_partials, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(
+            lambda g: g.drop(columns="__pb").drop_duplicates(),
+            batch_format="pandas")
+
+    def symmetric(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            b.select(["src", "dst"]),
+            pa.table({"src": b.column("dst"), "dst": b.column("src")})])
+
+    edges = dedup.map_batches(symmetric,
+                              batch_format="pyarrow").materialize()
+
+    levels: dict[str, int] = {seed: 0}
+    frontier = pa.array([seed])
+    for lvl in range(1, hops + 1):
+        fr = frontier  # captured per round
+
+        def neigh(b: pa.Table, fr=fr) -> pa.Table:
+            hit = b.filter(pc.fill_null(
+                pc.is_in(b.column("src"), value_set=fr), False))
+            u = pc.unique(hit.column("dst").combine_chunks())
+            return pa.table({"node": u})
+
+        cand = edges.map_batches(neigh, batch_format="pyarrow").to_pandas()
+        if "node" not in cand.columns or not len(cand):
+            break
+        assert len(cand) <= frontier_limit, \
+            "frontier outgrew the driver gate; use the semi_join path"
+        new = [n for n in cand["node"].drop_duplicates() if n not in levels]
+        if not new:
+            break
+        for n in new:
+            levels[n] = lvl
+        frontier = pa.array(new)
+
+    return pd.DataFrame({
+        "node": list(levels),
+        "level": pd.Series(list(levels.values()), dtype=np.int64),
+    }).sort_values(["level", "node"]).reset_index(drop=True)
+
+
+_BFS_ROUND = """
+f{k} AS (SELECT DISTINCT e.dst AS node FROM e
+         JOIN l{p} ON e.src = l{p}.node),
+l{k} AS (SELECT node FROM f{k}
+         WHERE node NOT IN (SELECT node FROM a{p})),
+a{k} AS (SELECT node FROM a{p} UNION ALL SELECT node FROM l{k})"""
+
+BFS_LEVELS_SQL = ("""
+WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM e0
+      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+l0 AS (SELECT 'c1' AS node),
+a0 AS (SELECT node FROM l0),"""
+                  + ",".join(_BFS_ROUND.format(k=k, p=k - 1)
+                             for k in (1, 2, 3))
+                  + """
+SELECT node, CAST(0 AS BIGINT) AS level FROM l0
+UNION ALL SELECT node, 1 FROM l1
+UNION ALL SELECT node, 2 FROM l2
+UNION ALL SELECT node, 3 FROM l3
+ORDER BY level, node
+""")
+
+
+# ---- dense time grid with zero fill ------------------------------------------
+
+
+def dense_hourly_events(sf_dir: str):
+    """(hour, n_events) for EVERY hour between the log's first and last
+    event — gaps filled with zero (the dense-timeseries shape dashboards
+    and anomaly detectors need; a plain groupby silently drops empty
+    hours). Per-batch hour-count partials fold driver-side: the grid is
+    O(time span), not O(rows) — 720 rows for a 30-day log at ANY corpus
+    size — so the driver reindex is bounded by calendar length."""
+    ev = read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hr = pc.divide(_epoch_us(b.column("ts")), 3_600_000_000)
+        vc = hr.combine_chunks().value_counts()
+        return pa.table({"hour": pc.struct_field(vc, "values"),
+                         "n": pc.cast(pc.struct_field(vc, "counts"),
+                                      pa.int64())})
+
+    df = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "hour" not in df.columns or not len(df):
+        return pd.DataFrame({"hour": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64)})
+    cnt = df.groupby("hour")["n"].sum()
+    grid = np.arange(cnt.index.min(), cnt.index.max() + 1)
+    dense = cnt.reindex(grid, fill_value=0)
+    return pd.DataFrame({"hour": grid.astype(np.int64),
+                         "n_events": dense.to_numpy().astype(np.int64)})
+
+
+DENSE_HOURLY_SQL = """
+WITH bounds AS (SELECT min(epoch_us(ts) // 3600000000) AS mn,
+                       max(epoch_us(ts) // 3600000000) AS mx FROM events),
+grid AS (SELECT unnest(generate_series(mn, mx)) AS hour FROM bounds),
+cnt AS (SELECT epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+        FROM events GROUP BY 1)
+SELECT g.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN cnt c USING (hour)
+"""
+
+
+# ---- period-over-period growth -----------------------------------------------
+
+
+def wow_growth_events(sf_dir: str):
+    """(week, n_events, growth_bp) — week-over-week event growth in exact
+    basis points: ``(n − prev) · 10000`` divided by ``prev`` with
+    TRUNCATION toward zero, matching DuckDB's ``//`` on signed ints
+    (Python's ``//`` floors, so negative growth would differ by 1 bp —
+    the sign-aware form below truncates). Weekly counts fold driver-side
+    (weeks are O(time span)); the lag is over that tiny series."""
+    ev = read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    _US_PER_WEEK = 7 * _US_PER_DAY
+
+    def partial(b: pa.Table) -> pa.Table:
+        wk = pc.divide(_epoch_us(b.column("ts")), _US_PER_WEEK)
+        vc = wk.combine_chunks().value_counts()
+        return pa.table({"week": pc.struct_field(vc, "values"),
+                         "n": pc.cast(pc.struct_field(vc, "counts"),
+                                      pa.int64())})
+
+    df = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "week" not in df.columns or not len(df):
+        return pd.DataFrame({"week": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "growth_bp": pd.Series([], dtype=np.int64)})
+    cnt = df.groupby("week")["n"].sum().sort_index()
+    n = cnt.to_numpy().astype(np.int64)
+    prev = n[:-1]
+    diff = (n[1:] - prev) * 10000
+    growth = np.where(diff >= 0, diff // prev, -((-diff) // prev))
+    return pd.DataFrame({"week": cnt.index.to_numpy()[1:].astype(np.int64),
+                         "n_events": n[1:],
+                         "growth_bp": growth.astype(np.int64)})
+
+
+WOW_GROWTH_SQL = """
+WITH w AS (SELECT epoch_us(ts) // 604800000000 AS week, count(*) AS n
+           FROM events GROUP BY 1),
+lagged AS (SELECT week, n, lag(n) OVER (ORDER BY week) AS prev FROM w)
+SELECT week, CAST(n AS BIGINT) AS n_events,
+       CAST(((n - prev) * 10000) // prev AS BIGINT) AS growth_bp
+FROM lagged WHERE prev IS NOT NULL
+"""

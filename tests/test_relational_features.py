@@ -236,3 +236,64 @@ def test_interval_overlap_join_epoch_magnitudes(ray_session):
         cell_us=86_400_000_000).to_pandas()
     assert len(out) == 1
     assert int(out.iloc[0]["ls"]) == base and int(out.iloc[0]["rs"]) == base + 3
+
+
+@pytest.mark.parametrize("qname,module,sort_cols", [
+    ("bfs_levels_custsupp", "relational", ["level", "node"]),
+    ("dense_hourly_events", "relational", ["hour"]),
+    ("wow_growth_events", "relational", ["week"]),
+    ("dim_argmax_embeddings", "features", ["dim"]),
+])
+def test_batch3_matches_oracle(ray_session, qname, module, sort_cols):
+    import importlib
+
+    import __ray_entry__ as entry
+
+    mod = importlib.import_module(f"jsonschema_validator_ray.pipelines.{module}")
+    out = _df(getattr(mod, qname)(SF))
+    _cmp(out, entry.oracle_sql()[qname], sort_cols)
+
+
+def test_bfs_levels_seed_and_monotone(ray_session):
+    from jsonschema_validator_ray.pipelines.relational import (
+        bfs_levels_custsupp)
+
+    out = bfs_levels_custsupp(SF)
+    assert out[out.node == "c1"]["level"].tolist() == [0]
+    # level-1 nodes are suppliers (bipartite), level-2 customers
+    lv = out.set_index("node")["level"]
+    assert all(n.startswith("s") for n in lv[lv == 1].index)
+    assert all(n.startswith("c") for n in lv[lv == 2].index)
+
+
+def test_dense_hourly_gap_fill(ray_session, tmp_path):
+    """Hours with no events appear with zero (the dropped-bucket bug a
+    plain groupby has)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    hours = [0, 0, 3]                        # hours 1 and 2 are empty
+    ts = pd.to_datetime(np.array(hours) * 3_600_000_000_000)
+    pq.write_table(pa.table({"ts": pa.array(ts.astype("datetime64[us]"))}),
+                   str(d / "events.parquet"))
+    from jsonschema_validator_ray.pipelines.relational import (
+        dense_hourly_events)
+
+    out = dense_hourly_events(str(d))
+    assert out["hour"].tolist() == [0, 1, 2, 3]
+    assert out["n_events"].tolist() == [2, 0, 0, 1]
+
+
+def test_wow_growth_negative_truncates(ray_session, tmp_path):
+    """Negative growth truncates toward zero, matching DuckDB's // (Python
+    floor would differ by 1 bp): 3 -> 2 events = -3333 bp, not -3334."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    wk = 7 * 86_400_000_000_000
+    ts = pd.to_datetime(np.array([0, 1, 2, wk, wk + 1], dtype=np.int64))
+    pq.write_table(pa.table({"ts": pa.array(ts.astype("datetime64[us]"))}),
+                   str(d / "events.parquet"))
+    from jsonschema_validator_ray.pipelines.relational import (
+        wow_growth_events)
+
+    out = wow_growth_events(str(d))
+    assert out["growth_bp"].tolist() == [-3333]
