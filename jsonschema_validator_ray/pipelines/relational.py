@@ -924,3 +924,148 @@ SELECT week, CAST(n AS BIGINT) AS n_events,
        CAST(((n - prev) * 10000) // prev AS BIGINT) AS growth_bp
 FROM lagged WHERE prev IS NOT NULL
 """
+
+
+# ---- unpivot / melt: wide measures → long (measure, value) rows --------------
+
+
+def unpivot_lineitem(sf_dir: str):
+    """(l_orderkey, l_linenumber, measure, value_cents) — the four lineitem
+    measures melted into long form (the inverse of stages/pivot: feature
+    long-tables, metric stores). Pure per-batch reshape — each batch emits
+    4 stacked column slices with a dictionary-cheap constant measure
+    column; no exchange at all, so it streams at read speed at any
+    scale. Cents are exact int64 before any downstream math."""
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber", "l_quantity",
+                               "l_extendedprice", "l_discount", "l_tax"])
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for m in measures:
+            parts.append(pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "measure": pa.array([m] * b.num_rows),
+                "value_cents": pc.cast(pc.round(pc.multiply(
+                    b.column(m), 100)), pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return li.map_batches(melt, batch_format="pyarrow")
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(round(l_quantity*100) AS BIGINT) AS value_cents FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       CAST(round(l_tax*100) AS BIGINT) FROM lineitem
+"""
+
+
+# ---- window first_value: each row carries its group's first --------------------
+
+
+def first_event_type_users(sf_dir: str):
+    """(event_id, user_id, event_type, first_type) — every event annotated
+    with its USER'S first event type (window ``first_value`` full-output:
+    acquisition-channel attribution stamped on all activity). One
+    user-bucket exchange; each bucket sorts once and broadcasts the
+    per-user head value back over its rows with a vectorized gather —
+    never a task per user."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = b.column("user_id")
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": keys,
+            "t": _epoch_us(b.column("ts")),
+            "event_type": b.column("event_type"),
+            "__b": pc.cast(pc.bit_wise_and(keys, 31), pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        first = g.groupby("user_id", sort=False)["event_type"].transform(
+            "first")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "first_type": first.to_numpy(),
+        })
+
+    return ev.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+FIRST_EVENT_TYPE_SQL = """
+SELECT event_id, user_id, event_type,
+       first_value(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS first_type
+FROM events
+"""
+
+
+# ---- percent rank in exact ppm -------------------------------------------------
+
+
+def percent_rank_length_in_lang(sf_dir: str):
+    """(doc_id, lang, n_chars, pr_ppm) — percent_rank of document length
+    within its language, in EXACT parts-per-million:
+    ``(rank − 1) · 1e6 // (n − 1)`` over the deterministic
+    (n_chars, doc_id) order — the rank-based normalizer (quantile feature
+    scaling robust to outliers). All-integer, single-row groups → 0.
+    One lang-hash bucket exchange; ranks and group sizes come from one
+    sort + two vectorized transforms per bucket."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").combine_chunks()
+        h = pd.util.hash_pandas_object(lang.to_pandas(),
+                                       index=False).to_numpy()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": lang,
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            "__b": pa.array((h % np.uint64(32)).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n_chars", "doc_id"], kind="mergesort")
+        grp = g.groupby("lang", sort=False)
+        rank = grp.cumcount().to_numpy()
+        n = grp["doc_id"].transform("size").to_numpy()
+        pr = np.where(n > 1, rank * 1_000_000 // np.where(n > 1, n - 1, 1),
+                      0)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "lang": g["lang"].to_numpy(),
+            "n_chars": g["n_chars"].to_numpy(),
+            "pr_ppm": pr.astype(np.int64),
+        })
+
+    return docs.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+PERCENT_RANK_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN count(*) OVER w1 = 1 THEN 0
+            ELSE ((row_number() OVER w - 1) * 1000000)
+                 // (count(*) OVER w1 - 1) END AS BIGINT) AS pr_ppm
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id),
+       w1 AS (PARTITION BY lang)
+"""

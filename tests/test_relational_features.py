@@ -297,3 +297,37 @@ def test_wow_growth_negative_truncates(ray_session, tmp_path):
 
     out = wow_growth_events(str(d))
     assert out["growth_bp"].tolist() == [-3333]
+
+
+@pytest.mark.parametrize("qname,sort_cols", [
+    ("unpivot_lineitem", ["l_orderkey", "l_linenumber", "measure"]),
+    ("first_event_type_users", ["event_id"]),
+    ("percent_rank_length_in_lang", ["doc_id"]),
+])
+def test_batch4_matches_oracle(ray_session, qname, sort_cols):
+    from jsonschema_validator_ray.pipelines import relational
+
+    import __ray_entry__ as entry
+
+    out = _df(getattr(relational, qname)(SF))
+    _cmp(out, entry.oracle_sql()[qname], sort_cols)
+
+
+def test_percent_rank_single_row_group(ray_session, tmp_path):
+    """A one-document language gets pr_ppm 0 (n−1 division guard), and the
+    extremes map to 0 / 1e6."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "zz"]),
+        "n_chars": pa.array([5, 9, 7, 3], pa.int64()),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.relational import (
+        percent_rank_length_in_lang)
+
+    out = _df(percent_rank_length_in_lang(str(d))).set_index("doc_id")
+    assert out.loc[4, "pr_ppm"] == 0
+    assert out.loc[1, "pr_ppm"] == 0
+    assert out.loc[3, "pr_ppm"] == 500_000
+    assert out.loc[2, "pr_ppm"] == 1_000_000
