@@ -331,3 +331,33 @@ def test_percent_rank_single_row_group(ray_session, tmp_path):
     assert out.loc[1, "pr_ppm"] == 0
     assert out.loc[3, "pr_ppm"] == 500_000
     assert out.loc[2, "pr_ppm"] == 1_000_000
+
+
+@pytest.mark.parametrize("cell", [7, 50, 1000])
+def test_interval_overlap_join_brute_force_parity(ray_session, cell):
+    """Seeded random intervals vs the O(n·m) brute force, across cell
+    widths smaller / comparable / larger than the interval lengths."""
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import interval_overlap_join
+
+    rng = np.random.RandomState(42 + cell)
+    nl, nr = 60, 40
+    ls = rng.randint(0, 500, nl).astype(np.int64)
+    le = ls + rng.randint(0, 120, nl)
+    rs = rng.randint(0, 500, nr).astype(np.int64)
+    re_ = rs + rng.randint(0, 120, nr)
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array(np.arange(nl, dtype=np.int64)),
+        "ls": pa.array(ls), "le": pa.array(le)}))
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array(np.arange(nr, dtype=np.int64)),
+        "rs": pa.array(rs), "re": pa.array(re_)}))
+    out = interval_overlap_join(
+        left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+        cell_us=cell).to_pandas()
+    got = sorted(map(tuple, out[["lid", "rid"]].to_numpy()))
+    want = sorted((int(i), int(j))
+                  for i in range(nl) for j in range(nr)
+                  if ls[i] <= re_[j] and rs[j] <= le[i])
+    assert got == want
