@@ -312,3 +312,87 @@ SELECT CAST(list_indexof(embedding, list_max(embedding)) - 1 AS BIGINT)
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM embeddings GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- skip-gram pair mining (word-embedding data prep) -------------------------
+
+
+def skipgram_pairs_documents(sf_dir: str, window: int = 2, k: int = 200):
+    """(w, c, n) — the ``k`` most frequent directed skip-gram pairs
+    (context token within ``window`` positions AFTER the center token,
+    over the nonempty whitespace tokens of each document): the word2vec /
+    co-occurrence-matrix data-prep pass, generalizing the adjacent-pair
+    statistic (bpe_pairs) to a window.
+
+    Per batch: ONE Arrow regex split, empties dropped with positions
+    re-densified, pairs formed by pure array shifts masked at document
+    boundaries, counted with a single pandas groupby — the partial is
+    bounded by the batch's pair vocabulary, never its token count. One
+    (w,c)-hash exchange folds exact counts; per-bucket heads (a pair lives
+    in exactly one bucket) merge 32·k rows on the driver. Tiebreak
+    (n DESC, w, c) is deterministic in both engines."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(b.column("text"), pa.string()), "")
+        toks = pc.split_pattern_regex(s, r"\s+").combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(np.arange(len(lens)), lens)
+        keep = flat != ""
+        f, d = flat[keep], doc[keep]
+        ws, cs = [], []
+        for off in range(1, window + 1):
+            if len(f) <= off:
+                break
+            same = d[:-off] == d[off:]
+            ws.append(f[:-off][same])
+            cs.append(f[off:][same])
+        if not ws:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "c": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        df = pd.DataFrame({"w": np.concatenate(ws), "c": np.concatenate(cs)})
+        cnt = df.groupby(["w", "c"], sort=False).size().reset_index(name="n")
+        h = pd.util.hash_pandas_object(cnt["w"] + "\x00" + cnt["c"],
+                                       index=False).to_numpy()
+        cnt["__b"] = (h % np.uint64(32)).astype(np.int32)
+        cnt["n"] = cnt["n"].astype(np.int64)
+        return pa.Table.from_pandas(cnt, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame, kk=k) -> pd.DataFrame:
+        tot = g.groupby(["w", "c"], sort=False)["n"].sum().reset_index()
+        tot = tot.sort_values(["n", "w", "c"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+        return tot.head(kk)
+
+    heads = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if "w" not in heads.columns or not len(heads):
+        return pd.DataFrame({"w": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    out = heads.sort_values(["n", "w", "c"], ascending=[False, True, True],
+                            kind="mergesort").head(k)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+SKIPGRAM_SQL = r"""
+WITH arr AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+             FROM documents WHERE text IS NOT NULL),
+tk AS (SELECT doc_id, unnest(a) AS token,
+              generate_subscripts(a, 1) AS i FROM arr),
+tk2 AS (SELECT doc_id, token,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+        FROM tk WHERE token <> ''),
+pairs AS (SELECT a.token AS w, b.token AS c
+          FROM tk2 a JOIN tk2 b
+            ON a.doc_id = b.doc_id AND b.j - a.j BETWEEN 1 AND 2)
+SELECT w, c, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY w, c ORDER BY n DESC, w, c LIMIT 200
+"""

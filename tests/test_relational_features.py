@@ -361,3 +361,31 @@ def test_interval_overlap_join_brute_force_parity(ray_session, cell):
                   for i in range(nl) for j in range(nr)
                   if ls[i] <= re_[j] and rs[j] <= le[i])
     assert got == want
+
+
+def test_skipgram_pairs_matches_oracle(ray_session):
+    from jsonschema_validator_ray.pipelines import features
+
+    import __ray_entry__ as entry
+
+    out = _df(features.skipgram_pairs_documents(SF))
+    _cmp(out, entry.oracle_sql()["skipgram_pairs_documents"],
+         ["n", "w", "c"])
+
+
+def test_skipgram_window_and_boundaries(ray_session, tmp_path):
+    """Window-2 pairs stop at document boundaries; empty tokens (runs of
+    whitespace) are dropped with positions re-densified."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "text": pa.array(["a  b c", "c a"]),   # double space → empty token
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.features import (
+        skipgram_pairs_documents)
+
+    out = _df(skipgram_pairs_documents(str(d)))
+    pairs = {(r.w, r.c): r.n for r in out.itertuples()}
+    # doc1: (a,b),(a,c),(b,c); doc2: (c,a); never (c,c) across docs
+    assert pairs == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1,
+                     ("c", "a"): 1}
