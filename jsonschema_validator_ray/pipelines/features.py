@@ -396,3 +396,147 @@ pairs AS (SELECT a.token AS w, b.token AS c
 SELECT w, c, CAST(count(*) AS BIGINT) AS n
 FROM pairs GROUP BY w, c ORDER BY n DESC, w, c LIMIT 200
 """
+
+
+# ---- per-dimension vector statistics ------------------------------------------
+
+
+def dim_median_embeddings(sf_dir: str):
+    """(dim, q_0_5) — the exact per-dimension median of the embedding
+    corpus (with dim_argmax, the vector-health profile: a drifted or
+    collapsed dimension shows up directly). The vector column EXPLODES to
+    (dim, value) rows per batch — a pure reshape, dims become a
+    64-cardinality group key — and the existing grouped discrete-quantile
+    stage solves every dim of a bucket in one vectorized pass. Float32
+    data elements are returned, not recomputed, so the comparison is
+    exact."""
+    from ..stages.quantiles import grouped_quantiles_disc
+
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["embedding"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        dims = np.concatenate([np.arange(ln) for ln in lens]) \
+            if len(lens) else np.array([], dtype=np.int64)
+        return pa.table({"dim": pa.array(dims.astype(np.int64)),
+                         "value": pc.cast(flat, pa.float64())})
+
+    out = grouped_quantiles_disc(
+        emb.map_batches(explode, batch_format="pyarrow"),
+        "dim", "value", [0.5]).to_pandas()
+    if "dim" not in out.columns:
+        return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                             "q_0_5": pd.Series([], dtype=np.float64)})
+    out["dim"] = out["dim"].astype(np.int64)
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+DIM_MEDIAN_SQL = """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS value
+  FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim, quantile_disc(value, 0.5) AS q_0_5
+FROM ex GROUP BY dim ORDER BY dim
+"""
+
+
+def skipgram_pmi_documents(sf_dir: str, k: int = 200):
+    """(w, c, n, pmi_micro) — pointwise mutual information of the top-``k``
+    skip-gram pairs: ``floor(ln(n_wc·T / (n_w·n_c)) · 1e6)`` where the
+    marginals count the token's center/context roles over ALL pairs. The
+    collocation-extraction statistic on top of the co-occurrence pass.
+
+    Exact-float discipline: the ratio is ONE double division of two exact
+    integer products (each < 2^53 up to ~5M-pair corpora — both engines
+    round it identically), then one scalar libm ``math.log`` per SURVIVING
+    pair (k of them, driver-side) — numpy's SIMD log diverges 1 ulp from
+    libm and is never used. Marginals for the ≤2k tokens of interest come
+    from a second corpus pass with the interest set broadcast (the same
+    two-pass pattern as min-max scaling); T folds as one int."""
+    import math
+
+    top = skipgram_pairs_documents(sf_dir, k=k)
+    if not len(top):
+        return top.assign(pmi_micro=pd.Series([], dtype=np.int64))
+    interest_w = pa.array(pd.unique(top["w"]))
+    interest_c = pa.array(pd.unique(top["c"]))
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def marginal_partial(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(b.column("text"), pa.string()), "")
+        toks = pc.split_pattern_regex(s, r"\s+").combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        doc = np.repeat(np.arange(len(lens)), lens)
+        keep = flat != ""
+        f, d = flat[keep], doc[keep]
+        rows = []
+        t_total = 0
+        for off in (1, 2):
+            if len(f) <= off:
+                break
+            same = d[:-off] == d[off:]
+            w, c = f[:-off][same], f[off:][same]
+            t_total += len(w)
+            for role, arr, iset in (("w", w, interest_w),
+                                    ("c", c, interest_c)):
+                m = pc.is_in(pa.array(arr), value_set=iset) \
+                    .to_numpy(zero_copy_only=False)
+                if m.any():
+                    u, cnt = np.unique(arr[m], return_counts=True)
+                    rows.append(pd.DataFrame(
+                        {"role": role, "token": u,
+                         "n": cnt.astype(np.int64)}))
+        rows.append(pd.DataFrame({"role": ["t"], "token": [""],
+                                  "n": [np.int64(t_total)]}))
+        return pa.Table.from_pandas(pd.concat(rows, ignore_index=True),
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    part = docs.map_batches(marginal_partial,
+                            batch_format="pyarrow").to_pandas()
+    marg = part.groupby(["role", "token"])["n"].sum()
+    big_t = int(marg.get(("t", ""), 0))
+    nw = top["w"].map(lambda t: int(marg.get(("w", t), 0))).to_numpy()
+    nc = top["c"].map(lambda t: int(marg.get(("c", t), 0))).to_numpy()
+    n = top["n"].to_numpy()
+    pmi = np.fromiter(
+        (math.floor(math.log(float(int(ni) * big_t)
+                             / float(int(wi) * int(ci))) * 1_000_000)
+         for ni, wi, ci in zip(n, nw, nc)),
+        dtype=np.int64, count=len(n))
+    out = top.copy()
+    out["pmi_micro"] = pmi
+    return out
+
+
+SKIPGRAM_PMI_SQL = r"""
+WITH arr AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+             FROM documents WHERE text IS NOT NULL),
+tk AS (SELECT doc_id, unnest(a) AS token,
+              generate_subscripts(a, 1) AS i FROM arr),
+tk2 AS (SELECT doc_id, token,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+        FROM tk WHERE token <> ''),
+pairs AS (SELECT a.token AS w, b.token AS c
+          FROM tk2 a JOIN tk2 b
+            ON a.doc_id = b.doc_id AND b.j - a.j BETWEEN 1 AND 2),
+cnt AS (SELECT w, c, count(*) AS n FROM pairs GROUP BY w, c),
+top AS (SELECT * FROM cnt ORDER BY n DESC, w, c LIMIT 200),
+mw AS (SELECT w, CAST(sum(n) AS BIGINT) AS nw FROM cnt GROUP BY w),
+mc AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cnt GROUP BY c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt)
+SELECT top.w, top.c, CAST(top.n AS BIGINT) AS n,
+       CAST(floor(ln((CAST(top.n * t AS DOUBLE))
+                     / (CAST(nw * nc AS DOUBLE))) * 1000000) AS BIGINT)
+         AS pmi_micro
+FROM top JOIN mw USING (w) JOIN mc USING (c), tot
+ORDER BY n DESC, w, c
+"""

@@ -389,3 +389,36 @@ def test_skipgram_window_and_boundaries(ray_session, tmp_path):
     # doc1: (a,b),(a,c),(b,c); doc2: (c,a); never (c,c) across docs
     assert pairs == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1,
                      ("c", "a"): 1}
+
+
+@pytest.mark.parametrize("qname,sort_cols", [
+    ("dim_median_embeddings", ["dim"]),
+    ("skipgram_pmi_documents", ["n", "w", "c"]),
+])
+def test_vector_stats_match_oracle(ray_session, qname, sort_cols):
+    from jsonschema_validator_ray.pipelines import features
+
+    import __ray_entry__ as entry
+
+    out = _df(getattr(features, qname)(SF))
+    _cmp(out, entry.oracle_sql()[qname], sort_cols)
+
+
+def test_skipgram_pmi_hand_values(ray_session, tmp_path):
+    """PMI on a hand corpus: pairs of 'a b a b' → marginals checked by
+    hand; floor(ln(nT/(nw nc))·1e6) computed independently."""
+    import math
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"text": pa.array(["a b a b"])}),
+                   str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.features import (
+        skipgram_pmi_documents)
+
+    out = _df(skipgram_pmi_documents(str(d))).set_index(["w", "c"])
+    # pairs (off1): (a,b),(b,a),(a,b); (off2): (a,a),(b,b) → T=5
+    # centers: a:3, b:2 ; contexts: b:3, a:2
+    assert out.loc[("a", "b"), "n"] == 2
+    want = math.floor(math.log(float(2 * 5) / float(3 * 3)) * 1_000_000)
+    assert out.loc[("a", "b"), "pmi_micro"] == want
