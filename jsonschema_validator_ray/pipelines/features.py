@@ -540,3 +540,48 @@ SELECT top.w, top.c, CAST(top.n AS BIGINT) AS n,
 FROM top JOIN mw USING (w) JOIN mc USING (c), tot
 ORDER BY n DESC, w, c
 """
+
+
+# ---- importance-weighted deterministic sampling --------------------------------
+
+
+def weighted_sample_documents(sf_dir: str):
+    """(doc_id, lang, n_chars) — a deterministic LENGTH-WEIGHTED sample:
+    P(keep) = n_chars / (max_n_chars + 1), decided by the MINSTD LCG of
+    doc_id (the quality/importance-weighted selection step of curriculum
+    mixing — longer documents proportionally likelier). All-integer:
+    ``lcg(doc_id) % (max+1) < n_chars`` — the same SQL-exact LCG as the
+    fraction sampler, with the global max folded driver-side (one int)
+    and broadcast. Stable across runs, machines, and engines."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        mx = pc.max(pc.cast(b.column("n_chars"), pa.int64())).as_py()
+        return pa.table({"mx": pa.array([mx if mx is not None else 0],
+                                        pa.int64())})
+
+    part = docs.map_batches(max_partial, batch_format="pyarrow").to_pandas()
+    mx = int(part["mx"].max()) if "mx" in part.columns and len(part) else 0
+    mod = mx + 1
+
+    def keep(b: pa.Table) -> pa.Table:
+        did = pc.cast(b.column("doc_id"), pa.int64())
+        h = pc.add(pc.multiply(did, 48271), 11)
+        lcg = pc.subtract(h, pc.multiply(
+            pc.divide(h, 2147483647), 2147483647))
+        u = pc.subtract(lcg, pc.multiply(pc.divide(lcg, mod), mod))
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "lang": b.column("lang"),
+                      "n_chars": pc.cast(b.column("n_chars"), pa.int64())})
+        return t.filter(pc.less(u, t.column("n_chars")))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH t AS (SELECT CAST(max(n_chars) AS BIGINT) + 1 AS m FROM documents)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents, t
+WHERE ((48271 * doc_id + 11) % 2147483647) % t.m < n_chars
+"""

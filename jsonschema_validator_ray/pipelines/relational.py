@@ -1069,3 +1069,154 @@ FROM documents
 WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id),
        w1 AS (PARTITION BY lang)
 """
+
+
+# ---- triangle counting on a thresholded co-occurrence graph ------------------
+
+
+def supplier_triangles(sf_dir: str, adjacency_limit: int = 100_000):
+    """(node, n_triangles) — per-supplier triangle counts on the
+    co-supplier graph, keeping only pairs whose co-occurrence is
+    anomalously frequent: support > mean + 2σ under the Poisson null,
+    evaluated as the FULLY-INTEGER predicate
+    ``sup·P > S AND (sup·P − S)² > 4·S·P`` (P = distinct pairs,
+    S = total support; dividing by P would create a float boundary).
+    A fixed absolute threshold degenerates across scale factors — this
+    corpus's co-supplier graph is COMPLETE at small thresholds — while
+    the null-deviation form sparsifies at every SF.
+
+    Plan: per-order supplier sets pair up inside one order-hash exchange
+    (an order lives in one bucket, so its pairs are complete there); a
+    second pair-hash exchange folds exact supports and applies the
+    predicate. Triangles: the surviving edge list streams against a
+    BROADCAST boolean adjacency matrix (nodes² bits — gated by
+    ``adjacency_limit`` nodes; past it, partition the intersection by
+    hashing the lower-degree endpoint); each edge batch emits per-node
+    partial counts (u and v get the common-neighbor count, every common
+    neighbor gets 1), and each triangle contributes exactly 3 to its
+    three corners, so the fold divides by 3 — an exact integer."""
+    import ray
+    import ray.data
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey"])
+
+    def so_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o": b.column("l_orderkey"),
+                      "s": pc.cast(b.column("l_suppkey"), pa.int64())})
+        g = t.group_by(["o", "s"]).aggregate([])
+        keys = g.column("o")
+        return g.append_column(
+            "__b", pc.cast(pc.bit_wise_and(keys, 31), pa.int32()))
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["o", "s"]].drop_duplicates()
+        m = d.merge(d, on="o")
+        m = m[m["s_x"] < m["s_y"]]
+        cnt = m.groupby(["s_x", "s_y"], sort=False).size() \
+            .reset_index(name="n")
+        h = pd.util.hash_pandas_object(
+            cnt["s_x"] * np.int64(1_000_003) + cnt["s_y"],
+            index=False).to_numpy()
+        cnt["__pb"] = (h % np.uint64(32)).astype(np.int32)
+        return cnt
+
+    sup = li.map_batches(so_partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(pairs_per_bucket,
+                                   batch_format="pandas") \
+        .groupby("__pb").map_groups(
+            lambda g: g.groupby(["s_x", "s_y"], sort=False)["n"].sum()
+            .reset_index(), batch_format="pandas").materialize()
+
+    # S and P fold driver-side (two ints over pair-vocabulary rows)
+    tot = sup.map_batches(
+        lambda b: pa.table({"s": pa.array([int(pc.sum(b.column("n"))
+                                               .as_py() or 0)], pa.int64()),
+                            "p": pa.array([b.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    big_s = int(tot["s"].sum()) if "s" in tot.columns else 0
+    big_p = int(tot["p"].sum()) if "p" in tot.columns else 0
+
+    def empty():
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "n_triangles": pd.Series([], dtype=np.int64)})
+
+    if big_p == 0:
+        return empty()
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = pc.subtract(pc.multiply(b.column("n"), big_p), big_s)
+        ok = pc.and_(pc.greater(d, 0),
+                     pc.greater(pc.multiply(d, d), 4 * big_s * big_p))
+        return b.filter(ok)
+
+    edges_df = sup.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if "s_x" not in edges_df.columns or not len(edges_df):
+        return empty()
+    nodes = np.unique(np.concatenate([edges_df["s_x"].to_numpy(),
+                                      edges_df["s_y"].to_numpy()]))
+    assert len(nodes) <= adjacency_limit, \
+        "adjacency outgrew the broadcast gate; partition the intersection"
+    pos = {int(v): i for i, v in enumerate(nodes)}
+    a = np.zeros((len(nodes), len(nodes)), dtype=bool)
+    iu = edges_df["s_x"].map(pos).to_numpy()
+    iv = edges_df["s_y"].map(pos).to_numpy()
+    a[iu, iv] = True
+    a[iv, iu] = True
+    ref = ray.put((nodes.astype(np.int64), a))
+
+    class EdgePartial:
+        def __init__(self, r):
+            self.nodes, self.a = ray.get(r) \
+                if isinstance(r, ray.ObjectRef) else r
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            n = len(self.nodes)
+            acc = np.zeros(n, dtype=np.int64)
+            ui = pc.index_in(b.column("s_x"),
+                             value_set=pa.array(self.nodes)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            vi = pc.index_in(b.column("s_y"),
+                             value_set=pa.array(self.nodes)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            common = self.a[ui] & self.a[vi]          # (edges, n)
+            ccnt = common.sum(axis=1).astype(np.int64)
+            np.add.at(acc, ui, ccnt)
+            np.add.at(acc, vi, ccnt)
+            acc += common.sum(axis=0).astype(np.int64)
+            return pa.table({"node": pa.array(self.nodes),
+                             "part": pa.array(acc)})
+
+    edges = ray.data.from_pandas(edges_df[["s_x", "s_y"]])
+    parts = edges.map_batches(EdgePartial, fn_constructor_args=(ref,),
+                              concurrency=2,
+                              batch_format="pyarrow").to_pandas()
+    tri3 = parts.groupby("node")["part"].sum()
+    tri3 = tri3[tri3 > 0]                   # SQL emits triangle members only
+    out = pd.DataFrame({"node": tri3.index.to_numpy().astype(np.int64),
+                        "n_triangles": (tri3 // 3).to_numpy()
+                        .astype(np.int64)})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SUPPLIER_TRIANGLES_SQL = """
+WITH so AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s
+            FROM lineitem),
+pr AS (SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS sup
+       FROM so a JOIN so b
+         ON a.l_orderkey = b.l_orderkey AND a.s < b.s
+       GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(sup) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS p FROM pr),
+e AS (SELECT u, v FROM pr, tot
+      WHERE sup * p > s AND (sup * p - s) * (sup * p - s) > 4 * s * p),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+GROUP BY node ORDER BY node
+"""

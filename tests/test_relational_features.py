@@ -422,3 +422,74 @@ def test_skipgram_pmi_hand_values(ray_session, tmp_path):
     assert out.loc[("a", "b"), "n"] == 2
     want = math.floor(math.log(float(2 * 5) / float(3 * 3)) * 1_000_000)
     assert out.loc[("a", "b"), "pmi_micro"] == want
+
+
+@pytest.mark.parametrize("qname,module,sort_cols", [
+    ("supplier_triangles", "relational", ["node"]),
+    ("weighted_sample_documents", "features", ["doc_id"]),
+])
+def test_graph_and_sampling_match_oracle(ray_session, qname, module,
+                                         sort_cols):
+    import importlib
+
+    import __ray_entry__ as entry
+
+    mod = importlib.import_module(
+        f"jsonschema_validator_ray.pipelines.{module}")
+    out = _df(getattr(mod, qname)(SF))
+    _cmp(out, entry.oracle_sql()[qname], sort_cols)
+
+
+def test_supplier_triangles_hand_graph(ray_session, tmp_path):
+    """A hand-built lineitem log whose thresholded graph is one triangle
+    plus a pendant edge: triangle members count 1, the pendant nodes that
+    are triangle corners still count 1, pure-pendant nodes drop."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    # suppliers 1,2,3 co-occur in MANY orders (far above mean+2σ);
+    # 3-4 co-occur a middling number; 5-6 occur once
+    rows = []
+    oid = 0
+    for _ in range(30):
+        rows += [(oid, 1), (oid, 2), (oid, 3)]
+        oid += 1
+    for _ in range(2):
+        rows += [(oid, 3), (oid, 4)]
+        oid += 1
+    rows += [(oid, 5), (oid, 6)]
+    ok = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    pq.write_table(ok, str(d / "lineitem.parquet"))
+    from jsonschema_validator_ray.pipelines.relational import (
+        supplier_triangles)
+
+    out = supplier_triangles(str(d)).set_index("node")["n_triangles"]
+    # support: (1,2)=(1,3)=(2,3)=30, (3,4)=2, (5,6)=1 → mean≈19, only the
+    # 30-support edges survive the mean+2σ predicate → one triangle
+    assert out.to_dict() == {1: 1, 2: 1, 3: 1}
+
+
+def test_weighted_sample_respects_weights(ray_session, tmp_path):
+    """Zero-length docs never sampled; max-length docs kept iff
+    lcg % (max+1) < max — verified against the direct formula."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    ids = np.arange(200, dtype=np.int64)
+    n_chars = np.where(ids % 4 == 0, 0, np.where(ids % 4 == 1, 50, 100))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids),
+        "lang": pa.array(["en"] * 200),
+        "n_chars": pa.array(n_chars.astype(np.int64)),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.features import (
+        weighted_sample_documents)
+
+    out = _df(weighted_sample_documents(str(d)))
+    kept = set(out["doc_id"])
+    mod = int(n_chars.max()) + 1
+    for i in ids:
+        u = ((48271 * int(i) + 11) % 2147483647) % mod
+        assert (int(i) in kept) == (u < int(n_chars[i]))
+    assert not (np.isin(list(kept), ids[n_chars == 0])).any()
