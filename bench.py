@@ -234,6 +234,8 @@ def run_bench() -> dict:
         "order_count_distribution", "big_orders", "priority_counts",
         "rich_quiet_customers", "longest_streak_users",
         "minmax_normalize_documents", "knn_graph_embeddings",
+        "session_type_overlaps", "skipgram_pairs_documents",
+        "supplier_triangles", "unpivot_lineitem",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

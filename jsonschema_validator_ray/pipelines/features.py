@@ -125,6 +125,12 @@ def knn_graph_embeddings(sf_dir: str, k: int = 5,
         .astype(np.int64)
     mat = np.floor(_emb_matrix(whole, "embedding").astype(np.float64)
                    * _Q_SCALE).astype(np.int64)
+    # broadcast columns sorted by id: a STABLE descending-dot argsort then
+    # breaks dot ties by ascending neighbor id exactly (argpartition alone
+    # picks an arbitrary subset of boundary ties — diverges from the SQL
+    # row_number order whenever duplicates tie at rank k)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
     ref = ray.put((ids, mat))
 
     class Knn:
@@ -150,13 +156,12 @@ def knn_graph_embeddings(sf_dir: str, k: int = 5,
             # argpartition); real dots are < 2^40 at d=64, |x|<1, scale 1e5
             sims[self_mask] = -(np.int64(1) << 62)       # no self-edge
             kk = min(self.k, sims.shape[1] - 1)
-            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            # stable argsort over id-ascending columns = exact
+            # (dot desc, neighbor id asc) order INCLUDING boundary ties
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             rows = np.repeat(np.arange(len(qid)), kk)
             s = sims[rows, top.ravel()]
             nid = self.ids[top.ravel()]
-            # exact head order: dot desc, neighbor id asc (within row)
-            order = np.lexsort((nid, -s, rows))
-            rows, s, nid = rows[order], s[order], nid[order]
             return pa.table({
                 "vec_id": pa.array(qid[rows]),
                 "neighbor_id": pa.array(nid),
@@ -247,17 +252,17 @@ def target_encode_customers(sf_dir: str):
     vals = np.fromiter(enc.values(), dtype=np.int64, count=len(enc))
 
     def attach(b: pa.Table) -> pa.Table:
+        # index_in yields nulls (NaN after to_numpy) for segments with no
+        # orders; those customers drop, matching the SQL inner join
         idx = pc.index_in(b.column("c_mktsegment"), value_set=segs) \
-            .to_numpy(zero_copy_only=False)
-        live = idx >= 0 if idx.dtype != object else np.array(
-            [i is not None for i in idx])
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        matched = ~np.isnan(idx)
         out = pa.table({"c_custkey": b.column("c_custkey"),
                         "c_mktsegment": b.column("c_mktsegment"),
                         "enc_microcents": pa.array(
-                            vals[np.where(np.isnan(idx.astype(np.float64)),
-                                          0, idx).astype(np.int64)],
-                            pa.int64())})
-        return out.filter(pa.array(~np.isnan(idx.astype(np.float64))))
+                            vals[np.where(matched, idx, 0)
+                                 .astype(np.int64)], pa.int64())})
+        return out.filter(pa.array(matched))
 
     return cust.map_batches(attach, batch_format="pyarrow")
 
@@ -421,9 +426,13 @@ def dim_median_embeddings(sf_dir: str):
             col = col.combine_chunks()
         flat = col.flatten()
         lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
-        dims = np.concatenate([np.arange(ln) for ln in lens]) \
-            if len(lens) else np.array([], dtype=np.int64)
-        return pa.table({"dim": pa.array(dims.astype(np.int64)),
+        # vectorized ragged positions (the replicate offs idiom) — never a
+        # per-row ndarray allocation on the corpus hot path
+        dims = (np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])),
+                            lens)) if len(lens) else \
+            np.array([], dtype=np.int64)
+        return pa.table({"dim": pa.array(dims),
                          "value": pc.cast(flat, pa.float64())})
 
     out = grouped_quantiles_disc(

@@ -796,11 +796,17 @@ def bfs_levels_custsupp(sf_dir: str, seed: str = "c1", hops: int = 3,
             u = pc.unique(hit.column("dst").combine_chunks())
             return pa.table({"node": u})
 
-        cand = edges.map_batches(neigh, batch_format="pyarrow").to_pandas()
+        cand_ds = edges.map_batches(neigh,
+                                    batch_format="pyarrow").materialize()
+        # gate BEFORE the driver gather (a post-gather assert would OOM
+        # first at scale); per-block-distinct row count is a conservative
+        # upper bound on the true frontier — spurious trips only happen
+        # within a block-count factor of the limit
+        assert cand_ds.count() <= frontier_limit, \
+            "frontier outgrew the driver gate; use the semi_join path"
+        cand = cand_ds.to_pandas()
         if "node" not in cand.columns or not len(cand):
             break
-        assert len(cand) <= frontier_limit, \
-            "frontier outgrew the driver gate; use the semi_join path"
         new = [n for n in cand["node"].drop_duplicates() if n not in levels]
         if not new:
             break
@@ -1074,7 +1080,7 @@ WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id),
 # ---- triangle counting on a thresholded co-occurrence graph ------------------
 
 
-def supplier_triangles(sf_dir: str, adjacency_limit: int = 100_000):
+def supplier_triangles(sf_dir: str, adjacency_limit: int = 30_000):
     """(node, n_triangles) — per-supplier triangle counts on the
     co-supplier graph, keeping only pairs whose co-occurrence is
     anomalously frequent: support > mean + 2σ under the Poisson null,
@@ -1089,12 +1095,13 @@ def supplier_triangles(sf_dir: str, adjacency_limit: int = 100_000):
     (an order lives in one bucket, so its pairs are complete there); a
     second pair-hash exchange folds exact supports and applies the
     predicate. Triangles: the surviving edge list streams against a
-    BROADCAST boolean adjacency matrix (nodes² bits — gated by
-    ``adjacency_limit`` nodes; past it, partition the intersection by
-    hashing the lower-degree endpoint); each edge batch emits per-node
-    partial counts (u and v get the common-neighbor count, every common
-    neighbor gets 1), and each triangle contributes exactly 3 to its
-    three corners, so the fold divides by 3 — an exact integer."""
+    BROADCAST boolean adjacency matrix — nodes² BYTES as built (~0.9 GB
+    at the 30k-node gate; ``np.packbits`` is the 8× lever if the gate
+    must rise; past it, partition the intersection by hashing the
+    lower-degree endpoint); each edge batch emits per-node partial
+    counts (u and v get the common-neighbor count, every common neighbor
+    gets 1), and each triangle contributes exactly 3 to its three
+    corners, so the fold divides by 3 — an exact integer."""
     import ray
     import ray.data
 
@@ -1188,8 +1195,9 @@ def supplier_triangles(sf_dir: str, adjacency_limit: int = 100_000):
                              "part": pa.array(acc)})
 
     edges = ray.data.from_pandas(edges_df[["s_x", "s_y"]])
+    # batch_size caps the (edges × nodes) per-batch intersection temp
     parts = edges.map_batches(EdgePartial, fn_constructor_args=(ref,),
-                              concurrency=2,
+                              concurrency=2, batch_size=2048,
                               batch_format="pyarrow").to_pandas()
     tri3 = parts.groupby("node")["part"].sum()
     tri3 = tri3[tri3 > 0]                   # SQL emits triangle members only

@@ -555,6 +555,13 @@ def interval_overlap_join(left, right, *, l_start: str, l_end: str,
                 .astype(np.int64)
             e = b.column(end_col).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
+            if (e < s).any():
+                raise ValueError(
+                    f"interval_overlap_join: {int((e < s).sum())} "
+                    f"inverted interval(s) ({end_col} < {start_col}) — "
+                    f"fix or drop them upstream (SQL's raw predicate can "
+                    f"still match inverted intervals, so silently "
+                    f"dropping them here would diverge)")
             c0, c1 = s // cell_us, e // cell_us
             reps = (c1 - c0 + 1).astype(np.int64)
             idx = np.repeat(np.arange(n), reps)

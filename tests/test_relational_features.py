@@ -493,3 +493,45 @@ def test_weighted_sample_respects_weights(ray_session, tmp_path):
         u = ((48271 * int(i) + 11) % 2147483647) % mod
         assert (int(i) in kept) == (u < int(n_chars[i]))
     assert not (np.isin(list(kept), ids[n_chars == 0])).any()
+
+
+def test_knn_graph_boundary_ties(ray_session, tmp_path):
+    """Identical embeddings tie ALL dots: the top-k must break boundary
+    ties by ascending neighbor id (argpartition alone picked an arbitrary
+    subset — review regression)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    n = 10
+    emb = [[0.5, -0.25, 0.125, 0.0]] * n
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+    }), str(d / "embeddings.parquet"))
+    from jsonschema_validator_ray.pipelines.features import (
+        knn_graph_embeddings)
+
+    out = _df(knn_graph_embeddings(str(d))).sort_values(["vec_id", "rank"])
+    for vid, g in out.groupby("vec_id"):
+        want = [i for i in range(1, 6 + 1) if i != vid][:5]
+        assert g["neighbor_id"].tolist() == want, (vid, g)
+
+
+def test_interval_overlap_join_inverted_raises(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.stages.joins import interval_overlap_join
+
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([1], pa.int64()),
+        "ls": pa.array([500], pa.int64()),
+        "le": pa.array([100], pa.int64()),     # inverted
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array([2], pa.int64()),
+        "rs": pa.array([0], pa.int64()),
+        "re": pa.array([1000], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="inverted"):
+        interval_overlap_join(left, right, l_start="ls", l_end="le",
+                              r_start="rs", r_end="re",
+                              cell_us=100).materialize()
