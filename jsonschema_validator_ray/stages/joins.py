@@ -13,6 +13,11 @@
   assumption: one KEY's rows fit one group task; keys are hash-distributed
   by the groupby, so only per-key volume matters, not total volume.
 
+- :func:`interval_overlap_join` — arbitrary intersecting intervals on both
+  sides (range_join's non-overlapping assumption dropped): time-cell
+  replication, ONE cell-hash exchange, exactly-once emission in the cell
+  containing the overlap's own start.
+
 - :func:`semi_join` / :func:`anti_join` — EXISTS / NOT EXISTS filters:
   keep left rows with (semi) or without (anti) a key match on the right.
   Null left keys never match (SQL NOT EXISTS semantics: null → no match →
