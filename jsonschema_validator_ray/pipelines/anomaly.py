@@ -1,0 +1,416 @@
+"""Stream / corpus quality-control statistics — the anomaly-shaped checks a
+production validation engine runs beside the schema gates: burst detection,
+change-point scoring, graph assortativity, robust (winsorized) moments, and
+token rank–frequency curves.
+
+Exactness discipline (repo convention): every oracle-compared number is an
+exact integer (counts, cents, ppm with floor division) or the SAME float
+expression evaluated once over exact integers in both engines.
+
+Scale shapes:
+- :func:`burst_users_events` — per-user sliding-window max via ONE sorted
+  two-pointer (vectorized searchsorted) pass per hash bucket; second
+  resolution keeps the per-bucket offset trick inside int64 at any user
+  cardinality.
+- :func:`cusum_daily_events` — per-(type, day) count cells are
+  calendar-bounded (|types| × |days|), so the change-point fold is
+  driver-side on a tiny partial set; the CUSUM score ``|n·prefix_k −
+  k·total|`` is the n-scaled integer spelling of the classic mean-shift
+  statistic (no division anywhere).
+- :func:`assortativity_custsupp` — degree–degree Pearson over the distinct
+  customer↔supplier trade edges: one bucketed fact-fact join, distinct
+  pairs per pair-hash bucket (so per-bucket endpoint counts are exact
+  degree partials), integer moment fold, one float conversion per output.
+- :func:`winsorized_mean_quantity` — the VALUE-DOMAIN compression trick:
+  l_quantity has a tiny distinct-cents domain, so per-batch (flag, value)
+  cell counts replace row exchanges entirely and the discrete quantile +
+  clamp + mean all fold from cells.
+- :func:`token_rank_freq_documents` — Zipf head of the corpus with exact
+  cumulative-share ppm (stages/vocab.vocab_rank_freq).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.parquet import read_parquet
+
+
+# ---- sliding-window burst detection ----------------------------------------
+
+
+def burst_users_events(sf_dir: str, window_s: int = 21_600,
+                       min_burst: int = 4, num_buckets: int = 32):
+    """Users whose max event count inside any ``window_s``-second sliding
+    window (anchored at an event, second resolution, half-open
+    ``[t, t+W)``) reaches ``min_burst`` — the bot/abuse burst heuristic.
+
+    One hash-bucket exchange of ``(user, t_sec)`` pairs; per bucket a
+    single mergesort + two vectorized ``searchsorted`` calls count every
+    window (duplicate timestamps handled by anchoring at the FIRST equal
+    element, exactly like the SQL ``b.t >= a.t`` self-join). Users are
+    offset onto disjoint second ranges (``local_code × (span+W+1)``) so one
+    global searchsorted serves all users of the bucket — at second
+    resolution the offsets stay far inside int64 for any real user count.
+    """
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                       pa.int64())
+        t_sec = pc.divide(t_us, 1_000_000)     # trunc ≡ floor (nonneg)
+        users = b.column("user_id")
+        return pa.table({
+            "user_id": users, "t": t_sec,
+            "__b": pc.cast(pc.bit_wise_and(users, num_buckets - 1),
+                           pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["t"].to_numpy().astype(np.int64)
+        codes = pd.factorize(u, use_na_sentinel=False)[0].astype(np.int64)
+        span = np.int64(int(t.max()) - int(t.min()) + window_s + 1)
+        shifted = (t - t.min()) + codes * span
+        lo = np.searchsorted(shifted, shifted, side="left")
+        hi = np.searchsorted(shifted, shifted + window_s, side="left")
+        w = hi - lo
+        df = pd.DataFrame({"user_id": u, "w": w})
+        agg = df.groupby("user_id", sort=False).agg(
+            burst=("w", "max"), n_events=("w", "size")).reset_index()
+        agg = agg[agg["burst"] >= min_burst]
+        agg["burst"] = agg["burst"].astype(np.int64)
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg[["user_id", "burst", "n_events"]]
+
+    df = (ev.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+          ).to_pandas()
+    if "user_id" not in df.columns:
+        df = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                           "burst": pd.Series([], dtype=np.int64),
+                           "n_events": pd.Series([], dtype=np.int64)})
+    return (df.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True))
+
+
+BURST_USERS_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS t
+           FROM events),
+c AS (SELECT a.user_id, a.event_id, CAST(count(*) AS BIGINT) AS w
+      FROM e a JOIN e b ON b.user_id = a.user_id
+                       AND b.t >= a.t AND b.t < a.t + 21600
+      GROUP BY 1, 2),
+m AS (SELECT user_id, max(w) AS burst FROM c GROUP BY 1),
+n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM e GROUP BY 1)
+SELECT m.user_id, CAST(m.burst AS BIGINT) AS burst, n.n_events
+FROM m JOIN n ON n.user_id = m.user_id
+WHERE m.burst >= 4 ORDER BY m.user_id
+"""
+
+
+# ---- integer CUSUM change-point score per event type ------------------------
+
+
+def cusum_daily_events(sf_dir: str):
+    """Per event type: the day where the cumulative daily-count curve
+    deviates most from a constant rate, with the deviation score — a CUSUM
+    change-point check in EXACT integers: ``score_k = |n·prefix_k −
+    k·total|`` over the k-th day (n days, total events), i.e. the classic
+    ``|prefix_k − k·mean|`` scaled by n so no division ever happens.
+
+    Per-batch (type, day) count partials are calendar-bounded (|types| ×
+    |days| cells), so the fold is driver-side; ties on the max score
+    resolve to the earliest day in both engines.
+    """
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.cast(b.column("ts"), pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        t = pa.table({"event_type": b.column("event_type"), "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate([("day", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "c": pc.cast(g.column("day_count"), pa.int64())})
+
+    cells = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cells = cells.groupby(["event_type", "day"], as_index=False)["c"].sum()
+    rows = []
+    for et, g in cells.groupby("event_type", sort=True):
+        g = g.sort_values("day", kind="mergesort")
+        c = [int(x) for x in g["c"]]
+        n, total = len(c), sum(c)
+        prefix = 0
+        best_score, best_day = -1, None
+        for k, (day, ck) in enumerate(zip(g["day"], c), start=1):
+            prefix += ck
+            score = abs(n * prefix - k * total)
+            if score > best_score:
+                best_score, best_day = score, day
+        rows.append((et, np.int64(n), best_day, np.int64(best_score)))
+    return pd.DataFrame(rows, columns=["event_type", "n_days", "peak_day",
+                                       "score"])
+
+
+CUSUM_DAILY_SQL = """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, day, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS prefix,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM d),
+s AS (SELECT event_type, CAST(n AS BIGINT) AS n_days, day,
+             abs(n * prefix - k * total) AS score
+      FROM w),
+m AS (SELECT event_type, max(score) AS score FROM s GROUP BY 1)
+SELECT s.event_type, s.n_days, min(s.day) AS peak_day,
+       CAST(m.score AS BIGINT) AS score
+FROM s JOIN m ON m.event_type = s.event_type AND s.score = m.score
+GROUP BY 1, 2, m.score ORDER BY 1
+"""
+
+
+# ---- degree assortativity of the trade graph --------------------------------
+
+
+def assortativity_custsupp(sf_dir: str):
+    """One-row degree–degree Pearson correlation over the DISTINCT
+    customer↔supplier trade edges (did high-degree customers trade with
+    high-degree suppliers?). Positive = assortative mixing.
+
+    Pipeline: lineitem pre-reduces to distinct ``(orderkey, suppkey)``;
+    one bucketed join attaches ``custkey``; distinct ``(cust, supp)``
+    pairs dedup inside pair-hash buckets, which makes each bucket's
+    endpoint counts exact partial degrees (a pair lives in exactly one
+    bucket). Degrees fold driver-side (|cust| + |supp| keys, gate
+    documented), broadcast back, and integer moments fold per batch —
+    arbitrary-precision on the driver, ONE float conversion per output,
+    the same expression tree the HUGEINT oracle evaluates.
+    """
+    import ray
+
+    from ..stages.joins import bucketed_join
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey"])
+
+    def li_distinct(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "supp": b.column("l_suppkey")})
+        g = t.group_by(["l_orderkey", "supp"]).aggregate([])
+        return g
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    joined = bucketed_join(
+        li.map_batches(li_distinct, batch_format="pyarrow"), orders,
+        "l_orderkey", right_on="o_orderkey", num_buckets=16)
+
+    def pair_partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "cust": b.column("o_custkey").to_numpy(zero_copy_only=False),
+            "supp": b.column("supp").to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            df["cust"] * np.int64(1_000_003) + df["supp"],
+            index=False).to_numpy()
+        df["__b"] = (h % 32).astype(np.int32)
+        return df
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["cust", "supp"])[["cust", "supp"]]
+
+    pairs = (joined.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(dedup_bucket, batch_format="pandas")
+             ).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        out = []
+        for side in ("cust", "supp"):
+            vc = b.column(side).combine_chunks().value_counts()
+            out.append(pa.table({
+                "side": pa.nulls(len(vc), pa.string()).fill_null(side),
+                "key": pc.cast(pc.struct_field(vc, "values"), pa.int64()),
+                "d": pc.cast(pc.struct_field(vc, "counts"), pa.int64())}))
+        return pa.concat_tables(out)
+
+    degs = (pairs.map_batches(deg_partial, batch_format="pyarrow")
+            .to_pandas().groupby(["side", "key"], as_index=False)["d"].sum())
+    dc = degs[degs["side"] == "cust"].set_index("key")["d"]
+    dsup = degs[degs["side"] == "supp"].set_index("key")["d"]
+    ref = ray.put((pa.array(dc.index.to_numpy(), pa.int64()),
+                   dc.to_numpy().astype(np.int64),
+                   pa.array(dsup.index.to_numpy(), pa.int64()),
+                   dsup.to_numpy().astype(np.int64)))
+
+    class Moments:
+        def __init__(self, r):
+            self.ck, self.cd, self.sk, self.sd = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ci = pc.index_in(pc.cast(b.column("cust"), pa.int64()),
+                             value_set=self.ck).to_numpy(
+                                 zero_copy_only=False)
+            si = pc.index_in(pc.cast(b.column("supp"), pa.int64()),
+                             value_set=self.sk).to_numpy(
+                                 zero_copy_only=False)
+            x = self.cd[ci]
+            y = self.sd[si]
+            return pa.table({
+                "n": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+                "sxx": [int((x * x).sum())], "syy": [int((y * y).sum())],
+                "sxy": [int((x * y).sum())]})
+
+    parts = pairs.map_batches(Moments, fn_constructor_args=(ref,),
+                              concurrency=2, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+    n, sx, sy, sxx, syy, sxy = (int(parts[k].astype(object).sum())
+                                for k in ("n", "sx", "sy", "sxx", "syy",
+                                          "sxy"))
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    r = float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    return pd.DataFrame({"n_edges": pd.Series([n], dtype=np.int64),
+                         "assortativity": [r]})
+
+
+ASSORTATIVITY_SQL = """
+WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+dc AS (SELECT cust, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+dsup AS (SELECT supp, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+j AS (SELECT dc.d AS x, dsup.d AS y
+      FROM e JOIN dc ON dc.cust = e.cust JOIN dsup ON dsup.supp = e.supp),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x*x) AS HUGEINT) AS sxx,
+             CAST(sum(y*y) AS HUGEINT) AS syy,
+             CAST(sum(x*y) AS HUGEINT) AS sxy
+      FROM j)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(n*sxy - sx*sy AS DOUBLE) /
+       (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS assortativity
+FROM m
+"""
+
+
+# ---- winsorized mean via value-domain cells ---------------------------------
+
+
+def winsorized_mean_quantity(sf_dir: str, p_lo: float = 0.1,
+                             p_hi: float = 0.9):
+    """Per return flag: the p10/p90-winsorized mean of l_quantity — robust
+    central tendency with outliers CLAMPED (vs trim_outliers' dropping).
+
+    The value domain is tiny (quantity cents ≤ a few thousand distinct
+    values), so per-batch ``(flag, value) → count`` cells replace any
+    row-level exchange: discrete quantiles (``ceil(q·n)−1`` rank, DuckDB
+    ``quantile_disc`` semantics), the clamp, and the mean all fold from
+    the cell histogram driver-side in exact integers. ``mean_wins_micro``
+    = ``(sum_wins_cents · 10⁴) // n`` — floor of the exact rational, in
+    micro-units of quantity.
+    """
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "flag": b.column("l_returnflag"),
+            "qc": pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100)),
+                          pa.int64())})
+        g = t.group_by(["flag", "qc"]).aggregate([("qc", "count")])
+        return pa.table({"flag": g.column("flag"), "qc": g.column("qc"),
+                         "c": pc.cast(g.column("qc_count"), pa.int64())})
+
+    cells = (li.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["flag", "qc"], as_index=False)["c"].sum())
+    rows = []
+    for flag, g in cells.groupby("flag", sort=True):
+        g = g.sort_values("qc", kind="mergesort")
+        vals = g["qc"].to_numpy().astype(np.int64)
+        cnts = g["c"].to_numpy().astype(np.int64)
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+
+        def disc(q: float) -> int:
+            rank = max(math.ceil(q * n) - 1, 0)      # 0-based target row
+            return int(vals[np.searchsorted(cum, rank + 1)])
+
+        lo, hi = disc(p_lo), disc(p_hi)
+        clamped = np.clip(vals, lo, hi)
+        s = int((clamped.astype(object) * cnts.astype(object)).sum())
+        rows.append((flag, np.int64(n), np.int64(lo), np.int64(hi),
+                     np.int64(s), np.int64((s * 10_000) // n)))
+    return pd.DataFrame(rows, columns=["l_returnflag", "n_rows", "lo_cents",
+                                       "hi_cents", "sum_wins_cents",
+                                       "mean_wins_micro"])
+
+
+WINSORIZED_MEAN_SQL = """
+WITH v AS (SELECT l_returnflag,
+                  CAST(round(l_quantity*100) AS BIGINT) AS qc
+           FROM lineitem),
+b AS (SELECT l_returnflag, quantile_disc(qc, 0.1) AS lo,
+             quantile_disc(qc, 0.9) AS hi
+      FROM v GROUP BY 1),
+w AS (SELECT v.l_returnflag, b.lo, b.hi,
+             CASE WHEN v.qc < b.lo THEN b.lo
+                  WHEN v.qc > b.hi THEN b.hi ELSE v.qc END AS cq
+      FROM v JOIN b ON b.l_returnflag = v.l_returnflag)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(lo AS BIGINT) AS lo_cents, CAST(hi AS BIGINT) AS hi_cents,
+       CAST(sum(cq) AS BIGINT) AS sum_wins_cents,
+       CAST((sum(cq) * 10000) // count(*) AS BIGINT) AS mean_wins_micro
+FROM w GROUP BY 1, lo, hi ORDER BY 1
+"""
+
+
+# ---- Zipf head with exact cumulative share ----------------------------------
+
+
+def token_rank_freq_documents(sf_dir: str, k: int = 50):
+    """The corpus's token rank–frequency head: top-``k`` whitespace tokens
+    with rank, count, and EXACT cumulative corpus share in ppm
+    (``(cum·10⁶) // total`` — floor, so both engines agree on every row).
+    The tokenizer and bucketed fold are stages/vocab's; bucket partials
+    additionally carry their bucket's total token count so the global
+    denominator needs no second scan."""
+    from ..stages.vocab import vocab_rank_freq
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_rank_freq(docs, "text", k)
+
+
+TOKEN_RANK_FREQ_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL),
+t AS (SELECT token, CAST(count(*) AS BIGINT) AS n_total
+      FROM toks WHERE token <> '' GROUP BY 1),
+tot AS (SELECT sum(n_total) AS total FROM t),
+r AS (SELECT token, n_total,
+             row_number() OVER (ORDER BY n_total DESC, token) AS rank,
+             sum(n_total) OVER (ORDER BY n_total DESC, token
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.token, r.n_total,
+       CAST((r.cum * 1000000) // tot.total AS BIGINT) AS cum_ppm
+FROM r, tot WHERE r.rank <= 50 ORDER BY rank
+"""

@@ -90,6 +90,58 @@ def vocab_topk(ds, column: str, k: int, *, num_buckets: int = 64,
     return out.reset_index(drop=True)
 
 
+def vocab_rank_freq(ds, column: str, k: int, *, num_buckets: int = 64,
+                    batch_size: int = 8192) -> pd.DataFrame:
+    """→ DataFrame ``(rank, token, n_total, cum_ppm)``: the top-``k``
+    whitespace tokens by ``(n_total desc, token asc)`` with 1-based rank
+    and the EXACT cumulative corpus share in ppm (``(cum·10⁶) // total``,
+    floor). Same partial/bucket fold as :func:`vocab_topk`; each bucket's
+    head additionally carries a MARKER row (empty token — real empty
+    tokens are filtered by the tokenizer) holding the bucket's total token
+    count, so the global denominator folds from B marker rows instead of a
+    second corpus scan."""
+
+    partials = ds.map_batches(
+        lambda b: _token_partials(b, column, num_buckets),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    def head_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", sort=False).agg(
+            n_total=("n_total", "sum"), n_docs=("n_docs", "sum"))
+        agg = agg.reset_index().sort_values(
+            ["n_total", "token"], ascending=[False, True], kind="mergesort")
+        marker = pd.DataFrame({"token": [""],
+                               "n_total": [agg["n_total"].sum()],
+                               "n_docs": [-1]})
+        return pd.concat([agg.head(k), marker])[["token", "n_total",
+                                                 "n_docs"]]
+
+    heads = partials.groupby("__bucket").map_groups(
+        head_in_bucket, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                          "token": pd.Series([], dtype=object),
+                          "n_total": pd.Series([], dtype=np.int64),
+                          "cum_ppm": pd.Series([], dtype=np.int64)})
+    if "token" not in heads.columns:
+        return empty
+    total = int(heads.loc[heads["n_docs"] == -1, "n_total"].sum())
+    top = (heads[heads["n_docs"] != -1]
+           .sort_values(["n_total", "token"], ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True))
+    if total == 0 or top.empty:
+        return empty
+    cum = 0
+    ranks, ppms = [], []
+    for i, c in enumerate(top["n_total"], start=1):
+        cum += int(c)
+        ranks.append(i)
+        ppms.append((cum * 1_000_000) // total)
+    return pd.DataFrame({"rank": pd.Series(ranks, dtype=np.int64),
+                         "token": top["token"],
+                         "n_total": top["n_total"].astype(np.int64),
+                         "cum_ppm": pd.Series(ppms, dtype=np.int64)})
+
+
 class OOVScorer:
     """Actor stage: per-document out-of-vocabulary token counts against a
     broadcast fitted vocabulary (the CCNet-shaped quality signal — docs
