@@ -1,0 +1,319 @@
+"""Data-quality audit operators — the validation-tier checks beyond
+per-row schema keywords: approximate functional dependencies, sequence
+integrity, schema drift between corpus generations, Benford first-digit
+profiling, and per-domain duplication rates.
+
+These are the checks a production data platform runs ON TOP of row
+validation (the reference validates one value at a time —
+``validator.go``'s per-field loop; these are corpus-level properties no
+per-row engine can express). Exactness discipline as everywhere in this
+repo: counts, ppm with floor division, string digits — never accumulated
+floats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.parquet import read_parquet
+
+# ---- approximate functional dependency: source → lang -----------------------
+
+
+def fd_violations_documents(sf_dir: str):
+    """Per source: does ``source`` functionally determine ``lang``? Emits
+    the dominant lang (ties → lexicographically first), its support, the
+    violation count, and the FD confidence in exact ppm — the approximate-
+    FD discovery primitive (confidence = support / rows).
+
+    One pass: per-batch ``(source, lang) → count`` cells (bounded by
+    |sources| × |langs|), driver fold. No row ever crosses the exchange.
+    """
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"),
+                      "lang": b.column("lang")})
+        g = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return pa.table({"source": g.column("source"),
+                         "lang": g.column("lang"),
+                         "n": pc.cast(g.column("lang_count"), pa.int64())})
+
+    cells = (docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["source", "lang"], as_index=False)["n"].sum())
+    rows = []
+    for src, g in cells.groupby("source", sort=True):
+        n_rows = int(g["n"].sum())
+        top_n = int(g["n"].max())
+        top_lang = g.loc[g["n"] == top_n, "lang"].min()
+        rows.append((src, np.int64(n_rows), top_lang, np.int64(top_n),
+                     np.int64(n_rows - top_n),
+                     np.int64((top_n * 1_000_000) // n_rows)))
+    return pd.DataFrame(rows, columns=["source", "n_rows", "top_lang",
+                                       "support", "violations", "conf_ppm"])
+
+
+FD_VIOLATIONS_SQL = """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS top_n
+      FROM c GROUP BY 1),
+p AS (SELECT c.source, min(c.lang) AS top_lang
+      FROM c JOIN t ON t.source = c.source AND c.n = t.top_n GROUP BY 1)
+SELECT t.source, t.n_rows, p.top_lang, CAST(t.top_n AS BIGINT) AS support,
+       CAST(t.n_rows - t.top_n AS BIGINT) AS violations,
+       CAST((t.top_n * 1000000) // t.n_rows AS BIGINT) AS conf_ppm
+FROM t JOIN p ON p.source = t.source ORDER BY t.source
+"""
+
+
+# ---- sequence integrity: l_linenumber must be exactly 1..n per order --------
+
+
+def sequence_gaps_lineitem(sf_dir: str):
+    """One summary row: how many orders have line numbers forming EXACTLY
+    ``{1..n}`` (n = line count) and how many violate (gaps, duplicates, or
+    wrong start) — the sequence-integrity check behind event ordering /
+    pagination audits.
+
+    The multiset property genuinely needs every (order, linenumber) pair
+    co-located, so the pairs (two int64 columns — the narrowest possible
+    exchange) hash-bucket on the order key and each bucket folds count /
+    nunique / min / max per order in one pandas pass.
+    """
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_linenumber"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("l_orderkey")
+        return pa.table({
+            "o": keys, "ln": b.column("l_linenumber"),
+            "__b": pc.cast(pc.bit_wise_and(keys, 31), pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o", sort=False)["ln"].agg(
+            n="size", nd="nunique", mn="min", mx="max")
+        ok = ((agg["mn"] == 1) & (agg["mx"] == agg["n"]) &
+              (agg["nd"] == agg["n"]))
+        return pd.DataFrame({"n_orders": [np.int64(len(agg))],
+                             "n_valid": [np.int64(int(ok.sum()))]})
+
+    parts = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             ).to_pandas()
+    n_orders = int(parts["n_orders"].sum()) if len(parts) else 0
+    n_valid = int(parts["n_valid"].sum()) if len(parts) else 0
+    return pd.DataFrame({
+        "n_orders": pd.Series([n_orders], dtype=np.int64),
+        "n_valid": pd.Series([n_valid], dtype=np.int64),
+        "n_violating": pd.Series([n_orders - n_valid], dtype=np.int64)})
+
+
+SEQUENCE_GAPS_SQL = """
+WITH per_o AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd,
+         min(l_linenumber) AS mn, max(l_linenumber) AS mx
+  FROM lineitem GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN mn = 1 AND mx = n AND nd = n
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(count(*) - sum(CASE WHEN mn = 1 AND mx = n AND nd = n
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+FROM per_o
+"""
+
+
+# ---- schema drift between two corpus generations ----------------------------
+
+
+def schema_drift_documents(sf_dir: str):
+    """Per column: the inferred JSON-schema profile of generation A (even
+    doc_ids) vs generation B (odd doc_ids) and a ``changed`` flag — the
+    schema-evolution gate an incremental ingest runs before accepting a
+    new crawl (stages/infer.column_profiles on each half, then a 5-row
+    diff). Profiles compare on inferred type, required (zero nulls), and
+    the capped distinct count."""
+    from ..stages.infer import _prop_from_profile, column_profiles
+
+    def half(parity: int):
+        docs = read_parquet(f"{sf_dir}/documents.parquet")
+
+        def keep(b: pa.Table) -> pa.Table:
+            did = b.column("doc_id")
+            m = pc.equal(pc.subtract(did, pc.multiply(
+                pc.divide(did, 2), 2)), parity)
+            return b.filter(m)
+
+        prof = column_profiles(
+            docs.map_batches(keep, batch_format="pyarrow")).to_pandas()
+        out = {}
+        for _, r in prof.iterrows():
+            out[r["column"]] = (_prop_from_profile(r, 16).get("type"),
+                                bool(r["nulls"] == 0),
+                                int(r["n_distinct_capped"]))
+        return out
+
+    a, b = half(0), half(1)
+    rows = []
+    for col in sorted(set(a) | set(b)):
+        ta, ra, da = a.get(col, (None, None, None))
+        tb, rb, db = b.get(col, (None, None, None))
+        rows.append((col, ta, tb, ra, rb, np.int64(da), np.int64(db),
+                     bool(ta != tb or ra != rb or da != db)))
+    return pd.DataFrame(rows, columns=[
+        "column", "jtype_a", "jtype_b", "required_a", "required_b",
+        "n_distinct_a", "n_distinct_b", "changed"])
+
+
+def _drift_col_sql(col: str, jtype: str, parity: int) -> str:
+    return (f"SELECT '{col}' AS column, '{jtype}' AS jtype, "
+            f"COUNT(*) = COUNT({col}) AS required, "
+            f"LEAST(COUNT(DISTINCT {col}), 17) AS n_distinct "
+            f"FROM documents WHERE doc_id % 2 = {parity}")
+
+
+def _drift_half_sql(parity: int) -> str:
+    cols = [("doc_id", "integer"), ("text", "string"), ("lang", "string"),
+            ("source", "string"), ("n_chars", "integer")]
+    return " UNION ALL ".join(_drift_col_sql(c, t, parity) for c, t in cols)
+
+
+SCHEMA_DRIFT_SQL = f"""
+WITH a AS ({_drift_half_sql(0)}), b AS ({_drift_half_sql(1)})
+SELECT a.column, a.jtype AS jtype_a, b.jtype AS jtype_b,
+       a.required AS required_a, b.required AS required_b,
+       CAST(a.n_distinct AS BIGINT) AS n_distinct_a,
+       CAST(b.n_distinct AS BIGINT) AS n_distinct_b,
+       (a.jtype <> b.jtype OR a.required <> b.required
+        OR a.n_distinct <> b.n_distinct) AS changed
+FROM a JOIN b ON b.column = a.column ORDER BY a.column
+"""
+
+
+# ---- Benford first-digit profile --------------------------------------------
+
+# floor(log10(1 + 1/d) · 10⁶) — the Benford expectation as integer ppm;
+# the SAME literals appear in the SQL so no engine ever evaluates log10.
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+                6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+
+def benford_totalprice(sf_dir: str):
+    """First-significant-digit distribution of o_totalprice (via its cents
+    string — digit extraction, not float math) against the Benford
+    expectation: per digit the observed count, observed ppm (floor),
+    expected ppm (shared integer constants), and |deviation| ppm. The
+    fraud/synthetic-data smell test. Per-batch digit counts are 9-cell
+    partials; the fold is driver-side."""
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100)),
+                        pa.int64())
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1), pa.int64())
+        vc = digit.combine_chunks().value_counts()
+        return pa.table({
+            "digit": pc.struct_field(vc, "values"),
+            "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64())})
+
+    df = (orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby("digit", as_index=False)["n"].sum())
+    total = int(df["n"].sum())
+    counts = dict(zip(df["digit"], df["n"]))
+    rows = []
+    for d in range(1, 10):
+        n = int(counts.get(d, 0))
+        obs = (n * 1_000_000) // total if total else 0
+        exp = _BENFORD_PPM[d]
+        rows.append((np.int64(d), np.int64(n), np.int64(obs),
+                     np.int64(exp), np.int64(abs(obs - exp))))
+    return pd.DataFrame(rows, columns=["digit", "n", "obs_ppm",
+                                       "benford_ppm", "dev_ppm"])
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+
+BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM c),
+grid AS (SELECT unnest(range(1, 10)) AS digit),
+j AS (SELECT g.digit, coalesce(c.n, 0) AS n,
+             CASE WHEN tot.total > 0
+                  THEN (coalesce(c.n, 0) * 1000000) // tot.total
+                  ELSE 0 END AS obs_ppm,
+             CASE g.digit {_BENFORD_CASE} END AS benford_ppm
+      FROM grid g LEFT JOIN c ON c.digit = g.digit, tot)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+       CAST(obs_ppm AS BIGINT) AS obs_ppm,
+       CAST(benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(obs_ppm - benford_ppm) AS BIGINT) AS dev_ppm
+FROM j ORDER BY digit
+"""
+
+
+# ---- per-domain duplication rate --------------------------------------------
+
+
+def dup_ratio_by_domain(sf_dir: str):
+    """Per registrable domain (synthesized URLs — pipelines/weburls
+    construction): document count, exact distinct-text count, and the
+    duplication rate in ppm — the domain-level dedup budget a crawl
+    curator reads before sampling. Distinct texts per domain ride the
+    repo's two-phase exact COUNT(DISTINCT) (stages/uniqueness.
+    group_distinct_count: distinct pairs per batch, pair-hash buckets,
+    per-bucket global dedup) so no text value is ever compared across
+    buckets and no hashes stand in for values."""
+    from ..stages.uniqueness import group_distinct_count
+    from .weburls import _synth_urls
+    from ..functions.urls import parse_url_parts
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source", "lang", "text"])
+
+    def with_domain(b: pa.Table) -> pa.Table:
+        parts = parse_url_parts(_synth_urls(b))
+        return pa.table({"domain": parts.column("domain"),
+                         "text": b.column("text")})
+
+    dom = docs.map_batches(with_domain, batch_format="pyarrow")
+    nd = group_distinct_count(dom, "domain", "text").to_pandas()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = b.column("domain").combine_chunks().value_counts()
+        return pa.table({
+            "domain": pc.struct_field(vc, "values"),
+            "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64())})
+
+    ndocs = (dom.map_batches(count_partial, batch_format="pyarrow")
+             .to_pandas().groupby("domain", as_index=False)["n"].sum())
+    out = nd.merge(ndocs, on="domain")
+    out = out.rename(columns={"n_distinct": "n_distinct_texts",
+                              "n": "n_docs"})
+    out["dup_ppm"] = ((out["n_docs"] - out["n_distinct_texts"])
+                      * 1_000_000) // out["n_docs"]
+    for c in ("n_docs", "n_distinct_texts", "dup_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["domain", "n_docs", "n_distinct_texts", "dup_ppm"]]
+            .sort_values("domain", kind="mergesort").reset_index(drop=True))
+
+
+DUP_RATIO_BY_DOMAIN_SQL = """
+WITH u AS (SELECT 'example.' || lang AS domain, text FROM documents)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+       CAST(((count(*) - count(DISTINCT text)) * 1000000) // count(*)
+            AS BIGINT) AS dup_ppm
+FROM u GROUP BY 1 ORDER BY domain
+"""

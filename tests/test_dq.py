@@ -1,0 +1,73 @@
+"""Positive-detection checks for the data-quality audit operators: the
+testdata is clean, so these plant violations through the same kernels the
+pipelines use and assert they are flagged."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _seq_fold(pairs):
+    # the per-bucket fold from dq.sequence_gaps_lineitem
+    g = pd.DataFrame(pairs, columns=["o", "ln"])
+    agg = g.groupby("o", sort=False)["ln"].agg(
+        n="size", nd="nunique", mn="min", mx="max")
+    ok = (agg["mn"] == 1) & (agg["mx"] == agg["n"]) & (agg["nd"] == agg["n"])
+    return int(len(agg)), int(ok.sum())
+
+
+def test_sequence_fold_flags_gap_duplicate_and_offset():
+    pairs = ([(1, 1), (1, 2), (1, 3)] +       # valid
+             [(2, 1), (2, 3)] +               # gap
+             [(3, 1), (3, 1), (3, 2)] +       # duplicate
+             [(4, 2), (4, 3)])                # wrong start
+    n_orders, n_valid = _seq_fold(pairs)
+    assert (n_orders, n_valid) == (4, 1)
+
+
+def test_benford_constants_sum_to_unity_within_floor_loss():
+    from jsonschema_validator_ray.pipelines.dq import _BENFORD_PPM
+
+    s = sum(_BENFORD_PPM.values())
+    assert 1_000_000 - 9 <= s <= 1_000_000   # nine floors lose < 1 ppm each
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_drift_flags_planted_type_and_distinct_change():
+    import ray.data
+
+    from jsonschema_validator_ray.stages.infer import (_prop_from_profile,
+                                                       column_profiles)
+
+    # generation A: int column + 2 distinct labels; B: same column becomes
+    # float-typed and the label set widens
+    a = pa.table({"v": pa.array([1, 2, 3], pa.int64()),
+                  "lab": ["x", "y", "x"]})
+    b = pa.table({"v": pa.array([1.5, 2.5, 3.5], pa.float64()),
+                  "lab": ["x", "y", "z"]})
+
+    def prof(t):
+        out = {}
+        df = column_profiles(ray.data.from_arrow(t)).to_pandas()
+        for _, r in df.iterrows():
+            out[r["column"]] = (_prop_from_profile(r, 16).get("type"),
+                                int(r["n_distinct_capped"]))
+        return out
+
+    pa_, pb = prof(a), prof(b)
+    assert pa_["v"][0] != pb["v"][0]          # integer → number
+    assert pa_["lab"][1] != pb["lab"][1]      # 2 → 3 distinct
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fd_confidence_is_exact_on_testdata():
+    from jsonschema_validator_ray.pipelines.dq import fd_violations_documents
+
+    out = fd_violations_documents(SF_SMOKE)
+    assert (out["support"] + out["violations"] == out["n_rows"]).all()
+    assert (out["conf_ppm"] ==
+            (out["support"] * 1_000_000) // out["n_rows"]).all()
+    assert (out["conf_ppm"] <= 1_000_000).all()
