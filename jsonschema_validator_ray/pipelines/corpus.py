@@ -1948,6 +1948,28 @@ def events_rolling(sf_dir: str, window_s: int = 600):
                    value="value")
 
 
+def events_rolling_median(sf_dir: str, k: int = 5):
+    """(event_id, user_id, med) — per user, the median of the current and
+    4 preceding event values in (ts, event_id) order (stages/windows.
+    rolling_median): the robust-smoothing ROWS-frame window. Median floats
+    compare bitwise against the SQL oracle because both engines pick a
+    data element (odd frames) or average the two middles with the same
+    double arithmetic (even frames)."""
+    from ..stages.windows import rolling_median
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"])
+    return rolling_median(ev, "user_id", "ts", "event_id", "value", k=k)
+
+
+EVENTS_ROLLING_MEDIAN_SQL = """
+SELECT event_id, user_id,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+FROM events
+"""
+
+
 EVENTS_ROLLING_SQL = """
 SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS w_count,

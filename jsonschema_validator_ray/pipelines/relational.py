@@ -1228,3 +1228,102 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT c FROM tri)
 GROUP BY node ORDER BY node
 """
+
+
+# ---- k-core of the bipartite trade graph ------------------------------------
+
+
+def kcore_trade(sf_dir: str, k: int = 30, rounds: int = 4):
+    """One summary row of the bipartite customer↔supplier ``k``-core after
+    ``rounds`` synchronized peeling rounds (stages/components.
+    kcore_bipartite): surviving customers, suppliers, edges, and whether
+    the peel reached its fixpoint. With convergence (it does here — the
+    flag is part of the oracle-checked output) the result IS the true
+    k-core, and the fixed-round SQL oracle computes the identical set.
+
+    Edges are the DISTINCT (custkey, suppkey) pairs, derived with one
+    bucketed fact-fact join (lineitem pre-reduced to distinct
+    (orderkey, suppkey)); the per-round degree folds are node-bounded.
+    """
+    import pyarrow as pa
+
+    from ..stages.components import kcore_bipartite
+    from ..stages.joins import bucketed_join
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey"])
+
+    def li_distinct(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "supp": b.column("l_suppkey")}).group_by(
+                ["l_orderkey", "supp"]).aggregate([])
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+    joined = bucketed_join(
+        li.map_batches(li_distinct, batch_format="pyarrow"), orders,
+        "l_orderkey", right_on="o_orderkey", num_buckets=16)
+
+    def pair_partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "cust": b.column("o_custkey").to_numpy(zero_copy_only=False),
+            "supp": b.column("supp").to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            df["cust"] * np.int64(1_000_003) + df["supp"],
+            index=False).to_numpy()
+        df["__b"] = (h % 32).astype(np.int32)
+        return df
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["cust", "supp"])[["cust", "supp"]]
+
+    pairs = (joined.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(dedup_bucket,
+                                        batch_format="pandas"))
+    core, converged = kcore_bipartite(pairs, key_a="cust", key_b="supp",
+                                      k=k, rounds=rounds)
+
+    # per-block partials: edges of one node can span blocks, so distincts
+    # must fold over the gathered key sets, not per-block nunique sums —
+    # gather the (bounded) core edge list once for the exact summary
+    df = core.to_pandas()
+    if "cust" in df.columns and len(df):
+        n_c = int(df["cust"].nunique())
+        n_s = int(df["supp"].nunique())
+        n_e = len(df)
+    else:
+        n_c = n_s = n_e = 0
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype=np.int64),
+        "n_custs": pd.Series([n_c], dtype=np.int64),
+        "n_supps": pd.Series([n_s], dtype=np.int64),
+        "n_edges": pd.Series([n_e], dtype=np.int64),
+        "converged": [bool(converged)]})
+
+
+def _kcore_round_sql(prev: str, cur: str, k: int) -> str:
+    return (f"{cur} AS (SELECT c, s FROM {prev} WHERE "
+            f"c IN (SELECT c FROM {prev} GROUP BY c HAVING count(*) >= {k})"
+            f" AND "
+            f"s IN (SELECT s FROM {prev} GROUP BY s HAVING count(*) >= {k})"
+            ")")
+
+
+KCORE_TRADE_SQL = ("""
+WITH e0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+""" + ",\n".join(_kcore_round_sql(f"e{i}", f"e{i+1}", 30) for i in range(4))
+    + """
+SELECT CAST(30 AS BIGINT) AS k,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_custs,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_supps,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       NOT EXISTS (SELECT 1 FROM (SELECT c AS v, count(*) AS d FROM e4
+                                  GROUP BY c
+                                  UNION ALL
+                                  SELECT s AS v, count(*) AS d FROM e4
+                                  GROUP BY s) WHERE d < 30) AS converged
+FROM e4
+""")

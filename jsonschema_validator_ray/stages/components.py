@@ -245,6 +245,96 @@ def _components_join(pairs_ds, key_a: str, key_b: str, *, max_rounds: int,
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+def kcore_bipartite(pairs_ds, *, key_a: str = "key_a", key_b: str = "key_b",
+                    k: int = 2, rounds: int = 4,
+                    degree_gather_limit: int = 20_000_000):
+    """Synchronized k-core peeling of a bipartite edge set: each round
+    drops every edge touching a node of degree < ``k`` ON ITS OWN SIDE,
+    re-counting degrees over the surviving edges; ``rounds`` rounds are
+    run (early exit when a round removes nothing — the fixpoint, after
+    which extra rounds are identities, so a fixed-round oracle and the
+    early-exit engine agree whenever the graph converges in time; the
+    returned ``converged`` flag says whether it did).
+
+    Scale shape: edges stay distributed; per round, per-batch endpoint
+    ``value_counts`` partials fold driver-side (bounded by node count —
+    ``degree_gather_limit`` gates the gather, loud failure past it) and
+    the surviving-node key sets broadcast back via ``ray.put`` into an
+    Arrow ``is_in`` filter. Each round is one pass over the current edge
+    set; edge sets are materialized per round so round r+1 does not
+    re-execute round r's lineage.
+
+    → ``(edges_ds, converged)``: the peeled edge Dataset and whether a
+    fixpoint was reached within ``rounds``.
+    """
+    import ray
+
+    cur = pairs_ds.materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        out = []
+        for side, col in (("a", key_a), ("b", key_b)):
+            vc = b.column(col).combine_chunks().value_counts()
+            out.append(pa.table({
+                "side": pa.nulls(len(vc), pa.string()).fill_null(side),
+                "key": pc.cast(pc.struct_field(vc, "values"), pa.int64()),
+                "d": pc.cast(pc.struct_field(vc, "counts"), pa.int64())}))
+        return pa.concat_tables(out)
+
+    converged = False
+    for _ in range(rounds):
+        degs = cur.map_batches(deg_partial, batch_format="pyarrow") \
+            .to_pandas()
+        if degs.empty or "side" not in degs.columns:
+            # the peel emptied the graph — the empty set is a fixpoint
+            # (empty partials also lose their schema, CLAUDE.md)
+            converged = True
+            break
+        if len(degs) > degree_gather_limit:
+            raise ValueError(
+                f"kcore_bipartite: {len(degs)} degree partials exceed the "
+                f"driver gather gate {degree_gather_limit}; raise the gate "
+                "or pre-bucket the degree fold")
+        degs = degs.groupby(["side", "key"], as_index=False)["d"].sum()
+        keep_a = degs[(degs["side"] == "a") & (degs["d"] >= k)]["key"]
+        keep_b = degs[(degs["side"] == "b") & (degs["d"] >= k)]["key"]
+        n_a = int((degs["side"] == "a").sum())
+        n_b = int((degs["side"] == "b").sum())
+        if len(keep_a) == n_a and len(keep_b) == n_b:
+            converged = True
+            break
+        ref = ray.put((pa.array(keep_a.to_numpy(), pa.int64()),
+                       pa.array(keep_b.to_numpy(), pa.int64())))
+
+        class _Filter:
+            def __init__(self, r):
+                self.ka, self.kb = (ray.get(r)
+                                    if isinstance(r, ray.ObjectRef) else r)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.is_in(pc.cast(b.column(key_a), pa.int64()),
+                             value_set=self.ka),
+                    pc.is_in(pc.cast(b.column(key_b), pa.int64()),
+                             value_set=self.kb))
+                return b.filter(m)
+
+        cur = cur.map_batches(_Filter, fn_constructor_args=(ref,),
+                              concurrency=2,
+                              batch_format="pyarrow").materialize()
+    if not converged:
+        # the last filter may itself have reached the fixpoint — decide on
+        # the FINAL edge set (same test a SQL oracle runs on its last CTE)
+        degs = cur.map_batches(deg_partial, batch_format="pyarrow") \
+            .to_pandas()
+        if len(degs):
+            degs = degs.groupby(["side", "key"], as_index=False)["d"].sum()
+            converged = bool((degs["d"] >= k).all())
+        else:
+            converged = True
+    return cur, converged
+
+
 def dedup_by_components(ds, key: str, components_ds, *,
                         strategy: str = "auto",
                         broadcast_limit: int = 5_000_000,

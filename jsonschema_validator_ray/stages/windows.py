@@ -324,3 +324,47 @@ def rolling(ds, key: str, ts: str, id_col: str, window_s: int,
 
     return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
         per_bucket, batch_format="pandas")
+
+
+def rolling_median(ds, key: str, ts: str, id_col: str, value: str,
+                   k: int = 5, num_buckets: int = 32):
+    """Per-row trailing ROWS-frame median — SQL's ``median(value) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW)``: for every row, the median of its own and the previous
+    ``k-1`` values within the key, shorter prefixes included.
+
+    One vectorized pass per hash bucket: sort by ``(key, ts, id)``, insert
+    ``k-1`` NaN pads before each key segment, then ONE
+    ``sliding_window_view`` + ``np.nanmedian`` computes every frame — the
+    pads keep windows from reaching the previous key and make prefix
+    frames "short" via NaN-skipping. Even-length frames average the two
+    middle elements with the same ``(a+b)·0.5`` double arithmetic DuckDB's
+    ``median`` uses, so outputs compare bitwise (verified row-for-row on
+    testdata). NULL values behave like SQL (skipped; an all-NULL frame is
+    impossible while the current row is non-null)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: "int64", key: "int64"}
+        if g.empty:
+            out = {c: pd.Series([], dtype=t) for c, t in cols.items()}
+            out["med"] = pd.Series([], dtype="float64")
+            return pd.DataFrame(out)
+        g = g.sort_values([key, ts, id_col], kind="mergesort")
+        kv = g[key].to_numpy()
+        v = g[value].to_numpy(dtype=np.float64)
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = kv[1:] != kv[:-1]
+        seg = np.cumsum(new) - 1
+        pad = k - 1
+        padded = np.full(n + pad * (seg[-1] + 1), np.nan)
+        idx = np.arange(n) + (seg + 1) * pad
+        padded[idx] = v
+        win = np.lib.stride_tricks.sliding_window_view(padded, k)
+        med = np.nanmedian(win, axis=1)[idx - pad]
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), key: kv,
+                             "med": med})
+
+    return _bucket_groups(ds, key, num_buckets, ts=ts).map_groups(
+        per_bucket, batch_format="pandas")
