@@ -4,6 +4,7 @@ the hash-join, bucketed-join, and as-of-join operators with SQL oracles.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1405,4 +1406,128 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_x10000 DESC, o_orderdate, l_orderkey
 LIMIT 10
+"""
+
+
+def grouping_sets_revenue(sf_dir: str):
+    """GROUP BY GROUPING SETS ((nation), (year), ()) over order revenue —
+    the multi-level aggregate shape beyond ROLLUP's prefix hierarchy: one
+    corpus scan folds the FINEST (nation, year) cells (bounded by
+    |nations| × |years|), and every requested set derives from those cells
+    driver-side with the same integer arithmetic. NULL marks the
+    aggregated-out dimension exactly as SQL does."""
+    import ray
+
+    cust = read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    nat = read_parquet(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    ctab = pa.concat_tables(ray.get(cust.to_arrow_refs())).combine_chunks()
+    ntab = pa.concat_tables(ray.get(nat.to_arrow_refs())).combine_chunks()
+    nidx = pc.index_in(ctab.column("c_nationkey"),
+                       value_set=ntab.column("n_nationkey"))
+    cnation = ntab.column("n_name").take(nidx).combine_chunks()
+    ref = ray.put((ctab.column("c_custkey").combine_chunks(), cnation))
+
+    class Partial:
+        def __init__(self, r):
+            self.ck, self.cn = (ray.get(r)
+                                if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cidx = pc.index_in(b.column("o_custkey"), value_set=self.ck)
+            t = pa.table({
+                "n_name": self.cn.take(cidx),
+                "o_year": pc.year(b.column("o_orderdate")),
+                "cents": pc.cast(pc.round(pc.multiply(
+                    b.column("o_totalprice"), 100)), pa.int64())})
+            g = t.group_by(["n_name", "o_year"]).aggregate(
+                [("cents", "sum"), ("cents", "count")])
+            return pa.table({
+                "n_name": g.column("n_name"), "o_year": g.column("o_year"),
+                "revenue_cents": g.column("cents_sum"),
+                "n_orders": pc.cast(g.column("cents_count"), pa.int64())})
+
+    fine = (read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+            .map_batches(Partial, fn_constructor_args=(ref,), concurrency=2,
+                         batch_format="pyarrow").to_pandas()
+            .groupby(["n_name", "o_year"], as_index=False)
+            [["revenue_cents", "n_orders"]].sum())
+    by_nation = (fine.groupby("n_name", as_index=False)
+                 [["revenue_cents", "n_orders"]].sum())
+    # float64 with NaN, matching the dtype a NULL-bearing SQL int column
+    # lands in pandas (canonical compare is repr-based)
+    by_nation["o_year"] = np.nan
+    by_year = (fine.groupby("o_year", as_index=False)
+               [["revenue_cents", "n_orders"]].sum())
+    by_year["n_name"] = None
+    total = pd.DataFrame({
+        "n_name": [None], "o_year": [np.nan],
+        "revenue_cents": [fine["revenue_cents"].sum()],
+        "n_orders": [fine["n_orders"].sum()]})
+    cols = ["n_name", "o_year", "revenue_cents", "n_orders"]
+    out = pd.concat([by_nation[cols], by_year[cols], total[cols]])
+    out["o_year"] = out["o_year"].astype("float64")
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return (out.sort_values(["n_name", "o_year"], kind="mergesort",
+                            na_position="last")
+            .reset_index(drop=True))
+
+
+GROUPING_SETS_SQL = """
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (year(o.o_orderdate)), ())
+ORDER BY n_name NULLS LAST, o_year NULLS LAST
+"""
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7):
+    """Per calendar day of the events log: how many DISTINCT users were
+    active in the trailing ``window_days``-day window ending that day —
+    the rolling-cohort liveness curve. Per-batch distinct (day, user)
+    pairs (bounded by |days| × |users|, NOT event rows) fold driver-side;
+    each day's window distinct count is exact.
+
+    Day grid = days with ≥1 event (SQL mirrors with the same distinct-day
+    CTE)."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                       pa.int64())
+        day = pc.divide(t_us, 86_400_000_000)
+        t = pa.table({"day": day, "user_id": b.column("user_id")})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = (ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .drop_duplicates(["day", "user_id"]))
+    days = np.sort(pairs["day"].unique())
+    d = pairs["day"].to_numpy()
+    u = pairs["user_id"].to_numpy()
+    rows = []
+    for day in days:
+        m = (d > day - window_days) & (d <= day)
+        rows.append((np.int64(day), np.int64(len(np.unique(u[m])))))
+    out = pd.DataFrame(rows, columns=["day_epoch", "active_users"])
+    return out
+
+
+ROLLING_ACTIVE_SQL = """
+WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events),
+days AS (SELECT DISTINCT day FROM p)
+SELECT CAST(d.day AS BIGINT) AS day_epoch,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS active_users
+FROM days d JOIN p ON p.day > d.day - 7 AND p.day <= d.day
+GROUP BY 1 ORDER BY 1
 """

@@ -594,3 +594,55 @@ SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents, t
 WHERE ((48271 * doc_id + 11) % 2147483647) % t.m < n_chars
 """
+
+
+def norm_check_embeddings(sf_dir: str, tol_ppm: int = 1_000):
+    """Per vector: the integer-quantized squared L2 norm and whether it
+    sits within ``tol_ppm`` of the unit norm — the embedding-sanity gate a
+    similarity pipeline runs before trusting cosine math. Quantization is
+    the repo's exact cross-engine spelling (``floor(float64(x)·1e5)`` per
+    component — float32 inputs widen exactly, one correctly-rounded
+    product, integer sums < 2^53), so ``norm2_q`` matches the SQL
+    list-kernel oracle bitwise. The deviation test is fully integer:
+    ``|norm2_q − 10^10| · 10^6 ≤ tol_ppm · 10^10``."""
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = b.column("embedding").combine_chunks()
+        flat = pc.cast(pc.list_flatten(vecs), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        q = np.floor(flat * 100_000).astype(np.int64)
+        offs = vecs.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]                  # sliced arrays rebase to 0
+        if len(q) == 0:
+            sq = np.zeros(len(offs) - 1, dtype=np.int64)
+        else:
+            starts = np.minimum(offs[:-1], len(q) - 1)  # reduceat bounds
+            sq = np.add.reduceat(q * q, starts).astype(np.int64)
+            sq[offs[:-1] == offs[1:]] = 0      # empty lists reduce wrongly
+        # scale² · 1.0 = 10^10 is the unit-norm expectation
+        dev = np.abs(sq - np.int64(10_000_000_000))
+        ok = dev * np.int64(1_000_000) <= np.int64(tol_ppm) * np.int64(
+            10_000_000_000)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "norm2_q": pa.array(sq, pa.int64()),
+            "in_range": pa.array(ok)})
+
+    return emb.map_batches(partial, batch_format="pyarrow")
+
+
+NORM_CHECK_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) *
+                   CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)))
+              AS BIGINT) AS norm2_q
+  FROM embeddings)
+SELECT vec_id, norm2_q,
+       abs(norm2_q - 10000000000) * 1000000 <= 1000 * 10000000000
+         AS in_range
+FROM q
+"""
