@@ -1531,3 +1531,176 @@ SELECT CAST(d.day AS BIGINT) AS day_epoch,
 FROM days d JOIN p ON p.day > d.day - 7 AND p.day <= d.day
 GROUP BY 1 ORDER BY 1
 """
+
+
+def linear_attribution_events(sf_dir: str):
+    """Linear multi-touch attribution: every click is credited to the NEXT
+    purchase of the same user, and each purchase's 1.000000 of credit
+    (1e6 ppm) splits EVENLY over its attributed clicks — the integer
+    remainder goes to the latest click (ties → highest event_id), so the
+    split is exact and deterministic in both engines. Output: one row per
+    credited click ``(event_id, user_id, credit_ppm)``.
+
+    Shape: one hash-bucket exchange on user; per bucket, purchases and
+    clicks of every user associate in one vectorized pass (the same
+    segment-offset + searchsorted trick as the window stages — clicks
+    search the purchase timeline for their next purchase)."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        b = b.filter(m)
+        users = b.column("user_id")
+        return pa.table({
+            "event_id": b.column("event_id"), "user_id": users,
+            "t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+            "is_click": pc.cast(pc.equal(b.column("event_type"), "click"),
+                                pa.int8()),
+            "__b": pc.cast(pc.bit_wise_and(users, 31), pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                              "user_id": pd.Series([], dtype="int64"),
+                              "credit_ppm": pd.Series([], dtype="int64")})
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        pur = g[g["is_click"] == 0]
+        clk = g[g["is_click"] == 1]
+        if pur.empty or clk.empty:
+            return empty
+        # offset each user's purchase timeline onto a disjoint range so
+        # one global searchsorted finds every click's next purchase
+        users = np.union1d(pur["user_id"].to_numpy(),
+                           clk["user_id"].to_numpy())
+        uidx = {u: i for i, u in enumerate(users)}
+        tmin = int(g["t"].min())
+        span = np.int64(int(g["t"].max()) - tmin + 2)
+        pu = pur["user_id"].map(uidx).to_numpy(dtype=np.int64)
+        pt = (pur["t"].to_numpy() - tmin) + pu * span
+        cu = clk["user_id"].map(uidx).to_numpy(dtype=np.int64)
+        ct = (clk["t"].to_numpy() - tmin) + cu * span
+        nxt = np.searchsorted(pt, ct, side="left")   # next p.t >= c.t
+        # valid only when the found purchase belongs to the same user
+        valid = (nxt < len(pt)) & (pu[np.minimum(nxt, len(pt) - 1)] == cu)
+        clk = clk[valid]
+        if clk.empty:
+            return empty
+        pid = pur["event_id"].to_numpy()[nxt[valid]]
+        df = pd.DataFrame({"event_id": clk["event_id"].to_numpy(),
+                           "user_id": clk["user_id"].to_numpy(),
+                           "t": clk["t"].to_numpy(), "pid": pid})
+        # remainder → the latest click of the window (max t, then max id)
+        df = df.sort_values(["pid", "t", "event_id"], kind="mergesort")
+        sizes = df.groupby("pid")["event_id"].transform("size").to_numpy()
+        base = (1_000_000 // sizes).astype(np.int64)
+        rem = (1_000_000 % sizes).astype(np.int64)
+        last = np.zeros(len(df), dtype=bool)
+        pid_arr = df["pid"].to_numpy()
+        last[:-1] = pid_arr[:-1] != pid_arr[1:]
+        last[-1] = True
+        credit = base + np.where(last, rem, 0)
+        out = pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                            "user_id": df["user_id"].to_numpy(),
+                            "credit_ppm": credit.astype(np.int64)})
+        return out
+
+    df = (ev.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+          ).to_pandas()
+    if "event_id" not in df.columns:
+        df = pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                           "user_id": pd.Series([], dtype=np.int64),
+                           "credit_ppm": pd.Series([], dtype=np.int64)})
+    return df.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH pur AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+             WHERE event_type = 'purchase'),
+clk AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'click'),
+nx AS (SELECT c.event_id, c.user_id, c.t,
+              (SELECT p.event_id FROM pur p
+               WHERE p.user_id = c.user_id AND p.t >= c.t
+               ORDER BY p.t, p.event_id LIMIT 1) AS pid
+       FROM clk c),
+w AS (SELECT *, CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY pid ORDER BY t DESC,
+                                event_id DESC) AS rn
+      FROM nx WHERE pid IS NOT NULL)
+SELECT event_id, user_id,
+       CAST(1000000 // n + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END
+            AS BIGINT) AS credit_ppm
+FROM w ORDER BY event_id
+"""
+
+
+def coverage_users_events(sf_dir: str, window_s: int = 600):
+    """Per user: the total number of SECONDS covered by the union of the
+    ``[t, t+window)`` activity intervals around their events — the
+    interval-union sweep (overlaps merge, gaps don't count). One sorted
+    pass per hash bucket: covered = Σ min(next_t − t, window) + window for
+    each user's last event. Second resolution, exact integers.
+    """
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        users = b.column("user_id")
+        t_us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                       pa.int64())
+        return pa.table({
+            "user_id": users, "t": pc.divide(t_us, 1_000_000),
+            "__b": pc.cast(pc.bit_wise_and(users, 31), pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "covered_seconds": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "t"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["t"].to_numpy().astype(np.int64)
+        n = len(g)
+        nxt_same = np.zeros(n, dtype=bool)
+        if n > 1:
+            nxt_same[:-1] = u[:-1] == u[1:]
+        gap = np.full(n, np.int64(window_s))
+        if n > 1:
+            d = t[1:] - t[:-1]
+            gap[:-1] = np.where(nxt_same[:-1],
+                                np.minimum(d, window_s), window_s)
+        df = pd.DataFrame({"user_id": u, "c": gap})
+        out = df.groupby("user_id", sort=False).agg(
+            covered_seconds=("c", "sum"), n_events=("c", "size"))
+        out = out.reset_index()
+        out["covered_seconds"] = out["covered_seconds"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    df = (ev.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+          ).to_pandas()
+    if "user_id" not in df.columns:
+        df = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                           "covered_seconds": pd.Series([], dtype=np.int64),
+                           "n_events": pd.Series([], dtype=np.int64)})
+    return df.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+COVERAGE_USERS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+w AS (SELECT user_id, t,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+      FROM e)
+SELECT user_id,
+       CAST(sum(least(coalesce(nt - t, 600), 600)) AS BIGINT)
+         AS covered_seconds,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1 ORDER BY 1
+"""

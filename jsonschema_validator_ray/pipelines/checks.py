@@ -9,6 +9,8 @@ aggregation.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1084,4 +1086,67 @@ SELECT p.ia AS item_a, p.ib AS item_b, p.sup AS support,
            AS lift
 FROM p JOIN s sa ON sa.l_partkey = p.ia
        JOIN s sb ON sb.l_partkey = p.ib, n
+"""
+
+
+def mi_lang_source(sf_dir: str):
+    """One-row mutual information (micronats) between lang and source —
+    the dependence diagnostic beside chi-square: 0 ⇔ independent mixes.
+
+    Exactness: the ONLY per-cell float op is ``floor(ln(r)·10⁶)`` where
+    ``r = (N·n_ij) / (n_i·n_j)`` is ONE IEEE division of two exact int64
+    products (same libm ln in Python and DuckDB); the weighted sum
+    ``Σ n_ij · lp_ij`` folds in exact integers and divides by N once at
+    the end. Cells come from per-batch (lang, source) count partials —
+    bounded by |langs| × |sources|."""
+    import math
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"),
+                      "source": b.column("source")})
+        g = t.group_by(["lang", "source"]).aggregate([("source", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "n": pc.cast(g.column("source_count"), pa.int64())})
+
+    cells = (docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["lang", "source"], as_index=False)["n"].sum())
+    big_n = int(cells["n"].sum())
+    row_n = cells.groupby("lang")["n"].sum().to_dict()
+    col_n = cells.groupby("source")["n"].sum().to_dict()
+    acc = 0
+    for _, r in cells.iterrows():
+        nij = int(r["n"])
+        ratio = float(big_n * nij) / float(row_n[r["lang"]] *
+                                           col_n[r["source"]])
+        lp = math.floor(math.log(ratio) * 1_000_000)
+        acc += nij * lp
+    mi = float(acc) / float(big_n)
+    return pd.DataFrame({
+        "n_rows": pd.Series([big_n], dtype=np.int64),
+        "n_cells": pd.Series([len(cells)], dtype=np.int64),
+        "mi_micronats": [mi]})
+
+
+MI_LANG_SOURCE_SQL = """
+WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1, 2),
+rows_ AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+cols AS (SELECT source, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM cells),
+lp AS (SELECT c.n,
+              CAST(floor(ln(CAST(t.big_n * c.n AS DOUBLE)
+                            / CAST(r.rn * co.cn AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS lp
+       FROM cells c
+       JOIN rows_ r ON r.lang = c.lang
+       JOIN cols co ON co.source = c.source, t)
+SELECT t.big_n AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+       CAST(sum(CAST(lp.n AS HUGEINT) * lp.lp) AS DOUBLE)
+         / CAST(t.big_n AS DOUBLE) AS mi_micronats
+FROM lp, t GROUP BY t.big_n
 """
