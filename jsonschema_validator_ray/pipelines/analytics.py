@@ -1704,3 +1704,81 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM w GROUP BY 1 ORDER BY 1
 """
+
+
+def event_lift_daily(sf_dir: str):
+    """Per event-type pair: in how many distinct (user, day) activity
+    cells do both types occur, and the co-occurrence LIFT in exact ppm —
+    ``(n_ab · n_cells · 10⁶) // (n_a · n_b)``, pure integer floor, where
+    n_cells is the total distinct (user, day) count. Lift > 1e6 ⇔ the
+    types attract. Per-batch distinct (user, day, type) triples (bounded
+    by |users| × |days| × |types|) hash on (user, day) so each bucket
+    enumerates its cells' pairs with one ordered self-merge."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                       pa.int64())
+        t = pa.table({"user_id": b.column("user_id"),
+                      "day": pc.divide(t_us, 86_400_000_000),
+                      "event_type": b.column("event_type")})
+        g = t.group_by(["user_id", "day", "event_type"]).aggregate([])
+        users = g.column("user_id")
+        bucket = pc.bit_wise_and(pc.add(pc.multiply(users, 31),
+                                        g.column("day")), 31)
+        return g.append_column("__b", pc.cast(bucket, pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day", "event_type"])
+        m = g.merge(g, on=["user_id", "day"], suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        pairs = (m.groupby(["event_type_a", "event_type_b"], sort=False)
+                 .size().reset_index(name="n_ab"))
+        singles = (g.groupby("event_type", sort=False)
+                   .size().reset_index(name="n_t"))
+        cells = g.drop_duplicates(["user_id", "day"])
+        pairs["kind"] = "pair"
+        singles["kind"] = "single"
+        meta = pd.DataFrame({"kind": ["cells"], "n_ab": [len(cells)]})
+        return pd.concat([pairs, singles, meta], ignore_index=True)
+
+    raw = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+           ).to_pandas()
+    n_cells = int(raw.loc[raw["kind"] == "cells", "n_ab"].sum())
+    singles = (raw[raw["kind"] == "single"]
+               .groupby("event_type")["n_t"].sum().astype(int).to_dict())
+    pairs = (raw[raw["kind"] == "pair"]
+             .groupby(["event_type_a", "event_type_b"], as_index=False)
+             ["n_ab"].sum())
+    rows = []
+    for _, r in pairs.iterrows():
+        ta, tb, nab = r["event_type_a"], r["event_type_b"], int(r["n_ab"])
+        lift = (nab * n_cells * 1_000_000) // (singles[ta] * singles[tb])
+        rows.append((ta, tb, np.int64(nab), np.int64(lift)))
+    out = pd.DataFrame(rows, columns=["event_type_a", "event_type_b",
+                                      "n_ab", "lift_ppm"])
+    return (out.sort_values(["event_type_a", "event_type_b"],
+                            kind="mergesort").reset_index(drop=True))
+
+
+EVENT_LIFT_SQL = """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+                  event_type FROM events),
+cells AS (SELECT CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT DISTINCT user_id, day FROM d)),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+      FROM d GROUP BY 1),
+p AS (SELECT a.event_type AS event_type_a, b.event_type AS event_type_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM d a JOIN d b ON b.user_id = a.user_id AND b.day = a.day
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.event_type_a, p.event_type_b, p.n_ab,
+       CAST((p.n_ab * cells.n * 1000000) // (sa.n_t * sb.n_t) AS BIGINT)
+         AS lift_ppm
+FROM p JOIN s sa ON sa.event_type = p.event_type_a
+       JOIN s sb ON sb.event_type = p.event_type_b, cells
+ORDER BY 1, 2
+"""

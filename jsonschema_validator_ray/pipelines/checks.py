@@ -1150,3 +1150,108 @@ SELECT t.big_n AS n_rows,
          / CAST(t.big_n AS DOUBLE) AS mi_micronats
 FROM lp, t GROUP BY t.big_n
 """
+
+
+def basket_triples_lineitem(sf_dir: str):
+    """(item_a, item_b, item_c, support) — part TRIPLES co-occurring in ≥2
+    orders (stages/itemsets.cooccur_triples): the 3-itemset frequent-set
+    mining step, two partial-aggregated bucket exchanges with ordered
+    C-path self-merges enumerating the triples."""
+    from ..stages.itemsets import cooccur_triples
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    return cooccur_triples(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+BASKET_TRIPLES_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+       c.l_partkey AS item_c, count(*) AS support
+FROM d a
+JOIN d b ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN d c ON c.l_orderkey = a.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""
+
+
+def jsd_sources(sf_dir: str, source_a: str = "src1", source_b: str = "src2"):
+    """One-row Jensen–Shannon divergence (micronats) between the language
+    mixes of two sources — the symmetric bounded drift measure beside
+    PSI/KL. Decomposed as ``KL(p‖m)/2 + KL(q‖m)/2`` so every per-cell log
+    argument is ONE IEEE division of exact integer products
+    (``2·aᵢ·B / (aᵢ·B + bᵢ·A)`` and its mirror — Python arbitrary ints,
+    HUGEINT in the oracle); the weighted sums fold as exact integers and
+    the two final divisions + halving are spelled identically in SQL."""
+    import math
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("source"),
+                     value_set=pa.array([source_a, source_b]))
+        b = b.filter(m)
+        t = pa.table({"lang": b.column("lang"),
+                      "source": b.column("source")})
+        g = t.group_by(["lang", "source"]).aggregate([("source", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "n": pc.cast(g.column("source_count"), pa.int64())})
+
+    cells = (docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["lang", "source"], as_index=False)["n"].sum())
+    piv = cells.pivot_table(index="lang", columns="source", values="n",
+                            aggfunc="sum", fill_value=0)
+    a = {lang: int(piv.loc[lang, source_a]) if source_a in piv.columns else 0
+         for lang in piv.index}
+    bb = {lang: int(piv.loc[lang, source_b]) if source_b in piv.columns else 0
+          for lang in piv.index}
+    A, B = sum(a.values()), sum(bb.values())
+    sp = sq = 0
+    for lang in piv.index:
+        ai, bi = a[lang], bb[lang]
+        denom = ai * B + bi * A
+        if ai:
+            sp += ai * math.floor(
+                math.log(float(2 * ai * B) / float(denom)) * 1_000_000)
+        if bi:
+            sq += bi * math.floor(
+                math.log(float(2 * bi * A) / float(denom)) * 1_000_000)
+    js = (float(sp) / float(A) + float(sq) / float(B)) / 2.0
+    return pd.DataFrame({
+        "n_a": pd.Series([A], dtype=np.int64),
+        "n_b": pd.Series([B], dtype=np.int64),
+        "jsd_micronats": [js]})
+
+
+JSD_SOURCES_SQL = """
+WITH cells AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT)
+           AS b
+  FROM documents WHERE source IN ('src1', 'src2') GROUP BY 1),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS big_a,
+             CAST(sum(b) AS BIGINT) AS big_b FROM cells),
+lp AS (SELECT c.a, c.b,
+              CASE WHEN c.a > 0 THEN
+                CAST(c.a AS HUGEINT) *
+                CAST(floor(ln(CAST(2 * c.a * t.big_b AS DOUBLE)
+                              / CAST(c.a * t.big_b + c.b * t.big_a
+                                     AS DOUBLE)) * 1000000) AS HUGEINT)
+              ELSE 0 END AS wp,
+              CASE WHEN c.b > 0 THEN
+                CAST(c.b AS HUGEINT) *
+                CAST(floor(ln(CAST(2 * c.b * t.big_a AS DOUBLE)
+                              / CAST(c.a * t.big_b + c.b * t.big_a
+                                     AS DOUBLE)) * 1000000) AS HUGEINT)
+              ELSE 0 END AS wq
+       FROM cells c, t)
+SELECT t.big_a AS n_a, t.big_b AS n_b,
+       (CAST(sum(lp.wp) AS DOUBLE) / CAST(t.big_a AS DOUBLE)
+        + CAST(sum(lp.wq) AS DOUBLE) / CAST(t.big_b AS DOUBLE)) / 2.0
+         AS jsd_micronats
+FROM lp, t GROUP BY t.big_a, t.big_b
+"""

@@ -646,3 +646,53 @@ SELECT vec_id, norm2_q,
          AS in_range
 FROM q
 """
+
+
+def cv_folds_documents(sf_dir: str, k: int = 5):
+    """Stratified cross-validation fold assignment: within each lang,
+    documents ranked by doc_id take fold ``(rank−1) % k`` — every fold
+    gets an equal (±1) share of every stratum, deterministically. Output
+    per (lang, fold): size and the exact doc_id sum (an integrity
+    checksum proving membership, not just counts, matches).
+
+    One narrow exchange of (lang, doc_id) pairs bucketed by lang; each
+    bucket ranks its langs' ids in one sort."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs = b.column("lang")
+        h = pd.util.hash_pandas_object(
+            pd.Series(langs.to_pylist()), index=False).to_numpy()
+        return pa.table({
+            "lang": langs, "doc_id": b.column("doc_id"),
+            "__b": pa.array((h % 8).astype(np.int32))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "doc_id"], kind="mergesort")
+        rank = g.groupby("lang", sort=False).cumcount()
+        g = g.assign(fold=(rank % k).astype(np.int64))
+        out = (g.groupby(["lang", "fold"], sort=False)
+               .agg(n_docs=("doc_id", "size"), sum_doc_id=("doc_id", "sum"))
+               .reset_index())
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["sum_doc_id"] = out["sum_doc_id"].astype(np.int64)
+        return out
+
+    df = (docs.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+          ).to_pandas()
+    return (df.sort_values(["lang", "fold"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+CV_FOLDS_SQL = """
+WITH r AS (SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                    AS rn
+           FROM documents)
+SELECT lang, CAST((rn - 1) % 5 AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM r GROUP BY 1, 2 ORDER BY lang, fold
+"""

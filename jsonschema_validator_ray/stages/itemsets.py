@@ -137,3 +137,58 @@ def assoc_rules(ds, basket: str, item: str, *, min_support: int = 2,
                     / (sa * sb).astype(np.float64)})
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def cooccur_triples(ds, basket: str, item: str, *, min_support: int = 2,
+                    max_basket: int | None = None, num_buckets: int = 32,
+                    batch_size: int = 65536):
+    """→ Dataset ``(item_a, item_b, item_c, support)`` with
+    ``item_a < item_b < item_c`` and ``support >= min_support`` — the
+    3-itemset extension of :func:`cooccur_pairs`, same two-exchange shape:
+    baskets co-locate by basket-hash bucket, each bucket enumerates its
+    triples with two ordered C-path self-merges (never a Python loop over
+    baskets), and the distinct-triple partials fold in a second exchange.
+    ``max_basket`` guards the cubic blowup of pathological baskets —
+    skipped whole, like the pair miner."""
+    import pyarrow as pa
+
+    def add_bucket(b: "pa.Table") -> "pa.Table":
+        kb = _basket_bucket(b.select([basket]).to_pandas()[basket],
+                            num_buckets)
+        return b.select([basket, item]).append_column("__kb", pa.array(kb))
+
+    def triples_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__kb").drop_duplicates([basket, item])
+        if max_basket is not None:
+            g = g[g.groupby(basket, sort=False, dropna=False)[item]
+                   .transform("size") <= max_basket]
+        m = g.merge(g, on=basket, suffixes=("_a", "_b"))
+        ia, ib = f"{item}_a", f"{item}_b"
+        m = m[m[ia] < m[ib]]
+        m = m.merge(g.rename(columns={item: "item_c"}), on=basket)
+        m = m[m[ib] < m["item_c"]]
+        out = (m.groupby([ia, ib, "item_c"], sort=False, dropna=False)
+                .size().reset_index(name="__n"))
+        return out.rename(columns={ia: "item_a", ib: "item_b"})
+
+    partials = (ds.map_batches(add_bucket, batch_format="pyarrow",
+                               batch_size=batch_size)
+                  .groupby("__kb")
+                  .map_groups(triples_partial, batch_format="pandas"))
+
+    def add_triple_bucket(b: "pa.Table") -> "pa.Table":
+        df = b.select(["item_a", "item_b", "item_c"]).to_pandas()
+        pb = (pd.util.hash_pandas_object(df, index=False).to_numpy()
+                .astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("__pb", pa.array(pb))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["item_a", "item_b", "item_c"], sort=False,
+                       dropna=False)["__n"].sum().reset_index(name="support"))
+        s = s[s["support"] >= min_support]
+        s["support"] = s["support"].astype("int64")
+        return s
+
+    return (partials.map_batches(add_triple_bucket, batch_format="pyarrow")
+                    .groupby("__pb")
+                    .map_groups(fold, batch_format="pandas"))
