@@ -1782,3 +1782,55 @@ FROM p JOIN s sa ON sa.event_type = p.event_type_a
        JOIN s sb ON sb.event_type = p.event_type_b, cells
 ORDER BY 1, 2
 """
+
+
+def peak_concurrency_events(sf_dir: str, window_s: int = 600):
+    """One row: the maximum number of SIMULTANEOUSLY open activity
+    intervals ``[t, t+window)`` across all users, and the earliest second
+    it is reached — the classic boundary sweep (+1 at starts, −1 at ends,
+    ends before starts at equal times for half-open semantics, running
+    max of the prefix sum). Per-batch boundary partials are just the
+    event timestamps; the sweep needs the GLOBAL order, so boundaries
+    pre-reduce to per-second net deltas (bounded by the active-second
+    count) before the driver-side prefix scan."""
+    ev = read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t_us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                       pa.int64())
+        t = pc.divide(t_us, 1_000_000)
+        tt = pa.table({"t": t})
+        starts = tt.group_by("t").aggregate([("t", "count")])
+        out_s = pa.table({"t": starts.column("t"),
+                          "d": pc.cast(starts.column("t_count"),
+                                       pa.int64())})
+        ends = pa.table({
+            "t": pc.add(starts.column("t"), window_s),
+            "d": pc.multiply(pc.cast(starts.column("t_count"), pa.int64()),
+                             -1)})
+        return pa.concat_tables([out_s, ends])
+
+    df = (ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby("t", as_index=False)["d"].sum())
+    df = df.sort_values("t", kind="mergesort")
+    run = df["d"].cumsum()
+    peak = int(run.max())
+    first_t = int(df["t"].to_numpy()[int(np.argmax(run.to_numpy()))])
+    return pd.DataFrame({
+        "peak": pd.Series([peak], dtype=np.int64),
+        "first_t_sec": pd.Series([first_t], dtype=np.int64)})
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH t AS (SELECT epoch_us(ts) // 1000000 AS t FROM events),
+b AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM t GROUP BY 1
+      UNION ALL
+      SELECT t + 600 AS t, -CAST(count(*) AS BIGINT) AS d FROM t GROUP BY 1),
+n AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM b GROUP BY 1),
+r AS (SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run
+      FROM n),
+m AS (SELECT max(run) AS peak FROM r)
+SELECT CAST(m.peak AS BIGINT) AS peak,
+       CAST(min(r.t) AS BIGINT) AS first_t_sec
+FROM r JOIN m ON r.run = m.peak GROUP BY m.peak
+"""

@@ -1255,3 +1255,110 @@ SELECT t.big_a AS n_a, t.big_b AS n_b,
          AS jsd_micronats
 FROM lp, t GROUP BY t.big_a, t.big_b
 """
+
+
+def hmean_quantity_returnflag(sf_dir: str):
+    """Per return flag: the harmonic mean of l_quantity in exact micro
+    units — the rate-averaging statistic beside the geometric mean. The
+    value domain is tiny, so (flag, qty_cents) cells fold from per-batch
+    partials and the reciprocal sum is the INTEGER Σ obs·(10¹² // qc)
+    (floor micro-reciprocals, identical in DuckDB); the final value is one
+    floor division ``n·10¹⁰ // Σ`` (10¹² reciprocal scale ÷ 10² cents
+    back to micro-quantity units). Zero/null quantities are excluded in
+    both engines."""
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "flag": b.column("l_returnflag"),
+            "qc": pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100)),
+                          pa.int64())})
+        t = t.filter(pc.greater(t.column("qc"), 0))
+        g = t.group_by(["flag", "qc"]).aggregate([("qc", "count")])
+        return pa.table({"flag": g.column("flag"), "qc": g.column("qc"),
+                         "obs": pc.cast(g.column("qc_count"), pa.int64())})
+
+    cells = (li.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["flag", "qc"], as_index=False)["obs"].sum())
+    rows = []
+    for flag, g in cells.groupby("flag", sort=True):
+        n = int(g["obs"].sum())
+        recip = int((g["obs"].astype(object) *
+                     (10**12 // g["qc"].astype(object))).sum())
+        rows.append((flag, np.int64(n), np.int64(recip),
+                     np.int64(n * 10**10 // recip)))
+    return pd.DataFrame(rows, columns=["l_returnflag", "n_rows",
+                                       "recip_sum", "hmean_micro"])
+
+
+HMEAN_QUANTITY_SQL = """
+WITH v AS (SELECT l_returnflag,
+                  CAST(round(l_quantity*100) AS BIGINT) AS qc
+           FROM lineitem
+           WHERE CAST(round(l_quantity*100) AS BIGINT) > 0)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(1000000000000 // qc) AS BIGINT) AS recip_sum,
+       CAST((count(*) * 10000000000) // sum(1000000000000 // qc) AS BIGINT)
+         AS hmean_micro
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+def weighted_median_quantity(sf_dir: str):
+    """Per return flag: the revenue-weighted median of l_quantity — the
+    smallest quantity value whose cumulative extended-price weight reaches
+    half the total (``2·cum ≥ total``, all integer cents). Same
+    value-domain-cell shape as the winsorized mean: per-batch
+    (flag, qty_cents) → weight-sum cells bound the exchange by the tiny
+    distinct domain, and the weighted scan is a driver-side cumsum."""
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity",
+                               "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "flag": b.column("l_returnflag"),
+            "qc": pc.cast(pc.round(pc.multiply(b.column("l_quantity"), 100)),
+                          pa.int64()),
+            "w": pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"),
+                                              100)), pa.int64())})
+        g = t.group_by(["flag", "qc"]).aggregate([("w", "sum")])
+        return pa.table({"flag": g.column("flag"), "qc": g.column("qc"),
+                         "w": g.column("w_sum")})
+
+    cells = (li.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["flag", "qc"], as_index=False)["w"].sum())
+    rows = []
+    for flag, g in cells.groupby("flag", sort=True):
+        g = g.sort_values("qc", kind="mergesort")
+        total = int(g["w"].sum())
+        cum = 0
+        med = None
+        for qc, w in zip(g["qc"], g["w"]):
+            cum += int(w)
+            if 2 * cum >= total:
+                med = int(qc)
+                break
+        rows.append((flag, np.int64(total), np.int64(med)))
+    return pd.DataFrame(rows, columns=["l_returnflag", "total_weight_cents",
+                                       "wmedian_cents"])
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH v AS (SELECT l_returnflag,
+                  CAST(round(l_quantity*100) AS BIGINT) AS qc,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS w
+           FROM lineitem),
+c AS (SELECT l_returnflag, qc, CAST(sum(w) AS BIGINT) AS w
+      FROM v GROUP BY 1, 2),
+s AS (SELECT l_returnflag, qc, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY qc
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM c)
+SELECT l_returnflag, CAST(max(total) AS BIGINT) AS total_weight_cents,
+       CAST(min(CASE WHEN 2*cum >= total THEN qc END) AS BIGINT)
+         AS wmedian_cents
+FROM s GROUP BY 1 ORDER BY 1
+"""
