@@ -1834,3 +1834,195 @@ SELECT CAST(m.peak AS BIGINT) AS peak,
        CAST(min(r.t) AS BIGINT) AS first_t_sec
 FROM r JOIN m ON r.run = m.peak GROUP BY m.peak
 """
+
+
+def twap_users_events(sf_dir: str, cap_s: int = 3600):
+    """Per user: the TIME-WEIGHTED average of the value column — each
+    event's value holds until the next event (capped at ``cap_s``
+    seconds; the last event holds the full cap). Exact integers end to
+    end: weights are capped second gaps, the numerator Σ cents·w folds as
+    Python ints, and the output is the floor micro-value
+    ``(Σ cents·w · 10⁴) // Σ w`` — the TWAP shape of financial/telemetry
+    rollups. One bucket exchange, per-user lead gaps vectorized per
+    bucket."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        users = b.column("user_id")
+        return pa.table({
+            "user_id": users, "event_id": b.column("event_id"),
+            "t": pc.divide(pc.cast(pc.cast(b.column("ts"),
+                                           pa.timestamp("us")), pa.int64()),
+                           1_000_000),
+            "cents": pc.cast(pc.floor(pc.multiply(b.column("value"), 100)),
+                             pa.int64()),
+            "__b": pc.cast(pc.bit_wise_and(users, 31), pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "weight_s": pd.Series([], dtype="int64"),
+                "twap_micro": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["t"].to_numpy().astype(np.int64)
+        c = g["cents"].to_numpy().astype(np.int64)
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[:-1] = u[:-1] == u[1:]
+        w = np.full(n, np.int64(cap_s))
+        if n > 1:
+            w[:-1] = np.where(same[:-1], np.minimum(t[1:] - t[:-1], cap_s),
+                              cap_s)
+        df = pd.DataFrame({"user_id": u, "w": w, "cw": c * w})
+        out = df.groupby("user_id", sort=False).agg(
+            weight_s=("w", "sum"), cw=("cw", "sum")).reset_index()
+        out["twap_micro"] = (out["cw"] * 10_000) // out["weight_s"]
+        out["weight_s"] = out["weight_s"].astype(np.int64)
+        out["twap_micro"] = out["twap_micro"].astype(np.int64)
+        return out[["user_id", "weight_s", "twap_micro"]]
+
+    df = (ev.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+          ).to_pandas()
+    return df.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+TWAP_USERS_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS t,
+                  CAST(floor(value*100) AS BIGINT) AS cents
+           FROM events),
+w AS (SELECT user_id, cents,
+             least(coalesce(lead(t) OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id) - t,
+                            3600), 3600) AS w
+      FROM e)
+SELECT user_id, CAST(sum(w) AS BIGINT) AS weight_s,
+       CAST((sum(cents * w) * 10000) // sum(w) AS BIGINT) AS twap_micro
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def longest_type_run_users(sf_dir: str):
+    """Per user: the longest run of CONSECUTIVE same-type events in
+    (ts, event_id) order, with the type that achieved it (ties → the
+    lexicographically first type) — run-length analysis over the
+    behavioral log. One bucket exchange; runs segment via shift
+    comparison + cumsum per bucket."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        users = b.column("user_id")
+        return pa.table({
+            "user_id": users, "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+            "__b": pc.cast(pc.bit_wise_and(users, 31), pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "run_type": pd.Series([], dtype=object),
+                "run_len": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ty = g["event_type"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])
+        rid = np.cumsum(new)
+        runs = (pd.DataFrame({"user_id": u, "event_type": ty, "rid": rid})
+                .groupby("rid", sort=False)
+                .agg(user_id=("user_id", "first"),
+                     event_type=("event_type", "first"),
+                     run_len=("rid", "size")).reset_index(drop=True))
+        runs = runs.sort_values(["user_id", "run_len", "event_type"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        best = runs.drop_duplicates("user_id")
+        return pd.DataFrame({"user_id": best["user_id"].to_numpy(),
+                             "run_type": best["event_type"].to_numpy(),
+                             "run_len": best["run_len"].to_numpy()
+                             .astype(np.int64)})
+
+    df = (ev.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+          ).to_pandas()
+    return df.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+LONGEST_TYPE_RUN_SQL = """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rt
+           FROM events),
+runs AS (SELECT user_id, event_type,
+                CAST(count(*) AS BIGINT) AS run_len
+         FROM o GROUP BY user_id, event_type, rn - rt),
+best AS (SELECT user_id, max(run_len) AS run_len FROM runs GROUP BY 1)
+SELECT b.user_id, min(r.event_type) AS run_type,
+       CAST(b.run_len AS BIGINT) AS run_len
+FROM best b JOIN runs r ON r.user_id = b.user_id
+                       AND r.run_len = b.run_len
+GROUP BY 1, 3 ORDER BY 1
+"""
+
+
+def conditional_entropy_transitions(sf_dir: str):
+    """One row: the conditional entropy H(next_type | current_type) of the
+    user-timeline transition matrix, in micronats — how predictable the
+    next event is. Integer-ln per transition cell: ``lp = floor(ln(n_ij /
+    n_i·)·10⁶)`` where the argument is ONE IEEE division of exact ints;
+    the weighted sum folds in exact integers and divides by N once.
+    Transition pairs come from the same per-bucket shift pass as
+    event_transitions (≤ |types|² partial rows per bucket)."""
+    import math
+
+    pairs = event_transitions(sf_dir)
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    pairs = pairs.groupby(["prev_type", "event_type"],
+                          as_index=False)["n"].sum()
+    big_n = int(pairs["n"].sum())
+    row_n = pairs.groupby("prev_type")["n"].sum().to_dict()
+    acc = 0
+    for _, r in pairs.iterrows():
+        nij = int(r["n"])
+        lp = math.floor(math.log(float(nij) /
+                                 float(row_n[r["prev_type"]])) * 1_000_000)
+        acc += nij * lp
+    h = -float(acc) / float(big_n)
+    return pd.DataFrame({
+        "n_transitions": pd.Series([big_n], dtype=np.int64),
+        "cond_entropy_micronats": [h]})
+
+
+COND_ENTROPY_SQL = """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+cells AS (SELECT event_type AS prev_type, nxt,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+rows_ AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rn
+          FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM cells),
+lp AS (SELECT c.n,
+              CAST(floor(ln(CAST(c.n AS DOUBLE) / CAST(r.rn AS DOUBLE))
+                         * 1000000) AS BIGINT) AS lp
+       FROM cells c JOIN rows_ r ON r.prev_type = c.prev_type)
+SELECT t.big_n AS n_transitions,
+       -CAST(sum(CAST(lp.n AS HUGEINT) * lp.lp) AS DOUBLE)
+         / CAST(t.big_n AS DOUBLE) AS cond_entropy_micronats
+FROM lp, t GROUP BY t.big_n
+"""
