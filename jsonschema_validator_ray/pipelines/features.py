@@ -696,3 +696,47 @@ SELECT lang, CAST((rn - 1) % 5 AS BIGINT) AS fold,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
 FROM r GROUP BY 1, 2 ORDER BY lang, fold
 """
+
+
+_ZBITS = 16
+
+
+def _zorder_sql_expr() -> str:
+    terms = []
+    for k in range(_ZBITS):
+        terms.append(f"(((n_chars % 65536) // {1 << k}) % 2) * "
+                     f"{1 << (2 * k)}")
+        terms.append(f"(((doc_id % 65536) // {1 << k}) % 2) * "
+                     f"{1 << (2 * k + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_documents(sf_dir: str):
+    """(doc_id, zindex) — the Z-order (Morton) interleaved sort key of
+    (n_chars, doc_id) over 16 bits each: the data-layout primitive behind
+    multi-column clustering (rows sorted by zindex co-locate ranges of
+    BOTH columns, so min/max pruning works on either predicate). Pure
+    per-batch bit arithmetic (vectorized shifts), zero exchanges; the
+    oracle evaluates the identical 32-term integer expression."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+
+    def z(b: pa.Table) -> pa.Table:
+        x = (b.column("n_chars").to_numpy(zero_copy_only=False)
+             .astype(np.uint64) % 65536)
+        y = (b.column("doc_id").to_numpy(zero_copy_only=False)
+             .astype(np.uint64) % 65536)
+        zi = np.zeros(len(x), dtype=np.uint64)
+        for k in range(_ZBITS):
+            zi |= ((x >> k) & 1) << (2 * k)
+            zi |= ((y >> k) & 1) << (2 * k + 1)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "zindex": pa.array(zi.astype(np.int64))})
+
+    return docs.map_batches(z, batch_format="pyarrow")
+
+
+ZORDER_SQL = f"""
+SELECT doc_id, CAST({_zorder_sql_expr()} AS BIGINT) AS zindex
+FROM documents
+"""

@@ -667,3 +667,145 @@ SELECT o_year,
          AS mkt_share
 FROM base GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- per-part price spread ---------------------------------------------------
+
+
+def price_spread_parts(sf_dir: str, k: int = 20):
+    """Top-``k`` parts by the spread between the highest and lowest
+    extended price ever charged (cents), with the distinct-supplier count
+    — the price-dispersion screen. Per-batch (part → min,max) partials +
+    distinct (part, supp) pairs fold in one part-hash bucket exchange;
+    per-bucket heads (spread DESC, part ASC) merge driver-side, ≤ 32·k
+    rows."""
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"p": b.column("l_partkey"),
+                      "s": b.column("l_suppkey"),
+                      "c": _cents(b.column("l_extendedprice"))})
+        g = t.group_by(["p", "s"]).aggregate([("c", "min"), ("c", "max")])
+        keys = g.column("p")
+        return pa.table({
+            "p": keys, "s": g.column("s"),
+            "mn": g.column("c_min"), "mx": g.column("c_max"),
+            "__b": pc.cast(pc.bit_wise_and(keys, 31), pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("p", sort=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), n_supp=("s", "nunique"))
+        agg = agg.reset_index()
+        agg["spread_cents"] = agg["mx"] - agg["mn"]
+        agg = agg.sort_values(["spread_cents", "p"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+        out = pd.DataFrame({
+            "p_partkey": agg["p"].to_numpy().astype(np.int64),
+            "n_suppliers": agg["n_supp"].to_numpy().astype(np.int64),
+            "min_cents": agg["mn"].to_numpy().astype(np.int64),
+            "max_cents": agg["mx"].to_numpy().astype(np.int64),
+            "spread_cents": agg["spread_cents"].to_numpy()
+            .astype(np.int64)})
+        return out
+
+    df = (li.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+          ).to_pandas()
+    return (df.sort_values(["spread_cents", "p_partkey"],
+                           ascending=[False, True], kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
+PRICE_SPREAD_SQL = """
+WITH c AS (SELECT l_partkey, l_suppkey,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+           FROM lineitem),
+a AS (SELECT l_partkey AS p_partkey,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             min(cents) AS min_cents, max(cents) AS max_cents,
+             max(cents) - min(cents) AS spread_cents
+      FROM c GROUP BY 1)
+SELECT p_partkey, n_suppliers, CAST(min_cents AS BIGINT) AS min_cents,
+       CAST(max_cents AS BIGINT) AS max_cents,
+       CAST(spread_cents AS BIGINT) AS spread_cents
+FROM a ORDER BY spread_cents DESC, p_partkey LIMIT 20
+"""
+
+
+# ---- fulfillment lag distribution per priority -------------------------------
+
+
+def ship_lag_priority(sf_dir: str):
+    """Per order priority: lineitem count and the exact DISCRETE median of
+    the ship lag (days between order date and ship date) — the
+    fulfillment-SLA profile. The lag domain is a few hundred distinct
+    day values, so (priority, lag) cells fold from one bucketed fact-fact
+    join + per-batch partials; the median reads the cell histogram at
+    rank ceil(n/2)−1 (quantile_disc 0.5 semantics)."""
+    import math
+
+    from ..stages.joins import bucketed_join
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_shipdate"])
+
+    def li_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "ship_day": pc.divide(pc.cast(pc.cast(
+                b.column("l_shipdate"), pa.timestamp("us")), pa.int64()),
+                86_400_000_000)})
+
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
+
+    def o_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "order_day": pc.divide(pc.cast(pc.cast(
+                b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+                86_400_000_000)})
+
+    joined = bucketed_join(li.map_batches(li_part, batch_format="pyarrow"),
+                           orders.map_batches(o_part,
+                                              batch_format="pyarrow"),
+                           "l_orderkey", right_on="o_orderkey",
+                           num_buckets=16)
+
+    def cells(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "prio": b.column("o_orderpriority"),
+            "lag": pc.subtract(b.column("ship_day"),
+                               b.column("order_day"))})
+        g = t.group_by(["prio", "lag"]).aggregate([("lag", "count")])
+        return pa.table({"prio": g.column("prio"), "lag": g.column("lag"),
+                         "n": pc.cast(g.column("lag_count"), pa.int64())})
+
+    df = (joined.map_batches(cells, batch_format="pyarrow").to_pandas()
+          .groupby(["prio", "lag"], as_index=False)["n"].sum())
+    rows = []
+    for prio, g in df.groupby("prio", sort=True):
+        g = g.sort_values("lag", kind="mergesort")
+        n = int(g["n"].sum())
+        cum = np.cumsum(g["n"].to_numpy())
+        rank = max(math.ceil(0.5 * n) - 1, 0)
+        med = int(g["lag"].to_numpy()[np.searchsorted(cum, rank + 1)])
+        rows.append((prio, np.int64(n), np.int64(med)))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "n_lines",
+                                       "median_lag_days"])
+
+
+SHIP_LAG_SQL = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         epoch_us(l.l_shipdate) // 86400000000
+           - epoch_us(o.o_orderdate) // 86400000000 AS lag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(quantile_disc(lag, 0.5) AS BIGINT) AS median_lag_days
+FROM j GROUP BY 1 ORDER BY 1
+"""
