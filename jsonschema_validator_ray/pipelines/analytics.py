@@ -2026,3 +2026,102 @@ SELECT t.big_n AS n_transitions,
          / CAST(t.big_n AS DOUBLE) AS cond_entropy_micronats
 FROM lp, t GROUP BY t.big_n
 """
+
+
+def gini_customers(sf_dir: str):
+    """One row: the Gini coefficient of revenue concentration across
+    customers — ``G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n`` over revenues sorted
+    ascending (ties ranked by custkey, deterministic in both engines).
+    Per-customer revenue folds from per-batch partials in one bucket
+    exchange; the rank-weighted sum needs the GLOBAL sorted order, so the
+    (custkey, cents) list — bounded by the customer dimension, gate
+    documented — gathers once and the driver computes A = Σ i·xᵢ in
+    Python ints. The two final divisions are spelled identically in SQL."""
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c": b.column("o_custkey"),
+                      "v": pc.cast(pc.round(pc.multiply(
+                          b.column("o_totalprice"), 100)), pa.int64())})
+        g = t.group_by("c").aggregate([("v", "sum")])
+        return pa.table({"custkey": g.column("c"),
+                         "cents": g.column("v_sum")})
+
+    df = (orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby("custkey", as_index=False)["cents"].sum())
+    if len(df) > 50_000_000:
+        raise ValueError("gini_customers driver gather gate: "
+                         f"{len(df)} customers; pre-bucket the rank fold")
+    df = df.sort_values(["cents", "custkey"], kind="mergesort")
+    x = [int(v) for v in df["cents"]]
+    n = len(x)
+    s = sum(x)
+    a = sum((i + 1) * xi for i, xi in enumerate(x))
+    gini = (float(2 * a) / float(n * s)) - (float(n + 1) / float(n))
+    return pd.DataFrame({
+        "n_customers": pd.Series([n], dtype=np.int64),
+        "total_cents": pd.Series([s], dtype=np.int64),
+        "gini": [gini]})
+
+
+GINI_CUSTOMERS_SQL = """
+WITH r AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+o AS (SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rn
+      FROM r),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(CAST(rn AS HUGEINT) * cents) AS HUGEINT) AS a
+      FROM o)
+SELECT CAST(n AS BIGINT) AS n_customers, CAST(s AS BIGINT) AS total_cents,
+       CAST(2 * a AS DOUBLE) / CAST(n * s AS DOUBLE)
+         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM m
+"""
+
+
+def longest_doc_per_cell(sf_dir: str):
+    """Per (lang, source) cell: the single longest document (argmax by
+    n_chars, ties → lowest doc_id) — grouped-argmax, the same associative
+    sort+first fold as the Q2 min-cost supplier but on a composite group.
+    Cells are bounded by |langs| × |sources| so partials fold
+    driver-side."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": b.column("lang").to_pandas(),
+            "source": b.column("source").to_pandas(),
+            "doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
+            "n_chars": b.column("n_chars").to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["lang", "source", "n_chars", "doc_id"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        return df.drop_duplicates(["lang", "source"])
+
+    df = (docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .sort_values(["lang", "source", "n_chars", "doc_id"],
+                       ascending=[True, True, False, True],
+                       kind="mergesort")
+          .drop_duplicates(["lang", "source"]))
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["n_chars"] = df["n_chars"].astype(np.int64)
+    return (df[["lang", "source", "doc_id", "n_chars"]]
+            .sort_values(["lang", "source"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+LONGEST_DOC_SQL = """
+WITH m AS (SELECT lang, source, max(n_chars) AS n_chars
+           FROM documents GROUP BY 1, 2)
+SELECT d.lang, d.source, CAST(min(d.doc_id) AS BIGINT) AS doc_id,
+       CAST(m.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN m ON m.lang = d.lang AND m.source = d.source
+                       AND d.n_chars = m.n_chars
+GROUP BY 1, 2, 4 ORDER BY d.lang, d.source
+"""
