@@ -809,3 +809,626 @@ SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
        CAST(quantile_disc(lag, 0.5) AS BIGINT) AS median_lag_days
 FROM j GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- Q6 shape: predicate-band forecast revenue (one scan, zero joins) -------
+
+
+def forecast_revenue(sf_dir: str):
+    """TPC-H Q6: revenue increase from discount-band lineitems — one pruned
+    scan, per-batch single-row integer partials, zero exchanges.
+
+    ``revenue = Σ price_cents · disc_pct`` (an exact int64: cents × a 0-100
+    int) over rows with shipdate ∈ [1996, 1997), disc_pct ∈ [3, 5] and
+    quantity < 24. Both engines evaluate the identical integer predicate
+    (``round(x*100)`` → int), so no boundary row can flip."""
+    from datetime import datetime
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(b.column("l_shipdate"), pa.scalar(hi)))
+        b = b.filter(m)
+        disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100)),
+                       pa.int64())
+        qty = _cents(b.column("l_quantity"))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(disc, 3), pc.less_equal(disc, 5)),
+            pc.less(qty, 2400))
+        price = _cents(b.column("l_extendedprice")).filter(keep)
+        d = disc.filter(keep)
+        rev = int(pc.sum(pc.multiply(price, d)).as_py() or 0)
+        return pa.table({"n": pa.array([len(price)], pa.int64()),
+                         "rev": pa.array([rev], pa.int64())})
+
+    df = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_shipdate", "l_discount", "l_quantity",
+                                "l_extendedprice"])
+          .map_batches(partial, batch_format="pyarrow").to_pandas())
+    n = int(df["n"].sum()) if len(df) else 0
+    rev = int(df["rev"].sum()) if len(df) else 0
+    return pd.DataFrame({"n_lines": pd.Series([n], dtype=np.int64),
+                         "revenue_micents": pd.Series([rev], dtype=np.int64)})
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * CAST(round(l_discount*100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_micents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 3 AND 5
+  AND CAST(round(l_quantity*100) AS BIGINT) < 2400
+"""
+
+
+# ---- Q14 shape: promo revenue share (broadcast dim, one scan, one division) -
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14: share of one month's discounted revenue coming from PROMO
+    parts. The part→type map broadcasts once (gate documented); one pruned
+    lineitem scan folds BOTH integer sums (promo / total micents, cents ×
+    (100−disc)); the share is the single double division, spelled
+    identically in SQL."""
+    import ray
+
+    from datetime import datetime
+
+    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_type"]))
+    ref = ray.put((part.column("p_partkey").combine_chunks(),
+                   pc.equal(part.column("p_type"), "PROMO").combine_chunks()))
+    lo, hi = datetime(1996, 3, 1), datetime(1996, 4, 1)
+
+    class Partial:
+        def __init__(self, r):
+            self.pk, self.promo = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(b.column("l_shipdate"), pa.scalar(hi)))
+            b = b.filter(m)
+            idx = pc.index_in(b.column("l_partkey"), value_set=self.pk)
+            is_promo = self.promo.take(idx).to_numpy(zero_copy_only=False)
+            price = _cents(b.column("l_extendedprice")).to_numpy(
+                zero_copy_only=False)
+            disc = pc.cast(pc.round(pc.multiply(
+                b.column("l_discount"), 100)), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            rev = price * (100 - disc)
+            total = int(rev.sum())
+            promo = int(rev[is_promo == True].sum())  # noqa: E712
+            return pa.table({"promo": pa.array([promo], pa.int64()),
+                             "total": pa.array([total], pa.int64())})
+
+    df = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                                "l_discount"])
+          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=4,
+                       batch_format="pyarrow").to_pandas())
+    promo = int(df["promo"].sum()) if len(df) else 0
+    total = int(df["total"].sum()) if len(df) else 0
+    share = float(promo) / float(total) if total else 0.0
+    return pd.DataFrame({
+        "promo_micents": pd.Series([promo], dtype=np.int64),
+        "total_micents": pd.Series([total], dtype=np.int64),
+        "promo_share": [share]})
+
+
+PROMO_REVENUE_SQL = """
+WITH b AS (
+  SELECT CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate <  TIMESTAMP '1996-04-01')
+SELECT CAST(coalesce(sum(CASE WHEN is_promo THEN rev ELSE 0 END), 0)
+            AS BIGINT) AS promo_micents,
+       CAST(coalesce(sum(rev), 0) AS BIGINT) AS total_micents,
+       CAST(coalesce(sum(CASE WHEN is_promo THEN rev ELSE 0 END), 0)
+            AS DOUBLE)
+         / CAST(coalesce(sum(rev), 1) AS DOUBLE) AS promo_share
+FROM b
+"""
+
+
+# ---- Q15 shape: top supplier(s) by quarterly revenue ------------------------
+
+
+def top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15: the supplier(s) whose revenue over one quarter equals the
+    global maximum. Per-supplier integer micent partials fold driver-side
+    (bounded by the supplier dimension — gate documented); ties all
+    return, ordered by suppkey, exactly like the SQL's ``= max`` subquery."""
+    from datetime import datetime
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(b.column("l_shipdate"), pa.scalar(hi)))
+        b = b.filter(m)
+        price = _cents(b.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"s": b.column("l_suppkey"),
+                      "r": pa.array(price * (100 - disc), pa.int64())})
+        g = t.group_by("s").aggregate([("r", "sum")])
+        return pa.table({"s": g.column("s"), "rev": g.column("r_sum")})
+
+    df = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                                "l_discount"])
+          .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if not len(df):
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "revenue_micents": pd.Series([],
+                                                          dtype=np.int64)})
+    agg = df.groupby("s", as_index=False)["rev"].sum()
+    if len(agg) > 50_000_000:
+        raise ValueError("top_supplier_revenue driver fold gate: "
+                         f"{len(agg)} suppliers; pre-bucket the fold")
+    best = int(agg["rev"].max())
+    win = agg[agg["rev"] == best].sort_values("s", kind="mergesort")
+    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_name"]))
+    idx = pc.index_in(pa.array(win["s"].to_numpy(np.int64)),
+                      value_set=supp.column("s_suppkey"))
+    return pd.DataFrame({
+        "s_suppkey": win["s"].to_numpy(np.int64),
+        "s_name": supp.column("s_name").take(idx).to_pandas().to_numpy(),
+        "revenue_micents": np.full(len(win), best, dtype=np.int64)})
+
+
+TOP_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT)))
+              AS BIGINT) AS revenue_micents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.revenue_micents
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.revenue_micents = (SELECT max(revenue_micents) FROM r)
+ORDER BY s.s_suppkey
+"""
+
+
+# ---- Q10 shape: returned-item top customers ---------------------------------
+
+
+def returned_revenue_customers(sf_dir: str, k: int = 20):
+    """TPC-H Q10: top-k customers by revenue lost to returned items in one
+    quarter. Lineitem pre-reduces returned rows to ``(orderkey → micents)``
+    per batch; the order→custkey map (quarter-filtered) rides ONE bucketed
+    hash join; the per-customer fold is bounded by the customer dimension
+    (driver fold behind the gate); names/nations attach from broadcast
+    dims. Ties break custkey ASC in both engines."""
+    import ray
+
+    from datetime import datetime
+
+    from ..stages.joins import bucketed_join
+
+    lo, hi = datetime(1996, 7, 1), datetime(1996, 10, 1)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        price = _cents(b.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "r": pa.array(price * (100 - disc), pa.int64())})
+        g = t.group_by("l_orderkey").aggregate([("r", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "rev": g.column("r_sum")})
+
+    def o_map(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(b.column("o_orderdate"), pa.scalar(hi)))
+        b = b.filter(m)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey")})
+
+    li = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_returnflag",
+                                "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    om = (read_parquet(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"])
+          .map_batches(o_map, batch_format="pyarrow"))
+    joined = bucketed_join(li, om, "l_orderkey", right_on="o_orderkey",
+                           num_buckets=16)
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([("rev", "sum")])
+        return pa.table({"c": g.column("o_custkey"),
+                         "rev": g.column("rev_sum")})
+
+    df = joined.map_batches(fold, batch_format="pyarrow").to_pandas()
+    if not len(df):
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "c_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "revenue_micents": pd.Series([], dtype=np.int64)})
+    agg = df.groupby("c", as_index=False)["rev"].sum()
+    if len(agg) > 50_000_000:
+        raise ValueError("returned_revenue_customers driver fold gate: "
+                         f"{len(agg)} customers; pre-bucket the fold")
+    agg = agg.sort_values(["rev", "c"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    cust = _gather_small(read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"]))
+    nat = _gather_small(read_parquet(f"{sf_dir}/nation.parquet",
+                                     columns=["n_nationkey", "n_name"]))
+    cidx = pc.index_in(pa.array(agg["c"].to_numpy(np.int64)),
+                       value_set=cust.column("c_custkey"))
+    nkey = cust.column("c_nationkey").take(cidx)
+    nidx = pc.index_in(nkey, value_set=nat.column("n_nationkey"))
+    return pd.DataFrame({
+        "c_custkey": agg["c"].to_numpy(np.int64),
+        "c_name": cust.column("c_name").take(cidx).to_pandas().to_numpy(),
+        "n_name": nat.column("n_name").take(nidx).to_pandas().to_numpy(),
+        "revenue_micents": agg["rev"].to_numpy(np.int64)})
+
+
+RETURNED_REVENUE_SQL = """
+WITH r AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+              AS BIGINT) AS revenue_micents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_micents
+FROM r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY r.revenue_micents DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# ---- Q12 shape: conditional priority counts over a fact-fact join -----------
+
+
+def priority_class_by_flag(sf_dir: str):
+    """TPC-H Q12 adapted (no shipmode column): per returnflag, how many
+    1996-shipped lineitems belong to HIGH-priority orders (1-URGENT/2-HIGH)
+    vs lower. Lineitem pre-reduces to ``(orderkey, flag) → n`` per batch;
+    the order→priority map rides ONE bucketed join; the 3-row conditional
+    fold happens driver-side."""
+    from datetime import datetime
+
+    from ..stages.joins import bucketed_join
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(b.column("l_shipdate"), pa.scalar(hi)))
+        b = b.filter(m)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "flag": b.column("l_returnflag"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["l_orderkey", "flag"]).aggregate([("one", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "flag": g.column("flag"),
+                         "n": g.column("one_sum")})
+
+    def o_map(b: pa.Table) -> pa.Table:
+        pr = b.column("o_orderpriority")
+        high = pc.or_(pc.equal(pr, "1-URGENT"), pc.equal(pr, "2-HIGH"))
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "high": pc.cast(high, pa.int64())})
+
+    li = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    om = (read_parquet(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderpriority"])
+          .map_batches(o_map, batch_format="pyarrow"))
+    joined = bucketed_join(li, om, "l_orderkey", right_on="o_orderkey",
+                           num_buckets=16)
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        high = b.column("high").to_numpy(zero_copy_only=False)
+        t = pa.table({"flag": b.column("flag"),
+                      "h": pa.array(n * high, pa.int64()),
+                      "l": pa.array(n * (1 - high), pa.int64())})
+        g = t.group_by("flag").aggregate([("h", "sum"), ("l", "sum")])
+        return pa.table({"l_returnflag": g.column("flag"),
+                         "high_lines": g.column("h_sum"),
+                         "low_lines": g.column("l_sum")})
+
+    df = (joined.map_batches(fold, batch_format="pyarrow").to_pandas()
+          .groupby("l_returnflag", as_index=False)[["high_lines",
+                                                    "low_lines"]].sum())
+    df["high_lines"] = df["high_lines"].astype(np.int64)
+    df["low_lines"] = df["low_lines"].astype(np.int64)
+    return df.sort_values("l_returnflag",
+                          kind="mergesort").reset_index(drop=True)
+
+
+PRIORITY_CLASS_SQL = """
+SELECT l.l_returnflag,
+       CAST(coalesce(sum(CASE WHEN o.o_orderpriority IN
+                                   ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS high_lines,
+       CAST(coalesce(sum(CASE WHEN o.o_orderpriority NOT IN
+                                   ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS low_lines
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---- Q19 shape: OR-of-bands discounted revenue ------------------------------
+
+
+def band_revenue(sf_dir: str):
+    """TPC-H Q19: revenue from lineitems matching ANY of three
+    (brand, size-band, quantity-band) clauses. Part attrs broadcast once;
+    one pruned lineitem scan evaluates the OR of three all-integer band
+    predicates (no container column in this schema — size stands in) and
+    folds ``(n, Σ cents·(100−disc))`` per batch."""
+    import ray
+
+    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_brand",
+                                               "p_size"]))
+    ref = ray.put((part.column("p_partkey").combine_chunks(),
+                   part.column("p_brand").combine_chunks(),
+                   pc.cast(part.column("p_size"),
+                           pa.int64()).combine_chunks()))
+    clauses = (("Brand#11", 1, 15, 100, 1100),
+               ("Brand#22", 16, 30, 1000, 2000),
+               ("Brand#33", 21, 50, 2000, 3000))
+
+    class Partial:
+        def __init__(self, r):
+            pk, brand, size = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+            self.pk = pk
+            self.brand = brand.to_numpy(zero_copy_only=False)
+            self.size = size.to_numpy(zero_copy_only=False)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b.column("l_partkey"),
+                              value_set=self.pk).to_numpy(
+                zero_copy_only=False)
+            brand = self.brand[idx]
+            size = self.size[idx]
+            qty = _cents(b.column("l_quantity")).to_numpy(
+                zero_copy_only=False)
+            keep = np.zeros(len(qty), dtype=bool)
+            for br, s_lo, s_hi, q_lo, q_hi in clauses:
+                keep |= ((brand == br) & (size >= s_lo) & (size <= s_hi)
+                         & (qty >= q_lo) & (qty <= q_hi))
+            price = _cents(b.column("l_extendedprice")).to_numpy(
+                zero_copy_only=False)
+            disc = pc.cast(pc.round(pc.multiply(
+                b.column("l_discount"), 100)), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            rev = int((price[keep] * (100 - disc[keep])).sum())
+            return pa.table({"n": pa.array([int(keep.sum())], pa.int64()),
+                             "rev": pa.array([rev], pa.int64())})
+
+    df = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_quantity", "l_extendedprice",
+                                "l_discount"])
+          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=4,
+                       batch_format="pyarrow").to_pandas())
+    n = int(df["n"].sum()) if len(df) else 0
+    rev = int(df["rev"].sum()) if len(df) else 0
+    return pd.DataFrame({"n_lines": pd.Series([n], dtype=np.int64),
+                         "revenue_micents": pd.Series([rev],
+                                                      dtype=np.int64)})
+
+
+BAND_REVENUE_SQL = """
+WITH b AS (
+  SELECT CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+         AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 100 AND 1100)
+     OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 16 AND 30
+         AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 1000 AND 2000)
+     OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 21 AND 50
+         AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 2000 AND 3000))
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(rev), 0) AS BIGINT) AS revenue_micents
+FROM b
+"""
+
+
+# ---- Q20 shape: half-of-shipments correlated predicate ----------------------
+
+
+def halfstock_suppliers(sf_dir: str):
+    """TPC-H Q20 adapted (no partsupp.availqty): suppliers with parts whose
+    1997 shipments exceed HALF their all-time shipments — the correlated
+    half-sum predicate spelled as the exact cross-multiplication
+    ``2·q97 > q_all`` over integer quantity cents. Per-batch partials group
+    the narrow (suppkey, partkey) pair — bounded by |supplier|×|part| —
+    and fold driver-side behind the gate."""
+    from datetime import datetime
+
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = _cents(b.column("l_quantity")).to_numpy(zero_copy_only=False)
+        sd = b.column("l_shipdate")
+        in97 = pc.and_(pc.greater_equal(sd, pa.scalar(lo)),
+                       pc.less(sd, pa.scalar(hi))).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({"s": b.column("l_suppkey"), "p": b.column("l_partkey"),
+                      "q97": pa.array(q * in97, pa.int64()),
+                      "qall": pa.array(q, pa.int64())})
+        g = t.group_by(["s", "p"]).aggregate([("q97", "sum"),
+                                              ("qall", "sum")])
+        return pa.table({"s": g.column("s"), "p": g.column("p"),
+                         "q97": g.column("q97_sum"),
+                         "qall": g.column("qall_sum")})
+
+    df = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey", "l_quantity",
+                                "l_shipdate"])
+          .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if not len(df):
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "n_half_parts": pd.Series([], dtype=np.int64)})
+    agg = df.groupby(["s", "p"], as_index=False)[["q97", "qall"]].sum()
+    if len(agg) > 50_000_000:
+        raise ValueError("halfstock_suppliers driver fold gate: "
+                         f"{len(agg)} supplier-part pairs; bucket the fold")
+    agg = agg[2 * agg["q97"] > agg["qall"]]
+    out = (agg.groupby("s", as_index=False)
+           .agg(n_half_parts=("p", "size")))
+    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_name"]))
+    idx = pc.index_in(pa.array(out["s"].to_numpy(np.int64)),
+                      value_set=supp.column("s_suppkey"))
+    res = pd.DataFrame({
+        "s_suppkey": out["s"].to_numpy(np.int64),
+        "s_name": supp.column("s_name").take(idx).to_pandas().to_numpy(),
+        "n_half_parts": out["n_half_parts"].to_numpy(np.int64)})
+    return res.sort_values("s_suppkey", kind="mergesort").reset_index(
+        drop=True)
+
+
+HALFSTOCK_SQL = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN CAST(round(l_quantity*100) AS BIGINT)
+                  ELSE 0 END) AS q97,
+         sum(CAST(round(l_quantity*100) AS BIGINT)) AS qall
+  FROM lineitem GROUP BY 1, 2)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_half_parts
+FROM sp JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+WHERE 2 * sp.q97 > sp.qall
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+# ---- Q9 shape: product-line profit by supplier nation and year --------------
+
+
+def profit_by_nation_year(sf_dir: str, p_type: str = "PROMO"):
+    """TPC-H Q9 adapted (no supplycost): discounted revenue from one product
+    line, grouped by supplier nation × order year. The product-line part-key
+    set and supplier→nation map broadcast once; lineitem pre-reduces each
+    batch to ``(orderkey, nation) → micents``; the order→year map rides ONE
+    bucketed join; the final (nation, year) fold is a few dozen rows."""
+    import ray
+
+    from ..stages.joins import bucketed_join
+
+    nat = _gather_small(read_parquet(f"{sf_dir}/nation.parquet",
+                                     columns=["n_nationkey", "n_name"]))
+    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_nationkey"]))
+    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_type"]))
+    nidx = pc.index_in(supp.column("s_nationkey"),
+                       value_set=nat.column("n_nationkey"))
+    supp_nation = nat.column("n_name").take(nidx).combine_chunks()
+    pk = part.filter(pc.equal(part.column("p_type"), p_type)) \
+             .column("p_partkey").combine_chunks()
+    ref = ray.put((supp.column("s_suppkey").combine_chunks(), supp_nation,
+                   pk))
+
+    class LiPartial:
+        def __init__(self, r):
+            self.sk, self.sn, self.pk = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b.column("l_partkey"), value_set=self.pk))
+            sidx = pc.index_in(b.column("l_suppkey"), value_set=self.sk)
+            price = _cents(b.column("l_extendedprice")).to_numpy(
+                zero_copy_only=False)
+            disc = pc.cast(pc.round(pc.multiply(
+                b.column("l_discount"), 100)), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                          "nation": self.sn.take(sidx),
+                          "r": pa.array(price * (100 - disc), pa.int64())})
+            g = t.group_by(["l_orderkey", "nation"]).aggregate([("r", "sum")])
+            return pa.table({"l_orderkey": g.column("l_orderkey"),
+                             "nation": g.column("nation"),
+                             "rev": g.column("r_sum")})
+
+    def o_map(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_year": pc.cast(pc.year(b.column("o_orderdate")),
+                                           pa.int64())})
+
+    li = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                "l_extendedprice", "l_discount"])
+          .map_batches(LiPartial, fn_constructor_args=(ref,), concurrency=4,
+                       batch_format="pyarrow"))
+    om = (read_parquet(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderdate"])
+          .map_batches(o_map, batch_format="pyarrow"))
+    joined = bucketed_join(li, om, "l_orderkey", right_on="o_orderkey",
+                           num_buckets=16)
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["nation", "o_year"]).aggregate([("rev", "sum")])
+        return pa.table({"nation": g.column("nation"),
+                         "o_year": g.column("o_year"),
+                         "profit_micents": g.column("rev_sum")})
+
+    df = (joined.map_batches(fold, batch_format="pyarrow").to_pandas()
+          .groupby(["nation", "o_year"], as_index=False)["profit_micents"]
+          .sum())
+    df["o_year"] = df["o_year"].astype(np.int64)
+    df["profit_micents"] = df["profit_micents"].astype(np.int64)
+    return (df.sort_values(["nation", "o_year"],
+                           ascending=[True, False], kind="mergesort")
+            .reset_index(drop=True))
+
+
+PROFIT_BY_NATION_SQL = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+            AS BIGINT) AS profit_micents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
