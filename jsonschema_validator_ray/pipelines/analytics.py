@@ -13,6 +13,7 @@ import ray.data
 
 from ..sources.parquet import read_parquet
 from ..stages.joins import asof_join, bucketed_join, hash_join
+from .relational import _US_PER_DAY, _epoch_us
 
 # ---- revenue per market segment: both-sides-meaningful equi-join ----------
 
@@ -2124,4 +2125,304 @@ SELECT d.lang, d.source, CAST(min(d.doc_id) AS BIGINT) AS doc_id,
 FROM documents d JOIN m ON m.lang = d.lang AND m.source = d.source
                        AND d.n_chars = m.n_chars
 GROUP BY 1, 2, 4 ORDER BY d.lang, d.source
+"""
+
+
+# ---- Pareto coverage: smallest top-k customer set reaching 80 % revenue -----
+
+
+def pareto_customers(sf_dir: str):
+    """One row: how many top customers (by revenue, ties → lower custkey)
+    cover ≥ 80 % of total revenue — the 80/20 concentration diagnostic
+    beside :func:`gini_customers`. Per-customer cents fold from per-batch
+    partials (customer-bounded driver fold, gate documented); the
+    threshold test is the exact cross-multiplication ``5·cum ≥ 4·total``
+    so no float exists on the boundary."""
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c": b.column("o_custkey"),
+                      "v": pc.cast(pc.round(pc.multiply(
+                          b.column("o_totalprice"), 100)), pa.int64())})
+        g = t.group_by("c").aggregate([("v", "sum")])
+        return pa.table({"c": g.column("c"), "v": g.column("v_sum")})
+
+    df = (orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby("c", as_index=False)["v"].sum())
+    if len(df) > 50_000_000:
+        raise ValueError("pareto_customers driver fold gate: "
+                         f"{len(df)} customers; pre-bucket the rank fold")
+    df = df.sort_values(["v", "c"], ascending=[False, True],
+                        kind="mergesort")
+    x = [int(v) for v in df["v"]]
+    total = sum(x)
+    cum = 0
+    n_top = 0
+    covered = 0
+    for xi in x:
+        cum += xi
+        n_top += 1
+        if 5 * cum >= 4 * total:
+            covered = cum
+            break
+    return pd.DataFrame({
+        "n_top_customers": pd.Series([n_top], dtype=np.int64),
+        "n_customers": pd.Series([len(x)], dtype=np.int64),
+        "covered_cents": pd.Series([covered], dtype=np.int64),
+        "total_cents": pd.Series([total], dtype=np.int64)})
+
+
+PARETO_CUSTOMERS_SQL = """
+WITH r AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+o AS (SELECT cents,
+             sum(CAST(cents AS HUGEINT)) OVER (
+               ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM r),
+t AS (SELECT CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS total,
+             CAST(count(*) AS BIGINT) AS n FROM r)
+SELECT CAST((SELECT count(*) FROM o
+             WHERE 5*cum < 4*(SELECT total FROM t)) + 1 AS BIGINT)
+         AS n_top_customers,
+       (SELECT n FROM t) AS n_customers,
+       CAST((SELECT min(cum) FROM o
+             WHERE 5*cum >= 4*(SELECT total FROM t)) AS BIGINT)
+         AS covered_cents,
+       CAST((SELECT total FROM t) AS BIGINT) AS total_cents
+"""
+
+
+# ---- RFM scoring: recency / frequency / monetary quintiles ------------------
+
+
+def rfm_users_events(sf_dir: str):
+    """Per user: recency (days since last event, vs the global max day),
+    frequency (event count), monetary (value cents) plus 1-5 quintile
+    scores. The per-user fold is user-bounded (driver fold, gate
+    documented). Scores use DISCRETE quintile edges (``quantile_disc``
+    rank ``ceil(q·n)−1``) and the all-integer rule ``1 + Σ [v > edge]`` —
+    no ntile() row-order dependence, so both engines agree exactly."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(_epoch_us(b.column("ts")), _US_PER_DAY)
+        t = pa.table({"u": b.column("user_id"), "d": day,
+                      "v": pc.cast(pc.round(pc.multiply(
+                          b.column("value"), 100)), pa.int64())})
+        # frequency counts ROWS (SQL count(*)), so count the never-null
+        # day column, not value
+        g = t.group_by("u").aggregate([("d", "max"), ("v", "sum"),
+                                       ("d", "count")])
+        return pa.table({"u": g.column("u"), "last": g.column("d_max"),
+                         "m": g.column("v_sum"),
+                         "f": pc.cast(g.column("d_count"), pa.int64())})
+
+    df = (ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby("u", as_index=False)
+          .agg(last=("last", "max"), m=("m", "sum"), f=("f", "sum")))
+    if len(df) > 50_000_000:
+        raise ValueError("rfm_users_events driver fold gate: "
+                         f"{len(df)} users; pre-bucket the fold")
+    gmax = int(df["last"].max())
+    df["r_days"] = gmax - df["last"].to_numpy(np.int64)
+
+    def disc_edges(vals: np.ndarray) -> list[int]:
+        s = np.sort(vals)
+        n = len(s)
+        return [int(s[max(int(np.ceil(q * n)) - 1, 0)])
+                for q in (0.2, 0.4, 0.6, 0.8)]
+
+    def score(vals: np.ndarray, edges: list[int]) -> np.ndarray:
+        sc = np.ones(len(vals), dtype=np.int64)
+        for e in edges:
+            sc += (vals > e)
+        return sc
+
+    r = df["r_days"].to_numpy(np.int64)
+    f = df["f"].to_numpy(np.int64)
+    m = df["m"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "user_id": df["u"].to_numpy(np.int64),
+        "r_days": r, "frequency": f, "monetary_cents": m,
+        "r_score": score(r, disc_edges(r)),
+        "f_score": score(f, disc_edges(f)),
+        "m_score": score(m, disc_edges(m))})
+    return out.sort_values("user_id", kind="mergesort").reset_index(
+        drop=True)
+
+
+RFM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(epoch_us(ts) // 86400000000) AS last_day,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS m
+  FROM events GROUP BY 1),
+r AS (SELECT user_id, (SELECT max(last_day) FROM u) - last_day AS r_days,
+             f, m FROM u),
+e AS (SELECT quantile_disc(r_days, 0.2) AS r1, quantile_disc(r_days, 0.4)
+         AS r2, quantile_disc(r_days, 0.6) AS r3,
+         quantile_disc(r_days, 0.8) AS r4,
+         quantile_disc(f, 0.2) AS f1, quantile_disc(f, 0.4) AS f2,
+         quantile_disc(f, 0.6) AS f3, quantile_disc(f, 0.8) AS f4,
+         quantile_disc(m, 0.2) AS m1, quantile_disc(m, 0.4) AS m2,
+         quantile_disc(m, 0.6) AS m3, quantile_disc(m, 0.8) AS m4
+      FROM r)
+SELECT user_id, CAST(r_days AS BIGINT) AS r_days, f AS frequency,
+       m AS monetary_cents,
+       CAST(1 + CASE WHEN r_days > e.r1 THEN 1 ELSE 0 END
+              + CASE WHEN r_days > e.r2 THEN 1 ELSE 0 END
+              + CASE WHEN r_days > e.r3 THEN 1 ELSE 0 END
+              + CASE WHEN r_days > e.r4 THEN 1 ELSE 0 END AS BIGINT)
+         AS r_score,
+       CAST(1 + CASE WHEN f > e.f1 THEN 1 ELSE 0 END
+              + CASE WHEN f > e.f2 THEN 1 ELSE 0 END
+              + CASE WHEN f > e.f3 THEN 1 ELSE 0 END
+              + CASE WHEN f > e.f4 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+       CAST(1 + CASE WHEN m > e.m1 THEN 1 ELSE 0 END
+              + CASE WHEN m > e.m2 THEN 1 ELSE 0 END
+              + CASE WHEN m > e.m3 THEN 1 ELSE 0 END
+              + CASE WHEN m > e.m4 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+FROM r, e ORDER BY user_id
+"""
+
+
+# ---- weekly churn: active in week w, absent in week w+1 ---------------------
+
+
+def weekly_churn_users(sf_dir: str):
+    """Per epoch-week: active users and how many of them CHURN (no event
+    in week w+1 — the trailing week churns by definition, same as the
+    SQL's left join). Distinct (user, week) partials ride one user-hash
+    bucket exchange; each bucket holds every week of its users, so the
+    churn flag is a per-user sorted-diff; per-week partial counts fold
+    driver-side (calendar-bounded)."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+    us_per_week = 604_800_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        week = pc.divide(_epoch_us(b.column("ts")), us_per_week)
+        t = pa.table({"user_id": b.column("user_id"), "week": week})
+        g = t.group_by(["user_id", "week"]).aggregate([])
+        return g.append_column(
+            "__b", pc.cast(pc.bit_wise_and(g.column("user_id"), 31),
+                           pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "week"]].drop_duplicates()
+        d = d.sort_values(["user_id", "week"], kind="mergesort")
+        u = d["user_id"].to_numpy()
+        w = d["week"].to_numpy()
+        nxt_same = np.zeros(len(d), dtype=bool)
+        if len(d) > 1:
+            nxt_same[:-1] = (u[:-1] == u[1:]) & (w[:-1] + 1 == w[1:])
+        out = pd.DataFrame({"week": w, "churn": (~nxt_same).astype(
+            np.int64)})
+        agg = out.groupby("week", as_index=False).agg(
+            n_active=("churn", "size"), n_churned=("churn", "sum"))
+        return agg
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("week", as_index=False)[
+        ["n_active", "n_churned"]].sum()
+    out["week"] = out["week"].astype(np.int64)
+    out["n_active"] = out["n_active"].astype(np.int64)
+    out["n_churned"] = out["n_churned"].astype(np.int64)
+    return out.sort_values("week", kind="mergesort").reset_index(drop=True)
+
+
+WEEKLY_CHURN_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events)
+SELECT a.week, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned
+FROM uw a LEFT JOIN uw b
+  ON b.user_id = a.user_id AND b.week = a.week + 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---- monthly stickiness: avg DAU / MAU --------------------------------------
+
+
+def stickiness_monthly(sf_dir: str):
+    """Per calendar month: Σ-of-daily-actives, distinct active days,
+    monthly actives, and stickiness = sum_dau / (n_days · mau) — ONE
+    double division of exact integers. Distinct (user, day) pairs ride a
+    user-hash bucket exchange (a user's whole history lands in one
+    bucket, so per-month DISTINCT-user partials are exact and summable);
+    the day-cardinality fold is calendar-bounded and folds driver-side."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(_epoch_us(b.column("ts")), _US_PER_DAY)
+        t = pa.table({"user_id": b.column("user_id"), "day": day})
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g.append_column(
+            "__b", pc.cast(pc.bit_wise_and(g.column("user_id"), 31),
+                           pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "day"]].drop_duplicates()
+        ts = pd.to_datetime(d["day"].to_numpy() * 86400, unit="s")
+        d = d.assign(month=(ts.year * 100 + ts.month).astype(np.int64))
+        dau = d.groupby("month", as_index=False).agg(
+            sum_dau=("user_id", "size"))
+        mau = (d[["month", "user_id"]].drop_duplicates()
+               .groupby("month", as_index=False)
+               .agg(mau=("user_id", "size")))
+        return dau.merge(mau, on="month")
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("month", as_index=False)[["sum_dau", "mau"]].sum()
+
+    # distinct active days per month: calendar-bounded driver fold
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(_epoch_us(b.column("ts")), _US_PER_DAY)
+        return pa.table({"day": pc.unique(day)})
+
+    days = (ev.map_batches(day_partial, batch_format="pyarrow")
+            .to_pandas()["day"].drop_duplicates())
+    ts = pd.to_datetime(days.to_numpy() * 86400, unit="s")
+    nd = (pd.DataFrame({"month": (ts.year * 100 + ts.month).astype(
+        np.int64)}).groupby("month", as_index=False)
+        .agg(n_days=("month", "size")))
+    out = agg.merge(nd, on="month")
+    out["month"] = out["month"].astype(np.int64)
+    out["sum_dau"] = out["sum_dau"].astype(np.int64)
+    out["mau"] = out["mau"].astype(np.int64)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out["stickiness"] = (out["sum_dau"].map(float)
+                         / (out["n_days"] * out["mau"]).map(float))
+    return out.sort_values("month", kind="mergesort").reset_index(drop=True)
+
+
+STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events),
+m AS (SELECT user_id, day,
+             CAST(year(to_timestamp(day * 86400)) * 100
+                  + month(to_timestamp(day * 86400)) AS BIGINT) AS month
+      FROM ud)
+SELECT month, CAST(count(*) AS BIGINT) AS sum_dau,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(count(*) AS DOUBLE)
+         / CAST(count(DISTINCT day) * count(DISTINCT user_id) AS DOUBLE)
+         AS stickiness
+FROM m GROUP BY 1 ORDER BY 1
 """

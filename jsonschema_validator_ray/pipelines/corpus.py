@@ -2560,3 +2560,58 @@ SELECT d.doc_id,
        CAST(p.xent AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS xent_per_token
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# ---- readability scoring: Flesch-style from exact integer counts ------------
+
+
+def readability_documents(sf_dir: str):
+    """(doc_id, n_words, n_vowel_groups, n_long_words, vowel_rate,
+    long_rate) — word-level readability proxies from three exact RE2
+    counts per document (words = ``\\S+`` runs, syllable proxy =
+    ``[aeiouAEIOU]+`` runs — case folded by the CLASS, not ``lower()``,
+    so no Unicode-casing divergence can enter — long words = ``\\S{7,}``,
+    the LIX convention). One fused scan, zero exchanges. Each rate is ONE
+    double division of exact integers, so the floats match the oracle
+    bitwise; zero-word rows are excluded in both engines. (The classic
+    Flesch score needs sentence boundaries, which this corpus's synthetic
+    text does not contain — every doc would be dropped.)"""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        w = pc.count_substring_regex(txt, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = pc.count_substring_regex(txt, r"[aeiouAEIOU]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lw = pc.count_substring_regex(txt, r"\S{7,}").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        wk, vk, lk = w[keep], v[keep], lw[keep]
+        return pa.table({
+            "doc_id": b.column("doc_id").filter(pa.array(keep)),
+            "n_words": pa.array(wk, pa.int64()),
+            "n_vowel_groups": pa.array(vk, pa.int64()),
+            "n_long_words": pa.array(lk, pa.int64()),
+            "vowel_rate": pa.array(vk.astype(np.float64) / wk,
+                                   pa.float64()),
+            "long_rate": pa.array(lk.astype(np.float64) / wk,
+                                  pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+READABILITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+         CAST(length(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+           AS v,
+         CAST(length(regexp_extract_all(text, '\S{7,}')) AS BIGINT) AS lw
+  FROM documents)
+SELECT doc_id, w AS n_words, v AS n_vowel_groups, lw AS n_long_words,
+       CAST(v AS DOUBLE) / CAST(w AS DOUBLE) AS vowel_rate,
+       CAST(lw AS DOUBLE) / CAST(w AS DOUBLE) AS long_rate
+FROM c WHERE w > 0
+"""

@@ -740,3 +740,59 @@ ZORDER_SQL = f"""
 SELECT doc_id, CAST({_zorder_sql_expr()} AS BIGINT) AS zindex
 FROM documents
 """
+
+
+# ---- inter-label centroid dot products (class-separation diagnostic) --------
+
+
+def label_centroid_dots(sf_dir: str):
+    """(label_a, label_b, dot) for a ≤ b — dot products between per-label
+    SUM vectors of the int8-quantized embeddings (the class-separation /
+    centroid-collision diagnostic next to ``label_centroids_embeddings``).
+    Per-(label, dim) int64 partials fold driver-side (labels × 64 rows);
+    the dots are exact Python-int products (they can exceed int64 at large
+    corpus sizes, which is why the fold is arbitrary-precision and the
+    oracle uses HUGEINT) emitted once as DOUBLE — one correctly-rounded
+    conversion of an exact integer in both engines."""
+    from .corpus import label_centroids_embeddings  # reuse the exact fold
+
+    cent = label_centroids_embeddings(sf_dir)  # label, dim, q_sum, n_vecs
+    sums: dict[int, dict[int, int]] = {}
+    for _, r in cent.iterrows():
+        sums.setdefault(int(r["label"]), {})[int(r["dim"])] = int(r["q_sum"])
+    labels = sorted(sums)
+    rows = []
+    for i, a in enumerate(labels):
+        for b in labels[i:]:
+            da, db = sums[a], sums[b]
+            dot = sum(v * db.get(k, 0) for k, v in da.items())
+            rows.append((a, b, float(dot)))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "dot"]) \
+        .astype({"label_a": np.int64, "label_b": np.int64})
+
+
+LABEL_CENTROID_DOTS_SQL = """
+WITH t AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                END) AS qv
+  FROM t
+), e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim,
+         unnest(qv) AS val
+  FROM q),
+s AS (SELECT label, dim, CAST(sum(val) AS HUGEINT) AS q_sum
+      FROM e GROUP BY 1, 2)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum(a.q_sum * b.q_sum) AS DOUBLE) AS dot
+FROM s a JOIN s b ON b.dim = a.dim AND b.label >= a.label
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
