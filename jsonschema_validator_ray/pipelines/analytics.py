@@ -2426,3 +2426,275 @@ SELECT month, CAST(count(*) AS BIGINT) AS sum_dau,
          AS stickiness
 FROM m GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- session statistics off the fused sessionizer ---------------------------
+
+
+def session_stats_events(sf_dir: str, gap_s: int = 1800):
+    """One row of corpus-level session stats: session count, events per
+    session and mean session duration (µs), for gap-based sessions
+    (> ``gap_s`` silence starts a new one). One user-hash bucket exchange;
+    each bucket sorts its users' timelines once, labels sessions with the
+    gap-break cumsum, and emits a 3-int partial. The two means are single
+    double divisions of exact integers. Duplicate timestamps can't flip
+    session breaks (diff 0 is never > gap in either engine)."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+    gap_us = gap_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "t": _epoch_us(b.column("ts"))})
+        return t.append_column(
+            "__b", pc.cast(pc.bit_wise_and(t.column("user_id"), 31),
+                           pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "t"], kind="mergesort")
+        u = d["user_id"].to_numpy()
+        t = d["t"].to_numpy()
+        brk = np.ones(len(d), dtype=np.int64)
+        if len(d) > 1:
+            brk[1:] = ((u[1:] != u[:-1])
+                       | (t[1:] - t[:-1] > gap_us)).astype(np.int64)
+        sid = np.cumsum(brk)
+        seg = pd.DataFrame({"sid": sid, "t": t}).groupby(
+            "sid", sort=False)["t"].agg(["size", "min", "max"])
+        return pd.DataFrame({
+            "n_sessions": [np.int64(len(seg))],
+            "n_events": [np.int64(seg["size"].sum())],
+            "dur_us": [np.int64((seg["max"] - seg["min"]).sum())]})
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    ns = int(parts["n_sessions"].sum())
+    ne = int(parts["n_events"].sum())
+    dur = int(parts["dur_us"].sum())
+    return pd.DataFrame({
+        "n_sessions": pd.Series([ns], dtype=np.int64),
+        "n_events": pd.Series([ne], dtype=np.int64),
+        "total_duration_us": pd.Series([dur], dtype=np.int64),
+        "mean_events": [float(ne) / float(ns)],
+        "mean_duration_us": [float(dur) / float(ns)]})
+
+
+SESSION_STATS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+l AS (SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+g AS (SELECT user_id, sid, count(*) AS n, max(t) - min(t) AS dur
+      FROM s GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(dur) AS BIGINT) AS total_duration_us,
+       CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_events,
+       CAST(sum(dur) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_duration_us
+FROM g
+"""
+
+
+# ---- second-purchase conversion ----------------------------------------------
+
+
+def second_purchase_events(sf_dir: str):
+    """One row: how many users purchase at least once / at least twice,
+    the repeat rate in exact ppm, and the DISCRETE median days between
+    first and second purchase. Each batch pre-truncates to its LOCAL
+    first-2 purchases per user (the global first-2 is a subset of the
+    union); one user-hash bucket exchange re-sorts and keeps the true
+    first two; the tiny (user, gap) set folds driver-side (user-bounded,
+    gate documented). Order is (t, event_id) in both engines, so ties are
+    deterministic."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        df = pa.table({"user_id": b.column("user_id"),
+                       "t": _epoch_us(b.column("ts")),
+                       "event_id": b.column("event_id")}).to_pandas()
+        df = df.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        df = df[df.groupby("user_id", sort=False).cumcount() < 2]
+        df["__b"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        d = d[d.groupby("user_id", sort=False).cumcount() < 2]
+        cnt = d.groupby("user_id", sort=False)["t"].agg(["size", "min",
+                                                         "max"])
+        return pd.DataFrame({
+            "user_id": cnt.index.to_numpy().astype(np.int64),
+            "n_purch": cnt["size"].to_numpy().astype(np.int64),
+            "gap_us": (cnt["max"] - cnt["min"]).to_numpy().astype(
+                np.int64)})
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) > 50_000_000:
+        raise ValueError("second_purchase_events driver fold gate: "
+                         f"{len(parts)} users; pre-bucket the fold")
+    buyers = len(parts)
+    repeat = parts[parts["n_purch"] >= 2]
+    n_rep = len(repeat)
+    ppm = (n_rep * 1_000_000) // buyers if buyers else 0
+    if n_rep:
+        days = np.sort(repeat["gap_us"].to_numpy(np.int64) // _US_PER_DAY)
+        med = int(days[max(int(np.ceil(0.5 * n_rep)) - 1, 0)])
+    else:
+        med = 0
+    return pd.DataFrame({
+        "n_buyers": pd.Series([buyers], dtype=np.int64),
+        "n_repeat": pd.Series([n_rep], dtype=np.int64),
+        "repeat_ppm": pd.Series([ppm], dtype=np.int64),
+        "median_gap_days": pd.Series([med], dtype=np.int64)})
+
+
+SECOND_PURCHASE_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE event_type = 'purchase'),
+u AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_purch,
+             max(CASE WHEN rn = 2 THEN t END)
+               - max(CASE WHEN rn = 1 THEN t END) AS gap_us
+      FROM p WHERE rn <= 2 GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+       CAST(sum(CASE WHEN n_purch >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(sum(CASE WHEN n_purch >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS repeat_ppm,
+       CAST(coalesce(quantile_disc(CASE WHEN n_purch >= 2
+                                        THEN gap_us // 86400000000 END,
+                                   0.5), 0) AS BIGINT) AS median_gap_days
+FROM u
+"""
+
+
+# ---- weekday activity profile ------------------------------------------------
+
+
+def weekday_profile_events(sf_dir: str):
+    """Per day-of-week (0=Thursday epoch anchor, ``(epoch_day + 4) % 7``
+    spelled identically in both engines — no engine-specific dayofweek
+    convention): events, distinct users, value cents. Distinct-user
+    partials ride the user-hash bucket exchange (a user's rows colocate,
+    so per-dow distinct partials are exact and summable); counts and cents
+    are plain per-batch partials on the same exchange."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(_epoch_us(b.column("ts")), _US_PER_DAY)
+        dow = pc.subtract(pc.add(day, 4),
+                          pc.multiply(pc.divide(pc.add(day, 4), 7), 7))
+        t = pa.table({"dow": dow, "user_id": b.column("user_id"),
+                      "v": pc.cast(pc.round(pc.multiply(
+                          b.column("value"), 100)), pa.int64()),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        # n counts ROWS (SQL count(*)) — sum an explicit ones column, not
+        # a count of the nullable value column
+        g = t.group_by(["dow", "user_id"]).aggregate([("v", "sum"),
+                                                      ("one", "sum")])
+        out = pa.table({"dow": g.column("dow"),
+                        "user_id": g.column("user_id"),
+                        "cents": g.column("v_sum"),
+                        "n": g.column("one_sum")})
+        return out.append_column(
+            "__b", pc.cast(pc.bit_wise_and(out.column("user_id"), 31),
+                           pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["dow", "user_id"], sort=False, as_index=False)[
+            ["cents", "n"]].sum()
+        out = agg.groupby("dow", as_index=False).agg(
+            n_events=("n", "sum"), n_users=("user_id", "size"),
+            cents=("cents", "sum"))
+        return out
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("dow", as_index=False)[
+        ["n_events", "n_users", "cents"]].sum()
+    for c in ("dow", "n_events", "n_users", "cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("dow", kind="mergesort").reset_index(drop=True)
+
+
+WEEKDAY_PROFILE_SQL = """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---- windowed dedup: first event per (user, type, hour) ----------------------
+
+
+def windowed_dedup_events(sf_dir: str):
+    """Full output: the FIRST event per (user, event_type, hour) —
+    windowed deduplication, the at-most-one-per-key-per-window shape of
+    log compaction (the keep-latest sibling lives in stages/compaction).
+    One user-hash bucket exchange; each bucket sorts once and keeps the
+    head row per composite key. Ties break (t, event_id) in both
+    engines."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+    us_per_hour = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _epoch_us(b.column("ts"))
+        tab = pa.table({"user_id": b.column("user_id"),
+                        "event_type": b.column("event_type"),
+                        "hour": pc.divide(t, us_per_hour),
+                        "t": t, "event_id": b.column("event_id")})
+        df = tab.to_pandas()
+        df = df.sort_values(["user_id", "event_type", "hour", "t",
+                             "event_id"], kind="mergesort")
+        df = df.drop_duplicates(["user_id", "event_type", "hour"])
+        df["__b"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "event_type", "hour", "t",
+                           "event_id"], kind="mergesort")
+        d = d.drop_duplicates(["user_id", "event_type", "hour"])
+        return pd.DataFrame({
+            "event_id": d["event_id"].to_numpy().astype(np.int64),
+            "user_id": d["user_id"].to_numpy().astype(np.int64),
+            "event_type": d["event_type"].to_numpy(),
+            "hour": d["hour"].to_numpy().astype(np.int64)})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
+
+
+WINDOWED_DEDUP_SQL = """
+WITH r AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) // 3600000000 AS hour,
+         row_number() OVER (PARTITION BY user_id, event_type,
+                                         epoch_us(ts) // 3600000000
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events)
+SELECT event_id, user_id, event_type, hour
+FROM r WHERE rn = 1
+"""

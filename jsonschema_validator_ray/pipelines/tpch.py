@@ -1432,3 +1432,61 @@ JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE p.p_type = 'PROMO'
 GROUP BY 1, 2 ORDER BY 1, 2 DESC
 """
+
+
+# ---- return rate by brand ----------------------------------------------------
+
+
+def return_rate_brand(sf_dir: str):
+    """Per part brand: lineitem count, returned count (flag 'R') and the
+    exact floor-ppm return rate. The part→brand map broadcasts once; one
+    lineitem scan emits per-brand integer partials (≤ |brands| rows per
+    batch); the 25-row fold happens driver-side."""
+    import ray
+
+    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_brand"]))
+    ref = ray.put((part.column("p_partkey").combine_chunks(),
+                   part.column("p_brand").combine_chunks()))
+
+    class Partial:
+        def __init__(self, r):
+            self.pk, self.brand = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b.column("l_partkey"), value_set=self.pk)
+            ret = pc.cast(pc.equal(b.column("l_returnflag"), "R"),
+                          pa.int64())
+            t = pa.table({"brand": self.brand.take(idx),
+                          "r": ret,
+                          "one": pa.array(np.ones(b.num_rows, np.int64))})
+            g = t.group_by("brand").aggregate([("one", "sum"),
+                                               ("r", "sum")])
+            return pa.table({"p_brand": g.column("brand"),
+                             "n_lines": g.column("one_sum"),
+                             "n_returned": g.column("r_sum")})
+
+    df = (read_parquet(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_returnflag"])
+          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=4,
+                       batch_format="pyarrow").to_pandas()
+          .groupby("p_brand", as_index=False)[["n_lines", "n_returned"]]
+          .sum())
+    df["n_lines"] = df["n_lines"].astype(np.int64)
+    df["n_returned"] = df["n_returned"].astype(np.int64)
+    df["return_ppm"] = (df["n_returned"] * 1_000_000) // df["n_lines"]
+    return df.sort_values("p_brand", kind="mergesort").reset_index(
+        drop=True)
+
+
+RETURN_RATE_BRAND_SQL = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS return_ppm
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1 ORDER BY 1
+"""
