@@ -2615,3 +2615,55 @@ SELECT doc_id, w AS n_words, v AS n_vowel_groups, lw AS n_long_words,
        CAST(lw AS DOUBLE) / CAST(w AS DOUBLE) AS long_rate
 FROM c WHERE w > 0
 """
+
+
+# ---- vocabulary richness: hapax legomena rate --------------------------------
+
+
+def hapax_documents(sf_dir: str):
+    """One row: corpus vocabulary size, number of hapax legomena (tokens
+    whose TOTAL corpus count is exactly 1) and the exact floor-ppm hapax
+    share — the vocabulary-richness / tail-mass diagnostic. Per-batch
+    token-count partials (the shared ``_token_partials`` kernel) ride one
+    token-hash bucket exchange; each bucket folds its tokens' totals and
+    emits two ints; the driver adds up the buckets. Text never shuffles."""
+    from ..stages.vocab import _token_partials
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _token_partials(b, "text", 64)
+        return pa.table({"token": t.column("token"),
+                         "n_total": t.column("n_total"),
+                         "__bucket": t.column("__bucket")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", sort=False)["n_total"].sum()
+        return pd.DataFrame({
+            "vocab": [np.int64(len(tot))],
+            "hapax": [np.int64(int((tot == 1).sum()))]})
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(per_bucket, batch_format="pandas").to_pandas())
+    vocab = int(parts["vocab"].sum())
+    hapax = int(parts["hapax"].sum())
+    ppm = (hapax * 1_000_000) // vocab if vocab else 0
+    return pd.DataFrame({
+        "vocab_size": pd.Series([vocab], dtype=np.int64),
+        "n_hapax": pd.Series([hapax], dtype=np.int64),
+        "hapax_ppm": pd.Series([ppm], dtype=np.int64)})
+
+
+HAPAX_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL),
+c AS (SELECT token, count(*) AS n FROM toks WHERE token <> ''
+      GROUP BY token)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS hapax_ppm
+FROM c
+"""

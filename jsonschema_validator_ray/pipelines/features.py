@@ -796,3 +796,185 @@ SELECT a.label AS label_a, b.label AS label_b,
 FROM s a JOIN s b ON b.dim = a.dim AND b.label >= a.label
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---- nearest-centroid confusion matrix ---------------------------------------
+
+
+def nearest_centroid_confusion(sf_dir: str):
+    """(true_label, assigned_label, n) — every vector assigned to the
+    label whose (quantized) centroid has the highest mean inner product,
+    the classifier-eval confusion-matrix shape. The per-label sum vectors
+    and counts come from the exact ``label_centroids_embeddings`` fold
+    (labels × 64 ints, broadcast once); each streaming batch quantizes
+    with the same per-vector int8 sequence, does ONE int64 matmul against
+    the sum matrix, and scores ``dot/n`` with a single exact-to-double
+    division per (vec, label) — the int64 dots sit far below 2^53, so the
+    doubles (and the argmax with its lowest-label tiebreak) are identical
+    in both engines. Confusion cells fold driver-side (labels²)."""
+    import ray
+
+    from .corpus import label_centroids_embeddings
+
+    cent = label_centroids_embeddings(sf_dir)  # label, dim, q_sum, n_vecs
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    lpos = {int(l): i for i, l in enumerate(labels)}
+    dmax = int(cent["dim"].max())
+    S = np.zeros((len(labels), dmax), dtype=np.int64)
+    nvec = np.zeros(len(labels), dtype=np.int64)
+    for _, r in cent.iterrows():
+        S[lpos[int(r["label"])], int(r["dim"]) - 1] = int(r["q_sum"])
+        nvec[lpos[int(r["label"])]] = int(r["n_vecs"])
+    ref = ray.put((S, nvec.astype(np.float64), labels))
+
+    class Assign:
+        def __init__(self, r):
+            self.S, self.n, self.labels = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            col = b.column("embedding")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lengths = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            live = lengths > 0
+            if not live.any():
+                return pa.table({"true_label": pa.array([], pa.int64()),
+                                 "assigned_label": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ll = lengths[live]
+            ends = np.cumsum(ll)
+            starts = np.concatenate(([0], ends[:-1]))
+            sc = np.maximum.reduceat(np.abs(flat), starts)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = np.floor(flat * 127.0 / np.repeat(sc, ll))
+            q = np.nan_to_num(q, nan=0.0, posinf=0.0,
+                              neginf=0.0).astype(np.int64)
+            X = q.reshape(live.sum(), self.S.shape[1])
+            scores = (X @ self.S.T).astype(np.float64) / self.n[None, :]
+            assigned = self.labels[np.argmax(scores, axis=1)]
+            true = b.column("label").to_numpy(
+                zero_copy_only=False).astype(np.int64)[live]
+            df = pd.DataFrame({"true_label": true,
+                               "assigned_label": assigned})
+            agg = df.groupby(["true_label", "assigned_label"],
+                             sort=False).size().reset_index(name="n")
+            return pa.Table.from_pandas(agg, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["label", "embedding"])
+    parts = emb.map_batches(Assign, fn_constructor_args=(ref,),
+                            concurrency=2,
+                            batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["true_label", "assigned_label"],
+                        as_index=False)["n"].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["true_label", "assigned_label"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+NEAREST_CENTROID_SQL = """
+WITH t AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings WHERE len(embedding) > 0
+), q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                END) AS qv
+  FROM t
+), e AS (
+  SELECT vec_id, label AS true_label,
+         CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim,
+         unnest(qv) AS val
+  FROM q),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+s AS (SELECT true_label AS label, dim,
+             CAST(sum(CAST(val AS HUGEINT)) AS HUGEINT) AS q_sum
+      FROM e GROUP BY 1, 2),
+d AS (SELECT e.vec_id, e.true_label, s.label AS cand,
+             CAST(sum(CAST(e.val AS HUGEINT) * s.q_sum) AS DOUBLE)
+               / CAST(n.n AS DOUBLE) AS score
+      FROM e JOIN s ON s.dim = e.dim JOIN n ON n.label = s.label
+      GROUP BY 1, 2, 3, n.n),
+a AS (SELECT vec_id, true_label, cand,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cand) AS rn
+      FROM d)
+SELECT true_label, cand AS assigned_label, CAST(count(*) AS BIGINT) AS n
+FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---- k-NN label purity ---------------------------------------------------------
+
+
+def knn_label_purity(sf_dir: str, k: int = 5):
+    """Per label: how many of its vectors' k-nearest (MIPS) neighbors
+    share the label — neighborhood purity, the embedding-health metric on
+    top of :func:`knn_graph_embeddings` (exact integer dots, so the graph
+    and therefore the purity is identical cross-engine). The vec→label
+    map broadcasts; per-label partials fold driver-side (label-bounded)."""
+    import ray
+
+    lab = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "label"])
+    tabs = [t for t in ray.get(lab.to_arrow_refs()) if t.num_rows]
+    lt = pa.concat_tables(tabs).combine_chunks()
+    ref = ray.put((lt.column("vec_id").combine_chunks(),
+                   pc.cast(lt.column("label"),
+                           pa.int64()).combine_chunks()))
+
+    class Purity:
+        def __init__(self, r):
+            self.vid, self.lab = (
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            la = self.lab.take(pc.index_in(b.column("vec_id"),
+                                           value_set=self.vid))
+            lb = self.lab.take(pc.index_in(b.column("neighbor_id"),
+                                           value_set=self.vid))
+            same = pc.cast(pc.equal(la, lb), pa.int64())
+            t = pa.table({"label": la, "s": same,
+                          "one": pa.array(np.ones(b.num_rows, np.int64))})
+            g = t.group_by("label").aggregate([("one", "sum"),
+                                               ("s", "sum")])
+            return pa.table({"label": g.column("label"),
+                             "n_edges": g.column("one_sum"),
+                             "n_same": g.column("s_sum")})
+
+    graph = knn_graph_embeddings(sf_dir, k=k)
+    parts = graph.map_batches(Purity, fn_constructor_args=(ref,),
+                              concurrency=2,
+                              batch_format="pyarrow").to_pandas()
+    out = parts.groupby("label", as_index=False)[
+        ["n_edges", "n_same"]].sum()
+    out["label"] = out["label"].astype(np.int64)
+    out["n_edges"] = out["n_edges"].astype(np.int64)
+    out["n_same"] = out["n_same"].astype(np.int64)
+    out["purity_ppm"] = (out["n_same"] * 1_000_000) // out["n_edges"]
+    return out.sort_values("label", kind="mergesort").reset_index(
+        drop=True)
+
+
+KNN_PURITY_SQL = ("WITH g AS (" + KNN_GRAPH_SQL + """)
+SELECT CAST(a.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same,
+       CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS purity_ppm
+FROM g
+JOIN embeddings a ON a.vec_id = g.vec_id
+JOIN embeddings b ON b.vec_id = g.neighbor_id
+GROUP BY 1 ORDER BY 1
+""")
