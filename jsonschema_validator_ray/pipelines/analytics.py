@@ -11,7 +11,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..sources.parquet import read_parquet
+from ..sources.parquet import read_dim_table, read_parquet
 from ..stages.joins import asof_join, bucketed_join, hash_join
 from .relational import _US_PER_DAY, _epoch_us
 
@@ -92,10 +92,8 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     orders = read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey",
                                             "o_totalprice"])
-    cust = read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_mktsegment"])
-    dim = pa.concat_tables(
-        ray.get(cust.to_arrow_refs())).combine_chunks()  # tiny dimension
+    dim = read_dim_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
     seg_ref = ray.put((dim.column("c_custkey").combine_chunks(),
                        dim.column("c_mktsegment").combine_chunks()))
 
@@ -1077,9 +1075,8 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA"):
                           columns=["o_orderkey", "o_custkey"])
 
     # dimension side: supplier→nation map + region-restricted nation names
-    sup = pa.concat_tables(ray.get(
-        read_parquet(f"{sf_dir}/supplier.parquet",
-                     columns=["s_suppkey", "s_nationkey"]).to_arrow_refs()))
+    sup = read_dim_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
     import pyarrow.parquet as pq
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name", "n_regionkey"])
@@ -1419,12 +1416,10 @@ def grouping_sets_revenue(sf_dir: str):
     aggregated-out dimension exactly as SQL does."""
     import ray
 
-    cust = read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_nationkey"])
-    nat = read_parquet(f"{sf_dir}/nation.parquet",
-                       columns=["n_nationkey", "n_name"])
-    ctab = pa.concat_tables(ray.get(cust.to_arrow_refs())).combine_chunks()
-    ntab = pa.concat_tables(ray.get(nat.to_arrow_refs())).combine_chunks()
+    ctab = read_dim_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    ntab = read_dim_table(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
     nidx = pc.index_in(ctab.column("c_nationkey"),
                        value_set=ntab.column("n_nationkey"))
     cnation = ntab.column("n_name").take(nidx).combine_chunks()

@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from ..sources.parquet import read_parquet
+from ..sources.parquet import read_dim_table, read_parquet
 from ..stages.similarity import _emb_matrix
 
 # ---- integer-exact min-max normalization ------------------------------------
@@ -208,9 +208,8 @@ def target_encode_customers(sf_dir: str):
     integers, identical in both engines (DuckDB folds through HUGEINT)."""
     import ray
 
-    cust = read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_mktsegment"])
-    dim = pa.concat_tables(ray.get(cust.to_arrow_refs())).combine_chunks()
+    dim = read_dim_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
     ref = ray.put((dim.column("c_custkey").combine_chunks(),
                    dim.column("c_mktsegment").combine_chunks()))
 
@@ -264,7 +263,8 @@ def target_encode_customers(sf_dir: str):
                                  .astype(np.int64)], pa.int64())})
         return out.filter(pa.array(matched))
 
-    return cust.map_batches(attach, batch_format="pyarrow")
+    return ray.data.from_arrow(dim).map_batches(attach,
+                                                batch_format="pyarrow")
 
 
 TARGET_ENCODE_SQL = """

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..sources.parquet import read_parquet
+from ..sources.parquet import read_dim_table, read_parquet
 
 _US_PER_DAY = 86_400_000_000
 
@@ -177,9 +177,10 @@ def big_orders(sf_dir: str, min_qty_cents: int = 25_000,
                            "sum_qty_cents": pa.array([], pa.int64())}))
         joined = None
 
-    cust = read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_name"])
-    dim = pa.concat_tables(ray.get(cust.to_arrow_refs())).combine_chunks()
+    # driver_limit gates the HOT-ORDER set above; the customer NAME map is
+    # a genuine dimension and broadcasts under the standard dim gate
+    dim = read_dim_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
     ref = ray.put((None if hot_t is None else hot_t.column("o_orderkey"),
                    None if hot_t is None else hot_t.column("sum_qty_cents"),
                    dim.column("c_custkey").combine_chunks(),
@@ -310,35 +311,29 @@ def rich_quiet_customers(sf_dir: str):
     anti-joins on the shuffle path (urgent custkeys are keys-only)."""
     from ..stages.joins import anti_join
 
-    cust = read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_nationkey", "c_acctbal"])
-
-    def bal_partial(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100)),
-                        pa.int64())
-        pos = pc.filter(cents, pc.greater(cents, 0))
-        return pa.table({"n_pos": pa.array([len(pos)], pa.int64()),
-                         "sum_pos": pa.array(
-                             [pc.sum(pos).as_py() or 0], pa.int64())})
-
-    tot = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
-    n_pos = int(tot["n_pos"].sum()) if "n_pos" in tot.columns else 0
-    sum_pos = int(tot["sum_pos"].sum()) if "n_pos" in tot.columns else 0
-
-    def rich(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("c_acctbal"), 100)),
-                        pa.int64())
-        t = pa.table({"c_custkey": b.column("c_custkey"),
-                      "c_nationkey": b.column("c_nationkey"),
-                      "bal_cents": cents})
-        return t.filter(pc.greater(pc.multiply(cents, n_pos), sum_pos))
+    # customer is a DIMENSION: the scalar (n_pos, sum_pos) fold reads it
+    # once driver-side (broadcast-small pattern, loud gate inside
+    # read_dim_table) instead of paying a Ray execution's scheduling floor
+    dim = read_dim_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    cents_all = pc.cast(pc.round(pc.multiply(
+        dim.column("c_acctbal"), 100)), pa.int64())
+    pos = pc.filter(cents_all, pc.greater(cents_all, 0))
+    n_pos = len(pos)
+    sum_pos = int(pc.sum(pos).as_py() or 0)
+    # the fully-integer above-average filter applies driver-side too —
+    # only the (small) rich set enters the distributed anti join
+    rich_t = pa.table({"c_custkey": dim.column("c_custkey"),
+                       "c_nationkey": dim.column("c_nationkey"),
+                       "bal_cents": cents_all}).filter(
+        pc.greater(pc.multiply(cents_all, n_pos), sum_pos))
 
     urgent = read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderpriority"]
     ).filter(expr="o_orderpriority == '1-URGENT'")
 
-    quiet = anti_join(cust.map_batches(rich, batch_format="pyarrow"),
+    quiet = anti_join(ray.data.from_arrow(rich_t),
                       urgent, "c_custkey", right_on="o_custkey",
                       strategy="shuffle", num_buckets=32)
 

@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.parquet import read_parquet
+from ..sources.parquet import read_dim_table, read_parquet
 
 # Broadcast gates: above these row counts the driver gather would be the
 # scale bug the repo bans, so the paths below switch to a bucketed join
@@ -107,10 +107,10 @@ def min_cost_supplier(sf_dir: str):
     best = (li.map_batches(partial, batch_format="pyarrow")
             .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
 
-    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
-                                      columns=["p_partkey", "p_name"]))
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_name"]))
+    part = read_dim_table(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_name"], limit=_DIM_BROADCAST_LIMIT)
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_name"], limit=_DIM_BROADCAST_LIMIT)
     ref = ray.put((part.column("p_partkey").combine_chunks(),
                    part.column("p_name").combine_chunks(),
                    supp.column("s_suppkey").combine_chunks(),
@@ -185,8 +185,8 @@ def supplier_value_share(sf_dir: str, threshold_ppm: int = 10_200):
     # DuckDB promotes the same product to HUGEINT.
     keep = df[df["cents"].astype(object) * 1_000_000 >
               threshold_ppm * total]
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_name"]))
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_name"], limit=_DIM_BROADCAST_LIMIT)
     sdf = supp.to_pandas()
     out = keep.merge(sdf, on="s_suppkey")
     out = out.rename(columns={"cents": "value_cents"})
@@ -225,11 +225,11 @@ def brand_supplier_counts(sf_dir: str):
     """
     import ray
 
-    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
+    part = read_dim_table(f"{sf_dir}/part.parquet",
                                       columns=["p_partkey", "p_brand",
-                                               "p_size"]))
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_name"]))
+                                               "p_size"], limit=_DIM_BROADCAST_LIMIT)
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_name"], limit=_DIM_BROADCAST_LIMIT)
     bad = supp.filter(pc.match_substring(supp.column("s_name"), "7"))
     ref = ray.put((part.column("p_partkey").combine_chunks(),
                    part.column("p_brand").combine_chunks(),
@@ -308,8 +308,8 @@ def small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
     """
     import ray
 
-    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
-                                      columns=["p_partkey", "p_brand"]))
+    part = read_dim_table(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_brand"], limit=_DIM_BROADCAST_LIMIT)
     pk = part.filter(pc.equal(part.column("p_brand"), brand)) \
              .column("p_partkey").combine_chunks()
 
@@ -419,8 +419,8 @@ def sole_supplier_orders(sf_dir: str):
         df = pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
                            "n_orders": pd.Series([], dtype=np.int64)})
     df = df.groupby("s_suppkey", as_index=False)["n_orders"].sum()
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_name"]))
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_name"], limit=_DIM_BROADCAST_LIMIT)
     out = df.merge(supp.to_pandas(), on="s_suppkey")
     out = out.sort_values(["n_orders", "s_suppkey"],
                           ascending=[False, True], kind="mergesort")
@@ -459,12 +459,12 @@ def nation_pair_volume(sf_dir: str):
 
     from ..stages.joins import bucketed_join
 
-    nat = _gather_small(read_parquet(f"{sf_dir}/nation.parquet",
-                                     columns=["n_nationkey", "n_name"]))
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_nationkey"]))
-    cust = _gather_small(read_parquet(f"{sf_dir}/customer.parquet",
-                                      columns=["c_custkey", "c_nationkey"]))
+    nat = read_dim_table(f"{sf_dir}/nation.parquet",
+                                     columns=["n_nationkey", "n_name"], limit=_DIM_BROADCAST_LIMIT)
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_nationkey"], limit=_DIM_BROADCAST_LIMIT)
+    cust = read_dim_table(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_nationkey"], limit=_DIM_BROADCAST_LIMIT)
     nidx_s = pc.index_in(supp.column("s_nationkey"),
                          value_set=nat.column("n_nationkey"))
     supp_nation = nat.column("n_name").take(nidx_s).combine_chunks()
@@ -565,23 +565,23 @@ def market_share(sf_dir: str, supp_nation: str = "NATION_3",
 
     from ..stages.joins import bucketed_join
 
-    nat = _gather_small(read_parquet(
+    nat = read_dim_table(
         f"{sf_dir}/nation.parquet",
-        columns=["n_nationkey", "n_name", "n_regionkey"]))
-    reg = _gather_small(read_parquet(f"{sf_dir}/region.parquet",
-                                     columns=["r_regionkey", "r_name"]))
+        columns=["n_nationkey", "n_name", "n_regionkey"], limit=_DIM_BROADCAST_LIMIT)
+    reg = read_dim_table(f"{sf_dir}/region.parquet",
+                                     columns=["r_regionkey", "r_name"], limit=_DIM_BROADCAST_LIMIT)
     rkey = reg.filter(pc.equal(reg.column("r_name"), cust_region)) \
               .column("r_regionkey")
     region_nations = nat.filter(
         pc.is_in(nat.column("n_regionkey"), value_set=rkey)) \
         .column("n_nationkey")
-    cust = _gather_small(read_parquet(f"{sf_dir}/customer.parquet",
-                                      columns=["c_custkey", "c_nationkey"]))
+    cust = read_dim_table(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_nationkey"], limit=_DIM_BROADCAST_LIMIT)
     region_custs = cust.filter(
         pc.is_in(cust.column("c_nationkey"), value_set=region_nations)) \
         .column("c_custkey").combine_chunks()
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_nationkey"]))
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_nationkey"], limit=_DIM_BROADCAST_LIMIT)
     nkey = nat.filter(pc.equal(nat.column("n_name"), supp_nation)) \
               .column("n_nationkey")
     x_supps = supp.filter(
@@ -878,8 +878,8 @@ def promo_revenue_share(sf_dir: str):
 
     from datetime import datetime
 
-    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
-                                      columns=["p_partkey", "p_type"]))
+    part = read_dim_table(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_type"], limit=_DIM_BROADCAST_LIMIT)
     ref = ray.put((part.column("p_partkey").combine_chunks(),
                    pc.equal(part.column("p_type"), "PROMO").combine_chunks()))
     lo, hi = datetime(1996, 3, 1), datetime(1996, 4, 1)
@@ -979,8 +979,8 @@ def top_supplier_revenue(sf_dir: str):
                          f"{len(agg)} suppliers; pre-bucket the fold")
     best = int(agg["rev"].max())
     win = agg[agg["rev"] == best].sort_values("s", kind="mergesort")
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_name"]))
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_name"], limit=_DIM_BROADCAST_LIMIT)
     idx = pc.index_in(pa.array(win["s"].to_numpy(np.int64)),
                       value_set=supp.column("s_suppkey"))
     return pd.DataFrame({
@@ -1071,11 +1071,11 @@ def returned_revenue_customers(sf_dir: str, k: int = 20):
                          f"{len(agg)} customers; pre-bucket the fold")
     agg = agg.sort_values(["rev", "c"], ascending=[False, True],
                           kind="mergesort").head(k)
-    cust = _gather_small(read_parquet(
+    cust = read_dim_table(
         f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_nationkey"]))
-    nat = _gather_small(read_parquet(f"{sf_dir}/nation.parquet",
-                                     columns=["n_nationkey", "n_name"]))
+        columns=["c_custkey", "c_name", "c_nationkey"], limit=_DIM_BROADCAST_LIMIT)
+    nat = read_dim_table(f"{sf_dir}/nation.parquet",
+                                     columns=["n_nationkey", "n_name"], limit=_DIM_BROADCAST_LIMIT)
     cidx = pc.index_in(pa.array(agg["c"].to_numpy(np.int64)),
                        value_set=cust.column("c_custkey"))
     nkey = cust.column("c_nationkey").take(cidx)
@@ -1198,9 +1198,9 @@ def band_revenue(sf_dir: str):
     folds ``(n, Σ cents·(100−disc))`` per batch."""
     import ray
 
-    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
+    part = read_dim_table(f"{sf_dir}/part.parquet",
                                       columns=["p_partkey", "p_brand",
-                                               "p_size"]))
+                                               "p_size"], limit=_DIM_BROADCAST_LIMIT)
     ref = ray.put((part.column("p_partkey").combine_chunks(),
                    part.column("p_brand").combine_chunks(),
                    pc.cast(part.column("p_size"),
@@ -1311,8 +1311,8 @@ def halfstock_suppliers(sf_dir: str):
     agg = agg[2 * agg["q97"] > agg["qall"]]
     out = (agg.groupby("s", as_index=False)
            .agg(n_half_parts=("p", "size")))
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_name"]))
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_name"], limit=_DIM_BROADCAST_LIMIT)
     idx = pc.index_in(pa.array(out["s"].to_numpy(np.int64)),
                       value_set=supp.column("s_suppkey"))
     res = pd.DataFrame({
@@ -1352,12 +1352,12 @@ def profit_by_nation_year(sf_dir: str, p_type: str = "PROMO"):
 
     from ..stages.joins import bucketed_join
 
-    nat = _gather_small(read_parquet(f"{sf_dir}/nation.parquet",
-                                     columns=["n_nationkey", "n_name"]))
-    supp = _gather_small(read_parquet(f"{sf_dir}/supplier.parquet",
-                                      columns=["s_suppkey", "s_nationkey"]))
-    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
-                                      columns=["p_partkey", "p_type"]))
+    nat = read_dim_table(f"{sf_dir}/nation.parquet",
+                                     columns=["n_nationkey", "n_name"], limit=_DIM_BROADCAST_LIMIT)
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                                      columns=["s_suppkey", "s_nationkey"], limit=_DIM_BROADCAST_LIMIT)
+    part = read_dim_table(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_type"], limit=_DIM_BROADCAST_LIMIT)
     nidx = pc.index_in(supp.column("s_nationkey"),
                        value_set=nat.column("n_nationkey"))
     supp_nation = nat.column("n_name").take(nidx).combine_chunks()
@@ -1444,8 +1444,8 @@ def return_rate_brand(sf_dir: str):
     batch); the 25-row fold happens driver-side."""
     import ray
 
-    part = _gather_small(read_parquet(f"{sf_dir}/part.parquet",
-                                      columns=["p_partkey", "p_brand"]))
+    part = read_dim_table(f"{sf_dir}/part.parquet",
+                                      columns=["p_partkey", "p_brand"], limit=_DIM_BROADCAST_LIMIT)
     ref = ray.put((part.column("p_partkey").combine_chunks(),
                    part.column("p_brand").combine_chunks()))
 

@@ -45,6 +45,29 @@ def read_parquet(paths, *, columns=None, **kwargs):
     return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
+def read_dim_table(path, *, columns=None,
+                   limit: int = 2_000_000) -> "pa.Table":
+    """Driver-side read of a DIMENSION parquet file destined for broadcast.
+
+    The broadcast-small-side pattern ships the whole table to every task
+    anyway, so routing the read through a Ray Dataset execution only adds
+    the executor's fixed scheduling cost (~0.5-1.5 s per query at bench
+    scale) before an identical driver gather. This reads the file footer
+    first and refuses LOUDLY past ``limit`` rows — the caller must switch
+    to its documented bucketed-join fallback, exactly like the
+    ``_gather_small`` gates. Metadata is stripped (schema-dedup cache
+    rule)."""
+    import pyarrow as pa  # noqa: F401  (kept for parity with callers)
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows > limit:
+        raise ValueError(
+            f"read_dim_table: {path} has {md.num_rows} rows > broadcast "
+            f"gate {limit}; use the bucketed-join fallback for this input")
+    t = pq.read_table(path, columns=columns)
+    return t.replace_schema_metadata(None).combine_chunks()
+
+
 def fused_map_parquet(paths, fn, *, columns=None, batch_size: int = 16384,
                       concurrency=None, split_per_rg: int = 1):
     """FUSED read+transform over parquet: one work item per ROW GROUP
