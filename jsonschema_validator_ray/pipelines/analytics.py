@@ -2693,3 +2693,99 @@ WITH r AS (
 SELECT event_id, user_id, event_type, hour
 FROM r WHERE rn = 1
 """
+
+
+# ---- Markov next-event predictor accuracy -------------------------------------
+
+
+def markov_accuracy_events(sf_dir: str):
+    """(prev_type, predicted_next, n_transitions, n_correct, accuracy_ppm)
+    — train the global transition-matrix predictor (per current type, the
+    most frequent next type, ties → lexicographically first) and score it
+    on the SAME transitions, all from the one pair-count fold of
+    :func:`event_transitions` — no second pass over the log. Counts are
+    exact integers; the ppm is floor division."""
+    cnt = event_transitions(sf_dir)  # prev_type, event_type, n (driver df)
+    cnt = cnt.sort_values(["prev_type", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+    pred = cnt.drop_duplicates("prev_type")[["prev_type", "event_type"]] \
+        .rename(columns={"event_type": "predicted_next"})
+    tot = cnt.groupby("prev_type", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_transitions"})
+    hit = cnt.merge(pred, left_on=["prev_type", "event_type"],
+                    right_on=["prev_type", "predicted_next"])[
+        ["prev_type", "n"]].rename(columns={"n": "n_correct"})
+    out = pred.merge(tot, on="prev_type").merge(hit, on="prev_type")
+    out["n_transitions"] = out["n_transitions"].astype(np.int64)
+    out["n_correct"] = out["n_correct"].astype(np.int64)
+    out["accuracy_ppm"] = (out["n_correct"] * 1_000_000) \
+        // out["n_transitions"]
+    return out.sort_values("prev_type", kind="mergesort").reset_index(
+        drop=True)
+
+
+MARKOV_ACCURACY_SQL = """
+WITH g AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT prev_type, event_type AS predicted_next,
+             row_number() OVER (PARTITION BY prev_type
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c),
+t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_transitions
+      FROM c GROUP BY 1)
+SELECT p.prev_type, p.predicted_next, t.n_transitions,
+       c.n AS n_correct,
+       CAST(c.n * 1000000 // t.n_transitions AS BIGINT) AS accuracy_ppm
+FROM p
+JOIN t ON t.prev_type = p.prev_type
+JOIN c ON c.prev_type = p.prev_type AND c.event_type = p.predicted_next
+WHERE p.rn = 1 ORDER BY p.prev_type
+"""
+
+
+# ---- lines-per-order distribution ---------------------------------------------
+
+
+def lines_per_order_hist(sf_dir: str):
+    """(n_lines, n_orders) — how many orders have k lineitems, the fact
+    fan-out profile (order_count_distribution's sibling one level down).
+    Per-batch (orderkey → n) partials ride one order-hash bucket exchange;
+    each bucket histograms its orders' exact totals; the tiny
+    (distinct-count)-bounded histogram folds driver-side."""
+    li = read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b.column("l_orderkey"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("k").aggregate([("one", "sum")])
+        return pa.table({"k": g.column("k"), "n": g.column("one_sum"),
+                         "__b": pc.cast(pc.bit_wise_and(g.column("k"), 31),
+                                        pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("k", sort=False)["n"].sum()
+        h = tot.value_counts()
+        return pd.DataFrame({"n_lines": h.index.to_numpy().astype(np.int64),
+                             "n_orders": h.to_numpy().astype(np.int64)})
+
+    parts = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("n_lines", as_index=False)["n_orders"].sum()
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("n_lines", kind="mergesort").reset_index(
+        drop=True)
+
+
+LINES_PER_ORDER_SQL = """
+WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+           FROM lineitem GROUP BY 1)
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1 ORDER BY 1
+"""

@@ -978,3 +978,80 @@ JOIN embeddings a ON a.vec_id = g.vec_id
 JOIN embeddings b ON b.vec_id = g.neighbor_id
 GROUP BY 1 ORDER BY 1
 """)
+
+
+# ---- cross-modal: embedding norm profile by document language ------------------
+
+
+def emb_norm_by_lang(sf_dir: str):
+    """(lang, n_vecs, sum_sq, mean_sq) — quantized squared-L2 embedding
+    norms profiled by the DOCUMENT language, the cross-modal health check
+    joining the two corpus-scale tables. Both sides pre-reduce to narrow
+    rows (``(vec_id, sq)`` — the exact ``floor(f64(x)·1e5)`` quantization,
+    so Σq² is an exact int64 far under 2^53 — and ``(doc_id, lang)``) and
+    meet in ONE bucketed hash join on the shared id; per-lang integer
+    partials fold driver-side in Python ints (no overflow at any scale)
+    and ``mean_sq`` is the single exact-to-double division."""
+    from ..stages.joins import bucketed_join
+
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+
+    def sq_partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(flat * _Q_SCALE).astype(np.int64)
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        sq = np.add.reduceat(q * q, starts) if len(q) else \
+            np.zeros(len(lengths), np.int64)
+        sq = np.where(lengths > 0, sq, 0).astype(np.int64)
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "sq": pa.array(sq, pa.int64())})
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
+    joined = bucketed_join(emb.map_batches(sq_partial,
+                                           batch_format="pyarrow"),
+                           docs, "vec_id", right_on="doc_id",
+                           num_buckets=16)
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"), "sq": b.column("sq"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("lang").aggregate([("one", "sum"), ("sq", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "n_vecs": g.column("one_sum"),
+                         "sum_sq": g.column("sq_sum")})
+
+    parts = joined.map_batches(fold, batch_format="pyarrow").to_pandas()
+    rows = {}
+    for _, r in parts.iterrows():     # Python-int fold: no overflow bound
+        n, s = rows.get(r["lang"], (0, 0))
+        rows[r["lang"]] = (n + int(r["n_vecs"]), s + int(r["sum_sq"]))
+    out = pd.DataFrame(
+        [(k, np.int64(n), np.int64(s), float(s) / float(n))
+         for k, (n, s) in sorted(rows.items())],
+        columns=["lang", "n_vecs", "sum_sq", "mean_sq"])
+    return out
+
+
+EMB_NORM_BY_LANG_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS qv
+  FROM embeddings)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(list_dot_product(q.qv, q.qv) AS BIGINT)) AS BIGINT)
+         AS sum_sq,
+       CAST(sum(CAST(list_dot_product(q.qv, q.qv) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_sq
+FROM q JOIN documents d ON d.doc_id = q.vec_id
+GROUP BY 1 ORDER BY 1
+"""
