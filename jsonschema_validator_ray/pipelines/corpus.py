@@ -2667,3 +2667,177 @@ SELECT CAST(count(*) AS BIGINT) AS vocab_size,
             AS BIGINT) AS hapax_ppm
 FROM c
 """
+
+
+# ---- char-level bigram head (char-LM data profile) ---------------------------
+
+
+def char_bigrams_documents(sf_dir: str, k: int = 20):
+    """(bigram, n) — the corpus's top-k CHARACTER bigrams (the char-LM /
+    tokenizer-seeding profile; the token-level sibling is
+    ``bpe_pairs_documents``). Each batch expands its text to ONE utf-32
+    codepoint array (no per-char Python), forms adjacent-pair codes with a
+    doc-boundary mask, and emits exact (c1, c2, n) partials; pairs
+    hash-bucket so each bucket owns its pairs' exact totals, every bucket
+    emits its local head-k (the global head is a subset of the union of
+    bucket heads since buckets partition pairs), and the driver merges
+    64·k rows with the (n desc, bigram asc) tiebreak — UTF-8 byte order
+    equals code-point order, so the tie sort agrees with SQL."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(b.column("text"), ""), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        texts = s.to_pylist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        if int(lens.sum()) < 2:
+            return pa.table({"c1": pa.array([], pa.int64()),
+                             "c2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        # adjacent pair is valid only when both chars sit in the same doc
+        ends = np.cumsum(lens)
+        valid = np.ones(len(cp) - 1, dtype=bool)
+        valid[ends[:-1] - 1] = False          # last char of each doc
+        c1 = cp[:-1][valid]
+        c2 = cp[1:][valid]
+        code = c1 * np.int64(1 << 21) + c2    # codepoints < 2^21
+        uniq, cnt = np.unique(code, return_counts=True)
+        u1 = uniq >> 21
+        u2 = uniq & ((1 << 21) - 1)
+        return pa.table({
+            "c1": pa.array(u1, pa.int64()),
+            "c2": pa.array(u2, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array((uniq % 64).astype(np.int32))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["c1", "c2"], sort=False)["n"].sum().reset_index()
+        tot["bigram"] = [chr(a) + chr(b)
+                         for a, b in zip(tot["c1"], tot["c2"])]
+        tot = tot.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return tot[["bigram", "n"]]
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = parts.sort_values(["n", "bigram"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+CHAR_BIGRAMS_SQL = """
+WITH ch AS (
+  SELECT doc_id, generate_subscripts(cs, 1) AS i, unnest(cs) AS c
+  FROM (SELECT doc_id, string_split(text, '') AS cs
+        FROM documents WHERE text IS NOT NULL AND length(text) >= 2) t),
+bg AS (SELECT c || lead(c) OVER (PARTITION BY doc_id ORDER BY i) AS bigram
+       FROM ch)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg WHERE bigram IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+# ---- Heaps-law vocabulary growth ----------------------------------------------
+
+
+def vocab_growth_documents(sf_dir: str):
+    """(n_docs, vocab_size) — the corpus vocabulary size over growing
+    doc_id prefixes (1 %, 10 %, 50 %, 100 % of the id range): the
+    Heaps-law curve that sizes tokenizer vocabularies. Per-batch partials
+    carry each token's MIN doc_id (an associative fold — the only thing
+    the curve needs); tokens hash-bucket, each bucket folds its tokens'
+    first-seen ids and emits per-checkpoint counts; the driver adds up
+    4 ints per bucket. Text never shuffles."""
+    from ..stages.vocab import _token_partials
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def checkpoints(max_id: int) -> list[int]:
+        return sorted({max(max_id // 100, 1), max(max_id // 10, 1),
+                       max(max_id // 2, 1), max_id})
+
+    md = pq_file_max(f"{sf_dir}/documents.parquet")
+    cps = checkpoints(md + 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(b.column("text"), ""), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.large_string()),
+                             "first": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parent_id = np.repeat(ids, lens)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        enc = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.full(len(enc.dictionary), np.iinfo(np.int64).max,
+                        np.int64)
+        np.minimum.at(first, codes, parent_id[keep])
+        toks_pd = pd.Series(enc.dictionary.to_pandas())
+        h = pd.util.hash_pandas_object(toks_pd, index=False).to_numpy()
+        return pa.table({
+            "token": pc.cast(enc.dictionary, pa.large_string()),
+            "first": pa.array(first),
+            "__b": pa.array((h % 64).astype(np.int32))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("token", sort=False)["first"].min().to_numpy()
+        return pd.DataFrame({
+            "n_docs": np.array(cps, np.int64),
+            "vocab_size": np.array([(f < c).sum() for c in cps],
+                                   np.int64)})
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("n_docs", as_index=False)["vocab_size"].sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["vocab_size"] = out["vocab_size"].astype(np.int64)
+    return out.sort_values("n_docs", kind="mergesort").reset_index(
+        drop=True)
+
+
+def pq_file_max(path: str) -> int:
+    """Max doc_id from the parquet footer statistics (no data read)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index("doc_id")
+    mx = 0
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            mx = max(mx, int(st.max))
+    return mx
+
+
+VOCAB_GROWTH_SQL = r"""
+WITH f AS (
+  SELECT token, min(doc_id) AS first FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents WHERE text IS NOT NULL) t
+  WHERE token <> '' GROUP BY token),
+m AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+cp AS (SELECT DISTINCT unnest([greatest(mx // 100, 1),
+                               greatest(mx // 10, 1),
+                               greatest(mx // 2, 1), mx]) AS c FROM m)
+SELECT CAST(cp.c AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE f.first < cp.c) AS BIGINT)
+         AS vocab_size
+FROM cp, f GROUP BY 1 ORDER BY 1
+"""
