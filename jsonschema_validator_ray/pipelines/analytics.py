@@ -2789,3 +2789,50 @@ WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
 SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
 FROM c GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- revenue seasonality index -------------------------------------------------
+
+
+def seasonality_orders(sf_dir: str):
+    """(o_year, o_month, cents, share_ppm) — each month's exact share of
+    its year's revenue in floor-ppm, the seasonality index. Per-batch
+    (year, month) integer partials (calendar-bounded) fold driver-side;
+    the share is integer floor division so no boundary float exists."""
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        t = pa.table({"y": pc.cast(pc.year(d), pa.int64()),
+                      "m": pc.cast(pc.month(d), pa.int64()),
+                      "v": pc.cast(pc.round(pc.multiply(
+                          b.column("o_totalprice"), 100)), pa.int64())})
+        g = t.group_by(["y", "m"]).aggregate([("v", "sum")])
+        return pa.table({"y": g.column("y"), "m": g.column("m"),
+                         "cents": g.column("v_sum")})
+
+    df = (orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby(["y", "m"], as_index=False)["cents"].sum())
+    yr = df.groupby("y")["cents"].transform("sum")
+    df["share_ppm"] = (df["cents"] * 1_000_000) // yr
+    out = df.rename(columns={"y": "o_year", "m": "o_month"})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["o_year", "o_month"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+SEASONALITY_SQL = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2)
+SELECT o_year, o_month, cents,
+       CAST(cents * 1000000
+            // sum(cents) OVER (PARTITION BY o_year) AS BIGINT)
+         AS share_ppm
+FROM m ORDER BY 1, 2
+"""

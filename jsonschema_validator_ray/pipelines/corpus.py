@@ -2841,3 +2841,136 @@ SELECT CAST(cp.c AS BIGINT) AS n_docs,
          AS vocab_size
 FROM cp, f GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- per-source quality pass rates --------------------------------------------
+
+
+def gopher_rate_by_source(sf_dir: str):
+    """(source, n_docs, n_pass, pass_ppm) — the composite Gopher gate's
+    pass rate per source, the per-provenance quality scoreboard that
+    decides crawl-source budgets. One fused scan (the same
+    ``gopher_quality_batch`` kernel), per-source integer partials, driver
+    fold of |sources| rows; the rate is exact floor-ppm."""
+    from ..functions.text import gopher_quality_batch
+    from ..sources.parquet import fused_map_parquet
+
+    def f(b: pa.Table) -> pa.Table:
+        q = gopher_quality_batch(b, min_tokens=20)
+        t = pa.table({"source": b.column("source"),
+                      "p": pc.cast(q.column("gopher_pass"), pa.int64()),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("source").aggregate([("one", "sum"), ("p", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n_docs": g.column("one_sum"),
+                         "n_pass": g.column("p_sum")})
+
+    parts = fused_map_parquet(f"{sf_dir}/documents.parquet", f,
+                              columns=["doc_id", "text", "source"]) \
+        .to_pandas()
+    out = parts.groupby("source", as_index=False)[
+        ["n_docs", "n_pass"]].sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_pass"] = out["n_pass"].astype(np.int64)
+    out["pass_ppm"] = (out["n_pass"] * 1_000_000) // out["n_docs"]
+    return out.sort_values("source", kind="mergesort").reset_index(
+        drop=True)
+
+
+GOPHER_RATE_SQL = ("WITH g AS (" + GOPHER_SQL + """)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS pass_ppm
+FROM g JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""")
+
+
+# ---- cross-language vocabulary overlap -----------------------------------------
+
+
+def lang_vocab_jaccard(sf_dir: str):
+    """(lang_a, lang_b, n_a, n_b, n_both, jaccard) for a < b — Jaccard
+    similarity between the DISTINCT token vocabularies of each language
+    pair (script/contamination diagnostic: high overlap between unrelated
+    languages flags mislabeled or boilerplate-heavy docs). Distinct
+    (token, lang) partials ride the token-hash exchange; each bucket emits
+    per-pair intersection counts and per-lang vocabulary counts over ITS
+    tokens (exact — a token lives in one bucket); the driver folds
+    |langs|² ints and performs ONE double division per pair."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(b.column("text"), ""), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.large_string()),
+                             "lang": pa.array([], pa.string()),
+                             "__b": pa.array([], pa.int32())})
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(b.column("lang").to_numpy(zero_copy_only=False),
+                         lens)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"token": flat.to_pandas()[keep],
+                           "lang": lang[keep]}).drop_duplicates()
+        h = pd.util.hash_pandas_object(df["token"],
+                                       index=False).to_numpy()
+        df["__b"] = (h % 64).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["token", "lang"]].drop_duplicates()
+        per_lang = d.groupby("lang").size()
+        pairs = d.merge(d, on="token")
+        pairs = pairs[pairs["lang_x"] < pairs["lang_y"]]
+        inter = pairs.groupby(["lang_x", "lang_y"]).size()
+        rows = [("__lang__", l, np.int64(n)) for l, n in per_lang.items()]
+        rows += [(a, b_, np.int64(n)) for (a, b_), n in inter.items()]
+        return pd.DataFrame(rows, columns=["lang_a", "lang_b", "n"])
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    sizes = parts[parts["lang_a"] == "__lang__"] \
+        .groupby("lang_b")["n"].sum().to_dict()
+    inter = parts[parts["lang_a"] != "__lang__"] \
+        .groupby(["lang_a", "lang_b"])["n"].sum().to_dict()
+    langs = sorted(sizes)
+    rows = []
+    for i, a in enumerate(langs):
+        for b_ in langs[i + 1:]:
+            na, nb = int(sizes[a]), int(sizes[b_])
+            nab = int(inter.get((a, b_), 0))
+            rows.append((a, b_, np.int64(na), np.int64(nb), np.int64(nab),
+                         float(nab) / float(na + nb - nab)))
+    return pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_a", "n_b",
+                                       "n_both", "jaccard"])
+
+
+LANG_VOCAB_JACCARD_SQL = r"""
+WITH tl AS (
+  SELECT DISTINCT lang,
+         unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL),
+t AS (SELECT lang, token FROM tl WHERE token <> ''),
+s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+i AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM t a JOIN t b ON b.token = a.token AND a.lang < b.lang
+      GROUP BY 1, 2)
+SELECT sa.lang AS lang_a, sb.lang AS lang_b, sa.n AS n_a, sb.n AS n_b,
+       coalesce(i.n_both, 0) AS n_both,
+       CAST(coalesce(i.n_both, 0) AS DOUBLE)
+         / CAST(sa.n + sb.n - coalesce(i.n_both, 0) AS DOUBLE) AS jaccard
+FROM s sa JOIN s sb ON sa.lang < sb.lang
+LEFT JOIN i ON i.lang_a = sa.lang AND i.lang_b = sb.lang
+ORDER BY 1, 2
+"""
