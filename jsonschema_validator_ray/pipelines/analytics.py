@@ -2836,3 +2836,61 @@ SELECT o_year, o_month, cents,
          AS share_ppm
 FROM m ORDER BY 1, 2
 """
+
+
+# ---- heterogeneous-fact activity calendar --------------------------------------
+
+
+def combined_activity_daily(sf_dir: str):
+    """(day, n_events, n_orders) — the two heterogeneous fact tables
+    folded onto one epoch-day calendar via a TAGGED-UNION scan: each side
+    pre-reduces to (day, kind, n) partials, the union streams into one
+    driver fold bounded by the calendar, and absent days on either side
+    read as 0 via the dense merge (both engines spell the day as
+    ``epoch_us // 86400000000``)."""
+    ev = read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderdate"])
+
+    def ev_partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(_epoch_us(b.column("ts")), _US_PER_DAY)
+        t = pa.table({"day": day,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("day").aggregate([("one", "sum")])
+        return pa.table({"day": g.column("day"), "n": g.column("one_sum"),
+                         "kind": pa.array(
+                             np.zeros(g.num_rows, np.int8))})
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(_epoch_us(pc.cast(b.column("o_orderdate"),
+                                          pa.timestamp("us"))), _US_PER_DAY)
+        t = pa.table({"day": day,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("day").aggregate([("one", "sum")])
+        return pa.table({"day": g.column("day"), "n": g.column("one_sum"),
+                         "kind": pa.array(np.ones(g.num_rows, np.int8))})
+
+    union = ev.map_batches(ev_partial, batch_format="pyarrow").union(
+        orders.map_batches(o_partial, batch_format="pyarrow"))
+    df = union.to_pandas()
+    ev_n = df[df["kind"] == 0].groupby("day")["n"].sum()
+    o_n = df[df["kind"] == 1].groupby("day")["n"].sum()
+    days = sorted(set(ev_n.index) | set(o_n.index))
+    return pd.DataFrame({
+        "day": np.array(days, np.int64),
+        "n_events": np.array([int(ev_n.get(d, 0)) for d in days],
+                             np.int64),
+        "n_orders": np.array([int(o_n.get(d, 0)) for d in days],
+                             np.int64)})
+
+
+COMBINED_ACTIVITY_SQL = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+d AS (SELECT day FROM e UNION SELECT day FROM o)
+SELECT d.day, coalesce(e.n, 0) AS n_events, coalesce(o.n, 0) AS n_orders
+FROM d LEFT JOIN e USING (day) LEFT JOIN o USING (day)
+ORDER BY d.day
+"""

@@ -317,3 +317,74 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
             AS BIGINT) AS dup_ppm
 FROM u GROUP BY 1 ORDER BY domain
 """
+
+
+# ---- cross-source duplication matrix ------------------------------------------
+
+
+def cross_source_dup_matrix(sf_dir: str):
+    """(source_a, source_b, n_pairs) for a ≤ b — how many identical-text
+    DOCUMENT PAIRS connect each source pair (the contamination / syndication
+    matrix: heavy off-diagonal cells mean sources copy each other). Per-batch
+    (text-hash bucket, text, source, k) partials colocate each text value in
+    one bucket; the bucket folds per-text source counts and emits per-pair
+    integer partials (same-source pairs are C(k,2), cross-source k_a·k_b —
+    both exact); the |sources|²-bounded fold finishes driver-side. Text
+    crosses the exchange once (the dedup_exact discipline)."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"text": pc.fill_null(b.column("text"), ""),
+                      "source": b.column("source"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["text", "source"]).aggregate([("one", "sum")])
+        df = g.to_pandas()
+        h = pd.util.hash_pandas_object(df["text"], index=False).to_numpy()
+        df["__b"] = (h % 64).astype(np.int32)
+        df = df.rename(columns={"one_sum": "k"})
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["text", "source"], sort=False, as_index=False)[
+            "k"].sum()
+        pairs = d.merge(d, on="text")
+        pairs = pairs[pairs["source_x"] <= pairs["source_y"]]
+        same = pairs["source_x"] == pairs["source_y"]
+        kx = pairs["k_x"].to_numpy(np.int64)
+        ky = pairs["k_y"].to_numpy(np.int64)
+        n = np.where(same, kx * (kx - 1) // 2, kx * ky)
+        out = pd.DataFrame({"source_a": pairs["source_x"],
+                            "source_b": pairs["source_y"],
+                            "n_pairs": n.astype(np.int64)})
+        out = out.groupby(["source_a", "source_b"], sort=False,
+                          as_index=False)["n_pairs"].sum()
+        return out[out["n_pairs"] > 0]
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                             "source_b": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["source_a", "source_b"], as_index=False)[
+        "n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values(["source_a", "source_b"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+CROSS_SOURCE_DUP_SQL = """
+WITH g AS (SELECT text, source, CAST(count(*) AS BIGINT) AS k
+           FROM documents GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(CASE WHEN a.source = b.source THEN a.k * (a.k - 1) // 2
+                     ELSE a.k * b.k END) AS BIGINT) AS n_pairs
+FROM g a JOIN g b ON b.text = a.text AND a.source <= b.source
+GROUP BY 1, 2 HAVING sum(CASE WHEN a.source = b.source
+                              THEN a.k * (a.k - 1) // 2
+                              ELSE a.k * b.k END) > 0
+ORDER BY 1, 2
+"""

@@ -254,3 +254,45 @@ def test_emb_norm_by_lang_inner_join(ray_session, tmp_path):
     assert set(out.index) == {"en", "fr"}          # vec 99 dropped
     assert int(out.loc["en", "sum_sq"]) == 2 * 50_000 ** 2
     assert int(out.loc["fr", "sum_sq"]) == 100_000 ** 2
+
+
+def test_cross_source_dup_matrix_planted(ray_session, tmp_path):
+    """Same-source pairs count C(k,2); cross-source pairs k_a*k_b; unique
+    texts never appear."""
+    from jsonschema_validator_ray.pipelines.dq import cross_source_dup_matrix
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["dup", "dup", "dup", "dup", "unique", "dup2"],
+        "source": ["A", "A", "A", "B", "A", "B"],
+        "lang": ["en"] * 6, "n_chars": [3] * 6})
+    _write(d, "documents", docs)
+    out = cross_source_dup_matrix(str(d))
+    cells = {(r["source_a"], r["source_b"]): int(r["n_pairs"])
+             for _, r in out.iterrows()}
+    # "dup": A×3, B×1 → AA: C(3,2)=3, AB: 3·1=3; "dup2" alone: no pair
+    assert cells == {("A", "A"): 3, ("A", "B"): 3}
+
+
+def test_trigram_diversity_repeated_text(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import \
+        trigram_diversity_documents
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b a b",       # trigrams: aba bab aba bab → 2 distinct
+                 "x y",               # < 3 tokens: excluded
+                 "p q r"],            # one trigram
+        "source": ["s"] * 3, "lang": ["en"] * 3, "n_chars": [1] * 3})
+    _write(d, "documents", docs)
+    out = trigram_diversity_documents(str(d)).to_pandas() \
+        .set_index("doc_id")
+    assert list(out.index) == [0, 2]
+    assert int(out.loc[0, "n_trigrams"]) == 4
+    assert int(out.loc[0, "n_distinct"]) == 2
+    assert int(out.loc[0, "diversity_ppm"]) == 500_000
+    assert int(out.loc[2, "n_trigrams"]) == 1
