@@ -1312,29 +1312,30 @@ def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
     import numpy as np
     import ray
 
-    from ..stages.joins import hash_join, semi_join
+    from ..stages.joins import hash_join
 
     cutoff = datetime.fromisoformat(cutoff_s)
     ts = pa.scalar(cutoff, type=pa.timestamp("us"))
 
+    # the segment key set is customer-dimension-bounded: read it driver-
+    # side (read_dim_table's loud gate) and fuse the SEMI filter into the
+    # orders prune as one index_in pass — payload never moves, and the
+    # separate semi-join execution disappears (the shuffle semi path stays
+    # exercised by priority_counts, broadcast semi by parts_in_lineitem)
+    cdim = read_dim_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"])
+    seg_keys = cdim.filter(pc.equal(cdim.column("c_mktsegment"), segment)) \
+        .column("c_custkey").combine_chunks()
+
     def o_prune(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less(b.column("o_orderdate"), ts))
+        b = b.filter(pc.less(b.column("o_orderdate"), ts))
+        return b.filter(pc.fill_null(
+            pc.is_in(b.column("o_custkey"), value_set=seg_keys), False))
 
     orders = read_parquet(f"{sf_dir}/orders.parquet",
                           columns=["o_orderkey", "o_custkey", "o_orderdate",
                                    "o_orderpriority"]) \
         .map_batches(o_prune, batch_format="pyarrow")
-
-    cust = read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_mktsegment"])
-
-    def c_prune(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b.column("c_mktsegment"), segment)) \
-            .select(["c_custkey"])
-
-    orders = semi_join(orders, cust.map_batches(c_prune,
-                                                batch_format="pyarrow"),
-                       on="o_custkey", right_on="c_custkey")
 
     def l_prune(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater(b.column("l_shipdate"), ts))
