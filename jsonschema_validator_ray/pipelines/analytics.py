@@ -2895,3 +2895,99 @@ SELECT d.day, coalesce(e.n, 0) AS n_events, coalesce(o.n, 0) AS n_orders
 FROM d LEFT JOIN e USING (day) LEFT JOIN o USING (day)
 ORDER BY d.day
 """
+
+
+# ---- windowed conversion funnel --------------------------------------------------
+
+
+def windowed_conversion_events(sf_dir: str, window_days: int = 7):
+    """One row: signup→purchase conversion WITHIN a time window — n_signups
+    (users who ever sign up), n_converted (first purchase AFTER the first
+    signup and within ``window_days``), floor-ppm rate, and the DISCRETE
+    median conversion lag in hours. Each batch pre-reduces to per-user
+    (first signup µs, candidate purchase µs) partials; the user-hash
+    bucket fold computes the true firsts (min is associative; the
+    qualifying purchase is the min purchase ≥ the FINAL signup time, so
+    the fold keeps per-user purchase lists pre-truncated to the batch min
+    AFTER each batch's own signup — conservative: it keeps the batch min
+    purchase unconditionally, which is always ≤ any qualifying one, and
+    re-checks the ≥ signup constraint at the fold over ALL kept
+    candidates). Everything integer until the single ppm division."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+    win_us = window_days * 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "t": _epoch_us(b.column("ts")),
+                      "event_type": b.column("event_type")}).to_pandas()
+        s = t[t["event_type"] == "signup"].groupby(
+            "user_id", as_index=False)["t"].min()
+        s["kind"] = np.int8(0)
+        # keep ALL purchase times per user per batch? bounded: keep the
+        # batch's purchases sorted-first-8 per user — the qualifying one
+        # is the first ≥ signup; signup is the GLOBAL min signup, which
+        # is ≤ this batch's min signup, so any batch purchase could
+        # qualify; keeping the first 8 per user per batch bounds the
+        # exchange while covering every candidate unless a user has > 8
+        # purchases in ONE batch all before their global signup — then
+        # the batch also contains no qualifying candidate anyway only if
+        # all 8 kept are < signup AND a later one ≥ signup exists: to
+        # stay EXACT, keep the batch min purchase ≥ each possible signup
+        # by keeping per user: all purchases (small per batch) — events
+        # per user per batch are bounded by batch_size; we keep them all.
+        p = t[t["event_type"] == "purchase"][["user_id", "t"]].copy()
+        p["kind"] = np.int8(1)
+        out = pd.concat([s, p], ignore_index=True)
+        out["__b"] = (out["user_id"].to_numpy() % 32).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["kind"] == 0].groupby("user_id")["t"].min()
+        p = g[g["kind"] == 1]
+        p = p.merge(s.rename("s0"), left_on="user_id", right_index=True)
+        p = p[p["t"] >= p["s0"]]
+        first_p = p.groupby("user_id")["t"].min()
+        lag = (first_p - s.reindex(first_p.index)).astype(np.int64)
+        lag = lag[lag <= win_us]
+        return pd.DataFrame({
+            "n_signups": [np.int64(len(s))],
+            "n_converted": [np.int64(len(lag))],
+            "lags": [lag.to_numpy(np.int64).tolist()]})
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    n_sign = int(parts["n_signups"].sum())
+    lags = np.sort(np.concatenate(
+        [np.asarray(x, np.int64) for x in parts["lags"]])) \
+        if len(parts) else np.array([], np.int64)
+    n_conv = int(len(lags))
+    ppm = (n_conv * 1_000_000) // n_sign if n_sign else 0
+    med_h = int(lags[max(int(np.ceil(0.5 * n_conv)) - 1, 0)]
+                // 3_600_000_000) if n_conv else 0
+    return pd.DataFrame({
+        "n_signups": pd.Series([n_sign], dtype=np.int64),
+        "n_converted": pd.Series([n_conv], dtype=np.int64),
+        "conversion_ppm": pd.Series([ppm], dtype=np.int64),
+        "median_lag_hours": pd.Series([med_h], dtype=np.int64)})
+
+
+WINDOWED_CONVERSION_SQL = """
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS s0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p0
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s0
+      GROUP BY 1),
+l AS (SELECT p.p0 - s.s0 AS lag FROM p JOIN s ON s.user_id = p.user_id
+      WHERE p.p0 - s.s0 <= 604800000000)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signups,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(count(*) * 1000000
+            // (SELECT count(*) FROM s) AS BIGINT) AS conversion_ppm,
+       CAST(coalesce(quantile_disc(lag // 3600000000, 0.5), 0) AS BIGINT)
+         AS median_lag_hours
+FROM l
+"""

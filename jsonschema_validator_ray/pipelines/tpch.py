@@ -1490,3 +1490,72 @@ SELECT p.p_brand,
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- pricing-consistency screen: per-part price variance -----------------------
+
+
+def price_variance_parts(sf_dir: str, k: int = 20):
+    """(p_partkey, n, var_x100) — the k parts whose charged price varies
+    most across lineitems (pricing-consistency screen; the spread sibling
+    is price_spread_parts). Per-batch (part, n, Σc, Σc²) integer partials
+    ride one part-hash bucket exchange; population variance per part is
+    the single float expression ``(n·S2 − S1²) / n²`` of exact ints
+    (S2 ≤ n·(price_cents)² — int64-safe to ~10^5 rows per part at max
+    price, Python-int driver fold past the per-bucket stage), spelled
+    identically in SQL. Ties break partkey ASC."""
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_partkey", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = _cents(b.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({"p": b.column("l_partkey"),
+                      "n": pa.array(np.ones(len(c), np.int64)),
+                      "s1": pa.array(c),
+                      "s2": pa.array(c * c)})
+        g = t.group_by("p").aggregate([("n", "sum"), ("s1", "sum"),
+                                       ("s2", "sum")])
+        out = pa.table({"p": g.column("p"), "n": g.column("n_sum"),
+                        "s1": g.column("s1_sum"), "s2": g.column("s2_sum")})
+        return out.append_column(
+            "__b", pc.cast(pc.bit_wise_and(out.column("p"), 31),
+                           pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("p", sort=False)[["n", "s1", "s2"]].sum()
+        n = agg["n"].to_numpy(np.int64)
+        s1 = agg["s1"].to_numpy(np.int64)
+        s2 = agg["s2"].to_numpy(np.int64)
+        var = (n.astype(np.float64) * s2 - (s1.astype(np.float64)) * s1) \
+            / (n.astype(np.float64) * n)
+        out = pd.DataFrame({"p_partkey": agg.index.to_numpy(np.int64),
+                            "n": n, "var_cents2": var})
+        return out.sort_values(["var_cents2", "p_partkey"],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    heads = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    out = heads.sort_values(["var_cents2", "p_partkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+PRICE_VARIANCE_SQL = """
+WITH s AS (
+  SELECT l_partkey AS p_partkey, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS s1,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(round(l_extendedprice*100) AS BIGINT)) AS s2
+  FROM lineitem GROUP BY 1)
+SELECT p_partkey, n,
+       (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_cents2
+FROM s ORDER BY var_cents2 DESC, p_partkey LIMIT 20
+"""
