@@ -2991,3 +2991,86 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signups,
          AS median_lag_hours
 FROM l
 """
+
+
+# ---- revenue-decile migration matrix ---------------------------------------------
+
+
+def decile_migration_customers(sf_dir: str, y1: int = 1996, y2: int = 1997):
+    """(decile_a, decile_b, n_customers) — each customer's revenue decile
+    in year ``y1`` vs year ``y2`` (customers active in BOTH), the
+    rank-drift / churn-risk migration matrix. Per-(customer, year) cents
+    fold from per-batch partials (customer-bounded driver fold, gate
+    documented); decile edges are the period's own DISCRETE quantiles
+    (rank ``ceil(q·n)−1``) and assignment is the all-integer
+    ``1 + Σ[v > edge]`` — no ntile order dependence, so both engines
+    agree exactly on every boundary."""
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_orderdate",
+                                   "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(b.column("o_orderdate")), pa.int64())
+        keep = pc.or_(pc.equal(yr, y1), pc.equal(yr, y2))
+        b2 = pa.table({"c": b.column("o_custkey"), "y": yr,
+                       "v": pc.cast(pc.round(pc.multiply(
+                           b.column("o_totalprice"), 100)), pa.int64())
+                       }).filter(keep)
+        g = b2.group_by(["c", "y"]).aggregate([("v", "sum")])
+        return pa.table({"c": g.column("c"), "y": g.column("y"),
+                         "cents": g.column("v_sum")})
+
+    df = (orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby(["c", "y"], as_index=False)["cents"].sum())
+    if len(df) > 50_000_000:
+        raise ValueError("decile_migration driver fold gate: "
+                         f"{len(df)} (customer, year) rows; bucket the fold")
+
+    def edges(vals: np.ndarray) -> np.ndarray:
+        s = np.sort(vals)
+        n = len(s)
+        return np.array([s[max(int(np.ceil(q / 10 * n)) - 1, 0)]
+                         for q in range(1, 10)], np.int64)
+
+    def assign(vals: np.ndarray, e: np.ndarray) -> np.ndarray:
+        d = np.ones(len(vals), np.int64)
+        for x in e:
+            d += (vals > x)
+        return d
+
+    a = df[df["y"] == y1].set_index("c")["cents"]
+    b = df[df["y"] == y2].set_index("c")["cents"]
+    both = a.index.intersection(b.index)
+    va = a.to_numpy(np.int64)
+    vb = b.to_numpy(np.int64)
+    da = pd.Series(assign(va, edges(va)), index=a.index)
+    db = pd.Series(assign(vb, edges(vb)), index=b.index)
+    mig = pd.DataFrame({"decile_a": da.reindex(both).to_numpy(np.int64),
+                        "decile_b": db.reindex(both).to_numpy(np.int64)})
+    out = mig.groupby(["decile_a", "decile_b"]).size() \
+        .reset_index(name="n_customers")
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["decile_a", "decile_b"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+DECILE_MIGRATION_SQL = """
+WITH r AS (
+  SELECT o_custkey AS c, CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1, 2),
+ea AS (SELECT quantile_disc(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+         AS e FROM r WHERE y = 1996),
+eb AS (SELECT quantile_disc(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+         AS e FROM r WHERE y = 1997),
+da AS (SELECT c, 1 + len(list_filter(ea.e, x -> r.cents > x)) AS d
+       FROM r, ea WHERE y = 1996),
+db AS (SELECT c, 1 + len(list_filter(eb.e, x -> r.cents > x)) AS d
+       FROM r, eb WHERE y = 1997)
+SELECT CAST(da.d AS BIGINT) AS decile_a, CAST(db.d AS BIGINT) AS decile_b,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM da JOIN db USING (c)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
