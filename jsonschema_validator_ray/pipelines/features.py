@@ -1055,3 +1055,45 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n_vecs,
 FROM q JOIN documents d ON d.doc_id = q.vec_id
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- exact distributed Gram matrix / PCA substrate ---------------------------
+
+
+def gram_embeddings(sf_dir: str, d: int = 64):
+    """(i, j, gram, s_i, s_j, n_vecs) — the exact int64 Gram matrix of the
+    quantized embedding corpus, upper triangle, 1-based dims (the PCA /
+    whitening substrate; see stages/pca.py for the eigen step). ONE fused
+    streaming scan: each row-group task reads, quantizes
+    (``floor(float64(x)·1e5)`` — the knn_graph spelling) and matmuls its
+    batches; only O(d²) integer partial rows per block reach the driver's
+    arbitrary-precision fold, so floats never exist and the oracle
+    comparison is integer-exact."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.pca import gram_matrix
+
+    src = FusedParquetScan(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding"])
+    return gram_matrix(src, "embedding", d)
+
+
+GRAM_EMBEDDINGS_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS qv
+  FROM embeddings WHERE len(embedding) = 64),
+e AS (
+  SELECT vec_id, CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim,
+         unnest(qv) AS val
+  FROM q),
+g AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.val * b.val) AS BIGINT) AS gram
+  FROM e a JOIN e b USING (vec_id) WHERE a.dim <= b.dim GROUP BY 1, 2),
+s AS (
+  SELECT dim, CAST(sum(val) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY dim)
+SELECT g.i, g.j, g.gram, sa.s AS s_i, sb.s AS s_j, sa.n AS n_vecs
+FROM g JOIN s sa ON sa.dim = g.i JOIN s sb ON sb.dim = g.j
+ORDER BY g.i, g.j
+"""
