@@ -3059,3 +3059,53 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
          AS diversity_ppm
 FROM tri GROUP BY 1
 """
+
+
+# ---- tf-weighted exact cosine pairs ------------------------------------------
+
+_COS_NUM, _COS_DEN, _COS_CAP, _COS_N = 1, 2, 64, 2
+
+
+def cosine_pairs_documents(sf_dir: str):
+    """EXACT tf-weighted cosine near-duplicate pairs over the documents
+    table (stages/ngrams.tf_cosine_pairs): every pair whose bag-of-words
+    bigram-tf cosine over df<=64 terms is >= 1/2, with the exact integer dot and
+    squared norms plus the cosine float. The threshold decision is fully
+    integer in both engines; the float is one division by one sqrt of an
+    exact < 2^53 integer — bitwise-identical cross-engine."""
+    from ..stages.ngrams import tf_cosine_pairs
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    return tf_cosine_pairs(docs, column="text", id_col="doc_id",
+                           n=_COS_N, threshold_num=_COS_NUM,
+                           threshold_den=_COS_DEN, df_cap=_COS_CAP)
+
+
+COSINE_PAIRS_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+             FROM documents),
+gr AS (SELECT doc_id, array_to_string(t[i:i+{_COS_N - 1}], ' ') AS g
+       FROM tok, UNNEST(range(1, len(t) - {_COS_N - 2})) AS u(i)),
+tf AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+  FROM gr
+  GROUP BY 1, 2),
+nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
+        FROM tf GROUP BY 1),
+kept AS (SELECT * FROM tf WHERE g IN (
+  SELECT g FROM tf GROUP BY g
+  HAVING count(*) BETWEEN 2 AND {_COS_CAP})),
+pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM kept a JOIN kept b USING (g) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT key_a, key_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cos
+FROM pairs
+JOIN nrm na ON na.doc_id = key_a
+JOIN nrm nb ON nb.doc_id = key_b
+WHERE dot * dot * {_COS_DEN * _COS_DEN}
+      >= {_COS_NUM * _COS_NUM} * na.norm2 * nb.norm2
+"""

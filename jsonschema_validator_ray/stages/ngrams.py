@@ -638,3 +638,220 @@ def remove_duplicate_spans(docs, *, column: str, id_col: str, n: int = 13,
         _SpanMasker, fn_constructor_args=(column, id_col, n, ref, "clean"),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+# ---- tf-weighted exact cosine pairs -----------------------------------------
+
+
+def _cosine_empty(id_type: pa.DataType) -> pa.Table:
+    return pa.table({"key_a": pa.array([], type=id_type),
+                     "key_b": pa.array([], type=id_type),
+                     "dot": pa.array([], type=pa.int64()),
+                     "norm2_a": pa.array([], type=pa.int64()),
+                     "norm2_b": pa.array([], type=pa.int64()),
+                     "cos": pa.array([], type=pa.float64())})
+
+
+class _CosineNormAttacher:
+    """Actor stage: attach the broadcast doc -> squared-norm lookup to the
+    folded pair dots, apply the FULLY INTEGER threshold predicate
+    ``dot^2 * den^2 >= num^2 * norm2_a * norm2_b`` (tf vectors are
+    nonnegative so dot >= 0 and squaring preserves the order — no float
+    ever decides the boundary), then emit the cosine as ONE division by
+    ONE sqrt of an exactly-representable integer product — bit-identical
+    to the SQL oracle's spelling."""
+
+    def __init__(self, lut_ref, t_num: int, t_den: int,
+                 id_type: pa.DataType):
+        self.lut = ray.get(lut_ref) \
+            if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+        self.t_num, self.t_den = t_num, t_den
+        self.id_type = id_type
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _cosine_empty(self.id_type)
+        ka = b.column("key_a").to_numpy(zero_copy_only=False)
+        kb = b.column("key_b").to_numpy(zero_copy_only=False)
+        dot = b.column("dot").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        na = np.array([self.lut[k] for k in ka], dtype=np.int64)
+        nb = np.array([self.lut[k] for k in kb], dtype=np.int64)
+        # integer-overflow guards for the predicate and the exact float
+        # cast (see tf_cosine_pairs docstring) — loud, not silent
+        prod = na.astype(object) * nb.astype(object)
+        assert all(p < (1 << 53) for p in prod) and \
+            int(dot.max(initial=0)) ** 2 * self.t_den ** 2 < (1 << 63), \
+            "tf_cosine_pairs: norms exceed the exact-arithmetic bound; " \
+            "shard long documents or rescale tf"
+        keep = (dot * dot * (self.t_den * self.t_den)
+                >= (self.t_num * self.t_num) * na * nb)
+        cos = dot[keep].astype(np.float64) / np.sqrt(
+            (na[keep] * nb[keep]).astype(np.float64))
+        m = pa.array(keep)
+        return pa.table({
+            "key_a": pc.cast(b.column("key_a").filter(m), self.id_type),
+            "key_b": pc.cast(b.column("key_b").filter(m), self.id_type),
+            "dot": pa.array(dot[keep]),
+            "norm2_a": pa.array(na[keep]),
+            "norm2_b": pa.array(nb[keep]),
+            "cos": pa.array(cos, type=pa.float64()),
+        })
+
+
+def tf_cosine_pairs(docs, *, column: str, id_col: str, n: int = 1,
+                    threshold_num: int = 3, threshold_den: int = 5,
+                    df_cap: int = 64, num_buckets: int = 64,
+                    pair_buckets: int = 16, batch_size: int = 4096,
+                    size_broadcast_limit: int = 2_000_000):
+    """-> Dataset ``(key_a, key_b, dot, norm2_a, norm2_b, cos)`` of document
+    pairs whose EXACT tf-weighted cosine similarity is >= num/den — the
+    WEIGHTED sibling of :func:`jaccard_near_duplicates` (bag-of-terms
+    cosine instead of distinct-set Jaccard; the classic sparse
+    all-pairs-similarity join of Bayardo et al., WWW'07, restricted to
+    terms with document frequency <= ``df_cap``). Terms are token
+    ``n``-grams with their occurrence counts (tf); n = 1 is plain
+    bag-of-words, n = 2 sharpens near-dup contrast (common unigrams
+    exceed any useful df cap, shared bigrams rarely do).
+
+    Measure semantics: the DOT runs over df-capped terms only (a term
+    shared by more than ``df_cap`` documents carries no similarity signal
+    and would fan out O(df^2) pairs); the NORMS run over the FULL tf
+    vector. Both engines apply the identical definition, so the oracle is
+    exact. The threshold is the rational num/den and the predicate is
+    evaluated in pure integers (``dot^2 den^2 >= num^2 n_a n_b``); the
+    reported ``cos`` float is one division by one sqrt of an exact < 2^53
+    integer — correctly rounded identically in numpy and SQL.
+
+    Shape (the discipline of jaccard_near_duplicates — exchanges carry
+    hashes/ids/counts, never text):
+    1. one pass: per-batch tf per (doc, token-hash) + per-doc squared norm
+       (a doc lives in one batch row, so both are globally exact);
+    2. token-hash-bucket exchange: exact df in-bucket, df-cap drop, then a
+       vectorized triu over each surviving token's members emits pair
+       partial products tf_a*tf_b pre-summed per pair;
+    3. pair-hash-bucket fold of the dots; norms attach via broadcast below
+       ``size_broadcast_limit`` docs, else two hash-bucketed joins.
+
+    Token identity is the 64-bit SipHash of the whitespace token (the
+    jaccard/dedup collision budget: ~tokens/2^64). Null text tokenizes as
+    one empty token (oracle mirrors with ``coalesce(text, '')``)."""
+    import ray.data
+
+    from .dedup import _add_pair_bucket
+
+    schema = docs.schema()
+    raw = dict(zip(schema.names, schema.types))[id_col]
+    id_type = raw if isinstance(raw, pa.DataType) else pa.string()
+
+    def tf_norm_partial(b: pa.Table) -> pa.Table:
+        parent, toks = ngrams_batch(b.column(column), n)
+        ids = b.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        empty = pa.table({"key": pa.array([], type=id_type),
+                          "th": pa.array([], type=pa.uint64()),
+                          "v": pa.array([], type=pa.int64()),
+                          "kind": pa.array([], type=pa.int8()),
+                          "__gb": pa.array([], type=pa.int32())})
+        if parent.size == 0:
+            return empty
+        th = _hash64(toks)
+        tf = pd.DataFrame({"p": parent.astype(np.int64), "th": th}) \
+            .groupby(["p", "th"], sort=False).size().reset_index(name="tf")
+        tfv = tf["tf"].to_numpy().astype(np.int64)
+        nrm = pd.DataFrame({"p": tf["p"], "v": tfv * tfv}) \
+            .groupby("p", sort=False)["v"].sum()
+        keys_tf = ids.take(pa.array(tf["p"].to_numpy(), type=pa.int64()))
+        keys_n = ids.take(pa.array(nrm.index.to_numpy(), type=pa.int64()))
+        thv = tf["th"].to_numpy().astype(np.uint64)
+        nb = (pd.util.hash_pandas_object(
+            keys_n.to_pandas(), index=False).to_numpy().astype(np.uint64)
+            % num_buckets).astype(np.int32)
+        return pa.table({
+            "key": pa.concat_arrays([keys_tf.combine_chunks()
+                                     if isinstance(keys_tf, pa.ChunkedArray)
+                                     else keys_tf,
+                                     keys_n.combine_chunks()
+                                     if isinstance(keys_n, pa.ChunkedArray)
+                                     else keys_n]),
+            "th": pa.array(np.concatenate(
+                [thv, np.zeros(len(nrm), np.uint64)]), type=pa.uint64()),
+            "v": pa.array(np.concatenate(
+                [tfv, nrm.to_numpy().astype(np.int64)])),
+            "kind": pa.array(np.concatenate(
+                [np.full(len(tfv), 1, np.int8),
+                 np.zeros(len(nrm), np.int8)])),
+            "__gb": pa.array(np.concatenate(
+                [(thv % num_buckets).astype(np.int32), nb])),
+        })
+
+    parts0 = docs.select_columns([id_col, column]).map_batches(
+        tf_norm_partial, batch_format="pyarrow", batch_size=batch_size)
+
+    def bucket_pass(g: pd.DataFrame) -> pd.DataFrame:
+        norms = g[g["kind"].to_numpy() == 0]
+        norm_rows = pd.DataFrame({
+            "key_a": norms["key"], "key_b": norms["key"],
+            "cnt": norms["v"].astype(np.int64), "kind": np.int8(0)})
+        tf = g[g["kind"].to_numpy() == 1]
+        if not len(tf):
+            return norm_rows
+        df = tf.groupby("th", sort=False)["th"].transform("size")
+        kept = tf[(df.to_numpy() >= 2) & (df.to_numpy() <= df_cap)]
+        if not len(kept):
+            return norm_rows
+        ks = kept.sort_values(["th", "key"], kind="mergesort")
+        thv = ks["th"].to_numpy()
+        ids = ks["key"].to_numpy()
+        tfv = ks["v"].to_numpy().astype(np.int64)
+        gstart = np.flatnonzero(np.r_[True, thv[1:] != thv[:-1]])
+        starts = np.repeat(gstart, np.diff(np.r_[gstart, thv.size]))
+        local = np.arange(thv.size, dtype=np.int64) - starts
+        total = int(local.sum())
+        if total == 0:
+            return norm_rows
+        key_b = np.repeat(ids, local)
+        tf_b = np.repeat(tfv, local)
+        cum = np.concatenate(([0], np.cumsum(local)))
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], local)
+        pick = np.repeat(starts, local) + intra
+        key_a = ids[pick]
+        contrib = tfv[pick] * tf_b
+        pairs = pd.DataFrame({"key_a": key_a, "key_b": key_b,
+                              "cnt": contrib}) \
+            .groupby(["key_a", "key_b"], sort=False, as_index=False)["cnt"] \
+            .sum()
+        pairs["cnt"] = pairs["cnt"].astype(np.int64)
+        pairs["kind"] = np.int8(1)
+        return pd.concat([norm_rows, pairs], ignore_index=True)
+
+    parts = parts0.groupby("__gb").map_groups(
+        bucket_pass, batch_format="pandas").materialize()
+
+    def sum_dot(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["key_a", "key_b"], sort=False,
+                         as_index=False)["cnt"].sum() \
+            .rename(columns={"cnt": "dot"})
+
+    cand = parts.filter(expr="kind == 1")
+    if cand.count() == 0:
+        return ray.data.from_arrow(_cosine_empty(id_type))
+    dots = cand.map_batches(_add_pair_bucket(pair_buckets),
+                            batch_format="pyarrow") \
+        .groupby("__pb").map_groups(sum_dot, batch_format="pandas")
+
+    n_docs = docs.count()
+    if n_docs > size_broadcast_limit:
+        raise ValueError(
+            f"tf_cosine_pairs norm lookup would broadcast {n_docs} rows > "
+            f"size_broadcast_limit={size_broadcast_limit}; attach norms "
+            f"via two bucketed joins (jaccard_near_duplicates' join path) "
+            f"before raising the limit")
+    nz = parts.filter(expr="kind == 0").to_pandas()
+    lut = dict(zip(nz["key_a"], nz["cnt"])) if len(nz) else {}
+    ref = ray.put(lut) if len(lut) > 100_000 else lut
+    return dots.map_batches(
+        _CosineNormAttacher,
+        fn_constructor_args=(ref, threshold_num, threshold_den, id_type),
+        batch_format="pyarrow", concurrency=2)

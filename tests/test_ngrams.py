@@ -213,3 +213,82 @@ def test_join_strategy_string_ids(ray_session):
         num_buckets=4).to_pandas()
     assert dict(zip(out.url, out.matched_ngrams)) == {"a.com": 1, "b.com": 1}
     assert out["url"].dtype == object
+
+
+# ---- tf-weighted exact cosine pairs -----------------------------------------
+
+
+def _brute_cosine(texts_by_id, n, num, den, cap):
+    """Per-doc tf over token n-grams; dot over df-capped terms; norms over
+    the full vector; integer threshold predicate."""
+    from collections import Counter
+    tf = {k: Counter(_ref_ngrams(t, n)) for k, t in texts_by_id.items()}
+    df = Counter(g for c in tf.values() for g in c)
+    norm2 = {k: sum(v * v for v in c.values()) for k, c in tf.items()}
+    out = {}
+    ids = sorted(tf)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            dot = sum(tf[a][g] * tf[b][g] for g in tf[a]
+                      if 2 <= df[g] <= cap and g in tf[b])
+            if dot * dot * den * den >= num * num * norm2[a] * norm2[b] \
+                    and dot > 0:
+                out[(a, b)] = (dot, norm2[a], norm2[b],
+                               dot / np.sqrt(float(norm2[a] * norm2[b])))
+    return out
+
+
+@pytest.mark.parametrize("n", [1, 2])
+def test_tf_cosine_matches_brute_force(ray_session, n):
+    from jsonschema_validator_ray.stages.ngrams import tf_cosine_pairs
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for i in range(40):
+        k = rng.integers(3, 25)
+        texts[i] = " ".join(rng.choice(vocab, size=k))
+    # planted near-dup pair + exact dup pair + edge rows
+    texts[100] = "alpha beta gamma delta alpha beta"
+    texts[101] = "alpha beta gamma delta alpha zeta"
+    texts[102] = texts[100]
+    texts[103] = ""
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())})) \
+        .repartition(4)
+    got = tf_cosine_pairs(docs, column="text", id_col="doc_id", n=n,
+                          threshold_num=2, threshold_den=5, df_cap=16,
+                          num_buckets=8, pair_buckets=4).to_pandas()
+    expect = _brute_cosine(texts, n, 2, 5, 16)
+    got_pairs = {(int(r["key_a"]), int(r["key_b"])):
+                 (int(r["dot"]), int(r["norm2_a"]), int(r["norm2_b"]),
+                  float(r["cos"]))
+                 for _, r in got.iterrows()}
+    assert got_pairs.keys() == expect.keys()
+    for k, v in expect.items():
+        assert got_pairs[k][:3] == v[:3], k
+        assert got_pairs[k][3] == v[3], k       # bitwise float parity
+    if n == 2:
+        assert (100, 102) in got_pairs          # exact dup at cos 1.0
+        assert got_pairs[(100, 102)][3] == 1.0
+
+
+def test_tf_cosine_empty_and_null(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import tf_cosine_pairs
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["", None, "only one doc talks"]}))
+    out = tf_cosine_pairs(docs, column="text", id_col="doc_id",
+                          threshold_num=1, threshold_den=100).to_pandas()
+    # '' and null both tokenize to one empty token: they form one pair
+    assert len(out) == 1
+    assert (int(out["key_a"][0]), int(out["key_b"][0])) == (1, 2)
+    assert float(out["cos"][0]) == 1.0
+
+
+def test_tf_cosine_string_ids(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import tf_cosine_pairs
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": ["dA", "dB", "dC"],
+         "text": ["x y x y", "x y x z", "q r s"]}))
+    out = tf_cosine_pairs(docs, column="text", id_col="doc_id",
+                          threshold_num=1, threshold_den=2).to_pandas()
+    assert set(zip(out["key_a"], out["key_b"])) == {("dA", "dB")}
