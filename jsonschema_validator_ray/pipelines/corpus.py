@@ -3109,3 +3109,25 @@ JOIN nrm nb ON nb.doc_id = key_b
 WHERE dot * dot * {_COS_DEN * _COS_DEN}
       >= {_COS_NUM * _COS_NUM} * na.norm2 * nb.norm2
 """
+
+
+# ---- BPE tokenizer training + application ------------------------------------
+
+
+def bpe_encode_documents(sf_dir: str, num_merges: int = 8):
+    """(doc_id, n_words, n_base_symbols, n_bpe_tokens) — train a BPE merge
+    table on the corpus (stages/bpetrain.bpe_train: one fused scan per
+    merge, deterministic count-desc/(id1,id2)-asc tiebreak) and apply it
+    as a streaming encode pass. Rows-only at the driver gate: the
+    training loop is iterative (each merge changes the next scan's
+    statistic), which SQL cannot express; correctness is pinned by the
+    reference-implementation parity tests in tests/test_bpetrain.py."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.bpetrain import BpeEncoder, bpe_train
+
+    factory = lambda: FusedParquetScan(  # noqa: E731
+        f"{sf_dir}/documents.parquet", columns=["text"])
+    merges = bpe_train(factory, "text", num_merges)
+    return FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]).map_batches(
+        BpeEncoder("text", "doc_id", merges), batch_format="pyarrow")
