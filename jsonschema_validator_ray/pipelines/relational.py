@@ -114,7 +114,7 @@ GROUP BY c_count ORDER BY n_cust DESC, c_count DESC
 
 
 def big_orders(sf_dir: str, min_qty_cents: int = 25_000,
-               driver_limit: int = 2_000_000):
+               driver_limit: int = 2_000_000, block_gate: int = 512):
     """Orders whose lineitems total more than 250 units of quantity, with
     the customer name attached (TPC-H Q18's large-volume-customer shape).
 
@@ -130,13 +130,18 @@ def big_orders(sf_dir: str, min_qty_cents: int = 25_000,
     against the surviving totals (same result, one more exchange).
 
     Quantities are integer cents before any accumulation, so the HAVING
-    boundary is exact in both engines."""
+    boundary is exact in both engines.
+
+    Perf shape (round-4 lever): below the 512-block gate the per-batch
+    (orderkey, cents) partials fold DRIVER-side out of one FUSED
+    read+reduce scan — Ray's sort-based groupby exchange costs ~2 s of
+    pure scheduling at this block count (CLAUDE.md), triple the fold's
+    real work. Past the gate (couldn't hold the partials in a driver
+    heap) the original hash-bucket exchange runs unchanged."""
     import ray
 
+    from ..sources.parquet import FusedParquetScan
     from ..stages.joins import bucketed_join
-
-    li = read_parquet(f"{sf_dir}/lineitem.parquet",
-                      columns=["l_orderkey", "l_quantity"])
 
     def li_partial(b: pa.Table) -> pa.Table:
         t = pa.table({
@@ -152,30 +157,55 @@ def big_orders(sf_dir: str, min_qty_cents: int = 25_000,
             "__b": pc.cast(pc.bit_wise_and(keys, 31), pa.int32()),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby("l_orderkey", sort=False)["qc_sum"].sum()
-        tot = tot[tot > min_qty_cents]
-        return pd.DataFrame({
-            "o_orderkey": tot.index.to_numpy().astype(np.int64),
-            "sum_qty_cents": tot.to_numpy().astype(np.int64),
+    scan = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    joined = None
+    if scan.num_blocks() <= block_gate:
+        parts = scan.map_batches(li_partial).to_pandas()
+        if len(parts):
+            tot = parts.groupby("l_orderkey", sort=False)["qc_sum"].sum()
+            tot = tot[tot > min_qty_cents]
+        else:
+            tot = pd.Series([], dtype=np.int64)
+        hot_t = pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(tot.index, dtype=np.int64)),
+            "sum_qty_cents": pa.array(tot.to_numpy().astype(np.int64)),
         })
+        if hot_t.num_rows > driver_limit:
+            raise ValueError(
+                f"big_orders hot set {hot_t.num_rows} rows exceeds "
+                f"driver_limit={driver_limit} on the driver-fold path")
+    else:
+        li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_quantity"])
 
-    hot = (li.map_batches(li_partial, batch_format="pyarrow")
-           .groupby("__b").map_groups(per_bucket, batch_format="pandas")
-           ).materialize()
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            tot = g.groupby("l_orderkey", sort=False)["qc_sum"].sum()
+            tot = tot[tot > min_qty_cents]
+            return pd.DataFrame({
+                "o_orderkey": tot.index.to_numpy().astype(np.int64),
+                "sum_qty_cents": tot.to_numpy().astype(np.int64),
+            })
+
+        hot = (li.map_batches(li_partial, batch_format="pyarrow")
+               .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+               ).materialize()
+        orders_ds = read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        if hot.count() > driver_limit:       # scale fallback: join, no gather
+            joined = bucketed_join(orders_ds, hot, "o_orderkey",
+                                   num_buckets=32)
+            hot_t = None
+        else:
+            # empty buckets emit null-typed blocks — drop before concat
+            tabs = [t for t in ray.get(hot.to_arrow_refs()) if t.num_rows]
+            hot_t = (pa.concat_tables(tabs).combine_chunks() if tabs else
+                     pa.table({"o_orderkey": pa.array([], pa.int64()),
+                               "sum_qty_cents": pa.array([], pa.int64())}))
     orders = read_parquet(f"{sf_dir}/orders.parquet",
                           columns=["o_orderkey", "o_custkey", "o_totalprice"])
-
-    if hot.count() > driver_limit:           # scale fallback: join, no gather
-        joined = bucketed_join(orders, hot, "o_orderkey", num_buckets=32)
-        hot_t = None
-    else:
-        # empty buckets emit null-typed blocks — drop them before concat
-        tabs = [t for t in ray.get(hot.to_arrow_refs()) if t.num_rows]
-        hot_t = (pa.concat_tables(tabs).combine_chunks() if tabs else
-                 pa.table({"o_orderkey": pa.array([], pa.int64()),
-                           "sum_qty_cents": pa.array([], pa.int64())}))
-        joined = None
 
     # driver_limit gates the HOT-ORDER set above; the customer NAME map is
     # a genuine dimension and broadcasts under the standard dim gate
@@ -209,6 +239,14 @@ def big_orders(sf_dir: str, min_qty_cents: int = 25_000,
             cidx = pc.index_in(b2.column("o_custkey"), value_set=self.ckeys)
             return b2.append_column("c_name", self.cnames.take(cidx))
 
+    if joined is None and hot_t is not None \
+            and scan.num_blocks() <= block_gate:
+        # fast path: fuse the attach into the orders read as well — the
+        # broadcast state pickles once per worker into the fused tasks
+        o_scan = FusedParquetScan(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        return o_scan.map_batches(Attach, fn_constructor_args=(ray.get(ref),))
     base = orders if joined is None else joined
     return base.map_batches(Attach, fn_constructor_args=(ref,),
                             concurrency=2, batch_format="pyarrow")
@@ -233,17 +271,23 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 # ---- Q4 shape: EXISTS semi-join feeding a grouped count ---------------------
 
 
-def priority_counts(sf_dir: str):
+def priority_counts(sf_dir: str, block_gate: int = 512):
     """(o_orderpriority, n_orders) over a two-year order window, counting
     only orders with at least one returned ('R') lineitem — TPC-H Q4's
     EXISTS shape: a predicate-filtered fact scan reduced to DISTINCT keys,
     semi-joined into the probe side, then a tiny grouped count.
 
-    The semi join takes the SHUFFLE strategy deliberately (the broadcast
-    path is already exercised by parts_in_lineitem): both sides exchange
-    keys-only on the hash bucket — the 100-TB path when the EXISTS side's
-    key set outgrows a worker heap. The grouped count pre-reduces per batch
-    (5 priorities) and folds driver-side."""
+    Perf shape (round-4 lever): below the 512-block gate the EXISTS side
+    reduces to per-batch DISTINCT returned orderkeys out of one FUSED
+    read+reduce scan, folds driver-side (bounded by the distinct returned
+    order count), and broadcasts as a sorted array into a second fused
+    orders scan that window-filters, membership-tests (searchsorted) and
+    pre-counts priorities in the same task — two fused executions, zero
+    exchanges. Past the gate the original SHUFFLE semi join runs
+    unchanged: both sides exchange keys-only on the hash bucket — the
+    100-TB path when the EXISTS side's key set outgrows a worker heap
+    (the broadcast semi strategy is exercised by parts_in_lineitem)."""
+    from ..sources.parquet import FusedParquetScan
     from ..stages.joins import semi_join
 
     lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
@@ -254,19 +298,6 @@ def priority_counts(sf_dir: str):
         keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
         return b.filter(keep)
 
-    orders = read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(window, batch_format="pyarrow")
-
-    returned = read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_returnflag"]
-    ).filter(expr="l_returnflag == 'R'")
-
-    hits = semi_join(orders, returned, "o_orderkey", right_on="l_orderkey",
-                     strategy="shuffle", num_buckets=32)
-
     def count_partial(b: pa.Table) -> pa.Table:
         vc = b.column("o_orderpriority").combine_chunks().value_counts()
         return pa.table({
@@ -274,7 +305,53 @@ def priority_counts(sf_dir: str):
             "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
         })
 
-    df = hits.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    li_scan = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_returnflag"])
+    o_scan = FusedParquetScan(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    if li_scan.num_blocks() <= block_gate \
+            and o_scan.num_blocks() <= block_gate:
+        def r_partial(b: pa.Table) -> pa.Table:
+            keep = pc.equal(b.column("l_returnflag"), "R")
+            return pa.table({"k": pc.unique(
+                b.column("l_orderkey").filter(keep))})
+
+        kp = li_scan.map_batches(r_partial).to_pandas()
+        keys = np.unique(kp["k"].to_numpy().astype(np.int64)) \
+            if len(kp) else np.array([], dtype=np.int64)
+
+        class WindowSemiCount:
+            """Window filter + broadcast EXISTS + priority pre-count in
+            the fused orders task (keys pickle once per worker)."""
+
+            def __init__(self, ks):
+                self.keys = ks
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                b = window(b)
+                ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.keys, ok)
+                pos[pos == len(self.keys)] = 0
+                hit = (len(self.keys) > 0) & (self.keys[pos] == ok)
+                return count_partial(b.filter(pa.array(hit)))
+
+        df = o_scan.map_batches(
+            WindowSemiCount, fn_constructor_args=(keys,)).to_pandas()
+    else:
+        orders = read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(window, batch_format="pyarrow")
+        returned = read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag"]
+        ).filter(expr="l_returnflag == 'R'")
+        hits = semi_join(orders, returned, "o_orderkey",
+                         right_on="l_orderkey",
+                         strategy="shuffle", num_buckets=32)
+        df = hits.map_batches(count_partial,
+                              batch_format="pyarrow").to_pandas()
     if "o_orderpriority" not in df.columns:
         return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
                              "n_orders": pd.Series([], dtype=np.int64)})
@@ -297,7 +374,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 # ---- Q22 shape: scalar-subquery broadcast + NOT EXISTS ----------------------
 
 
-def rich_quiet_customers(sf_dir: str):
+def rich_quiet_customers(sf_dir: str, block_gate: int = 512):
     """(c_nationkey, n_cust, bal_cents) of customers whose balance is above
     the positive-balance average and who never placed an URGENT order —
     TPC-H Q22's shape: a global scalar aggregate broadcast into a filter,
@@ -308,7 +385,16 @@ def rich_quiet_customers(sf_dir: str):
     ``bal > avg`` with no float ever materialized, so boundary customers
     cannot flip between engines. Pass 1 folds (n_pos, sum_pos) from
     per-batch partials driver-side (two ints); pass 2 filters and
-    anti-joins on the shuffle path (urgent custkeys are keys-only)."""
+    anti-joins on the shuffle path (urgent custkeys are keys-only).
+
+    Perf shape (round-4 lever): below the 512-block gate the urgent
+    custkey set reduces to per-batch DISTINCT keys out of one FUSED
+    read+reduce orders scan and folds driver-side (bounded by the
+    customer count — customer is already a driver-side dimension here),
+    so the NOT EXISTS becomes one vectorized ``isin`` on the rich set and
+    the whole query is ONE Ray execution. Past the gate the original
+    shuffle anti join runs unchanged (keys-only exchange)."""
+    from ..sources.parquet import FusedParquetScan
     from ..stages.joins import anti_join
 
     # customer is a DIMENSION: the scalar (n_pos, sum_pos) fold reads it
@@ -328,15 +414,6 @@ def rich_quiet_customers(sf_dir: str):
                        "bal_cents": cents_all}).filter(
         pc.greater(pc.multiply(cents_all, n_pos), sum_pos))
 
-    urgent = read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderpriority"]
-    ).filter(expr="o_orderpriority == '1-URGENT'")
-
-    quiet = anti_join(ray.data.from_arrow(rich_t),
-                      urgent, "c_custkey", right_on="o_custkey",
-                      strategy="shuffle", num_buckets=32)
-
     def nation_partial(b: pa.Table) -> pa.Table:
         t = pa.table({"c_nationkey": pc.cast(b.column("c_nationkey"),
                                              pa.int32()),
@@ -348,7 +425,31 @@ def rich_quiet_customers(sf_dir: str):
                          "n": pc.cast(g.column("bal_cents_count"),
                                       pa.int64())})
 
-    df = quiet.map_batches(nation_partial, batch_format="pyarrow").to_pandas()
+    o_scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderpriority"])
+    if o_scan.num_blocks() <= block_gate:
+        def u_partial(b: pa.Table) -> pa.Table:
+            keep = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+            return pa.table({"k": pc.unique(
+                b.column("o_custkey").filter(keep))})
+
+        kp = o_scan.map_batches(u_partial).to_pandas()
+        urgent_keys = pa.array(np.unique(
+            kp["k"].to_numpy().astype(np.int64))) if len(kp) \
+            else pa.array([], pa.int64())
+        quiet_t = rich_t.filter(pc.is_null(pc.index_in(
+            rich_t.column("c_custkey"), value_set=urgent_keys)))
+        df = nation_partial(quiet_t).to_pandas()
+    else:
+        urgent = read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"]
+        ).filter(expr="o_orderpriority == '1-URGENT'")
+        quiet = anti_join(ray.data.from_arrow(rich_t),
+                          urgent, "c_custkey", right_on="o_custkey",
+                          strategy="shuffle", num_buckets=32)
+        df = quiet.map_batches(nation_partial,
+                               batch_format="pyarrow").to_pandas()
     if "c_nationkey" not in df.columns:
         return pd.DataFrame({"c_nationkey": pd.Series([], dtype=np.int32),
                              "n_cust": pd.Series([], dtype=np.int64),

@@ -68,15 +68,40 @@ def test_features_match_oracle(ray_session, qname, sort_cols):
 
 
 def test_big_orders_join_fallback(ray_session):
-    """driver_limit=0 forces the bucketed-join scale path; results must be
-    identical to the broadcast path."""
+    """block_gate=0 + driver_limit=0 forces the exchange + bucketed-join
+    scale path; results must be identical to the fused driver-fold path."""
     from jsonschema_validator_ray.pipelines.relational import big_orders
 
     broad = _df(big_orders(SF)).sort_values("o_orderkey") \
         .reset_index(drop=True)
-    joined = _df(big_orders(SF, driver_limit=0))[broad.columns] \
-        .sort_values("o_orderkey").reset_index(drop=True)
+    joined = _df(big_orders(SF, driver_limit=0, block_gate=0)) \
+        [broad.columns].sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(broad, joined, check_dtype=False)
+
+
+def test_big_orders_driver_limit_raises_on_fold_path(ray_session):
+    from jsonschema_validator_ray.pipelines.relational import big_orders
+
+    with pytest.raises(ValueError, match="driver_limit"):
+        big_orders(SF, driver_limit=0)
+
+
+@pytest.mark.parametrize("qname,sort_cols", [
+    ("big_orders", ["o_orderkey"]),
+    ("priority_counts", ["o_orderpriority"]),
+    ("rich_quiet_customers", ["c_nationkey"]),
+])
+def test_shuffle_fallback_agrees_with_fused_path(ray_session, qname,
+                                                 sort_cols):
+    """block_gate=0 forces the exchange-based scale path of each round-4
+    fused query; both paths must produce identical tables."""
+    from jsonschema_validator_ray.pipelines import relational
+
+    fn = getattr(relational, qname)
+    fast = _df(fn(SF)).sort_values(sort_cols).reset_index(drop=True)
+    slow = _df(fn(SF, block_gate=0))[fast.columns] \
+        .sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
 
 
 def test_order_count_distribution_zero_customers(ray_session, tmp_path):
