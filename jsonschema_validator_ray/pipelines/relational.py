@@ -42,7 +42,7 @@ def _epoch_us(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
 # ---- Q13 shape: distribution of per-customer order counts ------------------
 
 
-def order_count_distribution(sf_dir: str):
+def order_count_distribution(sf_dir: str, block_gate: int = 512):
     """(c_count, n_cust) — how many customers placed exactly c_count orders,
     INCLUDING zero-order customers (the LEFT JOIN subtlety of TPC-H Q13).
 
@@ -53,7 +53,41 @@ def order_count_distribution(sf_dir: str):
     emits its LOCAL (c_count, n_cust) histogram, so the second aggregate's
     input is buckets × distinct-counts rows (~KBs at any corpus size) and
     folds driver-side. Order keys referencing no customer drop, matching
-    the LEFT JOIN direction."""
+    the LEFT JOIN direction.
+
+    Perf shape (round-4 lever): below the 512-block gate the per-batch
+    (custkey, n) partials fold DRIVER-side out of one FUSED read+reduce
+    orders scan (customer is a driver-side dimension) — the exchange costs
+    ~2-3 s of pure scheduling at this block count for KBs of real work.
+    Past the gate the exchange path runs unchanged."""
+    from ..sources.parquet import FusedParquetScan, read_dim_table
+
+    o_scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+    if o_scan.num_blocks() <= block_gate:
+        def o_part(b: pa.Table) -> pa.Table:
+            vc = b.column("o_custkey").combine_chunks().value_counts()
+            return pa.table({
+                "custkey": pc.struct_field(vc, "values"),
+                "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64())})
+
+        parts = o_scan.map_batches(o_part).to_pandas()
+        dim = read_dim_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"])
+        ckeys = dim.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        per_cust = pd.Series(np.zeros(len(ckeys), np.int64), index=ckeys)
+        if len(parts):
+            folded = parts.groupby("custkey", sort=False)["n"].sum()
+            folded = folded[folded.index.isin(per_cust.index)]
+            per_cust = per_cust.add(folded, fill_value=0).astype(np.int64)
+        hist = per_cust.groupby(per_cust).size()
+        return pd.DataFrame({
+            "c_count": hist.index.to_numpy().astype(np.int64),
+            "n_cust": hist.to_numpy().astype(np.int64),
+        }).sort_values(["n_cust", "c_count"], ascending=[False, False],
+                       kind="mergesort").reset_index(drop=True)
+
     orders = read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     cust = read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 

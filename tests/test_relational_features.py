@@ -90,6 +90,7 @@ def test_big_orders_driver_limit_raises_on_fold_path(ray_session):
     ("big_orders", ["o_orderkey"]),
     ("priority_counts", ["o_orderpriority"]),
     ("rich_quiet_customers", ["c_nationkey"]),
+    ("order_count_distribution", ["c_count"]),
 ])
 def test_shuffle_fallback_agrees_with_fused_path(ray_session, qname,
                                                  sort_cols):
