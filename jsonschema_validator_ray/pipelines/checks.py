@@ -1362,3 +1362,51 @@ SELECT l_returnflag, CAST(max(total) AS BIGINT) AS total_weight_cents,
          AS wmedian_cents
 FROM s GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- order-independent integrity checksums -----------------------------------
+
+
+def checksum_documents(sf_dir: str):
+    """(lang, n_rows, checksum) — per-language order-independent md5-sum
+    integrity checksum of (doc_id, lang, source) plus the table-total row
+    (lang = '*') — the cross-run "no row lost or duplicated" verification
+    primitive (stages/checksum.table_checksum: one scan, commutative sum
+    of 60-bit row hashes mod 2^61, so the value is independent of row
+    order / partitioning / engine). Exact oracle: DuckDB recomputes the
+    identical md5-derived sum in HUGEINT."""
+    import pyarrow as pa
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.checksum import table_checksum
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source"])
+    per_lang = table_checksum(scan, ["doc_id", "lang", "source"],
+                              group_cols=["lang"]).to_pandas()
+    total = table_checksum(
+        FusedParquetScan(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"]),
+        ["doc_id", "lang", "source"]).to_pandas()
+    total.insert(0, "lang", "*")
+    out = pd.concat([per_lang, total], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+CHECKSUM_DOCUMENTS_SQL = """
+WITH h AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(
+           concat_ws(chr(31), doc_id, lang, source)), 1, 15)) AS UBIGINT)
+           AS rh
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rh) % 2305843009213693952 AS BIGINT) AS checksum
+FROM h GROUP BY lang
+UNION ALL
+SELECT '*' AS lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rh) % 2305843009213693952 AS BIGINT) AS checksum
+FROM h
+ORDER BY lang
+"""
