@@ -3074,3 +3074,78 @@ SELECT CAST(da.d AS BIGINT) AS decile_a, CAST(db.d AS BIGINT) AS decile_b,
 FROM da JOIN db USING (c)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---- SCD-2 validity intervals from the change log -----------------------------
+
+
+def type_intervals_users(sf_dir: str):
+    """(user_id, event_type, valid_from_us, valid_to_us) — slowly-changing
+    -dimension (type-2) interval reconstruction from the event log: per
+    user, consecutive same-type events collapse to one row starting at the
+    first change point, and each interval closes at the NEXT change's
+    timestamp (int64-max sentinel for the open current interval — the
+    repo's absent-value convention, null-free output). The warehouse
+    snapshot-rebuild shape.
+
+    Shape: ONE user-hash exchange; each bucket sorts its slice once and
+    computes both the LAG change mask and the LEAD interval end in the
+    same pandas pass — never a task per user. Ordering ties break on
+    (ts, event_id) identically in both engines; timestamps are integer
+    epoch-µs so every boundary is exact."""
+    import numpy as np
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+            "__b": pa.array((uid % 32).astype(np.int32)),
+        })
+
+    OPEN = np.int64((1 << 63) - 1)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        typ = g["event_type"].to_numpy()
+        same_user = np.r_[False, uid[1:] == uid[:-1]]
+        same_type = np.r_[False, typ[1:] == typ[:-1]]
+        change = ~(same_user & same_type)          # first row per user too
+        ch = g[change]
+        cu = ch["user_id"].to_numpy()
+        ct = ch["t"].to_numpy().astype(np.int64)
+        nxt = np.r_[ct[1:], OPEN]
+        nxt[np.r_[cu[1:] != cu[:-1], True]] = OPEN  # last change per user
+        return pd.DataFrame({
+            "user_id": cu,
+            "event_type": ch["event_type"].to_numpy(),
+            "valid_from_us": ct,
+            "valid_to_us": nxt,
+        })
+
+    return ev.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+
+
+TYPE_INTERVALS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         event_id
+  FROM events),
+ch AS (
+  SELECT user_id, event_type, t, event_id FROM o
+  WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id, event_type, t AS valid_from_us,
+       coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+                9223372036854775807) AS valid_to_us
+FROM ch
+"""

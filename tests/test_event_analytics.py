@@ -353,3 +353,41 @@ def test_star_joins_run_in_tiny_session(ray_session):
     # descending by revenue with deterministic tiebreak
     assert (top["revenue_x10000"].to_numpy()[:-1]
             >= top["revenue_x10000"].to_numpy()[1:]).all()
+
+
+def test_type_intervals_users(ray_session, tmp_path):
+    """Hand-built change log: runs collapse, ties break on event_id, the
+    last interval per user is open (int64-max sentinel)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    US = 1_000_000
+    rows = [  # (user, t_us, event_id, type)
+        (1, 0 * US, 1, "a"), (1, 1 * US, 2, "a"), (1, 2 * US, 3, "b"),
+        (1, 2 * US, 4, "c"),            # tie at t=2s: id order decides
+        (1, 5 * US, 5, "c"),
+        (2, 0 * US, 6, "x"),
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    }), str(d / "events.parquet"))
+    from jsonschema_validator_ray.pipelines.analytics import (
+        type_intervals_users)
+
+    out = type_intervals_users(str(d)).to_pandas() \
+        .sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    OPEN = (1 << 63) - 1
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [
+        (1, "a", 0, 2 * US),
+        (1, "b", 2 * US, 2 * US),       # zero-length: superseded same ts
+        (1, "c", 2 * US, OPEN),
+        (2, "x", 0, OPEN),
+    ]
