@@ -236,6 +236,9 @@ def run_bench() -> dict:
         "minmax_normalize_documents", "knn_graph_embeddings",
         "session_type_overlaps", "skipgram_pairs_documents",
         "supplier_triangles", "unpivot_lineitem",
+        "gram_embeddings", "cosine_pairs_documents", "checksum_documents",
+        "bpe_encode_documents", "type_intervals_users",
+        "pca_project_embeddings",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

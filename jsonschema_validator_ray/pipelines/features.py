@@ -1097,3 +1097,41 @@ SELECT g.i, g.j, g.gram, sa.s AS s_i, sb.s AS s_j, sa.n AS n_vecs
 FROM g JOIN s sa ON sa.dim = g.i JOIN s sb ON sb.dim = g.j
 ORDER BY g.i, g.j
 """
+
+
+def pca_project_embeddings(sf_dir: str, k: int = 2, d: int = 64):
+    """(vec_id, pc1..pck) — end-to-end PCA: exact distributed Gram/
+    covariance (gram_embeddings' one-scan substrate), driver-side
+    deflated power iteration for the top-k eigenvectors of the CENTERED
+    covariance, then one streaming projection pass. Rows-only at the
+    driver gate (eigenvectors are float math SQL cannot reproduce);
+    component correctness is pinned against np.linalg.eigh in
+    tests/test_pca.py."""
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.pca import (PcaProjector, dense_from_triangle,
+                              gram_matrix, power_iteration)
+
+    src = FusedParquetScan(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding"])
+    tri = gram_matrix(src, "embedding", d)
+    cov = dense_from_triangle(tri, d, centered=True)
+    df = tri.to_pandas()
+    n = int(df["n_vecs"].iloc[0]) if len(df) else 0
+    mean = np.zeros(d)
+    if n > 0:
+        diag = df[df["i"] == df["j"]]
+        s = np.zeros(d)
+        s[diag["i"].to_numpy() - 1] = diag["s_i"].to_numpy().astype(float)
+        mean = s / n
+    comps = []
+    m = cov.copy()
+    for _ in range(k):
+        lam, v = power_iteration(m)
+        comps.append(v)
+        m = m - lam * np.outer(v, v)          # deflation
+    scan = FusedParquetScan(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return scan.map_batches(PcaProjector(
+        "embedding", "vec_id", np.vstack(comps), mean=mean))

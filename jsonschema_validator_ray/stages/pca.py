@@ -178,3 +178,42 @@ def power_iteration(m: np.ndarray, iters: int = 200):
     if v[k] < 0:
         v = -v
     return lam, v
+
+
+class PcaProjector:
+    """Streaming projection stage: quantize each batch exactly like
+    :class:`GramPartial` and project onto the (driver-computed) component
+    matrix — the whitening / dimensionality-reduction step downstream of
+    ``gram_matrix`` + ``power_iteration``. Emits (id, pc1..pck) float64.
+
+    Component scores are float math (the eigenvectors themselves are), so
+    this stage is test-verified against numpy rather than SQL-oracled."""
+
+    def __init__(self, col: str, id_col: str, components: np.ndarray,
+                 mean: np.ndarray | None = None):
+        self.col = col
+        self.id_col = id_col
+        self.components = np.asarray(components, dtype=np.float64)
+        if self.components.ndim == 1:
+            self.components = self.components[None, :]
+        self.mean = None if mean is None else np.asarray(mean, np.float64)
+        self.d = self.components.shape[1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        c = batch.column(self.col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(c), -1) \
+            .to_numpy(zero_copy_only=False)
+        keep = lengths == self.d
+        q = _quantized_matrix(batch, self.col, self.d).astype(np.float64)
+        if self.mean is not None:
+            q = q - self.mean[None, :]
+        scores = q @ self.components.T
+        out = {self.id_col: ids.filter(pa.array(keep))}
+        for k in range(self.components.shape[0]):
+            out[f"pc{k + 1}"] = pa.array(scores[:, k], pa.float64())
+        return pa.table(out)

@@ -92,3 +92,42 @@ def test_power_iteration_zero_matrix():
     lam, v = power_iteration(np.zeros((5, 5)))
     assert lam == 0.0
     assert np.isfinite(v).all()
+
+
+def test_projector_matches_numpy(ray_session):
+    rng = np.random.default_rng(21)
+    d = 12
+    base = rng.standard_normal((200, d)) * 0.05
+    base[:, 1] += rng.standard_normal(200) * 0.9      # dominant axis
+    base[:, 4] += rng.standard_normal(200) * 0.4      # second axis
+    vecs = base.astype(np.float32).tolist()
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    from jsonschema_validator_ray.stages.pca import (
+        PcaProjector, Q_SCALE, dense_from_triangle, gram_matrix,
+        power_iteration)
+
+    tri = gram_matrix(ds, "embedding", d)
+    cov = dense_from_triangle(tri, d, centered=True)
+    q = np.floor(np.array(vecs, np.float64) * Q_SCALE)
+    mu = q.mean(axis=0)
+    comps = []
+    m = cov.copy()
+    for _ in range(2):
+        lam, v = power_iteration(m)
+        comps.append(v)
+        m -= lam * np.outer(v, v)
+    out = ds.map_batches(PcaProjector(
+        "embedding", "vec_id", np.vstack(comps), mean=mu),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    expect = (q - mu) @ np.vstack(comps).T
+    np.testing.assert_allclose(out["pc1"].to_numpy(), expect[:, 0],
+                               rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(out["pc2"].to_numpy(), expect[:, 1],
+                               rtol=1e-12, atol=1e-9)
+    # deflated power iteration found the true top-2 subspace
+    w, vv = np.linalg.eigh(cov)
+    for k, v in enumerate(comps):
+        assert abs(abs(v @ vv[:, -1 - k]) - 1.0) < 1e-6
