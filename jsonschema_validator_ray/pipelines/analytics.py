@@ -134,7 +134,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     # WORKER-side constructor (instantiating on the driver would embed the
     # whole dimension in every task spec, defeating the broadcast)
     partials = orders.map_batches(Partial, fn_constructor_args=(seg_ref, k),
-                                  concurrency=2, batch_format="pyarrow")
+                                  concurrency=(1, 2), batch_format="pyarrow")
 
     def final_head(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["o_totalprice", "o_orderkey"],
@@ -1448,7 +1448,7 @@ def grouping_sets_revenue(sf_dir: str):
     fine = (read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_orderdate",
                                   "o_totalprice"])
-            .map_batches(Partial, fn_constructor_args=(ref,), concurrency=2,
+            .map_batches(Partial, fn_constructor_args=(ref,), concurrency=(1, 2),
                          batch_format="pyarrow").to_pandas()
             .groupby(["n_name", "o_year"], as_index=False)
             [["revenue_cents", "n_orders"]].sum())

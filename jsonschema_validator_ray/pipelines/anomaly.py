@@ -277,7 +277,7 @@ def assortativity_custsupp(sf_dir: str):
                 "sxy": [int((x * y).sum())]})
 
     parts = pairs.map_batches(Moments, fn_constructor_args=(ref,),
-                              concurrency=2, batch_format="pyarrow",
+                              concurrency=(1, 2), batch_format="pyarrow",
                               batch_size=65536).to_pandas()
     n, sx, sy, sxx, syy, sxy = (int(parts[k].astype(object).sum())
                                 for k in ("n", "sx", "sy", "sxx", "syy",

@@ -1435,7 +1435,7 @@ def verdict_events_props(sf_dir: str):
     combined = ev.map_batches(
         JsonColumnValidator,
         fn_constructor_args=(PROPS_SCHEMA, "event_id", "props"),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=(1, 2))
     return verdicts_only(combined)
 
 

@@ -143,7 +143,7 @@ def robots_filter_documents(sf_dir: str):
                 "n_blocked": g.column("blk_sum"),
                 "n": pc.cast(g.column("blk_count"), pa.int64())})
 
-    df = (docs.map_batches(Gate, fn_constructor_args=(ref,), concurrency=2,
+    df = (docs.map_batches(Gate, fn_constructor_args=(ref,), concurrency=(1, 2),
                            batch_format="pyarrow").to_pandas()
           .groupby("domain", as_index=False)[["n_blocked", "n"]].sum())
     df["n_allowed"] = df["n"] - df["n_blocked"]

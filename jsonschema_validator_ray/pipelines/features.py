@@ -171,7 +171,7 @@ def knn_graph_embeddings(sf_dir: str, k: int = 5,
             })
 
     return emb.map_batches(Knn, fn_constructor_args=(ref, k),
-                           concurrency=2, batch_size=1024,
+                           concurrency=(1, 2), batch_size=1024,
                            batch_format="pyarrow")
 
 
@@ -236,7 +236,7 @@ def target_encode_customers(sf_dir: str):
                                           pa.int64())})
 
     part = orders.map_batches(SegPartial, fn_constructor_args=(ref,),
-                              concurrency=2, batch_format="pyarrow") \
+                              concurrency=(1, 2), batch_format="pyarrow") \
         .to_pandas()
     if "seg" not in part.columns or not len(part):
         return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
@@ -868,7 +868,7 @@ def nearest_centroid_confusion(sf_dir: str):
     emb = read_parquet(f"{sf_dir}/embeddings.parquet",
                        columns=["label", "embedding"])
     parts = emb.map_batches(Assign, fn_constructor_args=(ref,),
-                            concurrency=2,
+                            concurrency=(1, 2),
                             batch_format="pyarrow").to_pandas()
     out = parts.groupby(["true_label", "assigned_label"],
                         as_index=False)["n"].sum()
@@ -954,7 +954,7 @@ def knn_label_purity(sf_dir: str, k: int = 5):
 
     graph = knn_graph_embeddings(sf_dir, k=k)
     parts = graph.map_batches(Purity, fn_constructor_args=(ref,),
-                              concurrency=2,
+                              concurrency=(1, 2),
                               batch_format="pyarrow").to_pandas()
     out = parts.groupby("label", as_index=False)[
         ["n_edges", "n_same"]].sum()

@@ -283,7 +283,7 @@ def big_orders(sf_dir: str, min_qty_cents: int = 25_000,
         return o_scan.map_batches(Attach, fn_constructor_args=(ray.get(ref),))
     base = orders if joined is None else joined
     return base.map_batches(Attach, fn_constructor_args=(ref,),
-                            concurrency=2, batch_format="pyarrow")
+                            concurrency=(1, 2), batch_format="pyarrow")
 
 
 BIG_ORDERS_SQL = """
@@ -1327,7 +1327,7 @@ def supplier_triangles(sf_dir: str, adjacency_limit: int = 30_000):
     edges = ray.data.from_pandas(edges_df[["s_x", "s_y"]])
     # batch_size caps the (edges × nodes) per-batch intersection temp
     parts = edges.map_batches(EdgePartial, fn_constructor_args=(ref,),
-                              concurrency=2, batch_size=2048,
+                              concurrency=(1, 2), batch_size=2048,
                               batch_format="pyarrow").to_pandas()
     tri3 = parts.groupby("node")["part"].sum()
     tri3 = tri3[tri3 > 0]                   # SQL emits triangle members only

@@ -133,7 +133,7 @@ def min_cost_supplier(sf_dir: str):
             })
 
     return best.map_batches(Attach, fn_constructor_args=(ref,),
-                            concurrency=2, batch_format="pyarrow")
+                            concurrency=(1, 2), batch_format="pyarrow")
 
 
 MIN_COST_SUPPLIER_SQL = """
@@ -272,7 +272,7 @@ def brand_supplier_counts(sf_dir: str):
         out["part_cnt"] = out["part_cnt"].astype(np.int64)
         return out
 
-    out = (li.map_batches(Quads, fn_constructor_args=(ref,), concurrency=4,
+    out = (li.map_batches(Quads, fn_constructor_args=(ref,), concurrency=(1, 4),
                           batch_format="pyarrow")
            .groupby("__b").map_groups(per_bucket, batch_format="pandas")
            ).to_pandas()
@@ -353,7 +353,7 @@ def small_qty_revenue(sf_dir: str, brand: str = "Brand#23"):
 
     partials = (read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
                 .map_batches(Qualify, fn_constructor_args=(ref,),
-                             concurrency=4, batch_format="pyarrow")
+                             concurrency=(1, 4), batch_format="pyarrow")
                 ).to_pandas()
     total = int(partials["partial"].sum()) if "partial" in partials else 0
     return pd.DataFrame({"revenue_cents": pd.Series([total], dtype=np.int64)})
@@ -505,11 +505,11 @@ def nation_pair_volume(sf_dir: str):
 
     li = (read_parquet(f"{sf_dir}/lineitem.parquet",
                        columns=["l_orderkey", "l_suppkey", "l_extendedprice"])
-          .map_batches(LiPartial, fn_constructor_args=(ref,), concurrency=4,
+          .map_batches(LiPartial, fn_constructor_args=(ref,), concurrency=(1, 4),
                        batch_format="pyarrow"))
     omap = (read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_orderdate"])
-            .map_batches(OrderMap, fn_constructor_args=(ref,), concurrency=2,
+            .map_batches(OrderMap, fn_constructor_args=(ref,), concurrency=(1, 2),
                          batch_format="pyarrow"))
     joined = bucketed_join(li, omap, "l_orderkey", right_on="o_orderkey",
                            num_buckets=16)
@@ -618,11 +618,11 @@ def market_share(sf_dir: str, supp_nation: str = "NATION_3",
 
     li = (read_parquet(f"{sf_dir}/lineitem.parquet",
                        columns=["l_orderkey", "l_suppkey", "l_extendedprice"])
-          .map_batches(LiPartial, fn_constructor_args=(ref,), concurrency=4,
+          .map_batches(LiPartial, fn_constructor_args=(ref,), concurrency=(1, 4),
                        batch_format="pyarrow"))
     omap = (read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_custkey", "o_orderdate"])
-            .map_batches(OrderMap, fn_constructor_args=(ref,), concurrency=2,
+            .map_batches(OrderMap, fn_constructor_args=(ref,), concurrency=(1, 2),
                          batch_format="pyarrow"))
     joined = bucketed_join(li, omap, "l_orderkey", right_on="o_orderkey",
                            num_buckets=16)
@@ -910,7 +910,7 @@ def promo_revenue_share(sf_dir: str):
     df = (read_parquet(f"{sf_dir}/lineitem.parquet",
                        columns=["l_partkey", "l_shipdate", "l_extendedprice",
                                 "l_discount"])
-          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=4,
+          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=(1, 4),
                        batch_format="pyarrow").to_pandas())
     promo = int(df["promo"].sum()) if len(df) else 0
     total = int(df["total"].sum()) if len(df) else 0
@@ -1241,7 +1241,7 @@ def band_revenue(sf_dir: str):
     df = (read_parquet(f"{sf_dir}/lineitem.parquet",
                        columns=["l_partkey", "l_quantity", "l_extendedprice",
                                 "l_discount"])
-          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=4,
+          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=(1, 4),
                        batch_format="pyarrow").to_pandas())
     n = int(df["n"].sum()) if len(df) else 0
     rev = int(df["rev"].sum()) if len(df) else 0
@@ -1395,7 +1395,7 @@ def profit_by_nation_year(sf_dir: str, p_type: str = "PROMO"):
     li = (read_parquet(f"{sf_dir}/lineitem.parquet",
                        columns=["l_orderkey", "l_partkey", "l_suppkey",
                                 "l_extendedprice", "l_discount"])
-          .map_batches(LiPartial, fn_constructor_args=(ref,), concurrency=4,
+          .map_batches(LiPartial, fn_constructor_args=(ref,), concurrency=(1, 4),
                        batch_format="pyarrow"))
     om = (read_parquet(f"{sf_dir}/orders.parquet",
                        columns=["o_orderkey", "o_orderdate"])
@@ -1469,7 +1469,7 @@ def return_rate_brand(sf_dir: str):
 
     df = (read_parquet(f"{sf_dir}/lineitem.parquet",
                        columns=["l_partkey", "l_returnflag"])
-          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=4,
+          .map_batches(Partial, fn_constructor_args=(ref,), concurrency=(1, 4),
                        batch_format="pyarrow").to_pandas()
           .groupby("p_brand", as_index=False)[["n_lines", "n_returned"]]
           .sum())

@@ -446,7 +446,7 @@ def run_webtext_pipeline(ds, *,
     if concurrency is not None:
         combined = ds.map_batches(WebtextValidator,
                                   fn_constructor_args=(check_extraction,),
-                                  concurrency=concurrency, **kwargs)
+                                  concurrency=(1, concurrency), **kwargs)
     else:
         combined = ds.map_batches(WebtextValidator(check_extraction), **kwargs)
     if materialize_combined:

@@ -61,4 +61,4 @@ def validate_jsonl_documents(paths, schema: dict, *,
         JsonColumnValidator,
         fn_constructor_args=(schema, "line_id", "doc", mode),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=(1, concurrency))

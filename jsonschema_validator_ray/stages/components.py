@@ -320,7 +320,7 @@ def kcore_bipartite(pairs_ds, *, key_a: str = "key_a", key_b: str = "key_b",
                 return b.filter(m)
 
         cur = cur.map_batches(_Filter, fn_constructor_args=(ref,),
-                              concurrency=2,
+                              concurrency=(1, 2),
                               batch_format="pyarrow").materialize()
     if not converged:
         # the last filter may itself have reached the fixpoint — decide on

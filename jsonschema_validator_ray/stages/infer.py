@@ -161,7 +161,7 @@ def column_profiles(ds, columns: list[str] | None = None, *,
     """→ Dataset of one merged profile row per column."""
     partials = ds.map_batches(
         InferPartial, fn_constructor_args=(columns, enum_max),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=2)
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 2))
     return partials.groupby("column").map_groups(
         _merge_profiles(enum_max), batch_format="pandas")
 

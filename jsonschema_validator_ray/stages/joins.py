@@ -192,7 +192,7 @@ def _semi_anti(left, right, on: str, right_on: str | None, keep: bool,
         ref = ray.put(keys) if len(keys) > 100_000 else keys
         return left.map_batches(
             _KeyMembershipFilter, fn_constructor_args=(on, ref, keep),
-            batch_format="pyarrow", concurrency=concurrency)
+            batch_format="pyarrow", concurrency=(1, concurrency))
 
     # shuffle path: right side reduced to per-batch-distinct keys (keys-only
     # exchange — the right side's payload columns never move), both sides

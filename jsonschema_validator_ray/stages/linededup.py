@@ -157,7 +157,7 @@ def remove_duplicate_lines(ds, key: str, column: str, *,
         return ds.map_batches(
             _BroadcastLineFilter, fn_constructor_args=(ref, key, column,
                                                        out_column),
-            batch_format="pyarrow", concurrency=concurrency)
+            batch_format="pyarrow", concurrency=(1, concurrency))
     if strategy != "join":
         raise ValueError(f"unknown strategy {strategy!r}")
     return _remove_lines_join(ds, dups, key, column, out_column,

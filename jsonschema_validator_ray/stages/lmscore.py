@@ -208,7 +208,7 @@ def xent_scores(ds, column: str, key: str, *, strategy: str = "auto",
         lp_ref = ray.put(lp) if len(lp) > 100_000 else lp
         return ds.map_batches(
             _XentScorer, fn_constructor_args=(column, key, tok_ref, lp_ref),
-            concurrency=concurrency, batch_format="pyarrow",
+            concurrency=(1, concurrency), batch_format="pyarrow",
             batch_size=batch_size)
 
     if strategy != "join":

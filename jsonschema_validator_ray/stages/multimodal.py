@@ -290,7 +290,7 @@ def image_features(ds, *, key: str = "media_id", column: str = "image",
     actor pool sized by `concurrency` (decode state loads once per actor)."""
     return ds.map_batches(
         ImageFeatureActor, fn_constructor_args=(key, column, decoder),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency))
 
 
 # ---- video ----------------------------------------------------------------
@@ -421,4 +421,4 @@ def video_frame_samples(ds, *, key: str = "media_id", column: str = "video",
         VideoFrameSampleActor, fn_constructor_args=(stride, key, column,
                                                     decoder),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=(1, concurrency))

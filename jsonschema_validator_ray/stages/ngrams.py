@@ -158,7 +158,7 @@ def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
             _NgramMembershipCounter,
             fn_constructor_args=(column, id_col, n, ref),
             batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency)
+            concurrency=(1, concurrency))
     if strategy != "join":
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -440,7 +440,7 @@ def jaccard_near_duplicates(docs, *, column: str, id_col: str, n: int = 3,
         return inter.map_batches(
             _JaccardSizeAttacher,
             fn_constructor_args=(ref, threshold, id_type),
-            batch_format="pyarrow", concurrency=2)
+            batch_format="pyarrow", concurrency=(1, 2))
 
     # join path: sizes attach via two hash-bucketed joins (pair side is
     # candidate-sized; the sizes side crosses the exchange once per join)
@@ -620,7 +620,7 @@ def flag_duplicate_spans(docs, *, column: str, id_col: str, n: int = 13,
     return docs.select_columns([id_col, column]).map_batches(
         _SpanMasker, fn_constructor_args=(column, id_col, n, ref, "flag"),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=(1, concurrency))
 
 
 def remove_duplicate_spans(docs, *, column: str, id_col: str, n: int = 13,
@@ -637,7 +637,7 @@ def remove_duplicate_spans(docs, *, column: str, id_col: str, n: int = 13,
     return docs.select_columns([id_col, column]).map_batches(
         _SpanMasker, fn_constructor_args=(column, id_col, n, ref, "clean"),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=(1, concurrency))
 
 
 # ---- tf-weighted exact cosine pairs -----------------------------------------
@@ -854,4 +854,4 @@ def tf_cosine_pairs(docs, *, column: str, id_col: str, n: int = 1,
     return dots.map_batches(
         _CosineNormAttacher,
         fn_constructor_args=(ref, threshold_num, threshold_den, id_type),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=(1, 2))

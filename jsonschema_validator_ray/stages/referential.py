@@ -74,7 +74,7 @@ def referential_violations(ds, column: str, key: str,
     ref = ray.put(values) if len(values) > 100_000 else values
     return ds.select_columns([key, column]).map_batches(
         _AntiJoin, fn_constructor_args=(column, key, ref, cid),
-        concurrency=concurrency or 2,
+        concurrency=(1, concurrency or 2),
         batch_format="pyarrow", batch_size=batch_size)
 
 
@@ -173,5 +173,5 @@ def fk_violations_bloom(fact_ds, fact_key: str, fact_column: str,
     ref = ray.put(merged.to_bytes())
     return fact_ds.select_columns([fact_key, fact_column]).map_batches(
         _BloomAntiJoin, fn_constructor_args=(fact_column, fact_key, ref, cid),
-        concurrency=concurrency or 2,
+        concurrency=(1, concurrency or 2),
         batch_format="pyarrow", batch_size=batch_size)

@@ -88,4 +88,4 @@ def row_rule_violations(ds, rules: Sequence[Mapping[str, Any]],
     return ds.map_batches(
         RowRuleValidator, fn_constructor_args=(rules, key_cols),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=(1, concurrency))

@@ -113,7 +113,7 @@ def topk_cosine(ds, query_vecs, k: int, *, key: str = "vec_id",
     kwargs: dict = dict(batch_format="pyarrow", batch_size=batch_size)
     partials = ds.select_columns([key, emb]).map_batches(
         _BatchTopK, fn_constructor_args=(ref, k, key, emb),
-        concurrency=concurrency or 2, **kwargs).to_pandas()
+        concurrency=(1, concurrency or 2), **kwargs).to_pandas()
     # final merge: tiny (k rows per query per batch)
     return _finalize_topk(partials, key, k)
 

@@ -200,7 +200,7 @@ def oov_scores(ds, column: str, key: str, vocab_tokens, *,
             toks = ray.put(toks)
     return ds.map_batches(
         OOVScorer, fn_constructor_args=(column, key, toks),
-        concurrency=concurrency, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_format="pyarrow",
         batch_size=batch_size)
 
 
@@ -292,7 +292,7 @@ def tfidf_top_terms(ds, column: str, key: str, *, vocab_size: int = 10000,
     idf_ref = ray.put(idf) if len(idf) > 100_000 else idf
     return ds.map_batches(
         TfidfTopTerms, fn_constructor_args=(column, key, tok_ref, idf_ref, k),
-        concurrency=concurrency, batch_format="pyarrow",
+        concurrency=(1, concurrency), batch_format="pyarrow",
         batch_size=batch_size)
 
 
