@@ -3149,3 +3149,75 @@ SELECT user_id, event_type, t AS valid_from_us,
                 9223372036854775807) AS valid_to_us
 FROM ch
 """
+
+
+# ---- audience migration: FULL OUTER diff of two activity windows -------------
+
+
+def audience_migration_events(sf_dir: str, block_gate: int = 512):
+    """(status, n_users) — audience migration between the log's two
+    first and last single DAYS (Jan 1 vs Jan 30 — one-day windows keep all
+    three statuses populated on the synthetic log): 'new' = active only
+    in the second window, 'churned' = only in the first, 'retained' =
+    both — the FULL OUTER JOIN of two distinct-user sets, folded to
+    counts.
+
+    Shape: ONE fused scan; each batch reduces to distinct
+    (user, in_p1, in_p2) flag partials (groupby max — the OR-fold
+    combiner), the driver ORs flags per user under the block gate and
+    buckets the tiny status histogram. Past the gate, exchange the flag
+    partials on a user-hash bucket exactly like click_purchase_days."""
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    D1_LO = int(pd.Timestamp("2024-01-01").value // 1000)   # epoch µs
+    D1_HI = int(pd.Timestamp("2024-01-02").value // 1000)
+    D2_LO = int(pd.Timestamp("2024-01-30").value // 1000)
+    D2_HI = int(pd.Timestamp("2024-01-31").value // 1000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        f1 = pc.and_(pc.greater_equal(t, D1_LO), pc.less(t, D1_HI))
+        f2 = pc.and_(pc.greater_equal(t, D2_LO), pc.less(t, D2_HI))
+        keep = pc.or_(f1, f2)
+        tt = pa.table({
+            "user_id": b.column("user_id"),
+            "f1": pc.cast(f1, pa.int8()),
+            "f2": pc.cast(f2, pa.int8()),
+        }).filter(keep)
+        g = tt.group_by("user_id").aggregate([("f1", "max"), ("f2", "max")])
+        return g.rename_columns(["user_id", "f1", "f2"])
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError(
+            "past the block gate, exchange the flag partials on a "
+            "user-hash bucket (click_purchase_days' shape)")
+    df = scan.map_batches(partial).to_pandas()
+    if not len(df):
+        return pd.DataFrame({"status": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype=np.int64)})
+    agg = df.groupby("user_id", sort=False).agg(
+        f1=("f1", "max"), f2=("f2", "max"))
+    status = np.where(agg["f1"].to_numpy() == 0, "new",
+                      np.where(agg["f2"].to_numpy() == 0, "churned",
+                               "retained"))
+    u, c = np.unique(status, return_counts=True)
+    return pd.DataFrame({"status": u, "n_users": c.astype(np.int64)}) \
+        .sort_values("status").reset_index(drop=True)
+
+
+AUDIENCE_MIGRATION_SQL = """
+WITH p1 AS (SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'),
+p2 AS (SELECT DISTINCT user_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-30' AND ts < TIMESTAMP '2024-01-31'),
+j AS (SELECT CASE WHEN p1.user_id IS NULL THEN 'new'
+                  WHEN p2.user_id IS NULL THEN 'churned'
+                  ELSE 'retained' END AS status
+      FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id)
+SELECT status, CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY status ORDER BY status
+"""

@@ -3131,3 +3131,61 @@ def bpe_encode_documents(sf_dir: str, num_merges: int = 8):
     return FusedParquetScan(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"]).map_batches(
         BpeEncoder("text", "doc_id", merges), batch_format="pyarrow")
+
+
+# ---- Unicode NFC normalization audit ------------------------------------------
+
+
+def nfc_audit_documents(sf_dir: str):
+    """(lang, n_docs, n_changed, bytes_nfc) — per-language Unicode-NFC
+    normalization audit: how many documents are not NFC-normal and the
+    total normalized byte length (the text-canonicalization check a crawl
+    pipeline runs before hashing/dedup — two byte-different spellings of
+    the same composed text defeat exact dedup). Python's unicodedata.NFC
+    and DuckDB's nfc_normalize implement the same Unicode normalization,
+    so counts and byte sums are integer-exact cross-engine; null text
+    audits as the empty string (coalesce parity)."""
+    import unicodedata
+
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pylist()
+        text = pc.fill_null(b.column("text"), "").to_pylist()
+        nfc = [unicodedata.normalize("NFC", t) for t in text]
+        changed = np.fromiter((int(a != b_) for a, b_ in zip(nfc, text)),
+                              np.int64, len(text))
+        nbytes = np.fromiter((len(t.encode("utf-8")) for t in nfc),
+                             np.int64, len(text))
+        df = pd.DataFrame({"lang": lang, "c": changed, "b": nbytes})
+        agg = df.groupby("lang", sort=False).agg(
+            n_docs=("c", "size"), n_changed=("c", "sum"),
+            bytes_nfc=("b", "sum")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                             columns=["lang", "text"]) \
+        .map_batches(partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_changed": pd.Series([], dtype="int64"),
+                             "bytes_nfc": pd.Series([], dtype="int64")})
+    out = parts.groupby("lang", as_index=False).sum()
+    for c in ["n_docs", "n_changed", "bytes_nfc"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+NFC_AUDIT_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nfc_normalize(coalesce(text, '')) =
+                          coalesce(text, '') THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(strlen(nfc_normalize(coalesce(text, '')))) AS BIGINT)
+         AS bytes_nfc
+FROM documents GROUP BY lang ORDER BY lang
+"""

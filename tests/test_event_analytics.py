@@ -391,3 +391,52 @@ def test_type_intervals_users(ray_session, tmp_path):
         (1, "c", 2 * US, OPEN),
         (2, "x", 0, OPEN),
     ]
+
+
+def test_audience_migration_statuses(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    jan1 = np.datetime64("2024-01-01T12:00:00", "us")
+    jan30 = np.datetime64("2024-01-30T12:00:00", "us")
+    mid = np.datetime64("2024-01-15T12:00:00", "us")
+    rows = [(1, jan1), (1, jan30),      # retained
+            (2, jan1),                   # churned
+            (3, jan30),                  # new
+            (4, mid)]                    # outside both windows: excluded
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+    }), str(d / "events.parquet"))
+    from jsonschema_validator_ray.pipelines.analytics import (
+        audience_migration_events)
+
+    out = audience_migration_events(str(d))
+    assert dict(zip(out["status"], out["n_users"])) == {
+        "retained": 1, "churned": 1, "new": 1}
+
+
+def test_nfc_audit_detects_decomposed(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    composed = "café"                 # NFC
+    decomposed = "café"              # NFD: e + combining acute
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["fr", "fr", "en", "en"]),
+        "text": pa.array([composed, decomposed, "plain", None]),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.corpus import nfc_audit_documents
+
+    out = nfc_audit_documents(str(d)).set_index("lang")
+    assert out.loc["fr", "n_changed"] == 1          # only the NFD row
+    assert out.loc["fr", "bytes_nfc"] == 2 * len(composed.encode())
+    assert out.loc["en", "n_changed"] == 0
+    assert out.loc["en", "bytes_nfc"] == len(b"plain")
