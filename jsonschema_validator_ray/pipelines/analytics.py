@@ -1040,7 +1040,8 @@ SELECT node, rank FROM r3
 # ---- TPC-H-Q5-shaped 5-table join ------------------------------------------
 
 
-def revenue_by_nation(sf_dir: str, region: str = "ASIA"):
+def revenue_by_nation(sf_dir: str, region: str = "ASIA",
+                      broadcast_orders_limit: int = 4_000_000):
     """(n_name, revenue_x10000, n_items) — the classic 5-table star join
     (TPC-H Q5 shape): revenue per nation for line items whose CUSTOMER and
     SUPPLIER share a nation inside ``region``.
@@ -1113,6 +1114,85 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA"):
                       columns=["l_orderkey", "l_suppkey",
                                "l_extendedprice", "l_discount"]) \
         .map_batches(li_prune, batch_format="pyarrow")
+
+    # Round-4 fast path: below the gate, the orderkey→customer-nation map
+    # is itself broadcast-small (two int64 arrays), so the WHOLE star
+    # collapses into ONE fused lineitem scan probing two sorted lookup
+    # arrays — zero exchanges. Past the gate (orders outgrow a broadcast)
+    # the original two-exchange plan below runs unchanged.
+    import pyarrow.parquet as pq_
+
+    n_orders = pq_.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_orders_limit:
+        from ..sources.parquet import FusedParquetScan
+
+        cdim = read_dim_table(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+        cnat_all = pc.cast(cdim.column("c_nationkey"), pa.int64())
+        ckeep = pc.fill_null(pc.is_in(
+            cnat_all, value_set=pa.array(sorted(name_by_key),
+                                         type=pa.int64())), False)
+        cdim_r = pa.table({"k": cdim.column("c_custkey"),
+                           "n": cnat_all}).filter(ckeep)
+        ot = pq_.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey"])
+        oidx = pc.index_in(ot.column("o_custkey"),
+                           value_set=cdim_r.column("k").combine_chunks())
+        olive = pc.is_valid(oidx)
+        okeys = ot.column("o_orderkey").filter(olive) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ocnat = cdim_r.column("n").combine_chunks() \
+            .take(pc.filter(oidx, olive)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order_sort = np.argsort(okeys, kind="stable")
+        okeys, ocnat = okeys[order_sort], ocnat[order_sort]
+        skeys_l = sup.column("s_suppkey").combine_chunks()
+        snats_l = sup.column("s_nationkey").combine_chunks()
+
+        def li_star(b: pa.Table) -> pa.Table:
+            snat = pc.cast(snats_l.take(pc.index_in(
+                b.column("l_suppkey"), value_set=skeys_l)), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            pos[pos == len(okeys)] = 0
+            hit = (len(okeys) > 0) & (okeys[pos] == lk)
+            ok = hit & (ocnat[pos] == snat)
+            if not ok.any():
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "rev": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            x = (pc.cast(pc.round(pc.multiply(
+                b.column("l_extendedprice"), 100)), pa.int64())
+                .to_numpy(zero_copy_only=False)[ok]
+                * (100 - pc.cast(pc.round(pc.multiply(
+                    b.column("l_discount"), 100)), pa.int64())
+                   .to_numpy(zero_copy_only=False)[ok]))
+            df_ = pd.DataFrame({"n": snat[ok], "x": x})
+            g = df_.groupby("n", sort=False)["x"].agg(["sum", "size"])
+            return pa.table({
+                "n_nationkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "rev": pa.array(g["sum"].to_numpy().astype(np.int64)),
+                "cnt": pa.array(g["size"].to_numpy().astype(np.int64)),
+            })
+
+        parts = FusedParquetScan(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"]) \
+            .map_batches(li_star).to_pandas()
+        if not len(parts):
+            return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                                 "revenue_x10000": pd.Series([],
+                                                             dtype=np.int64),
+                                 "n_items": pd.Series([], dtype=np.int64)})
+        agg = parts.groupby("n_nationkey", as_index=False).agg(
+            revenue_x10000=("rev", "sum"), n_items=("cnt", "sum"))
+        agg["n_name"] = agg["n_nationkey"].map(name_by_key)
+        agg["n_items"] = agg["n_items"].astype(np.int64)
+        agg["revenue_x10000"] = agg["revenue_x10000"].astype(np.int64)
+        return agg[["n_name", "revenue_x10000", "n_items"]] \
+            .sort_values("n_name").reset_index(drop=True)
 
     def cust_prune(b: pa.Table) -> pa.Table:
         _, _, region_nats = ray.get(dim_ref)

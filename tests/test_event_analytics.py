@@ -440,3 +440,19 @@ def test_nfc_audit_detects_decomposed(ray_session, tmp_path):
     assert out.loc["fr", "bytes_nfc"] == 2 * len(composed.encode())
     assert out.loc["en", "n_changed"] == 0
     assert out.loc["en", "bytes_nfc"] == len(b"plain")
+
+
+def test_revenue_by_nation_paths_agree(ray_session):
+    """broadcast_orders_limit=0 forces the two-exchange star-join scale
+    path; it must equal the one-scan broadcast fast path."""
+    import pandas as pd
+
+    from jsonschema_validator_ray.pipelines.analytics import (
+        revenue_by_nation)
+
+    SF = "/root/testdata/sf0.001"
+    fast = revenue_by_nation(SF)
+    slow = revenue_by_nation(SF, broadcast_orders_limit=0)[fast.columns]
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow.reset_index(drop=True),
+                                  check_dtype=False)
