@@ -1372,7 +1372,8 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
-                         cutoff_s: str = "1997-01-01", k: int = 10):
+                         cutoff_s: str = "1997-01-01", k: int = 10,
+                         broadcast_orders_limit: int = 4_000_000):
     """(l_orderkey, revenue_x10000, o_orderdate, o_orderpriority) — the
     classic shipping-priority query (TPC-H Q3 shape): the ``k`` highest-
     revenue orders of one customer segment, ordered before the cutoff but
@@ -1406,6 +1407,79 @@ def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
                           columns=["c_custkey", "c_mktsegment"])
     seg_keys = cdim.filter(pc.equal(cdim.column("c_mktsegment"), segment)) \
         .column("c_custkey").combine_chunks()
+
+    # Round-4 fast path: the QUALIFYING orders (segment ∩ pre-cutoff) are
+    # a small fraction of an already-gated table — below the gate they
+    # broadcast as sorted lookup arrays into ONE fused lineitem scan
+    # (zero exchanges); past it the hash-join plan below runs unchanged.
+    import pyarrow.parquet as pq_
+
+    n_orders = pq_.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_orders_limit:
+        from ..sources.parquet import FusedParquetScan
+
+        ot = pq_.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_orderpriority"])
+        keep = pc.and_(
+            pc.less(pc.cast(ot.column("o_orderdate"), pa.timestamp("us")),
+                    ts),
+            pc.fill_null(pc.is_in(ot.column("o_custkey"),
+                                  value_set=seg_keys), False))
+        ot = ot.filter(keep)
+        okeys = ot.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order_sort = np.argsort(okeys, kind="stable")
+        okeys = okeys[order_sort]
+        odate = pc.cast(ot.column("o_orderdate"), pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False)[order_sort]
+        opri = ot.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)[order_sort]
+
+        def li_q3(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.greater(
+                pc.cast(b.column("l_shipdate"), pa.timestamp("us")), ts))
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            pos[pos == len(okeys)] = 0
+            hit = (len(okeys) > 0) & (okeys[pos] == lk)
+            if not hit.any():
+                return pa.table({"oi": pa.array([], pa.int64()),
+                                 "rev": pa.array([], pa.int64())})
+            x = (pc.cast(pc.round(pc.multiply(
+                b.column("l_extendedprice"), 100)), pa.int64())
+                .to_numpy(zero_copy_only=False)[hit]
+                * (100 - pc.cast(pc.round(pc.multiply(
+                    b.column("l_discount"), 100)), pa.int64())
+                   .to_numpy(zero_copy_only=False)[hit]))
+            g = pd.DataFrame({"oi": pos[hit], "rev": x}) \
+                .groupby("oi", sort=False, as_index=False)["rev"].sum()
+            return pa.table({"oi": pa.array(g["oi"].to_numpy(),
+                                            pa.int64()),
+                             "rev": pa.array(g["rev"].to_numpy()
+                                             .astype(np.int64))})
+
+        parts = FusedParquetScan(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"]).map_batches(li_q3).to_pandas()
+        if not len(parts):
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype=np.int64),
+                "revenue_x10000": pd.Series([], dtype=np.int64),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype=object)})
+        agg = parts.groupby("oi", as_index=False)["rev"].sum()
+        oi = agg["oi"].to_numpy()
+        heads = pd.DataFrame({
+            "l_orderkey": okeys[oi],
+            "revenue_x10000": agg["rev"].to_numpy().astype(np.int64),
+            "o_orderdate": odate[oi],
+            "o_orderpriority": opri[oi],
+        }).sort_values(["revenue_x10000", "o_orderdate", "l_orderkey"],
+                       ascending=[False, True, True],
+                       kind="mergesort").head(k)
+        return heads.reset_index(drop=True)
 
     def o_prune(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less(b.column("o_orderdate"), ts))

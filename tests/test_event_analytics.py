@@ -456,3 +456,17 @@ def test_revenue_by_nation_paths_agree(ray_session):
     pd.testing.assert_frame_equal(fast.reset_index(drop=True),
                                   slow.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_top_unshipped_paths_agree(ray_session):
+    import pandas as pd
+
+    from jsonschema_validator_ray.pipelines.analytics import (
+        top_unshipped_orders)
+
+    SF = "/root/testdata/sf0.001"
+    fast = top_unshipped_orders(SF)
+    slow = top_unshipped_orders(SF, broadcast_orders_limit=0)[fast.columns]
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow.reset_index(drop=True),
+                                  check_dtype=False)
