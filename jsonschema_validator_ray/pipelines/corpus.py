@@ -3189,3 +3189,119 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          AS bytes_nfc
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# ---- DSIR-style importance scores (two-LM log-ratio) --------------------------
+
+
+def dsir_scores_documents(sf_dir: str, target_lang: str = "en",
+                          vocab_limit: int = 5_000_000):
+    """(doc_id, n_tokens, score_micro) — data-selection importance score
+    per document: the unigram log-likelihood ratio between a TARGET
+    language model (docs with lang = ``target_lang``) and the CORPUS
+    model, the DSIR shape (Xie et al. 2023, public) with add-one
+    smoothing over the shared vocabulary.
+
+    Exactness (the integer-ln technique of entropy_lang_source): each
+    token weight is ``floor(ln((n+1)/(T+V))·1e6)`` per side — ONE double
+    division of exact ints then one scalar libm log, identical in Python
+    and DuckDB — and the per-doc score is the int64 dot of exact tf
+    against those integer weights, so the oracle matches bitwise.
+
+    Shape: pass 1 (one fused scan) emits per-batch (token, n_target,
+    n_corpus) partials bounded by the batch vocabulary; the driver folds
+    them (vocabulary-bounded — the CCNet/DSIR regime; past
+    ``vocab_limit`` switch to a token-hash-bucket exchange and ship the
+    weight table via ray.put) and computes the ~|V| weights. Pass 2 (one
+    fused scan) maps each doc's tf vector against the broadcast weight
+    dict. Null text tokenizes as one empty token (coalesce parity)."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pandas()
+        text = pc.fill_null(b.column("text"), "").to_pandas()
+        toks = text.str.split(" ")
+        n_per = toks.str.len().to_numpy()
+        flat = pd.Series(np.concatenate(toks.to_numpy()), dtype=object)
+        is_t = np.repeat((lang == target_lang).to_numpy(), n_per)
+        df = pd.DataFrame({"g": flat, "t": is_t.astype(np.int64)})
+        agg = df.groupby("g", sort=False)["t"].agg(["sum", "size"])
+        return pa.table({
+            "g": pa.array(agg.index.to_numpy(), pa.large_string()),
+            "n_t": pa.array(agg["sum"].to_numpy().astype(np.int64)),
+            "n_c": pa.array(agg["size"].to_numpy().astype(np.int64)),
+        })
+
+    parts = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                             columns=["lang", "text"]) \
+        .map_batches(count_partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_tokens": pd.Series([], dtype=np.int64),
+                             "score_micro": pd.Series([], dtype=np.int64)})
+    ct = parts.groupby("g", sort=False).agg(n_t=("n_t", "sum"),
+                                            n_c=("n_c", "sum"))
+    if len(ct) > vocab_limit:
+        raise ValueError(
+            f"{len(ct)} distinct tokens exceeds vocab_limit={vocab_limit}; "
+            f"switch the fold to a token-hash-bucket exchange")
+    T_t = int(ct["n_t"].sum())
+    T_c = int(ct["n_c"].sum())
+    V = len(ct)
+    nt = ct["n_t"].to_numpy()
+    nc = ct["n_c"].to_numpy()
+    wq = {}
+    for g, a, c in zip(ct.index, nt, nc):
+        wt = math.floor(math.log(float(a + 1) / float(T_t + V)) * 1e6)
+        wc = math.floor(math.log(float(c + 1) / float(T_c + V)) * 1e6)
+        wq[g] = wt - wc
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pandas()
+        text = pc.fill_null(b.column("text"), "").to_pandas()
+        toks = text.str.split(" ")
+        n_per = toks.str.len().to_numpy().astype(np.int64)
+        flat = pd.Series(np.concatenate(toks.to_numpy()), dtype=object)
+        w = flat.map(wq).to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(ids)), n_per)
+        score = np.bincount(doc_of, weights=w, minlength=len(ids)) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_per),
+            "score_micro": pa.array(score),
+        })
+
+    return FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .map_batches(score_partial)
+
+
+DSIR_SCORES_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split(coalesce(text, ''), ' ')) AS g
+  FROM documents),
+tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+ct AS (SELECT g,
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_t,
+              CAST(count(*) AS BIGINT) AS n_c
+       FROM tok GROUP BY g),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tt,
+               CAST(sum(n_c) AS BIGINT) AS tc,
+               CAST(count(*) AS BIGINT) AS v
+        FROM ct),
+w AS (SELECT g,
+        CAST(floor(ln(CAST(n_t + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+                   * 1000000) AS BIGINT)
+      - CAST(floor(ln(CAST(n_c + 1 AS DOUBLE) / CAST(tc + v AS DOUBLE))
+                   * 1000000) AS BIGINT) AS wq
+      FROM ct, tot)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * wq) AS BIGINT) AS score_micro
+FROM tf JOIN w USING (g) GROUP BY doc_id
+"""
