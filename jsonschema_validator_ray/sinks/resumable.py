@@ -136,6 +136,7 @@ def run_resumable(partitions: list[Partition], out_dir: str,
                   read_fn: Callable[[list[str]], "ray.data.Dataset"] | None = None,
                   files_pipeline_fn: Callable[[list[str]], "ray.data.Dataset"] | None = None,
                   metrics_fn: Callable[[list[str]], dict] | None = None,
+                  checksum_cols: list[str] | None = None,
                   wave_size: int = 4) -> dict:
     """Run ``pipeline_fn`` over every not-yet-done partition; skip completed
     ones. Returns a summary dict (ran / skipped / rows).
@@ -186,6 +187,9 @@ def run_resumable(partitions: list[Partition], out_dir: str,
             rows_out = sum(pq.read_metadata(f).num_rows for f in files)
             total_rows += rows_out
             metrics = metrics_fn(files) if metrics_fn else {}
+            if checksum_cols:
+                metrics["checksum"] = _partition_checksum(
+                    files, checksum_cols)
             _write_manifest(out_dir, {
                 "part_id": p.part_id,
                 "inputs": p.paths,
@@ -207,3 +211,42 @@ def read_output(out_dir: str):
     files = [str(f) for pid in sorted(done)
              for f in sorted((Path(out_dir) / f"part-{pid}").glob("*.parquet"))]
     return read_parquet(files)
+
+
+def _partition_checksum(files: list[str], cols: list[str]) -> dict:
+    """Order-independent integrity checksum of a partition's written rows
+    (stages/checksum: sum of md5-derived 60-bit row hashes mod 2^61 —
+    invariant to row order and file layout, so a later re-read can verify
+    the partition byte-independently)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.checksum import table_checksum
+
+    t = table_checksum(FusedParquetScan(files, columns=list(cols)),
+                       list(cols)).to_pandas()
+    return {"cols": list(cols), "n_rows": int(t["n_rows"][0]),
+            "value": int(t["checksum"][0])}
+
+
+def verify_output(out_dir: str) -> dict:
+    """Integrity audit of a resumable output tree: for every completed
+    partition whose manifest carries a checksum, recompute it from the
+    files on disk and compare. Returns ``{"checked": [...], "mismatched":
+    [...], "unchecked": [...]}`` — a non-empty ``mismatched`` means a
+    partition's data was corrupted, truncated or edited AFTER its manifest
+    was committed, and that partition must be re-run (delete its data dir
+    and manifest, then run_resumable again)."""
+    done = completed_partitions(out_dir)
+    checked, mismatched, unchecked = [], [], []
+    for pid in sorted(done):
+        m = done[pid]
+        want = (m.get("metrics") or {}).get("checksum")
+        if not want:
+            unchecked.append(pid)
+            continue
+        files = sorted(str(f) for f in
+                       (Path(out_dir) / f"part-{pid}").glob("*.parquet"))
+        got = _partition_checksum(files, want["cols"])
+        (checked if got["value"] == want["value"]
+         and got["n_rows"] == want["n_rows"] else mismatched).append(pid)
+    return {"checked": checked, "mismatched": mismatched,
+            "unchecked": unchecked}

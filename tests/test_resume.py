@@ -153,3 +153,36 @@ def test_kill_and_resume_fused_headline(ray_session, webtext_files,
                       files_pipeline_fn=_fused_pipeline)
     with pytest.raises(ValueError):
         run_resumable(parts, str(out_dir))
+
+
+def test_checksummed_manifests_verify_and_catch_corruption(
+        ray_session, webtext_files, tmp_path):
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.sinks.resumable import verify_output
+
+    out = tmp_path / "out_ck"
+    parts = partition_input_files(webtext_files, 3)
+    run_resumable(parts, str(out), _pipeline,
+                  checksum_cols=["url", "valid"], wave_size=2)
+    done = completed_partitions(str(out))
+    assert all("checksum" in (m.get("metrics") or {})
+               for m in done.values())
+    rep = verify_output(str(out))
+    assert rep["mismatched"] == [] and rep["unchecked"] == []
+    assert sorted(rep["checked"]) == sorted(done)
+
+    # corrupt one partition's data AFTER its manifest committed: drop a row
+    pid = sorted(done)[0]
+    f = sorted((out / f"part-{pid}").glob("*.parquet"))[0]
+    t = pq.read_table(str(f))
+    pq.write_table(t.slice(1), str(f))
+    rep2 = verify_output(str(out))
+    assert rep2["mismatched"] == [pid]
+
+    # manifests without checksums stay verifiable as 'unchecked'
+    out2 = tmp_path / "out_plain"
+    run_resumable(parts, str(out2), _pipeline, wave_size=2)
+    rep3 = verify_output(str(out2))
+    assert rep3["checked"] == [] and rep3["mismatched"] == []
+    assert sorted(rep3["unchecked"]) == sorted(done)
