@@ -71,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for local runs; on a cluster leave unset")
     p.add_argument("--no-extraction-check", action="store_true")
+    p.add_argument("--checksum", action="store_true",
+                   help="record an order-independent integrity checksum of "
+                        "each partition's (key, valid) rows in its lineage "
+                        "manifest (verify later with --verify-out)")
+    p.add_argument("--verify-out", action="store_true",
+                   help="instead of running, audit --out: recompute every "
+                        "checksummed partition's checksum from disk and "
+                        "report mismatches (exit 1 if any)")
     p.add_argument("--pipeline", choices=["validate", "prep"],
                    default="validate",
                    help="validate (default): resumable verdict/violation "
@@ -94,7 +102,14 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from .sinks.resumable import partition_input_files, run_resumable
+    from .sinks.resumable import (partition_input_files, run_resumable,
+                                  verify_output)
+
+    if args.verify_out:
+        rep = verify_output(args.out)
+        print(json.dumps(rep))
+        ray.shutdown()
+        return 1 if rep["mismatched"] else 0
 
     if args.schema:
         with open(args.schema) as f:
@@ -155,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     summary = run_resumable(parts, args.out, pipeline,
                             metrics_fn=verdict_metrics,
+                            checksum_cols=[args.key, "valid"]
+                            if args.checksum else None,
                             wave_size=args.wave_size)
     summary["elapsed_sec"] = round(time.time() - t0, 2)
     summary["n_partitions"] = len(parts)

@@ -91,3 +91,27 @@ def test_cli_prep_pipeline(ray_session, tmp_path):
     t = pq.read_table(files[0])
     assert {"doc_id", "n_tokens", "pack_id", "oversize"} <= set(
         t.column_names)
+
+
+def test_cli_checksum_and_verify(ray_session, tmp_path):
+    from jsonschema_validator_ray.cli import main
+    from jsonschema_validator_ray.sources.webtext import (
+        write_webtext_parquet)
+
+    d = tmp_path / "in"
+    write_webtext_parquet(str(d), 1000, override_num_blocks=2)
+    out = tmp_path / "out"
+    rc = main(["--input", f"{d}/*.parquet", "--out", str(out),
+               "--partitions", "2", "--checksum"])
+    assert rc == 0
+    assert main(["--input", f"{d}/*.parquet", "--out", str(out),
+                 "--verify-out"]) == 0
+    # corrupt a partition: verify must fail with exit 1
+    import pyarrow.parquet as pq
+
+    part_dirs = sorted(p for p in out.glob("part-*") if p.is_dir())
+    f = sorted(part_dirs[0].glob("*.parquet"))[0]
+    t = pq.read_table(str(f))
+    pq.write_table(t.slice(0, t.num_rows - 1), str(f))
+    assert main(["--input", f"{d}/*.parquet", "--out", str(out),
+                 "--verify-out"]) == 1
