@@ -1458,14 +1458,21 @@ FROM events
 # ---- windowed events ------------------------------------------------------
 
 
-def trending_events(sf_dir: str, k: int = 3):
+def trending_events(sf_dir: str, k: int = 3, block_gate: int = 512):
     """(window_start, event_type, n_events, rnk) — the top-``k`` event
     types of every hour (the "trending" dashboard shape): per-batch
     (hour, type) count partials, hour-hash bucket fold — an hour's full
     cell set lands in one task, cells bounded by hours × types — then a
     vectorized within-hour rank head. Ties break event_type ASC in both
-    engines."""
+    engines.
+
+    Perf shape (round-4 lever): the cell set is calendar-bounded
+    (hours × types), so below the 512-block gate partials fold DRIVER-side
+    out of one fused scan; past it the hour-hash exchange runs
+    unchanged."""
     import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
 
     ev = read_parquet(f"{sf_dir}/events.parquet",
                       columns=["ts", "event_type"])
@@ -1492,6 +1499,18 @@ def trending_events(sf_dir: str, k: int = 3):
         agg["rnk"] = rnk.astype(np.int64)
         agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg[agg["rnk"] <= k]
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+    if scan.num_blocks() <= block_gate:
+        parts = scan.map_batches(partial).to_pandas()
+        if not len(parts):
+            return pd.DataFrame({
+                "window_start": pd.Series([], dtype="datetime64[us]"),
+                "event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                "rnk": pd.Series([], dtype=np.int64)})
+        return head(parts.drop(columns="__kb")).reset_index(drop=True)
 
     return ev.map_batches(partial, batch_format="pyarrow") \
         .groupby("__kb").map_groups(

@@ -470,3 +470,19 @@ def test_top_unshipped_paths_agree(ray_session):
     pd.testing.assert_frame_equal(fast.reset_index(drop=True),
                                   slow.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_trending_paths_agree(ray_session):
+    import pandas as pd
+
+    from jsonschema_validator_ray.pipelines.corpus import trending_events
+
+    SF = "/root/testdata/sf0.001"
+    fast = trending_events(SF)
+    fast = (fast if isinstance(fast, pd.DataFrame) else fast.to_pandas()) \
+        .sort_values(["window_start", "rnk"]).reset_index(drop=True)
+    slow = trending_events(SF, block_gate=0)
+    slow = (slow if isinstance(slow, pd.DataFrame) else slow.to_pandas()) \
+        [fast.columns].sort_values(["window_start", "rnk"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
