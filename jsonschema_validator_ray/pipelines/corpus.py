@@ -3324,3 +3324,43 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
        CAST(sum(tf * wq) AS BIGINT) AS score_micro
 FROM tf JOIN w USING (g) GROUP BY doc_id
 """
+
+
+def containment_pairs_documents(sf_dir: str):
+    """EXACT n-gram CONTAINMENT near-duplicate pairs (quote/subset
+    detection): pairs whose intersection covers >= 50% of the SMALLER
+    document's capped 3-gram set — the asymmetric complement of
+    jaccard_documents (a short doc quoted inside a long one scores 1.0
+    where Jaccard stays low). Same machinery, one IEEE division
+    (inter / min sizes) — bitwise oracle parity."""
+    from ..stages.ngrams import jaccard_near_duplicates
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    return jaccard_near_duplicates(docs, column="text", id_col="doc_id",
+                                   n=_JACCARD_N, threshold=0.5,
+                                   df_cap=_JACCARD_CAP,
+                                   measure="containment")
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+doc_g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_JACCARD_N - 1}], ' ') AS g
+  FROM tok, UNNEST(range(1, len(t) - {_JACCARD_N - 2})) AS u(i)
+),
+kept AS (SELECT * FROM doc_g WHERE g IN (
+  SELECT g FROM doc_g GROUP BY g HAVING count(*) <= {_JACCARD_CAP})),
+sz AS (SELECT doc_id, count(*) AS s FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS inter
+  FROM kept a JOIN kept b USING (g) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       CAST(p.inter AS DOUBLE) / LEAST(sa.s, sb.s) AS containment
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.key_a
+JOIN sz sb ON sb.doc_id = p.key_b
+WHERE CAST(p.inter AS DOUBLE) / LEAST(sa.s, sb.s) >= 0.5
+"""

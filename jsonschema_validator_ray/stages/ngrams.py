@@ -243,10 +243,11 @@ def ngram_decontaminate(docs, bench, *, column: str, id_col: str,
 # ---- exact n-gram Jaccard near-duplicate pairs ----------------------------
 
 
-def _jaccard_empty(id_type: pa.DataType) -> pa.Table:
+def _jaccard_empty(id_type: pa.DataType,
+                   measure: str = "jaccard") -> pa.Table:
     return pa.table({"key_a": pa.array([], type=id_type),
                      "key_b": pa.array([], type=id_type),
-                     "jaccard": pa.array([], type=pa.float64())})
+                     measure: pa.array([], type=pa.float64())})
 
 
 class _JaccardSizeAttacher:
@@ -255,29 +256,33 @@ class _JaccardSizeAttacher:
     ONCE per actor from the object store; per batch it's two dict gathers
     and one vectorized division."""
 
-    def __init__(self, lut_ref, threshold: float, id_type: pa.DataType):
+    def __init__(self, lut_ref, threshold: float, id_type: pa.DataType,
+                 measure: str = "jaccard"):
         self.lut = ray.get(lut_ref) \
             if isinstance(lut_ref, ray.ObjectRef) else lut_ref
         self.threshold = threshold
         self.id_type = id_type
+        self.measure = measure
 
     def __call__(self, b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return _jaccard_empty(self.id_type)
+            return _jaccard_empty(self.id_type, self.measure)
         ka = b.column("key_a").to_numpy(zero_copy_only=False)
         kb = b.column("key_b").to_numpy(zero_copy_only=False)
         it = b.column("inter").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         sa = np.array([self.lut[k] for k in ka], dtype=np.float64)
         sb = np.array([self.lut[k] for k in kb], dtype=np.float64)
-        jac = it / (sa + sb - it)
+        # one IEEE division in either branch — bitwise oracle parity
+        jac = it / np.minimum(sa, sb) if self.measure == "containment" \
+            else it / (sa + sb - it)
         keep = jac >= self.threshold
         return pa.table({
             "key_a": pc.cast(b.column("key_a").filter(pa.array(keep)),
                              self.id_type),
             "key_b": pc.cast(b.column("key_b").filter(pa.array(keep)),
                              self.id_type),
-            "jaccard": pa.array(jac[keep], type=pa.float64()),
+            self.measure: pa.array(jac[keep], type=pa.float64()),
         })
 
 
@@ -285,7 +290,8 @@ def jaccard_near_duplicates(docs, *, column: str, id_col: str, n: int = 3,
                             threshold: float = 0.5, df_cap: int = 64,
                             num_buckets: int = 64, pair_buckets: int = 16,
                             batch_size: int = 4096,
-                            size_broadcast_limit: int = 2_000_000):
+                            size_broadcast_limit: int = 2_000_000,
+                            measure: str = "jaccard"):
     """→ Dataset ``(key_a, key_b, jaccard)`` of document pairs whose EXACT
     n-gram Jaccard similarity is ≥ ``threshold`` — the deterministic
     complement to the probabilistic MinHash estimate
@@ -297,7 +303,10 @@ def jaccard_near_duplicates(docs, *, column: str, id_col: str, n: int = 3,
     shared by more than ``df_cap`` docs are boilerplate (stopword phrases,
     headers) whose inclusion both drowns the signal and makes candidate
     generation quadratic in the hottest gram. Within the capped measure
-    the result is EXACT and complete — any pair with jaccard > 0 shares at
+    ``measure="containment"`` switches the final value (and output
+    column) to ``inter / min(|A|, |B|)`` — the asymmetric quote/subset
+    detector (a small doc fully quoted inside a big one scores 1.0 where
+    Jaccard stays low); the result is EXACT and complete — any pair with jaccard > 0 shares at
     least one retained gram (df ≥ 2), so it is always generated as a
     candidate; nothing is sampled or truncated.
 
@@ -424,7 +433,7 @@ def jaccard_near_duplicates(docs, *, column: str, id_col: str, n: int = 3,
     # empty-block drop; parts is materialized, so this count is one cheap
     # pass over candidate-sized (never corpus-sized) rows
     if cand.count() == 0:
-        return ray.data.from_arrow(_jaccard_empty(id_type))
+        return ray.data.from_arrow(_jaccard_empty(id_type, measure))
     inter = cand \
         .map_batches(_add_pair_bucket(pair_buckets),
                      batch_format="pyarrow") \
@@ -434,12 +443,12 @@ def jaccard_near_duplicates(docs, *, column: str, id_col: str, n: int = 3,
     if n_docs <= size_broadcast_limit:
         sz_df = sizes.to_pandas()
         if "sz" not in sz_df.columns or not len(sz_df):
-            return ray.data.from_arrow(_jaccard_empty(id_type))
+            return ray.data.from_arrow(_jaccard_empty(id_type, measure))
         lut = dict(zip(sz_df[id_col], sz_df["sz"]))
         ref = ray.put(lut) if len(lut) > 100_000 else lut
         return inter.map_batches(
             _JaccardSizeAttacher,
-            fn_constructor_args=(ref, threshold, id_type),
+            fn_constructor_args=(ref, threshold, id_type, measure),
             batch_format="pyarrow", concurrency=(1, 2))
 
     # join path: sizes attach via two hash-bucketed joins (pair side is
@@ -462,21 +471,22 @@ def jaccard_near_duplicates(docs, *, column: str, id_col: str, n: int = 3,
 
     def finalize(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return _jaccard_empty(id_type)
+            return _jaccard_empty(id_type, measure)
         it = b.column("inter").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         s_a = b.column("sz_a").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         s_b = b.column("sz").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        jac = it / (s_a + s_b - it)
+        jac = it / np.minimum(s_a, s_b) if measure == "containment" \
+            else it / (s_a + s_b - it)
         keep = jac >= threshold
         return pa.table({
             "key_a": pc.cast(b.column("key_a").filter(pa.array(keep)),
                              id_type),
             "key_b": pc.cast(b.column("key_b").filter(pa.array(keep)),
                              id_type),
-            "jaccard": pa.array(jac[keep], type=pa.float64()),
+            measure: pa.array(jac[keep], type=pa.float64()),
         })
 
     return sb.map_batches(finalize, batch_format="pyarrow")

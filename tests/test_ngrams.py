@@ -292,3 +292,41 @@ def test_tf_cosine_string_ids(ray_session):
     out = tf_cosine_pairs(docs, column="text", id_col="doc_id",
                           threshold_num=1, threshold_den=2).to_pandas()
     assert set(zip(out["key_a"], out["key_b"])) == {("dA", "dB")}
+
+
+def test_containment_measure_matches_brute_force(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import (
+        jaccard_near_duplicates)
+    # short doc fully contained in a long one: containment 1.0, jaccard low
+    short = "a b c d"
+    long_ = "a b c d " + " ".join(f"x{i}" for i in range(30))
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [short, long_, "q r s t u v"]}))
+    cont = jaccard_near_duplicates(
+        docs, column="text", id_col="doc_id", n=2, threshold=0.9,
+        df_cap=64, measure="containment").to_pandas()
+    assert set(zip(cont["key_a"], cont["key_b"])) == {(1, 2)}
+    assert float(cont["containment"][0]) == 1.0
+    jac = jaccard_near_duplicates(
+        docs, column="text", id_col="doc_id", n=2, threshold=0.9,
+        df_cap=64).to_pandas()
+    assert len(jac) == 0          # same pair fails the symmetric measure
+
+
+def test_containment_join_path_agrees(ray_session):
+    from jsonschema_validator_ray.stages.ngrams import (
+        jaccard_near_duplicates)
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": list(range(20)),
+        "text": [f"w{i} w{i+1} common common2 w{i+2}" for i in range(20)],
+    }))
+    broad = jaccard_near_duplicates(
+        docs, column="text", id_col="doc_id", n=2, threshold=0.2,
+        df_cap=64, measure="containment").to_pandas()
+    joined = jaccard_near_duplicates(
+        docs, column="text", id_col="doc_id", n=2, threshold=0.2,
+        df_cap=64, measure="containment",
+        size_broadcast_limit=0).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["key_a", "key_b",
+                                         "containment"]].to_numpy()))
+    assert key(broad) == key(joined)
