@@ -3364,3 +3364,104 @@ JOIN sz sa ON sa.doc_id = p.key_a
 JOIN sz sb ON sb.doc_id = p.key_b
 WHERE CAST(p.inter AS DOUBLE) / LEAST(sa.s, sb.s) >= 0.5
 """
+
+
+def distinctive_terms_documents(sf_dir: str, k: int = 5,
+                                vocab_limit: int = 5_000_000):
+    """(lang, token, n_in, n_out, logodds_micro, rnk) — the top-``k`` most
+    DISTINCTIVE tokens of each language by smoothed log-odds ratio
+    ``ln((n_in+1)/(T_in−n_in+1)) − ln((n_out+1)/(T_out−n_out+1))``
+    (Monroe et al. 2008's fightin'-words statistic with +1 smoothing) —
+    the corpus-diagnostics shape behind topic/style drift reports.
+
+    Exactness: both log terms use the integer-ln technique (one double
+    division of exact int64 counts, one scalar libm log, floor·1e6), so
+    scores are int64 and the per-language ranking (score DESC, token ASC)
+    is deterministic and oracle-exact.
+
+    Shape: ONE fused scan emits per-batch (token, lang) count partials
+    (bounded by the batch vocabulary × langs); the driver folds the
+    vocabulary-bounded table (``vocab_limit`` gate — past it, bucket the
+    token key) and does the tiny scoring + rank."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pandas()
+        text = pc.fill_null(b.column("text"), "").to_pandas()
+        toks = text.str.split(" ")
+        n_per = toks.str.len().to_numpy()
+        df = pd.DataFrame({
+            "g": pd.Series(np.concatenate(toks.to_numpy()), dtype=object),
+            "lang": np.repeat(lang.to_numpy(), n_per)})
+        agg = df.groupby(["lang", "g"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({
+            "lang": pa.array(agg["lang"].to_numpy(), pa.string()),
+            "g": pa.array(agg["g"].to_numpy(), pa.large_string()),
+            "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+        })
+
+    parts = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                             columns=["lang", "text"]) \
+        .map_batches(count_partial).to_pandas()
+    cols = ["lang", "token", "n_in", "n_out", "logodds_micro", "rnk"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    ct = parts.groupby(["lang", "g"], sort=False)["n"].sum().reset_index()
+    if ct["g"].nunique() > vocab_limit:
+        raise ValueError(f"vocabulary exceeds vocab_limit={vocab_limit}; "
+                         f"bucket the token key")
+    tot = ct.groupby("lang", sort=False)["n"].sum()
+    per_tok = ct.groupby("g", sort=False)["n"].sum()
+    T_all = int(ct["n"].sum())
+    rows = []
+    for lang, g, n in ct.itertuples(index=False):
+        n_in = int(n)
+        t_in = int(tot[lang])
+        n_out = int(per_tok[g]) - n_in
+        t_out = T_all - t_in
+        w = (math.floor(math.log(float(n_in + 1)
+                                 / float(t_in - n_in + 1)) * 1e6)
+             - math.floor(math.log(float(n_out + 1)
+                                   / float(t_out - n_out + 1)) * 1e6))
+        rows.append((lang, g, n_in, n_out, w))
+    df = pd.DataFrame(rows, columns=["lang", "token", "n_in", "n_out",
+                                     "logodds_micro"])
+    df = df.sort_values(["lang", "logodds_micro", "token"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rnk"] = df.groupby("lang", sort=False).cumcount() + 1
+    out = df[df["rnk"] <= k].reset_index(drop=True)
+    for c in ("n_in", "n_out", "logodds_micro", "rnk"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+DISTINCTIVE_TERMS_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS g
+  FROM documents),
+ct AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n_in
+       FROM tok GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(n_in) AS BIGINT) AS t_in
+        FROM ct GROUP BY lang),
+ptok AS (SELECT g, CAST(sum(n_in) AS BIGINT) AS n_all FROM ct GROUP BY g),
+tall AS (SELECT CAST(sum(n_in) AS BIGINT) AS t_all FROM ct),
+scored AS (
+  SELECT ct.lang, ct.g AS token, ct.n_in,
+         ptok.n_all - ct.n_in AS n_out,
+         CAST(floor(ln(CAST(ct.n_in + 1 AS DOUBLE)
+                       / CAST(tot.t_in - ct.n_in + 1 AS DOUBLE)) * 1000000)
+              AS BIGINT)
+       - CAST(floor(ln(CAST(ptok.n_all - ct.n_in + 1 AS DOUBLE)
+                       / CAST(tall.t_all - tot.t_in
+                              - (ptok.n_all - ct.n_in) + 1 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS logodds_micro
+  FROM ct JOIN tot USING (lang) JOIN ptok USING (g), tall)
+SELECT lang, token, n_in, n_out, logodds_micro,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY logodds_micro DESC, token)
+            AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 5
+"""

@@ -43,3 +43,28 @@ def test_dsir_vocab_limit_raises(ray_session):
 
     with pytest.raises(ValueError, match="vocab_limit"):
         dsir_scores_documents("/root/testdata/sf0.001", vocab_limit=1)
+
+
+def test_distinctive_terms_pick_language_markers(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    en = ["the cat and the dog", "the mat and the hat"]
+    de = ["der hund und der mann", "die katze und der hut"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "text": pa.array(en + de),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.corpus import (
+        distinctive_terms_documents)
+
+    out = distinctive_terms_documents(str(d), k=2)
+    by_lang = {l: list(g["token"]) for l, g in out.groupby("lang")}
+    assert "the" in by_lang["en"]       # en's most distinctive marker
+    assert "der" in by_lang["de"]
+    assert (out["rnk"] <= 2).all()
+    assert (out.groupby("lang")["rnk"].max() == 2).all()
