@@ -388,3 +388,66 @@ GROUP BY 1, 2 HAVING sum(CASE WHEN a.source = b.source
                               ELSE a.k * b.k END) > 0
 ORDER BY 1, 2
 """
+
+
+# ---- k-anonymity audit ---------------------------------------------------------
+
+
+def kanon_audit_documents(sf_dir: str, k: int = 5, block_gate: int = 512):
+    """(lang, source, len_bucket, n_rows) — quasi-identifier groups with
+    FEWER than ``k`` members (the k-anonymity audit: rows in such groups
+    are re-identifiable by the (lang, source, length-bucket) combination
+    alone; a privacy-conscious release would suppress or generalize
+    them). Length buckets are ``n_chars // 500`` — integer floor division
+    of non-negative ints, exact in both engines.
+
+    Shape: ONE fused scan of three small columns; per-batch partial
+    counts are bounded by the QI-combination cardinality, fold
+    driver-side under the block gate (past it: one group-hash exchange,
+    the uniqueness-stage shape)."""
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "len_bucket": pc.cast(pc.divide(
+                pc.cast(b.column("n_chars"), pa.int64()),
+                pa.scalar(500, pa.int64())), pa.int64()),
+        })
+        g = t.group_by(["lang", "source", "len_bucket"]).aggregate(
+            [("len_bucket", "count")])
+        return g.rename_columns(["lang", "source", "len_bucket", "n"])
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source", "n_chars"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError(
+            "past the block gate, exchange the QI partials on a "
+            "group-hash bucket (stages/uniqueness shape)")
+    parts = scan.map_batches(partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "source": pd.Series([], dtype=object),
+                             "len_bucket": pd.Series([], dtype=np.int64),
+                             "n_rows": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby(["lang", "source", "len_bucket"],
+                        as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_rows"})
+    out = agg[agg["n_rows"] < k].sort_values(
+        ["lang", "source", "len_bucket"], kind="mergesort") \
+        .reset_index(drop=True)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["len_bucket"] = out["len_bucket"].astype(np.int64)
+    return out
+
+
+KANON_AUDIT_SQL = """
+SELECT lang, source, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY 1, 2, 3 HAVING count(*) < 5
+ORDER BY lang, source, len_bucket
+"""

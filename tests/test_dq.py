@@ -71,3 +71,26 @@ def test_fd_confidence_is_exact_on_testdata():
     assert (out["conf_ppm"] ==
             (out["support"] * 1_000_000) // out["n_rows"]).all()
     assert (out["conf_ppm"] <= 1_000_000).all()
+
+
+def test_kanon_audit_flags_small_groups(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # 6 rows in one QI group (safe at k=5), 2 in another (flagged)
+    langs = ["en"] * 6 + ["de"] * 2
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "lang": pa.array(langs),
+        "source": pa.array(["web"] * 8),
+        "n_chars": pa.array([100] * 6 + [999, 700], pa.int64()),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.dq import kanon_audit_documents
+
+    out = kanon_audit_documents(str(d), k=5)
+    got = set(zip(out["lang"], out["source"], out["len_bucket"],
+                  out["n_rows"]))
+    assert got == {("de", "web", 1, 2)}
