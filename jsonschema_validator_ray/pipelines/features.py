@@ -1135,3 +1135,52 @@ def pca_project_embeddings(sf_dir: str, k: int = 2, d: int = 64):
                             columns=["vec_id", "embedding"])
     return scan.map_batches(PcaProjector(
         "embedding", "vec_id", np.vstack(comps), mean=mean))
+
+
+def class_weights_embeddings(sf_dir: str, block_gate: int = 512):
+    """(label, n_rows, weight_ppm) — sklearn-style 'balanced' class
+    weights for the embeddings labels: ``n_samples · 1e6 //
+    (n_classes · n_label)`` in exact integer parts-per-million
+    (non-negative floor division — identical in numpy and DuckDB ``//``).
+    The classifier-training prep step for imbalanced labels.
+
+    Shape: ONE fused scan of the label column; per-batch value_counts
+    partials fold driver-side (bounded by the class count)."""
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b.column("label").combine_chunks().value_counts()
+        return pa.table({
+            "label": pc.cast(pc.struct_field(vc, "values"), pa.int64()),
+            "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64())})
+
+    scan = FusedParquetScan(f"{sf_dir}/embeddings.parquet",
+                            columns=["label"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError("bucket the label partials past the gate")
+    parts = scan.map_batches(partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                             "n_rows": pd.Series([], dtype=np.int64),
+                             "weight_ppm": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("label", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_rows"})
+    total = int(agg["n_rows"].sum())
+    ncls = len(agg)
+    agg["weight_ppm"] = (total * 1_000_000
+                         // (ncls * agg["n_rows"])).astype(np.int64)
+    agg["label"] = agg["label"].astype(np.int64)
+    agg["n_rows"] = agg["n_rows"].astype(np.int64)
+    return agg.sort_values("label").reset_index(drop=True)
+
+
+CLASS_WEIGHTS_SQL = """
+WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM embeddings GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS ncls FROM c)
+SELECT label, n_rows,
+       CAST(t.total * 1000000 // (t.ncls * n_rows) AS BIGINT) AS weight_ppm
+FROM c, t ORDER BY label
+"""
