@@ -1184,3 +1184,135 @@ SELECT label, n_rows,
        CAST(t.total * 1000000 // (t.ncls * n_rows) AS BIGINT) AS weight_ppm
 FROM c, t ORDER BY label
 """
+
+
+def hybrid_rrf_embeddings(sf_dir: str, k: int = 3, rrf_k: int = 60,
+                          broadcast_limit_rows: int = 4_000_000):
+    """(vec_id, neighbor_id, rrf_score, rnk) — HYBRID retrieval fusion:
+    each vector's neighbors ranked by reciprocal-rank fusion (Cormack et
+    al. 2009) of TWO rankings — maximum-inner-product (the knn_graph
+    measure) and smallest squared Euclidean distance — keeping the
+    top-``k`` fused neighbors. The modern hybrid-search shape (fuse two
+    retrieval orders) over the two genuinely-different similarity orders
+    (they disagree exactly when norms vary).
+
+    Exactness: dots are quantized int64 (knn_graph's spelling) and
+    ``d² = |a|² + |b|² − 2a·b`` is pure int64 (≤ ~4·6.4e11 at d = 64,
+    |x| < 1), so BOTH rankings are deterministic and identical in both
+    engines (ties break neighbor id ASC); the RRF score is the INTEGER
+    ``floor(1e12/(rrf_k+r1)) + floor(1e12/(rrf_k+r2))`` — no float
+    exists anywhere in the operator.
+
+    Scale shape: same broadcast layout as knn_graph (the corpus matrix
+    ships once; per batch two argsorts per row). Past
+    ``broadcast_limit_rows`` build per-IVF-cell fused lists instead."""
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    n = emb.count()
+    if n > broadcast_limit_rows:
+        raise ValueError(
+            f"hybrid_rrf_embeddings broadcast path holds the whole corpus "
+            f"({n} rows > {broadcast_limit_rows}); fuse per IVF cell")
+    whole = pa.concat_tables(ray.get(emb.to_arrow_refs())).combine_chunks()
+    ids = whole.column("vec_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    mat = np.floor(_emb_matrix(whole, "embedding").astype(np.float64)
+                   * _Q_SCALE).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    norms2 = (mat * mat).sum(axis=1)
+    ref = ray.put((ids, mat, norms2))
+    SCALE = 10 ** 12
+
+    class Rrf:
+        def __init__(self, r, kk, rk):
+            self.ids, self.mat, self.norms2 = ray.get(r) \
+                if isinstance(r, ray.ObjectRef) else r
+            self.k, self.rrf_k = kk, rk
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "rrf_score": pa.array([], pa.int64()),
+                              "rnk": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            q = np.floor(_emb_matrix(b, "embedding").astype(np.float64)
+                         * _Q_SCALE).astype(np.int64)
+            qid = b.column("vec_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            qn2 = (q * q).sum(axis=1)
+            dots = q @ self.mat.T                  # int64 exact
+            d2 = qn2[:, None] + self.norms2[None, :] - 2 * dots
+            self_mask = qid[:, None] == self.ids[None, :]
+            nb = dots.shape[1]
+            out_rows = []
+            for i in range(len(qid)):
+                live = ~self_mask[i]
+                # rank 1..m by (measure DESC, id ASC): stable argsort on
+                # id-ascending columns
+                o1 = np.argsort(-dots[i][live], kind="stable")
+                o2 = np.argsort(d2[i][live], kind="stable")
+                m = live.sum()
+                r1 = np.empty(m, np.int64)
+                r1[o1] = np.arange(1, m + 1)
+                r2 = np.empty(m, np.int64)
+                r2[o2] = np.arange(1, m + 1)
+                score = SCALE // (self.rrf_k + r1) \
+                    + SCALE // (self.rrf_k + r2)
+                nid = self.ids[live]
+                top = np.lexsort((nid, -score))[:self.k]
+                out_rows.append((np.full(len(top), qid[i]), nid[top],
+                                 score[top],
+                                 np.arange(1, len(top) + 1,
+                                           dtype=np.int64)))
+            if not out_rows:
+                return empty
+            return pa.table({
+                "vec_id": pa.array(np.concatenate([r[0] for r in out_rows])),
+                "neighbor_id": pa.array(
+                    np.concatenate([r[1] for r in out_rows])),
+                "rrf_score": pa.array(
+                    np.concatenate([r[2] for r in out_rows])),
+                "rnk": pa.array(np.concatenate([r[3] for r in out_rows])),
+            })
+
+    return emb.map_batches(Rrf, fn_constructor_args=(ref, k, rrf_k),
+                           concurrency=(1, 2), batch_size=512,
+                           batch_format="pyarrow")
+
+
+HYBRID_RRF_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS qv
+  FROM embeddings),
+n2 AS (SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS norm2
+       FROM q),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+         na.norm2 + nb.norm2
+           - 2 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS d2
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+  JOIN n2 na ON na.vec_id = a.vec_id
+  JOIN n2 nb ON nb.vec_id = b.vec_id),
+ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, neighbor_id) AS r1,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, neighbor_id) AS r2
+  FROM pairs),
+fused AS (
+  SELECT vec_id, neighbor_id,
+         CAST(1000000000000 // (60 + r1)
+              + 1000000000000 // (60 + r2) AS BIGINT) AS rrf_score
+  FROM ranked)
+SELECT vec_id, neighbor_id, rrf_score,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY rrf_score DESC, neighbor_id)
+            AS BIGINT) AS rnk
+FROM fused QUALIFY rnk <= 3
+"""

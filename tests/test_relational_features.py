@@ -561,3 +561,48 @@ def test_interval_overlap_join_inverted_raises(ray_session):
         interval_overlap_join(left, right, l_start="ls", l_end="le",
                               r_start="rs", r_end="re",
                               cell_us=100).materialize()
+
+
+def test_hybrid_rrf_fuses_two_orders(ray_session, tmp_path):
+    """Hand-built vectors where MIPS and Euclidean disagree: a LONG vector
+    in the same direction wins the dot ranking while a CLOSE short vector
+    wins the distance ranking; RRF must fuse both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],   # 0: the query row
+        [0.9, 0.0, 0.0, 0.0],   # 1: closest (small d2), good dot
+        [0.0, 0.9, 0.0, 0.0],   # 2: orthogonal
+        [0.99, 0.99, 0.99, 0.99],  # 3: biggest dot, far away
+    ]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }), str(d / "embeddings.parquet"))
+    from jsonschema_validator_ray.pipelines.features import (
+        hybrid_rrf_embeddings)
+
+    out = hybrid_rrf_embeddings(str(d), k=3).to_pandas()
+    row0 = out[out["vec_id"] == 0].sort_values("rnk")
+    # vec 1: r1=2, r2=1 -> top fused; vec 3: r1=1, r2=3; vec 2: r1=3, r2=2
+    assert list(row0["neighbor_id"]) == [1, 3, 2]
+    S = 10 ** 12
+    assert list(row0["rrf_score"]) == [
+        S // 62 + S // 61, S // 61 + S // 63, S // 63 + S // 62]
+    # every vector gets exactly k ranked rows
+    per = out.groupby("vec_id")["rnk"].agg(["count", "min", "max"])
+    assert (per["count"] == 3).all()
+
+
+def test_hybrid_rrf_broadcast_gate(ray_session):
+    import pytest
+
+    from jsonschema_validator_ray.pipelines.features import (
+        hybrid_rrf_embeddings)
+
+    with pytest.raises(ValueError, match="IVF"):
+        hybrid_rrf_embeddings("/root/testdata/sf0.001",
+                              broadcast_limit_rows=3)
