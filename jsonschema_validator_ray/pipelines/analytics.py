@@ -3375,3 +3375,89 @@ j AS (SELECT CASE WHEN p1.user_id IS NULL THEN 'new'
 SELECT status, CAST(count(*) AS BIGINT) AS n_users
 FROM j GROUP BY status ORDER BY status
 """
+
+
+def recency_scores_users(sf_dir: str, block_gate: int = 512):
+    """(user_id, n_events, score_cents) — recency-weighted activity score
+    per user: each event contributes ``value_cents // 2^days_old`` (days
+    before the log's last day) — EXPONENTIAL DECAY with a half-life of one
+    day, kept EXACT by using powers of two and floor division of
+    non-negative ints (both engines agree bit-for-bit; a float ``exp``
+    decay could never cross-check). The recommendation/recency-ranking
+    shape.
+
+    Shape: the decay anchor (max ts) folds from per-batch maxima in the
+    same fused scan's partials; per-batch per-user partial sums are
+    NOT possible without the anchor, so this is an honest TWO-pass over
+    the same fused scan (anchor pass is metadata-cheap), partials fold
+    driver-side under the block gate."""
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    US_PER_DAY = 86_400_000_000
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        m = pc.max(t).as_py()
+        return pa.table({"m": pa.array(
+            [] if m is None else [m], pa.int64())})
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError("bucket the partials past the gate")
+    mp = scan.map_batches(max_partial).to_pandas()
+    if not len(mp):
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "score_cents": pd.Series([], dtype=np.int64)})
+    anchor_day = int(mp["m"].max()) // US_PER_DAY
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        days_old = anchor_day - t // US_PER_DAY
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(b.column("value"), 0), 100)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # 2^days_old overflows int64 past 62 — contributions are 0 there
+        contrib = np.where(days_old < 63,
+                           cents // (np.int64(1) << np.minimum(
+                               days_old, 62)), 0)
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+            "c": contrib})
+        agg = df.groupby("user_id", sort=False)["c"].agg(["sum", "size"])
+        return pa.table({
+            "user_id": pa.array(agg.index.to_numpy().astype(np.int64)),
+            "s": pa.array(agg["sum"].to_numpy().astype(np.int64)),
+            "n": pa.array(agg["size"].to_numpy().astype(np.int64)),
+        })
+
+    parts = FusedParquetScan(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"]) \
+        .map_batches(partial).to_pandas()
+    agg = parts.groupby("user_id", as_index=False).agg(
+        n_events=("n", "sum"), score_cents=("s", "sum"))
+    agg["user_id"] = agg["user_id"].astype(np.int64)
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["score_cents"] = agg["score_cents"].astype(np.int64)
+    return agg.sort_values("user_id").reset_index(drop=True)
+
+
+RECENCY_SCORES_SQL = """
+WITH a AS (SELECT CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT)
+             AS anchor_day FROM events),
+e AS (SELECT user_id,
+             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents,
+             a.anchor_day - CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+               AS days_old
+      FROM events, a)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN days_old < 63
+                     THEN cents // CAST(power(2, LEAST(days_old, 62))
+                                        AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS score_cents
+FROM e GROUP BY user_id ORDER BY user_id
+"""

@@ -486,3 +486,32 @@ def test_trending_paths_agree(ray_session):
         [fast.columns].sort_values(["window_start", "rnk"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_recency_scores_halving_decay(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    day = np.timedelta64(86_400_000_000, "us")
+    last = np.datetime64("2024-02-10T09:00:00", "us")
+    rows = [(1, last, 8.00), (1, last - day, 8.00),       # 800 + 400
+            (1, last - 2 * day, 8.01),                     # 801 // 4 = 200
+            (2, last - 70 * day, 99.0),                    # too old -> 0
+            (3, last, None)]                               # null value -> 0
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }), str(d / "events.parquet"))
+    from jsonschema_validator_ray.pipelines.analytics import (
+        recency_scores_users)
+
+    out = recency_scores_users(str(d)).set_index("user_id")
+    assert out.loc[1, "score_cents"] == 800 + 400 + 200
+    assert out.loc[2, "score_cents"] == 0
+    assert out.loc[3, "score_cents"] == 0
+    assert out.loc[1, "n_events"] == 3
