@@ -3465,3 +3465,53 @@ SELECT lang, token, n_in, n_out, logodds_micro,
             AS BIGINT) AS rnk
 FROM scored QUALIFY rnk <= 5
 """
+
+
+def dup_cluster_histogram_documents(sf_dir: str, block_gate: int = 512):
+    """(cluster_size, n_clusters, n_docs) — the duplicate-cluster size
+    distribution of exact content dedup (how much of the corpus sits in
+    2-copies vs 10-copies clusters — the dedup-diagnostics report that
+    decides whether near-dup passes are even worth running).
+
+    Shape: per-batch 64-bit content-hash value_counts partials
+    (stages/dedup.content_hash_batch — same collision budget as
+    dedup_exact) fold to per-hash cluster sizes driver-side under the
+    block gate (bounded by the distinct-content count; past the gate,
+    one hash-bucket exchange), then the tiny size histogram."""
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.dedup import content_hash_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = content_hash_batch(b, "text").value_counts()
+        return pa.table({
+            "h": pc.struct_field(vc, "values"),
+            "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64())})
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError("bucket the hash partials past the gate")
+    parts = scan.map_batches(partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"cluster_size": pd.Series([], dtype=np.int64),
+                             "n_clusters": pd.Series([], dtype=np.int64),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    sizes = parts.groupby("h", sort=False)["n"].sum()
+    hist = sizes.groupby(sizes).size()
+    out = pd.DataFrame({
+        "cluster_size": hist.index.to_numpy().astype(np.int64),
+        "n_clusters": hist.to_numpy().astype(np.int64)})
+    out["n_docs"] = (out["cluster_size"] * out["n_clusters"]) \
+        .astype(np.int64)
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+DUP_CLUSTER_HIST_SQL = """
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM (SELECT CAST(count(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY text)
+GROUP BY cluster_size ORDER BY cluster_size
+"""

@@ -515,3 +515,23 @@ def test_recency_scores_halving_decay(ray_session, tmp_path):
     assert out.loc[2, "score_cents"] == 0
     assert out.loc[3, "score_cents"] == 0
     assert out.loc[1, "n_events"] == 3
+
+
+def test_dup_cluster_histogram_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    texts = ["a"] * 3 + ["b"] * 2 + ["c", "d", "e"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.corpus import (
+        dup_cluster_histogram_documents)
+
+    out = dup_cluster_histogram_documents(str(d))
+    got = {int(r["cluster_size"]): (int(r["n_clusters"]), int(r["n_docs"]))
+           for _, r in out.iterrows()}
+    assert got == {1: (3, 3), 2: (1, 2), 3: (1, 3)}
