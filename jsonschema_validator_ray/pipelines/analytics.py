@@ -3461,3 +3461,51 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                      ELSE 0 END) AS BIGINT) AS score_cents
 FROM e GROUP BY user_id ORDER BY user_id
 """
+
+
+def source_share_within_lang(sf_dir: str, block_gate: int = 512):
+    """(lang, source, n_docs, share_bp) — percent-of-parent reporting:
+    each source's share of its LANGUAGE's documents in exact integer
+    basis points (``n·10000 // lang_total`` — non-negative floor
+    division, identical cross-engine). The drill-down composition shape
+    (share within parent group, not of the grand total — value_share_by_
+    type covers that one).
+
+    Shape: ONE fused scan; (lang, source) count partials fold driver-side
+    under the block gate (cell-bounded)."""
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang", "source"]) \
+            .group_by(["lang", "source"]).aggregate([("source", "count")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError("bucket the cell partials past the gate")
+    parts = scan.map_batches(partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "source": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "share_bp": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby(["lang", "source"], as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_docs"})
+    tot = agg.groupby("lang")["n_docs"].transform("sum")
+    agg["share_bp"] = (agg["n_docs"] * 10_000 // tot).astype(np.int64)
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    return agg.sort_values(["lang", "source"], kind="mergesort") \
+        .reset_index(drop=True)
+
+
+SOURCE_SHARE_SQL = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1, 2)
+SELECT lang, source, n_docs,
+       CAST(n_docs * 10000 // sum(n_docs) OVER (PARTITION BY lang)
+            AS BIGINT) AS share_bp
+FROM c ORDER BY lang, source
+"""
