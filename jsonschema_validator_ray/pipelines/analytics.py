@@ -3509,3 +3509,69 @@ SELECT lang, source, n_docs,
             AS BIGINT) AS share_bp
 FROM c ORDER BY lang, source
 """
+
+
+def sample_quota_by_lang(sf_dir: str, k: int = 100, block_gate: int = 512):
+    """(lang, n_docs, quota) — largest-remainder (Hamilton) apportionment
+    of ``k`` sample slots across languages proportional to corpus counts:
+    base = ``n·k // N`` then the remaining slots go to the largest
+    remainders (``n·k mod N`` DESC, lang ASC) — the deterministic
+    integer allocator behind stratified sampling budgets (quotas always
+    sum to exactly ``k``, unlike rounded floats).
+
+    Shape: ONE fused scan; per-batch lang counts fold driver-side; the
+    apportionment itself is O(|langs|) driver math, fully integer."""
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b.column("lang").combine_chunks().value_counts()
+        return pa.table({
+            "lang": pc.struct_field(vc, "values"),
+            "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64())})
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError("bucket the lang partials past the gate")
+    parts = scan.map_batches(partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "quota": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("lang", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_docs"})
+    N = int(agg["n_docs"].sum())
+    agg["base"] = agg["n_docs"] * k // N
+    agg["rem"] = agg["n_docs"] * k % N
+    leftover = k - int(agg["base"].sum())
+    agg = agg.sort_values(["rem", "lang"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    agg["quota"] = agg["base"] + (np.arange(len(agg)) < leftover) \
+        .astype(np.int64)
+    out = agg[["lang", "n_docs", "quota"]] \
+        .sort_values("lang", kind="mergesort").reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["quota"] = out["quota"].astype(np.int64)
+    assert int(out["quota"].sum()) == k
+    return out
+
+
+SAMPLE_QUOTA_SQL = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+b AS (SELECT lang, n_docs,
+             CAST(n_docs * 100 // t.total AS BIGINT) AS base,
+             CAST(n_docs * 100 % t.total AS BIGINT) AS rem
+      FROM c, t),
+lo AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM b),
+r AS (SELECT lang, n_docs, base,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM b)
+SELECT lang, n_docs,
+       CAST(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r, lo ORDER BY lang
+"""

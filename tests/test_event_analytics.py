@@ -535,3 +535,24 @@ def test_dup_cluster_histogram_planted(ray_session, tmp_path):
     got = {int(r["cluster_size"]): (int(r["n_clusters"]), int(r["n_docs"]))
            for _, r in out.iterrows()}
     assert got == {1: (3, 3), 2: (1, 2), 3: (1, 3)}
+
+
+def test_sample_quota_sums_and_remainders(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # counts 5, 3, 3 with k=7: bases 3,1,1 (floor of 35/11, 21/11, 21/11),
+    # remainders 2, 10, 10 -> leftovers 2 go to the two largest remainders
+    langs = ["a"] * 5 + ["b"] * 3 + ["c"] * 3
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "lang": pa.array(langs),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.analytics import (
+        sample_quota_by_lang)
+
+    out = sample_quota_by_lang(str(d), k=7).set_index("lang")["quota"]
+    assert out.sum() == 7
+    assert out.to_dict() == {"a": 3, "b": 2, "c": 2}
