@@ -3575,3 +3575,92 @@ SELECT lang, n_docs,
             AS BIGINT) AS quota
 FROM r, lo ORDER BY lang
 """
+
+
+def bounce_rate_daily(sf_dir: str, gap_minutes: int = 30):
+    """(day, n_sessions, n_bounce, bounce_bp) — daily bounce rate: a
+    session is a maximal per-user event run with gaps < ``gap_minutes``;
+    a bounce is a single-event session; sessions are dated by their FIRST
+    event's day. Rate in exact integer basis points (floor division).
+
+    Shape: ONE user-hash exchange; each bucket sorts its slice once,
+    finds session starts with a vectorized gap mask, counts events per
+    session by run-length, and emits per-day (sessions, bounces)
+    partials; the calendar-bounded fold is driver-side."""
+    import numpy as np
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id"])
+    GAP_US = gap_minutes * 60 * 1_000_000
+    DAY_US = 86_400_000_000
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+            "__b": pa.array((uid % 32).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        t = g["t"].to_numpy().astype(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        start = new_user | np.r_[False, (t[1:] - t[:-1]) >= GAP_US]
+        sid = np.cumsum(start) - 1
+        n_per = np.bincount(sid)
+        start_t = t[np.flatnonzero(start)]
+        day = (start_t // DAY_US) * DAY_US
+        df = pd.DataFrame({"day": day, "one": 1,
+                           "bounce": (n_per == 1).astype(np.int64)})
+        agg = df.groupby("day", sort=False, as_index=False).agg(
+            n_sessions=("one", "sum"), n_bounce=("bounce", "sum"))
+        return agg
+
+    parts = ev.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if "day" not in parts.columns or not len(parts):
+        return pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                             "n_sessions": pd.Series([], dtype=np.int64),
+                             "n_bounce": pd.Series([], dtype=np.int64),
+                             "bounce_bp": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("day", as_index=False).agg(
+        n_sessions=("n_sessions", "sum"), n_bounce=("n_bounce", "sum"))
+    agg["bounce_bp"] = (agg["n_bounce"] * 10_000
+                        // agg["n_sessions"]).astype(np.int64)
+    agg["day"] = pd.to_datetime(agg["day"].astype(np.int64), unit="us")
+    agg["n_sessions"] = agg["n_sessions"].astype(np.int64)
+    agg["n_bounce"] = agg["n_bounce"].astype(np.int64)
+    return agg.sort_values("day").reset_index(drop=True)
+
+
+BOUNCE_RATE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pt
+  FROM events),
+s AS (SELECT user_id, event_id, t,
+             CASE WHEN pt IS NULL OR t - pt >= 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM o),
+sess AS (SELECT user_id, t,
+                sum(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM s),
+per AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(t) // 86400000000 * 86400000000 AS BIGINT)
+                 AS day_us
+        FROM sess GROUP BY 1, 2)
+SELECT CAST(to_timestamp(day_us // 1000000) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS bounce_bp
+FROM per GROUP BY day_us ORDER BY day
+"""

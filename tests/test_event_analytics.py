@@ -556,3 +556,34 @@ def test_sample_quota_sums_and_remainders(ray_session, tmp_path):
     out = sample_quota_by_lang(str(d), k=7).set_index("lang")["quota"]
     assert out.sum() == 7
     assert out.to_dict() == {"a": 3, "b": 2, "c": 2}
+
+
+def test_bounce_rate_sessions(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    MIN = 60_000_000
+    t0 = np.datetime64("2024-03-01T10:00:00", "us")
+    us = np.timedelta64(1, "us")
+    rows = [  # user 1: 2-event session + later 1-event session (bounce)
+        (1, t0, 1), (1, t0 + 10 * MIN * us, 2),
+        (1, t0 + 100 * MIN * us, 3),
+        (2, t0, 4),                       # bounce
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+    }), str(d / "events.parquet"))
+    from jsonschema_validator_ray.pipelines.analytics import (
+        bounce_rate_daily)
+
+    out = bounce_rate_daily(str(d))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r["n_sessions"]), int(r["n_bounce"]),
+            int(r["bounce_bp"])) == (3, 2, 6666)
