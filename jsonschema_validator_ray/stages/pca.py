@@ -94,14 +94,42 @@ class GramPartial:
         })
 
 
-def gram_matrix(ds, col: str, d: int) -> pa.Table:
+def gram_matrix(ds, col: str, d: int, block_gate: int = 512) -> pa.Table:
     """ONE streaming scan -> exact (i, j, gram, s_i, s_j, n_vecs) for the
     1-based upper triangle i <= j. ``ds`` is a Dataset or FusedParquetScan.
 
     The driver fold is arbitrary-precision (Python ints); the output is
-    cast back to int64 with a loud overflow assert."""
-    parts = ds.map_batches(GramPartial(col, d), batch_format="pyarrow") \
-        .to_pandas()
+    cast back to int64 with a loud overflow assert. Past ``block_gate``
+    blocks the partials first reduce through ONE hash-bucket exchange
+    keyed on the (i, j) cell (cell count fixed at d(d+1)/2, so the
+    exchange output is bounded regardless of corpus size) and the driver
+    folds the reduced per-bucket sums instead of blocks x cells rows."""
+    partials = ds.map_batches(GramPartial(col, d), batch_format="pyarrow")
+    nb = None
+    if hasattr(ds, "num_blocks"):
+        try:
+            nb = ds.num_blocks()
+        except Exception:      # lazy Dataset: block count not knowable
+            nb = None
+    if block_gate == 0 or (nb is not None and nb > block_gate):
+        def add_cb(b: pa.Table) -> pa.Table:
+            cb = pc.cast(pc.bit_wise_and(pc.add(
+                pc.multiply(b.column("i"), 131), b.column("j")), 31),
+                pa.int32())
+            return b.append_column("__cb", cb)
+
+        def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby(["i", "j"], sort=False).agg(
+                gram=("gram", "sum"), s_i=("s_i", "sum"),
+                s_j=("s_j", "sum"), n_vecs=("n_vecs", "sum")).reset_index()
+            return agg
+
+        partials = partials.map_batches(add_cb, batch_format="pyarrow") \
+            .groupby("__cb").map_groups(fold_bucket, batch_format="pandas")
+        # NOTE: the in-exchange int64 sums bound the corpus at ~9e8 rows
+        # per cell (same bound as the output cast below); past that,
+        # split the fold into generations.
+    parts = partials.to_pandas()
     iu = np.triu_indices(d)
     i1, j1 = (iu[0] + 1).astype(np.int64), (iu[1] + 1).astype(np.int64)
     ncell = len(i1)

@@ -131,3 +131,16 @@ def test_projector_matches_numpy(ray_session):
     w, vv = np.linalg.eigh(cov)
     for k, v in enumerate(comps):
         assert abs(abs(v @ vv[:, -1 - k]) - 1.0) < 1e-6
+
+
+def test_gram_exchange_path_agrees(ray_session):
+    """block_gate=0 forces the (i, j)-cell hash exchange; the folded Gram
+    must equal the driver-fold path exactly."""
+    rng = np.random.default_rng(9)
+    d = 8
+    vecs = (rng.standard_normal((60, d)) * 0.3).astype(np.float32).tolist()
+    ds = _mk_ds(vecs, blocks=5)
+    fast = gram_matrix(ds, "embedding", d).to_pandas()
+    slow = gram_matrix(ds, "embedding", d, block_gate=0).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(fast, slow)
