@@ -1410,3 +1410,107 @@ SELECT '*' AS lang, CAST(count(*) AS BIGINT) AS n_rows,
 FROM h
 ORDER BY lang
 """
+
+
+# ---- exact Spearman rank correlation -------------------------------------------
+
+
+def spearman_qty_discount(sf_dir: str, block_gate: int = 512):
+    """One-row (n_rows, rho) — EXACT Spearman rank correlation between
+    quantity and discount: average ranks with tie handling are computed
+    from the JOINT value histogram (50 x 11 cells — no global sort at any
+    scale), doubled so tie-midpoints stay integral, and Pearson-on-ranks
+    folds from arbitrary-precision integer moments. The single float is
+    one shared expression — correctly-rounded int-to-double casts, one
+    multiply, one sqrt, one divide — identical in Python and DuckDB's
+    HUGEINT pipeline (the grouped_moments technique applied to ranks).
+
+    Shape: ONE fused scan emitting per-batch joint-cell count partials
+    (bounded by the value-pair cardinality); everything else is
+    driver-side integer math over the tiny histogram."""
+    import math
+
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "qc": pc.cast(pc.round(pc.multiply(
+                b.column("l_quantity"), 100)), pa.int64()),
+            "dc": pc.cast(pc.round(pc.multiply(
+                b.column("l_discount"), 100)), pa.int64()),
+        })
+        g = t.group_by(["qc", "dc"]).aggregate([("qc", "count")])
+        return g.rename_columns(["qc", "dc", "n"])
+
+    scan = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_discount"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError("bucket the cell partials past the gate")
+    parts = scan.map_batches(partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"n_rows": pd.Series([0], dtype=np.int64),
+                             "rho": pd.Series([0.0], dtype=np.float64)})
+    cells = parts.groupby(["qc", "dc"], as_index=False)["n"].sum()
+    n = int(cells["n"].sum())
+
+    def ranks_x2(col: str) -> dict:
+        per = cells.groupby(col)["n"].sum().sort_index()
+        out, less = {}, 0
+        for v, cnt in per.items():
+            out[int(v)] = 2 * less + int(cnt) + 1   # 2x average rank
+            less += int(cnt)
+        return out
+
+    rx = ranks_x2("qc")
+    ry = ranks_x2("dc")
+    sx = sy = sxx = syy = sxy = 0
+    for qc, dc, cnt in cells.itertuples(index=False):
+        a, b_, c = rx[int(qc)], ry[int(dc)], int(cnt)
+        sx += c * a
+        sy += c * b_
+        sxx += c * a * a
+        syy += c * b_ * b_
+        sxy += c * a * b_
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    rho = 0.0 if d1 == 0 or d2 == 0 else \
+        float(num) / math.sqrt(float(d1) * float(d2))
+    return pd.DataFrame({"n_rows": pd.Series([n], dtype=np.int64),
+                         "rho": pd.Series([rho], dtype=np.float64)})
+
+
+SPEARMAN_SQL = """
+WITH v AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem),
+cells AS (SELECT qc, dc, CAST(count(*) AS BIGINT) AS n
+          FROM v GROUP BY 1, 2),
+xr AS (SELECT qc, 2 * (sum(n) OVER (ORDER BY qc
+                                    ROWS UNBOUNDED PRECEDING) - n)
+              + n + 1 AS r
+       FROM (SELECT qc, CAST(sum(n) AS BIGINT) AS n
+             FROM cells GROUP BY qc)),
+yr AS (SELECT dc, 2 * (sum(n) OVER (ORDER BY dc
+                                    ROWS UNBOUNDED PRECEDING) - n)
+              + n + 1 AS r
+       FROM (SELECT dc, CAST(sum(n) AS BIGINT) AS n
+             FROM cells GROUP BY dc)),
+m AS (SELECT CAST(sum(c.n) AS HUGEINT) AS n,
+             sum(CAST(c.n AS HUGEINT) * xr.r) AS sx,
+             sum(CAST(c.n AS HUGEINT) * yr.r) AS sy,
+             sum(CAST(c.n AS HUGEINT) * xr.r * xr.r) AS sxx,
+             sum(CAST(c.n AS HUGEINT) * yr.r * yr.r) AS syy,
+             sum(CAST(c.n AS HUGEINT) * xr.r * yr.r) AS sxy
+      FROM cells c JOIN xr USING (qc) JOIN yr USING (dc))
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+            THEN 0.0
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
+FROM m
+"""

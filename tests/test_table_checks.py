@@ -537,3 +537,47 @@ def test_decile_assignment_boundary_ties(ray_session):
     assert got["decile"].min() == 1 and got["decile"].max() == 10
     s = got.sort_values("n_chars")
     assert (np.diff(s["decile"].to_numpy()) >= 0).all()
+
+
+def test_spearman_matches_pandas_rank_corr(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rng = np.random.default_rng(13)
+    q = rng.integers(1, 8, size=400).astype(np.float64)
+    disc = np.round(((q * 3) % 5 + rng.integers(0, 3, size=400)) / 100, 2)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(q),
+        "l_discount": pa.array(disc.astype(np.float64)),
+    }), str(d / "lineitem.parquet"))
+    from jsonschema_validator_ray.pipelines.checks import (
+        spearman_qty_discount)
+
+    out = spearman_qty_discount(str(d))
+    rho = float(out["rho"][0])
+    df = pd.DataFrame({"x": q, "y": disc})
+    expect = df["x"].rank(method="average").corr(
+        df["y"].rank(method="average"))
+    assert rho == pytest.approx(expect, abs=1e-12)
+    assert int(out["n_rows"][0]) == 400
+
+
+def test_spearman_constant_column_is_zero(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([3.0] * 10),
+        "l_discount": pa.array(np.linspace(0, 0.09, 10)),
+    }), str(d / "lineitem.parquet"))
+    from jsonschema_validator_ray.pipelines.checks import (
+        spearman_qty_discount)
+
+    assert float(spearman_qty_discount(str(d))["rho"][0]) == 0.0
