@@ -1514,3 +1514,89 @@ SELECT CAST(n AS BIGINT) AS n_rows,
                         * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
 FROM m
 """
+
+
+def kendall_qty_discount(sf_dir: str, block_gate: int = 512):
+    """One-row (n_rows, tau_b) — EXACT Kendall tau-b between quantity and
+    discount, computed from the joint value histogram (spearman's sibling
+    over the same ONE-scan cell partials): concordant/discordant pair
+    counts are integer folds over cell pairs (O(cells²) driver math —
+    cells are value-cardinality-bounded, never corpus-bounded), tie terms
+    likewise, and the single float is the shared
+    ``(C−D)/sqrt((T−Tx)(T−Ty))`` expression over correctly-rounded
+    int-to-double casts."""
+    import math
+
+    import numpy as np
+
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "qc": pc.cast(pc.round(pc.multiply(
+                b.column("l_quantity"), 100)), pa.int64()),
+            "dc": pc.cast(pc.round(pc.multiply(
+                b.column("l_discount"), 100)), pa.int64()),
+        })
+        g = t.group_by(["qc", "dc"]).aggregate([("qc", "count")])
+        return g.rename_columns(["qc", "dc", "n"])
+
+    scan = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_discount"])
+    if scan.num_blocks() > block_gate:
+        raise NotImplementedError("bucket the cell partials past the gate")
+    parts = scan.map_batches(partial).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"n_rows": pd.Series([0], dtype=np.int64),
+                             "tau_b": pd.Series([0.0], dtype=np.float64)})
+    cells = parts.groupby(["qc", "dc"], as_index=False)["n"].sum()
+    qv = cells["qc"].to_numpy().astype(np.int64)
+    dv = cells["dc"].to_numpy().astype(np.int64)
+    nv = cells["n"].to_numpy().astype(object)      # Python-int math
+    n = int(sum(nv))
+    C = D = 0
+    for i in range(len(nv)):
+        gt = (qv > qv[i])
+        C += int(nv[i]) * int(sum(nv[gt & (dv > dv[i])]))
+        D += int(nv[i]) * int(sum(nv[gt & (dv < dv[i])]))
+    T = n * (n - 1) // 2
+    tx = sum(int(c) * (int(c) - 1) // 2
+             for c in cells.groupby("qc")["n"].sum())
+    ty = sum(int(c) * (int(c) - 1) // 2
+             for c in cells.groupby("dc")["n"].sum())
+    den1, den2 = T - tx, T - ty
+    tau = 0.0 if den1 == 0 or den2 == 0 else \
+        float(C - D) / math.sqrt(float(den1) * float(den2))
+    return pd.DataFrame({"n_rows": pd.Series([n], dtype=np.int64),
+                         "tau_b": pd.Series([tau], dtype=np.float64)})
+
+
+KENDALL_SQL = """
+WITH v AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem),
+cells AS (SELECT qc, dc, CAST(count(*) AS BIGINT) AS n
+          FROM v GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM cells),
+cd AS (
+  SELECT CAST(coalesce(sum(CASE WHEN b.qc > a.qc AND b.dc > a.dc
+                           THEN CAST(a.n AS HUGEINT) * b.n END), 0)
+              AS HUGEINT) AS c,
+         CAST(coalesce(sum(CASE WHEN b.qc > a.qc AND b.dc < a.dc
+                           THEN CAST(a.n AS HUGEINT) * b.n END), 0)
+              AS HUGEINT) AS d
+  FROM cells a JOIN cells b ON TRUE),
+tx AS (SELECT CAST(sum(CAST(s AS HUGEINT) * (s - 1) // 2) AS HUGEINT) AS t
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS s FROM cells GROUP BY qc)),
+ty AS (SELECT CAST(sum(CAST(s AS HUGEINT) * (s - 1) // 2) AS HUGEINT) AS t
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS s FROM cells GROUP BY dc))
+SELECT CAST(tot.n AS BIGINT) AS n_rows,
+       CASE WHEN tot.n * (tot.n - 1) // 2 - tx.t = 0
+              OR tot.n * (tot.n - 1) // 2 - ty.t = 0 THEN 0.0
+            ELSE CAST(cd.c - cd.d AS DOUBLE)
+                 / sqrt(CAST(tot.n * (tot.n - 1) // 2 - tx.t AS DOUBLE)
+                        * CAST(tot.n * (tot.n - 1) // 2 - ty.t AS DOUBLE))
+       END AS tau_b
+FROM tot, cd, tx, ty
+"""

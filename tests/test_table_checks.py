@@ -581,3 +581,39 @@ def test_spearman_constant_column_is_zero(ray_session, tmp_path):
         spearman_qty_discount)
 
     assert float(spearman_qty_discount(str(d))["rho"][0]) == 0.0
+
+
+def test_kendall_matches_brute_force(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rng = np.random.default_rng(17)
+    q = rng.integers(1, 6, size=120).astype(np.float64)
+    disc = np.round(((q + rng.integers(0, 4, size=120)) % 5) / 100, 2)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(q),
+        "l_discount": pa.array(disc.astype(np.float64)),
+    }), str(d / "lineitem.parquet"))
+    from jsonschema_validator_ray.pipelines.checks import (
+        kendall_qty_discount)
+
+    out = kendall_qty_discount(str(d))
+    # brute-force tau-b over all pairs
+    x, y = q, disc
+    C = D = 0
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            s = np.sign(x[i] - x[j]) * np.sign(y[i] - y[j])
+            C += s > 0
+            D += s < 0
+    n = len(x)
+    T = n * (n - 1) // 2
+    tx = sum(c * (c - 1) // 2 for c in
+             np.unique(x, return_counts=True)[1])
+    ty = sum(c * (c - 1) // 2 for c in
+             np.unique(y, return_counts=True)[1])
+    expect = (C - D) / np.sqrt(float(T - tx) * float(T - ty))
+    assert float(out["tau_b"][0]) == pytest.approx(expect, abs=1e-12)
