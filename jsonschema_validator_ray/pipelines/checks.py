@@ -1600,3 +1600,63 @@ SELECT CAST(tot.n AS BIGINT) AS n_rows,
        END AS tau_b
 FROM tot, cd, tx, ty
 """
+
+
+def cramers_v_lang_source(sf_dir: str):
+    """One-row (n_rows, chi2, cramers_v) — association strength between
+    lang and source: Cramér's V derived from the EXACT chi-square
+    contingency machinery (stages/contingency — per-cell integer counts,
+    cell-exact float contributions) as ``sqrt(chi2 / (n · min(r−1,
+    c−1)))``. The one new float is one division and one sqrt over the
+    already-oracle-exact chi2 sum — deterministic in both engines when
+    the SQL spells the identical per-cell accumulation order (ORDER BY
+    cell inside the sum is not needed: chi2 here is the SUM of per-cell
+    DOUBLES, so we keep chi2 itself exact by summing the per-cell
+    contributions in Python floats and mirroring DuckDB's unordered sum
+    — instead the oracle recomputes chi2 from the SAME per-cell floats
+    with a deterministic ORDER BY fold via list_aggregate? No: DuckDB
+    SUM over doubles is order-dependent, so this query rounds chi2 and V
+    to 6 decimals; values are far from the rounding boundary (pinned by
+    test)."""
+    import math
+
+    import numpy as np
+
+    from ..stages.contingency import chi_square
+
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "source"])
+    cells = chi_square(docs, "lang", "source").to_pandas()
+    n = int(cells["observed"].sum())
+    chi2 = float(cells["contribution"].sum())
+    r = cells["lang"].nunique()
+    c = cells["source"].nunique()
+    k = min(r - 1, c - 1)
+    v = 0.0 if k == 0 or n == 0 else math.sqrt(chi2 / (n * k))
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype=np.int64),
+        "chi2_r6": pd.Series([round(chi2, 6)], dtype=np.float64),
+        "cramers_v_r6": pd.Series([round(v, 6)], dtype=np.float64),
+    })
+
+
+CRAMERS_V_SQL = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY lang),
+ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS s FROM c GROUP BY source),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+cells AS (
+  SELECT c.lang, c.source, c.o,
+         CAST(rt.r AS DOUBLE) * ct.s / t.n AS e
+  FROM c JOIN rt USING (lang) JOIN ct USING (source), t),
+agg AS (SELECT sum((o - e) * (o - e) / e) AS chi2 FROM cells),
+dims AS (SELECT count(DISTINCT lang) AS r, count(DISTINCT source) AS cc
+         FROM c)
+SELECT t.n AS n_rows, round(agg.chi2, 6) AS chi2_r6,
+       round(CASE WHEN LEAST(dims.r - 1, dims.cc - 1) = 0 THEN 0.0
+                  ELSE sqrt(agg.chi2
+                            / (t.n * LEAST(dims.r - 1, dims.cc - 1)))
+             END, 6) AS cramers_v_r6
+FROM t, agg, dims
+"""
