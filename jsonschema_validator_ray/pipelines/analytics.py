@@ -3387,10 +3387,14 @@ def recency_scores_users(sf_dir: str, block_gate: int = 512):
     shape.
 
     Shape: the decay anchor (max ts) folds from per-batch maxima in the
-    same fused scan's partials; per-batch per-user partial sums are
+    same fused scan's partials (ONE 8-byte row per block — bounded at any
+    scale, always driver-folded); per-batch per-user partial sums are
     NOT possible without the anchor, so this is an honest TWO-pass over
-    the same fused scan (anchor pass is metadata-cheap), partials fold
-    driver-side under the block gate."""
+    the same fused scan (anchor pass is metadata-cheap). The per-USER
+    partials fold driver-side under the block gate; PAST it they
+    hash-exchange on ``user_id % 64`` and fold per bucket on the pandas
+    C-path, returning the per-user result as a Dataset (never gathered).
+    Path-equality pinned at block_gate=0 (tests/test_corpus_scale.py)."""
     import numpy as np
 
     from ..sources.parquet import FusedParquetScan
@@ -3405,8 +3409,6 @@ def recency_scores_users(sf_dir: str, block_gate: int = 512):
 
     scan = FusedParquetScan(f"{sf_dir}/events.parquet",
                             columns=["ts"])
-    if scan.num_blocks() > block_gate:
-        raise NotImplementedError("bucket the partials past the gate")
     mp = scan.map_batches(max_partial).to_pandas()
     if not len(mp):
         return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
@@ -3435,9 +3437,32 @@ def recency_scores_users(sf_dir: str, block_gate: int = 512):
             "n": pa.array(agg["size"].to_numpy().astype(np.int64)),
         })
 
-    parts = FusedParquetScan(f"{sf_dir}/events.parquet",
-                             columns=["user_id", "ts", "value"]) \
-        .map_batches(partial).to_pandas()
+    scan2 = FusedParquetScan(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+    if scan2.num_blocks() > block_gate:
+        mask = pa.scalar(63, pa.uint64())
+
+        def partial_b(b: pa.Table) -> pa.Table:
+            t = partial(b)
+            return t.append_column("__b", pc.cast(pc.bit_wise_and(
+                pc.cast(t.column("user_id"), pa.uint64()), mask),
+                pa.int32()))
+
+        def per_user(g: pd.DataFrame) -> pa.Table:
+            agg = g.groupby("user_id", sort=False).agg(
+                n_events=("n", "sum"), score_cents=("s", "sum"))
+            return pa.table({
+                "user_id": pa.array(
+                    agg.index.to_numpy().astype(np.int64)),
+                "n_events": pa.array(
+                    agg["n_events"].to_numpy().astype(np.int64)),
+                "score_cents": pa.array(
+                    agg["score_cents"].to_numpy().astype(np.int64))})
+
+        return scan2.map_batches(partial_b) \
+            .groupby("__b").map_groups(per_user, batch_format="pandas")
+
+    parts = scan2.map_batches(partial).to_pandas()
     agg = parts.groupby("user_id", as_index=False).agg(
         n_events=("n", "sum"), score_cents=("s", "sum"))
     agg["user_id"] = agg["user_id"].astype(np.int64)

@@ -1622,13 +1622,13 @@ def cramers_v_lang_source(sf_dir: str):
 
     import numpy as np
 
-    from ..stages.contingency import chi_square
+    from ..stages.contingency import chi_square_cells
 
     docs = read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["lang", "source"])
-    cells = chi_square(docs, "lang", "source").to_pandas()
+    cells = chi_square_cells(docs, "lang", "source")
     n = int(cells["observed"].sum())
-    chi2 = float(cells["contribution"].sum())
+    chi2 = float(cells["contrib"].sum())
     r = cells["lang"].nunique()
     c = cells["source"].nunique()
     k = min(r - 1, c - 1)

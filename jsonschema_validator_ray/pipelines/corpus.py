@@ -3476,8 +3476,12 @@ def dup_cluster_histogram_documents(sf_dir: str, block_gate: int = 512):
     Shape: per-batch 64-bit content-hash value_counts partials
     (stages/dedup.content_hash_batch — same collision budget as
     dedup_exact) fold to per-hash cluster sizes driver-side under the
-    block gate (bounded by the distinct-content count; past the gate,
-    one hash-bucket exchange), then the tiny size histogram."""
+    block gate (bounded by the distinct-content count). PAST the gate the
+    partials hash-exchange on ``h % n_buckets`` — every hash lands in
+    exactly one bucket, so a per-bucket pandas fold yields GLOBAL cluster
+    sizes and a per-bucket size histogram (bounded: distinct sizes per
+    bucket ≪ rows); the ≤ n_buckets tiny histograms sum driver-side.
+    Both paths are path-equality-pinned (tests/test_corpus_scale.py)."""
     import numpy as np
 
     from ..sources.parquet import FusedParquetScan
@@ -3489,20 +3493,50 @@ def dup_cluster_histogram_documents(sf_dir: str, block_gate: int = 512):
             "h": pc.struct_field(vc, "values"),
             "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64())})
 
+    def _hist(sizes: pd.Series) -> pd.DataFrame:
+        hist = sizes.groupby(sizes).size()
+        return pd.DataFrame({
+            "cluster_size": hist.index.to_numpy().astype(np.int64),
+            "n_clusters": hist.to_numpy().astype(np.int64)})
+
     scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
                             columns=["text"])
     if scan.num_blocks() > block_gate:
-        raise NotImplementedError("bucket the hash partials past the gate")
-    parts = scan.map_batches(partial).to_pandas()
-    if not len(parts):
-        return pd.DataFrame({"cluster_size": pd.Series([], dtype=np.int64),
-                             "n_clusters": pd.Series([], dtype=np.int64),
-                             "n_docs": pd.Series([], dtype=np.int64)})
-    sizes = parts.groupby("h", sort=False)["n"].sum()
-    hist = sizes.groupby(sizes).size()
-    out = pd.DataFrame({
-        "cluster_size": hist.index.to_numpy().astype(np.int64),
-        "n_clusters": hist.to_numpy().astype(np.int64)})
+        n_buckets = 64
+        mask = pa.scalar(n_buckets - 1, pa.uint64())
+
+        def partial_b(b: pa.Table) -> pa.Table:
+            t = partial(b)
+            return t.append_column("__b", pc.cast(
+                pc.bit_wise_and(t.column("h"), mask), pa.int32()))
+
+        def per_bucket(g: pd.DataFrame) -> pa.Table:
+            h = _hist(g.groupby("h", sort=False)["n"].sum())
+            return pa.table({
+                "cluster_size": pa.array(h["cluster_size"].to_numpy(),
+                                         type=pa.int64()),
+                "n_clusters": pa.array(h["n_clusters"].to_numpy(),
+                                       type=pa.int64())})
+
+        parts = (scan.map_batches(partial_b)
+                 .groupby("__b")
+                 .map_groups(per_bucket, batch_format="pandas")).to_pandas()
+        if not len(parts):
+            out = pd.DataFrame({"cluster_size": pd.Series([], dtype=np.int64),
+                                "n_clusters": pd.Series([], dtype=np.int64)})
+        else:
+            agg = parts.groupby("cluster_size", sort=False)["n_clusters"] \
+                .sum()
+            out = pd.DataFrame({
+                "cluster_size": agg.index.to_numpy().astype(np.int64),
+                "n_clusters": agg.to_numpy().astype(np.int64)})
+    else:
+        parts = scan.map_batches(partial).to_pandas()
+        if not len(parts):
+            out = pd.DataFrame({"cluster_size": pd.Series([], dtype=np.int64),
+                                "n_clusters": pd.Series([], dtype=np.int64)})
+        else:
+            out = _hist(parts.groupby("h", sort=False)["n"].sum())
     out["n_docs"] = (out["cluster_size"] * out["n_clusters"]) \
         .astype(np.int64)
     return out.sort_values("cluster_size").reset_index(drop=True)

@@ -135,30 +135,48 @@ def schema_drift_documents(sf_dir: str):
     """Per column: the inferred JSON-schema profile of generation A (even
     doc_ids) vs generation B (odd doc_ids) and a ``changed`` flag — the
     schema-evolution gate an incremental ingest runs before accepting a
-    new crawl (stages/infer.column_profiles on each half, then a 5-row
-    diff). Profiles compare on inferred type, required (zero nulls), and
-    the capped distinct count."""
-    from ..stages.infer import _prop_from_profile, column_profiles
+    new crawl. ONE scan of documents: each batch is split by doc_id
+    parity and profiled per half (stages/infer.InferPartial), partials
+    tagged with the generation and merged per (gen, column) — 2×|cols|
+    groups, then a 5-row diff. Profiles compare on inferred type,
+    required (zero nulls), and the capped distinct count."""
+    from ..stages.infer import (PARTIAL_SCHEMA, InferPartial,
+                                _merge_profiles, _prop_from_profile)
 
-    def half(parity: int):
-        docs = read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(f"{sf_dir}/documents.parquet")
+    profile = InferPartial(None, 16)
+    empty = pa.table(
+        {f.name: pa.array([], type=f.type) for f in PARTIAL_SCHEMA}
+    ).append_column("gen", pa.array([], type=pa.int32()))
 
-        def keep(b: pa.Table) -> pa.Table:
-            did = b.column("doc_id")
-            m = pc.equal(pc.subtract(did, pc.multiply(
-                pc.divide(did, 2), 2)), parity)
-            return b.filter(m)
+    def both_halves(b: pa.Table) -> pa.Table:
+        odd = pc.cast(pc.bit_wise_and(b.column("doc_id"), 1), pa.bool_())
+        outs = []
+        for parity, half in ((0, b.filter(pc.invert(odd))),
+                             (1, b.filter(odd))):
+            if half.num_rows == 0:
+                continue
+            p = profile(half)
+            outs.append(p.append_column(
+                "gen", pa.array([parity] * p.num_rows, pa.int32())))
+        return pa.concat_tables(outs) if outs else empty
 
-        prof = column_profiles(
-            docs.map_batches(keep, batch_format="pyarrow")).to_pandas()
-        out = {}
-        for _, r in prof.iterrows():
-            out[r["column"]] = (_prop_from_profile(r, 16).get("type"),
-                                bool(r["nulls"] == 0),
-                                int(r["n_distinct_capped"]))
+    merge = _merge_profiles(16)
+
+    def merge_gen(g: pd.DataFrame) -> pd.DataFrame:
+        out = merge(g.drop(columns=["gen"]))
+        out["gen"] = np.int32(g["gen"].iloc[0])
         return out
 
-    a, b = half(0), half(1)
+    prof = (docs.map_batches(both_halves, batch_format="pyarrow")
+            .groupby(["gen", "column"])
+            .map_groups(merge_gen, batch_format="pandas")).to_pandas()
+    halves: list[dict] = [{}, {}]
+    for _, r in prof.iterrows():
+        halves[int(r["gen"])][r["column"]] = (
+            _prop_from_profile(r, 16).get("type"),
+            bool(r["nulls"] == 0), int(r["n_distinct_capped"]))
+    a, b = halves
     rows = []
     for col in sorted(set(a) | set(b)):
         ta, ra, da = a.get(col, (None, None, None))

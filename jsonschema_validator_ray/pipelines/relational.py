@@ -1210,7 +1210,75 @@ WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id),
 # ---- triangle counting on a thresholded co-occurrence graph ------------------
 
 
-def supplier_triangles(sf_dir: str, adjacency_limit: int = 30_000):
+def _triangles_wedge_join(edges_df, n_buckets: int = 32):
+    """Broadcast-free triangle path for graphs past the adjacency gate:
+    wedge counting. Adjacency rows hash-exchange on the CENTER node; each
+    bucket pair-expands its nodes' neighbor sets into wedges (a<b, center
+    w) tagged with the same pair-hash the edge list gets; one pair-hash
+    exchange later each bucket inner-joins its wedges against its edges —
+    a match IS a triangle, seen exactly once per center, so every
+    triangle credits each corner exactly 3× across the whole exchange and
+    the caller's ``//3`` fold is unchanged. Cost: Σ deg(w)² wedge rows —
+    bounded here because the Poisson-null sparsifier runs first."""
+    import ray.data
+
+    adj = pd.DataFrame({
+        "w": np.concatenate([edges_df["s_x"].to_numpy(),
+                             edges_df["s_y"].to_numpy()]).astype(np.int64),
+        "nb": np.concatenate([edges_df["s_y"].to_numpy(),
+                              edges_df["s_x"].to_numpy()]).astype(np.int64)})
+    adj["__b"] = (adj["w"].to_numpy().astype(np.uint64)
+                  % np.uint64(n_buckets)).astype(np.int32)
+
+    def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_pandas_object(
+            pd.Series(a * np.int64(1_000_003) + b), index=False).to_numpy()
+        return (h % np.uint64(n_buckets)).astype(np.int32)
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        d = g[["w", "nb"]].drop_duplicates()
+        m = d.merge(d, on="w")
+        m = m[m["nb_x"] < m["nb_y"]]
+        a = m["nb_x"].to_numpy(np.int64)
+        b = m["nb_y"].to_numpy(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "w": pa.array(m["w"].to_numpy(np.int64)),
+                         "__pb": pa.array(_pair_bucket(a, b))})
+
+    ea = edges_df["s_x"].to_numpy(np.int64)
+    eb = edges_df["s_y"].to_numpy(np.int64)
+    # edges ride the same exchange flagged w=-1 (no nulls: a padded union
+    # would float-upcast the int64 keys inside the group fn)
+    edge_tbl = pa.table({"a": pa.array(ea), "b": pa.array(eb),
+                         "w": pa.array(np.full(len(ea), -1, np.int64)),
+                         "__pb": pa.array(_pair_bucket(ea, eb))})
+
+    wedge_ds = ray.data.from_pandas(adj).groupby("__b") \
+        .map_groups(wedges, batch_format="pandas")
+
+    def per_pb(g: pd.DataFrame) -> pa.Table:
+        e = g.loc[g["w"] < 0, ["a", "b"]].drop_duplicates()
+        m = g[g["w"] >= 0].merge(e, on=["a", "b"])
+        if not len(m):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        vc = pd.Series(np.concatenate([
+            m["a"].to_numpy(np.int64), m["b"].to_numpy(np.int64),
+            m["w"].to_numpy(np.int64)])).value_counts()
+        return pa.table({
+            "node": pa.array(vc.index.to_numpy(np.int64)),
+            "part": pa.array(vc.to_numpy(np.int64))})
+
+    out = wedge_ds.union(ray.data.from_arrow(edge_tbl)) \
+        .groupby("__pb").map_groups(per_pb, batch_format="pandas") \
+        .to_pandas()
+    if "node" not in out.columns:     # all-empty blocks drop the schema
+        out = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                            "part": pd.Series([], dtype=np.int64)})
+    return out
+
+
+def supplier_triangles(sf_dir: str, adjacency_limit: int = 85_000):
     """(node, n_triangles) — per-supplier triangle counts on the
     co-supplier graph, keeping only pairs whose co-occurrence is
     anomalously frequent: support > mean + 2σ under the Poisson null,
@@ -1225,13 +1293,15 @@ def supplier_triangles(sf_dir: str, adjacency_limit: int = 30_000):
     (an order lives in one bucket, so its pairs are complete there); a
     second pair-hash exchange folds exact supports and applies the
     predicate. Triangles: the surviving edge list streams against a
-    BROADCAST boolean adjacency matrix — nodes² BYTES as built (~0.9 GB
-    at the 30k-node gate; ``np.packbits`` is the 8× lever if the gate
-    must rise; past it, partition the intersection by hashing the
-    lower-degree endpoint); each edge batch emits per-node partial
-    counts (u and v get the common-neighbor count, every common neighbor
-    gets 1), and each triangle contributes exactly 3 to its three
-    corners, so the fold divides by 3 — an exact integer."""
+    BROADCAST ``np.packbits`` adjacency matrix — nodes²/8 bytes (~0.9 GB
+    at the 85k-node gate; batches unpack only their own edge rows); each
+    edge batch emits per-node partial counts (u and v get the
+    common-neighbor count, every common neighbor gets 1), and each
+    triangle contributes exactly 3 to its three corners, so the fold
+    divides by 3 — an exact integer. PAST the gate the broadcast is
+    replaced by the wedge-join exchange (:func:`_triangles_wedge_join`,
+    no node² state anywhere) — path-equality pinned at
+    ``adjacency_limit=0`` in tests/test_relational_features.py."""
     import ray
     import ray.data
 
@@ -1292,43 +1362,49 @@ def supplier_triangles(sf_dir: str, adjacency_limit: int = 30_000):
         return empty()
     nodes = np.unique(np.concatenate([edges_df["s_x"].to_numpy(),
                                       edges_df["s_y"].to_numpy()]))
-    assert len(nodes) <= adjacency_limit, \
-        "adjacency outgrew the broadcast gate; partition the intersection"
-    pos = {int(v): i for i, v in enumerate(nodes)}
-    a = np.zeros((len(nodes), len(nodes)), dtype=bool)
-    iu = edges_df["s_x"].map(pos).to_numpy()
-    iv = edges_df["s_y"].map(pos).to_numpy()
-    a[iu, iv] = True
-    a[iv, iu] = True
-    ref = ray.put((nodes.astype(np.int64), a))
+    if len(nodes) > adjacency_limit:
+        parts = _triangles_wedge_join(edges_df)
+    else:
+        pos = {int(v): i for i, v in enumerate(nodes)}
+        a = np.zeros((len(nodes), len(nodes)), dtype=bool)
+        iu = edges_df["s_x"].map(pos).to_numpy()
+        iv = edges_df["s_y"].map(pos).to_numpy()
+        a[iu, iv] = True
+        a[iv, iu] = True
+        # packbits: nodes²/8 bytes broadcast (85k gate ≈ 0.9 GB)
+        ref = ray.put((nodes.astype(np.int64),
+                       np.packbits(a, axis=1), len(nodes)))
 
-    class EdgePartial:
-        def __init__(self, r):
-            self.nodes, self.a = ray.get(r) \
-                if isinstance(r, ray.ObjectRef) else r
+        class EdgePartial:
+            def __init__(self, r):
+                self.nodes, self.a, self.n = ray.get(r) \
+                    if isinstance(r, ray.ObjectRef) else r
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            n = len(self.nodes)
-            acc = np.zeros(n, dtype=np.int64)
-            ui = pc.index_in(b.column("s_x"),
-                             value_set=pa.array(self.nodes)) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
-            vi = pc.index_in(b.column("s_y"),
-                             value_set=pa.array(self.nodes)) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
-            common = self.a[ui] & self.a[vi]          # (edges, n)
-            ccnt = common.sum(axis=1).astype(np.int64)
-            np.add.at(acc, ui, ccnt)
-            np.add.at(acc, vi, ccnt)
-            acc += common.sum(axis=0).astype(np.int64)
-            return pa.table({"node": pa.array(self.nodes),
-                             "part": pa.array(acc)})
+            def __call__(self, b: pa.Table) -> pa.Table:
+                n = self.n
+                acc = np.zeros(n, dtype=np.int64)
+                ui = pc.index_in(b.column("s_x"),
+                                 value_set=pa.array(self.nodes)) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                vi = pc.index_in(b.column("s_y"),
+                                 value_set=pa.array(self.nodes)) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                # unpack only this batch's edge rows: (edges, n) bool temp
+                common = np.unpackbits(self.a[ui] & self.a[vi],
+                                       axis=1, count=n).astype(bool)
+                ccnt = common.sum(axis=1).astype(np.int64)
+                np.add.at(acc, ui, ccnt)
+                np.add.at(acc, vi, ccnt)
+                acc += common.sum(axis=0).astype(np.int64)
+                return pa.table({"node": pa.array(self.nodes),
+                                 "part": pa.array(acc)})
 
-    edges = ray.data.from_pandas(edges_df[["s_x", "s_y"]])
-    # batch_size caps the (edges × nodes) per-batch intersection temp
-    parts = edges.map_batches(EdgePartial, fn_constructor_args=(ref,),
-                              concurrency=(1, 2), batch_size=2048,
-                              batch_format="pyarrow").to_pandas()
+        edges = ray.data.from_pandas(edges_df[["s_x", "s_y"]])
+        # batch_size caps the (edges × nodes) per-batch unpacked temp
+        bsz = int(max(256, min(2048, 64_000_000 // max(1, len(nodes)))))
+        parts = edges.map_batches(EdgePartial, fn_constructor_args=(ref,),
+                                  concurrency=(1, 2), batch_size=bsz,
+                                  batch_format="pyarrow").to_pandas()
     tri3 = parts.groupby("node")["part"].sum()
     tri3 = tri3[tri3 > 0]                   # SQL emits triangle members only
     out = pd.DataFrame({"node": tri3.index.to_numpy().astype(np.int64),

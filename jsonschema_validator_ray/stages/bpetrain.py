@@ -21,9 +21,12 @@ is ever re-enabled by a later one.
 
 Scale shape: training scans emit per-block SPARSE pair histograms
 (bounded by the live pair vocabulary, never corpus size) that fold
-driver-side under the 512-block gate (past it, swap in the groupby-sum
-fold of stages/bpestats.pair_counts). The argmax + tiebreak
-(count desc, then (id1, id2) ascending) folds over that tiny table.
+driver-side under ``driver_fold_limit`` partial rows; past it each
+iteration hash-exchanges the partials on ``code % 64``, folds + argmaxes
+per bucket (the global winner is some bucket's winner, since buckets
+partition codes) and the driver folds ≤ 64 candidate rows. The argmax
+tiebreak (count desc, then (id1, id2) ascending) is identical on both
+paths — path-equality pinned in tests/test_bpetrain.py.
 ``num_merges`` merges cost ``num_merges`` fused scans — the honest
 distributed form of the textbook algorithm, whose statistic changes after
 every merge. Encoding is embarrassingly parallel.
@@ -129,21 +132,52 @@ class _PairCountPass:
                          "n": pa.array(counts, pa.int64())})
 
 
+def _bucket_best(g: pd.DataFrame) -> pa.Table:
+    """Per-bucket fold+argmax of (code, n) partials: a bucket owns every
+    partial of its codes, so its (max total, min code at max) is the
+    bucket's TRUE best — the global winner is some bucket's winner."""
+    agg = g.groupby("code", sort=False)["n"].sum()
+    best_n = agg.max()
+    code = agg[agg == best_n].index.min()
+    return pa.table({"code": pa.array([int(code)], pa.int64()),
+                     "n": pa.array([int(best_n)], pa.int64())})
+
+
+def _add_code_bucket(b: pa.Table) -> pa.Table:
+    return b.append_column("__b", pc.cast(pc.bit_wise_and(
+        pc.cast(b.column("code"), pa.uint64()),
+        pa.scalar(63, pa.uint64())), pa.int32()))
+
+
 def bpe_train(ds_factory, col: str, num_merges: int,
-              min_count: int = 2) -> list[tuple[int, int]]:
+              min_count: int = 2,
+              driver_fold_limit: int = 5_000_000) -> list[tuple[int, int]]:
     """Learn ``num_merges`` merges: each iteration is ONE fused corpus scan
-    counting pairs under the merges so far, then a driver argmax with the
+    counting pairs under the merges so far, then the argmax with the
     deterministic (count desc, (id1, id2) asc) tiebreak. Stops early when
     no pair reaches ``min_count``.
+
+    Partials fold driver-side under ``driver_fold_limit`` rows; past it
+    the iteration's partials hash-exchange on ``code % 64`` and argmax per
+    bucket, so the driver folds ≤ 64 candidates regardless of corpus size
+    (see module docstring).
 
     ``ds_factory``: zero-arg callable returning a fresh Dataset /
     FusedParquetScan per scan (a Dataset is lazily re-executable, so
     ``lambda: ds`` works)."""
     merges: list[tuple[int, int]] = []
     for _ in range(num_merges):
-        parts = ds_factory().map_batches(
+        parts_ds = ds_factory().map_batches(
             _PairCountPass(col, list(merges)),
-            batch_format="pyarrow").to_pandas()
+            batch_format="pyarrow").materialize()
+        if parts_ds.count() > driver_fold_limit:
+            parts = (parts_ds
+                     .map_batches(_add_code_bucket, batch_format="pyarrow")
+                     .groupby("__b")
+                     .map_groups(_bucket_best, batch_format="pandas")
+                     ).to_pandas()
+        else:
+            parts = parts_ds.to_pandas()
         if not len(parts) or "code" not in parts.columns:
             break
         agg = parts.groupby("code", sort=False)["n"].sum()

@@ -74,11 +74,18 @@ def merge_duplicate_partials(partials, key: str):
     multi-output corpus pass (pipelines/webtext.wide_checks_files) can emit
     phase-1 partials inline and reuse this exchange unchanged."""
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # Arrow return (not pandas): an empty/object key column in a pandas
+        # block trips Ray's size estimator ("cannot call `vectorize` on
+        # size 0 inputs") — same fix as stages/linededup.py.
         agg = g.groupby(key, sort=False)["partial_count"].sum()
         agg = agg[agg > 1]
-        return pd.DataFrame({key: agg.index.to_numpy(),
-                             "dup_count": agg.to_numpy()})
+        ktype = pa.Array.from_pandas(g[key].iloc[:1]).type
+        return pa.table({
+            key: pa.Array.from_pandas(
+                agg.index.to_series().reset_index(drop=True), type=ktype),
+            "dup_count": pa.array(agg.to_numpy(np.int64), type=pa.int64()),
+        })
 
     return partials.groupby("bucket").map_groups(per_bucket,
                                                  batch_format="pandas")
@@ -144,13 +151,23 @@ def group_distinct_count(ds, group: str, value: str, *,
         return b.append_column("__b", pa.array(
             (h & mask).astype(np.int32)))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates([group, value])
         # count non-null distinct values; a group seen only with nulls
         # still emits a 0 partial so it survives to the final sum
-        return d.assign(__nn=d[value].notna().astype("int64")) \
+        out = d.assign(__nn=d[value].notna().astype("int64")) \
             .groupby(group, sort=False, dropna=False, observed=True)["__nn"] \
             .sum().reset_index(name="partial")
+        # Arrow return with an explicit key type (see per_bucket above);
+        # an all-null object group column would otherwise infer pa.null()
+        gt = pa.Array.from_pandas(g[group].iloc[:1]).type
+        if pa.types.is_null(gt):
+            gt = None
+        return pa.table({
+            group: pa.array(out[group], type=gt, from_pandas=True),
+            "partial": pa.array(out["partial"].to_numpy(np.int64),
+                                type=pa.int64()),
+        })
 
     partials = pairs.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__b").map_groups(per_bucket, batch_format="pandas") \
@@ -203,8 +220,8 @@ def group_distinct_count(ds, group: str, value: str, *,
         return b.append_column("__gb", pa.array(
             (h & mask).astype(np.int32)))
 
-    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return _fold(g).to_pandas()
+    def fold_bucket(g: pd.DataFrame) -> pa.Table:
+        return _fold(g)
 
     return partials.map_batches(add_gbucket, batch_format="pyarrow") \
         .groupby("__gb").map_groups(fold_bucket, batch_format="pandas")

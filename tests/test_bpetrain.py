@@ -90,6 +90,17 @@ def test_train_matches_reference_and_is_deterministic(ray_session):
     assert got == bpe_train(lambda: ds, "text", 5)   # deterministic
 
 
+def test_train_exchange_path_identical_merges(ray_session):
+    """driver_fold_limit=0 forces the per-merge bucketed argmax exchange;
+    it must learn the exact same merge table as the driver fold."""
+    texts = ["low lower lowest", "low low slow", "newer newest new",
+             "", None, "low"]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(3)
+    fast = bpe_train(lambda: ds, "text", 5)
+    slow = bpe_train(lambda: ds, "text", 5, driver_fold_limit=0)
+    assert slow == fast and len(fast) == 5
+
+
 def test_train_min_count_stops_early(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"text": ["ab", "cd"]}))
     assert bpe_train(lambda: ds, "text", 4, min_count=2) == []

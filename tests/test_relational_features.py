@@ -497,6 +497,48 @@ def test_supplier_triangles_hand_graph(ray_session, tmp_path):
     assert out.to_dict() == {1: 1, 2: 1, 3: 1}
 
 
+def test_supplier_triangles_wedge_join_matches_broadcast(ray_session,
+                                                         tmp_path):
+    """adjacency_limit=0 forces the broadcast-free wedge-join fallback; it
+    must equal the packbits-broadcast path on the real table (empty at
+    this SF — the sparsifier kills every edge) AND on a planted graph
+    with two shared-edge triangles (1-2-3, 2-3-4) plus noise."""
+    from jsonschema_validator_ray.pipelines.relational import (
+        supplier_triangles)
+
+    fast = supplier_triangles(SF).reset_index(drop=True)
+    slow = supplier_triangles(SF, adjacency_limit=0)[fast.columns] \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rows, oid = [], 0
+    for _ in range(30):                      # hot: both triangles
+        rows += [(oid, 1), (oid, 2), (oid, 3)]
+        oid += 1
+        rows += [(oid, 2), (oid, 3), (oid, 4)]
+        oid += 1
+    for _ in range(2):                       # cold edge drops
+        rows += [(oid, 4), (oid, 5)]
+        oid += 1
+    # 200 singleton noise pairs drag the Poisson mean to ~1.9 so the
+    # support-30/60 triangle edges clear the mean+2σ sparsifier
+    for i in range(200):
+        rows += [(oid, 100 + 2 * i), (oid, 101 + 2 * i)]
+        oid += 1
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+    }), str(d / "lineitem.parquet"))
+    fast2 = supplier_triangles(str(d)).reset_index(drop=True)
+    slow2 = supplier_triangles(str(d), adjacency_limit=0)[fast2.columns] \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast2, slow2, check_dtype=False)
+    assert fast2.set_index("node")["n_triangles"].to_dict() == \
+        {1: 1, 2: 2, 3: 2, 4: 1}
+
+
 def test_weighted_sample_respects_weights(ray_session, tmp_path):
     """Zero-length docs never sampled; max-length docs kept iff
     lcg % (max+1) < max — verified against the direct formula."""
