@@ -3318,12 +3318,13 @@ def audience_migration_events(sf_dir: str, block_gate: int = 512):
 
     Shape: ONE fused scan; each batch reduces to distinct
     (user, in_p1, in_p2) flag partials (groupby max — the OR-fold
-    combiner), the driver ORs flags per user under the block gate and
-    buckets the tiny status histogram. Past the gate, exchange the flag
-    partials on a user-hash bucket exactly like click_purchase_days."""
+    combiner), folded per user via stages/folds.fold_cells (driver-side
+    under the block gate, one user-hash exchange past it); the tiny
+    status histogram is driver math."""
     import numpy as np
 
     from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
 
     D1_LO = int(pd.Timestamp("2024-01-01").value // 1000)   # epoch µs
     D1_HI = int(pd.Timestamp("2024-01-02").value // 1000)
@@ -3345,16 +3346,11 @@ def audience_migration_events(sf_dir: str, block_gate: int = 512):
 
     scan = FusedParquetScan(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])
-    if scan.num_blocks() > block_gate:
-        raise NotImplementedError(
-            "past the block gate, exchange the flag partials on a "
-            "user-hash bucket (click_purchase_days' shape)")
-    df = scan.map_batches(partial).to_pandas()
-    if not len(df):
+    agg = fold_cells(scan, partial, ["user_id"], maxs=["f1", "f2"],
+                     block_gate=block_gate)
+    if not len(agg):
         return pd.DataFrame({"status": pd.Series([], dtype=object),
                              "n_users": pd.Series([], dtype=np.int64)})
-    agg = df.groupby("user_id", sort=False).agg(
-        f1=("f1", "max"), f2=("f2", "max"))
     status = np.where(agg["f1"].to_numpy() == 0, "new",
                       np.where(agg["f2"].to_numpy() == 0, "churned",
                                "retained"))
@@ -3496,11 +3492,13 @@ def source_share_within_lang(sf_dir: str, block_gate: int = 512):
     (share within parent group, not of the grand total — value_share_by_
     type covers that one).
 
-    Shape: ONE fused scan; (lang, source) count partials fold driver-side
-    under the block gate (cell-bounded)."""
+    Shape: ONE fused scan; (lang, source) count partials are
+    cell-bounded and fold via stages/folds.fold_cells (driver-side under
+    the block gate, one cell-hash exchange past it)."""
     import numpy as np
 
     from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.select(["lang", "source"]) \
@@ -3509,16 +3507,14 @@ def source_share_within_lang(sf_dir: str, block_gate: int = 512):
 
     scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
                             columns=["lang", "source"])
-    if scan.num_blocks() > block_gate:
-        raise NotImplementedError("bucket the cell partials past the gate")
-    parts = scan.map_batches(partial).to_pandas()
-    if not len(parts):
+    cells = fold_cells(scan, partial, ["lang", "source"], sums=["n"],
+                       block_gate=block_gate)
+    if not len(cells):
         return pd.DataFrame({"lang": pd.Series([], dtype=object),
                              "source": pd.Series([], dtype=object),
                              "n_docs": pd.Series([], dtype=np.int64),
                              "share_bp": pd.Series([], dtype=np.int64)})
-    agg = parts.groupby(["lang", "source"], as_index=False)["n"].sum() \
-        .rename(columns={"n": "n_docs"})
+    agg = cells.rename(columns={"n": "n_docs"})
     tot = agg.groupby("lang")["n_docs"].transform("sum")
     agg["share_bp"] = (agg["n_docs"] * 10_000 // tot).astype(np.int64)
     agg["n_docs"] = agg["n_docs"].astype(np.int64)
@@ -3544,11 +3540,14 @@ def sample_quota_by_lang(sf_dir: str, k: int = 100, block_gate: int = 512):
     integer allocator behind stratified sampling budgets (quotas always
     sum to exactly ``k``, unlike rounded floats).
 
-    Shape: ONE fused scan; per-batch lang counts fold driver-side; the
-    apportionment itself is O(|langs|) driver math, fully integer."""
+    Shape: ONE fused scan; per-batch lang counts fold via
+    stages/folds.fold_cells (driver-side under the block gate, one
+    lang-hash exchange past it); the apportionment itself is O(|langs|)
+    driver math, fully integer."""
     import numpy as np
 
     from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
 
     def partial(b: pa.Table) -> pa.Table:
         vc = b.column("lang").combine_chunks().value_counts()
@@ -3558,15 +3557,13 @@ def sample_quota_by_lang(sf_dir: str, k: int = 100, block_gate: int = 512):
 
     scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
                             columns=["lang"])
-    if scan.num_blocks() > block_gate:
-        raise NotImplementedError("bucket the lang partials past the gate")
-    parts = scan.map_batches(partial).to_pandas()
-    if not len(parts):
+    cells = fold_cells(scan, partial, ["lang"], sums=["n"],
+                       block_gate=block_gate)
+    if not len(cells):
         return pd.DataFrame({"lang": pd.Series([], dtype=object),
                              "n_docs": pd.Series([], dtype=np.int64),
                              "quota": pd.Series([], dtype=np.int64)})
-    agg = parts.groupby("lang", as_index=False)["n"].sum() \
-        .rename(columns={"n": "n_docs"})
+    agg = cells.rename(columns={"n": "n_docs"})
     N = int(agg["n_docs"].sum())
     agg["base"] = agg["n_docs"] * k // N
     agg["rem"] = agg["n_docs"] * k % N

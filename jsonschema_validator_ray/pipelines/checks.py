@@ -1426,13 +1426,16 @@ def spearman_qty_discount(sf_dir: str, block_gate: int = 512):
     HUGEINT pipeline (the grouped_moments technique applied to ranks).
 
     Shape: ONE fused scan emitting per-batch joint-cell count partials
-    (bounded by the value-pair cardinality); everything else is
-    driver-side integer math over the tiny histogram."""
+    (bounded by the value-pair cardinality), folded to global cells by
+    stages/folds.fold_cells (driver-side under the block gate, one
+    cell-hash exchange past it); everything else is driver-side integer
+    math over the tiny histogram."""
     import math
 
     import numpy as np
 
     from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({
@@ -1446,13 +1449,11 @@ def spearman_qty_discount(sf_dir: str, block_gate: int = 512):
 
     scan = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
                             columns=["l_quantity", "l_discount"])
-    if scan.num_blocks() > block_gate:
-        raise NotImplementedError("bucket the cell partials past the gate")
-    parts = scan.map_batches(partial).to_pandas()
-    if not len(parts):
+    cells = fold_cells(scan, partial, ["qc", "dc"], sums=["n"],
+                       block_gate=block_gate)
+    if not len(cells):
         return pd.DataFrame({"n_rows": pd.Series([0], dtype=np.int64),
                              "rho": pd.Series([0.0], dtype=np.float64)})
-    cells = parts.groupby(["qc", "dc"], as_index=False)["n"].sum()
     n = int(cells["n"].sum())
 
     def ranks_x2(col: str) -> dict:
@@ -1524,12 +1525,14 @@ def kendall_qty_discount(sf_dir: str, block_gate: int = 512):
     cells are value-cardinality-bounded, never corpus-bounded), tie terms
     likewise, and the single float is the shared
     ``(C−D)/sqrt((T−Tx)(T−Ty))`` expression over correctly-rounded
-    int-to-double casts."""
+    int-to-double casts. Cell partials fold via stages/folds.fold_cells
+    (driver-side under the block gate, one cell-hash exchange past it)."""
     import math
 
     import numpy as np
 
     from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({
@@ -1543,13 +1546,11 @@ def kendall_qty_discount(sf_dir: str, block_gate: int = 512):
 
     scan = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
                             columns=["l_quantity", "l_discount"])
-    if scan.num_blocks() > block_gate:
-        raise NotImplementedError("bucket the cell partials past the gate")
-    parts = scan.map_batches(partial).to_pandas()
-    if not len(parts):
+    cells = fold_cells(scan, partial, ["qc", "dc"], sums=["n"],
+                       block_gate=block_gate)
+    if not len(cells):
         return pd.DataFrame({"n_rows": pd.Series([0], dtype=np.int64),
                              "tau_b": pd.Series([0.0], dtype=np.float64)})
-    cells = parts.groupby(["qc", "dc"], as_index=False)["n"].sum()
     qv = cells["qc"].to_numpy().astype(np.int64)
     dv = cells["dc"].to_numpy().astype(np.int64)
     nv = cells["n"].to_numpy().astype(object)      # Python-int math

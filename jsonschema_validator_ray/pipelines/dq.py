@@ -420,12 +420,13 @@ def kanon_audit_documents(sf_dir: str, k: int = 5, block_gate: int = 512):
     of non-negative ints, exact in both engines.
 
     Shape: ONE fused scan of three small columns; per-batch partial
-    counts are bounded by the QI-combination cardinality, fold
-    driver-side under the block gate (past it: one group-hash exchange,
-    the uniqueness-stage shape)."""
+    counts are bounded by the QI-combination cardinality and fold via
+    stages/folds.fold_cells (driver-side under the block gate, one
+    QI-hash exchange past it)."""
     import numpy as np
 
     from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({
@@ -441,19 +442,14 @@ def kanon_audit_documents(sf_dir: str, k: int = 5, block_gate: int = 512):
 
     scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
                             columns=["lang", "source", "n_chars"])
-    if scan.num_blocks() > block_gate:
-        raise NotImplementedError(
-            "past the block gate, exchange the QI partials on a "
-            "group-hash bucket (stages/uniqueness shape)")
-    parts = scan.map_batches(partial).to_pandas()
-    if not len(parts):
+    cells = fold_cells(scan, partial, ["lang", "source", "len_bucket"],
+                       sums=["n"], block_gate=block_gate)
+    if not len(cells):
         return pd.DataFrame({"lang": pd.Series([], dtype=object),
                              "source": pd.Series([], dtype=object),
                              "len_bucket": pd.Series([], dtype=np.int64),
                              "n_rows": pd.Series([], dtype=np.int64)})
-    agg = parts.groupby(["lang", "source", "len_bucket"],
-                        as_index=False)["n"].sum() \
-        .rename(columns={"n": "n_rows"})
+    agg = cells.rename(columns={"n": "n_rows"})
     out = agg[agg["n_rows"] < k].sort_values(
         ["lang", "source", "len_bucket"], kind="mergesort") \
         .reset_index(drop=True)

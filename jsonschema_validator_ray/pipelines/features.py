@@ -1145,8 +1145,11 @@ def class_weights_embeddings(sf_dir: str, block_gate: int = 512):
     The classifier-training prep step for imbalanced labels.
 
     Shape: ONE fused scan of the label column; per-batch value_counts
-    partials fold driver-side (bounded by the class count)."""
+    partials are class-count-bounded and fold via
+    stages/folds.fold_cells (driver-side under the block gate, one
+    label-hash exchange past it)."""
     from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
 
     def partial(b: pa.Table) -> pa.Table:
         vc = b.column("label").combine_chunks().value_counts()
@@ -1156,15 +1159,13 @@ def class_weights_embeddings(sf_dir: str, block_gate: int = 512):
 
     scan = FusedParquetScan(f"{sf_dir}/embeddings.parquet",
                             columns=["label"])
-    if scan.num_blocks() > block_gate:
-        raise NotImplementedError("bucket the label partials past the gate")
-    parts = scan.map_batches(partial).to_pandas()
-    if not len(parts):
+    cells = fold_cells(scan, partial, ["label"], sums=["n"],
+                       block_gate=block_gate)
+    if not len(cells):
         return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
                              "n_rows": pd.Series([], dtype=np.int64),
                              "weight_ppm": pd.Series([], dtype=np.int64)})
-    agg = parts.groupby("label", as_index=False)["n"].sum() \
-        .rename(columns={"n": "n_rows"})
+    agg = cells.rename(columns={"n": "n_rows"})
     total = int(agg["n_rows"].sum())
     ncls = len(agg)
     agg["weight_ppm"] = (total * 1_000_000
