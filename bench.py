@@ -239,6 +239,13 @@ def run_bench() -> dict:
         "gram_embeddings", "cosine_pairs_documents", "checksum_documents",
         "bpe_encode_documents", "type_intervals_users",
         "pca_project_embeddings",
+        # round-5 touched surfaces (exchange fallbacks + fixes)
+        "cramers_v_lang_source", "dup_cluster_histogram_documents",
+        "recency_scores_users", "schema_drift_documents",
+        "spearman_qty_discount", "kendall_qty_discount",
+        "kanon_audit_documents", "audience_migration_events",
+        "source_share_within_lang", "sample_quota_by_lang",
+        "class_weights_embeddings",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -400,12 +400,16 @@ def ingest_increment(ds, root: str, *, batch_size: int = 4096) -> dict:
     matched_pairs = 0
     survivors = combined
     pre_extracted_partials = None
-    if not first and combined.count() > 0:
+    n_comb = combined.count()
+    if not first and n_comb > 0:
         matched = minhashindex.probe_minhash_index(
             None, mh_dir, threshold=meta["near_threshold"],
             batch_size=max(batch_size // 4, 256),
             sigs=combined.map_batches(
-                _data_rows_only, batch_format="pyarrow")).materialize()
+                _data_rows_only, batch_format="pyarrow"),
+            # combined's row count bounds the data rows from above
+            # (partial rows included) — unlocks the one-gather probe path
+            sig_rows_hint=n_comb).materialize()
         matched_pairs = matched.count()
         if matched_pairs and matched_pairs <= 2_000_000:
             # small matched set (the common crawl-ingest case): broadcast

@@ -193,7 +193,8 @@ def _read_bucket(path: str, generations: list[str], store: str,
 def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
                         batch_size: int = 1024, bucket_cap: int = 200,
                         pair_buckets: int = 16, return_sigs: bool = False,
-                        sig_broadcast_limit: int = 64 << 20, sigs=None):
+                        sig_broadcast_limit: int = 64 << 20, sigs=None,
+                        sig_rows_hint: int | None = None):
     """→ Dataset ``(key_a, key_b, jaccard_est, truncated)``: every (new
     doc, indexed doc) pair with estimated Jaccard ≥ ``threshold``. ``ds``
     is the new crawl; only it is signed and shuffled — index I/O is
@@ -208,7 +209,10 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     ``sigs`` skips the signing pass entirely: pass a dataset already
     carrying (key, sig) columns (e.g. the fused exact-dedup+signature pass
     of pipelines/incremental) and ``ds`` is ignored — at scale the
-    shingle+hash pass is the whole probe cost."""
+    shingle+hash pass is the whole probe cost. ``sig_rows_hint`` (an
+    UPPER bound on the sig row count, e.g. the already-counted fused-pass
+    rows) lets a small increment gather its sigs in ONE job instead of
+    materialize + count + take_all."""
     import ray.data
 
     def ret(pairs, sigs):
@@ -218,13 +222,32 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     key, nb = meta["key"], meta["num_buckets"]
     generations = list(meta["generations"])
 
+    gathered = None
     if sigs is None:
         sigs = minhash_signatures(ds, key, meta["text"],
                                   n_perm=meta["n_perm"], seed=meta["seed"],
                                   batch_size=batch_size).materialize()
+    elif (sig_rows_hint is not None
+          and sig_rows_hint * meta["n_perm"] * 8 <= sig_broadcast_limit):
+        # small increment with a row-count hint (the crawl-ingest case):
+        # ONE gather replaces the materialize + count + take_all round
+        # trips — the hint is an UPPER bound on the sig rows, so a
+        # borderline crawl can only fall through to the shuffle path,
+        # never gather an over-limit one. The single local block also
+        # makes the band exchange's sort input trivial.
+        gathered = sigs.select_columns([key, "sig"]).take_all()
+        tbl = (pa.table({key: pa.array([r[key] for r in gathered]),
+                         "sig": pa.array([r["sig"] for r in gathered],
+                                         type=pa.binary())})
+               if gathered else
+               pa.table({key: pa.array(
+                   [], type=_index_key_type(index_path, meta)),
+                   "sig": pa.array([], type=pa.binary())}))
+        sigs = ray.data.from_arrow(tbl)
     else:
         sigs = sigs.select_columns([key, "sig"]).materialize()
-    if sigs.count() == 0:
+    n_sig = len(gathered) if gathered is not None else sigs.count()
+    if n_sig == 0:
         # empty crawl (e.g. everything already dropped upstream): an empty
         # Dataset has no schema to read the key type from — take it from
         # the index's own sig store
@@ -233,14 +256,6 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     key_type = dict(zip(sigs.schema().names, sigs.schema().types))[key]
 
     explode = _explode_bands(meta, key_type)
-
-    def ren(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("band_bucket")
-        return b.set_column(i, "__cb", b.column("band_bucket"))
-
-    exploded = sigs.map_batches(explode, batch_format="pyarrow",
-                                batch_size=batch_size) \
-        .map_batches(ren, batch_format="pyarrow")
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
@@ -277,8 +292,30 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
         out["truncated"] = out["truncated"].astype(np.int32)
         return out
 
-    cand = exploded.groupby("__cb").map_groups(candidates,
-                                               batch_format="pandas")
+    if gathered is not None:
+        # sigs are already local: explode bands DRIVER-side and emit one
+        # Arrow block per band bucket — batch_size=None then hands each
+        # block (= one complete __cb group) to ``candidates`` with ZERO
+        # exchange, replacing the groupby sort (the probe's other sort,
+        # the verify-side __ob exchange, stays — collapsing it would
+        # re-read corpus-scale sig-store buckets once per band task).
+        exp = explode(tbl).to_pandas().rename(columns={"band_bucket":
+                                                       "__cb"})
+        parts = [pa.Table.from_pandas(g, preserve_index=False)
+                 .replace_schema_metadata(None)
+                 for _, g in exp.groupby("__cb", sort=False)]
+        cand = ray.data.from_arrow(parts).map_batches(
+            candidates, batch_format="pandas", batch_size=None)
+    else:
+        def ren(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index("band_bucket")
+            return b.set_column(i, "__cb", b.column("band_bucket"))
+
+        exploded = sigs.map_batches(explode, batch_format="pyarrow",
+                                    batch_size=batch_size) \
+            .map_batches(ren, batch_format="pyarrow")
+        cand = exploded.groupby("__cb").map_groups(candidates,
+                                                   batch_format="pandas")
 
     # attach the NEW side's signature to each candidate pair. Small
     # increments (the common crawl-ingest case) broadcast the materialized
@@ -287,9 +324,10 @@ def probe_minhash_index(ds, index_path: str, *, threshold: float = 0.7,
     # dropped inside verify instead (a pair's __ob bucket is a pure
     # function of key_b, so all its band copies land in one group). Past
     # the limit, the shuffle path runs unchanged.
-    broadcast = (sigs.count() * meta["n_perm"] * 8) <= sig_broadcast_limit
+    broadcast = (n_sig * meta["n_perm"] * 8) <= sig_broadcast_limit
     if broadcast:
-        sig_map = {r[key]: r["sig"] for r in sigs.take_all()}
+        rows = gathered if gathered is not None else sigs.take_all()
+        sig_map = {r[key]: r["sig"] for r in rows}
         ref = ray.put(sig_map)
 
         def attach(b: pa.Table) -> pa.Table:
