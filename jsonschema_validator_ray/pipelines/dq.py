@@ -364,7 +364,7 @@ def cross_source_dup_matrix(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         d = g.groupby(["text", "source"], sort=False, as_index=False)[
             "k"].sum()
         pairs = d.merge(d, on="text")
@@ -378,7 +378,16 @@ def cross_source_dup_matrix(sf_dir: str):
                             "n_pairs": n.astype(np.int64)})
         out = out.groupby(["source_a", "source_b"], sort=False,
                           as_index=False)["n_pairs"].sum()
-        return out[out["n_pairs"] > 0]
+        out = out[out["n_pairs"] > 0]
+        # Arrow return with explicit string types: an often-empty pandas
+        # object column trips Ray's block size estimator (log spam)
+        return pa.table({
+            "source_a": pa.array(out["source_a"].to_numpy(),
+                                 type=pa.string()),
+            "source_b": pa.array(out["source_b"].to_numpy(),
+                                 type=pa.string()),
+            "n_pairs": pa.array(out["n_pairs"].to_numpy(),
+                                type=pa.int64())})
 
     parts = (docs.map_batches(partial, batch_format="pyarrow")
              .groupby("__b").map_groups(per_bucket, batch_format="pandas")

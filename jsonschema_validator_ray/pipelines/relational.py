@@ -794,12 +794,14 @@ def sources_except_zh(sf_dir: str):
                          "__b": pa.array((h % np.uint64(32))
                                          .astype(np.int32))})
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # Arrow return: an often-EMPTY pandas object column trips Ray's
+        # block size estimator ("cannot call `vectorize` on size 0
+        # inputs") — explicit string typing avoids the spam
         agg = g.groupby("source", sort=False).agg(en=("en", "max"),
                                                   zh=("zh", "max"))
-        return pd.DataFrame({
-            "source": agg.index[(agg["en"] == 1)
-                                & (agg["zh"] == 0)].to_numpy()})
+        keep = agg.index[(agg["en"] == 1) & (agg["zh"] == 0)].to_numpy()
+        return pa.table({"source": pa.array(keep, type=pa.string())})
 
     return docs.map_batches(partial, batch_format="pyarrow") \
         .groupby("__b").map_groups(per_bucket, batch_format="pandas")
