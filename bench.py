@@ -246,6 +246,8 @@ def run_bench() -> dict:
         "kanon_audit_documents", "audience_migration_events",
         "source_share_within_lang", "sample_quota_by_lang",
         "class_weights_embeddings",
+        "winnow_fingerprints_documents", "zipf_slope_documents",
+        "winnow_dup_pairs_documents",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

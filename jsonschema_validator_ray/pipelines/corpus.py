@@ -3549,3 +3549,246 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS cluster_size
       FROM documents GROUP BY text)
 GROUP BY cluster_size ORDER BY cluster_size
 """
+
+
+def winnow_fingerprints_documents(sf_dir: str, k: int = 8, w: int = 4):
+    """(doc_id, fp) DISTINCT winnowing fingerprints per document
+    (Schleimer et al. 2003 "local algorithms for document fingerprinting"
+    — the MOSS scheme, public): polynomial k-gram hashes over code points
+    (base 31, highest power 31^(k-1)=31^7≈2.75e10, so every term and the
+    k-term sum stay EXACT int64 in both engines — no modulus, no float),
+    then the MINIMUM hash of every window of ``w`` consecutive k-grams;
+    the fingerprint set is the distinct window minima per document.  Any
+    substring of length ≥ w+k−1 shared by two documents shares at least
+    one fingerprint (the winnowing guarantee), so matching fp values are
+    plagiarism/near-dup candidates.
+
+    Shape: ONE scan, zero exchanges.  All work is batch-local — docs never
+    span batches, so per-batch dedup of (doc_id, fp) IS the global
+    distinct.  Per batch everything is vectorized: code points via one
+    utf-32 reinterpret of the '\\x00'-joined batch text, k-gram hashes via
+    one sliding-window matmul, window minima via one sliding-window min;
+    position masks (k-grams and windows must not cross doc boundaries)
+    come from searchsorted over the doc-offset table.  Output is
+    corpus-scale (≈ 2·len/w fingerprints per doc) and returned as a
+    Dataset, never gathered."""
+    return fused_map_parquet(f"{sf_dir}/documents.parquet",
+                             _winnow_partial(k, w),
+                             columns=["doc_id", "text"])
+
+
+def _winnow_partial(k: int, w: int):
+    """Batch kernel of winnow_fingerprints_documents (shared with the
+    pair-matching query): Arrow batch → distinct (doc_id, fp)."""
+    weights = (31 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+    span = w + k - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+        ids = b.column("doc_id").to_numpy()
+        text = pc.fill_null(b.column("text"), "").to_pylist()
+        if not text:
+            return empty
+        lens = np.fromiter((len(s) for s in text), np.int64, len(text))
+        cp = np.frombuffer("\x00".join(text).encode("utf-32-le"),
+                           np.uint32).astype(np.int64)
+        starts = np.zeros(len(text), np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        if len(cp) < k:
+            return empty
+        hashes = sliding_window_view(cp, k) @ weights
+        if len(hashes) < w:
+            return empty
+        mins = sliding_window_view(hashes, w).min(axis=1)
+        q = np.arange(len(mins), dtype=np.int64)
+        doc_of = np.searchsorted(starts, q, side="right") - 1
+        valid = (q - starts[doc_of]) <= (lens[doc_of] - span)
+        if not valid.any():
+            return empty
+        out = pd.DataFrame({"doc_id": ids[doc_of[valid]],
+                            "fp": mins[valid]}).drop_duplicates()
+        return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy()),
+                         "fp": pa.array(out["fp"].to_numpy())})
+
+    return partial
+
+
+_WINNOW_CTE = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+pw AS (SELECT j, CAST(pow(31, 7 - j) AS BIGINT) AS wt FROM range(8) r(j)),
+pos AS (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 6, 1))) AS p
+        FROM d),
+kg AS (
+  SELECT pos.doc_id, pos.p,
+         CAST(sum(CAST(unicode(substr(pos.text,
+                                      CAST(pos.p + pw.j AS INTEGER), 1))
+                       AS BIGINT) * pw.wt) AS BIGINT) AS h
+  FROM pos, pw
+  GROUP BY pos.doc_id, pos.p),
+wm AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+  FROM kg),
+fpt AS (SELECT DISTINCT doc_id, fp FROM wm WHERE cnt = 4)
+"""
+
+WINNOW_FP_SQL = _WINNOW_CTE + """
+SELECT doc_id, fp FROM fpt
+"""
+
+
+
+def zipf_slope_documents(sf_dir: str, v: int = 256, *,
+                         block_gate: int = 512, n_buckets: int = 64):
+    """One row (n_vocab, v_used, slope_ppm): OLS slope of ln(frequency)
+    against ln(rank) over the top-``v`` tokens (frequency desc, token asc
+    tiebreak) — the Zipf exponent of the corpus, ≈ −1 for natural text.
+
+    Exactness: ranks and counts quantize to ``floor(ln(x)·1e6)`` int64
+    (ONE scalar libm log each — identical in Python and DuckDB), the four
+    OLS moments are exact big-int sums (HUGEINT in SQL), and the slope is
+    emitted in ppm via TRUNCATING division mirrored sign-aware in Python
+    (DuckDB ``//`` truncates, Python ``//`` floors — same pin as the
+    week-over-week query).
+
+    Shape: per-batch token value_counts partials; under ``block_gate``
+    they gather and fold driver-side (pandas C-path), past it ONE
+    token-hash exchange where each bucket emits only its LOCAL top-``v``
+    rows plus one vocab-count row — the global top-v is a subset of the
+    union of per-bucket top-v (every token lives in exactly one bucket),
+    so the driver merge sees ≤ n_buckets·(v+1) rows at ANY corpus size.
+    Path equality pinned at ``block_gate=0`` in tests."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b.column("text"), "").to_pandas()
+        toks = text.str.split(" ")
+        flat = pd.Series(np.concatenate(toks.to_numpy()), dtype=object)
+        vc = flat.value_counts(sort=False)
+        return pa.table({
+            "g": pa.array(vc.index.to_numpy(), pa.large_string()),
+            "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts_ds = scan.map_batches(partial)
+    if scan.num_blocks() <= block_gate:
+        parts = parts_ds.to_pandas()
+        if len(parts):
+            ct = parts.groupby("g", sort=False, as_index=False)["n"].sum()
+        else:
+            ct = parts
+        n_vocab = len(ct)
+    else:
+        mod = np.uint64(n_buckets)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t.column("g").to_pandas(), index=False).to_numpy()
+            return t.append_column(
+                "__b", pa.array((h % mod).astype(np.int32)))
+
+        def per_bucket(g: pd.DataFrame) -> pa.Table:
+            ct = g.groupby("g", sort=False, as_index=False)["n"].sum()
+            top = ct.sort_values(["n", "g"], ascending=[False, True],
+                                 kind="mergesort").head(v)
+            out = pd.concat(
+                [top, pd.DataFrame({"g": [None], "n": [-len(ct)]})])
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        folded = (parts_ds.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("__b").map_groups(per_bucket,
+                                             batch_format="pandas")
+                  ).to_pandas()
+        n_vocab = int(-folded.loc[folded["g"].isna(), "n"].sum())
+        ct = folded[folded["g"].notna()]
+    if not n_vocab:
+        return pd.DataFrame({"n_vocab": pd.Series([0], dtype=np.int64),
+                             "v_used": pd.Series([0], dtype=np.int64),
+                             "slope_ppm": pd.Series([0], dtype=np.int64)})
+    top = ct.sort_values(["n", "g"], ascending=[False, True],
+                         kind="mergesort").head(v)
+    freq = top["n"].to_numpy(np.int64)
+    vu = len(freq)
+    x = [math.floor(math.log(float(r)) * 1e6) for r in range(1, vu + 1)]
+    y = [math.floor(math.log(float(f)) * 1e6) for f in freq]
+    sx, sy = sum(x), sum(y)
+    sxx = sum(a * a for a in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    num = (vu * sxy - sx * sy) * 1_000_000
+    den = vu * sxx - sx * sx
+    if den == 0:
+        slope_ppm = 0
+    else:
+        q = abs(num) // den
+        slope_ppm = -q if num < 0 else q
+    return pd.DataFrame({
+        "n_vocab": pd.Series([n_vocab], dtype=np.int64),
+        "v_used": pd.Series([vu], dtype=np.int64),
+        "slope_ppm": pd.Series([slope_ppm], dtype=np.int64)})
+
+
+ZIPF_SLOPE_SQL = """
+WITH tok AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS g
+             FROM documents),
+ct AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY g),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM ct),
+top AS (SELECT n, row_number() OVER (ORDER BY n DESC, g) AS r
+        FROM ct ORDER BY n DESC, g LIMIT 256),
+q AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM top),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS v,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM q)
+SELECT tot.n_vocab,
+       CAST(s.v AS BIGINT) AS v_used,
+       CAST(CASE WHEN s.v * s.sxx - s.sx * s.sx = 0 THEN 0
+                 ELSE ((s.v * s.sxy - s.sx * s.sy) * 1000000)
+                      // (s.v * s.sxx - s.sx * s.sx) END AS BIGINT)
+         AS slope_ppm
+FROM s, tot
+"""
+
+
+def winnow_dup_pairs_documents(sf_dir: str, k: int = 8, w: int = 4,
+                               df_cap: int = 64, min_shared: int = 8):
+    """(key_a, key_b, shared) — near-duplicate CANDIDATE PAIRS sharing ≥
+    ``min_shared`` winnowing fingerprints (the MOSS matching step on top
+    of winnow_fingerprints_documents): fingerprints held by more than
+    ``df_cap`` docs are boilerplate and dropped — part of the measure,
+    mirrored exactly in the oracle.  Everything is integer (fingerprints,
+    df, shared counts), so the oracle matches bitwise.
+
+    Shape: the one-scan winnow kernel feeds stages/ngrams.shared_item_pairs
+    — ONE item-hash exchange (exact in-bucket df + vectorized-triu pair
+    emission, pre-summed per bucket) + ONE pair-hash exchange (sum +
+    in-bucket threshold, only final pairs leave)."""
+    from ..stages.ngrams import shared_item_pairs
+
+    fps = fused_map_parquet(f"{sf_dir}/documents.parquet",
+                            _winnow_partial(k, w),
+                            columns=["doc_id", "text"])
+    return shared_item_pairs(fps, id_col="doc_id", item_col="fp",
+                             df_cap=df_cap, min_shared=min_shared)
+
+
+WINNOW_DUP_PAIRS_SQL = _WINNOW_CTE + """,
+kept AS (SELECT * FROM fpt WHERE fp IN (
+  SELECT fp FROM fpt GROUP BY fp HAVING count(*) <= 64))
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8
+"""

@@ -865,3 +865,90 @@ def tf_cosine_pairs(docs, *, column: str, id_col: str, n: int = 1,
         _CosineNormAttacher,
         fn_constructor_args=(ref, threshold_num, threshold_den, id_type),
         batch_format="pyarrow", concurrency=(1, 2))
+
+
+def shared_item_pairs(items, *, id_col: str = "doc_id",
+                      item_col: str = "fp", df_cap: int = 64,
+                      min_shared: int = 2, num_buckets: int = 64,
+                      pair_buckets: int = 16):
+    """→ Dataset ``(key_a, key_b, shared)``: id pairs sharing ≥
+    ``min_shared`` distinct items, over a ``(id, item)`` Dataset that is
+    already DISTINCT per id (e.g. winnowing fingerprints, shingle hashes).
+    Items held by more than ``df_cap`` ids are dropped — the boilerplate
+    guard that keeps candidate generation from going quadratic in the
+    hottest item (same measure-definition stance as
+    ``jaccard_near_duplicates``); df-1 items pair nothing and vanish
+    naturally.
+
+    Shape (exchanges carry ≤24 B id/hash rows, never documents):
+    ONE ``groupby(item % num_buckets)`` pass computes each item's EXACT
+    document frequency in-bucket (the bucket key is the item, so an item
+    never splits), drops items past ``df_cap``, and emits vectorized-triu
+    pair contributions pre-summed per bucket; ONE pair-hash exchange sums
+    contributions (a pair's rows all land in one bucket via
+    ``hash(a)^hash(b)``) and applies the ``min_shared`` threshold
+    in-bucket, so only final pairs leave the exchange."""
+    from .dedup import _add_pair_bucket
+
+    schema = items.schema()
+    id_type = dict(zip(schema.names, schema.types))[id_col]
+
+    def add_item_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.column(item_col).to_pandas(), index=False).to_numpy()
+        ib = (h.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return no_meta(b).append_column("__ib", pa.array(ib))
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"key_a": pa.array([], id_type),
+                          "key_b": pa.array([], id_type),
+                          "cnt": pa.array([], pa.int64())})
+        df = g.groupby(item_col, sort=False)[item_col].transform("size")
+        dfv = df.to_numpy()
+        kept = g[(dfv >= 2) & (dfv <= df_cap)]
+        if not len(kept):
+            return empty
+        # vectorized triu per item (jaccard_near_duplicates discipline):
+        # sorted by (item, id), position j in its item group emits j pairs
+        # with ascending key_a < key_b
+        ks = kept.sort_values([item_col, id_col], kind="mergesort")
+        itv = ks[item_col].to_numpy()
+        ids = ks[id_col].to_numpy()
+        gstart = np.flatnonzero(np.r_[True, itv[1:] != itv[:-1]])
+        starts = np.repeat(gstart, np.diff(np.r_[gstart, itv.size]))
+        local = np.arange(itv.size, dtype=np.int64) - starts
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        key_b = np.repeat(ids, local)
+        cum = np.concatenate(([0], np.cumsum(local)))
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], local)
+        key_a = ids[np.repeat(starts, local) + intra]
+        pairs = pd.DataFrame({"key_a": key_a, "key_b": key_b}) \
+            .groupby(["key_a", "key_b"], sort=False, as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        return pa.table({"key_a": pa.array(pairs["key_a"].to_numpy(),
+                                           id_type),
+                         "key_b": pa.array(pairs["key_b"].to_numpy(),
+                                           id_type),
+                         "cnt": pa.array(pairs["cnt"].to_numpy()
+                                         .astype(np.int64))})
+
+    def sum_and_threshold(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(["key_a", "key_b"], sort=False,
+                        as_index=False)["cnt"].sum()
+        out = out[out["cnt"] >= min_shared]
+        return pa.table({"key_a": pa.array(out["key_a"].to_numpy(),
+                                           id_type),
+                         "key_b": pa.array(out["key_b"].to_numpy(),
+                                           id_type),
+                         "shared": pa.array(out["cnt"].to_numpy()
+                                            .astype(np.int64))})
+
+    return (items.map_batches(add_item_bucket, batch_format="pyarrow")
+            .groupby("__ib").map_groups(bucket_pairs,
+                                        batch_format="pandas")
+            .map_batches(_add_pair_bucket(pair_buckets),
+                         batch_format="pyarrow")
+            .groupby("__pb").map_groups(sum_and_threshold,
+                                        batch_format="pandas"))

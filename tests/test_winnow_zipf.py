@@ -1,0 +1,168 @@
+"""Winnowing fingerprints (Schleimer et al. 2003) + Zipf slope pins:
+brute-force per-doc winnowing parity on crafted edge-case docs, the
+winnowing shared-substring guarantee, and the zipf block_gate=0
+exchange-path equality (test_relational_features.py:97 template)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+K, W = 8, 4
+
+
+def _df(out):
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+
+def _brute_winnow(text: str, k: int = K, w: int = W) -> set[int]:
+    """Pure-Python reference: polynomial k-gram hashes, min per window of
+    w consecutive hashes, distinct minima."""
+    cps = [ord(c) for c in text]
+    if len(cps) < k:
+        return set()
+    hashes = []
+    for i in range(len(cps) - k + 1):
+        h = 0
+        for j in range(k):
+            h = h * 31 + cps[i + j]
+        hashes.append(h)
+    if len(hashes) < w:
+        return set()
+    return {min(hashes[q:q + w]) for q in range(len(hashes) - w + 1)}
+
+
+def _mini_docs(tmp_path, texts):
+    p = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["t"] * len(texts)),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    }), p)
+    return str(tmp_path)
+
+
+def test_winnow_brute_force_parity(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        winnow_fingerprints_documents)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",                       # empty → no fingerprints
+        "short",                  # len < k → none
+        "exactly8",               # len == k < k+w-1 → none
+        "elevenchars",            # len == k+w-1 == 11 → exactly one window
+        "aaaaaaaaaaaaaaaaaaaa",   # all-equal hashes, heavy dedup
+        None,                     # null text = '' parity
+        "ünïcödé — ß ✓ ünïcödé — ß ✓ padding tail",  # non-ASCII cps
+    ]
+    sf = _mini_docs(tmp_path, texts)
+    got = _df(winnow_fingerprints_documents(sf))
+    by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+    for i, t in enumerate(texts):
+        want = _brute_winnow(t or "")
+        assert by_doc.get(i, set()) == want, f"doc {i}"
+    # distinctness: no (doc_id, fp) appears twice
+    assert not got.duplicated(["doc_id", "fp"]).any()
+
+
+def test_winnow_shared_substring_guarantee(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        winnow_fingerprints_documents)
+
+    shared = "a very distinctive plagiarised passage indeed"
+    texts = ["intro words before " + shared + " and trailing text",
+             shared + " totally different continuation here",
+             "no overlap with anything else in this corpus at all"]
+    sf = _mini_docs(tmp_path, texts)
+    got = _df(winnow_fingerprints_documents(sf))
+    fp0 = set(got.loc[got["doc_id"] == 0, "fp"])
+    fp1 = set(got.loc[got["doc_id"] == 1, "fp"])
+    fp2 = set(got.loc[got["doc_id"] == 2, "fp"])
+    # any shared substring of length >= w+k-1 shares a fingerprint
+    assert fp0 & fp1
+    assert not (fp0 & fp2) and not (fp1 & fp2)
+
+
+def test_zipf_exchange_path_and_brute(ray_session):
+    import math
+
+    from jsonschema_validator_ray.pipelines.corpus import (
+        zipf_slope_documents)
+
+    fast = _df(zipf_slope_documents(SF))
+    slow = _df(zipf_slope_documents(SF, block_gate=0))[fast.columns]
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True),
+        check_dtype=False)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    toks = docs["text"].fillna("").str.split(" ").explode()
+    ct = toks.value_counts()
+    top = ct.reset_index()
+    top.columns = ["g", "n"]
+    top = top.sort_values(["n", "g"], ascending=[False, True],
+                          kind="mergesort").head(256)
+    x = [math.floor(math.log(r) * 1e6) for r in range(1, len(top) + 1)]
+    y = [math.floor(math.log(f) * 1e6) for f in top["n"]]
+    v, sx, sy = len(x), sum(x), sum(y)
+    num = (v * sum(a * b for a, b in zip(x, y)) - sx * sy) * 1_000_000
+    den = v * sum(a * a for a in x) - sx * sx
+    q = abs(num) // den
+    want = -q if num < 0 else q
+    assert int(fast["slope_ppm"].iloc[0]) == want
+    assert int(fast["n_vocab"].iloc[0]) == len(ct)
+    assert int(fast["v_used"].iloc[0]) == v
+    # natural-ish synthetic text: slope is negative
+    assert want < 0
+
+
+def test_zipf_small_vocab(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        zipf_slope_documents)
+
+    sf = _mini_docs(tmp_path, ["a a a b b c", "a b"])
+    out = _df(zipf_slope_documents(sf))
+    assert int(out["n_vocab"].iloc[0]) == 3
+    assert int(out["v_used"].iloc[0]) == 3
+    assert int(out["slope_ppm"].iloc[0]) < 0
+
+
+def test_winnow_dup_pairs_brute(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        winnow_dup_pairs_documents)
+
+    base = "the common boilerplate sentence that appears everywhere here"
+    texts = [base + " plus exclusive tail zero zero",
+             base + " plus exclusive tail one one",
+             "completely unrelated document text with nothing in common",
+             base + " plus exclusive tail zero zero"]   # exact dup of 0
+    sf = _mini_docs(tmp_path, texts)
+    got = _df(winnow_dup_pairs_documents(sf, min_shared=3)) \
+        .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+    # brute force: per-doc fp sets, df-cap, pairwise intersections
+    fps = {i: _brute_winnow(t) for i, t in enumerate(texts)}
+    from collections import Counter
+    df = Counter(f for s in fps.values() for f in s)
+    kept = {i: {f for f in s if df[f] <= 64} for i, s in fps.items()}
+    want = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            n = len(kept[a] & kept[b])
+            if n >= 3:
+                want.append((a, b, n))
+    want_df = pd.DataFrame(want, columns=["key_a", "key_b", "shared"])
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want_df.astype("int64"))
+    # the planted exact dup shares everything; the unrelated doc pairs
+    # with nothing
+    assert ((got["key_a"] == 0) & (got["key_b"] == 3)).any()
+    assert not ((got["key_a"] == 2) | (got["key_b"] == 2)).any()
