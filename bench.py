@@ -248,6 +248,7 @@ def run_bench() -> dict:
         "class_weights_embeddings",
         "winnow_fingerprints_documents", "zipf_slope_documents",
         "winnow_dup_pairs_documents",
+        "heaps_law_documents", "jsd_lang_split_documents",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

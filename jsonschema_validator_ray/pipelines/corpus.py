@@ -3792,3 +3792,245 @@ SELECT a.doc_id AS key_a, b.doc_id AS key_b,
 FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 8
 """
+
+
+def heaps_law_documents(sf_dir: str, steps: int = 8, *,
+                        block_gate: int = 512, n_buckets: int = 64):
+    """(k, cutoff, n_tokens, vocab) for k = 1..``steps`` — the Heaps'-law
+    vocabulary-growth curve: distinct-token vocabulary and total token
+    count among documents with ``doc_id ≤ cutoff_k``, at cutoffs
+    ``(max_doc_id · k) // steps`` (all-integer, truncating division is
+    floor for non-negative ints in both engines).  Sublinear vocab growth
+    (V ≈ c·Tᵝ, β<1) is the canonical corpus sanity check; a near-linear
+    curve flags boilerplate/UUID pollution.
+
+    Shape: the ladder comes from parquet column STATISTICS (driver-side
+    metadata read — no scan; full doc_id scan fallback when a writer
+    omitted stats).  Then ONE fused scan emits tagged partials — per-token
+    first-sighting ``(g, m=min doc_id)`` rows plus ``steps`` per-batch
+    token-count cells.  Under ``block_gate`` they fold driver-side; past
+    it ONE token-hash exchange where each bucket reduces its tokens to
+    ``steps`` (vocab-count, token-count) cells via searchsorted over the
+    bucket's sorted mins — the gather is ≤ n_buckets·steps rows at ANY
+    corpus size.  Path equality pinned at ``block_gate=0``."""
+    import pyarrow.parquet as pq
+
+    from ..sources.parquet import FusedParquetScan
+
+    path = f"{sf_dir}/documents.parquet"
+    md = pq.ParquetFile(path).metadata
+    max_doc = None
+    for r in range(md.num_row_groups):
+        rg = md.row_group(r)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema == "doc_id" and c.statistics is not None \
+                    and c.statistics.has_min_max:
+                m = int(c.statistics.max)
+                max_doc = m if max_doc is None else max(max_doc, m)
+    if max_doc is None:  # stats-less writer: one pruned-column scan
+        max_doc = int(read_parquet(path, columns=["doc_id"])
+                      .max("doc_id"))
+    cuts = np.array([(max_doc * k) // steps for k in range(1, steps + 1)],
+                    dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        text = pc.fill_null(b.column("text"), "").to_pandas()
+        toks = text.str.split(" ")
+        n_per = toks.str.len().to_numpy().astype(np.int64)
+        flat = pd.Series(np.concatenate(toks.to_numpy()), dtype=object)
+        doc = np.repeat(ids, n_per)
+        mins = pd.DataFrame({"g": flat, "m": doc}) \
+            .groupby("g", sort=False, as_index=False)["m"].min()
+        # steps tagged count cells: tokens in docs <= cut_k this batch
+        order = np.sort(doc)
+        ntok_k = np.searchsorted(order, cuts, side="right").astype(np.int64)
+        return pa.table({
+            "g": pa.array(np.concatenate([mins["g"].to_numpy(),
+                                          np.array([None] * steps,
+                                                   object)]),
+                          pa.large_string()),
+            "m": pa.array(np.concatenate([
+                mins["m"].to_numpy().astype(np.int64),
+                np.arange(1, steps + 1, dtype=np.int64)])),
+            "n": pa.array(np.concatenate([
+                np.zeros(len(mins), np.int64), ntok_k])),
+        })
+
+    def summarize(tok_mins: np.ndarray, counts_by_k: np.ndarray):
+        order = np.sort(tok_mins)
+        vocab_k = np.searchsorted(order, cuts, side="right")
+        return pd.DataFrame({
+            "k": np.arange(1, steps + 1, dtype=np.int64),
+            "cutoff": cuts,
+            "n_tokens": counts_by_k.astype(np.int64),
+            "vocab": vocab_k.astype(np.int64)})
+
+    scan = FusedParquetScan(path, columns=["doc_id", "text"])
+    parts_ds = scan.map_batches(partial)
+    if scan.num_blocks() <= block_gate:
+        parts = parts_ds.to_pandas()
+        tok = parts[parts["g"].notna()]
+        mins = tok.groupby("g", sort=False)["m"].min().to_numpy()
+        cells = parts[parts["g"].isna()].groupby("m")["n"].sum()
+        counts = cells.reindex(range(1, steps + 1), fill_value=0).to_numpy()
+        return summarize(mins, counts)
+
+    mod = np.uint64(n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.column("g").to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % mod).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        tok = g[g["g"].notna()]
+        mins = np.sort(tok.groupby("g", sort=False)["m"].min().to_numpy())
+        vocab_k = np.searchsorted(mins, cuts, side="right").astype(np.int64)
+        cells = g[g["g"].isna()].groupby("m")["n"].sum()
+        counts = cells.reindex(range(1, steps + 1), fill_value=0) \
+            .to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(np.arange(1, steps + 1,
+                                                 dtype=np.int64)),
+                         "vc": pa.array(vocab_k),
+                         "tc": pa.array(counts)})
+
+    folded = (parts_ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+              ).to_pandas()
+    agg = folded.groupby("k")[["vc", "tc"]].sum() \
+        .reindex(range(1, steps + 1), fill_value=0)
+    return pd.DataFrame({
+        "k": np.arange(1, steps + 1, dtype=np.int64),
+        "cutoff": cuts,
+        "n_tokens": agg["tc"].to_numpy().astype(np.int64),
+        "vocab": agg["vc"].to_numpy().astype(np.int64)})
+
+
+HEAPS_LAW_SQL = """
+WITH mx AS (SELECT max(doc_id) AS md FROM documents),
+lad AS (SELECT CAST(r.k AS BIGINT) AS k,
+               CAST((mx.md * r.k) // 8 AS BIGINT) AS cutoff
+        FROM range(1, 9) r(k), mx),
+tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS g
+        FROM documents),
+mins AS (SELECT g, min(doc_id) AS m FROM tok GROUP BY g)
+SELECT lad.k, lad.cutoff,
+       (SELECT CAST(count(*) AS BIGINT) FROM tok
+        WHERE tok.doc_id <= lad.cutoff) AS n_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM mins
+        WHERE mins.m <= lad.cutoff) AS vocab
+FROM lad ORDER BY lad.k
+"""
+
+
+def jsd_lang_split_documents(sf_dir: str, target_lang: str = "en",
+                             vocab_limit: int = 5_000_000):
+    """One row (t_target, t_rest, jsd_target_micro, jsd_rest_micro,
+    jsd_e6) — Jensen–Shannon divergence between the unigram token
+    distributions of ``target_lang`` documents and everything else: the
+    corpus-mixing diagnostic (how far a language's token mix is from the
+    rest; 0 = identical, ln 2 ≈ 0.693 = disjoint).
+
+    Exactness: each side's integrand quantizes to
+    ``floor(ln(2·n_a·T_b / (n_a·T_b + n_b·T_a))·1e6)`` — the products are
+    exact ints < 2^53, ONE double division then ONE scalar libm log — and
+    folds as the int64 dot with the exact counts, so ``jsd_*_micro`` are
+    exact integers; ``jsd_e6 = (a/T_a + b/T_b) / 2`` is three IEEE ops on
+    exactly-representable ints, bitwise identical in DuckDB.  No
+    smoothing is needed: an n_b = 0 token contributes exactly ln 2 to
+    side a and nothing to side b.
+
+    Shape: ONE fused scan of (token, n_target, n_rest) partials
+    (dsir_scores_documents discipline), vocabulary-bounded driver fold
+    behind ``vocab_limit``, then O(|V|) driver math."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pandas()
+        text = pc.fill_null(b.column("text"), "").to_pandas()
+        toks = text.str.split(" ")
+        n_per = toks.str.len().to_numpy()
+        flat = pd.Series(np.concatenate(toks.to_numpy()), dtype=object)
+        is_t = np.repeat((lang == target_lang).to_numpy(), n_per)
+        df = pd.DataFrame({"g": flat, "t": is_t.astype(np.int64)})
+        agg = df.groupby("g", sort=False)["t"].agg(["sum", "size"])
+        return pa.table({
+            "g": pa.array(agg.index.to_numpy(), pa.large_string()),
+            "n_t": pa.array(agg["sum"].to_numpy().astype(np.int64)),
+            "n_c": pa.array(agg["size"].to_numpy().astype(np.int64)),
+        })
+
+    parts = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                             columns=["lang", "text"]) \
+        .map_batches(count_partial).to_pandas()
+    out0 = pd.DataFrame({"t_target": pd.Series([0], dtype=np.int64),
+                         "t_rest": pd.Series([0], dtype=np.int64),
+                         "jsd_target_micro": pd.Series([0], dtype=np.int64),
+                         "jsd_rest_micro": pd.Series([0], dtype=np.int64),
+                         "jsd_e6": pd.Series([0.0], dtype=np.float64)})
+    if not len(parts):
+        return out0
+    ct = parts.groupby("g", sort=False).agg(n_t=("n_t", "sum"),
+                                            n_c=("n_c", "sum"))
+    if len(ct) > vocab_limit:
+        raise ValueError(
+            f"{len(ct)} distinct tokens exceeds vocab_limit={vocab_limit}; "
+            f"switch the fold to a token-hash-bucket exchange")
+    na = ct["n_t"].to_numpy(np.int64)
+    nb = (ct["n_c"] - ct["n_t"]).to_numpy(np.int64)
+    ta, tb = int(na.sum()), int(nb.sum())
+    if ta == 0 or tb == 0:
+        return out0
+    ja = jb = 0
+    for a, b_ in zip(na.tolist(), nb.tolist()):
+        mix = a * tb + b_ * ta
+        if a > 0:
+            ja += a * math.floor(math.log(float(2 * a * tb) / float(mix))
+                                 * 1e6)
+        if b_ > 0:
+            jb += b_ * math.floor(math.log(float(2 * b_ * ta) / float(mix))
+                                  * 1e6)
+    jsd = (ja / ta + jb / tb) / 2
+    return pd.DataFrame({
+        "t_target": pd.Series([ta], dtype=np.int64),
+        "t_rest": pd.Series([tb], dtype=np.int64),
+        "jsd_target_micro": pd.Series([ja], dtype=np.int64),
+        "jsd_rest_micro": pd.Series([jb], dtype=np.int64),
+        "jsd_e6": pd.Series([jsd], dtype=np.float64)})
+
+
+JSD_LANG_SPLIT_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS g
+  FROM documents),
+ct AS (SELECT g,
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+              CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_b
+       FROM tok GROUP BY g),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+               CAST(sum(n_b) AS BIGINT) AS tb FROM ct),
+terms AS (
+  SELECT CASE WHEN n_a > 0 THEN n_a *
+           CAST(floor(ln(CAST(2 * n_a * tb AS DOUBLE)
+                         / CAST(n_a * tb + n_b * ta AS DOUBLE)) * 1000000)
+                AS BIGINT) ELSE 0 END AS wa,
+         CASE WHEN n_b > 0 THEN n_b *
+           CAST(floor(ln(CAST(2 * n_b * ta AS DOUBLE)
+                         / CAST(n_a * tb + n_b * ta AS DOUBLE)) * 1000000)
+                AS BIGINT) ELSE 0 END AS wb
+  FROM ct, tot),
+s AS (SELECT CAST(sum(wa) AS BIGINT) AS ja, CAST(sum(wb) AS BIGINT) AS jb
+      FROM terms)
+SELECT tot.ta AS t_target, tot.tb AS t_rest,
+       s.ja AS jsd_target_micro, s.jb AS jsd_rest_micro,
+       (CAST(s.ja AS DOUBLE) / tot.ta + CAST(s.jb AS DOUBLE) / tot.tb) / 2
+         AS jsd_e6
+FROM s, tot
+"""

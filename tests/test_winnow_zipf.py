@@ -166,3 +166,57 @@ def test_winnow_dup_pairs_brute(ray_session, tmp_path):
     # with nothing
     assert ((got["key_a"] == 0) & (got["key_b"] == 3)).any()
     assert not ((got["key_a"] == 2) | (got["key_b"] == 2)).any()
+
+
+def test_heaps_law_paths_and_brute(ray_session):
+    from jsonschema_validator_ray.pipelines.corpus import heaps_law_documents
+
+    fast = _df(heaps_law_documents(SF)).reset_index(drop=True)
+    slow = _df(heaps_law_documents(SF, block_gate=0))[fast.columns] \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = docs.assign(g=docs["text"].fillna("").str.split(" ")) \
+        .explode("g")
+    max_doc = int(docs["doc_id"].max())
+    for _, row in fast.iterrows():
+        c = (max_doc * int(row["k"])) // 8
+        assert int(row["cutoff"]) == c
+        sub = toks[toks["doc_id"] <= c]
+        assert int(row["n_tokens"]) == len(sub)
+        assert int(row["vocab"]) == sub["g"].nunique()
+    # Heaps: vocab grows sublinearly vs tokens (monotone, concave-ish)
+    assert fast["vocab"].is_monotonic_increasing
+    assert fast["n_tokens"].is_monotonic_increasing
+
+
+def test_jsd_lang_split_brute(ray_session, tmp_path):
+    import math
+
+    from jsonschema_validator_ray.pipelines.corpus import (
+        jsd_lang_split_documents)
+
+    # identical distributions -> jsd 0; disjoint -> ln 2 * 1e6-ish
+    p = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["x y z", "x y z", "x y z", "x y z"]),
+        "lang": pa.array(["en", "en", "fr", "fr"]),
+        "source": pa.array(["t"] * 4),
+        "n_chars": pa.array([5] * 4, pa.int64()),
+    }), p)
+    same = _df(jsd_lang_split_documents(str(tmp_path)))
+    assert float(same["jsd_e6"].iloc[0]) == 0.0
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "text": pa.array(["a b c", "d e f"]),
+        "lang": pa.array(["en", "fr"]),
+        "source": pa.array(["t"] * 2),
+        "n_chars": pa.array([5] * 2, pa.int64()),
+    }), p)
+    disj = _df(jsd_lang_split_documents(str(tmp_path)))
+    want = float(math.floor(math.log(2.0) * 1e6))
+    assert float(disj["jsd_e6"].iloc[0]) == want
