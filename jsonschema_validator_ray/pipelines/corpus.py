@@ -4034,3 +4034,229 @@ SELECT tot.ta AS t_target, tot.tb AS t_rest,
          AS jsd_e6
 FROM s, tot
 """
+
+
+def _source_token_counts(sf_dir: str, *, block_gate: int = 512):
+    """Folded (g, source, n) joint token counts over documents — ONE fused
+    scan of per-batch value-count partials through stages/folds.fold_cells
+    (driver fold under the gate, token-hash exchange past it).  The result
+    is vocabulary×sources-bounded — the same CCNet-regime stance as
+    dsir_scores_documents."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pandas()
+        text = pc.fill_null(b.column("text"), "").to_pandas()
+        toks = text.str.split(" ")
+        n_per = toks.str.len().to_numpy()
+        flat = pd.Series(np.concatenate(toks.to_numpy()), dtype=object)
+        df = pd.DataFrame({"g": flat,
+                           "source": np.repeat(src.to_numpy(), n_per)})
+        agg = df.groupby(["g", "source"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({
+            "g": pa.array(agg["g"].to_numpy(), pa.large_string()),
+            "source": pa.array(agg["source"].to_numpy(),
+                               pa.large_string()),
+            "n": pa.array(agg["n"].to_numpy().astype(np.int64))})
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+    return fold_cells(scan, partial, keys=["g", "source"], sums=["n"],
+                      block_gate=block_gate)
+
+
+def token_dispersion_documents(sf_dir: str, k: int = 20, *,
+                               block_gate: int = 512):
+    """(rnk, token, n_total, dp_ppm) for the top-``k`` corpus tokens —
+    Gries' "deviation of proportions" dispersion across sources: DP =
+    ½·Σᵢ |share of the token in source i − source i's share of the
+    corpus|; 0 = the token is spread exactly like the corpus, →1 = it
+    lives in one source.  The burstiness screen that separates topical
+    terms from evenly-spread function words.
+
+    Exactness: DP's numerator is Σᵢ |nᵢ·T − N·Tᵢ| over denominator 2·N·T
+    — ALL integers (absent (token, source) cells contribute N·Tᵢ
+    exactly), summed as Python big ints (HUGEINT in SQL — nᵢ·T alone can
+    pass 2^53) and emitted as one truncating ppm division, so the oracle
+    matches bitwise.  Ranking is (count desc, token asc), mirrored."""
+    jc = _source_token_counts(sf_dir, block_gate=block_gate)
+    if not len(jc):
+        return pd.DataFrame({"rnk": pd.Series([], dtype=np.int64),
+                             "token": pd.Series([], dtype=object),
+                             "n_total": pd.Series([], dtype=np.int64),
+                             "dp_ppm": pd.Series([], dtype=np.int64)})
+    ts = jc.groupby("source", sort=False)["n"].sum()      # T_i
+    t_all = int(ts.sum())
+    ng = jc.groupby("g", sort=False)["n"].sum()
+    top = ng.reset_index().sort_values(["n", "g"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(k)
+    sub = jc[jc["g"].isin(top["g"])]
+    cell = {(g, s): int(n) for g, s, n in
+            zip(sub["g"], sub["source"], sub["n"])}
+    rows = []
+    for rnk, (g, n_tot) in enumerate(zip(top["g"], top["n"]), start=1):
+        n_tot = int(n_tot)
+        num = 0
+        for s, ti in ts.items():
+            num += abs(cell.get((g, s), 0) * t_all - n_tot * int(ti))
+        rows.append((rnk, g, n_tot, (num * 1_000_000)
+                     // (2 * n_tot * t_all)))
+    return pd.DataFrame(rows, columns=["rnk", "token", "n_total",
+                                       "dp_ppm"]).astype(
+        {"rnk": np.int64, "n_total": np.int64, "dp_ppm": np.int64})
+
+
+TOKEN_DISPERSION_SQL = """
+WITH tok AS (SELECT source,
+                    unnest(string_split(coalesce(text, ''), ' ')) AS g
+             FROM documents),
+jc AS (SELECT g, source, CAST(count(*) AS BIGINT) AS n
+       FROM tok GROUP BY 1, 2),
+ts AS (SELECT source, CAST(sum(n) AS BIGINT) AS ti FROM jc GROUP BY source),
+tt AS (SELECT CAST(sum(ti) AS BIGINT) AS t FROM ts),
+ng AS (SELECT g, CAST(sum(n) AS BIGINT) AS ngt FROM jc GROUP BY g),
+top AS (SELECT g, ngt, row_number() OVER (ORDER BY ngt DESC, g) AS rnk
+        FROM ng ORDER BY ngt DESC, g LIMIT 20),
+cells AS (SELECT top.g, top.ngt, top.rnk, ts.source, ts.ti,
+                 coalesce(jc.n, 0) AS n
+          FROM top CROSS JOIN ts
+          LEFT JOIN jc ON jc.g = top.g AND jc.source = ts.source),
+agg AS (SELECT g, any_value(ngt) AS ngt, any_value(rnk) AS rnk,
+               sum(abs(CAST(n AS HUGEINT) * t
+                       - CAST(ngt AS HUGEINT) * ti)) AS num
+        FROM cells, tt GROUP BY g)
+SELECT CAST(agg.rnk AS BIGINT) AS rnk, agg.g AS token,
+       agg.ngt AS n_total,
+       CAST(agg.num * 1000000
+            // (2 * CAST(agg.ngt AS HUGEINT) * tt.t) AS BIGINT) AS dp_ppm
+FROM agg, tt ORDER BY rnk
+"""
+
+
+def source_profile_cosine_documents(sf_dir: str, *,
+                                    block_gate: int = 512):
+    """(src_a, src_b, dot, cos2_ppm) for every source pair (a < b) —
+    cosine similarity of the sources' unigram token-count profiles, the
+    corpus-mixing fingerprint (two crawls of the same site score near 1;
+    disjoint domains near 0).
+
+    Exactness: ``dot`` is the exact int64 dot of the two count vectors
+    (Σ n_a·n_b ≤ max(n)·T < 2^53); squaring it and dividing by the exact
+    squared norms happens in Python big ints / SQL HUGEINT with ONE
+    truncating ppm division — ``cos2_ppm = dot²·10⁶ // (‖a‖²·‖b‖²)`` —
+    so the oracle matches bitwise and no sqrt ever runs."""
+    jc = _source_token_counts(sf_dir, block_gate=block_gate)
+    if not len(jc):
+        return pd.DataFrame({"src_a": pd.Series([], dtype=object),
+                             "src_b": pd.Series([], dtype=object),
+                             "dot": pd.Series([], dtype=np.int64),
+                             "cos2_ppm": pd.Series([], dtype=np.int64)})
+    piv = jc.pivot_table(index="g", columns="source", values="n",
+                         aggfunc="sum", fill_value=0)
+    srcs = sorted(piv.columns)
+    m = piv[srcs].to_numpy(np.int64)
+    gram = m.T @ m                       # ≤ max(n)·T per cell: exact int64
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            dot = int(gram[i, j])
+            if dot == 0:      # token-disjoint pair: absent, mirroring the
+                continue      # oracle's inner join on shared tokens
+            n2a, n2b = int(gram[i, i]), int(gram[j, j])
+            rows.append((srcs[i], srcs[j], dot,
+                         (dot * dot * 1_000_000) // (n2a * n2b)))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "dot",
+                                       "cos2_ppm"]).astype(
+        {"dot": np.int64, "cos2_ppm": np.int64})
+
+
+SOURCE_PROFILE_COSINE_SQL = """
+WITH tok AS (SELECT source,
+                    unnest(string_split(coalesce(text, ''), ' ')) AS g
+             FROM documents),
+jc AS (SELECT g, source, CAST(count(*) AS BIGINT) AS n
+       FROM tok GROUP BY 1, 2),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                 sum(CAST(a.n AS HUGEINT) * b.n) AS dot
+          FROM jc a JOIN jc b USING (g) WHERE a.source < b.source
+          GROUP BY 1, 2),
+nrm AS (SELECT source, sum(CAST(n AS HUGEINT) * n) AS n2
+        FROM jc GROUP BY source)
+SELECT p.src_a, p.src_b, CAST(p.dot AS BIGINT) AS dot,
+       CAST(p.dot * p.dot * 1000000 // (na.n2 * nb.n2) AS BIGINT)
+         AS cos2_ppm
+FROM pairs p JOIN nrm na ON na.source = p.src_a
+             JOIN nrm nb ON nb.source = p.src_b
+"""
+
+
+def benford_first_digit_orders(sf_dir: str, *, block_gate: int = 512):
+    """(digit, observed, share_ppm, expected_ppm) — Benford's-law
+    first-digit audit of order totals, the classic synthetic-data /
+    fraud screen: naturally-occurring amounts follow
+    P(d) = log10(1 + 1/d); a flat or spiked profile flags generated or
+    manipulated values.
+
+    Exactness: totals take the repo's floor-cents idiom
+    (``floor(o_totalprice·100)`` — ONE IEEE multiply + floor, identical
+    both engines), the first digit comes from STRING truncation (never
+    ``10^floor(log10 x)``, whose ulp error flips the digit at exact
+    powers of ten), shares are truncating integer ppm, and the expected
+    ppm is ``floor(ln((d+1)/d)/ln(10)·1e6)`` — the same scalar-libm-ln
+    chain in Python and DuckDB (log10 itself is NOT used: an engine may
+    implement it at a different ulp than ln/ln).
+
+    Shape: per-batch digit counts (≤9 cells) through fold_cells — driver
+    fold under the gate, one cell-hash exchange past it."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        digit = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        vc = digit.value_counts(sort=False)
+        return pa.table({"digit": pa.array(vc.index.to_numpy()
+                                           .astype(np.int64)),
+                         "observed": pa.array(vc.to_numpy()
+                                              .astype(np.int64))})
+
+    scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+    obs = fold_cells(scan, partial, keys=["digit"], sums=["observed"],
+                     block_gate=block_gate)
+    if not len(obs):
+        return pd.DataFrame({"digit": pd.Series([], dtype=np.int64),
+                             "observed": pd.Series([], dtype=np.int64),
+                             "share_ppm": pd.Series([], dtype=np.int64),
+                             "expected_ppm": pd.Series([], dtype=np.int64)})
+    obs = obs.sort_values("digit").reset_index(drop=True)
+    n = int(obs["observed"].sum())
+    obs["share_ppm"] = (obs["observed"].astype(np.int64) * 1_000_000
+                        // n).astype(np.int64)
+    obs["expected_ppm"] = [
+        math.floor(math.log((d + 1) / d) / math.log(10.0) * 1e6)
+        for d in obs["digit"].astype(int)]
+    obs["expected_ppm"] = obs["expected_ppm"].astype(np.int64)
+    return obs
+
+
+BENFORD_SQL = """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+        FROM d GROUP BY digit),
+tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
+SELECT obs.digit, obs.observed,
+       CAST(obs.observed * 1000000 // tot.n AS BIGINT) AS share_ppm,
+       CAST(floor(ln(CAST(obs.digit + 1 AS DOUBLE) / obs.digit)
+                  / ln(10.0) * 1000000) AS BIGINT) AS expected_ppm
+FROM obs, tot ORDER BY obs.digit
+"""

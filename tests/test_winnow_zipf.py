@@ -220,3 +220,73 @@ def test_jsd_lang_split_brute(ray_session, tmp_path):
     disj = _df(jsd_lang_split_documents(str(tmp_path)))
     want = float(math.floor(math.log(2.0) * 1e6))
     assert float(disj["jsd_e6"].iloc[0]) == want
+
+
+def test_token_dispersion_properties(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        token_dispersion_documents)
+
+    # 'even' spreads exactly like the corpus (DP=0); 'only' lives in one
+    # source (DP -> 1 - that source's corpus share)
+    p = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["even even only only only only",
+                          "even even x x x x",
+                          "even even y y y y",
+                          "even even z z z z"]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s0", "s1", "s2", "s3"]),
+        "n_chars": pa.array([10] * 4, pa.int64()),
+    }), p)
+    out = _df(token_dispersion_documents(str(tmp_path)))
+    by_tok = out.set_index("token")
+    assert int(by_tok.loc["even", "dp_ppm"]) == 0
+    # 'only': n=(4,0,0,0), N=4, T_i=6 each, T=24 -> DP = 3/4
+    assert int(by_tok.loc["only", "dp_ppm"]) == 750_000
+    # gate path equality
+    slow = _df(token_dispersion_documents(str(tmp_path), block_gate=0))
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  slow[out.columns].reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_source_profile_cosine_properties(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        source_profile_cosine_documents)
+
+    p = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(["a b c a b c", "a b c a b c", "x y z"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s0", "s1", "s2"]),
+        "n_chars": pa.array([5] * 3, pa.int64()),
+    }), p)
+    out = _df(source_profile_cosine_documents(str(tmp_path))) \
+        .set_index(["src_a", "src_b"])
+    # identical profiles -> cos^2 = 1 exactly (ppm 1_000_000)
+    assert int(out.loc[("s0", "s1"), "cos2_ppm"]) == 1_000_000
+    # token-disjoint profiles never pair (absent in BOTH engines: the
+    # oracle's inner join sees no shared token, the Ray side drops dot=0)
+    assert ("s0", "s2") not in out.index
+    assert ("s1", "s2") not in out.index
+
+
+def test_benford_paths_and_invariants(ray_session):
+    import math
+
+    from jsonschema_validator_ray.pipelines.corpus import (
+        benford_first_digit_orders)
+
+    fast = _df(benford_first_digit_orders(SF)).reset_index(drop=True)
+    slow = _df(benford_first_digit_orders(SF, block_gate=0)) \
+        [fast.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert set(fast["digit"]) <= set(range(1, 10))
+    # expected ppm matches the published Benford table (log10(1+1/d))
+    want1 = math.floor(math.log(2.0) / math.log(10.0) * 1e6)
+    assert int(fast.loc[fast["digit"] == 1, "expected_ppm"].iloc[0]) \
+        == want1 == 301029
+    # shares are a truncating partition of 1e6 (sum within 9 ulp of trunc)
+    assert 1_000_000 - 9 <= int(fast["share_ppm"].sum()) <= 1_000_000
