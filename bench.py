@@ -250,7 +250,7 @@ def run_bench() -> dict:
         "winnow_dup_pairs_documents",
         "heaps_law_documents", "jsd_lang_split_documents",
         "token_dispersion_documents", "source_profile_cosine_documents",
-        "benford_first_digit_orders",
+        "benford_first_digit_orders", "char_entropy_documents",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -4260,3 +4260,72 @@ SELECT obs.digit, obs.observed,
                   / ln(10.0) * 1000000) AS BIGINT) AS expected_ppm
 FROM obs, tot ORDER BY obs.digit
 """
+
+
+def char_entropy_documents(sf_dir: str):
+    """(doc_id, n_chars_counted, ent_micro) — per-document character-level
+    Shannon entropy in integer micro-nats: ``Σ_c count_c ·
+    floor(ln(L/count_c)·1e6)`` (so ``ent_micro / L / 1e6`` is the usual
+    H).  The compressibility/gibberish screen: natural text sits in a
+    band; near-zero flags repeated-char padding, near-``ln(alphabet)``
+    flags random noise.
+
+    Exactness: per distinct (char count, doc length) pair ONE double
+    division of exact ints then ONE scalar libm log (never numpy's SIMD
+    log — 1 ulp off libm), folded as an int64 dot with the exact counts;
+    the oracle matches bitwise.  Empty/null text emits L=0, ent 0.
+
+    Shape: ONE scan, zero exchanges, everything batch-local: code points
+    via the utf-32 reinterpret, per-(doc, char) counts via ONE np.unique
+    over a packed ``doc·2²¹ + cp`` key, and the scalar logs are cached by
+    (count, L) — a few hundred distinct ratios per batch."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        text = pc.fill_null(b.column("text"), "").to_pylist()
+        n = len(ids)
+        ent = np.zeros(n, np.int64)
+        lens = np.fromiter((len(s) for s in text), np.int64, n)
+        if lens.sum() > 0:
+            cp = np.frombuffer("".join(text).encode("utf-32-le"),
+                               np.uint32).astype(np.int64)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            key = doc_of * (1 << 21) + cp       # cp < 2^21 (unicode max)
+            uk, counts = np.unique(key, return_counts=True)
+            udoc = (uk >> 21).astype(np.int64)
+            ul = lens[udoc]
+            cache: dict[tuple[int, int], int] = {}
+            w = np.empty(len(uk), np.int64)
+            for i, (c, L) in enumerate(zip(counts.tolist(), ul.tolist())):
+                v = cache.get((c, L))
+                if v is None:
+                    v = math.floor(math.log(float(L) / float(c)) * 1e6)
+                    cache[(c, L)] = v
+                w[i] = v
+            np.add.at(ent, udoc, counts * w)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_chars_counted": pa.array(lens),
+                         "ent_micro": pa.array(ent)})
+
+    return fused_map_parquet(f"{sf_dir}/documents.parquet", partial,
+                             columns=["doc_id", "text"])
+
+
+CHAR_ENTROPY_SQL = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+ch AS (SELECT doc_id, length(text) AS L,
+              unnest(string_split_regex(text, '')) AS c
+       FROM d WHERE length(text) > 0),
+cc AS (SELECT doc_id, any_value(L) AS L, c,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM ch GROUP BY doc_id, c),
+ent AS (SELECT doc_id, any_value(L) AS L,
+               CAST(sum(cnt * CAST(floor(ln(CAST(L AS DOUBLE) / cnt)
+                                         * 1000000) AS BIGINT))
+                    AS BIGINT) AS ent_micro
+        FROM cc GROUP BY doc_id)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_counted,
+       coalesce(ent.ent_micro, 0) AS ent_micro
+FROM d LEFT JOIN ent USING (doc_id)
+"""

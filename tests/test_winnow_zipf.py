@@ -290,3 +290,29 @@ def test_benford_paths_and_invariants(ray_session):
         == want1 == 301029
     # shares are a truncating partition of 1e6 (sum within 9 ulp of trunc)
     assert 1_000_000 - 9 <= int(fast["share_ppm"].sum()) <= 1_000_000
+
+
+def test_char_entropy_brute(ray_session, tmp_path):
+    import math
+
+    from jsonschema_validator_ray.pipelines.corpus import (
+        char_entropy_documents)
+
+    texts = ["aaaaaaaa",            # zero entropy
+             "abcdefgh",            # all distinct: L*floor(ln L * 1e6)
+             "",                    # empty -> 0
+             None,                  # null = '' parity
+             "ünïcödé mix ünïcödé mix tail"]
+    sf = _mini_docs(tmp_path, texts)
+    got = _df(char_entropy_documents(sf)).set_index("doc_id")
+
+    from collections import Counter
+    for i, t in enumerate(texts):
+        t = t or ""
+        want = sum(c * math.floor(math.log(len(t) / c) * 1e6)
+                   for c in Counter(t).values())
+        assert int(got.loc[i, "ent_micro"]) == want, f"doc {i}"
+        assert int(got.loc[i, "n_chars_counted"]) == len(t)
+    assert int(got.loc[0, "ent_micro"]) == 0
+    assert int(got.loc[1, "ent_micro"]) == 8 * math.floor(
+        math.log(8.0) * 1e6)
