@@ -414,3 +414,178 @@ SELECT CAST(r.rank AS BIGINT) AS rank, r.token, r.n_total,
        CAST((r.cum * 1000000) // tot.total AS BIGINT) AS cum_ppm
 FROM r, tot WHERE r.rank <= 50 ORDER BY rank
 """
+
+
+# ---- daily-count autocorrelation ---------------------------------------------
+
+
+def autocorr_daily_events(sf_dir: str, lags: tuple = (1, 7),
+                          block_gate: int = 512):
+    """(event_type, lag, n_pairs, r) — lag-1 (persistence) and lag-7
+    (weekly seasonality) Pearson autocorrelation of each event type's
+    daily-count series — the traffic-regularity check a crawl-freshness
+    validator runs next to the CUSUM change-point. The lag is a ROW lag
+    over the type's OBSERVED days in ascending order (SQL ``lead(c, ℓ)
+    OVER (ORDER BY day)`` — same convention as cusum_daily_events).
+
+    Exactness: all five moment sums fold as Python ints from exact daily
+    counts; ``r`` is the SAME IEEE expression in both engines —
+    ``num / (sqrt(d1)·sqrt(d2))`` with num, d1, d2 exact ints < 2^53
+    (sqrt and the arithmetic ops are correctly rounded by IEEE-754, so
+    identical spelling ⇒ identical bits; only log/exp have engine-varying
+    ulp, and none appear). Zero-variance or sub-2-pair series are excluded
+    in both engines. Per-batch (type, day) cells are calendar-bounded, so
+    the fold uses the shared gated cell fold (driver-side under 512
+    blocks, hash-bucket exchange past it)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    ev = FusedParquetScan(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "ts"], split_per_rg=4)
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.cast(b.column("ts"), pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        t = pa.table({"event_type": b.column("event_type"), "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate([("day", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "c": pc.cast(g.column("day_count"), pa.int64())})
+
+    cells = fold_cells(ev, partial, ["event_type", "day"], sums=["c"],
+                       block_gate=block_gate)
+    rows = []
+    for et, g in cells.groupby("event_type", sort=True):
+        c = [int(x) for x in
+             g.sort_values("day", kind="mergesort")["c"]]
+        n = len(c)
+        for lag in lags:
+            m = n - lag
+            if m < 2:
+                continue
+            x, y = c[:m], c[lag:]
+            sx, sy = sum(x), sum(y)
+            sxx = sum(v * v for v in x)
+            syy = sum(v * v for v in y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            d1 = m * sxx - sx * sx
+            d2 = m * syy - sy * sy
+            if d1 <= 0 or d2 <= 0:
+                continue
+            r = float(m * sxy - sx * sy) / (math.sqrt(float(d1))
+                                            * math.sqrt(float(d2)))
+            rows.append((et, np.int64(lag), np.int64(m), r))
+    return pd.DataFrame(rows, columns=["event_type", "lag", "n_pairs",
+                                       "r"])
+
+
+AUTOCORR_DAILY_SQL = """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, c,
+             lead(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+             lead(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+      FROM d),
+u AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS lag, c AS x, y1 AS y FROM w
+  WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, CAST(7 AS BIGINT) AS lag, c AS x, y7 AS y FROM w
+  WHERE y7 IS NOT NULL),
+s AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM u GROUP BY 1, 2)
+SELECT event_type, lag, m AS n_pairs,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS r
+FROM s
+WHERE m >= 2 AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+ORDER BY event_type, lag
+"""
+
+
+# ---- best mean-shift split (binary-segmentation change point) ----------------
+
+
+def changepoint_daily_events(sf_dir: str, block_gate: int = 512):
+    """(event_type, n_days, split_day, gain_q) — the single best
+    mean-shift split of each type's daily-count series: the day k (last
+    day of the left segment) maximizing the between-segment SSE reduction
+    ``(n_R·Σx_L − n_L·Σx_R)² / (n_L·n_R)`` — the binary-segmentation step
+    under CUSUM's constant-rate null, reported with the gain.
+
+    The float-free trick: the gain is compared as the EXACT floored
+    integer ``gain_q = A² // (n_L·n_R)`` with ``A = n_R·Σx_L − n_L·Σx_R``
+    — A² reaches ~10¹⁹ at full scale, past int64, so the fold uses Python
+    ints driver-side and HUGEINT in SQL; flooring makes the argmax
+    tie-rule (earliest day) identical in both engines even where true
+    gains differ below integer resolution. The OUTPUT column stays in
+    int64 up to ~10⁸ events/day/type; past that, widen to HUGEINT in the
+    SQL and keep the Python int. Cells are calendar-bounded
+    (|types|×|days|); shared gated fold as in autocorr."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    ev = FusedParquetScan(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "ts"], split_per_rg=4)
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.cast(b.column("ts"), pa.timestamp("us")),
+                          format="%Y-%m-%d")
+        t = pa.table({"event_type": b.column("event_type"), "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate([("day", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "day": g.column("day"),
+                         "c": pc.cast(g.column("day_count"), pa.int64())})
+
+    cells = fold_cells(ev, partial, ["event_type", "day"], sums=["c"],
+                       block_gate=block_gate)
+    rows = []
+    for et, g in cells.groupby("event_type", sort=True):
+        g = g.sort_values("day", kind="mergesort")
+        c = [int(x) for x in g["c"]]
+        days = list(g["day"])
+        n, total = len(c), sum(c)
+        if n < 2:
+            continue
+        best_gain, best_day = -1, None
+        sx_l = 0
+        for k in range(1, n):
+            sx_l += c[k - 1]
+            n_l, n_r = k, n - k
+            a = n_r * sx_l - n_l * (total - sx_l)
+            gain = (a * a) // (n_l * n_r)
+            if gain > best_gain:
+                best_gain, best_day = gain, days[k - 1]
+        rows.append((et, np.int64(n), best_day, np.int64(best_gain)))
+    return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                       "split_day", "gain_q"])
+
+
+CHANGEPOINT_DAILY_SQL = """
+WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, day, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS sx_l,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM d),
+g AS (SELECT event_type, day, CAST(n AS BIGINT) AS n_days,
+             CAST(CAST(((n - k) * sx_l - k * (total - sx_l)) AS HUGEINT)
+                  * ((n - k) * sx_l - k * (total - sx_l))
+                  // (CAST(k AS HUGEINT) * (n - k)) AS BIGINT) AS gain_q
+      FROM w WHERE k < n AND n >= 2),
+m AS (SELECT event_type, max(gain_q) AS gain_q FROM g GROUP BY 1)
+SELECT g.event_type, g.n_days, min(g.day) AS split_day,
+       CAST(m.gain_q AS BIGINT) AS gain_q
+FROM g JOIN m ON m.event_type = g.event_type AND g.gain_q = m.gain_q
+GROUP BY 1, 2, m.gain_q ORDER BY 1
+"""

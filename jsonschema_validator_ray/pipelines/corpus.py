@@ -4329,3 +4329,118 @@ SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_counted,
        coalesce(ent.ent_micro, 0) AS ent_micro
 FROM d LEFT JOIN ent USING (doc_id)
 """
+
+
+# ---- per-language lexical diversity (TTR + Simpson) ---------------------------
+
+
+def lexical_diversity_lang(sf_dir: str):
+    """(lang, vocab, n_tokens, ttr_ppm, simpson_ppb) — per-language
+    lexical-diversity panel: type-token ratio and Simpson's repeat index
+    ``Σ n(n−1) / (N(N−1))`` over corpus-wide token counts (the probability
+    two random tokens of a language are the same type — the inverse-
+    diversity signal that flags templated crawls a per-document TTR
+    misses). Both ratios are exact floor-scaled integers, so the row
+    hash-matches the oracle with no float tie risk: the Simpson numerator
+    ``Σ n(n−1)`` and denominator ``N(N−1)`` fold as Python ints driver-
+    side (never overflow) and as HUGEINTs in SQL — int64 would overflow
+    at N > 3·10⁹ tokens, which a 100-TB corpus exceeds per language.
+
+    Scale shape: per-batch (lang, token, n) partials hash-bucket on the
+    TOKEN (a (lang, token) cell lives in exactly one bucket, so per-bucket
+    folds are global for their cells); each bucket reduces to ≤|langs|
+    summary rows (vocab/count/Σn(n−1) partials) before the gather — the
+    exchange carries tokens once and emits curve-sized summaries, the
+    Heaps/Zipf discipline (SCALING.md)."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.large_string()),
+                          "token": pa.array([], pa.large_string()),
+                          "n": pa.array([], pa.int64()),
+                          "__bucket": pa.array([], pa.int32())})
+        s = pc.cast(pc.fill_null(b.column("text"), ""), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        sel = np.flatnonzero(keep)
+        if sel.size == 0:
+            return empty
+        enc = pc.dictionary_encode(flat.take(pa.array(sel)))
+        tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = len(enc.dictionary)
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        lenc = pc.dictionary_encode(lang)
+        lcode = lenc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[parent[sel]]
+        pair = lcode * np.int64(u) + tcode
+        uniq, cnt = np.unique(pair, return_counts=True)
+        li = (uniq // u).astype(np.int64)
+        ti = (uniq % u).astype(np.int64)
+        tokens = enc.dictionary.take(pa.array(ti))
+        h = pd.util.hash_pandas_object(
+            pd.Series(tokens.to_pandas()), index=False).to_numpy()
+        return pa.table({
+            "lang": pc.cast(lenc.dictionary.take(pa.array(li)),
+                            pa.large_string()),
+            "token": pc.cast(tokens, pa.large_string()),
+            "n": pa.array(cnt.astype(np.int64)),
+            "__bucket": pa.array((h % 64).astype(np.int32))})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby(["lang", "token"], sort=False)["n"].sum() \
+            .reset_index()
+        nn = tot["n"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "lang": tot["lang"],
+            "vocab": np.int64(1),
+            "n_tokens": nn,
+            "s2": nn * (nn - 1)})
+        out = out.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(per_bucket, batch_format="pandas").to_pandas())
+    rows = []
+    for lang, g in parts.groupby("lang", sort=True):
+        vocab = int(g["vocab"].sum())
+        n_tok = int(g["n_tokens"].sum())
+        s2 = int(g["s2"].sum())
+        if n_tok <= 1:
+            continue
+        rows.append((lang, np.int64(vocab), np.int64(n_tok),
+                     np.int64(vocab * 1_000_000 // n_tok),
+                     np.int64(s2 * 1_000_000_000 // (n_tok * (n_tok - 1)))))
+    return pd.DataFrame(rows, columns=["lang", "vocab", "n_tokens",
+                                       "ttr_ppm", "simpson_ppb"])
+
+
+LEXICAL_DIVERSITY_SQL = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL),
+c AS (SELECT lang, token, count(*) AS n FROM toks WHERE token <> ''
+      GROUP BY lang, token),
+per AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               sum(CAST(n AS HUGEINT) * (n - 1)) AS s2
+        FROM c GROUP BY lang)
+SELECT lang, vocab, n_tokens,
+       CAST(vocab * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(s2 * 1000000000
+            // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+         AS simpson_ppb
+FROM per WHERE n_tokens > 1 ORDER BY lang
+"""

@@ -1317,3 +1317,190 @@ SELECT vec_id, neighbor_id, rrf_score,
             AS BIGINT) AS rnk
 FROM fused QUALIFY rnk <= 3
 """
+
+
+# ---- distributed Lloyd k-means ------------------------------------------------
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 2,
+                      block_gate: int = 512):
+    """(vec_id, cluster, dist2) — distributed Lloyd's k-means over the
+    embedding corpus, EXACT in both engines at every step (the clustering
+    backbone for SemDeDup-style curation and IVF coarse quantizers).
+
+    Exactness chain (CLAUDE.md float rule): components quantize once as
+    ``floor(float64(x)·1e5)`` (float32 inputs exact, one correctly-rounded
+    product, floor has no tie mode); every distance is
+    ``‖q‖² − 2q·c + ‖c‖²`` over int64s < 2^53, so DuckDB's
+    double-accumulating ``list_dot_product`` folds the exact integer;
+    assignment ties break to the LOWEST cluster id (numpy argmin first-win
+    ≡ SQL ``ORDER BY dist, cl``); centroid updates are TRUNCATING integer
+    division of per-cluster component sums (``sign(s)·(|s| // n)`` in
+    numpy ≡ DuckDB's signed ``//``), so the next iteration's centroids are
+    int64 vectors again — no float ever accumulates across rows. Seeds
+    are the k lowest vec_ids; an emptied cluster keeps its previous
+    centroid (LEFT JOIN + coalesce in SQL, mask in numpy).
+
+    Scale shape: each iteration is ONE fused scan whose per-batch partial
+    is a (k × d+1) cell table — assignment via an int64 matmul against the
+    broadcast centroid matrix, per-cluster sums via a one-hot matmul (no
+    Python loop) — folded by the shared bounded-cell fold (driver-side
+    under the 512-block gate, hash-bucket exchange past it:
+    stages/folds.fold_cells). iters+2 fused scans total; embeddings text
+    never shuffles. Reference parity: clustering is an ENGINE extension
+    (the reference has no numeric ops); exactness discipline follows
+    rules/utils.go's deterministic comparisons."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"],
+                            split_per_rg=8)
+    d_dim = 0  # discovered by the seed pass
+
+    # -- seed: the k lowest vec_ids, shipped long-form (vec_id, d, v) so
+    #    empty batches keep a fixed 3-column schema
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        q = np.floor(_emb_matrix(b, "embedding").astype(np.float64)
+                     * _Q_SCALE).astype(np.int64)
+        head = np.argsort(ids, kind="stable")[:k]
+        dd = q.shape[1]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids[head], dd)),
+            "d": pa.array(np.tile(np.arange(dd, dtype=np.int64),
+                                  len(head))),
+            "v": pa.array(q[head].ravel())})
+
+    seeds = scan.map_batches(seed_partial).to_pandas()
+    seeds = seeds.sort_values(["vec_id", "d"], kind="stable")
+    seed_ids = np.sort(seeds["vec_id"].unique())[:k]
+    seeds = seeds[seeds["vec_id"].isin(seed_ids)]
+    d_dim = int(seeds["d"].max()) + 1
+    cent = seeds["v"].to_numpy(np.int64).reshape(k, d_dim)
+
+    scols = [f"s{i}" for i in range(d_dim)]
+
+    def assign(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # ‖q‖² − 2q·cᵀ + ‖c‖² : int64 throughout (< 2^42 per term at d=64)
+        d2 = ((q * q).sum(axis=1, keepdims=True)
+              - 2 * (q @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        return d2
+
+    for _ in range(iters):
+        c_now = cent  # rebind: closures capture per-iteration centroids
+
+        def partial(b: pa.Table, _c=c_now) -> pa.Table:
+            n_rows = b.num_rows
+            if n_rows == 0:
+                cols = {"cl": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64())}
+                cols.update({s: pa.array([], pa.int64()) for s in scols})
+                return pa.table(cols)
+            q = np.floor(_emb_matrix(b, "embedding").astype(np.float64)
+                         * _Q_SCALE).astype(np.int64)
+            cl = np.argmin(assign(q, _c), axis=1)  # first-win = lowest cl
+            onehot = (cl[:, None] == np.arange(k)[None, :]).astype(np.int64)
+            sums = onehot.T @ q                      # (k, d) int64 exact
+            counts = np.bincount(cl, minlength=k).astype(np.int64)
+            cols = {"cl": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts)}
+            cols.update({s: pa.array(sums[:, i])
+                         for i, s in enumerate(scols)})
+            return pa.table(cols)
+
+        cells = fold_cells(scan, partial, ["cl"], sums=["n"] + scols,
+                           block_gate=block_gate)
+        cells = cells.set_index("cl").reindex(range(k), fill_value=0)
+        n = cells["n"].to_numpy(np.int64)
+        s = cells[scols].to_numpy(np.int64)
+        live = n > 0
+        upd = cent.copy()
+        # truncating division (DuckDB signed // parity), not numpy floor
+        upd[live] = (np.sign(s[live])
+                     * (np.abs(s[live]) // n[live, None]))
+        cent = upd
+
+    c_fin = cent
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist2": pa.array([], pa.int64())})
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = np.floor(_emb_matrix(b, "embedding").astype(np.float64)
+                     * _Q_SCALE).astype(np.int64)
+        d2 = assign(q, c_fin)
+        cl = np.argmin(d2, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(cl.astype(np.int64)),
+            "dist2": pa.array(d2[np.arange(len(cl)), cl])})
+
+    return scan.map_batches(final)
+
+
+KMEANS_SQL = r"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS qv
+  FROM embeddings),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+         qv AS cv
+  FROM q ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, qv, cl FROM (
+    SELECT q.vec_id, q.qv, i.cl,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.qv, q.qv)
+             - 2 * list_dot_product(q.qv, i.cv)
+             + list_dot_product(i.cv, i.cv), i.cl) AS rn
+    FROM q CROSS JOIN init i) WHERE rn = 1),
+u1 AS (
+  SELECT cl, d, sum(v) AS s, count(*) AS n FROM (
+    SELECT cl, generate_subscripts(qv, 1) AS d, unnest(qv) AS v FROM a1) t
+  GROUP BY cl, d),
+c1 AS (
+  SELECT i.cl, coalesce(m.cv, i.cv) AS cv
+  FROM init i LEFT JOIN (
+    SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY d) AS cv
+    FROM u1 GROUP BY cl) m USING (cl)),
+a2 AS (
+  SELECT vec_id, qv, cl FROM (
+    SELECT q.vec_id, q.qv, c.cl,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.qv, q.qv)
+             - 2 * list_dot_product(q.qv, c.cv)
+             + list_dot_product(c.cv, c.cv), c.cl) AS rn
+    FROM q CROSS JOIN c1 c) WHERE rn = 1),
+u2 AS (
+  SELECT cl, d, sum(v) AS s, count(*) AS n FROM (
+    SELECT cl, generate_subscripts(qv, 1) AS d, unnest(qv) AS v FROM a2) t
+  GROUP BY cl, d),
+c2 AS (
+  SELECT c1.cl, coalesce(m.cv, c1.cv) AS cv
+  FROM c1 LEFT JOIN (
+    SELECT cl, list(CAST(s // n AS BIGINT) ORDER BY d) AS cv
+    FROM u2 GROUP BY cl) m USING (cl))
+SELECT vec_id, cl AS cluster,
+       CAST(list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+            + list_dot_product(cv, cv) AS BIGINT) AS dist2
+FROM (
+  SELECT q.vec_id, q.qv, c.cl, c.cv,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_dot_product(q.qv, q.qv)
+           - 2 * list_dot_product(q.qv, c.cv)
+           + list_dot_product(c.cv, c.cv), c.cl) AS rn
+  FROM q CROSS JOIN c2 c) t
+WHERE rn = 1
+"""
