@@ -4444,3 +4444,127 @@ SELECT lang, vocab, n_tokens,
          AS simpson_ppb
 FROM per WHERE n_tokens > 1 ORDER BY lang
 """
+
+
+# ---- per-document trigram novelty ---------------------------------------------
+
+
+def novelty_documents(sf_dir: str):
+    """(doc_id, n_distinct, n_novel, novelty_ppm) — per-document NOVELTY:
+    the share of a document's distinct word-trigrams that first appear in
+    it (global first = minimum doc_id over the corpus; a doc-order proxy
+    for crawl time). Low novelty ⇒ the document is assembled from already-
+    seen phrasing — the dedup-adjacent curation signal between exact
+    near-dup (MinHash) and per-document repetition: it catches template
+    recombination that no pairwise dup check fires on.
+
+    Shape: two exchanges, the floor for any exact first-owner statistic.
+    Per-batch distinct (doc_id, trigram) pairs hash-bucket on the TRIGRAM
+    (a trigram lives in exactly one bucket, so the in-bucket min doc_id IS
+    the global first); buckets emit per-document partial counts tagged
+    with a doc-hash bucket, and the second exchange folds each document's
+    partials in one pandas pass. Trigram STRINGS ride the first exchange
+    (exact identity; the 8-byte-hash variant would risk collision-merged
+    firsts) — ~3× corpus bytes once, the same budget as the MOSS pair
+    stage. Ratios are exact floor-ppm; docs with <3 tokens are absent in
+    both engines. Tokens = nonempty ``\\s+`` splits, positions AFTER
+    filtering (SQL list_filter parity); separator chr(30) never occurs in
+    ``\\S+`` tokens."""
+    docs = read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "tg": pa.array([], pa.large_string()),
+                          "__b": pa.array([], pa.int32())})
+        s = pc.cast(pc.fill_null(b.column("text"), ""), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens)), lens)[keep]
+        enc = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes) < 3:
+            return empty
+        same = (parent[:-2] == parent[1:-1]) & (parent[:-2] == parent[2:])
+        if not same.any():
+            return empty
+        tri = (codes[:-2][same] * (np.int64(1) << 42)
+               + codes[1:-1][same] * (np.int64(1) << 21)
+               + codes[2:][same])
+        tdoc = parent[:-2][same]
+        # distinct (doc, trigram) pairs, then materialize the strings once
+        key = np.stack([tdoc, tri], axis=1)
+        uniq = np.unique(key, axis=0)
+        d = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        t1 = (uniq[:, 1] >> 42) & ((1 << 21) - 1)
+        t2 = (uniq[:, 1] >> 21) & ((1 << 21) - 1)
+        t3 = uniq[:, 1] & ((1 << 21) - 1)
+        sep = np.full(len(uniq), "\x1e", dtype=object)
+        tg = d[t1] + sep + d[t2] + sep + d[t3]
+        h = pd.util.hash_pandas_object(pd.Series(tg), index=False) \
+            .to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids[uniq[:, 0]]),
+            "tg": pa.array(tg, pa.large_string()),
+            "__b": pa.array((h % 64).astype(np.int32))})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        first = g.groupby("tg", sort=False)["doc_id"].transform("min")
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_part": np.int64(1),
+            "novel_part": (g["doc_id"] == first).to_numpy(np.int64)})
+        out = out.groupby("doc_id", as_index=False).sum()
+        out["__db"] = (out["doc_id"].to_numpy(np.uint64) % 64) \
+            .astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_doc(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("doc_id", as_index=False)[["n_part",
+                                                   "novel_part"]].sum()
+        n = tot["n_part"].to_numpy(np.int64)
+        nov = tot["novel_part"].to_numpy(np.int64)
+        out = pa.table({
+            "doc_id": pa.array(tot["doc_id"].to_numpy(np.int64)),
+            "n_distinct": pa.array(n),
+            "n_novel": pa.array(nov),
+            "novelty_ppm": pa.array(nov * 1_000_000 // n)})
+        return out
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+            .groupby("__db").map_groups(per_doc, batch_format="pandas"))
+
+
+NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           w -> w <> '') AS ts
+        FROM documents WHERE text IS NOT NULL) t),
+tri AS (
+  SELECT DISTINCT a.doc_id,
+         a.tok || chr(30) || b.tok || chr(30) || c.tok AS tg
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+f AS (SELECT tg, min(doc_id) AS first_doc FROM tri GROUP BY tg)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+FROM tri t JOIN f ON f.tg = t.tg GROUP BY 1
+"""

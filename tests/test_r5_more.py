@@ -82,6 +82,7 @@ def docs_dir(ray_session, tmp_path):
         (3, "x x x x", "fr", "s2"),
         (4, "", "fr", "s2"),             # empty text: no tokens
         (5, "y", "de", "s1"),            # single token: excluded (N<=1)
+        (6, "a a b", "en", "s2"),        # repeats doc 1's trigram
     ]
     df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
     df["n_chars"] = df["text"].str.len().astype(np.int64)
@@ -97,17 +98,17 @@ def test_lexical_diversity_brute(docs_dir):
         lexical_diversity_lang)
 
     got = lexical_diversity_lang(docs_dir).reset_index(drop=True)
-    # en: tokens a a b a b c -> counts a=3 b=2 c=1; N=6 V=3
-    #   s2 = 3*2 + 2*1 + 0 = 8; ttr = 3e6//6 = 500000
-    #   simpson = 8e9 // (6*5) = 266666666
+    # en: docs 1,2,6 tokens -> counts a=5 b=3 c=1; N=9 V=3
+    #   s2 = 5*4 + 3*2 + 0 = 26; ttr = 3e6//9; simpson = 26e9 // (9*8)
     # fr: x*4 -> N=4 V=1 s2=12; ttr=250000; simpson=12e9//12=1000000000
     # de: single token excluded
     exp = pd.DataFrame({
         "lang": ["en", "fr"],
         "vocab": np.array([3, 1], dtype=np.int64),
-        "n_tokens": np.array([6, 4], dtype=np.int64),
-        "ttr_ppm": np.array([500000, 250000], dtype=np.int64),
-        "simpson_ppb": np.array([8 * 10**9 // 30, 10**9], dtype=np.int64),
+        "n_tokens": np.array([9, 4], dtype=np.int64),
+        "ttr_ppm": np.array([3 * 10**6 // 9, 250000], dtype=np.int64),
+        "simpson_ppb": np.array([26 * 10**9 // 72, 10**9],
+                                dtype=np.int64),
     })
     pd.testing.assert_frame_equal(got, exp)
 
@@ -181,3 +182,20 @@ def test_changepoint_exact_rational_argmax(ev_dir):
     # type B constant series: A = 0 at every split, gain 0, earliest day
     b = got[got["event_type"] == "B"].iloc[0]
     assert b["gain_q"] == 0 and b["split_day"] == "2024-03-01"
+
+
+def test_novelty_first_owner(docs_dir):
+    from jsonschema_validator_ray.pipelines.corpus import novelty_documents
+
+    got = novelty_documents(docs_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc1 "a a b": 1 trigram, first owner; doc2 "a b c": 1, first;
+    # doc3 "x x x x": 2 positions but 1 DISTINCT, first; doc6 repeats
+    # doc1's trigram -> 0 novel; docs 4/5 have <3 tokens -> absent
+    exp = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 6], dtype=np.int64),
+        "n_distinct": np.array([1, 1, 1, 1], dtype=np.int64),
+        "n_novel": np.array([1, 1, 1, 0], dtype=np.int64),
+        "novelty_ppm": np.array([10**6, 10**6, 10**6, 0], dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(got, exp)
