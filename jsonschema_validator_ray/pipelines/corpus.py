@@ -4568,3 +4568,286 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
             * 1000000 // count(*) AS BIGINT) AS novelty_ppm
 FROM tri t JOIN f ON f.tg = t.tg GROUP BY 1
 """
+
+
+def llr_bigrams_documents(sf_dir: str, top_k: int = 20,
+                          block_gate: int = 512):
+    """(w1, w2, c12, g2_units) — the ``top_k`` word-bigram COLLOCATIONS by
+    Dunning's log-likelihood ratio G² (the collocation statistic that,
+    unlike PMI, does not explode on rare pairs): per bigram the 2×2
+    contingency table (c12, c1·−c12, c·2−c12, N−c1·−c·2+c12) scores
+    ``g2_units = 2·Σ_cells O·floor(ln(O/E)·10⁶)`` — the integer-ln
+    technique per CELL (E = float64(row)·float64(col)/float64(N), O/E one
+    correctly-rounded division, scalar-libm ln, floor) — so the score is
+    an exact integer and the top-k selection (g2_units DESC, w1, w2 ASC)
+    is deterministic cross-engine. O = 0 cells contribute 0 in both
+    engines (the 0·ln 0 limit).
+
+    Shape: adjacent-token pair cells fold via the shared gated cell fold
+    (driver-side under 512 blocks, pair-hash exchange past it); the
+    FOLDED cell table is distinct-bigram-bounded — the same bounded-vocab
+    contract as the xent / distinctive-terms family (the synthetic corpus
+    vocabulary is closed; an open-vocab corpus would keep the marginals
+    in two more bucket exchanges instead of the driver frame). Tokens =
+    nonempty ``\\s+`` splits; bigrams never cross document boundaries."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.large_string()),
+                          "w2": pa.array([], pa.large_string()),
+                          "c12": pa.array([], pa.int64())})
+        s = pc.cast(pc.fill_null(b.column("text"), ""), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lens)), lens)[keep]
+        enc = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes) < 2:
+            return empty
+        same = parent[:-1] == parent[1:]
+        if not same.any():
+            return empty
+        pair = codes[:-1][same] * (np.int64(1) << 32) + codes[1:][same]
+        u, cnt = np.unique(pair, return_counts=True)
+        d = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        return pa.table({
+            "w1": pa.array(d[(u >> 32) & 0xFFFFFFFF], pa.large_string()),
+            "w2": pa.array(d[u & 0xFFFFFFFF], pa.large_string()),
+            "c12": pa.array(cnt.astype(np.int64))})
+
+    cells = fold_cells(scan, partial, ["w1", "w2"], sums=["c12"],
+                       block_gate=block_gate)
+    out_cols = ["w1", "w2", "c12", "g2_units"]
+    if not len(cells):
+        return pd.DataFrame({
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "c12": pd.Series([], dtype=np.int64),
+            "g2_units": pd.Series([], dtype=np.int64)})
+    n = int(cells["c12"].sum())
+    c1 = cells.groupby("w1")["c12"].transform("sum").to_numpy(np.int64)
+    c2 = cells.groupby("w2")["c12"].transform("sum").to_numpy(np.int64)
+    o11 = cells["c12"].to_numpy(np.int64)
+    o12 = c1 - o11
+    o21 = c2 - o11
+    o22 = n - c1 - c2 + o11
+    nf = np.float64(n)
+    units = np.zeros(len(cells), dtype=np.int64)
+    for o, row, col in ((o11, c1, c2), (o12, c1, n - c2),
+                        (o21, n - c1, c2), (o22, n - c1, n - c2)):
+        e = row.astype(np.float64) * col.astype(np.float64) / nf
+        pos = o > 0
+        term = np.zeros(len(cells), dtype=np.int64)
+        term[pos] = o[pos] * np.floor(
+            np.log(o[pos].astype(np.float64) / e[pos])
+            * 1_000_000).astype(np.int64)
+        units += term
+    cells = cells.reset_index(drop=True)
+    cells["g2_units"] = 2 * units
+    cells = cells.sort_values(["g2_units", "w1", "w2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(top_k)
+    cells["c12"] = cells["c12"].astype(np.int64)
+    return cells[out_cols].reset_index(drop=True)
+
+
+LLR_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           w -> w <> '') AS ts
+        FROM documents WHERE text IS NOT NULL) t),
+bg AS (SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c12
+       FROM toks a JOIN toks b
+         ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       GROUP BY 1, 2),
+m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+t AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bg),
+sc AS (
+  SELECT bg.w1, bg.w2, bg.c12,
+         2 * (
+           CASE WHEN bg.c12 > 0 THEN bg.c12 * CAST(floor(ln(bg.c12 /
+             (CAST(m1.c1 AS DOUBLE) * m2.c2 / t.n)) * 1000000)
+             AS BIGINT) ELSE 0 END
+         + CASE WHEN m1.c1 - bg.c12 > 0 THEN (m1.c1 - bg.c12)
+             * CAST(floor(ln((m1.c1 - bg.c12) /
+             (CAST(m1.c1 AS DOUBLE) * (t.n - m2.c2) / t.n)) * 1000000)
+             AS BIGINT) ELSE 0 END
+         + CASE WHEN m2.c2 - bg.c12 > 0 THEN (m2.c2 - bg.c12)
+             * CAST(floor(ln((m2.c2 - bg.c12) /
+             (CAST(t.n - m1.c1 AS DOUBLE) * m2.c2 / t.n)) * 1000000)
+             AS BIGINT) ELSE 0 END
+         + CASE WHEN t.n - m1.c1 - m2.c2 + bg.c12 > 0
+             THEN (t.n - m1.c1 - m2.c2 + bg.c12)
+             * CAST(floor(ln((t.n - m1.c1 - m2.c2 + bg.c12) /
+             (CAST(t.n - m1.c1 AS DOUBLE) * (t.n - m2.c2) / t.n))
+             * 1000000) AS BIGINT) ELSE 0 END) AS g2_units
+  FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2), t)
+SELECT w1, w2, c12, g2_units FROM sc
+ORDER BY g2_units DESC, w1, w2 LIMIT 20
+"""
+
+
+def bm25_documents(sf_dir: str, top_k: int = 20, block_gate: int = 512):
+    """(term, doc_id, tf, dl, score) — BM25 retrieval scores (k1 = 1.2,
+    b = 0.75) of every document against the fixed query terms ``hash``,
+    ``join``, ``stream``; top ``top_k`` docs per term by (score DESC,
+    doc_id ASC). The search-ranking shape: the score is ONE float
+    expression per (doc, term) hit — ``idf · (tf·2.2) / (tf + 1.2·(0.25 +
+    (0.75·dl)/avgdl))`` with ``idf = ln((N − df + 0.5)/(df + 0.5))`` —
+    every input an exact integer and every op correctly-rounded IEEE
+    spelled identically in SQL, so scores (and therefore the top-k
+    selection) are bitwise equal cross-engine. No accumulation anywhere.
+
+    Shape: TWO honest passes. Pass 1 folds (n_docs, total_tokens, df per
+    term) from one-row-per-batch partials (bounded at any scale). Pass 2
+    broadcasts those four ints, scores each batch vectorized (flatten +
+    bincount — no Python loop), and emits only its LOCAL top-k heads per
+    term; heads fold driver-side under the block gate and per-term
+    (3 groups, never one task per key) past it. Global top-k ⊆ union of
+    local top-k, so heads lose nothing."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+
+    terms = ("hash", "join", "stream")
+    k1, bb = 1.2, 0.75
+
+    def tok_stats(b: pa.Table):
+        s = pc.cast(pc.fill_null(b.column("text"), ""), pa.large_string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False) if len(flat) else np.zeros(0, bool)
+        parent = np.repeat(np.arange(len(lens)), lens)[keep]
+        nrows = b.num_rows
+        dl = np.bincount(parent, minlength=nrows).astype(np.int64)
+        tf = np.zeros((len(terms), nrows), dtype=np.int64)
+        if len(parent):
+            kept = flat.filter(pa.array(keep))
+            for j, term in enumerate(terms):
+                m = pc.equal(kept, term).to_numpy(zero_copy_only=False)
+                if m.any():
+                    tf[j] = np.bincount(parent[m], minlength=nrows)
+        return dl, tf
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        dl, tf = tok_stats(b)
+        row = {"n_docs": [np.int64(b.num_rows)],
+               "total_tokens": [np.int64(dl.sum())]}
+        for j, term in enumerate(terms):
+            row[f"df_{j}"] = [np.int64((tf[j] > 0).sum())]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in row.items()})
+
+    stats = scan.map_batches(stats_partial).to_pandas().sum()
+    n_docs = int(stats["n_docs"])
+    total_tokens = int(stats["total_tokens"])
+    empty = pd.DataFrame({"term": pd.Series([], dtype=object),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "tf": pd.Series([], dtype=np.int64),
+                          "dl": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float64)})
+    if n_docs == 0 or total_tokens == 0:
+        return empty
+    avgdl = float(total_tokens) / n_docs
+    idf = {}
+    for j, term in enumerate(terms):
+        df = int(stats[f"df_{j}"])
+        if df > 0:
+            idf[j] = math.log((float(n_docs) - df + 0.5) / (df + 0.5))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        dl, tf = tok_stats(b)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parts = []
+        for j, term in enumerate(terms):
+            if j not in idf:
+                continue
+            hit = tf[j] > 0
+            if not hit.any():
+                continue
+            tfh = tf[j][hit].astype(np.float64)
+            dlh = dl[hit].astype(np.float64)
+            score = idf[j] * ((tfh * 2.2)
+                              / (tfh + 1.2 * (0.25 + (0.75 * dlh)
+                                              / avgdl)))
+            order = np.lexsort((ids[hit], -score))[:top_k]
+            parts.append(pd.DataFrame({
+                "term": term, "doc_id": ids[hit][order],
+                "tf": tf[j][hit][order], "dl": dl[hit][order],
+                "score": score[order]}))
+        if not parts:
+            return pa.Table.from_pandas(empty, preserve_index=False) \
+                .replace_schema_metadata(None)
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "score", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("term", sort=True).head(top_k) \
+            .reset_index(drop=True)
+
+    heads_ds = scan.map_batches(score_partial)
+    if scan.num_blocks() > block_gate:
+        def per_term(g: pd.DataFrame) -> pa.Table:
+            return pa.Table.from_pandas(head(g), preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        heads = heads_ds.groupby("term").map_groups(
+            per_term, batch_format="pandas").to_pandas()
+        return head(heads)
+    heads = heads_ds.to_pandas()
+    if not len(heads):
+        return empty
+    return head(heads)
+
+
+BM25_SQL = r"""
+WITH tk AS (SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents) WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk
+       GROUP BY doc_id),
+s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM tk) AS total_tokens),
+q(term) AS (SELECT unnest(['hash', 'join', 'stream'])),
+tf AS (SELECT tk.doc_id, tk.token AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM tk JOIN q ON tk.token = q.term GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+              ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+              * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                    / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))
+                AS score
+       FROM tf JOIN dl USING (doc_id) JOIN df USING (term), s),
+r AS (SELECT *, row_number() OVER (PARTITION BY term
+             ORDER BY score DESC, doc_id) AS rn FROM sc)
+SELECT term, doc_id, tf, dl, score FROM r WHERE rn <= 20
+ORDER BY term, score DESC, doc_id
+"""

@@ -304,6 +304,224 @@ def mutual_info_lang_source(sf_dir: str):
         "mi_nats": pd.Series([mi_nats], dtype=np.float64)})
 
 
+def hmean_chars_lang(sf_dir: str, block_gate: int = 512):
+    """(lang, n_docs, recip_units, hmean) — per-language HARMONIC mean of
+    document length (the rate-style average where short docs dominate):
+    ``recip_units = Σ 10¹² // n_chars`` is a pure int64 fold (non-negative
+    floor division — identical cross-engine, the integer-reciprocal
+    sibling of the integer-ln technique), and the one float is ``hmean =
+    float64(n)·10¹² / recip_units`` — two correctly-rounded IEEE ops over
+    exact ints, spelled identically in SQL. Rows with n_chars ≤ 0 are
+    excluded in both engines. Per-lang partials are bounded, so the fold
+    uses the shared gated cell fold."""
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("n_chars"), 0))
+        r = pc.divide(1_000_000_000_000, t.column("n_chars"))
+        g = pa.table({"lang": t.column("lang"), "r": r}) \
+            .group_by("lang").aggregate([("r", "sum"), ("r", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "r": pc.cast(g.column("r_sum"), pa.int64()),
+                         "n": pc.cast(g.column("r_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang"], sums=["r", "n"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "recip_units": pd.Series([], dtype=np.int64),
+            "hmean": pd.Series([], dtype=np.float64)})
+    cells = cells.sort_values("lang").reset_index(drop=True)
+    n = cells["n"].to_numpy(np.int64)
+    r = cells["r"].to_numpy(np.int64)
+    hm = n.astype(np.float64) * 1_000_000_000_000.0 / r.astype(np.float64)
+    return pd.DataFrame({"lang": cells["lang"].to_numpy(),
+                         "n_docs": n, "recip_units": r, "hmean": hm})
+
+
+HMEAN_CHARS_SQL = """
+WITH c AS (SELECT lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(1000000000000 // n_chars) AS BIGINT)
+                    AS recip_units
+           FROM documents WHERE n_chars > 0 GROUP BY lang)
+SELECT lang, n_docs, recip_units,
+       CAST(n_docs AS DOUBLE) * 1000000000000 / recip_units AS hmean
+FROM c ORDER BY lang
+"""
+
+
+def profile_diff_users(sf_dir: str, block_gate: int = 512):
+    """One-row (mid_day, n_v1, n_v2, n_added, n_changed, n_same) — the
+    SNAPSHOT-DIFF / data-reconciliation shape: derive each user's profile
+    (event count + most recent event type, ties by event_id DESC) at TWO
+    cutoffs — v1 = activity up to the log's midpoint day, v2 = the full
+    log — and count users added after the midpoint, users whose profile
+    changed, and users untouched. One scan computes BOTH snapshots (each
+    event contributes to v2 always and to v1 iff day ≤ mid); the anchor
+    (min/max day) folds from metadata-cheap per-batch partials first.
+
+    Per-USER partials are unbounded, so past the block gate they
+    hash-exchange on ``user_id & 63`` and each bucket emits its 1-row
+    summary partial; only bucket summaries gather. Path equality pinned
+    at ``block_gate=0``."""
+    scan0 = FusedParquetScan(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_bounds(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            _US_PER_DAY)
+        lo, hi = pc.min(d).as_py(), pc.max(d).as_py()
+        if lo is None:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([lo], pa.int64()),
+                         "hi": pa.array([hi], pa.int64())})
+
+    bounds = scan0.map_batches(day_bounds).to_pandas()
+    empty = pd.DataFrame({
+        "mid_day": pd.Series([0], dtype=np.int64),
+        "n_v1": pd.Series([0], dtype=np.int64),
+        "n_v2": pd.Series([0], dtype=np.int64),
+        "n_added": pd.Series([0], dtype=np.int64),
+        "n_changed": pd.Series([0], dtype=np.int64),
+        "n_same": pd.Series([0], dtype=np.int64)})
+    if not len(bounds):
+        return empty
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        d = pc.divide(ts, _US_PER_DAY)
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+            "t": ts.to_numpy(zero_copy_only=False),
+            "eid": b.column("event_id").to_numpy(zero_copy_only=False),
+            "et": b.column("event_type").to_pandas(),
+            "in1": pc.less_equal(d, mid).to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["user_id", "t", "eid"],
+                            kind="mergesort")
+        last2 = df.drop_duplicates("user_id", keep="last")
+        d1 = df[df["in1"]]
+        last1 = d1.drop_duplicates("user_id", keep="last")
+        n2 = df.groupby("user_id", sort=False).size()
+        n1 = d1.groupby("user_id", sort=False).size()
+        out = last2.set_index("user_id")[["t", "eid", "et"]].rename(
+            columns={"t": "t2", "eid": "e2", "et": "ty2"})
+        out["n2"] = n2
+        out = out.join(last1.set_index("user_id")[["t", "eid", "et"]]
+                       .rename(columns={"t": "t1", "eid": "e1",
+                                        "et": "ty1"}))
+        out["n1"] = n1.reindex(out.index).fillna(0).astype(np.int64)
+        out = out.reset_index()
+        out["t1"] = out["t1"].fillna(-1).astype(np.int64)
+        out["e1"] = out["e1"].fillna(-1).astype(np.int64)
+        out["ty1"] = out["ty1"].where(out["ty1"].notna(), "")
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def user_fold(df: pd.DataFrame) -> pd.DataFrame:
+        """Fold per-batch per-user partials to the global per-user
+        profiles, then to ONE summary row."""
+        df = df.sort_values(["user_id", "t2", "e2"], kind="mergesort")
+        g2 = df.drop_duplicates("user_id", keep="last") \
+            .set_index("user_id")[["ty2"]]
+        g2["n2"] = df.groupby("user_id", sort=False)["n2"].sum()
+        d1 = df[df["n1"] > 0].sort_values(["user_id", "t1", "e1"],
+                                          kind="mergesort")
+        g1 = d1.drop_duplicates("user_id", keep="last") \
+            .set_index("user_id")[["ty1"]]
+        g1["n1"] = df.groupby("user_id", sort=False)["n1"].sum()
+        j = g2.join(g1, how="left")
+        has1 = j["n1"].notna() & (j["n1"] > 0)
+        changed = has1 & ((j["n1"] != j["n2"]) | (j["ty1"] != j["ty2"]))
+        same = has1 & ~changed
+        return pd.DataFrame({
+            "n_v1": [int(has1.sum())],
+            "n_v2": [len(j)],
+            "n_added": [int((~has1).sum())],
+            "n_changed": [int(changed.sum())],
+            "n_same": [int(same.sum())]})
+
+    scan = FusedParquetScan(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    if scan.num_blocks() > block_gate:
+        mask = pa.scalar(63, pa.uint64())
+
+        def partial_b(b: pa.Table) -> pa.Table:
+            t = partial(b)
+            return t.append_column("__b", pc.cast(pc.bit_wise_and(
+                pc.cast(t.column("user_id"), pa.uint64()), mask),
+                pa.int32()))
+
+        def per_bucket(g: pd.DataFrame) -> pa.Table:
+            return pa.Table.from_pandas(
+                user_fold(g.drop(columns="__b")), preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        s = scan.map_batches(partial_b) \
+            .groupby("__b").map_groups(per_bucket,
+                                       batch_format="pandas").to_pandas()
+        s = s.sum()
+    else:
+        parts = scan.map_batches(partial).to_pandas()
+        if not len(parts):
+            return empty
+        s = user_fold(parts).iloc[0]
+
+    return pd.DataFrame({
+        "mid_day": pd.Series([mid], dtype=np.int64),
+        "n_v1": pd.Series([int(s["n_v1"])], dtype=np.int64),
+        "n_v2": pd.Series([int(s["n_v2"])], dtype=np.int64),
+        "n_added": pd.Series([int(s["n_added"])], dtype=np.int64),
+        "n_changed": pd.Series([int(s["n_changed"])], dtype=np.int64),
+        "n_same": pd.Series([int(s["n_same"])], dtype=np.int64)})
+
+
+PROFILE_DIFF_SQL = """
+WITH b AS (SELECT CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS lo,
+                  CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS hi
+           FROM events),
+a AS (SELECT lo + (hi - lo) // 2 AS mid FROM b),
+e AS (SELECT user_id, event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS t,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events),
+r1 AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t DESC, event_id DESC) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n
+       FROM e, a WHERE d <= a.mid),
+p1 AS (SELECT user_id, n AS n1, event_type AS ty1 FROM r1 WHERE rn = 1),
+r2 AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t DESC, event_id DESC) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n
+       FROM e),
+p2 AS (SELECT user_id, n AS n2, event_type AS ty2 FROM r2 WHERE rn = 1)
+SELECT a.mid AS mid_day,
+       CAST(count(p1.user_id) AS BIGINT) AS n_v1,
+       CAST(count(*) AS BIGINT) AS n_v2,
+       CAST(count(*) FILTER (WHERE p1.user_id IS NULL) AS BIGINT)
+         AS n_added,
+       CAST(count(*) FILTER (WHERE p1.user_id IS NOT NULL
+             AND (p1.n1 <> p2.n2 OR p1.ty1 <> p2.ty2)) AS BIGINT)
+         AS n_changed,
+       CAST(count(*) FILTER (WHERE p1.user_id IS NOT NULL
+             AND p1.n1 = p2.n2 AND p1.ty1 = p2.ty2) AS BIGINT)
+         AS n_same
+FROM p2 LEFT JOIN p1 USING (user_id), a GROUP BY a.mid
+"""
+
+
 MUTUAL_INFO_SQL = """
 WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
            FROM documents GROUP BY 1, 2),

@@ -94,3 +94,82 @@ def test_mutual_info_nonneg_and_consistent(ray_session):
     mi = sum((o / n) * math.log(o * n / (rt[l] * st[s]))
              for (l, s), o in ct.items())
     assert abs(out["mi_nats"].iloc[0] - mi) < 2e-6
+
+
+def test_hmean_exchange_path(ray_session):
+    from jsonschema_validator_ray.pipelines.rollups import hmean_chars_lang
+
+    fast = _df(hmean_chars_lang(SF))
+    slow = _df(hmean_chars_lang(SF, block_gate=0)) \
+        .sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    # hmean <= arithmetic mean per lang (AM-HM inequality)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    am = docs.groupby("lang")["n_chars"].mean()
+    for _, r in fast.iterrows():
+        assert r["hmean"] <= am[r["lang"]] + 1e-9
+
+
+def test_profile_diff_exchange_and_invariants(ray_session):
+    from jsonschema_validator_ray.pipelines.rollups import (
+        profile_diff_users)
+
+    fast = _df(profile_diff_users(SF))
+    slow = _df(profile_diff_users(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    r = fast.iloc[0]
+    assert r["n_v2"] == r["n_added"] + r["n_changed"] + r["n_same"]
+    assert r["n_v1"] == r["n_changed"] + r["n_same"]
+
+
+def test_llr_bigrams_exchange_path(ray_session):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        llr_bigrams_documents)
+
+    fast = _df(llr_bigrams_documents(SF))
+    slow = _df(llr_bigrams_documents(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    assert len(fast) == 20
+    # scores sorted descending, all counts positive
+    g = fast["g2_units"].to_numpy()
+    assert (g[:-1] >= g[1:]).all() and (fast["c12"] > 0).all()
+
+
+def test_bm25_heads_and_exchange(ray_session):
+    import numpy as np
+
+    from jsonschema_validator_ray.pipelines.corpus import bm25_documents
+
+    fast = _df(bm25_documents(SF))
+    slow = _df(bm25_documents(SF, block_gate=0)) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    # per-term scores sorted desc; brute-force parity for one term
+    for t, g in fast.groupby("term"):
+        s = g["score"].to_numpy()
+        assert (s[:-1] >= s[1:] - 1e-15).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = docs["text"].str.split()
+    dl = toks.str.len()
+    n, total = len(docs), int(dl.sum())
+    avgdl = float(total) / n
+    tf = toks.apply(lambda xs: sum(1 for x in xs if x == "hash"))
+    df = int((tf > 0).sum())
+    if df:
+        import math
+        idf = math.log((float(n) - df + 0.5) / (df + 0.5))
+        hit = tf > 0
+        score = idf * ((tf[hit].to_numpy(np.float64) * 2.2)
+                       / (tf[hit].to_numpy(np.float64)
+                          + 1.2 * (0.25 + (0.75 * dl[hit].to_numpy(
+                              np.float64)) / avgdl)))
+        order = np.lexsort((docs["doc_id"][hit].to_numpy(), -score))[:20]
+        want = docs["doc_id"][hit].to_numpy()[order]
+        got = fast[fast["term"] == "hash"]["doc_id"].to_numpy()
+        assert (want == got).all()
