@@ -578,11 +578,12 @@ def chisq_lang_source_documents(sf_dir: str):
     floats oracle-exact (pure expressions of integer counts, no
     accumulation — the PSI-per-bin discipline); the statistic is the
     checked column's sum."""
-    from ..stages.contingency import chi_square_cells
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.contingency import chi_square_cells_scan
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["lang", "source"])
-    return chi_square_cells(docs, "lang", "source")
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    return chi_square_cells_scan(scan, "lang", "source")
 
 
 CHISQ_LANG_SOURCE_SQL = """
@@ -1623,11 +1624,12 @@ def cramers_v_lang_source(sf_dir: str):
 
     import numpy as np
 
-    from ..stages.contingency import chi_square_cells
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.contingency import chi_square_cells_scan
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["lang", "source"])
-    cells = chi_square_cells(docs, "lang", "source")
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    cells = chi_square_cells_scan(scan, "lang", "source")
     n = int(cells["observed"].sum())
     chi2 = float(cells["contrib"].sum())
     r = cells["lang"].nunique()

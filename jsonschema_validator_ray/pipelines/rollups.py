@@ -281,12 +281,11 @@ def mutual_info_lang_source(sf_dir: str):
     float — two correctly-rounded ops over exact ints, bitwise equal
     cross-engine. mi_units needs HUGEINT headroom in SQL past ~2^53-row
     corpora; the Python fold is arbitrary-precision ints."""
-    from ..sources.parquet import read_parquet
-    from ..stages.contingency import chi_square_cells
+    from ..stages.contingency import chi_square_cells_scan
 
-    docs = read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["lang", "source"])
-    cells = chi_square_cells(docs, "lang", "source")
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    cells = chi_square_cells_scan(scan, "lang", "source")
     if not len(cells):
         return pd.DataFrame({
             "n_rows": pd.Series([0], dtype=np.int64),

@@ -137,6 +137,7 @@ def run_resumable(partitions: list[Partition], out_dir: str,
                   files_pipeline_fn: Callable[[list[str]], "ray.data.Dataset"] | None = None,
                   metrics_fn: Callable[[list[str]], dict] | None = None,
                   checksum_cols: list[str] | None = None,
+                  zonemap_cols: list[str] | None = None,
                   wave_size: int = 4) -> dict:
     """Run ``pipeline_fn`` over every not-yet-done partition; skip completed
     ones. Returns a summary dict (ran / skipped / rows).
@@ -190,6 +191,9 @@ def run_resumable(partitions: list[Partition], out_dir: str,
             if checksum_cols:
                 metrics["checksum"] = _partition_checksum(
                     files, checksum_cols)
+            if zonemap_cols:
+                metrics["zonemap"] = _partition_zonemap(
+                    files, zonemap_cols)
             _write_manifest(out_dir, {
                 "part_id": p.part_id,
                 "inputs": p.paths,
@@ -250,3 +254,112 @@ def verify_output(out_dir: str) -> dict:
          and got["n_rows"] == want["n_rows"] else mismatched).append(pid)
     return {"checked": checked, "mismatched": mismatched,
             "unchecked": unchecked}
+
+
+def _partition_zonemap(files: list[str], cols: list[str]) -> dict:
+    """Per-partition min/max ZONE MAPS from parquet FOOTER statistics —
+    zero data pages are read (the row-group stats were computed at write
+    time by the parquet encoder). A column with any stats-less row group
+    gets ``None`` bounds (unprunable — correct, never wrong). Values are
+    JSON-encoded with a type tag so :func:`read_output_pruned` can coerce
+    the predicate consistently."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, Any] = {}
+    for col in cols:
+        lo = hi = None
+        ok = True
+        for f in files:
+            md = pq.read_metadata(f)
+            try:
+                ci = md.schema.names.index(col)
+            except ValueError:
+                ok = False
+                break
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok:
+                break
+        if not ok or lo is None:
+            out[col] = {"min": None, "max": None, "kind": "none"}
+            continue
+        if isinstance(lo, bytes):
+            lo, hi = lo.decode("utf-8", "replace"), \
+                hi.decode("utf-8", "replace")
+        kind = ("int" if isinstance(lo, int) and not isinstance(lo, bool)
+                else "float" if isinstance(lo, float) else "str")
+        if kind not in ("int", "float", "str"):  # pragma: no cover
+            out[col] = {"min": None, "max": None, "kind": "none"}
+            continue
+        out[col] = {"min": lo, "max": hi, "kind": kind}
+    return out
+
+
+def prune_partitions(out_dir: str, col: str, lo=None, hi=None):
+    """→ (kept_part_ids, all_part_ids): the data-skipping decision —
+    completed partitions whose ``col`` zone map intersects ``[lo, hi]``
+    (``None`` bound = unbounded). Partitions without a usable zone map for
+    ``col`` are KEPT (skipping must never drop rows)."""
+    done = completed_partitions(out_dir)
+    kept = []
+    for pid in sorted(done):
+        zm = ((done[pid].get("metrics") or {}).get("zonemap") or {}) \
+            .get(col)
+        if not zm or zm.get("kind") in (None, "none") \
+                or zm["min"] is None:
+            kept.append(pid)
+            continue
+        zmin, zmax = zm["min"], zm["max"]
+        if lo is not None and zmax < lo:
+            continue
+        if hi is not None and zmin > hi:
+            continue
+        kept.append(pid)
+    return kept, sorted(done)
+
+
+def read_output_pruned(out_dir: str, col: str, lo=None, hi=None):
+    """Read back only the completed partitions whose ``col`` zone map can
+    contain values in ``[lo, hi]``, then apply the EXACT residual
+    predicate inside the scan (zone maps are partition-level, so rows
+    outside the range inside a kept partition are still filtered). This
+    is the 100-TB data-skipping path: a selective range predicate over a
+    range-partitioned output touches O(selectivity) partitions instead of
+    all of them, with correctness independent of the pruning (the
+    residual filter alone is already exact)."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pds
+
+    kept, _ = prune_partitions(out_dir, col, lo, hi)
+    files = [str(f) for pid in kept
+             for f in sorted((Path(out_dir) / f"part-{pid}")
+                             .glob("*.parquet"))]
+    expr = None
+    if lo is not None:
+        expr = _pds.field(col) >= lo
+    if hi is not None:
+        e2 = _pds.field(col) <= hi
+        expr = e2 if expr is None else (expr & e2)
+    if not files:
+        import pyarrow as _pa
+
+        import ray.data as _rd
+
+        done = completed_partitions(out_dir)
+        any_files = [str(f) for pid in sorted(done)
+                     for f in sorted((Path(out_dir) / f"part-{pid}")
+                                     .glob("*.parquet"))]
+        if not any_files:
+            raise FileNotFoundError(f"no completed output in {out_dir}")
+        import pyarrow.parquet as _pq
+
+        schema = _pq.read_schema(any_files[0])
+        return _rd.from_arrow(schema.empty_table())
+    ds = read_parquet(files, filter=expr) if expr is not None \
+        else read_parquet(files)
+    return ds

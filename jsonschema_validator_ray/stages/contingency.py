@@ -55,15 +55,10 @@ def contingency_counts(ds, col_a: str, col_b: str, *,
               .groupby("__kb").map_groups(fold, batch_format="pandas"))
 
 
-def chi_square_cells(ds, col_a: str, col_b: str, *,
-                     num_buckets: int = 16,
-                     batch_size: int = 65536) -> pd.DataFrame:
-    """→ pandas DataFrame (col_a, col_b, observed, expected, contrib):
-    per-cell chi-square contributions of the independence test. The final
-    table is cell-count-sized (bounded by |A|·|B|), so the driver gather is
-    safe at any corpus scale."""
-    cells = contingency_counts(ds, col_a, col_b, num_buckets=num_buckets,
-                               batch_size=batch_size).to_pandas()
+def _chi_finish(cells: pd.DataFrame, col_a: str,
+                col_b: str) -> pd.DataFrame:
+    """Marginal totals + per-cell expected/contrib over a GLOBAL cell
+    frame (needs every cell by definition; the frame is |A|·|B|-bounded)."""
     if cells.empty:
         return pd.DataFrame(columns=[col_a, col_b, "observed", "expected",
                                      "contrib"])
@@ -76,6 +71,43 @@ def chi_square_cells(ds, col_a: str, col_b: str, *,
     cells["expected"] = e
     cells["contrib"] = (o - e) * (o - e) / e
     return cells.sort_values([col_a, col_b]).reset_index(drop=True)
+
+
+def chi_square_cells(ds, col_a: str, col_b: str, *,
+                     num_buckets: int = 16,
+                     batch_size: int = 65536) -> pd.DataFrame:
+    """→ pandas DataFrame (col_a, col_b, observed, expected, contrib):
+    per-cell chi-square contributions of the independence test. The final
+    table is cell-count-sized (bounded by |A|·|B|), so the driver gather is
+    safe at any corpus scale."""
+    cells = contingency_counts(ds, col_a, col_b, num_buckets=num_buckets,
+                               batch_size=batch_size).to_pandas()
+    cells["observed"] = cells["observed"].astype(np.int64)
+    return _chi_finish(cells, col_a, col_b)
+
+
+def chi_square_cells_scan(scan, col_a: str, col_b: str, *,
+                          block_gate: int = 512) -> pd.DataFrame:
+    """Gated sibling of :func:`chi_square_cells` over a FusedParquetScan:
+    per-batch cell partials fold DRIVER-SIDE under the block gate
+    (skipping Ray's ~2 s sort-exchange floor on tiny cell tables —
+    measured 2.4 s → ~0.4 s at sf0.1) and through the shared
+    ``fold_cells`` hash-bucket exchange past it. Same output frame."""
+    from .folds import fold_cells
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([col_a, col_b]).to_pandas()
+        cells = (df.groupby([col_a, col_b], sort=False, dropna=False)
+                   .size().reset_index(name="observed"))
+        cells["observed"] = cells["observed"].astype(np.int64)
+        return pa.Table.from_pandas(cells, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cells = fold_cells(scan, partial, [col_a, col_b], sums=["observed"],
+                       block_gate=block_gate)
+    if len(cells):
+        cells["observed"] = cells["observed"].astype(np.int64)
+    return _chi_finish(cells, col_a, col_b)
 
 
 def grouped_entropy(ds, group: str, value: str, *, num_buckets: int = 16,

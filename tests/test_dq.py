@@ -94,3 +94,19 @@ def test_kanon_audit_flags_small_groups(ray_session, tmp_path):
     got = set(zip(out["lang"], out["source"], out["len_bucket"],
                   out["n_rows"]))
     assert got == {("de", "web", 1, 2)}
+
+
+def test_schema_drift_exchange_path(ray_session):
+    """block_gate=0 forces the (gen, column)-bucket exchange; both paths
+    must produce the identical 5-row diff."""
+    import pandas as pd
+
+    from jsonschema_validator_ray.pipelines.dq import schema_drift_documents
+
+    sf = "/root/testdata/sf0.001"
+    fast = schema_drift_documents(sf).sort_values("column") \
+        .reset_index(drop=True)
+    slow = schema_drift_documents(sf, block_gate=0).sort_values("column") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)

@@ -291,3 +291,30 @@ def test_grouped_geomean_matches_bruteforce(ray_session):
         # sanity: close to the true geometric mean
         assert np.isclose(row["geo_mean"],
                           np.exp(np.log(xs).mean()), rtol=1e-4)
+
+
+def test_chi_square_cells_scan_parity(ray_session):
+    """The gated FusedParquetScan path must equal the Dataset-exchange
+    path (chi_square_cells) cell for cell, on both gate settings."""
+    import pandas as pd
+
+    from jsonschema_validator_ray.sources.parquet import FusedParquetScan
+    from jsonschema_validator_ray.stages.contingency import (
+        chi_square_cells,
+        chi_square_cells_scan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scan = FusedParquetScan(f"{sf}/documents.parquet",
+                            columns=["lang", "source"])
+    from jsonschema_validator_ray.sources.parquet import read_parquet
+    ds = read_parquet(f"{sf}/documents.parquet",
+                      columns=["lang", "source"])
+    a = chi_square_cells(ds, "lang", "source")
+    b = chi_square_cells_scan(scan, "lang", "source")
+    c = chi_square_cells_scan(
+        FusedParquetScan(f"{sf}/documents.parquet",
+                         columns=["lang", "source"]),
+        "lang", "source", block_gate=0)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    pd.testing.assert_frame_equal(a, c, check_dtype=False)

@@ -186,3 +186,55 @@ def test_checksummed_manifests_verify_and_catch_corruption(
     rep3 = verify_output(str(out2))
     assert rep3["checked"] == [] and rep3["mismatched"] == []
     assert sorted(rep3["unchecked"]) == sorted(done)
+
+
+def test_zonemap_pruning(ray_session, tmp_path):
+    """Zone maps from parquet footer stats: a range predicate over a
+    range-partitioned output reads only intersecting partitions, and the
+    pruned read equals the exact filter over the full read."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.sinks.resumable import (
+        partition_input_files,
+        prune_partitions,
+        read_output,
+        read_output_pruned,
+        run_resumable,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    qs = [0, len(docs) // 4, len(docs) // 2, 3 * len(docs) // 4, len(docs)]
+    ins = tmp_path / "in"
+    ins.mkdir()
+    for i in range(4):
+        pq.write_table(
+            pa.Table.from_pandas(docs.iloc[qs[i]:qs[i + 1]],
+                                 preserve_index=False),
+            ins / f"shard-{i}.parquet")
+    parts = partition_input_files(
+        [str(f) for f in sorted(ins.glob("*.parquet"))], 4)
+    out = tmp_path / "out"
+    run_resumable(parts, str(out), lambda ds: ds,
+                  zonemap_cols=["doc_id", "lang"], wave_size=4)
+
+    lo = int(docs["doc_id"].iloc[qs[1]])
+    hi = int(docs["doc_id"].iloc[qs[2] - 1])
+    kept, all_pids = prune_partitions(str(out), "doc_id", lo, hi)
+    assert len(all_pids) == 4
+    assert len(kept) == 1  # the range lives in exactly one partition
+
+    got = read_output_pruned(str(out), "doc_id", lo, hi).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    full = read_output(str(out)).to_pandas()
+    want = full[(full["doc_id"] >= lo) & (full["doc_id"] <= hi)] \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+    # string zone map prunes too, and unmapped columns keep everything
+    kept_l, _ = prune_partitions(str(out), "lang", "zz", None)
+    assert set(kept_l).issubset(set(all_pids))
+    kept_u, _ = prune_partitions(str(out), "source", 0, 1)
+    assert kept_u == all_pids  # no zonemap for 'source' -> keep all
