@@ -3775,13 +3775,17 @@ def winnow_dup_pairs_documents(sf_dir: str, k: int = 8, w: int = 4,
     — ONE item-hash exchange (exact in-bucket df + vectorized-triu pair
     emission, pre-summed per bucket) + ONE pair-hash exchange (sum +
     in-bucket threshold, only final pairs leave)."""
+    from ..sources.parquet import FusedParquetScan
     from ..stages.ngrams import shared_item_pairs
 
+    nblocks = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"]).num_blocks()
     fps = fused_map_parquet(f"{sf_dir}/documents.parquet",
                             _winnow_partial(k, w),
                             columns=["doc_id", "text"])
     return shared_item_pairs(fps, id_col="doc_id", item_col="fp",
-                             df_cap=df_cap, min_shared=min_shared)
+                             df_cap=df_cap, min_shared=min_shared,
+                             driver_pair_fold=nblocks <= 512)
 
 
 WINNOW_DUP_PAIRS_SQL = _WINNOW_CTE + """,

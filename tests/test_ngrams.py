@@ -330,3 +330,30 @@ def test_containment_join_path_agrees(ray_session):
     key = lambda d: sorted(map(tuple, d[["key_a", "key_b",
                                          "containment"]].to_numpy()))
     assert key(broad) == key(joined)
+
+
+def test_shared_item_pairs_driver_fold_parity(ray_session):
+    """driver_pair_fold=True (gated fast path) must equal the pair-hash
+    exchange path row for row."""
+    import pandas as pd
+    import ray.data
+
+    from jsonschema_validator_ray.stages.ngrams import shared_item_pairs
+
+    rows = []
+    for d in range(40):
+        for it in range(d % 7, d % 7 + 10):
+            rows.append({"doc_id": d, "fp": it * 1000})
+    items = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    def _norm(out):
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        return df.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+    a = _norm(shared_item_pairs(items, df_cap=64, min_shared=3,
+                                driver_pair_fold=True))
+    b = _norm(shared_item_pairs(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(4),
+        df_cap=64, min_shared=3, driver_pair_fold=False))
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    assert len(a) > 0
