@@ -589,3 +589,184 @@ SELECT g.event_type, g.n_days, min(g.day) AS split_day,
 FROM g JOIN m ON m.event_type = g.event_type AND g.gain_q = m.gain_q
 GROUP BY 1, 2, m.gain_q ORDER BY 1
 """
+
+
+def crosscorr_daily_events(sf_dir: str, xtype: str = "click",
+                           ytype: str = "purchase",
+                           lags: tuple = (0, 1, 7),
+                           block_gate: int = 512):
+    """(lag, n_pairs, r) — CROSS-correlation between two event types'
+    daily-count series (does purchase volume follow click volume with a
+    delay?): Pearson r between x_d and y_{d+lag} over the DENSE calendar
+    from the log's first to last day, missing days counted 0 in both
+    engines (zero-fill makes the lag a true calendar shift, unlike the
+    observed-row lag of autocorr_daily_events). Five integer moment sums,
+    ONE identically-spelled IEEE expression ``num/(sqrt(d1)·sqrt(d2))``
+    — the autocorr float contract. Zero-variance windows are excluded in
+    both engines. Per-(type, day) cells are calendar-bounded → shared
+    gated cell fold."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    ev = FusedParquetScan(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        t = pa.table({"event_type": b.column("event_type"), "d": d})
+        g = t.group_by(["event_type", "d"]).aggregate([("d", "count")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("d_count"), pa.int64())})
+
+    cells = fold_cells(ev, partial, ["event_type", "d"], sums=["c"],
+                       block_gate=block_gate)
+    out_empty = pd.DataFrame({
+        "lag": pd.Series([], dtype=np.int64),
+        "n_pairs": pd.Series([], dtype=np.int64),
+        "r": pd.Series([], dtype=np.float64)})
+    if not len(cells):
+        return out_empty
+    lo, hi = int(cells["d"].min()), int(cells["d"].max())
+    span = hi - lo + 1
+    x = np.zeros(span, dtype=np.int64)
+    y = np.zeros(span, dtype=np.int64)
+    cx = cells[cells["event_type"] == xtype]
+    cy = cells[cells["event_type"] == ytype]
+    x[cx["d"].to_numpy(np.int64) - lo] = cx["c"].to_numpy(np.int64)
+    y[cy["d"].to_numpy(np.int64) - lo] = cy["c"].to_numpy(np.int64)
+    rows = []
+    for lag in lags:
+        m = span - lag
+        if m < 2:
+            continue
+        a = [int(v) for v in x[:m]]
+        b_ = [int(v) for v in y[lag:]]
+        sx, sy = sum(a), sum(b_)
+        sxx = sum(v * v for v in a)
+        syy = sum(v * v for v in b_)
+        sxy = sum(p * q for p, q in zip(a, b_))
+        d1 = m * sxx - sx * sx
+        d2 = m * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue
+        r = float(m * sxy - sx * sy) / (math.sqrt(float(d1))
+                                        * math.sqrt(float(d2)))
+        rows.append((np.int64(lag), np.int64(m), r))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "r"]) \
+        if rows else out_empty
+
+
+CROSSCORR_DAILY_SQL = """
+WITH b AS (SELECT CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS lo,
+                  CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS hi
+           FROM events),
+cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+cc AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+              CAST(count(*) FILTER (WHERE event_type = 'click')
+                   AS BIGINT) AS x,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS y
+       FROM events GROUP BY 1),
+s AS (SELECT cal.d, COALESCE(cc.x, 0) AS x, COALESCE(cc.y, 0) AS y
+      FROM cal LEFT JOIN cc USING (d)),
+u AS (
+  SELECT l.lag, s.x, y2.y
+  FROM (SELECT unnest([0, 1, 7]) AS lag) l
+  JOIN s ON TRUE
+  JOIN s y2 ON y2.d = s.d + l.lag),
+m AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM u GROUP BY lag)
+SELECT lag, m AS n_pairs,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS r
+FROM m
+WHERE m >= 2 AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+ORDER BY lag
+"""
+
+
+def mannwhitney_chars_langs(sf_dir: str, lang_a: str = "en",
+                            lang_b: str = "de", block_gate: int = 512):
+    """One-row (n_a, n_b, ranksum2_a, u2_a) — the Mann-Whitney U rank-sum
+    test between two languages' document-length distributions, EXACT with
+    midrank tie handling by working in DOUBLED ranks: a distinct value
+    with cumulative count c below it and t ties has average rank
+    (2c + t + 1)/2, so ``2·avg_rank = 2c + t + 1`` is an integer and
+    ``ranksum2_a = Σ_v count_a(v)·(2c_v + t_v + 1)`` and ``u2_a =
+    ranksum2_a − n_a·(n_a + 1)`` are exact int64 folds — no float exists
+    anywhere, the nonparametric sibling of the integer chi-square. The
+    value-domain trick: (lang, n_chars) cells are bounded by the distinct
+    length count, so the fold uses the shared gated cell fold."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("lang"),
+                              value_set=pa.array([lang_a, lang_b])))
+        g = t.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({
+            "n_a": pd.Series([0], dtype=np.int64),
+            "n_b": pd.Series([0], dtype=np.int64),
+            "ranksum2_a": pd.Series([0], dtype=np.int64),
+            "u2_a": pd.Series([0], dtype=np.int64)})
+    piv = cells.pivot_table(index="v", columns="lang", values="c",
+                            aggfunc="sum", fill_value=0).sort_index()
+    ca = piv[lang_a].to_numpy(np.int64) if lang_a in piv else \
+        np.zeros(len(piv), np.int64)
+    cb = piv[lang_b].to_numpy(np.int64) if lang_b in piv else \
+        np.zeros(len(piv), np.int64)
+    t = ca + cb
+    cum = np.concatenate(([0], np.cumsum(t)))[:-1]
+    r2 = 2 * cum + t + 1
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    ranksum2 = int((ca * r2).sum())
+    u2 = ranksum2 - n_a * (n_a + 1)
+    return pd.DataFrame({
+        "n_a": pd.Series([n_a], dtype=np.int64),
+        "n_b": pd.Series([n_b], dtype=np.int64),
+        "ranksum2_a": pd.Series([ranksum2], dtype=np.int64),
+        "u2_a": pd.Series([u2], dtype=np.int64)})
+
+
+MANNWHITNEY_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1, 2),
+p AS (SELECT v,
+             CAST(sum(c) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
+             CAST(sum(c) FILTER (WHERE lang = 'de') AS BIGINT) AS cb
+      FROM c GROUP BY v),
+w AS (SELECT v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb,
+             COALESCE(ca, 0) + COALESCE(cb, 0) AS t,
+             CAST(COALESCE(sum(COALESCE(ca, 0) + COALESCE(cb, 0))
+                  OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM p),
+agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               CAST(sum(ca * (2 * cum + t + 1)) AS BIGINT) AS ranksum2_a
+        FROM w)
+SELECT n_a, n_b, ranksum2_a,
+       ranksum2_a - n_a * (n_a + 1) AS u2_a
+FROM agg
+"""

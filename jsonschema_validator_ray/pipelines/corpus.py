@@ -4855,3 +4855,72 @@ r AS (SELECT *, row_number() OVER (PARTITION BY term
 SELECT term, doc_id, tf, dl, score FROM r WHERE rn <= 20
 ORDER BY term, score DESC, doc_id
 """
+
+
+def pii_scan_by_source(sf_dir: str, block_gate: int = 512):
+    """(source, pat, n_docs_hit, n_matches) — the multi-pattern PII /
+    policy scan rollup: for each source and each compiled scan pattern,
+    how many documents hit and how many total non-overlapping matches
+    (the redaction-budget report a curation run produces before
+    pii_redact rewrites anything). One fused read+count pass evaluates
+    ALL patterns per batch (Arrow RE2 ``count_substring_regex`` — the
+    same engine DuckDB's ``regexp_extract_all`` compiles, so counts are
+    identical by construction); per-(source, pattern) partials are
+    bounded by |sources|·|patterns| → shared gated cell fold."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    pats = {"hash_join": "hash join",
+            "slow_scan_sort": "slow (scan|sort)",
+            "dup_run": "dup dup"}
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b.column("text"), "")
+        outs = []
+        for name, pat in pats.items():
+            n = pc.cast(pc.count_substring_regex(text, pattern=pat),
+                        pa.int64())
+            t = pa.table({
+                "source": b.column("source"),
+                "n": n,
+                "hit": pc.cast(pc.greater(n, 0), pa.int64())})
+            g = t.group_by("source").aggregate([("n", "sum"),
+                                                ("hit", "sum")])
+            outs.append(pa.table({
+                "source": g.column("source"),
+                "pat": pa.array([name] * g.num_rows, pa.large_string()),
+                "n_docs_hit": pc.cast(g.column("hit_sum"), pa.int64()),
+                "n_matches": pc.cast(g.column("n_sum"), pa.int64())}))
+        return pa.concat_tables(outs)
+
+    cells = fold_cells(scan, partial, ["source", "pat"],
+                       sums=["n_docs_hit", "n_matches"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "pat": pd.Series([], dtype=object),
+                             "n_docs_hit": pd.Series([], dtype=np.int64),
+                             "n_matches": pd.Series([], dtype=np.int64)})
+    cells = cells[cells["n_matches"] > 0].copy()
+    for c in ("n_docs_hit", "n_matches"):
+        cells[c] = cells[c].astype(np.int64)
+    return cells.sort_values(["source", "pat"], kind="mergesort") \
+        .reset_index(drop=True)
+
+
+PII_SCAN_SQL = """
+WITH pats AS (
+  SELECT * FROM (VALUES ('hash_join', 'hash join'),
+                        ('slow_scan_sort', 'slow (scan|sort)'),
+                        ('dup_run', 'dup dup')) AS t(pat, rx)),
+m AS (SELECT d.source, p.pat,
+             len(regexp_extract_all(d.text, p.rx)) AS n
+      FROM documents d CROSS JOIN pats p)
+SELECT source, pat,
+       CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs_hit,
+       CAST(sum(n) AS BIGINT) AS n_matches
+FROM m GROUP BY 1, 2 HAVING sum(n) > 0
+ORDER BY source, pat
+"""

@@ -1535,3 +1535,69 @@ SELECT CAST(30 AS BIGINT) AS k,
                                   GROUP BY s) WHERE d < 30) AS converged
 FROM e4
 """)
+
+
+def journey_prefixes_events(sf_dir: str, k: int = 3, top_k: int = 10):
+    """(prefix, n_users) — the ``top_k`` most common first-``k``-event
+    journeys (the funnel-discovery / onboarding-path shape): each user's
+    first ``k`` event types in (ts, event_id) order joined with '>';
+    users with fewer than ``k`` events are excluded in both engines.
+    Counting is over prefix strings whose cardinality is ≤ |types|^k —
+    bounded — so per-bucket prefix partials gather for a tiny driver
+    fold. Ties break prefix ASC; all counts exact ints.
+
+    Shape: ONE user-hash exchange of per-batch local first-k rows (the
+    first_events_path pre-truncation: global first-k ⊆ union of batch
+    first-k), per-bucket path assembly on the pandas C-path, per-bucket
+    (prefix, n) partials out — never a row per user past the exchange."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "t": _epoch_us(b.column("ts")),
+                      "event_id": b.column("event_id"),
+                      "event_type": b.column("event_type")})
+        df = t.to_pandas()
+        df = df.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        df = df[df.groupby("user_id", sort=False).cumcount() < k]
+        df["__b"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        g = g[g.groupby("user_id", sort=False).cumcount() < k]
+        sizes = g.groupby("user_id", sort=False)["event_type"].agg(
+            ["size", ">".join])
+        full = sizes[sizes["size"] >= k]
+        agg = full.groupby("join", sort=False).size()
+        return pd.DataFrame({"prefix": agg.index.to_numpy(),
+                             "n_users": agg.to_numpy().astype(np.int64)})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"prefix": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("prefix", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["n_users", "prefix"],
+                           ascending=[False, True],
+                           kind="mergesort").head(top_k) \
+        .reset_index(drop=True)
+
+
+JOURNEY_PREFIXES_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS prefix
+      FROM r WHERE rn <= 3 AND n >= 3 GROUP BY user_id)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY prefix ORDER BY n_users DESC, prefix LIMIT 10
+"""

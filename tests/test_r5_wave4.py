@@ -1,0 +1,106 @@
+"""Round-5 wave-4 additions: cross-correlation, Mann-Whitney U, journey
+prefixes, multi-pattern PII scan — brute-force parity + forced-exchange
+path equality. Oracle exactness is covered by tools/check_oracle.py."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(out):
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+
+def test_crosscorr_parity(ray_session):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        crosscorr_daily_events)
+
+    fast = _df(crosscorr_daily_events(SF))
+    slow = _df(crosscorr_daily_events(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    # numpy corrcoef parity on the zero-filled dense series
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    d = (ev["ts"].astype("int64") // 86_400_000_000).to_numpy()
+    lo, hi = d.min(), d.max()
+    span = hi - lo + 1
+    x = np.zeros(span, np.int64)
+    y = np.zeros(span, np.int64)
+    for arr, t in ((x, "click"), (y, "purchase")):
+        sub = d[(ev["event_type"] == t).to_numpy()]
+        u, c = np.unique(sub, return_counts=True)
+        arr[u - lo] = c
+    for _, r in fast.iterrows():
+        lag = int(r["lag"])
+        m = span - lag
+        want = np.corrcoef(x[:m], y[lag:])[0, 1]
+        assert abs(r["r"] - want) < 1e-12
+
+
+def test_mannwhitney_scipy_free_parity(ray_session):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        mannwhitney_chars_langs)
+
+    fast = _df(mannwhitney_chars_langs(SF))
+    slow = _df(mannwhitney_chars_langs(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    a = docs[docs["lang"] == "en"]["n_chars"].to_numpy()
+    b = docs[docs["lang"] == "de"]["n_chars"].to_numpy()
+    both = np.concatenate([a, b])
+    # average ranks (1-based, ties = midrank) via double-argsort-free path
+    order = pd.Series(both).rank(method="average").to_numpy()
+    ranksum_a = order[:len(a)].sum()
+    r = fast.iloc[0]
+    assert int(r["n_a"]) == len(a) and int(r["n_b"]) == len(b)
+    assert int(r["ranksum2_a"]) == int(round(2 * ranksum_a))
+    u = ranksum_a - len(a) * (len(a) + 1) / 2
+    assert int(r["u2_a"]) == int(round(2 * u))
+
+
+def test_journey_prefixes_brute(ray_session):
+    from jsonschema_validator_ray.pipelines.relational import (
+        journey_prefixes_events)
+
+    fast = _df(journey_prefixes_events(SF))
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    top3 = ev.groupby("user_id").head(3)
+    sizes = top3.groupby("user_id")["event_type"].agg(["size", ">".join])
+    paths = sizes[sizes["size"] >= 3]["join"]
+    want = paths.value_counts()
+    for _, r in fast.iterrows():
+        assert int(want[r["prefix"]]) == int(r["n_users"])
+    # top-1 really is the max
+    assert fast["n_users"].iloc[0] == int(want.max())
+
+
+def test_pii_scan_brute(ray_session):
+    import re
+
+    from jsonschema_validator_ray.pipelines.corpus import pii_scan_by_source
+
+    fast = _df(pii_scan_by_source(SF))
+    slow = _df(pii_scan_by_source(SF, block_gate=0))
+    pd.testing.assert_frame_equal(
+        fast, slow[fast.columns].sort_values(["source", "pat"],
+                                             kind="mergesort")
+        .reset_index(drop=True), check_dtype=False)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    rx = re.compile("slow (scan|sort)")
+    n = docs["text"].map(lambda s: len(rx.findall(s or "")))
+    per = pd.DataFrame({"source": docs["source"], "n": n})
+    want = per.groupby("source")["n"].agg(["sum", lambda s: (s > 0).sum()])
+    got = fast[fast["pat"] == "slow_scan_sort"].set_index("source")
+    for src, row in want.iterrows():
+        if row["sum"] == 0:
+            assert src not in got.index
+        else:
+            assert int(got.loc[src, "n_matches"]) == int(row["sum"])
