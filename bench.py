@@ -251,6 +251,15 @@ def run_bench() -> dict:
         "heaps_law_documents", "jsd_lang_split_documents",
         "token_dispersion_documents", "source_profile_cosine_documents",
         "benford_first_digit_orders", "char_entropy_documents",
+        # round-5 closing-session additions
+        "mode_event_type_users", "moving_avg_daily_events",
+        "survival_users_events", "mutual_info_lang_source",
+        "hmean_chars_lang", "profile_diff_users",
+        "llr_bigrams_documents", "bm25_documents",
+        "crosscorr_daily_events", "mannwhitney_chars_langs",
+        "journey_prefixes_events", "pii_scan_by_source",
+        "chisq_lang_source", "ewma_daily_events",
+        "nucleus_sources_lang", "wasserstein_chars_langs",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

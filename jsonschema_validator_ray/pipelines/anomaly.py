@@ -770,3 +770,164 @@ SELECT n_a, n_b, ranksum2_a,
        ranksum2_a - n_a * (n_a + 1) AS u2_a
 FROM agg
 """
+
+
+def ewma_daily_events(sf_dir: str, block_gate: int = 512):
+    """(day, c, ewma_units, ewma_ppm) — exponentially-weighted moving
+    average of the daily event count with α = 1/2 (one-day half-life),
+    the RECURSIVE window shape (each day's state depends on the previous
+    day's): over the DENSE calendar (missing days = 0),
+    ``u_d = (u_{d-1} + c_d·2²⁰) // 2`` in scaled 2⁻²⁰ units — non-negative
+    integer floor division, so the whole recursion is exact and the
+    oracle's RECURSIVE CTE folds bit-identically. ``ewma_ppm =
+    10⁶·u // 2²⁰`` reports the value in exact floor-ppm of an event.
+    Per-day cells are calendar-bounded → shared gated cell fold; the
+    recursion itself is a driver loop over the calendar (sequential by
+    definition — at any corpus size the series length is days, not
+    rows)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    ev = FusedParquetScan(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        g = pa.table({"d": d}).group_by("d").aggregate([("d", "count")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("d_count"), pa.int64())})
+
+    cells = fold_cells(ev, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({
+            "day": pd.Series([], dtype=np.int64),
+            "c": pd.Series([], dtype=np.int64),
+            "ewma_units": pd.Series([], dtype=np.int64),
+            "ewma_ppm": pd.Series([], dtype=np.int64)})
+    lo, hi = int(cells["d"].min()), int(cells["d"].max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[cells["d"].to_numpy(np.int64) - lo] = \
+        cells["c"].to_numpy(np.int64)
+    units = np.zeros(len(dense), dtype=np.int64)
+    u = 0
+    for i, c in enumerate(dense):
+        u = (u + (int(c) << 20)) // 2
+        units[i] = u
+    return pd.DataFrame({
+        "day": np.arange(lo, hi + 1, dtype=np.int64),
+        "c": dense,
+        "ewma_units": units,
+        "ewma_ppm": (1_000_000 * units) // (1 << 20)})
+
+
+EWMA_DAILY_SQL = """
+WITH RECURSIVE
+b AS (SELECT CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS lo,
+                  CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS hi
+           FROM events),
+cc AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+              CAST(count(*) AS BIGINT) AS c
+       FROM events GROUP BY 1),
+s AS (SELECT cal.d, COALESCE(cc.c, 0) AS c
+      FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b) cal
+      LEFT JOIN cc USING (d)),
+rec AS (
+  SELECT s.d, s.c, CAST((s.c * 1048576) // 2 AS BIGINT) AS u
+  FROM s, b WHERE s.d = b.lo
+  UNION ALL
+  SELECT s.d, s.c, CAST((rec.u + s.c * 1048576) // 2 AS BIGINT) AS u
+  FROM rec JOIN s ON s.d = rec.d + 1)
+SELECT d AS day, c, u AS ewma_units,
+       (1000000 * u) // 1048576 AS ewma_ppm
+FROM rec ORDER BY day
+"""
+
+
+def wasserstein_chars_langs(sf_dir: str, lang_a: str = "en",
+                            lang_b: str = "de", block_gate: int = 512):
+    """One-row (n_a, n_b, w1_units, w1) — the Wasserstein-1 (earth-mover)
+    distance between two languages' document-length distributions: over
+    the merged sorted value domain, ``W1 = Σ_i |F_A(v_i) − F_B(v_i)| ·
+    (v_{i+1} − v_i)``. Exact integers all the way: ``w1_units =
+    Σ |cumA·n_b − cumB·n_a| · Δv`` (Python arbitrary-precision ints /
+    HUGEINT in SQL), and the one float is ``w1 = w1_units /
+    (float64(n_a)·n_b)`` — the distribution-shift metric that, unlike
+    KS, weighs HOW FAR mass moved, in the same units as the column.
+    Value-domain (lang, n_chars) cells are bounded → shared gated cell
+    fold."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("lang"),
+                              value_set=pa.array([lang_a, lang_b])))
+        g = t.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({
+            "n_a": pd.Series([0], dtype=np.int64),
+            "n_b": pd.Series([0], dtype=np.int64),
+            "w1_units": pd.Series([0], dtype=np.int64),
+            "w1": pd.Series([0.0], dtype=np.float64)})
+    piv = cells.pivot_table(index="v", columns="lang", values="c",
+                            aggfunc="sum", fill_value=0).sort_index()
+    ca = piv[lang_a].to_numpy(np.int64) if lang_a in piv else \
+        np.zeros(len(piv), np.int64)
+    cb = piv[lang_b].to_numpy(np.int64) if lang_b in piv else \
+        np.zeros(len(piv), np.int64)
+    v = piv.index.to_numpy(np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    w1_units = 0
+    if len(v) > 1 and n_a > 0 and n_b > 0:
+        cuma, cumb = 0, 0
+        for i in range(len(v) - 1):
+            cuma += int(ca[i])
+            cumb += int(cb[i])
+            w1_units += (abs(cuma * n_b - cumb * n_a)
+                         * (int(v[i + 1]) - int(v[i])))
+    w1 = float(w1_units) / (float(n_a) * n_b) if n_a and n_b else 0.0
+    return pd.DataFrame({
+        "n_a": pd.Series([n_a], dtype=np.int64),
+        "n_b": pd.Series([n_b], dtype=np.int64),
+        "w1_units": pd.Series([w1_units], dtype=np.int64),
+        "w1": pd.Series([w1], dtype=np.float64)})
+
+
+WASSERSTEIN_SQL = """
+WITH c AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1, 2),
+p AS (SELECT v,
+             CAST(COALESCE(sum(c) FILTER (WHERE lang = 'en'), 0)
+                  AS BIGINT) AS ca,
+             CAST(COALESCE(sum(c) FILTER (WHERE lang = 'de'), 0)
+                  AS BIGINT) AS cb
+      FROM c GROUP BY v),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM p),
+w AS (SELECT v,
+             CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+             lead(v) OVER (ORDER BY v) AS nxt
+      FROM p),
+agg AS (SELECT CAST(sum(abs(CAST(cuma AS HUGEINT) * t.n_b
+                             - CAST(cumb AS HUGEINT) * t.n_a)
+                        * (nxt - v)) AS BIGINT) AS w1_units
+        FROM w, t WHERE nxt IS NOT NULL)
+SELECT t.n_a, t.n_b, COALESCE(agg.w1_units, 0) AS w1_units,
+       CAST(COALESCE(agg.w1_units, 0) AS DOUBLE)
+         / (CAST(t.n_a AS DOUBLE) * t.n_b) AS w1
+FROM t, agg
+"""

@@ -4924,3 +4924,81 @@ SELECT source, pat,
 FROM m GROUP BY 1, 2 HAVING sum(n) > 0
 ORDER BY source, pat
 """
+
+
+def nucleus_sources_lang(sf_dir: str, coverage_pct: int = 90,
+                         block_gate: int = 512):
+    """(lang, n_sources, n_sources_kept, kept_docs, total_docs,
+    share_ppm) — NUCLEUS (top-p) source truncation per language: the
+    smallest prefix of sources, in (count DESC, source ASC) order, whose
+    cumulative document count reaches ``coverage_pct`` percent — the
+    data-mixture curation step that drops each language's long tail of
+    trace sources. The cut predicate is fully INTEGER
+    (``cum·100 ≥ total·pct`` — no ratio float exists to disagree on a
+    boundary source), and the kept-share is exact floor-ppm. Per-(lang,
+    source) cells are bounded → shared gated cell fold; the prefix walk
+    is over the bounded cell frame."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate(
+            [("source", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "c": pc.cast(g.column("source_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "source"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype=object),
+            "n_sources": pd.Series([], dtype=np.int64),
+            "n_sources_kept": pd.Series([], dtype=np.int64),
+            "kept_docs": pd.Series([], dtype=np.int64),
+            "total_docs": pd.Series([], dtype=np.int64),
+            "share_ppm": pd.Series([], dtype=np.int64)})
+    rows = []
+    for lang, g in cells.groupby("lang", sort=True):
+        g = g.sort_values(["c", "source"], ascending=[False, True],
+                          kind="mergesort")
+        c = g["c"].to_numpy(np.int64)
+        total = int(c.sum())
+        cum = np.cumsum(c)
+        kidx = int(np.argmax(cum * 100 >= total * coverage_pct))
+        kept = int(cum[kidx])
+        rows.append((lang, np.int64(len(g)), np.int64(kidx + 1),
+                     np.int64(kept), np.int64(total),
+                     np.int64((1_000_000 * kept) // total)))
+    return pd.DataFrame(rows, columns=[
+        "lang", "n_sources", "n_sources_kept", "kept_docs",
+        "total_docs", "share_ppm"])
+
+
+NUCLEUS_SOURCES_SQL = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM c GROUP BY lang),
+w AS (SELECT lang, source, c,
+             CAST(sum(c) OVER (PARTITION BY lang
+                  ORDER BY c DESC, source ASC) AS BIGINT) AS cum
+      FROM c),
+k AS (SELECT w.lang, w.cum,
+             row_number() OVER (PARTITION BY w.lang
+                                ORDER BY w.cum) AS rnk
+      FROM w JOIN t USING (lang) WHERE w.cum * 100 >= t.total * 90)
+SELECT t.lang, t.n_sources,
+       CAST((SELECT count(*) FROM w
+             WHERE w.lang = t.lang AND NOT (w.cum * 100 >= t.total * 90))
+            + 1 AS BIGINT) AS n_sources_kept,
+       k.cum AS kept_docs, t.total AS total_docs,
+       (1000000 * k.cum) // t.total AS share_ppm
+FROM t JOIN k ON k.lang = t.lang AND k.rnk = 1
+ORDER BY t.lang
+"""

@@ -104,3 +104,65 @@ def test_pii_scan_brute(ray_session):
             assert src not in got.index
         else:
             assert int(got.loc[src, "n_matches"]) == int(row["sum"])
+
+
+def test_ewma_recursion(ray_session):
+    from jsonschema_validator_ray.pipelines.anomaly import ewma_daily_events
+
+    fast = _df(ewma_daily_events(SF))
+    slow = _df(ewma_daily_events(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    # recursion invariant: u_t == (u_{t-1} + c_t*2^20) // 2
+    u = fast["ewma_units"].to_numpy(np.int64)
+    c = fast["c"].to_numpy(np.int64)
+    prev = 0
+    for i in range(len(u)):
+        prev = (prev + (int(c[i]) << 20)) // 2
+        assert u[i] == prev
+    # dense calendar
+    d = fast["day"].to_numpy(np.int64)
+    assert (np.diff(d) == 1).all()
+
+
+def test_nucleus_sources(ray_session):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        nucleus_sources_lang)
+
+    fast = _df(nucleus_sources_lang(SF))
+    slow = _df(nucleus_sources_lang(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "source"])
+    for _, r in fast.iterrows():
+        g = docs[docs["lang"] == r["lang"]].groupby("source").size() \
+            .sort_values(ascending=False)
+        assert int(r["total_docs"]) == int(g.sum())
+        # kept prefix reaches 90%, dropping its last source would not
+        assert 100 * r["kept_docs"] >= 90 * r["total_docs"]
+        if r["n_sources_kept"] > 1:
+            prev = int(r["kept_docs"]) - int(
+                g.sort_values(ascending=False).iloc[
+                    int(r["n_sources_kept"]) - 1])
+            assert 100 * prev < 90 * int(r["total_docs"])
+
+
+def test_wasserstein_scipy_free(ray_session):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        wasserstein_chars_langs)
+
+    fast = _df(wasserstein_chars_langs(SF))
+    slow = _df(wasserstein_chars_langs(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    a = np.sort(docs[docs["lang"] == "en"]["n_chars"].to_numpy(np.float64))
+    b = np.sort(docs[docs["lang"] == "de"]["n_chars"].to_numpy(np.float64))
+    # reference W1 via quantile-function integral on the merged grid
+    allv = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, allv, side="right") / len(a)
+    fb = np.searchsorted(b, allv, side="right") / len(b)
+    w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(allv)))
+    assert abs(fast["w1"].iloc[0] - w1) < 1e-9
