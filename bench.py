@@ -260,6 +260,8 @@ def run_bench() -> dict:
         "journey_prefixes_events", "pii_scan_by_source",
         "chisq_lang_source", "ewma_daily_events",
         "nucleus_sources_lang", "wasserstein_chars_langs",
+        "followups_events", "markov_entropy_events",
+        "intra_spread_embeddings",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -3686,3 +3686,148 @@ SELECT CAST(to_timestamp(day_us // 1000000) AS TIMESTAMP) AS day,
             AS BIGINT) AS bounce_bp
 FROM per GROUP BY day_us ORDER BY day
 """
+
+
+def followups_events(sf_dir: str, window_s: int = 3600):
+    """(prev_type, event_type, n) — gap-window sequence mining: how often
+    an event of type B follows an event of type A by the SAME user within
+    ``window_s`` seconds (strictly later in time — the not-necessarily-
+    adjacent sibling of event_transitions, the "followed-by" funnel
+    primitive). Counts are exact ints.
+
+    Shape: one user-hash exchange; each bucket sorts once and counts
+    every (a, b) window pair with TWO vectorized searchsorted calls over
+    user-offset timestamps (the burst_users_events trick — no per-user
+    task, no python loop over events), emitting ≤ |types|² partial cells;
+    driver folds the tiny pair vocabulary."""
+    import numpy as np
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+    win_us = window_s * 1_000_000
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+            "__b": pa.array((uid % 32).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t"], kind="mergesort")
+        t = g["t"].to_numpy(np.int64)
+        codes = pd.factorize(g["user_id"].to_numpy(),
+                             use_na_sentinel=False)[0].astype(np.int64)
+        if not len(t):
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                                 "event_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        span = np.int64(int(t.max()) - int(t.min()) + win_us + 1)
+        shifted = (t - t.min()) + codes * span
+        # b strictly later: (shifted_a, shifted_a + W]
+        lo = np.searchsorted(shifted, shifted, side="right")
+        hi = np.searchsorted(shifted, shifted + win_us, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                                 "event_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        types = g["event_type"].to_numpy()
+        a_idx = np.repeat(np.arange(len(t)), cnt)
+        cum = np.concatenate(([0], np.cumsum(cnt)))
+        b_idx = (np.arange(total, dtype=np.int64)
+                 - np.repeat(cum[:-1], cnt) + np.repeat(lo, cnt))
+        pairs = pd.DataFrame({"prev_type": types[a_idx],
+                              "event_type": types[b_idx]})
+        out = pairs.groupby(["prev_type", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ev.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                             "event_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["prev_type", "event_type"],
+                        as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["prev_type", "event_type"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+FOLLOWUPS_SQL = """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS t FROM events)
+SELECT a.event_type AS prev_type, b.event_type AS event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM e a JOIN e b
+  ON b.user_id = a.user_id AND b.t > a.t AND b.t <= a.t + 3600000000
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def markov_entropy_events(sf_dir: str):
+    """One-row (n_pairs, h_units, h_cond_micronats) — the conditional
+    entropy H(next | prev) of the user-timeline event-type Markov chain
+    (sequence predictability: 0 = deterministic journeys, ln|types| =
+    uniform chaos). Built on the event_transitions cells; the integer-ln
+    technique per cell — ``h_units = Σ_ij c_ij·floor(ln(c_ij/c_i·)·10⁶)``
+    (one correctly-rounded double division of two exact ints, scalar libm
+    log, floor) — so the statistic folds as an exact integer and the one
+    output float is a single division, bitwise equal cross-engine.
+
+    Adjacency pairs come from the SAME user-bucket exchange as
+    event_transitions (ties (t, event_id); a bucket's per-user shift is
+    exact); the ≤|types|² cell table folds driver-side."""
+    import math
+
+    import numpy as np
+
+    cells = event_transitions(sf_dir)
+    if not len(cells):
+        return pd.DataFrame({
+            "n_pairs": pd.Series([0], dtype=np.int64),
+            "h_units": pd.Series([0], dtype=np.int64),
+            "h_cond_micronats": pd.Series([0.0], dtype=np.float64)})
+    n = int(cells["n"].sum())
+    row = cells.groupby("prev_type")["n"].transform("sum") \
+        .to_numpy(np.int64)
+    c = cells["n"].to_numpy(np.int64)
+    h_units = 0
+    for cij, ci in zip(c, row):
+        h_units += int(cij) * math.floor(
+            math.log(float(cij) / float(ci)) * 1_000_000)
+    h = float(-h_units) / float(n)
+    return pd.DataFrame({
+        "n_pairs": pd.Series([n], dtype=np.int64),
+        "h_units": pd.Series([h_units], dtype=np.int64),
+        "h_cond_micronats": pd.Series([h], dtype=np.float64)})
+
+
+MARKOV_ENTROPY_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM r WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rn FROM c
+      GROUP BY prev_type),
+agg AS (SELECT CAST(sum(c.n) AS BIGINT) AS n_pairs,
+               CAST(sum(c.n * CAST(floor(ln(CAST(c.n AS DOUBLE)
+                    / CAST(m.rn AS DOUBLE)) * 1000000) AS BIGINT))
+                    AS BIGINT) AS h_units
+        FROM c JOIN m USING (prev_type))
+SELECT n_pairs, h_units,
+       CAST(-h_units AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+         AS h_cond_micronats
+FROM agg
+"""

@@ -5002,3 +5002,140 @@ SELECT t.lang, t.n_sources,
 FROM t JOIN k ON k.lang = t.lang AND k.rnk = 1
 ORDER BY t.lang
 """
+
+
+def intra_spread_embeddings(sf_dir: str):
+    """(label, n_vecs, sum_d2, mean_d2) — intra-class spread: each
+    vector's squared L2 distance to ITS label's integer centroid, in the
+    exact int8-quantized code space (representation-collapse / labeling-
+    noise diagnostic: a label whose spread rivals the inter-centroid
+    distances is incoherent). TWO honest passes: pass 1 folds per-(label,
+    dim) integer code sums (the label_centroids partials) and broadcasts
+    the TRUNCATING-division centroid ``cq = trunc(q_sum / n)`` (DuckDB
+    ``//`` truncates signed ints — the kmeans centroid convention, sign
+    mirrored in Python); pass 2 re-quantizes each batch (the
+    quantize_batch IEEE sequence) and emits per-label (n, Σd²) int64
+    partials. The one float per label is a single division."""
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["label", "embedding"])
+
+    def quant(b: pa.Table):
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        labels = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        live = lengths > 0
+        if not live.any():
+            return None
+        ll = lengths[live]
+        ends = np.cumsum(ll)
+        segstarts = np.concatenate(([0], ends[:-1]))
+        sc = np.maximum.reduceat(np.abs(flat), segstarts)
+        per_elem = np.repeat(sc, ll)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(flat * 127.0 / per_elem)
+        q = np.nan_to_num(q, nan=0.0, posinf=0.0,
+                          neginf=0.0).astype(np.int64)
+        lab = np.repeat(labels[live], ll)
+        dim = np.concatenate([np.arange(1, n + 1) for n in ll])
+        return lab, dim, q, ll, labels[live]
+
+    def partial1(b: pa.Table) -> pa.Table:
+        r = quant(b)
+        if r is None:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "q_sum": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lab, dim, q, _, _ = r
+        agg = pd.DataFrame({"label": lab, "dim": dim, "q": q}) \
+            .groupby(["label", "dim"], sort=False).agg(
+                q_sum=("q", "sum"), n=("q", "size")).reset_index()
+        return pa.table({
+            "label": pa.array(agg["label"].to_numpy(np.int64)),
+            "dim": pa.array(agg["dim"].to_numpy(np.int64)),
+            "q_sum": pa.array(agg["q_sum"].to_numpy(np.int64)),
+            "n": pa.array(agg["n"].to_numpy(np.int64))})
+
+    parts = emb.map_batches(partial1, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                             "n_vecs": pd.Series([], dtype=np.int64),
+                             "sum_d2": pd.Series([], dtype=np.int64),
+                             "mean_d2": pd.Series([], dtype=np.float64)})
+    cent = parts.groupby(["label", "dim"], as_index=False)[
+        ["q_sum", "n"]].sum()
+    s = cent["q_sum"].to_numpy(np.int64)
+    nn = cent["n"].to_numpy(np.int64)
+    cq = np.sign(s) * (np.abs(s) // nn)        # trunc toward zero
+    cent_map = {(int(l), int(d)): int(v) for l, d, v in
+                zip(cent["label"], cent["dim"], cq)}
+    dmax = int(cent["dim"].max())
+    lmax = int(cent["label"].max())
+    cmat = np.zeros((lmax + 1, dmax + 1), dtype=np.int64)
+    for (l, d), v in cent_map.items():
+        cmat[l, d] = v
+
+    def partial2(b: pa.Table) -> pa.Table:
+        r = quant(b)
+        if r is None:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "sum_d2": pa.array([], pa.int64())})
+        lab, dim, q, ll, vec_labels = r
+        diff = q - cmat[lab, dim]
+        d2 = diff * diff
+        vec_id = np.repeat(np.arange(len(ll)), ll)
+        per_vec = np.bincount(vec_id, weights=d2.astype(np.float64)) \
+            .astype(np.int64)
+        agg = pd.DataFrame({"label": vec_labels, "d2": per_vec}) \
+            .groupby("label", sort=False).agg(
+                n_vecs=("d2", "size"), sum_d2=("d2", "sum")).reset_index()
+        return pa.table({
+            "label": pa.array(agg["label"].to_numpy(np.int64)),
+            "n_vecs": pa.array(agg["n_vecs"].to_numpy(np.int64)),
+            "sum_d2": pa.array(agg["sum_d2"].to_numpy(np.int64))})
+
+    out = emb.map_batches(partial2, batch_format="pyarrow").to_pandas() \
+        .groupby("label", as_index=False)[["n_vecs", "sum_d2"]].sum()
+    out["n_vecs"] = out["n_vecs"].astype(np.int64)
+    out["sum_d2"] = out["sum_d2"].astype(np.int64)
+    out["mean_d2"] = out["sum_d2"].map(float) / out["n_vecs"].map(float)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+INTRA_SPREAD_SQL = """
+WITH t AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings WHERE len(embedding) > 0
+), q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                END) AS qv
+  FROM t
+), e AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim,
+         unnest(qv) AS val
+  FROM q
+), c AS (SELECT label, dim, CAST(sum(val) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM e GROUP BY 1, 2),
+cq AS (SELECT label, dim, s // n AS cq FROM c),
+d AS (SELECT e.label, e.vec_id,
+             CAST(sum((e.val - cq.cq) * (e.val - cq.cq)) AS BIGINT) AS d2
+      FROM e JOIN cq USING (label, dim) GROUP BY 1, 2)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(d2) AS BIGINT) AS sum_d2,
+       CAST(sum(d2) AS DOUBLE) / count(*) AS mean_d2
+FROM d GROUP BY label ORDER BY label
+"""

@@ -166,3 +166,65 @@ def test_wasserstein_scipy_free(ray_session):
     fb = np.searchsorted(b, allv, side="right") / len(b)
     w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(allv)))
     assert abs(fast["w1"].iloc[0] - w1) < 1e-9
+
+
+def test_followups_brute(ray_session):
+    from jsonschema_validator_ray.pipelines.analytics import followups_events
+
+    fast = _df(followups_events(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    ev["t"] = ev["ts"].astype("int64")
+    w = 3600 * 1_000_000
+    cnt = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("t")
+        t = g["t"].to_numpy()
+        ty = g["event_type"].to_numpy()
+        for i in range(len(t)):
+            for j in range(len(t)):
+                if t[j] > t[i] and t[j] <= t[i] + w:
+                    cnt[(ty[i], ty[j])] = cnt.get((ty[i], ty[j]), 0) + 1
+    got = {(r["prev_type"], r["event_type"]): int(r["n"])
+           for _, r in fast.iterrows()}
+    assert got == cnt
+
+
+def test_markov_entropy_consistency(ray_session):
+    import math
+
+    from jsonschema_validator_ray.pipelines.analytics import (
+        event_transitions,
+        markov_entropy_events,
+    )
+
+    out = _df(markov_entropy_events(SF))
+    cells = _df(event_transitions(SF))
+    n = int(cells["n"].sum())
+    assert int(out["n_pairs"].iloc[0]) == n
+    # float reference within integer-ln floor error (1e-6 per unit mass)
+    row = cells.groupby("prev_type")["n"].transform("sum")
+    h = -sum((c / n) * math.log(c / r)
+             for c, r in zip(cells["n"], row))
+    got = out["h_cond_micronats"].iloc[0] / 1_000_000
+    assert h - 2e-6 < got <= h + 2e-6
+    assert 0 <= got <= math.log(cells["event_type"].nunique()) + 1e-9
+
+
+def test_intra_spread_invariants(ray_session):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        intra_spread_embeddings,
+        label_centroids_embeddings,
+    )
+
+    out = _df(intra_spread_embeddings(SF))
+    cents = _df(label_centroids_embeddings(SF))
+    n_per = cents.groupby("label")["n_vecs"].first()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["label"])
+    want = emb.groupby("label").size()
+    for _, r in out.iterrows():
+        assert int(r["n_vecs"]) == int(want[r["label"]])
+        assert r["sum_d2"] >= 0
+        assert abs(r["mean_d2"] - r["sum_d2"] / r["n_vecs"]) < 1e-9
+    assert set(out["label"]) == set(n_per.index)
