@@ -931,3 +931,176 @@ SELECT t.n_a, t.n_b, COALESCE(agg.w1_units, 0) AS w1_units,
          / (CAST(t.n_a AS DOUBLE) * t.n_b) AS w1
 FROM t, agg
 """
+
+
+def welch_t_chars_langs(sf_dir: str, lang_a: str = "en",
+                        lang_b: str = "de", block_gate: int = 512):
+    """One-row (n_a, n_b, t) — Welch's unequal-variance t statistic
+    between two languages' document-length distributions, the parametric
+    sibling of :func:`mannwhitney_chars_langs`. Everything up to the last
+    expression is EXACT integer arithmetic over per-lang moments
+    (n, Σx, Σx²): with ``d_g = n_g·Σx² − (Σx)²`` (n²·(n−1)·variance),
+    ``P = n_a²(n_a−1)``, ``Q = n_b²(n_b−1)``,
+
+        t = ((s_a·n_b − s_b·n_a) / (n_a·n_b))
+            / sqrt((d_a·Q + d_b·P) / (P·Q))
+
+    — two correctly-rounded int→double casts per operand, one divide,
+    one sqrt, one divide, spelled identically in Python and DuckDB's
+    HUGEINT pipeline, hence bitwise-equal.
+
+    Scale shape: per-batch (lang, n, s, ss) moment partials are
+    2-cell-bounded → shared gated cell fold (ONE exchange past the
+    gate); driver math is O(1)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("lang"),
+                              value_set=pa.array([lang_a, lang_b])))
+        v = pc.cast(t.column("n_chars"), pa.int64())
+        g = pa.table({"lang": t.column("lang"), "v": v,
+                      "v2": pc.multiply(v, v)}) \
+            .group_by("lang").aggregate(
+                [("v", "count"), ("v", "sum"), ("v2", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "n": pc.cast(g.column("v_count"), pa.int64()),
+                         "s": g.column("v_sum"),
+                         "ss": g.column("v2_sum")})
+
+    cells = fold_cells(scan, partial, ["lang"], sums=["n", "s", "ss"],
+                       block_gate=block_gate)
+    mom = {r.lang: (int(r.n), int(r.s), int(r.ss))
+           for r in cells.itertuples(index=False)} if len(cells) else {}
+    na, sa, ssa = mom.get(lang_a, (0, 0, 0))
+    nb, sb, ssb = mom.get(lang_b, (0, 0, 0))
+    t_stat = 0.0
+    if na >= 2 and nb >= 2:
+        da = na * ssa - sa * sa
+        db = nb * ssb - sb * sb
+        p = na * na * (na - 1)
+        q = nb * nb * (nb - 1)
+        nn = da * q + db * p
+        if nn != 0:
+            t_stat = (float(sa * nb - sb * na) / float(na * nb)) \
+                / math.sqrt(float(nn) / float(p * q))
+    return pd.DataFrame({"n_a": pd.Series([na], dtype=np.int64),
+                         "n_b": pd.Series([nb], dtype=np.int64),
+                         "t": pd.Series([t_stat], dtype=np.float64)})
+
+
+WELCH_T_SQL = """
+WITH c AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(n_chars) AS HUGEINT) AS s,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                       AS HUGEINT) AS ss
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+p AS (SELECT
+        COALESCE(sum(n) FILTER (WHERE lang = 'en'), 0) AS na,
+        COALESCE(sum(s) FILTER (WHERE lang = 'en'), 0) AS sa,
+        COALESCE(sum(ss) FILTER (WHERE lang = 'en'), 0) AS ssa,
+        COALESCE(sum(n) FILTER (WHERE lang = 'de'), 0) AS nb,
+        COALESCE(sum(s) FILTER (WHERE lang = 'de'), 0) AS sb,
+        COALESCE(sum(ss) FILTER (WHERE lang = 'de'), 0) AS ssb
+      FROM c),
+m AS (SELECT na, nb,
+             sa * nb - sb * na AS d, na * nb AS mm,
+             (na * ssa - sa * sa) * (nb * nb * (nb - 1))
+               + (nb * ssb - sb * sb) * (na * na * (na - 1)) AS nn,
+             (na * na * (na - 1)) * (nb * nb * (nb - 1)) AS pq
+      FROM p)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN na < 2 OR nb < 2 OR nn = 0 THEN 0.0
+            ELSE (CAST(d AS DOUBLE) / CAST(mm AS DOUBLE))
+                 / sqrt(CAST(nn AS DOUBLE) / CAST(pq AS DOUBLE)) END AS t
+FROM m
+"""
+
+
+def auc_chars_langs(sf_dir: str, lang_a: str = "en",
+                    lang_b: str = "de", block_gate: int = 512):
+    """One-row (n_a, n_b, u2_a, auc, cliffs_delta) — the two standard
+    effect sizes derived from the Mann-Whitney U with midrank ties (same
+    doubled-rank integer fold as :func:`mannwhitney_chars_langs`):
+    ``AUC = U/(n_a·n_b) = u2/(2·n_a·n_b)`` (the probability a random
+    lang_a document is longer, ties half) and ``Cliff's δ = 2·AUC − 1 =
+    (u2 − n_a·n_b)/(n_a·n_b)``. Each float is ONE division of exact
+    int64s — bitwise-identical cross-engine.
+
+    Scale shape: (lang, n_chars) cells are value-domain-bounded →
+    shared gated cell fold."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("lang"),
+                              value_set=pa.array([lang_a, lang_b])))
+        g = t.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    na = nb = u2 = 0
+    if len(cells):
+        piv = cells.pivot_table(index="v", columns="lang", values="c",
+                                aggfunc="sum", fill_value=0).sort_index()
+        ca = piv[lang_a].to_numpy(np.int64) if lang_a in piv else \
+            np.zeros(len(piv), np.int64)
+        cb = piv[lang_b].to_numpy(np.int64) if lang_b in piv else \
+            np.zeros(len(piv), np.int64)
+        t = ca + cb
+        cum = np.concatenate(([0], np.cumsum(t)))[:-1]
+        r2 = 2 * cum + t + 1
+        na, nb = int(ca.sum()), int(cb.sum())
+        u2 = int((ca * r2).sum()) - na * (na + 1)
+    if na and nb:
+        auc = float(u2) / float(2 * na * nb)
+        delta = float(u2 - na * nb) / float(na * nb)
+    else:
+        auc = delta = 0.0
+    return pd.DataFrame({
+        "n_a": pd.Series([na], dtype=np.int64),
+        "n_b": pd.Series([nb], dtype=np.int64),
+        "u2_a": pd.Series([u2], dtype=np.int64),
+        "auc": pd.Series([auc], dtype=np.float64),
+        "cliffs_delta": pd.Series([delta], dtype=np.float64)})
+
+
+AUC_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1, 2),
+p AS (SELECT v,
+             CAST(COALESCE(sum(c) FILTER (WHERE lang = 'en'), 0)
+                  AS BIGINT) AS ca,
+             CAST(COALESCE(sum(c) FILTER (WHERE lang = 'de'), 0)
+                  AS BIGINT) AS cb
+      FROM c GROUP BY v),
+w AS (SELECT v, ca, cb, ca + cb AS t,
+             CAST(COALESCE(sum(ca + cb)
+                  OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM p),
+agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               CAST(sum(ca * (2 * cum + t + 1)) AS BIGINT) AS r2a
+        FROM w)
+SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+            ELSE CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+                 / CAST(2 * n_a * n_b AS DOUBLE) END AS auc,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+            ELSE CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE) END AS cliffs_delta
+FROM agg
+"""

@@ -1663,3 +1663,169 @@ SELECT t.n AS n_rows, round(agg.chi2, 6) AS chi2_r6,
              END, 6) AS cramers_v_r6
 FROM t, agg, dims
 """
+
+
+def anova_f_qty_flag(sf_dir: str, block_gate: int = 512):
+    """One-row (n_rows, k_groups, f) — one-way ANOVA F statistic of
+    l_quantity across the three l_returnflag groups (A/N/R — fixed by the
+    TPC-H domain; the reference-shape distribution check beside the
+    nonparametric KS/Mann-Whitney family). The whole F ratio reduces to
+    ONE division of two exact integers: with per-group integer moments
+    (n_g, s_g, ss_g) over the integral quantity domain, ``P = n_A·n_N·n_R``
+    and ``Anum = Σ_g s_g²·(P/n_g)`` (so ``Σ s_g²/n_g = Anum/P`` exactly),
+
+        SSB = (Anum·N − S²·P) / (P·N)      SSW = (T·P − Anum) / P
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+            = (Anum·N − S²·P)·(N−3)  /  ((T·P − Anum)·N·2)
+
+    — numerator and denominator are exact HUGEINT-range integers (≤ ~4e35
+    at sf 0.1), cast to double once each. Degenerate inputs (an empty
+    group, zero within-group variance) report 0.0 in both engines.
+
+    Scale shape: per-batch (flag, n, s, ss) moment partials are
+    3-cell-bounded → shared gated cell fold; driver math is O(1)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b.column("l_quantity")), pa.int64())
+        g = pa.table({"f": b.column("l_returnflag"), "q": q,
+                      "q2": pc.multiply(q, q)}) \
+            .group_by("f").aggregate(
+                [("q", "count"), ("q", "sum"), ("q2", "sum")])
+        return pa.table({"f": g.column("f"),
+                         "n": pc.cast(g.column("q_count"), pa.int64()),
+                         "s": g.column("q_sum"),
+                         "ss": g.column("q2_sum")})
+
+    cells = fold_cells(scan, partial, ["f"], sums=["n", "s", "ss"],
+                       block_gate=block_gate)
+    mom = {r.f: (int(r.n), int(r.s), int(r.ss))
+           for r in cells.itertuples(index=False)} if len(cells) else {}
+    (na, sa, ssa) = mom.get("A", (0, 0, 0))
+    (nn_, sn, ssn) = mom.get("N", (0, 0, 0))
+    (nr, sr, ssr) = mom.get("R", (0, 0, 0))
+    n = na + nn_ + nr
+    s = sa + sn + sr
+    t = ssa + ssn + ssr
+    pp = na * nn_ * nr
+    anum = sa * sa * nn_ * nr + sn * sn * na * nr + sr * sr * na * nn_
+    fnum = (anum * n - s * s * pp) * (n - 3)
+    fden = (t * pp - anum) * n * 2
+    f = 0.0 if pp == 0 or fden == 0 else float(fnum) / float(fden)
+    return pd.DataFrame({"n_rows": pd.Series([n], dtype=np.int64),
+                         "k_groups": pd.Series([3], dtype=np.int64),
+                         "f": pd.Series([f], dtype=np.float64)})
+
+
+ANOVA_F_SQL = """
+WITH v AS (SELECT l_returnflag AS f,
+                  CAST(round(l_quantity) AS BIGINT) AS q
+           FROM lineitem),
+c AS (SELECT f, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(q) AS HUGEINT) AS s,
+             CAST(sum(q * q) AS HUGEINT) AS ss
+      FROM v GROUP BY 1),
+p AS (SELECT
+        COALESCE(sum(n) FILTER (WHERE f = 'A'), 0) AS na,
+        COALESCE(sum(s) FILTER (WHERE f = 'A'), 0) AS sa,
+        COALESCE(sum(ss) FILTER (WHERE f = 'A'), 0) AS ssa,
+        COALESCE(sum(n) FILTER (WHERE f = 'N'), 0) AS nn,
+        COALESCE(sum(s) FILTER (WHERE f = 'N'), 0) AS sn,
+        COALESCE(sum(ss) FILTER (WHERE f = 'N'), 0) AS ssn,
+        COALESCE(sum(n) FILTER (WHERE f = 'R'), 0) AS nr,
+        COALESCE(sum(s) FILTER (WHERE f = 'R'), 0) AS sr,
+        COALESCE(sum(ss) FILTER (WHERE f = 'R'), 0) AS ssr
+      FROM c),
+m AS (SELECT na + nn + nr AS n, sa + sn + sr AS s,
+             ssa + ssn + ssr AS t, na * nn * nr AS pp,
+             sa * sa * nn * nr + sn * sn * na * nr
+               + sr * sr * na * nn AS anum
+      FROM p),
+ff AS (SELECT n, pp,
+              (anum * n - s * s * pp) * (n - 3) AS fnum,
+              (t * pp - anum) * n * 2 AS fden
+       FROM m)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(3 AS BIGINT) AS k_groups,
+       CASE WHEN pp = 0 OR fden = 0 THEN 0.0
+            ELSE CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE) END AS f
+FROM ff
+"""
+
+
+def hodges_lehmann_qty(sf_dir: str, flag_a: str = "A", flag_b: str = "R",
+                       block_gate: int = 512):
+    """One-row (n_pairs, hl_diff) — the Hodges-Lehmann shift estimator
+    between two return-flag groups' quantities: the LOWER weighted median
+    of the n_a·n_b pairwise differences q_a − q_b, computed WITHOUT
+    enumerating pairs — the integral quantity domain (≤ 50 distinct
+    values) makes the pairwise-difference multiset an outer CONVOLUTION
+    of the two value histograms (≤ 99 distinct diffs at any corpus
+    size), and the lower weighted median (smallest d with cumweight ≥
+    ⌈W/2⌉) is exact integer arithmetic end to end — no float exists
+    anywhere (the robust location-shift sibling of
+    :func:`~.anomaly.mannwhitney_chars_langs`).
+
+    Scale shape: (flag, value) cells are value-domain-bounded → shared
+    gated cell fold; the convolution is O(50²) driver math."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("l_returnflag"),
+                              value_set=pa.array([flag_a, flag_b])))
+        g = pa.table({
+            "f": t.column("l_returnflag"),
+            "q": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+        }).group_by(["f", "q"]).aggregate([("q", "count")])
+        return pa.table({"f": g.column("f"), "q": g.column("q"),
+                         "c": pc.cast(g.column("q_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["f", "q"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({"n_pairs": pd.Series([], dtype=np.int64),
+                          "hl_diff": pd.Series([], dtype=np.int64)})
+    if not len(cells):
+        return empty
+    a = cells[cells["f"] == flag_a]
+    b_ = cells[cells["f"] == flag_b]
+    if not len(a) or not len(b_):
+        return empty
+    va = a["q"].to_numpy(np.int64)
+    ca = a["c"].to_numpy(np.int64)
+    vb = b_["q"].to_numpy(np.int64)
+    cb = b_["c"].to_numpy(np.int64)
+    d = (va[:, None] - vb[None, :]).ravel()
+    w = (ca[:, None] * cb[None, :]).ravel()
+    df = pd.DataFrame({"d": d, "w": w}).groupby("d", as_index=False) \
+        .agg({"w": "sum"}).sort_values("d")
+    tot = int(df["w"].sum())
+    cum = df["w"].cumsum().to_numpy(np.int64)
+    hl = int(df["d"].to_numpy(np.int64)[
+        int(np.searchsorted(cum, (tot + 1) // 2))])
+    return pd.DataFrame({"n_pairs": pd.Series([tot], dtype=np.int64),
+                         "hl_diff": pd.Series([hl], dtype=np.int64)})
+
+
+HODGES_LEHMANN_SQL = """
+WITH v AS (SELECT l_returnflag AS f,
+                  CAST(round(l_quantity) AS BIGINT) AS q
+           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+ha AS (SELECT q, CAST(count(*) AS BIGINT) AS c FROM v
+       WHERE f = 'A' GROUP BY 1),
+hb AS (SELECT q, CAST(count(*) AS BIGINT) AS c FROM v
+       WHERE f = 'R' GROUP BY 1),
+d AS (SELECT ha.q - hb.q AS d,
+             CAST(sum(CAST(ha.c AS HUGEINT) * hb.c) AS BIGINT) AS w
+      FROM ha CROSS JOIN hb GROUP BY 1),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM d),
+c AS (SELECT d, CAST(sum(w) OVER (ORDER BY d) AS BIGINT) AS cw FROM d)
+SELECT t.tot AS n_pairs, CAST(min(c.d) AS BIGINT) AS hl_diff
+FROM c, t WHERE c.cw >= (t.tot + 1) // 2 GROUP BY t.tot
+"""
