@@ -5139,3 +5139,184 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(d2) AS DOUBLE) / count(*) AS mean_d2
 FROM d GROUP BY label ORDER BY label
 """
+
+
+def hhi_source_by_lang(sf_dir: str, block_gate: int = 512):
+    """(lang, n_docs, hhi_e6) — Herfindahl-Hirschman concentration index
+    of the SOURCE mix within each language, in exact ppm:
+    ``hhi_e6 = ⌊10⁶·Σ_s c_s² / (Σ_s c_s)²⌋`` — the corpus-diversity
+    number a curation pipeline watches to catch one crawl host swamping
+    a language (1e6/|sources| = perfectly even, 1e6 = single-source).
+    All integer: one floor division of exact nonnegative ints per lang
+    (``//`` truncation ≡ floor for nonnegative — cross-engine safe).
+
+    Scale shape: (lang, source) cells are domain-bounded → shared gated
+    cell fold; driver math is O(|langs|·|sources|)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate([("source", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "c": pc.cast(g.column("source_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "source"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "hhi_e6": pd.Series([], dtype=np.int64)})
+    rows = []
+    for lang, g in cells.groupby("lang"):
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        hhi = int(sum(int(x) * int(x) for x in c) * 10**6 // (n * n))
+        rows.append((lang, n, hhi))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["lang", "n_docs", "hhi_e6"]) \
+        .astype({"n_docs": np.int64, "hhi_e6": np.int64})
+
+
+HHI_SQL = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2)
+SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
+            // (sum(CAST(c AS HUGEINT)) * sum(CAST(c AS HUGEINT)))
+            AS BIGINT) AS hhi_e6
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+def theil_length_by_lang(sf_dir: str, block_gate: int = 512):
+    """(lang, n_docs, theil) — Theil T inequality index of document
+    lengths within each language: ``T = (1/S)·Σ_i x_i·ln(x_i·N/S)``
+    (S = Σx, μ = S/N), the additive-decomposable inequality measure
+    (0 = all docs equal length). Exactness chain (repo float rule):
+    per distinct value the log argument is ONE double division of exact
+    ints (< 2⁵³ even at 10¹² docs since x ≤ max length), the ln is the
+    shared scalar libm, quantized ``lnq = ⌊ln·10⁹⌋``; the weighted sum
+    ``Σ c·x·lnq`` folds in exact integers and the reported float is ONE
+    division by the exact ``S·10⁹``. Zero-length docs are excluded
+    (their x·ln x contribution is the 0 limit) in both engines.
+
+    Scale shape: (lang, n_chars) cells are value-domain-bounded →
+    shared gated cell fold; driver math is O(cells)."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("n_chars"), 0))
+        g = t.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "theil": pd.Series([], dtype=np.float64)})
+    rows = []
+    for lang, g in cells.groupby("lang"):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        s = int((c * v).sum())
+        num = 0
+        for vi, ci in zip(v.tolist(), c.tolist()):
+            lnq = math.floor(
+                math.log(float(vi * n) / float(s)) * 1000000000.0)
+            num += ci * vi * lnq
+        rows.append((lang, n, float(num) / float(s * 10**9)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["lang", "n_docs", "theil"]) \
+        .astype({"n_docs": np.int64, "theil": np.float64})
+
+
+THEIL_SQL = """
+WITH c AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * v) AS BIGINT) AS s
+      FROM c GROUP BY 1),
+q AS (SELECT c.lang, c.v, c.c, g.n, g.s,
+             CAST(floor(ln(CAST(c.v * g.n AS DOUBLE)
+                           / CAST(g.s AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS lnq
+      FROM c JOIN g USING (lang))
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(c AS HUGEINT) * v * lnq) AS DOUBLE)
+         / CAST(CAST(max(s) AS HUGEINT) * 1000000000 AS DOUBLE) AS theil
+FROM q GROUP BY lang ORDER BY lang
+"""
+
+
+def ess_chars_by_lang(sf_dir: str, block_gate: int = 512):
+    """(lang, n_docs, ess) — Kish effective sample size of each
+    language's documents under length-proportional weights:
+    ``ESS = (Σw)²/Σw²`` with w = n_chars — the importance-sampling
+    diagnostic (how many equal-weight docs the weighted set is worth;
+    ESS = n iff all lengths equal). The float is ONE division of two
+    exact integers (arbitrary-precision driver-side, HUGEINT in SQL).
+
+    Scale shape: per-batch (lang, n, s, ss) moment partials are
+    lang-bounded → shared gated cell fold; driver math is O(|langs|)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column("n_chars"), pa.int64())
+        g = pa.table({"lang": b.column("lang"), "v": v,
+                      "v2": pc.multiply(v, v)}) \
+            .group_by("lang").aggregate(
+                [("v", "count"), ("v", "sum"), ("v2", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "n": pc.cast(g.column("v_count"), pa.int64()),
+                         "s": g.column("v_sum"),
+                         "ss": g.column("v2_sum")})
+
+    cells = fold_cells(scan, partial, ["lang"], sums=["n", "s", "ss"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "ess": pd.Series([], dtype=np.float64)})
+    rows = []
+    for r in cells.itertuples(index=False):
+        s, ss = int(r.s), int(r.ss)
+        rows.append((r.lang, int(r.n),
+                     0.0 if ss == 0 else float(s * s) / float(ss)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["lang", "n_docs", "ess"]) \
+        .astype({"n_docs": np.int64, "ess": np.float64})
+
+
+ESS_SQL = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS HUGEINT) AS s,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                       AS HUGEINT) AS ss
+           FROM documents GROUP BY 1)
+SELECT lang, n AS n_docs,
+       CASE WHEN ss = 0 THEN 0.0
+            ELSE CAST(s * s AS DOUBLE) / CAST(ss AS DOUBLE) END AS ess
+FROM c ORDER BY lang
+"""

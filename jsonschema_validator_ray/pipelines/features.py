@@ -1504,3 +1504,112 @@ FROM (
   FROM q CROSS JOIN c2 c) t
 WHERE rn = 1
 """
+
+
+def topk_agreement_embeddings(sf_dir: str, k: int = 3,
+                              coarse_scale: int = 16,
+                              broadcast_limit_rows: int = 4_000_000):
+    """(overlap, n_queries) — the QUANTIZATION-SENSITIVITY audit for
+    approximate retrieval: for every vector, how many of its top-``k``
+    neighbors under the engine's fine int64 quantization (scale 1e5,
+    knn_graph's exact-MIPS spelling) survive when components are
+    quantized to a coarse ``floor(x·coarse_scale)`` grid (~4-5 bits for
+    unit vectors — the product-quantization / int4 regime). The overlap
+    histogram (0..k) is the recall-vs-compression curve's single-point
+    summary a curation pipeline checks before switching the ANN index to
+    a compressed codebook.
+
+    Exactness: BOTH rankings are deterministic integer dots (ties break
+    neighbor id ASC) — floor quantization per component is bit-identical
+    cross-engine, dots stay < 2⁵³ — so membership sets and the final
+    counts are exact in both engines.
+
+    Scale shape: the corpus matrix broadcasts once (``ray.put``); each
+    batch does two argsorts per row and emits a ≤(k+1)-cell histogram
+    partial folded driver-side (past ``broadcast_limit_rows``, rank per
+    IVF cell instead)."""
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    n = emb.count()
+    if n > broadcast_limit_rows:
+        raise ValueError(
+            f"topk_agreement_embeddings broadcast path holds the whole "
+            f"corpus ({n} rows > {broadcast_limit_rows}); rank per IVF cell")
+    whole = pa.concat_tables(ray.get(emb.to_arrow_refs())).combine_chunks()
+    ids = whole.column("vec_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    raw = _emb_matrix(whole, "embedding").astype(np.float64)
+    fine = np.floor(raw * _Q_SCALE).astype(np.int64)
+    coarse = np.floor(raw * coarse_scale).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, fine, coarse = ids[order], fine[order], coarse[order]
+    ref = ray.put((ids, fine, coarse))
+
+    class TopkAgreement:
+        def __init__(self, r, kk, cs):
+            self.ids, self.fine, self.coarse = ray.get(r) \
+                if isinstance(r, ray.ObjectRef) else r
+            self.k, self.cs = kk, cs
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            empty = pa.table({"overlap": pa.array([], pa.int64()),
+                              "n_queries": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            qraw = _emb_matrix(b, "embedding").astype(np.float64)
+            qf = np.floor(qraw * _Q_SCALE).astype(np.int64)
+            qc = np.floor(qraw * self.cs).astype(np.int64)
+            qid = b.column("vec_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dots_f = qf @ self.fine.T              # int64 exact
+            dots_c = qc @ self.coarse.T            # int64 exact
+            self_mask = qid[:, None] == self.ids[None, :]
+            hist = np.zeros(self.k + 1, np.int64)
+            for i in range(len(qid)):
+                live = ~self_mask[i]
+                nid = self.ids[live]
+                top1 = nid[np.lexsort((nid, -dots_f[i][live]))[:self.k]]
+                top2 = nid[np.lexsort((nid, -dots_c[i][live]))[:self.k]]
+                hist[len(np.intersect1d(top1, top2))] += 1
+            ov = np.nonzero(hist)[0]
+            return pa.table({"overlap": pa.array(ov.astype(np.int64)),
+                             "n_queries": pa.array(hist[ov])})
+
+    parts = emb.map_batches(TopkAgreement,
+                            fn_constructor_args=(ref, k, coarse_scale),
+                            concurrency=(1, 2), batch_size=512,
+                            batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"overlap": pd.Series([], dtype=np.int64),
+                             "n_queries": pd.Series([], dtype=np.int64)})
+    return parts.groupby("overlap", as_index=False) \
+        .agg({"n_queries": "sum"}).sort_values("overlap") \
+        .reset_index(drop=True).astype(np.int64)
+
+
+TOPK_AGREEMENT_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS qf,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 16) AS BIGINT)) AS qc
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qf, b.qf) AS BIGINT) AS df,
+         CAST(list_dot_product(a.qc, b.qc) AS BIGINT) AS dc
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, neighbor_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY df DESC, neighbor_id) AS r1,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dc DESC, neighbor_id) AS r2
+      FROM pairs),
+o AS (SELECT vec_id,
+             CAST(count(*) FILTER (WHERE r1 <= 3 AND r2 <= 3)
+                  AS BIGINT) AS ov
+      FROM r GROUP BY vec_id)
+SELECT ov AS overlap, CAST(count(*) AS BIGINT) AS n_queries
+FROM o GROUP BY 1 ORDER BY 1
+"""

@@ -111,3 +111,117 @@ def test_hodges_lehmann_planted_shift(ray_session, tmp_path):
     out = _df(hodges_lehmann_qty(str(d)))
     assert int(out["hl_diff"][0]) == 7
     assert int(out["n_pairs"][0]) == 2500
+
+
+def test_hhi_planted_and_paths(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "lang": pa.array(["aa"] * 8 + ["bb"] * 12),
+        "source": pa.array(["s1"] * 8 + ["s1", "s2", "s3", "s4"] * 3),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.corpus import hhi_source_by_lang
+
+    out = _df(hhi_source_by_lang(str(d))).set_index("lang")
+    assert int(out.loc["aa", "hhi_e6"]) == 1_000_000   # single source
+    assert int(out.loc["bb", "hhi_e6"]) == 250_000     # 4 even sources
+    fast = _df(hhi_source_by_lang(SF))
+    slow = _df(hhi_source_by_lang(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow[fast.columns].reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_theil_bruteforce(ray_session):
+    from jsonschema_validator_ray.pipelines.corpus import (
+        theil_length_by_lang)
+
+    fast = _df(theil_length_by_lang(SF))
+    slow = _df(theil_length_by_lang(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow[fast.columns].reset_index(drop=True),
+                                  check_dtype=False)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    for _, r in fast.iterrows():
+        x = docs[docs["lang"] == r["lang"]]["n_chars"] \
+            .to_numpy(np.float64)
+        mu = x.mean()
+        want = float(np.mean((x / mu) * np.log(x / mu)))
+        assert abs(r["theil"] - want) < 1e-6    # 1e-9 ln quantization
+        assert r["theil"] >= 0.0
+
+
+def test_theil_equal_lengths_is_zero(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"lang": pa.array(["aa"] * 10),
+                             "n_chars": pa.array([500] * 10)}),
+                   str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.corpus import (
+        theil_length_by_lang)
+
+    out = _df(theil_length_by_lang(str(d)))
+    assert float(out["theil"][0]) == 0.0
+
+
+def test_ess_formula_and_equal_weights(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.pipelines.corpus import ess_chars_by_lang
+
+    fast = _df(ess_chars_by_lang(SF))
+    slow = _df(ess_chars_by_lang(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow[fast.columns].reset_index(drop=True),
+                                  check_dtype=False)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    for _, r in fast.iterrows():
+        w = docs[docs["lang"] == r["lang"]]["n_chars"].to_numpy(np.int64)
+        assert r["ess"] == float(int(w.sum()) ** 2) / float(
+            int((w.astype(object) ** 2).sum()))
+        assert r["ess"] <= r["n_docs"]
+    # equal weights -> ESS == n exactly
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"lang": pa.array(["aa"] * 7),
+                             "n_chars": pa.array([123] * 7)}),
+                   str(d / "documents.parquet"))
+    out = _df(ess_chars_by_lang(str(d)))
+    assert float(out["ess"][0]) == 7.0
+
+
+def test_topk_agreement_bruteforce(ray_session):
+    from jsonschema_validator_ray.pipelines.features import (
+        topk_agreement_embeddings)
+
+    out = _df(topk_agreement_embeddings(SF))
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    n = len(emb)
+    assert int(out["n_queries"].sum()) == n
+    ids = emb["vec_id"].to_numpy(np.int64)
+    raw = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, raw = ids[order], raw[order]
+    fine = np.floor(raw * 100000).astype(np.int64)
+    coarse = np.floor(raw * 16).astype(np.int64)
+    hist = np.zeros(4, np.int64)
+    df_ = fine @ fine.T
+    dc = coarse @ coarse.T
+    for i in range(n):
+        live = np.arange(n) != i
+        nid = ids[live]
+        t1 = nid[np.lexsort((nid, -df_[i][live]))[:3]]
+        t2 = nid[np.lexsort((nid, -dc[i][live]))[:3]]
+        hist[len(np.intersect1d(t1, t2))] += 1
+    got = dict(zip(out["overlap"].astype(int), out["n_queries"].astype(int)))
+    for ov in range(4):
+        assert got.get(ov, 0) == int(hist[ov])
