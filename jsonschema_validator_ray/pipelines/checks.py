@@ -1829,3 +1829,112 @@ c AS (SELECT d, CAST(sum(w) OVER (ORDER BY d) AS BIGINT) AS cw FROM d)
 SELECT t.tot AS n_pairs, CAST(min(c.d) AS BIGINT) AS hl_diff
 FROM c, t WHERE c.cw >= (t.tot + 1) // 2 GROUP BY t.tot
 """
+
+
+def ols2_price_qty_discount(sf_dir: str, block_gate: int = 512):
+    """One-row (n_rows, b0, b1, b2) — EXACT two-regressor ordinary least
+    squares of extendedprice (cents) on (quantity, discount·100) with
+    intercept, solved by Cramer's rule over the 3×3 normal equations:
+    every determinant is an exact integer polynomial of the nine moment
+    sums (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y — ≤ ~1e27 at
+    sf 0.1, HUGEINT-range), and each coefficient is ONE division of two
+    exact integers — the multi-feature extension of the existing
+    single-regressor slope_price_qty_returnflag, bitwise-identical
+    cross-engine. Singular design (det = 0) reports 0.0 coefficients.
+
+    Scale shape: per-batch 9-moment partials are ONE row per batch →
+    shared gated cell fold on a constant key; driver math is O(1)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x1 = pc.cast(pc.round(b.column("l_quantity")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        x2 = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), 100)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n": pa.array([len(x1)], pa.int64()),
+            "s1": pa.array([int(x1.sum())], pa.int64()),
+            "s2": pa.array([int(x2.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "s11": pa.array([int((x1 * x1).sum())], pa.int64()),
+            "s12": pa.array([int((x1 * x2).sum())], pa.int64()),
+            "s22": pa.array([int((x2 * x2).sum())], pa.int64()),
+            "s1y": pa.array([int((x1 * y).sum())], pa.int64()),
+            "s2y": pa.array([int((x2 * y).sum())], pa.int64())})
+
+    cells = fold_cells(scan, partial, ["k"],
+                       sums=["n", "s1", "s2", "sy", "s11", "s12", "s22",
+                             "s1y", "s2y"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({"n_rows": pd.Series([0], dtype=np.int64),
+                             "b0": pd.Series([0.0]),
+                             "b1": pd.Series([0.0]),
+                             "b2": pd.Series([0.0])})
+    r = cells.iloc[0]
+    n, s1, s2, sy = int(r.n), int(r.s1), int(r.s2), int(r.sy)
+    s11, s12, s22 = int(r.s11), int(r.s12), int(r.s22)
+    s1y, s2y = int(r.s1y), int(r.s2y)
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) \
+        + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) \
+        + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) \
+        + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) \
+        + sy * (s1 * s12 - s11 * s2)
+    if det == 0:
+        b0 = b1 = b2 = 0.0
+    else:
+        b0 = float(det0) / float(det)
+        b1 = float(det1) / float(det)
+        b2 = float(det2) / float(det)
+    return pd.DataFrame({"n_rows": pd.Series([n], dtype=np.int64),
+                         "b0": pd.Series([b0], dtype=np.float64),
+                         "b1": pd.Series([b1], dtype=np.float64),
+                         "b2": pd.Series([b2], dtype=np.float64)})
+
+
+OLS2_SQL = """
+WITH v AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+                  CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1,
+             CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+             sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+             sum(CAST(x2 AS HUGEINT) * y) AS s2y
+      FROM v),
+d AS (SELECT n,
+        n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2) AS det,
+        sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2) AS det1,
+        n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2) AS det2
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN det = 0 THEN 0.0
+            ELSE CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
+       CASE WHEN det = 0 THEN 0.0
+            ELSE CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+       CASE WHEN det = 0 THEN 0.0
+            ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+FROM d
+"""

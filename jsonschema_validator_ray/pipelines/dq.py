@@ -501,3 +501,85 @@ FROM documents
 GROUP BY 1, 2, 3 HAVING count(*) < 5
 ORDER BY lang, source, len_bucket
 """
+
+
+def cohens_kappa_gates_documents(sf_dir: str, min_chars: int = 300,
+                                 min_spaces: int = 50,
+                                 block_gate: int = 512):
+    """One-row (n_rows, n_both, n_only_len, n_only_tok, n_neither,
+    kappa) — Cohen's κ inter-rater agreement between two independent
+    document quality gates: the LENGTH gate (n_chars ≥ min_chars) and
+    the TOKEN-COUNT gate (whitespace-separator count ≥ min_spaces, the
+    cheap token-budget proxy). κ answers "do the two filters agree
+    beyond chance?" — the filter-redundancy audit a curation pipeline
+    runs before paying for both. With 2×2 confusion counts (a = both
+    pass, b = length only, c = tokens only, d = neither) and
+    ``E = (a+b)(a+c) + (c+d)(b+d)``:
+
+        κ = (N·(a+d) − E) / (N² − E)
+
+    — ONE division of two exact integers, bitwise cross-engine.
+
+    Scale shape: per-batch 4-cell confusion partials → shared gated
+    cell fold; driver math is O(1). The separator count is a vectorized
+    Arrow kernel (ASCII bytes, matching DuckDB's replace-length
+    spelling)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g1 = pc.greater_equal(b.column("n_chars"), min_chars)
+        spaces = pc.count_substring(b.column("text"), " ")
+        g2 = pc.greater_equal(spaces, min_spaces)
+        t = pa.table({"g1": pc.cast(g1, pa.int64()),
+                      "g2": pc.cast(g2, pa.int64())})
+        g = t.group_by(["g1", "g2"]).aggregate([("g1", "count")])
+        return pa.table({"g1": g.column("g1"), "g2": g.column("g2"),
+                         "c": pc.cast(g.column("g1_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["g1", "g2"], sums=["c"],
+                       block_gate=block_gate)
+    cnt = {(int(r.g1), int(r.g2)): int(r.c)
+           for r in cells.itertuples(index=False)} if len(cells) else {}
+    a = cnt.get((1, 1), 0)
+    b_ = cnt.get((1, 0), 0)
+    c = cnt.get((0, 1), 0)
+    d = cnt.get((0, 0), 0)
+    n = a + b_ + c + d
+    e = (a + b_) * (a + c) + (c + d) * (b_ + d)
+    den = n * n - e
+    kappa = 0.0 if den == 0 else float(n * (a + d) - e) / float(den)
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype=np.int64),
+        "n_both": pd.Series([a], dtype=np.int64),
+        "n_only_len": pd.Series([b_], dtype=np.int64),
+        "n_only_tok": pd.Series([c], dtype=np.int64),
+        "n_neither": pd.Series([d], dtype=np.int64),
+        "kappa": pd.Series([kappa], dtype=np.float64)})
+
+
+COHENS_KAPPA_SQL = """
+WITH v AS (SELECT CAST(n_chars >= 300 AS BIGINT) AS g1,
+                  CAST(length(text) - length(replace(text, ' ', ''))
+                       >= 50 AS BIGINT) AS g2
+           FROM documents),
+c AS (SELECT
+        CAST(count(*) FILTER (WHERE g1 = 1 AND g2 = 1) AS BIGINT) AS a,
+        CAST(count(*) FILTER (WHERE g1 = 1 AND g2 = 0) AS BIGINT) AS b,
+        CAST(count(*) FILTER (WHERE g1 = 0 AND g2 = 1) AS BIGINT) AS c,
+        CAST(count(*) FILTER (WHERE g1 = 0 AND g2 = 0) AS BIGINT) AS d
+      FROM v),
+m AS (SELECT a, b, c, d, a + b + c + d AS n,
+             CAST(a + b AS HUGEINT) * (a + c)
+               + CAST(c + d AS HUGEINT) * (b + d) AS e
+      FROM c)
+SELECT n AS n_rows, a AS n_both, b AS n_only_len, c AS n_only_tok,
+       d AS n_neither,
+       CASE WHEN CAST(n AS HUGEINT) * n - e = 0 THEN 0.0
+            ELSE CAST(CAST(n AS HUGEINT) * (a + d) - e AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n - e AS DOUBLE) END AS kappa
+FROM m
+"""

@@ -225,3 +225,91 @@ def test_topk_agreement_bruteforce(ray_session):
     got = dict(zip(out["overlap"].astype(int), out["n_queries"].astype(int)))
     for ov in range(4):
         assert got.get(ov, 0) == int(hist[ov])
+
+
+def test_ols2_matches_lstsq(ray_session):
+    from jsonschema_validator_ray.pipelines.checks import (
+        ols2_price_qty_discount)
+
+    fast = _df(ols2_price_qty_discount(SF))
+    slow = _df(ols2_price_qty_discount(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_quantity", "l_discount",
+                                  "l_extendedprice"])
+    x1 = np.round(li["l_quantity"].to_numpy()).astype(np.float64)
+    x2 = np.round(li["l_discount"].to_numpy() * 100).astype(np.float64)
+    y = np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.float64)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    r = fast.iloc[0]
+    assert abs(r["b0"] - beta[0]) < 1e-4 * max(1, abs(beta[0]))
+    assert abs(r["b1"] - beta[1]) < 1e-6 * max(1, abs(beta[1]))
+    assert abs(r["b2"] - beta[2]) < 1e-6 * max(1, abs(beta[2]))
+    assert int(r["n_rows"]) == len(li)
+
+
+def test_ols2_exact_plane(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # y = 500 + 300*x1 + 700*x2 cents exactly: betas must be EXACT
+    rng = np.random.default_rng(7)
+    x1 = rng.integers(1, 50, 200).astype(np.float64)
+    x2 = rng.integers(0, 11, 200).astype(np.float64)
+    y = (500 + 300 * x1 + 700 * x2) / 100.0
+    pq.write_table(pa.table({"l_quantity": pa.array(x1),
+                             "l_discount": pa.array(x2 / 100.0),
+                             "l_extendedprice": pa.array(y)}),
+                   str(d / "lineitem.parquet"))
+    from jsonschema_validator_ray.pipelines.checks import (
+        ols2_price_qty_discount)
+
+    out = _df(ols2_price_qty_discount(str(d)))
+    assert out["b0"][0] == 500.0
+    assert out["b1"][0] == 300.0
+    assert out["b2"][0] == 700.0
+
+
+def test_cohens_kappa_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # perfect agreement -> kappa = 1; then known mixed table
+    texts = ["w " * 60] * 6 + ["short"] * 4
+    pq.write_table(pa.table({
+        "text": pa.array(texts),
+        "n_chars": pa.array([400] * 6 + [5] * 4),
+    }), str(d / "documents.parquet"))
+    from jsonschema_validator_ray.pipelines.dq import (
+        cohens_kappa_gates_documents)
+
+    out = _df(cohens_kappa_gates_documents(str(d)))
+    assert float(out["kappa"][0]) == 1.0
+    assert int(out["n_both"][0]) == 6 and int(out["n_neither"][0]) == 4
+
+    fast = _df(cohens_kappa_gates_documents(SF))
+    slow = _df(cohens_kappa_gates_documents(SF, block_gate=0))
+    pd.testing.assert_frame_equal(fast, slow[fast.columns],
+                                  check_dtype=False)
+    # brute-force confusion parity; both gates must be non-constant
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text", "n_chars"])
+    g1 = (docs["n_chars"] >= 300).to_numpy()
+    g2 = (docs["text"].str.count(" ") >= 50).to_numpy()
+    assert 0 < g2.sum() < len(docs)
+    a = int((g1 & g2).sum())
+    dd = int((~g1 & ~g2).sum())
+    n = len(docs)
+    bb = int((g1 & ~g2).sum())
+    cc = int((~g1 & g2).sum())
+    e = (a + bb) * (a + cc) + (cc + dd) * (bb + dd)
+    want = (n * (a + dd) - e) / (n * n - e)
+    r = fast.iloc[0]
+    assert int(r["n_both"]) == a and int(r["n_neither"]) == dd
+    assert abs(r["kappa"] - want) < 1e-12
