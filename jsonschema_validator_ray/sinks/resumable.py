@@ -138,6 +138,7 @@ def run_resumable(partitions: list[Partition], out_dir: str,
                   metrics_fn: Callable[[list[str]], dict] | None = None,
                   checksum_cols: list[str] | None = None,
                   zonemap_cols: list[str] | None = None,
+                  bloom_cols: list[str] | None = None,
                   wave_size: int = 4) -> dict:
     """Run ``pipeline_fn`` over every not-yet-done partition; skip completed
     ones. Returns a summary dict (ran / skipped / rows).
@@ -194,6 +195,8 @@ def run_resumable(partitions: list[Partition], out_dir: str,
             if zonemap_cols:
                 metrics["zonemap"] = _partition_zonemap(
                     files, zonemap_cols)
+            if bloom_cols:
+                metrics["bloom"] = _partition_bloom(files, bloom_cols)
             _write_manifest(out_dir, {
                 "part_id": p.part_id,
                 "inputs": p.paths,
@@ -363,3 +366,142 @@ def read_output_pruned(out_dir: str, col: str, lo=None, hi=None):
     ds = read_parquet(files, filter=expr) if expr is not None \
         else read_parquet(files)
     return ds
+
+
+# ---- per-partition Bloom filters: EQUALITY data skipping ---------------------
+#
+# Zone maps prune RANGE predicates; point lookups on high-cardinality string
+# keys (url, host) need membership summaries. At commit time each partition
+# optionally records a small Bloom filter per column (a few KB in the JSON
+# manifest); read_output_point then skips every partition whose filter
+# provably excludes the probe value — the Iceberg/Parquet bloom lever on the
+# engine's OWN output. False positives only cost a wasted partition read;
+# correctness is independent of pruning (the residual filter is exact).
+
+_BLOOM_BITS = 1 << 14   # 2 KB/column/partition; ~2% FPR at 2k distinct
+_BLOOM_K = 4
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """k deterministic bit positions for ``value`` — md5-based, so stable
+    across Python versions, processes and machines (hash() is salted and
+    NEVER usable here). Values are canonicalized: str → utf-8 bytes,
+    int/bool → decimal string (floats are rejected at filter build)."""
+    if isinstance(value, bool) or isinstance(value, int):
+        raw = str(int(value)).encode()
+    elif isinstance(value, str):
+        raw = value.encode("utf-8")
+    elif isinstance(value, bytes):
+        raw = value
+    else:
+        raise TypeError(f"bloom value type {type(value)} unsupported")
+    out = []
+    for i in range(k):
+        d = hashlib.md5(i.to_bytes(2, "little") + raw).digest()
+        out.append(int.from_bytes(d[:8], "little") % m)
+    return out
+
+
+def _partition_bloom(files: list[str], cols: list[str],
+                     m: int = _BLOOM_BITS, k: int = _BLOOM_K) -> dict:
+    """Build per-column Bloom filters over a partition's written values.
+    Unlike zone maps this reads the filtered columns back once — but only
+    the partition's OWN files (partition-local, no exchange), and only the
+    distinct values hash. Float columns (or any unhashable type) record a
+    ``kind: none`` filter = unprunable, never wrong."""
+    import base64
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out: dict[str, Any] = {}
+    for col in cols:
+        bits = np.zeros(m // 8, np.uint8)
+        ok = True
+        for f in files:
+            try:
+                t = pq.read_table(f, columns=[col])
+            except Exception:
+                ok = False
+                break
+            vals = t.column(col).drop_null()
+            try:
+                uniq = vals.unique().to_pylist()
+            except Exception:
+                ok = False
+                break
+            for v in uniq:
+                if isinstance(v, float):
+                    ok = False
+                    break
+                for pos in _bloom_positions(v, m, k):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            if not ok:
+                break
+        if not ok:
+            out[col] = {"kind": "none"}
+            continue
+        out[col] = {"kind": "bloom", "m": m, "k": k,
+                    "bits": base64.b64encode(bits.tobytes()).decode()}
+    return out
+
+
+def prune_partitions_eq(out_dir: str, col: str, value):
+    """→ (kept_part_ids, all_part_ids): equality data-skipping — completed
+    partitions whose ``col`` Bloom filter MIGHT contain ``value`` (plus a
+    zone-map bounds check when one exists). Partitions without a usable
+    filter are KEPT (skipping must never drop rows)."""
+    import base64
+
+    done = completed_partitions(out_dir)
+    kept = []
+    for pid in sorted(done):
+        metrics = done[pid].get("metrics") or {}
+        zm = (metrics.get("zonemap") or {}).get(col)
+        if zm and zm.get("kind") not in (None, "none") \
+                and zm.get("min") is not None:
+            try:
+                if value < zm["min"] or value > zm["max"]:
+                    continue
+            except TypeError:
+                pass
+        bl = (metrics.get("bloom") or {}).get(col)
+        if not bl or bl.get("kind") != "bloom":
+            kept.append(pid)
+            continue
+        bits = base64.b64decode(bl["bits"])
+        try:
+            hit = all(bits[p >> 3] & (1 << (p & 7))
+                      for p in _bloom_positions(value, bl["m"], bl["k"]))
+        except TypeError:
+            hit = True
+        if hit:
+            kept.append(pid)
+    return kept, sorted(done)
+
+
+def read_output_point(out_dir: str, col: str, value):
+    """Point-lookup read: only partitions whose Bloom filter (and zone
+    map, if any) admit ``value`` are scanned, with the EXACT equality
+    residual applied inside the scan. The selective-read path for
+    "fetch this url's verdict" over a 2048-partition output."""
+    import pyarrow.dataset as _pds
+
+    kept, _ = prune_partitions_eq(out_dir, col, value)
+    files = [str(f) for pid in kept
+             for f in sorted((Path(out_dir) / f"part-{pid}")
+                             .glob("*.parquet"))]
+    if not files:
+        import pyarrow.parquet as _pq
+
+        import ray.data as _rd
+
+        done = completed_partitions(out_dir)
+        any_files = [str(f) for pid in sorted(done)
+                     for f in sorted((Path(out_dir) / f"part-{pid}")
+                                     .glob("*.parquet"))]
+        if not any_files:
+            raise FileNotFoundError(f"no completed output in {out_dir}")
+        schema = _pq.read_schema(any_files[0])
+        return _rd.from_arrow(schema.empty_table())
+    return read_parquet(files, filter=_pds.field(col) == value)

@@ -238,3 +238,71 @@ def test_zonemap_pruning(ray_session, tmp_path):
     assert set(kept_l).issubset(set(all_pids))
     kept_u, _ = prune_partitions(str(out), "source", 0, 1)
     assert kept_u == all_pids  # no zonemap for 'source' -> keep all
+
+
+def test_bloom_point_pruning(ray_session, tmp_path):
+    """Per-partition Bloom filters: a point lookup on doc_id reads only
+    the partition(s) whose filter admits the value; absent values prune
+    to (almost) nothing; the pruned read equals the exact filter; a
+    column without a filter keeps everything."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.sinks.resumable import (
+        partition_input_files,
+        prune_partitions_eq,
+        read_output,
+        read_output_point,
+        run_resumable,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    qs = [0, len(docs) // 4, len(docs) // 2, 3 * len(docs) // 4, len(docs)]
+    ins = tmp_path / "in"
+    ins.mkdir()
+    for i in range(4):
+        pq.write_table(
+            pa.Table.from_pandas(docs.iloc[qs[i]:qs[i + 1]],
+                                 preserve_index=False),
+            ins / f"shard-{i}.parquet")
+    parts = partition_input_files(
+        [str(f) for f in sorted(ins.glob("*.parquet"))], 4)
+    out = tmp_path / "out"
+    run_resumable(parts, str(out), lambda ds: ds,
+                  zonemap_cols=["doc_id"],
+                  bloom_cols=["doc_id", "lang"], wave_size=4)
+
+    probe = int(docs["doc_id"].iloc[qs[1]])   # lives in partition 1 only
+    kept, all_pids = prune_partitions_eq(str(out), "doc_id", probe)
+    assert len(all_pids) == 4
+    assert len(kept) == 1
+
+    got = read_output_point(str(out), "doc_id", probe).to_pandas()
+    full = read_output(str(out)).to_pandas()
+    want = full[full["doc_id"] == probe].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want[got.columns])
+
+    # a value that exists nowhere: every partition should prune (bloom
+    # FPR could keep a few, but with 4 partitions expect zero hits)
+    missing = int(docs["doc_id"].max()) + 987_654_321
+    kept_m, _ = prune_partitions_eq(str(out), "doc_id", missing)
+    assert len(kept_m) == 0
+    empty = read_output_point(str(out), "doc_id", missing).to_pandas()
+    assert len(empty) == 0
+
+    # string bloom: every partition that truly contains the value must
+    # be kept (pruning may over-keep via FPR, never under-keep)
+    lang = str(docs["lang"].iloc[0])
+    kept_l, _ = prune_partitions_eq(str(out), "lang", lang)
+    for i in range(4):
+        if (docs.iloc[qs[i]:qs[i + 1]]["lang"] == lang).any():
+            assert all_pids[i] in kept_l
+    got_l = read_output_point(str(out), "lang", lang).to_pandas()
+    want_l = full[full["lang"] == lang]
+    assert len(got_l) == len(want_l)
+    kept_u, _ = prune_partitions_eq(str(out), "source", "s")
+    assert kept_u == all_pids   # no bloom for 'source' -> keep all
