@@ -583,3 +583,401 @@ SELECT n AS n_rows, a AS n_both, b AS n_only_len, c AS n_only_tok,
                  / CAST(CAST(n AS HUGEINT) * n - e AS DOUBLE) END AS kappa
 FROM m
 """
+
+
+# ---- candidate-key discovery: per-column uniqueness profile ------------------
+
+def key_uniqueness_documents(sf_dir: str, block_gate: int = 512,
+                             n_buckets: int = 64):
+    """Per documents column: (col, n_rows, n_null, n_distinct, dup_rows,
+    is_key) — candidate-key discovery, the profiling step BEFORE a
+    uniqueness constraint is declared (the reference validates a declared
+    schema; this audit tells you which uniqueness declarations would
+    hold). ``dup_rows = (n_rows − n_null) − n_distinct`` (rows beyond the
+    first occurrence of their value) and ``is_key = 1`` iff the column is
+    null-free and duplicate-free.
+
+    Value identity is the 60-bit md5 prefix of the value cast to string —
+    the engine-portable spelling shared with stages/checksum.py — so the
+    oracle groups by the IDENTICAL derived key and parity holds by
+    construction (a collision collides in both engines).
+
+    Scale shape: ONE scan; each batch emits per-column (col, h) pairs
+    pre-deduped within the batch plus one (col, -1) count cell. Under the
+    block gate the pairs gather driver-side; past it they hash-exchange
+    on h's bucket (h determines its bucket, so per-bucket distinct counts
+    are globally correct) and only O(columns × buckets) folded rows
+    gather."""
+    import pyarrow.compute as _pc
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.checksum import _row_hashes
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        name_parts, h_parts, n_parts, nn_parts = [], [], [], []
+        for cname in cols:
+            a = b.column(cname)
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            s = a if pa.types.is_string(a.type) else _pc.cast(a, pa.string())
+            valid = s.drop_null().to_pylist()
+            hs = (np.unique(_row_hashes(valid)) if len(valid)
+                  else np.array([], np.int64))
+            name_parts.append(np.full(len(hs) + 1, cname, dtype=object))
+            h_parts.append(np.concatenate(([-1], hs)))
+            n_parts.append(np.concatenate(([len(s)],
+                                           np.zeros(len(hs), np.int64))))
+            nn_parts.append(np.concatenate(([s.null_count],
+                                            np.zeros(len(hs), np.int64))))
+        return pa.table({
+            "col": pa.array(np.concatenate(name_parts), pa.string()),
+            "h": pa.array(np.concatenate(h_parts).astype(np.int64)),
+            "n": pa.array(np.concatenate(n_parts).astype(np.int64)),
+            "nn": pa.array(np.concatenate(nn_parts).astype(np.int64))})
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df[df["h"] < 0].groupby("col", as_index=False)[
+            ["n", "nn"]].sum()
+        nd = (df[df["h"] >= 0].groupby("col")["h"].nunique()
+              .rename("nd").reset_index())
+        # outer: a bucket may hold only hash cells (count cells all carry
+        # h = -1, so they land in one bucket) or only count cells
+        return counts.merge(nd, on="col", how="outer").fillna(0)
+
+    parts_ds = scan.map_batches(partial)
+    if scan.num_blocks() <= block_gate:
+        parts = parts_ds.to_pandas()
+        per = _reduce(parts) if len(parts) else \
+            pd.DataFrame({"col": [], "n": [], "nn": [], "nd": []})
+    else:
+        mod = np.int64(n_buckets)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__b", pa.array((h % mod).astype(np.int32)))
+
+        def per_bucket(g: pd.DataFrame) -> pa.Table:
+            out = _reduce(g.drop(columns="__b"))
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        per = (parts_ds.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+               .to_pandas())
+        per = per.groupby("col", as_index=False)[["n", "nn", "nd"]].sum()
+
+    by = {r.col: (int(r.n), int(r.nn), int(r.nd))
+          for r in per.itertuples(index=False)}
+    rows = []
+    for cname in sorted(cols):
+        n, nn, nd = by.get(cname, (0, 0, 0))
+        dup = (n - nn) - nd
+        rows.append((cname, np.int64(n), np.int64(nn), np.int64(nd),
+                     np.int64(dup), np.int64(1 if dup == 0 and nn == 0
+                                             else 0)))
+    return pd.DataFrame(rows, columns=["col", "n_rows", "n_null",
+                                       "n_distinct", "dup_rows", "is_key"])
+
+
+def _key_uniq_branch(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT substr(md5(CAST({col} AS VARCHAR)), 1, 15))
+            AS BIGINT) AS n_distinct,
+       CAST(count({col})
+            - count(DISTINCT substr(md5(CAST({col} AS VARCHAR)), 1, 15))
+            AS BIGINT) AS dup_rows,
+       CAST((count(*) = count({col})) AND (count({col}) =
+            count(DISTINCT substr(md5(CAST({col} AS VARCHAR)), 1, 15)))
+            AS BIGINT) AS is_key
+FROM documents"""
+
+
+KEY_UNIQUENESS_SQL = (" UNION ALL ".join(
+    _key_uniq_branch(c)
+    for c in sorted(["doc_id", "text", "lang", "source", "n_chars"]))
+    + " ORDER BY col")
+
+
+# ---- McNemar paired-gate disagreement test -----------------------------------
+
+def mcnemar_gates_documents(sf_dir: str, min_chars: int = 300,
+                            min_periods: int = 3, block_gate: int = 512):
+    """One-row (n_rows, n_only_len, n_only_sent, mcnemar) — McNemar's
+    paired test between the LENGTH gate (n_chars ≥ min_chars) and the
+    SENTENCE gate ('.' count ≥ min_periods) over the same documents: do
+    the two quality filters disagree symmetrically, or does one
+    systematically pass documents the other rejects? With discordant
+    counts b (length only) and c (sentence only),
+
+        χ²_McNemar = (b − c)² / (b + c)
+
+    — ONE division of two exact integers, bitwise cross-engine (0.0 when
+    b + c = 0). The marginal-homogeneity sibling of
+    :func:`cohens_kappa_gates_documents` (which measures agreement; this
+    measures the DIRECTION of disagreement).
+
+    Scale shape: per-batch 4-cell confusion partials → shared gated cell
+    fold; driver math is O(1)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g1 = pc.greater_equal(b.column("n_chars"), min_chars)
+        g2 = pc.greater_equal(pc.count_substring(b.column("text"), "."),
+                              min_periods)
+        t = pa.table({"g1": pc.cast(g1, pa.int64()),
+                      "g2": pc.cast(g2, pa.int64())})
+        g = t.group_by(["g1", "g2"]).aggregate([("g1", "count")])
+        return pa.table({"g1": g.column("g1"), "g2": g.column("g2"),
+                         "c": pc.cast(g.column("g1_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["g1", "g2"], sums=["c"],
+                       block_gate=block_gate)
+    cnt = {(int(r.g1), int(r.g2)): int(r.c)
+           for r in cells.itertuples(index=False)} if len(cells) else {}
+    n = sum(cnt.values())
+    b_ = cnt.get((1, 0), 0)
+    c = cnt.get((0, 1), 0)
+    stat = 0.0 if b_ + c == 0 else float((b_ - c) * (b_ - c)) / float(b_ + c)
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype=np.int64),
+        "n_only_len": pd.Series([b_], dtype=np.int64),
+        "n_only_sent": pd.Series([c], dtype=np.int64),
+        "mcnemar": pd.Series([stat], dtype=np.float64)})
+
+
+MCNEMAR_SQL = """
+WITH v AS (SELECT CAST(n_chars >= 300 AS BIGINT) AS g1,
+                  CAST(length(text) - length(replace(text, '.', ''))
+                       >= 3 AS BIGINT) AS g2
+           FROM documents),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (WHERE g1 = 1 AND g2 = 0) AS BIGINT) AS b,
+        CAST(count(*) FILTER (WHERE g1 = 0 AND g2 = 1) AS BIGINT) AS c
+      FROM v)
+SELECT n AS n_rows, b AS n_only_len, c AS n_only_sent,
+       CASE WHEN b + c = 0 THEN 0.0
+            ELSE CAST((b - c) * (b - c) AS DOUBLE)
+                 / CAST(b + c AS DOUBLE) END AS mcnemar
+FROM c
+"""
+
+
+# ---- Cochran's Q over three quality gates ------------------------------------
+
+def cochran_q_gates_documents(sf_dir: str, min_chars: int = 300,
+                              min_spaces: int = 50, min_periods: int = 3,
+                              block_gate: int = 512):
+    """One-row (n_rows, g_len, g_tok, g_sent, q) — Cochran's Q test of
+    marginal homogeneity across THREE binary quality gates applied to the
+    same documents (length ≥ min_chars, whitespace tokens ≥ min_spaces,
+    sentences ≥ min_periods): the k-gate generalization of McNemar. With
+    per-gate pass totals G_j, per-row pass-count sums S = ΣL_i and
+    SL2 = ΣL_i², and k = 3,
+
+        Q = (k−1)·(k·ΣG_j² − S²) / (k·S − SL2)
+
+    — ONE division of two exact integers (0.0 when the denominator is 0;
+    HUGEINT-range at any SF since G_j, S ≤ 3N).
+
+    Scale shape: per-batch 8-cell (g1,g2,g3) confusion partials → shared
+    gated cell fold; all moments derive from the 8 folded cells."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g1 = pc.greater_equal(b.column("n_chars"), min_chars)
+        g2 = pc.greater_equal(pc.count_substring(b.column("text"), " "),
+                              min_spaces)
+        g3 = pc.greater_equal(pc.count_substring(b.column("text"), "."),
+                              min_periods)
+        t = pa.table({"g1": pc.cast(g1, pa.int64()),
+                      "g2": pc.cast(g2, pa.int64()),
+                      "g3": pc.cast(g3, pa.int64())})
+        g = t.group_by(["g1", "g2", "g3"]).aggregate([("g1", "count")])
+        return pa.table({"g1": g.column("g1"), "g2": g.column("g2"),
+                         "g3": g.column("g3"),
+                         "c": pc.cast(g.column("g1_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["g1", "g2", "g3"], sums=["c"],
+                       block_gate=block_gate)
+    n = gl = gt = gs = s = sl2 = 0
+    for r in (cells.itertuples(index=False) if len(cells) else ()):
+        c, l_ = int(r.c), int(r.g1) + int(r.g2) + int(r.g3)
+        n += c
+        gl += c * int(r.g1)
+        gt += c * int(r.g2)
+        gs += c * int(r.g3)
+        s += c * l_
+        sl2 += c * l_ * l_
+    qnum = 2 * (3 * (gl * gl + gt * gt + gs * gs) - s * s)
+    qden = 3 * s - sl2
+    q = 0.0 if qden == 0 else float(qnum) / float(qden)
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype=np.int64),
+        "g_len": pd.Series([gl], dtype=np.int64),
+        "g_tok": pd.Series([gt], dtype=np.int64),
+        "g_sent": pd.Series([gs], dtype=np.int64),
+        "q": pd.Series([q], dtype=np.float64)})
+
+
+COCHRAN_Q_SQL = """
+WITH v AS (SELECT CAST(n_chars >= 300 AS BIGINT) AS g1,
+                  CAST(length(text) - length(replace(text, ' ', ''))
+                       >= 50 AS BIGINT) AS g2,
+                  CAST(length(text) - length(replace(text, '.', ''))
+                       >= 3 AS BIGINT) AS g3
+           FROM documents),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g1) AS HUGEINT) AS gl,
+             CAST(sum(g2) AS HUGEINT) AS gt,
+             CAST(sum(g3) AS HUGEINT) AS gs,
+             CAST(sum(g1 + g2 + g3) AS HUGEINT) AS s,
+             CAST(sum((g1 + g2 + g3) * (g1 + g2 + g3)) AS HUGEINT) AS sl2
+      FROM v)
+SELECT n AS n_rows, CAST(gl AS BIGINT) AS g_len,
+       CAST(gt AS BIGINT) AS g_tok, CAST(gs AS BIGINT) AS g_sent,
+       CASE WHEN 3 * s - sl2 = 0 THEN 0.0
+            ELSE CAST(2 * (3 * (gl * gl + gt * gt + gs * gs) - s * s)
+                      AS DOUBLE) / CAST(3 * s - sl2 AS DOUBLE) END AS q
+FROM a
+"""
+
+
+# ---- score-calibration bins: length signal vs token gate ---------------------
+
+def calibration_bins_documents(sf_dir: str, bin_width: int = 200,
+                               n_bins: int = 10, min_spaces: int = 50,
+                               block_gate: int = 512):
+    """Per length-score bin: (bin, n, n_pass, pass_ppm) — the calibration
+    table of a cheap ranking signal (n_chars, binned at ``bin_width``
+    with the top bin open) against the expensive gate it is meant to
+    predict (whitespace tokens ≥ min_spaces): a curation pipeline reads
+    this to pick the score threshold that buys a target pass rate without
+    running the gate on everything. ``pass_ppm`` is exact floor-ppm.
+
+    Scale shape: per-batch (bin, pass) cells bounded by 2·n_bins →
+    shared gated cell fold."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bins = pc.min_element_wise(
+            pc.divide(b.column("n_chars"), bin_width),
+            pa.scalar(n_bins - 1, pa.int64()))
+        ok = pc.greater_equal(pc.count_substring(b.column("text"), " "),
+                              min_spaces)
+        t = pa.table({"bin": pc.cast(bins, pa.int64()),
+                      "p": pc.cast(ok, pa.int64())})
+        g = t.group_by(["bin", "p"]).aggregate([("p", "count")])
+        return pa.table({"bin": g.column("bin"), "p": g.column("p"),
+                         "c": pc.cast(g.column("p_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["bin", "p"], sums=["c"],
+                       block_gate=block_gate)
+    rows = []
+    if len(cells):
+        piv = cells.pivot_table(index="bin", columns="p", values="c",
+                                aggfunc="sum", fill_value=0).sort_index()
+        for bin_, r in piv.iterrows():
+            npass = int(r.get(1, 0))
+            tot = npass + int(r.get(0, 0))
+            rows.append((np.int64(bin_), np.int64(tot), np.int64(npass),
+                         np.int64((npass * 1_000_000) // tot)))
+    return pd.DataFrame(rows, columns=["bin", "n", "n_pass", "pass_ppm"])
+
+
+CALIBRATION_BINS_SQL = """
+WITH v AS (SELECT LEAST(n_chars // 200, 9) AS bin,
+                  CAST(length(text) - length(replace(text, ' ', ''))
+                       >= 50 AS BIGINT) AS p
+           FROM documents)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(p) AS BIGINT) AS n_pass,
+       CAST(sum(p) * 1000000 // count(*) AS BIGINT) AS pass_ppm
+FROM v GROUP BY bin ORDER BY bin
+"""
+
+
+# ---- order-dependency audit: per-user timestamp inversions -------------------
+
+def ts_inversions_users(sf_dir: str, n_buckets: int = 64):
+    """One-row (n_pairs, n_inversions, n_users_affected) — the
+    order-dependency audit: within each user's event stream ordered by
+    ``event_id`` (insertion order), count adjacent pairs whose timestamp
+    DECREASES — out-of-order arrivals that break any downstream
+    sessionize/as-of assumption. The corpus-level sibling of the
+    reference's per-value checks: an ordering invariant no single-row
+    validator can see.
+
+    Scale shape: ONE hash exchange of the three narrow columns on
+    ``user_id % n_buckets`` (adjacency within a user crosses block
+    boundaries, so co-location is REQUIRED, not an optimization); each
+    bucket sorts its users once on the pandas C-path and emits one
+    3-int summary row; the driver folds ≤ n_buckets rows."""
+    from ..sources.parquet import read_parquet as _rp
+
+    ev = _rp(f"{sf_dir}/events.parquet",
+             columns=["event_id", "user_id", "ts"])
+    mod = np.int64(n_buckets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_id": b.column("event_id"),
+                      "user_id": b.column("user_id"),
+                      "t": pc.cast(pc.cast(b.column("ts"),
+                                           pa.timestamp("us")), pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array((u % mod).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["t"].shift(1)
+        have = prev.notna().to_numpy()
+        inv = have & (g["t"].to_numpy() < prev.fillna(0).to_numpy())
+        aff = int(g.loc[inv, "user_id"].nunique())
+        out = pd.DataFrame({"n_pairs": [np.int64(int(have.sum()))],
+                            "n_inversions": [np.int64(int(inv.sum()))],
+                            "n_users_affected": [np.int64(aff)]})
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per = (ev.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    if not len(per):
+        per = pd.DataFrame({"n_pairs": [0], "n_inversions": [0],
+                            "n_users_affected": [0]})
+    return pd.DataFrame({
+        "n_pairs": pd.Series([int(per["n_pairs"].sum())], dtype=np.int64),
+        "n_inversions": pd.Series([int(per["n_inversions"].sum())],
+                                  dtype=np.int64),
+        "n_users_affected": pd.Series([int(per["n_users_affected"].sum())],
+                                      dtype=np.int64)})
+
+
+TS_INVERSIONS_SQL = """
+WITH w AS (SELECT user_id, epoch_us(ts) AS t,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS pt
+           FROM events)
+SELECT CAST(count(pt) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE t < pt) AS BIGINT) AS n_inversions,
+       CAST(count(DISTINCT CASE WHEN t < pt THEN user_id END)
+            AS BIGINT) AS n_users_affected
+FROM w
+"""
