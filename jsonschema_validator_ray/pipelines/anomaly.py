@@ -1104,3 +1104,112 @@ SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a,
                  / CAST(n_a * n_b AS DOUBLE) END AS cliffs_delta
 FROM agg
 """
+
+
+def kruskal_chars_langs(sf_dir: str, langs: tuple = ("en", "de", "fr"),
+                        block_gate: int = 512):
+    """One-row (n_a, n_b, n_c, tiesum, h) — the Kruskal-Wallis H test of
+    document length across THREE languages: the k-group generalization of
+    :func:`mannwhitney_chars_langs`, sharing its DOUBLED-midrank device
+    (2·avg_rank = 2·cum + t + 1 ∈ ℤ over the pooled value histogram) so
+    every per-group rank sum R2_i = 2·R_i is an exact integer fold. The
+    statistic itself reduces to ONE division of two exact integers: with
+    N = Σn_i, D = n_a·n_b·n_c and A = Σ R2_i²·(D/n_i) (so Σ R2_i²/n_i =
+    A/D exactly, and R_i² = R2_i²/4 cancels into the 12 → 3 constant),
+
+        H = 12/(N(N+1))·ΣR_i²/n_i − 3(N+1)
+          = 3·(A − (N+1)²·N·D) / (D·N·(N+1))
+
+    — numerator and denominator are HUGEINT-range (~1e23 at sf 0.01),
+    cast to double once each; 0.0 when any group is empty. ``tiesum =
+    Σ(t³−t)`` over pooled distinct values is emitted so callers can apply
+    the tie correction 1 − tiesum/(N³−N) downstream.
+
+    Scale shape: (lang, n_chars) cells are bounded by the distinct length
+    count → shared gated cell fold; driver math is O(cells)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    la, lb, lc = langs
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("lang"),
+                              value_set=pa.array(list(langs))))
+        g = t.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    out_zero = pd.DataFrame({
+        "n_a": pd.Series([0], dtype=np.int64),
+        "n_b": pd.Series([0], dtype=np.int64),
+        "n_c": pd.Series([0], dtype=np.int64),
+        "tiesum": pd.Series([0], dtype=np.int64),
+        "h": pd.Series([0.0], dtype=np.float64)})
+    if not len(cells):
+        return out_zero
+    piv = cells.pivot_table(index="v", columns="lang", values="c",
+                            aggfunc="sum", fill_value=0).sort_index()
+    cnt = {lg: (piv[lg].to_numpy(np.int64) if lg in piv
+                else np.zeros(len(piv), np.int64)) for lg in langs}
+    t = cnt[la] + cnt[lb] + cnt[lc]
+    cum = np.concatenate(([0], np.cumsum(t)))[:-1]
+    r2 = 2 * cum + t + 1
+    n = {lg: int(cnt[lg].sum()) for lg in langs}
+    r2sum = {lg: int((cnt[lg] * r2).sum()) for lg in langs}
+    tiesum = int((t * t * t - t).sum())
+    nn = n[la] + n[lb] + n[lc]
+    d = n[la] * n[lb] * n[lc]
+    if d == 0 or nn == 0:
+        return out_zero
+    a = (r2sum[la] ** 2 * n[lb] * n[lc] + r2sum[lb] ** 2 * n[la] * n[lc]
+         + r2sum[lc] ** 2 * n[la] * n[lb])
+    hnum = 3 * (a - (nn + 1) * (nn + 1) * nn * d)
+    hden = d * nn * (nn + 1)
+    return pd.DataFrame({
+        "n_a": pd.Series([n[la]], dtype=np.int64),
+        "n_b": pd.Series([n[lb]], dtype=np.int64),
+        "n_c": pd.Series([n[lc]], dtype=np.int64),
+        "tiesum": pd.Series([tiesum], dtype=np.int64),
+        "h": pd.Series([float(hnum) / float(hden)], dtype=np.float64)})
+
+
+KRUSKAL_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY 1, 2),
+p AS (SELECT v,
+        CAST(COALESCE(sum(c) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS ca,
+        CAST(COALESCE(sum(c) FILTER (WHERE lang = 'de'), 0) AS BIGINT) AS cb,
+        CAST(COALESCE(sum(c) FILTER (WHERE lang = 'fr'), 0) AS BIGINT) AS cc
+      FROM c GROUP BY v),
+w AS (SELECT v, ca, cb, cc, ca + cb + cc AS t,
+             CAST(COALESCE(sum(ca + cb + cc)
+                  OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      FROM p),
+agg AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+               CAST(sum(cb) AS HUGEINT) AS nb,
+               CAST(sum(cc) AS HUGEINT) AS nc,
+               CAST(sum(ca * (2 * cum + t + 1)) AS HUGEINT) AS r2a,
+               CAST(sum(cb * (2 * cum + t + 1)) AS HUGEINT) AS r2b,
+               CAST(sum(cc * (2 * cum + t + 1)) AS HUGEINT) AS r2c,
+               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tiesum
+        FROM w),
+m AS (SELECT na, nb, nc, tiesum, na + nb + nc AS n, na * nb * nc AS d,
+             r2a * r2a * nb * nc + r2b * r2b * na * nc
+               + r2c * r2c * na * nb AS a
+      FROM agg)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(nc AS BIGINT) AS n_c, tiesum,
+       CASE WHEN d = 0 OR n = 0 THEN 0.0
+            ELSE CAST(3 * (a - (n + 1) * (n + 1) * n * d) AS DOUBLE)
+                 / CAST(d * n * (n + 1) AS DOUBLE) END AS h
+FROM m
+"""

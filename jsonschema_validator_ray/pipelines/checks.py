@@ -1938,3 +1938,207 @@ SELECT CAST(n AS BIGINT) AS n_rows,
             ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
 FROM d
 """
+
+
+def theil_sen_daily_revenue(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, n_pairs, theil_sen) — the Theil-Sen estimator of
+    the daily-revenue trend over orders: the MEDIAN of all pairwise
+    slopes (cents_j − cents_i)/(day_j − day_i), the robust-regression
+    counterpart of :func:`ols2_price_qty_discount` (a 29% breakdown
+    point vs OLS's zero). Exactness: daily revenue is the floor-cents
+    integer fold, each slope is ONE division of two exact int64s (bitwise
+    cross-engine), and the median is an order statistic of the identical
+    slope multiset — with an odd pair count it IS one of the slopes; with
+    an even count both engines average the same two middle doubles.
+
+    Scale shape: per-day cells are CALENDAR-bounded (≈2.4k days in this
+    corpus — constant in corpus size, like the EWMA/changepoint family)
+    → shared gated cell fold; the O(days²) ≈ 3M-pair enumeration is
+    driver-side numpy, invariant at any SF."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"d": d, "c": cents}).group_by("d").aggregate(
+            [("c", "sum")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    if len(cells) < 2:
+        return pd.DataFrame({
+            "n_days": pd.Series([len(cells)], dtype=np.int64),
+            "n_pairs": pd.Series([0], dtype=np.int64),
+            "theil_sen": pd.Series([0.0], dtype=np.float64)})
+    cells = cells.sort_values("d")
+    d = cells["d"].to_numpy(np.int64)
+    c = cells["c"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(d), k=1)
+    slopes = (c[j] - c[i]).astype(np.float64) \
+        / (d[j] - d[i]).astype(np.float64)
+    return pd.DataFrame({
+        "n_days": pd.Series([len(d)], dtype=np.int64),
+        "n_pairs": pd.Series([len(slopes)], dtype=np.int64),
+        "theil_sen": pd.Series([float(np.median(slopes))],
+                               dtype=np.float64)})
+
+
+THEIL_SEN_SQL = """
+WITH dd AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                     AS d,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS c
+            FROM orders GROUP BY 1),
+p AS (SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+         AS slope
+      FROM dd a JOIN dd b ON b.d > a.d)
+SELECT CAST((SELECT count(*) FROM dd) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CASE WHEN count(*) = 0 THEN 0.0 ELSE median(slope) END AS theil_sen
+FROM p
+"""
+
+
+def brown_forsythe_chars_langs(sf_dir: str,
+                               langs: tuple = ("en", "de", "fr"),
+                               block_gate: int = 512):
+    """One-row (n_rows, m2_a, m2_b, m2_c, f) — the Brown-Forsythe test of
+    VARIANCE homogeneity across three languages' document lengths: a
+    one-way ANOVA F (the :func:`anova_f_qty_flag` spelling) applied to
+    the absolute deviations from each group's MEDIAN — robust to the
+    heavy right tails that break Bartlett/plain Levene. Exactness: the
+    doubled group median m2 = (lower mid + upper mid) is an integer from
+    the ordered value histogram, z = |2·v − m2| is integer per cell, and
+    the F ratio reduces to ONE division of two exact integers via the
+    shared product-of-group-sizes device (P = Πn_g, Anum = Σ s_g²·P/n_g):
+
+        F = (Anum·N − S²·P)·(N−3) / ((T·P − Anum)·N·2)
+
+    — HUGEINT-range in the oracle at the gate's SF (≤ ~1e30; Python ints
+    driver-side are unbounded), 0.0 on any empty group or zero
+    within-group spread.
+
+    Scale shape: (lang, n_chars) cells are value-domain-bounded → shared
+    gated cell fold; medians, z-moments and F are O(cells) driver math."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    la, lb, lc = langs
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("lang"),
+                              value_set=pa.array(list(langs))))
+        g = t.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    m2 = {}
+    mom = {}
+    for lg in langs:
+        sub = cells[cells["lang"] == lg].sort_values("v") if len(cells) \
+            else cells
+        if not len(sub):
+            m2[lg] = 0
+            mom[lg] = (0, 0, 0)
+            continue
+        v = sub["v"].to_numpy(np.int64)
+        cn = sub["c"].to_numpy(np.int64)
+        n_g = int(cn.sum())
+        cum = np.cumsum(cn)
+        lo_rank = (n_g + 1) // 2
+        hi_rank = (n_g + 2) // 2
+        lo_v = int(v[np.searchsorted(cum, lo_rank)])
+        hi_v = int(v[np.searchsorted(cum, hi_rank)])
+        m2[lg] = lo_v + hi_v
+        z = np.abs(2 * v - m2[lg])
+        mom[lg] = (n_g, int((cn * z).sum()), int((cn * z * z).sum()))
+    (n1, s1, ss1) = mom[la]
+    (n2, s2, ss2) = mom[lb]
+    (n3, s3, ss3) = mom[lc]
+    n = n1 + n2 + n3
+    s = s1 + s2 + s3
+    t = ss1 + ss2 + ss3
+    pp = n1 * n2 * n3
+    anum = s1 * s1 * n2 * n3 + s2 * s2 * n1 * n3 + s3 * s3 * n1 * n2
+    fnum = (anum * n - s * s * pp) * (n - 3)
+    fden = (t * pp - anum) * n * 2
+    f = 0.0 if pp == 0 or fden == 0 else float(fnum) / float(fden)
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype=np.int64),
+        "m2_a": pd.Series([m2[la]], dtype=np.int64),
+        "m2_b": pd.Series([m2[lb]], dtype=np.int64),
+        "m2_c": pd.Series([m2[lc]], dtype=np.int64),
+        "f": pd.Series([f], dtype=np.float64)})
+
+
+BROWN_FORSYTHE_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE lang IN ('en', 'de', 'fr') GROUP BY 1, 2),
+t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+w AS (SELECT c.lang, c.v, c.c, t.n,
+             CAST(COALESCE(sum(c.c) OVER (PARTITION BY c.lang ORDER BY c.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM c JOIN t USING (lang)),
+mids AS (SELECT lang,
+           CAST(sum(CASE WHEN cum < (n + 1) // 2
+                          AND cum + c >= (n + 1) // 2
+                         THEN v ELSE 0 END)
+              + sum(CASE WHEN cum < (n + 2) // 2
+                          AND cum + c >= (n + 2) // 2
+                         THEN v ELSE 0 END) AS BIGINT) AS m2
+         FROM w GROUP BY lang),
+z AS (SELECT w.lang, abs(2 * w.v - m.m2) AS z, w.c
+      FROM w JOIN mids m USING (lang)),
+g AS (SELECT lang, CAST(sum(c) AS HUGEINT) AS n,
+             CAST(sum(c * z) AS HUGEINT) AS s,
+             CAST(sum(c * z * z) AS HUGEINT) AS ss
+      FROM z GROUP BY 1),
+piv AS (SELECT
+          COALESCE(sum(n) FILTER (WHERE lang = 'en'), 0) AS n1,
+          COALESCE(sum(s) FILTER (WHERE lang = 'en'), 0) AS s1,
+          COALESCE(sum(ss) FILTER (WHERE lang = 'en'), 0) AS ss1,
+          COALESCE(sum(n) FILTER (WHERE lang = 'de'), 0) AS n2,
+          COALESCE(sum(s) FILTER (WHERE lang = 'de'), 0) AS s2,
+          COALESCE(sum(ss) FILTER (WHERE lang = 'de'), 0) AS ss2,
+          COALESCE(sum(n) FILTER (WHERE lang = 'fr'), 0) AS n3,
+          COALESCE(sum(s) FILTER (WHERE lang = 'fr'), 0) AS s3,
+          COALESCE(sum(ss) FILTER (WHERE lang = 'fr'), 0) AS ss3
+        FROM g),
+mp AS (SELECT
+         COALESCE(sum(m2) FILTER (WHERE lang = 'en'), 0) AS m2a,
+         COALESCE(sum(m2) FILTER (WHERE lang = 'de'), 0) AS m2b,
+         COALESCE(sum(m2) FILTER (WHERE lang = 'fr'), 0) AS m2c
+       FROM mids),
+m AS (SELECT n1 + n2 + n3 AS n, s1 + s2 + s3 AS s,
+             ss1 + ss2 + ss3 AS t, n1 * n2 * n3 AS pp,
+             s1 * s1 * n2 * n3 + s2 * s2 * n1 * n3
+               + s3 * s3 * n1 * n2 AS anum
+      FROM piv),
+ff AS (SELECT n, pp,
+              (anum * n - s * s * pp) * (n - 3) AS fnum,
+              (t * pp - anum) * n * 2 AS fden
+       FROM m)
+SELECT CAST(ff.n AS BIGINT) AS n_rows,
+       CAST(mp.m2a AS BIGINT) AS m2_a, CAST(mp.m2b AS BIGINT) AS m2_b,
+       CAST(mp.m2c AS BIGINT) AS m2_c,
+       CASE WHEN ff.pp = 0 OR ff.fden = 0 THEN 0.0
+            ELSE CAST(ff.fnum AS DOUBLE) / CAST(ff.fden AS DOUBLE) END AS f
+FROM ff, mp
+"""
