@@ -1213,3 +1213,107 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                  / CAST(d * n * (n + 1) AS DOUBLE) END AS h
 FROM m
 """
+
+
+def runs_test_daily_revenue(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, n_above, n_below, runs, z) — the Wald-Wolfowitz
+    runs test for randomness of the daily-revenue series: each observed
+    day is ABOVE (1) or BELOW (0) the median daily revenue, and too few
+    runs of equal signs means trend/clustering, too many means
+    oscillation. Exactness: daily revenue is the floor-cents integer
+    fold, the DOUBLED median m2 (lower mid + upper mid of the sorted
+    daily values) keeps the threshold integral so ``sign = [2c ≥ m2]``
+    never compares floats, and runs/n_above/n_below are integer folds.
+    The z-score is the ONE place floats exist — computed from exact
+    integers in an identically-spelled IEEE expression in both engines
+    (division → add, one division, libm sqrt, one division; each step
+    correctly rounded, so the doubles are bitwise equal):
+
+        μ = 1 + 2·n1·n0/N     σ² = 2n1n0(2n1n0−N)/(N²(N−1))
+        z = (R − μ)/√σ²        (0.0 when σ² ≤ 0)
+
+    Scale shape: per-day cells are calendar-bounded → shared gated cell
+    fold; sorting ≈2.4k days is O(1) driver work at any corpus size."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"d": d, "c": cents}).group_by("d").aggregate(
+            [("c", "sum")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({
+            "n_days": pd.Series([0], dtype=np.int64),
+            "n_above": pd.Series([0], dtype=np.int64),
+            "n_below": pd.Series([0], dtype=np.int64),
+            "runs": pd.Series([0], dtype=np.int64),
+            "z": pd.Series([0.0], dtype=np.float64)})
+    cells = cells.sort_values("d")
+    c = cells["c"].to_numpy(np.int64)
+    n = len(c)
+    sv = np.sort(c)
+    m2 = int(sv[(n + 1) // 2 - 1]) + int(sv[(n + 2) // 2 - 1])
+    sg = (2 * c >= m2).astype(np.int64)
+    runs = 1 + int((sg[1:] != sg[:-1]).sum())
+    n1 = int(sg.sum())
+    n0 = n - n1
+    if n1 == 0 or n0 == 0 or n < 2:
+        z = 0.0
+    else:
+        mu = 1.0 + float(2 * n1 * n0) / float(n)
+        var = float(2 * n1 * n0 * (2 * n1 * n0 - n)) \
+            / float(n * n * (n - 1))
+        z = 0.0 if var <= 0 else (float(runs) - mu) / math.sqrt(var)
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype=np.int64),
+        "n_above": pd.Series([n1], dtype=np.int64),
+        "n_below": pd.Series([n0], dtype=np.int64),
+        "runs": pd.Series([runs], dtype=np.int64),
+        "z": pd.Series([z], dtype=np.float64)})
+
+
+RUNS_TEST_SQL = """
+WITH dd AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                     AS d,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS c
+            FROM orders GROUP BY 1),
+o AS (SELECT c AS v, row_number() OVER (ORDER BY c) AS r,
+             count(*) OVER () AS n
+      FROM dd),
+m AS (SELECT CAST(sum(CASE WHEN r = (n + 1) // 2 THEN v ELSE 0 END)
+              + sum(CASE WHEN r = (n + 2) // 2 THEN v ELSE 0 END)
+              AS BIGINT) AS m2
+      FROM o),
+s AS (SELECT d, CAST(2 * c >= m.m2 AS BIGINT) AS sg FROM dd, m),
+r AS (SELECT sg, lag(sg) OVER (ORDER BY d) AS psg FROM s),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sg) AS BIGINT) AS n1,
+               CAST(count(*) - sum(sg) AS BIGINT) AS n0,
+               CAST(1 + count(*) FILTER (WHERE psg IS NOT NULL
+                                         AND sg <> psg) AS BIGINT) AS runs
+        FROM r)
+SELECT n AS n_days, n1 AS n_above, n0 AS n_below, runs,
+       CASE WHEN n1 = 0 OR n0 = 0 OR n < 2
+              OR 2 * n1 * n0 * (2 * n1 * n0 - n) <= 0 THEN 0.0
+            ELSE (CAST(runs AS DOUBLE)
+                  - (1.0 + CAST(2 * n1 * n0 AS DOUBLE)
+                           / CAST(n AS DOUBLE)))
+                 / sqrt(CAST(2 * n1 * n0 * (2 * n1 * n0 - n) AS DOUBLE)
+                        / CAST(n * n * (n - 1) AS DOUBLE)) END AS z
+FROM agg
+"""

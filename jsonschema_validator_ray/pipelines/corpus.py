@@ -5320,3 +5320,70 @@ SELECT lang, n AS n_docs,
             ELSE CAST(s * s AS DOUBLE) / CAST(ss AS DOUBLE) END AS ess
 FROM c ORDER BY lang
 """
+
+
+def gmd_length_by_lang(sf_dir: str, block_gate: int = 512):
+    """Per lang: (lang, n, gmd_num, gmd) — the Gini Mean Difference of
+    document length: the mean absolute difference E|X−X'| over all
+    ordered pairs within the language, the scale-equivariant dispersion
+    sibling of :func:`theil_length_by_lang` (which is relative/log) and
+    of the Lorenz-based customer Gini (pipelines/tpch). Computed WITHOUT
+    enumerating pairs: over the sorted value histogram, Σ_{i<j}
+    c_i·c_j·(v_j−v_i) = Σ_j c_j·(v_j·C_{<j} − S_{<j}) with C/S the
+    running count/value-mass cumsums — O(distinct values), exact int64
+    end to end (``gmd_num`` is DOUBLED to cover ordered pairs). The only
+    float is ONE division gmd = gmd_num / (n·(n−1)).
+
+    Scale shape: (lang, n_chars) cells are value-domain-bounded →
+    shared gated cell fold; cumsums are O(cells) driver math."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"),
+                                      pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    rows = []
+    if len(cells):
+        for lang, sub in cells.groupby("lang", sort=True):
+            sub = sub.sort_values("v")
+            v = sub["v"].to_numpy(np.int64)
+            c = sub["c"].to_numpy(np.int64)
+            n = int(c.sum())
+            cc = np.concatenate(([0], np.cumsum(c)))[:-1]
+            sv = np.concatenate(([0], np.cumsum(c * v)))[:-1]
+            num = 2 * int((c * (v * cc - sv)).sum())
+            gmd = 0.0 if n < 2 else float(num) / float(n * (n - 1))
+            rows.append((lang, np.int64(n), np.int64(num), gmd))
+    return pd.DataFrame(rows, columns=["lang", "n", "gmd_num", "gmd"])
+
+
+GMD_LENGTH_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+w AS (SELECT lang, v, c,
+        CAST(COALESCE(sum(c) OVER (PARTITION BY lang ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cc,
+        CAST(COALESCE(sum(c * v) OVER (PARTITION BY lang ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS sv
+      FROM c),
+g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+             CAST(2 * sum(c * (v * cc - sv)) AS BIGINT) AS num
+      FROM w GROUP BY 1)
+SELECT lang, n, num AS gmd_num,
+       CASE WHEN n < 2 THEN 0.0
+            ELSE CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+       END AS gmd
+FROM g ORDER BY lang
+"""

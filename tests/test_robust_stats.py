@@ -137,3 +137,55 @@ def test_robust_stats_exchange_paths(ray_session):
         slow = fn(SF_SMOKE, block_gate=0)[fast.columns] \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_runs_test_hand_fixture(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        runs_test_daily_revenue)
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    day_us = 86_400_000_000
+    # daily revenue 1,9,1,9,1,9 dollars -> perfect alternation: 6 runs
+    days = list(range(6))
+    totals = [1.0, 9.0, 1.0, 9.0, 1.0, 9.0]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(6), pa.int64()),
+        "o_custkey": pa.array([1] * 6, pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 6),
+        "o_totalprice": pa.array(totals, pa.float64()),
+        "o_orderdate": pa.array([dd * day_us for dd in days],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 6),
+    }), str(d / "orders.parquet"))
+    out = runs_test_daily_revenue(str(d))
+    assert int(out["n_days"].iloc[0]) == 6
+    assert (int(out["n_above"].iloc[0]), int(out["n_below"].iloc[0])) \
+        == (3, 3)
+    assert int(out["runs"].iloc[0]) == 6
+    # mu = 1 + 2*3*3/6 = 4; var = 18*(18-6)/(36*5) = 1.2; z = 2/sqrt(1.2)
+    assert out["z"].iloc[0] == pytest.approx(2.0 / np.sqrt(1.2))
+
+
+def test_gmd_hand_fixture(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import gmd_length_by_lang
+
+    # en lengths: 1, 1, 4  -> pairwise |diffs| {0,3,3} mean = 2.0
+    sf = _docs(tmp_path, ["en", "en", "en", "de"], [1, 1, 4, 7])
+    out = gmd_length_by_lang(sf).set_index("lang")
+    assert out.loc["en", "gmd"] == pytest.approx(2.0)
+    assert int(out.loc["en", "gmd_num"]) == 12   # doubled ordered pairs
+    assert out.loc["de", "gmd"] == pytest.approx(0.0)
+
+
+def test_runs_gmd_exchange_paths(ray_session):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        runs_test_daily_revenue)
+    from jsonschema_validator_ray.pipelines.corpus import gmd_length_by_lang
+
+    for fn, sort_cols in ((runs_test_daily_revenue, ["n_days"]),
+                          (gmd_length_by_lang, ["lang"])):
+        fast = fn(SF_SMOKE).sort_values(sort_cols).reset_index(drop=True)
+        slow = fn(SF_SMOKE, block_gate=0)[fast.columns] \
+            .sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
