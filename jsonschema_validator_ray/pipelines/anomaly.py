@@ -1317,3 +1317,184 @@ SELECT n AS n_days, n1 AS n_above, n0 AS n_below, runs,
                         / CAST(n * n * (n - 1) AS DOUBLE)) END AS z
 FROM agg
 """
+
+
+def dispersion_by_event_type(sf_dir: str, block_gate: int = 512):
+    """Per event type: (event_type, n_days, n_events, sumsq, d) — the
+    index-of-dispersion (Fano factor) test of the daily arrival counts
+    against a Poisson process: D = (n−1)·s²/x̄ over the DENSE calendar
+    (days with zero arrivals count — excluding them biases rare types
+    toward underdispersion). D ≫ n−1 means bursty arrivals, D ≪ n−1
+    means suspiciously regular (bot traffic). The statistic collapses to
+    ONE division of exact integers:
+
+        D = (n·Σc² − S²) / S        (S = Σc; 0.0 when S = 0)
+
+    since (n−1)s² = (nΣc² − S²)/n and x̄ = S/n. The per-type sibling of
+    :func:`runs_test_daily_revenue` (randomness in time vs randomness in
+    level).
+
+    Scale shape: (type, day) cells are types×calendar-bounded → shared
+    gated cell fold; the dense-day count comes from the same cells'
+    global min/max."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        g = pa.table({"et": b.column("event_type"), "d": d}) \
+            .group_by(["et", "d"]).aggregate([("d", "count")])
+        return pa.table({"et": g.column("et"),
+                         "d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("d_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["et", "d"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame(columns=["event_type", "n_days", "n_events",
+                                     "sumsq", "d"]).astype(
+            {"event_type": object, "n_days": np.int64,
+             "n_events": np.int64, "sumsq": np.int64, "d": np.float64})
+    n_days = int(cells["d"].max()) - int(cells["d"].min()) + 1
+    rows = []
+    for et, sub in cells.groupby("et", sort=True):
+        c = sub["c"].to_numpy(np.int64)
+        s = int(c.sum())
+        ss = int((c * c).sum())
+        disp = 0.0 if s == 0 else float(n_days * ss - s * s) / float(s)
+        rows.append((et, np.int64(n_days), np.int64(s), np.int64(ss),
+                     disp))
+    return pd.DataFrame(rows, columns=["event_type", "n_days", "n_events",
+                                       "sumsq", "d"])
+
+
+DISPERSION_SQL = """
+WITH b AS (SELECT CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS lo,
+                  CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS hi
+           FROM events),
+c AS (SELECT event_type AS et,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+g AS (SELECT et, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM c GROUP BY 1)
+SELECT et AS event_type,
+       CAST(b.hi - b.lo + 1 AS BIGINT) AS n_days,
+       s AS n_events, ss AS sumsq,
+       CASE WHEN s = 0 THEN 0.0
+            ELSE CAST((b.hi - b.lo + 1) * ss - s * s AS DOUBLE)
+                 / CAST(s AS DOUBLE) END AS d
+FROM g, b ORDER BY et
+"""
+
+
+def weekday_anova_events(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, k_groups, f) — one-way ANOVA F of the daily event
+    count across the seven weekday groups (dow = epoch-day mod 7, an
+    engine-neutral spelling that sidesteps dayofweek() conventions): the
+    formal test behind the weekday-profile heatmap — is weekly
+    seasonality real or noise? The :func:`~.checks.anova_f_qty_flag`
+    product-of-group-sizes device generalizes to k = 7: with P = Πn_g and
+    Anum = Σ s_g²·(P/n_g),
+
+        F = (Anum·N − S²·P)·(N−7) / ((T·P − Anum)·N·6)
+
+    — exact HUGEINT-range integers (calendar-bounded: n_g ≈ days/7, so
+    P ≈ 5e17 at a 2.4k-day span REGARDLESS of corpus size), one division.
+    Observed days only (a day with zero events is absent from the
+    calendar here, matching the grouped-count shape).
+
+    Scale shape: per-day cells → shared gated cell fold; the 7-group
+    pivot and F are O(days) driver math."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        g = pa.table({"d": d}).group_by("d").aggregate([("d", "count")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("d_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({"n_days": pd.Series([0], dtype=np.int64),
+                             "k_groups": pd.Series([7], dtype=np.int64),
+                             "f": pd.Series([0.0], dtype=np.float64)})
+    d = cells["d"].to_numpy(np.int64)
+    c = cells["c"].to_numpy(np.int64)
+    dow = d % 7
+    n_g = [0] * 7
+    s_g = [0] * 7
+    ss_tot = 0
+    for w in range(7):
+        m = dow == w
+        n_g[w] = int(m.sum())
+        s_g[w] = int(c[m].sum())
+    ss_tot = int((c * c).sum())
+    n = int(len(c))
+    s = int(c.sum())
+    pp = 1
+    for w in range(7):
+        pp *= n_g[w]
+    if pp == 0:
+        f = 0.0
+    else:
+        anum = sum(s_g[w] * s_g[w] * (pp // n_g[w]) for w in range(7))
+        fnum = (anum * n - s * s * pp) * (n - 7)
+        fden = (ss_tot * pp - anum) * n * 6
+        f = 0.0 if fden == 0 else float(fnum) / float(fden)
+    return pd.DataFrame({"n_days": pd.Series([n], dtype=np.int64),
+                         "k_groups": pd.Series([7], dtype=np.int64),
+                         "f": pd.Series([f], dtype=np.float64)})
+
+
+def _weekday_anova_sql() -> str:
+    filt = "\n".join(
+        f"        CAST(COALESCE(sum(c) FILTER (WHERE dow = {w}), 0)"
+        f" AS HUGEINT) AS s{w},\n"
+        f"        CAST(COALESCE(count(*) FILTER (WHERE dow = {w}), 0)"
+        f" AS HUGEINT) AS n{w}," for w in range(7))
+    pp = " * ".join(f"n{w}" for w in range(7))
+    anum = " + ".join(
+        f"s{w} * s{w} * (pp // GREATEST(n{w}, 1))" for w in range(7))
+    return f"""
+WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+w AS (SELECT d % 7 AS dow, c FROM c),
+p AS (SELECT
+{filt}
+        CAST(count(*) AS HUGEINT) AS n,
+        CAST(sum(c) AS HUGEINT) AS s,
+        CAST(sum(c * c) AS HUGEINT) AS t
+      FROM w),
+m AS (SELECT n, s, t, {pp} AS pp,
+             s0, s1, s2, s3, s4, s5, s6,
+             n0, n1, n2, n3, n4, n5, n6
+      FROM p),
+a AS (SELECT n, s, t, pp,
+             CASE WHEN pp = 0 THEN 0 ELSE {anum} END AS anum
+      FROM m),
+ff AS (SELECT n, pp,
+              (anum * n - s * s * pp) * (n - 7) AS fnum,
+              (t * pp - anum) * n * 6 AS fden
+       FROM a)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(7 AS BIGINT) AS k_groups,
+       CASE WHEN pp = 0 OR fden = 0 THEN 0.0
+            ELSE CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE) END AS f
+FROM ff
+"""
+
+
+WEEKDAY_ANOVA_SQL = _weekday_anova_sql()

@@ -981,3 +981,84 @@ SELECT CAST(count(pt) AS BIGINT) AS n_pairs,
             AS BIGINT) AS n_users_affected
 FROM w
 """
+
+
+# ---- Cochran-Armitage trend: gate pass-rate across ordered score bins --------
+
+def cochran_armitage_length_gate(sf_dir: str, bin_width: int = 200,
+                                 n_bins: int = 10, min_spaces: int = 50,
+                                 block_gate: int = 512):
+    """One-row (n_rows, n_pass, t_score, z2) — the Cochran-Armitage trend
+    test over :func:`calibration_bins_documents`'s table: is the token-
+    gate pass rate MONOTONICALLY associated with the length-score bin, or
+    just unevenly scattered? (A calibration table can show variation that
+    a trend test rejects as noise.) With bin scores w_i = i, per-bin
+    totals n_i and passes s_i, N = Σn, R = Σs, T = Σw_i·s_i, Wn = Σw_i·n_i
+    and Wn2 = Σw_i²·n_i, the squared trend statistic is ONE division of
+    exact integers:
+
+        z² = N·(N·T − R·Wn)² / (R·(N−R)·(N·Wn2 − Wn²))
+
+    (0.0 when the denominator is 0 — all-pass, all-fail, or a single
+    bin). HUGEINT-range at any SF (≤ ~1e21 at sf 0.1).
+
+    Scale shape: the same (bin, pass) cells as the calibration table →
+    shared gated cell fold; driver math is O(bins)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bins = pc.min_element_wise(
+            pc.divide(b.column("n_chars"), bin_width),
+            pa.scalar(n_bins - 1, pa.int64()))
+        ok = pc.greater_equal(pc.count_substring(b.column("text"), " "),
+                              min_spaces)
+        t = pa.table({"bin": pc.cast(bins, pa.int64()),
+                      "p": pc.cast(ok, pa.int64())})
+        g = t.group_by(["bin", "p"]).aggregate([("p", "count")])
+        return pa.table({"bin": g.column("bin"), "p": g.column("p"),
+                         "c": pc.cast(g.column("p_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["bin", "p"], sums=["c"],
+                       block_gate=block_gate)
+    n = r = t_sc = wn = wn2 = 0
+    for row in (cells.itertuples(index=False) if len(cells) else ()):
+        w, p, c = int(row.bin), int(row.p), int(row.c)
+        n += c
+        wn += w * c
+        wn2 += w * w * c
+        if p:
+            r += c
+            t_sc += w * c
+    den = r * (n - r) * (n * wn2 - wn * wn)
+    z2 = 0.0 if den == 0 else \
+        float(n * (n * t_sc - r * wn) ** 2) / float(den)
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype=np.int64),
+        "n_pass": pd.Series([r], dtype=np.int64),
+        "t_score": pd.Series([t_sc], dtype=np.int64),
+        "z2": pd.Series([z2], dtype=np.float64)})
+
+
+COCHRAN_ARMITAGE_SQL = """
+WITH v AS (SELECT LEAST(n_chars // 200, 9) AS w,
+                  CAST(length(text) - length(replace(text, ' ', ''))
+                       >= 50 AS BIGINT) AS p
+           FROM documents),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(p) AS HUGEINT) AS r,
+             CAST(sum(w * p) AS HUGEINT) AS t,
+             CAST(sum(w) AS HUGEINT) AS wn,
+             CAST(sum(w * w) AS HUGEINT) AS wn2
+      FROM v)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(r AS BIGINT) AS n_pass,
+       CAST(t AS BIGINT) AS t_score,
+       CASE WHEN r * (n - r) * (n * wn2 - wn * wn) = 0 THEN 0.0
+            ELSE CAST(n * (n * t - r * wn) * (n * t - r * wn) AS DOUBLE)
+                 / CAST(r * (n - r) * (n * wn2 - wn * wn) AS DOUBLE)
+       END AS z2
+FROM a
+"""

@@ -189,3 +189,87 @@ def test_runs_gmd_exchange_paths(ray_session):
         slow = fn(SF_SMOKE, block_gate=0)[fast.columns] \
             .sort_values(sort_cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_dispersion_hand_fixture(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        dispersion_by_event_type)
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    # clicks: 3 on day0, 1 on day2 (day1 zero) over a 3-day span
+    # views: 1 each day -> perfectly regular
+    ts = ([base] * 3 + [base + 2 * day]
+          + [base, base + day, base + 2 * day])
+    et = ["click"] * 4 + ["view"] * 3
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 7, pa.int64()),
+        "event_type": pa.array(et),
+        "value": pa.array([1.0] * 7, pa.float64()),
+        "props": pa.array(["{}"] * 7),
+    }), str(d / "events.parquet"))
+    out = dispersion_by_event_type(str(d)).set_index("event_type")
+    # click: n=3 days, counts (3,0,1): S=4, SS=10 -> D=(30-16)/4=3.5
+    assert out.loc["click", "d"] == pytest.approx(3.5)
+    # view: counts (1,1,1): S=3, SS=3 -> D=(9-9)/3=0
+    assert out.loc["view", "d"] == pytest.approx(0.0)
+    assert int(out.loc["click", "n_days"]) == 3
+
+
+def test_cochran_armitage_trend_detected(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.dq import (
+        cochran_armitage_length_gate)
+
+    # bin 0 (n_chars<200): all fail; bin 1: all pass -> perfect trend
+    many_tok = " ".join(["w"] * 60)
+    rows = ([(i, "short text", "en", "web", 50) for i in range(5)]
+            + [(i + 5, many_tok, "en", "web", 250) for i in range(5)])
+    sf = _docs_rows(tmp_path, rows)
+    out = cochran_armitage_length_gate(sf)
+    n, r = 10, 5
+    t, wn, wn2 = 5, 5, 5
+    ref = n * (n * t - r * wn) ** 2 / (r * (n - r) * (n * wn2 - wn * wn))
+    assert int(out["n_pass"].iloc[0]) == 5
+    assert out["z2"].iloc[0] == pytest.approx(ref)   # = 10.0
+
+
+def _docs_rows(tmp_path, rows):
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    cols = list(zip(*rows))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(cols[0], pa.int64()),
+        "text": pa.array(cols[1], pa.string()),
+        "lang": pa.array(cols[2], pa.string()),
+        "source": pa.array(cols[3], pa.string()),
+        "n_chars": pa.array(cols[4], pa.int64()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_trend_dispersion_weekday_exchange_paths(ray_session):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        dispersion_by_event_type, weekday_anova_events)
+    from jsonschema_validator_ray.pipelines.dq import (
+        cochran_armitage_length_gate)
+
+    for fn, sort_cols in ((dispersion_by_event_type, ["event_type"]),
+                          (weekday_anova_events, ["n_days"]),
+                          (cochran_armitage_length_gate, ["n_rows"])):
+        fast = fn(SF_SMOKE).sort_values(sort_cols).reset_index(drop=True)
+        slow = fn(SF_SMOKE, block_gate=0)[fast.columns] \
+            .sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_weekday_anova_positive(ray_session):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        weekday_anova_events)
+
+    out = weekday_anova_events(SF_SMOKE)
+    assert int(out["n_days"].iloc[0]) > 0
+    assert out["f"].iloc[0] >= 0.0
