@@ -262,6 +262,14 @@ def run_bench() -> dict:
         "nucleus_sources_lang", "wasserstein_chars_langs",
         "followups_events", "markov_entropy_events",
         "intra_spread_embeddings",
+        # round-5 final-session additions
+        "key_uniqueness_documents", "mcnemar_gates_documents",
+        "cochran_q_gates_documents", "calibration_bins_documents",
+        "ts_inversions_users", "kruskal_chars_langs",
+        "theil_sen_daily_revenue", "brown_forsythe_chars_langs",
+        "runs_test_daily_revenue", "gmd_length_by_lang",
+        "dispersion_by_event_type", "weekday_anova_events",
+        "cochran_armitage_length_gate",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
