@@ -5387,3 +5387,89 @@ SELECT lang, n, num AS gmd_num,
        END AS gmd
 FROM g ORDER BY lang
 """
+
+
+def kendall_w_sources(sf_dir: str, block_gate: int = 512):
+    """One-row (k_sources, ssd2, w) — Kendall's W coefficient of
+    concordance across THREE source-quality rankings: do total characters,
+    document count, and floor-ppm mean length rank the sources the same
+    way? (W = 1 → the signals are redundant; W ≈ 0 → they disagree and a
+    curation policy needs all three.) Ranks use the DOUBLED-midrank
+    device (R2 = 2·|{v' < v}| + |{v' = v}| + 1 ∈ ℤ, ties averaged), so
+    with m = 3 metrics and doubled rank sums S2_i, the deviations
+    D2_i = S2_i − m·(k+1) are exact integers and
+
+        W = 12·Σ(S_i − S̄)²/(m²(k³−k)) = Σ D2_i² / (3·(k³−k))
+
+    — ONE division of two exact integers (0.0 when k < 2; no tie
+    correction — documented, ties in the aggregates are measure-zero).
+
+    Scale shape: per-source (n, Σchars) cells are |sources|-bounded →
+    shared gated cell fold; ranking k sources is O(k log k) driver
+    math."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("source").aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return pa.table({"source": g.column("source"),
+                         "n": pc.cast(g.column("n_chars_count"),
+                                      pa.int64()),
+                         "sc": pc.cast(g.column("n_chars_sum"),
+                                       pa.int64())})
+
+    cells = fold_cells(scan, partial, ["source"], sums=["n", "sc"],
+                       block_gate=block_gate)
+    k = len(cells)
+    if k < 2:
+        return pd.DataFrame({
+            "k_sources": pd.Series([k], dtype=np.int64),
+            "ssd2": pd.Series([0], dtype=np.int64),
+            "w": pd.Series([0.0], dtype=np.float64)})
+    n = cells["n"].to_numpy(np.int64)
+    sc = cells["sc"].to_numpy(np.int64)
+    metrics = [sc, n, (sc * 1_000_000) // n]
+
+    def r2(v):
+        lt = (v[:, None] > v[None, :]).sum(axis=1)
+        eq = (v[:, None] == v[None, :]).sum(axis=1)
+        return 2 * lt + eq + 1
+
+    s2 = sum(r2(m) for m in metrics)
+    d2 = s2 - 3 * (k + 1)
+    ssd2 = int((d2.astype(object) ** 2).sum())
+    return pd.DataFrame({
+        "k_sources": pd.Series([k], dtype=np.int64),
+        "ssd2": pd.Series([ssd2], dtype=np.int64),
+        "w": pd.Series([float(ssd2) / float(3 * (k ** 3 - k))],
+                       dtype=np.float64)})
+
+
+KENDALL_W_SQL = """
+WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS sc
+           FROM documents GROUP BY 1),
+m AS (SELECT source, sc AS v1, n AS v2, sc * 1000000 // n AS v3 FROM a),
+r AS (SELECT source,
+        2 * (rank() OVER (ORDER BY v1) - 1)
+          + count(*) OVER (PARTITION BY v1) + 1 AS r1,
+        2 * (rank() OVER (ORDER BY v2) - 1)
+          + count(*) OVER (PARTITION BY v2) + 1 AS r2,
+        2 * (rank() OVER (ORDER BY v3) - 1)
+          + count(*) OVER (PARTITION BY v3) + 1 AS r3
+      FROM m),
+d AS (SELECT r1 + r2 + r3
+               - 3 * ((SELECT count(*) FROM m) + 1) AS d2 FROM r),
+agg AS (SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS k,
+               CAST(sum(d2 * d2) AS BIGINT) AS ssd2
+        FROM d)
+SELECT k AS k_sources, ssd2,
+       CASE WHEN k < 2 THEN 0.0
+            ELSE CAST(ssd2 AS DOUBLE)
+                 / CAST(3 * (k * k * k - k) AS DOUBLE) END AS w
+FROM agg
+"""

@@ -1559,3 +1559,83 @@ SELECT p_partkey, n,
          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_cents2
 FROM s ORDER BY var_cents2 DESC, p_partkey LIMIT 20
 """
+
+
+def blamed_suppliers(sf_dir: str):
+    """Per supplier: in how many MULTI-supplier orders was it the UNIQUE
+    owner of the latest ship date (the "supplier who held the order up" —
+    TPC-H Q21's blame shape re-expressed over this corpus's columns,
+    ship date standing in for the missing commit/receipt pair). The
+    per-order state ``(mn_supp, mx_supp, max_ship, at_max_min_supp,
+    at_max_max_supp)`` is ASSOCIATIVE: merging two partials keeps the
+    later ship's at-max pair outright and min/max-merges the pair on a
+    ship-date tie — so per-batch partials need only ONE order-hash
+    exchange, and each bucket emits per-supplier counts (≤ |supplier|
+    rows gather). An order qualifies iff mn ≠ mx (≥ 2 distinct
+    suppliers) and the at-max pair is degenerate (a unique latest
+    supplier — ties spread the blame and drop the order, in both
+    engines by the same min=max test)."""
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o": b.column("l_orderkey"), "s": b.column("l_suppkey"),
+            "ship": pc.cast(pc.cast(b.column("l_shipdate"),
+                                    pa.timestamp("us")), pa.int64()),
+        }).to_pandas()
+        g1 = df.groupby("o", sort=False).agg(
+            mn=("s", "min"), mx=("s", "max"), ms=("ship", "max"))
+        j = df.merge(g1["ms"], left_on="o", right_index=True)
+        at = j[j["ship"] == j["ms"]].groupby("o", sort=False)["s"].agg(
+            am_mn="min", am_mx="max")
+        out = g1.join(at).reset_index()
+        out["__b"] = (out["o"].to_numpy(np.int64) & 31).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.groupby("o", sort=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), ms=("ms", "max"))
+        j = g.merge(g2["ms"].rename("gms"), left_on="o", right_index=True)
+        at = j[j["ms"] == j["gms"]].groupby("o", sort=False).agg(
+            am_mn=("am_mn", "min"), am_mx=("am_mx", "max"))
+        q = g2.join(at)
+        q = q[(q["mn"] != q["mx"]) & (q["am_mn"] == q["am_mx"])]
+        cnt = q.groupby("am_mn", sort=False).size()
+        return pd.DataFrame({
+            "s_suppkey": cnt.index.to_numpy().astype(np.int64),
+            "n_orders": cnt.to_numpy().astype(np.int64)})
+
+    df = (li.map_batches(partial, batch_format="pyarrow")
+          .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+          ).to_pandas()
+    if "s_suppkey" not in df.columns:
+        df = pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                           "n_orders": pd.Series([], dtype=np.int64)})
+    df = df.groupby("s_suppkey", as_index=False)["n_orders"].sum()
+    supp = read_dim_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"],
+                          limit=_DIM_BROADCAST_LIMIT)
+    out = df.merge(supp.to_pandas(), on="s_suppkey")
+    out = out.sort_values(["n_orders", "s_suppkey"],
+                          ascending=[False, True], kind="mergesort")
+    return out[["s_suppkey", "s_name", "n_orders"]].reset_index(drop=True)
+
+
+BLAMED_SUPPLIER_SQL = """
+WITH per_o AS (
+  SELECT l_orderkey, min(l_suppkey) AS mn, max(l_suppkey) AS mx,
+         max(l_shipdate) AS ms
+  FROM lineitem GROUP BY 1),
+at_max AS (
+  SELECT l.l_orderkey, min(l.l_suppkey) AS am_mn, max(l.l_suppkey) AS am_mx
+  FROM lineitem l JOIN per_o p ON p.l_orderkey = l.l_orderkey
+                              AND l.l_shipdate = p.ms
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_orders
+FROM per_o JOIN at_max USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = at_max.am_mn
+WHERE per_o.mn <> per_o.mx AND at_max.am_mn = at_max.am_mx
+GROUP BY 1, 2 ORDER BY n_orders DESC, s_suppkey
+"""

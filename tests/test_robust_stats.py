@@ -273,3 +273,70 @@ def test_weekday_anova_positive(ray_session):
     out = weekday_anova_events(SF_SMOKE)
     assert int(out["n_days"].iloc[0]) > 0
     assert out["f"].iloc[0] >= 0.0
+
+
+def test_blamed_suppliers_hand_fixture(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.tpch import blamed_suppliers
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    day = 86_400_000_000
+    # order 1: supps {1,2}, latest ship uniquely supp 2 -> blame 2
+    # order 2: single supplier -> excluded
+    # order 3: supps {1,3}, latest ship TIED between 1 and 3 -> excluded
+    # order 4: supps {2,3}, latest uniquely supp 2 -> blame 2
+    rows = [(1, 1, 0), (1, 2, 5), (2, 1, 3), (2, 1, 9),
+            (3, 1, 7), (3, 3, 7), (4, 2, 8), (4, 3, 1)]
+    o, s, dd = zip(*rows)
+    n = len(rows)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(o, pa.int64()),
+        "l_partkey": pa.array([1] * n, pa.int64()),
+        "l_suppkey": pa.array(s, pa.int64()),
+        "l_linenumber": pa.array(range(1, n + 1), pa.int64()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([x * day for x in dd], pa.timestamp("us")),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+        "s_nationkey": pa.array([0, 0, 0], pa.int64()),
+        "s_acctbal": pa.array([0.0] * 3, pa.float64()),
+    }), str(d / "supplier.parquet"))
+    out = blamed_suppliers(str(d))
+    got = dict(zip(out["s_suppkey"], out["n_orders"]))
+    assert got == {2: 2}
+
+
+def test_kendall_w_perfect_concordance(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.corpus import kendall_w_sources
+
+    # 3 sources where chars, count and mean all rank identically:
+    # a: 1 doc of 10; b: 2 docs of 20; c: 3 docs of 30
+    rows = []
+    did = 0
+    for src, cnt, ln in (("a", 1, 10), ("b", 2, 20), ("c", 3, 30)):
+        for _ in range(cnt):
+            rows.append((did, "t", "en", src, ln))
+            did += 1
+    sf = _docs_rows(tmp_path, rows)
+    out = kendall_w_sources(sf)
+    assert int(out["k_sources"].iloc[0]) == 3
+    assert out["w"].iloc[0] == pytest.approx(1.0)
+
+
+def test_blamed_kendall_clean_corpus(ray_session):
+    from jsonschema_validator_ray.pipelines.corpus import kendall_w_sources
+    from jsonschema_validator_ray.pipelines.tpch import blamed_suppliers
+
+    out = blamed_suppliers(SF_SMOKE)
+    assert (out["n_orders"] >= 1).all()
+    w = kendall_w_sources(SF_SMOKE)
+    assert 0.0 <= w["w"].iloc[0] <= 1.0
+    slow = kendall_w_sources(SF_SMOKE, block_gate=0)
+    pd.testing.assert_frame_equal(w, slow, check_dtype=False)
