@@ -270,6 +270,7 @@ def run_bench() -> dict:
         "runs_test_daily_revenue", "gmd_length_by_lang",
         "dispersion_by_event_type", "weekday_anova_events",
         "cochran_armitage_length_gate",
+        "blamed_suppliers", "kendall_w_sources",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()
