@@ -271,6 +271,7 @@ def run_bench() -> dict:
         "dispersion_by_event_type", "weekday_anova_events",
         "cochran_armitage_length_gate",
         "blamed_suppliers", "kendall_w_sources",
+        "durbin_watson_daily_revenue", "pettitt_daily_events",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

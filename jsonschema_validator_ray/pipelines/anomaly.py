@@ -1498,3 +1498,167 @@ FROM ff
 
 
 WEEKDAY_ANOVA_SQL = _weekday_anova_sql()
+
+
+def durbin_watson_daily_revenue(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, dw) — the Durbin-Watson statistic of the daily-
+    revenue deviations from their mean: DW ≈ 2 means no lag-1
+    autocorrelation, → 0 strong positive (trending), → 4 alternating.
+    The mean-residual spelling is EXACT: with integer daily cents c_t,
+    S = Σc and n days, the scaled residual ``ê_t = n·c_t − S`` is an
+    integer multiple of the true residual (the scale cancels in the
+    ratio), so
+
+        DW = Σ(ê_t − ê_{t−1})² / Σê_t²
+
+    is ONE division of two exact integers (HUGEINT-range ≈ 1e26 at sf
+    0.1 — Python ints driver-side are unbounded; 0.0 on zero variance).
+    The regression-residual sibling of :func:`runs_test_daily_revenue`.
+
+    Scale shape: per-day cells are calendar-bounded → shared gated cell
+    fold; the lag-1 pass is O(days) driver math over observed days in
+    day order."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"d": d, "c": cents}).group_by("d").aggregate(
+            [("c", "sum")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    if len(cells) < 2:
+        return pd.DataFrame({
+            "n_days": pd.Series([len(cells)], dtype=np.int64),
+            "dw": pd.Series([0.0], dtype=np.float64)})
+    cells = cells.sort_values("d")
+    c = [int(x) for x in cells["c"].to_numpy(np.int64)]
+    n = len(c)
+    s = sum(c)
+    e = [n * x - s for x in c]
+    num = sum((e[t] - e[t - 1]) ** 2 for t in range(1, n))
+    den = sum(x * x for x in e)
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype=np.int64),
+        "dw": pd.Series([0.0 if den == 0 else float(num) / float(den)],
+                        dtype=np.float64)})
+
+
+DURBIN_WATSON_SQL = """
+WITH dd AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                     AS d,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS c
+            FROM orders GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s FROM dd),
+e AS (SELECT d, t.n * c - t.s AS e,
+             lag(t.n * c - t.s) OVER (ORDER BY d) AS pe
+      FROM dd, t),
+agg AS (SELECT CAST((SELECT n FROM t) AS BIGINT) AS n,
+               sum(CASE WHEN pe IS NULL THEN 0
+                        ELSE (e - pe) * (e - pe) END) AS num,
+               sum(e * e) AS den
+        FROM e)
+SELECT n AS n_days,
+       CASE WHEN den = 0 OR den IS NULL THEN 0.0
+            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS dw
+FROM agg
+"""
+
+
+def pettitt_daily_events(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, k2_stat, t_at_max) — the Pettitt rank-based
+    change-point test over the daily event-count series: the
+    nonparametric sibling of :func:`changepoint_daily_events` (which
+    splits on means). With DOUBLED midranks R2_t of the daily counts
+    (2·avg_rank ∈ ℤ under ties), the Mann-Whitney-style split statistic
+
+        U2_t = 2·Σ_{i≤t} R2_i − 2·t·(n+1)
+
+    is an exact integer for every prefix t, K2 = max_t |U2_t| locates the
+    most likely change day (earliest day on ties — same argmax rule
+    spelled in both engines). No float exists anywhere.
+
+    Scale shape: per-day cells are calendar-bounded → shared gated cell
+    fold; ranking + prefix scan are O(days log days) driver math."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        g = pa.table({"d": d}).group_by("d").aggregate([("d", "count")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("d_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    if len(cells) < 2:
+        return pd.DataFrame({
+            "n_days": pd.Series([len(cells)], dtype=np.int64),
+            "k2_stat": pd.Series([0], dtype=np.int64),
+            "t_at_max": pd.Series([0], dtype=np.int64)})
+    cells = cells.sort_values("d")
+    d = cells["d"].to_numpy(np.int64)
+    c = cells["c"].to_numpy(np.int64)
+    n = len(c)
+    order = np.argsort(c, kind="mergesort")
+    # doubled midrank per value: 2*(count below) + (ties) + 1
+    sorted_c = c[order]
+    r2_sorted = np.empty(n, np.int64)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sorted_c[j] == sorted_c[i]:
+            j += 1
+        r2_sorted[i:j] = 2 * i + (j - i) + 1
+        i = j
+    r2 = np.empty(n, np.int64)
+    r2[order] = r2_sorted
+    pref = np.cumsum(r2)
+    t_idx = np.arange(1, n + 1, dtype=np.int64)
+    u2 = 2 * pref - 2 * t_idx * (n + 1)
+    absu = np.abs(u2[:-1])            # split after t = 1..n-1
+    best = int(np.argmax(absu))       # first maximum = earliest day
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype=np.int64),
+        "k2_stat": pd.Series([int(absu[best])], dtype=np.int64),
+        "t_at_max": pd.Series([int(d[best])], dtype=np.int64)})
+
+
+PETTITT_SQL = """
+WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+r AS (SELECT d, 2 * (rank() OVER (ORDER BY c) - 1)
+                + count(*) OVER (PARTITION BY c) + 1 AS r2,
+             count(*) OVER () AS n
+      FROM c),
+u AS (SELECT d, n,
+             2 * sum(r2) OVER (ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+               - 2 * (row_number() OVER (ORDER BY d)) * (n + 1) AS u2,
+             row_number() OVER (ORDER BY d) AS t
+      FROM r),
+k AS (SELECT d, abs(u2) AS a FROM u WHERE t < n)
+SELECT CAST((SELECT max(n) FROM u) AS BIGINT) AS n_days,
+       CAST((SELECT max(a) FROM k) AS BIGINT) AS k2_stat,
+       CAST((SELECT min(d) FROM k
+             WHERE a = (SELECT max(a) FROM k)) AS BIGINT) AS t_at_max
+FROM (SELECT 1)
+"""

@@ -340,3 +340,67 @@ def test_blamed_kendall_clean_corpus(ray_session):
     assert 0.0 <= w["w"].iloc[0] <= 1.0
     slow = kendall_w_sources(SF_SMOKE, block_gate=0)
     pd.testing.assert_frame_equal(w, slow, check_dtype=False)
+
+
+def test_durbin_watson_hand_fixture(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        durbin_watson_daily_revenue)
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    day = 86_400_000_000
+    totals = [1.0, 2.0, 3.0, 4.0]     # monotone ramp -> strong + autocorr
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(4), pa.int64()),
+        "o_custkey": pa.array([1] * 4, pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 4),
+        "o_totalprice": pa.array(totals, pa.float64()),
+        "o_orderdate": pa.array([i * day for i in range(4)],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4),
+    }), str(d / "orders.parquet"))
+    out = durbin_watson_daily_revenue(str(d))
+    # cents 100..400, mean 250 -> resid -150,-50,50,150 (scale cancels)
+    # num = 3*100^2, den = 2*(150^2+50^2) -> dw = 30000/50000 = 0.6
+    assert int(out["n_days"].iloc[0]) == 4
+    assert out["dw"].iloc[0] == pytest.approx(0.6)
+
+
+def test_pettitt_planted_shift(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        pettitt_daily_events)
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    # 4 days of 1 event, then 4 days of 3 events -> change after day 3
+    ts = []
+    for i in range(8):
+        per = 1 if i < 4 else 3
+        ts += [base + i * day] * per
+    n = len(ts)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), str(d / "events.parquet"))
+    out = pettitt_daily_events(str(d))
+    assert int(out["n_days"].iloc[0]) == 8
+    # max |U| at the true change point: last low day (index 3)
+    assert int(out["t_at_max"].iloc[0]) == (base // day) + 3
+    assert int(out["k2_stat"].iloc[0]) > 0
+
+
+def test_dw_pettitt_exchange_paths(ray_session):
+    from jsonschema_validator_ray.pipelines.anomaly import (
+        durbin_watson_daily_revenue, pettitt_daily_events)
+
+    for fn in (durbin_watson_daily_revenue, pettitt_daily_events):
+        fast = fn(SF_SMOKE).reset_index(drop=True)
+        slow = fn(SF_SMOKE, block_gate=0)[fast.columns] \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
