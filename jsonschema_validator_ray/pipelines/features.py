@@ -1613,3 +1613,124 @@ o AS (SELECT vec_id,
 SELECT ov AS overlap, CAST(count(*) AS BIGINT) AS n_queries
 FROM o GROUP BY 1 ORDER BY 1
 """
+
+
+def centroid_drift_embeddings(sf_dir: str, block_gate: int = 512):
+    """Per label: (label, n_even, n_odd, n_dims, d2) — embedding-centroid
+    DRIFT between the even-vec_id and odd-vec_id halves of each label (the
+    parity split standing in for two corpus generations, as in
+    schema_drift): the squared L2 distance between the two halves'
+    integer centroids in the exact int8-quantized code space. A label
+    whose halves' centroids sit far apart is unstable — relabeled,
+    bimodal, or contaminated. Exactness end to end: the quantize_batch
+    IEEE sequence (cast → ·127 → /max|x| → floor) is bit-identical
+    cross-engine, centroids are the TRUNCATING division ``cq =
+    trunc(Σq/n)`` (DuckDB ``//`` truncates signed ints — np.sign·(|s|//n)
+    mirrors it), and d² is an integer sum over dims. No float output at
+    all.
+
+    Scale shape: ONE pass; per-batch (label, parity, dim) code-sum cells
+    are labels×2×dims-bounded → shared gated cell fold; centroid join
+    and d² are O(cells) driver math."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        labels = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        par = (b.column("vec_id").to_numpy(zero_copy_only=False)
+               .astype(np.int64) % 2)
+        live = lengths > 0
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "p": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "q_sum": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if not live.any():
+            return empty
+        ll = lengths[live]
+        ends = np.cumsum(ll)
+        segstarts = np.concatenate(([0], ends[:-1]))
+        sc = np.maximum.reduceat(np.abs(flat), segstarts)
+        per_elem = np.repeat(sc, ll)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(flat * 127.0 / per_elem)
+        q = np.nan_to_num(q, nan=0.0, posinf=0.0,
+                          neginf=0.0).astype(np.int64)
+        lab = np.repeat(labels[live], ll)
+        pp = np.repeat(par[live], ll)
+        dim = np.concatenate([np.arange(1, n + 1) for n in ll])
+        agg = pd.DataFrame({"label": lab, "p": pp, "dim": dim, "q": q}) \
+            .groupby(["label", "p", "dim"], sort=False).agg(
+                q_sum=("q", "sum"), n=("q", "size")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cells = fold_cells(scan, partial, ["label", "p", "dim"],
+                       sums=["q_sum", "n"], block_gate=block_gate)
+    cols = ["label", "n_even", "n_odd", "n_dims", "d2"]
+    if not len(cells):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    s = cells["q_sum"].to_numpy(np.int64)
+    nn = cells["n"].to_numpy(np.int64)
+    cells = cells.assign(cq=np.sign(s) * (np.abs(s) // nn))
+    ev = cells[cells["p"] == 0]
+    od = cells[cells["p"] == 1]
+    j = ev.merge(od, on=["label", "dim"], suffixes=("_e", "_o"))
+    if not len(j):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    diff = j["cq_e"].to_numpy(np.int64) - j["cq_o"].to_numpy(np.int64)
+    agg = j.assign(dd=diff * diff).groupby("label").agg(
+        n_dims=("dim", "size"), d2=("dd", "sum"))
+    nv = cells.groupby(["label", "p"])["n"].max().unstack()
+    out = agg.join(nv.rename(columns={0: "n_even", 1: "n_odd"})) \
+        .reset_index().sort_values("label")
+    return out[cols].astype(np.int64).reset_index(drop=True)
+
+
+CENTROID_DRIFT_SQL = """
+WITH t AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings WHERE len(embedding) > 0
+), q AS (
+  SELECT CAST(vec_id % 2 AS BIGINT) AS p, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                END) AS qv
+  FROM t
+), e AS (
+  SELECT p, label,
+         CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim,
+         unnest(qv) AS val
+  FROM q
+), c AS (SELECT label, p, dim, CAST(sum(val) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM e GROUP BY 1, 2, 3),
+cq AS (SELECT label, p, dim, s // n AS cq, n FROM c),
+nv AS (SELECT label, p, CAST(max(n) AS BIGINT) AS nv
+       FROM cq GROUP BY 1, 2),
+d AS (SELECT a.label, CAST(count(*) AS BIGINT) AS n_dims,
+             CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS d2
+      FROM cq a JOIN cq b ON a.label = b.label AND a.dim = b.dim
+                         AND a.p = 0 AND b.p = 1
+      GROUP BY 1)
+SELECT d.label, ne.nv AS n_even, no_.nv AS n_odd, d.n_dims, d.d2
+FROM d JOIN nv ne ON ne.label = d.label AND ne.p = 0
+       JOIN nv no_ ON no_.label = d.label AND no_.p = 1
+ORDER BY d.label
+"""

@@ -404,3 +404,40 @@ def test_dw_pettitt_exchange_paths(ray_session):
         slow = fn(SF_SMOKE, block_gate=0)[fast.columns] \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_centroid_drift_planted(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.features import (
+        centroid_drift_embeddings)
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    # label 0: even vecs at +[1,0], odd vecs at -[1,0] -> codes +-127
+    #          -> centroid drift d2 = (127-(-127))^2 = 64516 on dim 1
+    # label 1: identical halves -> d2 = 0
+    vecs = [[1.0, 0.5], [-1.0, -0.5], [1.0, 0.5], [-1.0, -0.5],
+            [0.5, 1.0], [0.5, 1.0]]
+    labels = [0, 0, 0, 0, 1, 1]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    out = centroid_drift_embeddings(str(d)).set_index("label")
+    # codes for [1.0,0.5]: floor(1*127/1)=127, floor(.5*127/1)=63
+    # for [-1,-0.5]: -127, floor(-63.5) = -64
+    assert int(out.loc[0, "d2"]) == (127 - (-127)) ** 2 + (63 - (-64)) ** 2
+    assert int(out.loc[1, "d2"]) == 0
+    assert int(out.loc[0, "n_even"]) == 2
+    assert int(out.loc[0, "n_dims"]) == 2
+
+
+def test_centroid_drift_exchange_path(ray_session):
+    from jsonschema_validator_ray.pipelines.features import (
+        centroid_drift_embeddings)
+
+    fast = centroid_drift_embeddings(SF_SMOKE).reset_index(drop=True)
+    slow = centroid_drift_embeddings(SF_SMOKE, block_gate=0)[fast.columns] \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    assert len(fast) > 0
