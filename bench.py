@@ -272,7 +272,7 @@ def run_bench() -> dict:
         "cochran_armitage_length_gate",
         "blamed_suppliers", "kendall_w_sources",
         "durbin_watson_daily_revenue", "pettitt_daily_events",
-        "centroid_drift_embeddings",
+        "centroid_drift_embeddings", "chapman_estimate_documents",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -1062,3 +1062,100 @@ SELECT CAST(n AS BIGINT) AS n_rows, CAST(r AS BIGINT) AS n_pass,
        END AS z2
 FROM a
 """
+
+
+# ---- Chapman capture-recapture: distinct-content universe estimate -----------
+
+def chapman_estimate_documents(sf_dir: str, block_gate: int = 512,
+                               n_buckets: int = 64):
+    """One-row (n_even_distinct, n_odd_distinct, overlap, chapman) — the
+    Chapman capture-recapture estimator of the distinct-content universe:
+    treat the even-doc_id and odd-doc_id halves as two independent
+    "captures" of the underlying content population; contents seen in
+    both are recaptures, and
+
+        N̂ = ⌊(n1+1)·(n2+1)/(m+1)⌋ − 1
+
+    estimates how many distinct contents EXIST (including ones this
+    corpus never sampled) — the "how much of the web did we actually
+    crawl" number, and a cross-check on dedup-rate extrapolations. All
+    integer (floor division of nonnegative ints). Content identity is the
+    md5-60bit prefix (engine-portable, same spelling as checksum.py).
+
+    Scale shape: ONE scan; per-batch (h, e, o) flag rows pre-deduped
+    within the batch; under the block gate the pairs gather driver-side;
+    past it they hash-exchange on h's bucket (h determines its bucket, so
+    per-bucket OR-folds + counts are globally correct) and only 3-int
+    rows gather."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.checksum import _row_hashes
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h = _row_hashes(txt.to_pylist())
+        par = (b.column("doc_id").to_numpy(zero_copy_only=False)
+               .astype(np.int64) % 2)
+        df = pd.DataFrame({"h": h, "e": (par == 0).astype(np.int64),
+                           "o": par})
+        agg = df.groupby("h", as_index=False)[["e", "o"]].max()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h")[["e", "o"]].max()
+        return pd.DataFrame({
+            "n1": [np.int64(int(g["e"].sum()))],
+            "n2": [np.int64(int(g["o"].sum()))],
+            "m": [np.int64(int((g["e"] * g["o"]).sum()))]})
+
+    parts_ds = scan.map_batches(partial)
+    if scan.num_blocks() <= block_gate:
+        parts = parts_ds.to_pandas()
+        per = _reduce(parts) if len(parts) else \
+            pd.DataFrame({"n1": [0], "n2": [0], "m": [0]})
+    else:
+        mod = np.int64(n_buckets)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__b", pa.array((h % mod).astype(np.int32)))
+
+        def per_bucket(g: pd.DataFrame) -> pa.Table:
+            out = _reduce(g.drop(columns="__b"))
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        per = (parts_ds.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("__b").map_groups(per_bucket,
+                                          batch_format="pandas")
+               .to_pandas())
+        per = pd.DataFrame({c: [per[c].sum()] for c in ("n1", "n2", "m")})
+    n1, n2, m = (int(per[c].iloc[0]) for c in ("n1", "n2", "m"))
+    chapman = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    return pd.DataFrame({
+        "n_even_distinct": pd.Series([n1], dtype=np.int64),
+        "n_odd_distinct": pd.Series([n2], dtype=np.int64),
+        "overlap": pd.Series([m], dtype=np.int64),
+        "chapman": pd.Series([chapman], dtype=np.int64)})
+
+
+CHAPMAN_SQL = """
+WITH h AS (SELECT substr(md5(text), 1, 15) AS h,
+                  CAST(max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS e,
+                  CAST(max(doc_id % 2) AS BIGINT) AS o
+           FROM documents GROUP BY 1),
+a AS (SELECT CAST(COALESCE(sum(e), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(sum(o), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(sum(e * o), 0) AS BIGINT) AS m
+      FROM h)
+SELECT n1 AS n_even_distinct, n2 AS n_odd_distinct, m AS overlap,
+       (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman
+FROM a
+"""

@@ -154,3 +154,32 @@ def test_ts_inversions_clean_corpus(ray_session):
     out = ts_inversions_users(SF_SMOKE)
     assert int(out["n_pairs"].iloc[0]) > 0
     assert int(out["n_inversions"].iloc[0]) >= 0
+
+
+def test_chapman_hand_fixture(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.dq import (
+        chapman_estimate_documents)
+
+    # even half contents: {A, B, C}; odd half: {B, C, D} -> overlap 2
+    # chapman = (4*4)//3 - 1 = 4 (true universe is 4: A,B,C,D)
+    sf = _docs_fixture(tmp_path, [
+        (0, "A", "en", "web", 1), (2, "B", "en", "web", 1),
+        (4, "C", "en", "web", 1), (6, "A", "en", "web", 1),
+        (1, "B", "en", "web", 1), (3, "C", "en", "web", 1),
+        (5, "D", "en", "web", 1),
+    ])
+    out = chapman_estimate_documents(sf)
+    assert int(out["n_even_distinct"].iloc[0]) == 3
+    assert int(out["n_odd_distinct"].iloc[0]) == 3
+    assert int(out["overlap"].iloc[0]) == 2
+    assert int(out["chapman"].iloc[0]) == 4
+
+
+def test_chapman_exchange_path(ray_session):
+    from jsonschema_validator_ray.pipelines.dq import (
+        chapman_estimate_documents)
+
+    fast = chapman_estimate_documents(SF_SMOKE).reset_index(drop=True)
+    slow = chapman_estimate_documents(SF_SMOKE, block_gate=0) \
+        [fast.columns].reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
