@@ -1639,3 +1639,86 @@ JOIN supplier s ON s.s_suppkey = at_max.am_mn
 WHERE per_o.mn <> per_o.mx AND at_max.am_mn = at_max.am_mx
 GROUP BY 1, 2 ORDER BY n_orders DESC, s_suppkey
 """
+
+
+def _skyline_sweep(df: pd.DataFrame) -> pd.DataFrame:
+    """Non-dominated rows of (c=price_cents asc better, sz=size desc
+    better): sort by (c asc, sz desc, key asc) and sweep a running max
+    size. A row survives iff its size strictly exceeds every cheaper
+    row's size, or exactly ties the running max at the SAME price (equal
+    (c, sz) pairs are mutually non-dominating; equal sz at higher price
+    is dominated via the strict-price clause)."""
+    df = df.sort_values(["c", "sz", "p_partkey"],
+                        ascending=[True, False, True], kind="mergesort")
+    c = df["c"].to_numpy(np.int64)
+    sz = df["sz"].to_numpy(np.int64)
+    keep = np.zeros(len(df), dtype=bool)
+    run_sz = -(1 << 62)
+    run_c = -(1 << 62)
+    for i in range(len(df)):
+        if sz[i] > run_sz:
+            keep[i] = True
+            run_sz = sz[i]
+            run_c = c[i]
+        elif sz[i] == run_sz and c[i] == run_c:
+            keep[i] = True
+    return df[keep]
+
+
+def skyline_parts(sf_dir: str):
+    """The Pareto frontier (skyline) of parts on (retail price ↓ better,
+    size ↑ better): every part for which no other part is at most as
+    expensive AND at least as large with one strict — the classic
+    multi-criteria shortlist query. Exact: prices in floor-round cents,
+    sizes integral, dominance is pure integer comparison; equal
+    (price, size) twins are mutually non-dominating and both survive, in
+    both engines by the same strictness clause.
+
+    Scale shape: the distributed-skyline algorithm — each batch emits its
+    LOCAL skyline (skyline-of-skylines = skyline, an associative
+    reduction; a local skyline is bounded by the batch's distinct size
+    count), and the driver merges candidate sets orders of magnitude
+    smaller than the input. The O(n²) NOT-EXISTS shape exists only in
+    the oracle."""
+    pt = read_parquet(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_partkey": b.column("p_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "c": pc.cast(pc.round(pc.multiply(
+                b.column("p_retailprice"), 100)), pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "sz": b.column("p_size").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return pa.Table.from_pandas(_skyline_sweep(df),
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cand = pt.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(cand):
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "price_cents": pd.Series([], dtype=np.int64),
+            "size": pd.Series([], dtype=np.int64)})
+    out = _skyline_sweep(cand).rename(
+        columns={"c": "price_cents", "sz": "size"})
+    out = out.sort_values(["price_cents", "size", "p_partkey"],
+                          ascending=[True, False, True], kind="mergesort")
+    return out[["p_partkey", "price_cents", "size"]].astype(np.int64) \
+        .reset_index(drop=True)
+
+
+SKYLINE_SQL = """
+WITH p AS (SELECT p_partkey,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS c,
+                  CAST(p_size AS BIGINT) AS sz
+           FROM part)
+SELECT a.p_partkey, a.c AS price_cents, a.sz AS size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.c <= a.c AND b.sz >= a.sz AND (b.c < a.c OR b.sz > a.sz))
+ORDER BY price_cents, size DESC, a.p_partkey
+"""

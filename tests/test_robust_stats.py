@@ -441,3 +441,40 @@ def test_centroid_drift_exchange_path(ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
     assert len(fast) > 0
+
+
+def test_skyline_hand_fixture(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.tpch import skyline_parts
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    # (price, size): A(1.00,5) frontier; B(2.00,5) dominated by A;
+    # C(2.00,9) frontier; D(0.50,1) frontier (cheapest);
+    # E(1.00,5) exact twin of A -> both survive; F(3.00,9) dominated by C
+    rows = [(1, 1.00, 5), (2, 2.00, 5), (3, 2.00, 9),
+            (4, 0.50, 1), (5, 1.00, 5), (6, 3.00, 9)]
+    k, pr, sz = zip(*rows)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(k, pa.int64()),
+        "p_name": pa.array([f"p{i}" for i in k]),
+        "p_brand": pa.array(["B"] * 6),
+        "p_type": pa.array(["T"] * 6),
+        "p_size": pa.array(sz, pa.int64()),
+        "p_retailprice": pa.array(pr, pa.float64()),
+    }), str(d / "part.parquet"))
+    out = skyline_parts(str(d))
+    assert set(out["p_partkey"]) == {1, 3, 4, 5}
+
+
+def test_skyline_is_nondominated(ray_session):
+    from jsonschema_validator_ray.pipelines.tpch import skyline_parts
+
+    out = skyline_parts(SF_SMOKE)
+    assert len(out) >= 1
+    # frontier must be strictly increasing in size as price rises,
+    # except exact-twin runs (same price AND same size)
+    c = out["price_cents"].to_numpy()
+    s = out["size"].to_numpy()
+    for i in range(1, len(out)):
+        assert (s[i] > s[i - 1]) or (s[i] == s[i - 1]
+                                     and c[i] == c[i - 1])
