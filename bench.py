@@ -273,7 +273,7 @@ def run_bench() -> dict:
         "blamed_suppliers", "kendall_w_sources",
         "durbin_watson_daily_revenue", "pettitt_daily_events",
         "centroid_drift_embeddings", "chapman_estimate_documents",
-        "skyline_parts",
+        "skyline_parts", "lorenz_deciles_customers",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

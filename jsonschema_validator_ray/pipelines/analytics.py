@@ -3831,3 +3831,82 @@ SELECT n_pairs, h_units,
          AS h_cond_micronats
 FROM agg
 """
+
+
+def lorenz_deciles_customers(sf_dir: str):
+    """Per revenue decile (poorest → richest customers): (decile, n,
+    cents, cum_share_ppm) — the full Lorenz curve behind
+    :func:`gini_customers`'s single number and
+    :func:`pareto_customers`'s 80/20 point. Customers sort ascending by
+    (revenue cents, custkey) and split into ten exact-rank deciles
+    ``decile = 10·(rank−1) // n`` (first deciles get the extra customers
+    when 10 ∤ n — the same floor spelling in both engines);
+    ``cum_share_ppm = 10⁶·cumcents // total`` is exact floor-ppm.
+
+    Scale shape: per-customer cents fold from per-batch partials
+    (customer-bounded driver fold, the gini/pareto gate documented
+    there); ranking is one driver sort of the customer aggregate."""
+    orders = read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c": b.column("o_custkey"),
+                      "v": pc.cast(pc.round(pc.multiply(
+                          b.column("o_totalprice"), 100)), pa.int64())})
+        g = t.group_by("c").aggregate([("v", "sum")])
+        return pa.table({"c": g.column("c"), "v": g.column("v_sum")})
+
+    df = (orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby("c", as_index=False)["v"].sum())
+    if len(df) > 50_000_000:
+        raise ValueError("lorenz_deciles driver fold gate: "
+                         f"{len(df)} customers; pre-bucket the rank fold")
+    if not len(df):
+        return pd.DataFrame({
+            "decile": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+            "cents": pd.Series([], dtype=np.int64),
+            "cum_share_ppm": pd.Series([], dtype=np.int64)})
+    df = df.sort_values(["v", "c"], ascending=[True, True],
+                        kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    dec = (10 * np.arange(n, dtype=np.int64)) // n
+    v = df["v"].to_numpy(np.int64)
+    total = int(v.sum())
+    rows = []
+    cum = 0
+    for d in range(10):
+        m = dec == d
+        if not m.any():
+            continue
+        cents = int(v[m].sum())
+        cum += cents
+        rows.append((np.int64(d), np.int64(int(m.sum())), np.int64(cents),
+                     np.int64((1_000_000 * cum) // total if total else 0)))
+    return pd.DataFrame(rows, columns=["decile", "n", "cents",
+                                       "cum_share_ppm"])
+
+
+LORENZ_DECILES_SQL = """
+WITH cc AS (SELECT o_custkey AS c,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders GROUP BY 1),
+r AS (SELECT v, 10 * (row_number() OVER (ORDER BY v, c) - 1)
+               // (SELECT count(*) FROM cc) AS decile
+      FROM cc),
+d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS cents
+      FROM r GROUP BY 1),
+w AS (SELECT decile, n, cents,
+             CAST(sum(cents) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST((SELECT sum(v) FROM cc) AS BIGINT) AS total
+      FROM d)
+SELECT CAST(decile AS BIGINT) AS decile, n, cents,
+       CAST(CASE WHEN total = 0 THEN 0
+                 ELSE 1000000 * cum // total END AS BIGINT)
+         AS cum_share_ppm
+FROM w ORDER BY decile
+"""

@@ -478,3 +478,18 @@ def test_skyline_is_nondominated(ray_session):
     for i in range(1, len(out)):
         assert (s[i] > s[i - 1]) or (s[i] == s[i - 1]
                                      and c[i] == c[i - 1])
+
+
+def test_lorenz_deciles_invariants(ray_session):
+    from jsonschema_validator_ray.pipelines.analytics import (
+        lorenz_deciles_customers)
+
+    out = lorenz_deciles_customers(SF_SMOKE)
+    assert len(out) == 10
+    # cumulative share is nondecreasing, convex-ish, ends at ~1e6
+    s = out["cum_share_ppm"].to_numpy()
+    assert (np.diff(s) >= 0).all()
+    assert 999_990 <= s[-1] <= 1_000_000
+    # ascending sort: the poorest decile holds the smallest slice
+    cents = out["cents"].to_numpy()
+    assert cents[0] <= cents[-1]
