@@ -3910,3 +3910,181 @@ SELECT CAST(decile AS BIGINT) AS decile, n, cents,
          AS cum_share_ppm
 FROM w ORDER BY decile
 """
+
+
+# ---- Goh–Barabási burstiness of per-user inter-event gaps --------------------
+
+def burstiness_users(sf_dir: str, n_buckets: int = 64):
+    """(user_id, n_gaps, b) — the Goh–Barabási burstiness coefficient of
+    each user's inter-event gap sequence: B = (σ − μ)/(σ + μ) over the
+    gaps in whole seconds (B → −1 metronome, 0 Poisson, → 1 bursty — the
+    bot-vs-human activity-shape signal that complements
+    burst_users_events' window-count heuristic). Exactness: gaps are
+    exact ints (µs difference // 10⁶, nonnegative so floor = trunc in
+    both engines); per-user (n, S=Σg, SS=Σg²) are int64 folds; with the
+    population σ the n's cancel and
+
+        B = (√D − S) / (√D + S),   D = n·SS − S²  (≥ 0 by Cauchy–Schwarz)
+
+    — D is computed in PYTHON ints (n·SS overflows int64 for long-lived
+    users; SQL uses HUGEINT) and each IEEE step of the spelling is
+    correctly rounded from exact integers, so the doubles are bitwise
+    equal. Users need ≥ 2 gaps and S > 0 (B undefined on all-simultaneous
+    streams).
+
+    Scale shape: ONE hash exchange of (user_id, ts µs) on ``user_id %
+    n_buckets`` — gap adjacency requires co-location, the
+    ts_inversions_users contract; each bucket sorts once and folds its
+    users on the pandas C-path; output is one row per qualifying user."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+    mod = np.int64(n_buckets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "t": pc.cast(pc.cast(b.column("ts"),
+                                           pa.timestamp("us")), pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array((u % mod).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        out0 = pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_gaps": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.float64())})
+        if not len(g):
+            return out0
+        g = g.sort_values(["user_id", "t"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        same = np.concatenate(([False], u[1:] == u[:-1]))
+        gap = (t - np.concatenate(([0], t[:-1]))) // 1_000_000
+        gf = pd.DataFrame({"user_id": u[same], "g": gap[same]})
+        if not len(gf):
+            return out0
+        agg = gf.groupby("user_id", sort=False).agg(
+            n=("g", "size"), s=("g", "sum"),
+            ss=("g", lambda x: int((x.to_numpy(np.int64) ** 2).sum())))
+        agg = agg[(agg["n"] >= 2) & (agg["s"] > 0)]
+        if not len(agg):
+            return out0
+        # D in Python ints: n·SS overflows int64 on long gap series
+        d = [int(n) * int(ss) - int(s) * int(s)
+             for n, s, ss in zip(agg["n"], agg["s"], agg["ss"])]
+        sd = np.sqrt(np.array([float(x) for x in d], np.float64))
+        sf_ = agg["s"].to_numpy(np.int64).astype(np.float64)
+        b = (sd - sf_) / (sd + sf_)
+        return pa.table({
+            "user_id": pa.array(agg.index.to_numpy(np.int64)),
+            "n_gaps": pa.array(agg["n"].to_numpy(np.int64)),
+            "b": pa.array(b)})
+
+    out = (ev.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    if not len(out):
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "n_gaps": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.float64)})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+BURSTINESS_SQL = """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts) AS pt
+           FROM events),
+g AS (SELECT user_id, (t - pt) // 1000000 AS gs FROM o
+      WHERE pt IS NOT NULL),
+a AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(gs) AS HUGEINT) AS s,
+             CAST(sum(CAST(gs AS HUGEINT) * gs) AS HUGEINT) AS ss
+      FROM g GROUP BY 1),
+f AS (SELECT user_id, n, s, n * ss - s * s AS d FROM a
+      WHERE n >= 2 AND s > 0)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       (sqrt(CAST(d AS DOUBLE)) - CAST(s AS DOUBLE))
+       / (sqrt(CAST(d AS DOUBLE)) + CAST(s AS DOUBLE)) AS b
+FROM f ORDER BY user_id
+"""
+
+
+# ---- HITS hubs/authorities over the trade graph ------------------------------
+
+def hits_custsupp(sf_dir: str):
+    """(kind, key, score) — 3 exact-integer HITS rounds over the DIRECTED
+    bipartite trade graph (distinct (o_custkey → l_suppkey) pairs from
+    orders ⋈ lineitem): customers are HUBS (buy from many good
+    suppliers), suppliers are AUTHORITIES (supply many good hubs) — the
+    mutual-reinforcement ranking PageRank's single-score random walk
+    cannot express. stages/pagerank.hits: all-integer in-neighbor sums +
+    integer max-normalization per half-step, so the fixed iteration count
+    is bit-reproducible — and SQL-checkable via chained CTEs."""
+    from ..stages.pagerank import hits
+
+    o = read_parquet(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderkey", "o_custkey"])
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_suppkey"])
+    j = bucketed_join(li, o, on="l_orderkey", right_on="o_orderkey")
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        df = pa.table({"src": pc.cast(b.column("o_custkey"), pa.int64()),
+                       "dst": pc.cast(b.column("l_suppkey"), pa.int64())}) \
+            .to_pandas().drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            df["src"] * np.int64(1_000_003) + df["dst"],
+            index=False).to_numpy()
+        return pa.Table.from_pandas(
+            df.assign(__pb=(h % 32).astype(np.int32)),
+            preserve_index=False).replace_schema_metadata(None)
+
+    dedup = j.map_batches(pair_partials, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(
+            lambda g: g.drop(columns="__pb").drop_duplicates(),
+            batch_format="pandas")
+
+    h_state, a_state = hits(dedup, "src", "dst", iterations=3)
+    frames = []
+    for kind, state in (("hub", h_state), ("auth", a_state)):
+        if state is None:
+            continue
+        df = state.to_pandas()
+        if not len(df):
+            continue
+        frames.append(pd.DataFrame({
+            "kind": kind,
+            "key": df["node"].astype(np.int64),
+            "score": df["score"].astype(np.int64)}))
+    if not frames:
+        return pd.DataFrame({"kind": pd.Series([], dtype=object),
+                             "key": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.int64)})
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values(["kind", "key"]).reset_index(drop=True)
+
+
+_HITS_STEP = """
+h{k} AS (SELECT e.c AS node, CAST(sum(a{p}.score) AS BIGINT) AS s
+         FROM e JOIN a{p} ON a{p}.node = e.s GROUP BY e.c),
+hm{k} AS (SELECT max(s) AS m FROM h{k}),
+hn{k} AS (SELECT node, (s * 1000000) // (SELECT m FROM hm{k}) AS score
+          FROM h{k}),
+aa{k} AS (SELECT e.s AS node, CAST(sum(hn{k}.score) AS BIGINT) AS s
+          FROM e JOIN hn{k} ON hn{k}.node = e.c GROUP BY e.s),
+am{k} AS (SELECT max(s) AS m FROM aa{k}),
+a{k} AS (SELECT node, (s * 1000000) // (SELECT m FROM am{k}) AS score
+         FROM aa{k})"""
+
+HITS_SQL = ("""
+WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+a0 AS (SELECT DISTINCT s AS node, CAST(1000000 AS BIGINT) AS score
+       FROM e),"""
+            + ",".join(_HITS_STEP.format(k=k, p=k - 1)
+                       for k in (1, 2, 3))
+            + """
+SELECT 'hub' AS kind, node AS key, score FROM hn3
+UNION ALL
+SELECT 'auth' AS kind, node AS key, score FROM a3
+ORDER BY kind, key
+""")

@@ -1662,3 +1662,346 @@ SELECT CAST((SELECT max(n) FROM u) AS BIGINT) AS n_days,
              WHERE a = (SELECT max(a) FROM k)) AS BIGINT) AS t_at_max
 FROM (SELECT 1)
 """
+# ---- Mood's median test: length location shift across all languages --------
+
+def moods_median_chars_langs(sf_dir: str, block_gate: int = 512):
+    """(lang, n_above, n_below, contrib_above, contrib_below) — Mood's
+    median test of document length across ALL languages: every document
+    is classified above / not-above the GRAND median length, and the
+    resulting 2×k contingency table's chi-square cell contributions say
+    which languages sit systematically long or short. The nonparametric
+    sibling of :func:`weekday_anova_events` (location shift without
+    normality) built from two shared exact devices: the DOUBLED grand
+    median over the pooled length histogram (m2 = lower-mid + upper-mid,
+    so ``above = [2v > m2]`` never compares floats — the
+    runs_test_daily_revenue device), and per-cell chi-square
+    contributions as ONE double division of exact integers each
+    (``(obs·T − row·col)² / (T·row·col)`` — the chi_square_cells device;
+    0.0 when a margin is empty, no float ever accumulates across cells).
+
+    Scale shape: (lang, n_chars) cells are bounded by langs × distinct
+    lengths → shared gated cell fold; driver math is O(cells) Python
+    ints (HUGEINT-range safe at any SF)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n_above": pd.Series([], dtype=np.int64),
+        "n_below": pd.Series([], dtype=np.int64),
+        "contrib_above": pd.Series([], dtype=np.float64),
+        "contrib_below": pd.Series([], dtype=np.float64)})
+    if not len(cells):
+        return empty
+    hist = cells.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    hv = hist["v"].to_numpy(np.int64)
+    hc = hist["c"].to_numpy(np.int64)
+    cume = np.cumsum(hc)
+    n = int(cume[-1])
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    m2 = int(hv[np.searchsorted(cume, lo)]) \
+        + int(hv[np.searchsorted(cume, hi)])
+    above = 2 * cells["v"].to_numpy(np.int64) > m2
+    cc = cells["c"].to_numpy(np.int64)
+    per = cells.assign(n_above=np.where(above, cc, 0),
+                       n_below=np.where(~above, cc, 0)) \
+        .groupby("lang", as_index=False)[["n_above", "n_below"]].sum()
+    ca = int(per["n_above"].sum())
+    cb = int(per["n_below"].sum())
+    t = ca + cb
+
+    def contrib(obs: int, row: int, col: int) -> float:
+        den = t * row * col
+        if den == 0:
+            return 0.0
+        num = (obs * t - row * col) ** 2
+        return float(num) / float(den)
+
+    out = per.sort_values("lang").reset_index(drop=True)
+    rows = out["n_above"].to_numpy(np.int64) + out["n_below"].to_numpy(
+        np.int64)
+    out["contrib_above"] = [
+        contrib(int(a), int(r), ca)
+        for a, r in zip(out["n_above"], rows)]
+    out["contrib_below"] = [
+        contrib(int(b), int(r), cb)
+        for b, r in zip(out["n_below"], rows)]
+    out["n_above"] = out["n_above"].astype(np.int64)
+    out["n_below"] = out["n_below"].astype(np.int64)
+    return out
+
+
+MOODS_MEDIAN_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+h AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY v),
+w AS (SELECT v, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cume FROM h),
+nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM h),
+m AS (SELECT
+   (SELECT min(v) FROM w WHERE cume >= (SELECT (n + 1) // 2 FROM nn))
+ + (SELECT min(v) FROM w WHERE cume >= (SELECT (n + 2) // 2 FROM nn))
+   AS m2),
+s AS (SELECT lang,
+   CAST(COALESCE(sum(c) FILTER (WHERE 2 * v > (SELECT m2 FROM m)), 0)
+        AS HUGEINT) AS above,
+   CAST(COALESCE(sum(c) FILTER (WHERE 2 * v <= (SELECT m2 FROM m)), 0)
+        AS HUGEINT) AS below
+ FROM c GROUP BY lang),
+g AS (SELECT CAST(sum(above) AS HUGEINT) AS ca,
+             CAST(sum(below) AS HUGEINT) AS cb,
+             CAST(sum(above + below) AS HUGEINT) AS t FROM s)
+SELECT lang,
+       CAST(above AS BIGINT) AS n_above,
+       CAST(below AS BIGINT) AS n_below,
+       CASE WHEN t * (above + below) * ca = 0 THEN 0.0
+            ELSE CAST((above * t - (above + below) * ca)
+                      * (above * t - (above + below) * ca) AS DOUBLE)
+               / CAST(t * (above + below) * ca AS DOUBLE)
+       END AS contrib_above,
+       CASE WHEN t * (above + below) * cb = 0 THEN 0.0
+            ELSE CAST((below * t - (above + below) * cb)
+                      * (below * t - (above + below) * cb) AS DOUBLE)
+               / CAST(t * (above + below) * cb AS DOUBLE)
+       END AS contrib_below
+FROM s, g ORDER BY lang
+"""
+
+
+# ---- Cramér–von Mises two-sample EDF distance ------------------------------
+
+def cvm_chars_langs(sf_dir: str, lang_a: str = "en", lang_b: str = "de",
+                    block_gate: int = 512):
+    """One-row (n_a, n_b, u4, t_stat) — the two-sample Cramér–von Mises
+    test of document length between two languages: an EDF distance that,
+    unlike the KS max-gap, integrates squared rank displacements over the
+    WHOLE distribution. Exactness: with doubled midranks (2·avg_rank =
+    2·cum + t + 1 ∈ ℤ, the mannwhitney/kruskal device) the per-cell sum
+    of squared displacements Σ_{k=1..c}(c0 − 2k)² telescopes to
+
+        c·c0² − 2·c0·c·(c+1) + 4·(c·(c+1)·(2c+1) // 6)   (exact ints,
+        c0 = R2 − 2·cum_own)
+
+    so U4 = 4U = n·ΣA + m·ΣB is an exact integer fold and the statistic
+    is ONE division of exact integers:
+
+        T = U/(nm·N) − (4nm−1)/(6N)
+          = (3·U4 − 2·nm·(4nm−1)) / (12·nm·N),   N = n+m.
+
+    (0.0 when either sample is empty.) HUGEINT-range in SQL, Python ints
+    driver-side.
+
+    Scale shape: (lang, n_chars) cells → shared gated cell fold; driver
+    math is O(distinct lengths)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+    langs = (lang_a, lang_b)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("lang"),
+                              value_set=pa.array(list(langs))))
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    zero = pd.DataFrame({
+        "n_a": pd.Series([0], dtype=np.int64),
+        "n_b": pd.Series([0], dtype=np.int64),
+        "u4": pd.Series([0], dtype=np.int64),
+        "t_stat": pd.Series([0.0], dtype=np.float64)})
+    if not len(cells):
+        return zero
+    piv = cells.pivot_table(index="v", columns="lang", values="c",
+                            aggfunc="sum", fill_value=0).sort_index()
+    ca = (piv[lang_a].to_numpy(np.int64) if lang_a in piv
+          else np.zeros(len(piv), np.int64))
+    cb = (piv[lang_b].to_numpy(np.int64) if lang_b in piv
+          else np.zeros(len(piv), np.int64))
+    t = ca + cb
+    cum = np.concatenate(([0], np.cumsum(t)))[:-1]
+    cuma = np.concatenate(([0], np.cumsum(ca)))[:-1]
+    cumb = np.concatenate(([0], np.cumsum(cb)))[:-1]
+    r2 = 2 * cum + t + 1
+    n, m = int(ca.sum()), int(cb.sum())
+
+    def disp(cnt, cumo):
+        tot = 0
+        for c, c0 in zip(cnt.tolist(), (r2 - 2 * cumo).tolist()):
+            if c:
+                tot += c * c0 * c0 - 2 * c0 * c * (c + 1) \
+                    + 4 * (c * (c + 1) * (2 * c + 1) // 6)
+        return tot
+
+    u4 = n * disp(ca, cuma) + m * disp(cb, cumb)
+    if n == 0 or m == 0:
+        t_stat = 0.0
+    else:
+        t_stat = float(3 * u4 - 2 * n * m * (4 * n * m - 1)) \
+            / float(12 * n * m * (n + m))
+    return pd.DataFrame({
+        "n_a": pd.Series([n], dtype=np.int64),
+        "n_b": pd.Series([m], dtype=np.int64),
+        "u4": pd.Series([u4], dtype=np.int64),
+        "t_stat": pd.Series([t_stat], dtype=np.float64)})
+
+
+CVM_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1, 2),
+p AS (SELECT v,
+        CAST(COALESCE(sum(c) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS ca,
+        CAST(COALESCE(sum(c) FILTER (WHERE lang = 'de'), 0) AS BIGINT) AS cb
+      FROM c GROUP BY v),
+w AS (SELECT v, ca, cb, ca + cb AS t,
+        CAST(COALESCE(sum(ca + cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum,
+        CAST(COALESCE(sum(ca) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cuma,
+        CAST(COALESCE(sum(cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cumb
+      FROM p),
+e AS (SELECT
+        CAST(COALESCE(sum(ca), 0) AS HUGEINT) AS n,
+        CAST(COALESCE(sum(cb), 0) AS HUGEINT) AS m,
+        CAST(COALESCE(sum(
+          ca * CAST(2*cum + t + 1 - 2*cuma AS HUGEINT)
+             * (2*cum + t + 1 - 2*cuma)
+          - 2 * CAST(2*cum + t + 1 - 2*cuma AS HUGEINT) * ca * (ca + 1)
+          + 4 * ((CAST(ca AS HUGEINT) * (ca + 1) * (2*ca + 1)) // 6)), 0)
+          AS HUGEINT) AS sa,
+        CAST(COALESCE(sum(
+          cb * CAST(2*cum + t + 1 - 2*cumb AS HUGEINT)
+             * (2*cum + t + 1 - 2*cumb)
+          - 2 * CAST(2*cum + t + 1 - 2*cumb AS HUGEINT) * cb * (cb + 1)
+          + 4 * ((CAST(cb AS HUGEINT) * (cb + 1) * (2*cb + 1)) // 6)), 0)
+          AS HUGEINT) AS sb
+      FROM w)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+       CAST(n * sa + m * sb AS BIGINT) AS u4,
+       CASE WHEN n = 0 OR m = 0 THEN 0.0
+            ELSE CAST(3 * (n * sa + m * sb)
+                      - 2 * n * m * (4 * n * m - 1) AS DOUBLE)
+               / CAST(12 * n * m * (n + m) AS DOUBLE)
+       END AS t_stat
+FROM e
+"""
+
+
+# ---- Grubbs max-studentized-deviation outlier test --------------------------
+
+def grubbs_daily_revenue(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, peak_day, max_dev, g) — the Grubbs test over the
+    daily-revenue series: the most extreme day's studentized deviation
+    from the mean, the single-outlier detector that complements
+    :func:`cusum_daily_events` (level shift) and the runs test
+    (clustering). Exactness: daily revenue is the floor-cents integer
+    fold; ``dev_d = |n·c_d − S|`` (S = Σc) is exact so the ARGMAX day and
+    ``max_dev`` never touch floats (ties → smallest day); the one float
+    is the identically-spelled IEEE chain
+
+        G = max_dev / √( n · (n·SS − S²) / (n−1) )
+
+    (each step correctly rounded from exact ints — HUGEINT-range in SQL
+    since SS = Σc² overflows int64, Python ints driver-side; 0.0 when
+    n < 2 or the variance is 0).
+
+    Scale shape: per-day cells are calendar-bounded → shared gated cell
+    fold; driver math is O(days)."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"d": d, "c": cents}).group_by("d").aggregate(
+            [("c", "sum")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({
+            "n_days": pd.Series([0], dtype=np.int64),
+            "peak_day": pd.Series([0], dtype=np.int64),
+            "max_dev": pd.Series([0], dtype=np.int64),
+            "g": pd.Series([0.0], dtype=np.float64)})
+    cells = cells.sort_values("d")
+    days = cells["d"].tolist()
+    cs = [int(x) for x in cells["c"].tolist()]
+    n = len(cs)
+    s = sum(cs)
+    ss = sum(x * x for x in cs)
+    devs = [abs(n * x - s) for x in cs]
+    max_dev = max(devs)
+    peak_day = int(days[devs.index(max_dev)])
+    var_num = n * ss - s * s
+    if n < 2 or var_num <= 0:
+        g = 0.0
+    else:
+        g = float(max_dev) / math.sqrt(
+            float(n) * float(var_num) / float(n - 1))
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype=np.int64),
+        "peak_day": pd.Series([peak_day], dtype=np.int64),
+        "max_dev": pd.Series([max_dev], dtype=np.int64),
+        "g": pd.Series([g], dtype=np.float64)})
+
+
+GRUBBS_SQL = """
+WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                    AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(COALESCE(sum(c), 0) AS HUGEINT) AS s,
+             CAST(COALESCE(sum(CAST(c AS HUGEINT) * c), 0) AS HUGEINT) AS ss
+      FROM d),
+dev AS (SELECT day,
+               abs((SELECT n FROM a) * c - (SELECT s FROM a)) AS dv
+        FROM d),
+mx AS (SELECT max(dv) AS num FROM dev),
+pk AS (SELECT min(day) AS peak_day FROM dev
+       WHERE dv = (SELECT num FROM mx))
+SELECT CAST((SELECT n FROM a) AS BIGINT) AS n_days,
+       (SELECT peak_day FROM pk) AS peak_day,
+       CAST((SELECT num FROM mx) AS BIGINT) AS max_dev,
+       CASE WHEN (SELECT n FROM a) < 2
+              OR (SELECT n FROM a) * (SELECT ss FROM a)
+                 - (SELECT s FROM a) * (SELECT s FROM a) <= 0 THEN 0.0
+            ELSE CAST((SELECT num FROM mx) AS DOUBLE)
+                 / sqrt(CAST((SELECT n FROM a) AS DOUBLE)
+                        * CAST((SELECT n FROM a) * (SELECT ss FROM a)
+                               - (SELECT s FROM a) * (SELECT s FROM a)
+                               AS DOUBLE)
+                        / CAST((SELECT n FROM a) - 1 AS DOUBLE))
+       END AS g
+"""

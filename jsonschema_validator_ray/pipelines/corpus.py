@@ -5473,3 +5473,206 @@ SELECT k AS k_sources, ssd2,
                  / CAST(3 * (k * k * k - k) AS DOUBLE) END AS w
 FROM agg
 """
+
+
+# ---- centroid silhouette: cluster-quality index per label -------------------
+
+def silhouette_embeddings(sf_dir: str):
+    """(label, n_vecs, sum_a2, sum_b2, sum_m2, n_well, s2_index) — the
+    centroid (simplified) silhouette of the label clustering, in the
+    exact int8-quantized code space shared with
+    :func:`intra_spread_embeddings`: per vector, a2 = squared L2 distance
+    to its OWN label's integer centroid, b2 = min squared distance to any
+    OTHER label's centroid. ``n_well`` counts vectors nearer their own
+    centroid than any other (b2 > a2), and the per-label index is the
+    ratio-of-sums squared-distance silhouette
+
+        s2_index = Σ(b2 − a2) / Σ max(a2, b2)
+
+    — numerator, denominator and all per-label columns are exact int64
+    folds, so the one float per label is a single division (0.0 when the
+    denominator is 0; b2 = 0 when only one label exists). The classic
+    per-row mean silhouette would sum per-row DOUBLES (order-dependent
+    across engines); the ratio-of-sums form is the deterministic
+    corpus-scale variant.
+
+    Scale shape: pass 1 folds per-(label, dim) integer code sums and
+    broadcasts the k×d centroid matrix; pass 2 computes each batch's
+    distances to ALL centroids with ONE integer matmul
+    (‖q‖² + ‖c‖² − 2·q·cᵀ, every term exact int64) and folds per-label
+    int64 partials. O(k·d) broadcast state, no exchange."""
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["label", "embedding"])
+
+    def quant(b: pa.Table):
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        labels = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        live = lengths > 0
+        if not live.any():
+            return None
+        ll = lengths[live]
+        ends = np.cumsum(ll)
+        segstarts = np.concatenate(([0], ends[:-1]))
+        sc = np.maximum.reduceat(np.abs(flat), segstarts)
+        per_elem = np.repeat(sc, ll)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(flat * 127.0 / per_elem)
+        q = np.nan_to_num(q, nan=0.0, posinf=0.0,
+                          neginf=0.0).astype(np.int64)
+        lab = np.repeat(labels[live], ll)
+        dim = np.concatenate([np.arange(1, n + 1) for n in ll])
+        return lab, dim, q, ll, labels[live]
+
+    def partial1(b: pa.Table) -> pa.Table:
+        r = quant(b)
+        if r is None:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "q_sum": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lab, dim, q, _, _ = r
+        agg = pd.DataFrame({"label": lab, "dim": dim, "q": q}) \
+            .groupby(["label", "dim"], sort=False).agg(
+                q_sum=("q", "sum"), n=("q", "size")).reset_index()
+        return pa.table({
+            "label": pa.array(agg["label"].to_numpy(np.int64)),
+            "dim": pa.array(agg["dim"].to_numpy(np.int64)),
+            "q_sum": pa.array(agg["q_sum"].to_numpy(np.int64)),
+            "n": pa.array(agg["n"].to_numpy(np.int64))})
+
+    parts = emb.map_batches(partial1, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "label": pd.Series([], dtype=np.int64),
+        "n_vecs": pd.Series([], dtype=np.int64),
+        "sum_a2": pd.Series([], dtype=np.int64),
+        "sum_b2": pd.Series([], dtype=np.int64),
+        "sum_m2": pd.Series([], dtype=np.int64),
+        "n_well": pd.Series([], dtype=np.int64),
+        "s2_index": pd.Series([], dtype=np.float64)})
+    if not len(parts):
+        return empty
+    cent = parts.groupby(["label", "dim"], as_index=False)[
+        ["q_sum", "n"]].sum()
+    s = cent["q_sum"].to_numpy(np.int64)
+    nn = cent["n"].to_numpy(np.int64)
+    cq = np.sign(s) * (np.abs(s) // nn)        # trunc toward zero
+    labs = np.sort(cent["label"].unique().astype(np.int64))
+    lidx = {int(lv): i for i, lv in enumerate(labs)}
+    dmax = int(cent["dim"].max())
+    cmat = np.zeros((len(labs), dmax + 1), dtype=np.int64)
+    cmat[[lidx[int(lv)] for lv in cent["label"]],
+         cent["dim"].to_numpy(np.int64)] = cq
+    c2 = (cmat * cmat).sum(axis=1)
+
+    def partial2(b: pa.Table) -> pa.Table:
+        out0 = pa.table({"label": pa.array([], pa.int64()),
+                         "n_vecs": pa.array([], pa.int64()),
+                         "sum_a2": pa.array([], pa.int64()),
+                         "sum_b2": pa.array([], pa.int64()),
+                         "sum_m2": pa.array([], pa.int64()),
+                         "n_well": pa.array([], pa.int64())})
+        r = quant(b)
+        if r is None:
+            return out0
+        lab, dim, q, ll, vec_labels = r
+        nv = len(ll)
+        qm = np.zeros((nv, dmax + 1), dtype=np.int64)
+        vec_id = np.repeat(np.arange(nv), ll)
+        qm[vec_id, dim] = q
+        q2 = (qm * qm).sum(axis=1)
+        dots = qm @ cmat.T
+        d2 = q2[:, None] + c2[None, :] - 2 * dots
+        own = np.array([lidx[int(lv)] for lv in vec_labels],
+                       dtype=np.int64)
+        a2 = d2[np.arange(nv), own]
+        if len(labs) == 1:
+            b2 = np.zeros(nv, dtype=np.int64)
+        else:
+            masked = d2.copy()
+            masked[np.arange(nv), own] = np.iinfo(np.int64).max
+            b2 = masked.min(axis=1)
+        agg = pd.DataFrame({
+            "label": vec_labels, "a2": a2, "b2": b2,
+            "m2": np.maximum(a2, b2),
+            "well": (b2 > a2).astype(np.int64)}) \
+            .groupby("label", sort=False).agg(
+                n_vecs=("a2", "size"), sum_a2=("a2", "sum"),
+                sum_b2=("b2", "sum"), sum_m2=("m2", "sum"),
+                n_well=("well", "sum")).reset_index()
+        return pa.table({
+            "label": pa.array(agg["label"].to_numpy(np.int64)),
+            "n_vecs": pa.array(agg["n_vecs"].to_numpy(np.int64)),
+            "sum_a2": pa.array(agg["sum_a2"].to_numpy(np.int64)),
+            "sum_b2": pa.array(agg["sum_b2"].to_numpy(np.int64)),
+            "sum_m2": pa.array(agg["sum_m2"].to_numpy(np.int64)),
+            "n_well": pa.array(agg["n_well"].to_numpy(np.int64))})
+
+    out = emb.map_batches(partial2, batch_format="pyarrow").to_pandas() \
+        .groupby("label", as_index=False)[
+            ["n_vecs", "sum_a2", "sum_b2", "sum_m2", "n_well"]].sum()
+    for c in ("n_vecs", "sum_a2", "sum_b2", "sum_m2", "n_well"):
+        out[c] = out[c].astype(np.int64)
+    num = out["sum_b2"].to_numpy(np.int64) \
+        - out["sum_a2"].to_numpy(np.int64)
+    den = out["sum_m2"].to_numpy(np.int64)
+    out["s2_index"] = np.where(
+        den > 0, num.astype(np.float64)
+        / np.where(den > 0, den, 1).astype(np.float64), 0.0)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+SILHOUETTE_SQL = """
+WITH t AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings WHERE len(embedding) > 0
+), q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                END) AS qv
+  FROM t
+), e AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim,
+         unnest(qv) AS val
+  FROM q
+), c AS (SELECT label, dim, CAST(sum(val) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM e GROUP BY 1, 2),
+cent AS (SELECT label AS clabel, dim,
+                CAST(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END
+                     AS BIGINT) AS cq
+         FROM c),
+d2 AS (SELECT e.vec_id, cent.clabel, any_value(e.label) AS own,
+              CAST(sum((e.val - cent.cq) * (e.val - cent.cq)) AS BIGINT)
+                AS d2
+       FROM e JOIN cent ON e.dim = cent.dim
+       GROUP BY e.vec_id, cent.clabel),
+vx AS (SELECT vec_id, own,
+              CAST(sum(CASE WHEN clabel = own THEN d2 END) AS BIGINT)
+                AS a2,
+              CAST(COALESCE(min(CASE WHEN clabel <> own THEN d2 END), 0)
+                   AS BIGINT) AS b2
+       FROM d2 GROUP BY 1, 2)
+SELECT own AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(a2) AS BIGINT) AS sum_a2,
+       CAST(sum(b2) AS BIGINT) AS sum_b2,
+       CAST(sum(greatest(a2, b2)) AS BIGINT) AS sum_m2,
+       CAST(count(*) FILTER (WHERE b2 > a2) AS BIGINT) AS n_well,
+       CASE WHEN sum(greatest(a2, b2)) > 0
+            THEN CAST(sum(b2) - sum(a2) AS DOUBLE)
+                 / CAST(sum(greatest(a2, b2)) AS DOUBLE)
+            ELSE 0.0 END AS s2_index
+FROM vx GROUP BY own ORDER BY own
+"""

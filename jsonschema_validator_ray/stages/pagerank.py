@@ -126,3 +126,93 @@ def pagerank(edges, src: str, dst: str, *, iterations: int = 3,
 
     return state.map_batches(
         lambda b: b.select(["node", "rank"]), batch_format="pyarrow")
+
+
+def _ds_max(ds, col: str) -> int:
+    """Driver scalar: global max of an int64 column — per-block partial
+    maxima gather (≤ num_blocks rows), never the rows themselves."""
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.max(b.column(col)).as_py()
+        return pa.table({col: pa.array(
+            [] if m is None else [int(m)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return int(parts[col].max()) if len(parts) else 0
+
+
+def hits(edges, src: str, dst: str, *, iterations: int = 3,
+         base: int = 1_000_000, num_buckets: int = 32,
+         batch_size: int = 65536):
+    """→ (hubs, auths) Datasets ``(node, score)`` after ``iterations``
+    exact integer HITS rounds (Kleinberg 1999, "Authoritative sources in
+    a hyperlinked environment", public) over the directed bipartite
+    ``(src, dst)`` edge dataset (pre-deduplicate if parallel edges are
+    not wanted; hubs = sources, authorities = destinations).
+
+    Float parity contract: scores are ``base``-scaled integers and each
+    half-step is an integer in-neighbor sum followed by integer
+    max-normalization ``score = (s · base) // max(s)`` — the max is a
+    driver SCALAR per half-step (the iterative-algorithm exception:
+    normalization needs a concrete global before the next exchange), so
+    a fixed iteration count is bit-reproducible across engines and
+    cluster sizes (float HITS with L2 normalization is not — summation
+    order). Max-normalization replaces the textbook L2 norm; rankings
+    are preserved per half-step since the scale factor is shared.
+
+    Shape per half-step: one node-bucket join (edges ⋈ scores) + one
+    dst-bucket fold — only (node, int64) pairs move; the max gathers one
+    partial per block. At 100 TB pre-bucket the edge files once by
+    hash(node) and re-read per round instead of re-exchanging."""
+
+    def project(b: pa.Table, on: str, other: str) -> pa.Table:
+        return pa.table({"node": b.column(on), "__o": b.column(other)})
+
+    # authority state: every distinct dst starts at base
+    a_state = _fold_by_key(
+        edges.map_batches(
+            lambda b: pa.table({
+                "node": b.column(dst),
+                "__one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow", batch_size=batch_size),
+        "node", "__one", "score", num_buckets=num_buckets) \
+        .map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "score": pa.array(np.full(b.num_rows, base, np.int64))}),
+            batch_format="pyarrow").materialize()
+    h_state = None
+
+    from .joins import bucketed_join
+
+    def half_step(state, join_on: str, fold_to: str):
+        j = bucketed_join(
+            edges.map_batches(lambda b: project(b, join_on, fold_to),
+                              batch_format="pyarrow",
+                              batch_size=batch_size),
+            state, on="node", num_buckets=num_buckets)
+        sums = _fold_by_key(
+            j.map_batches(
+                lambda b: pa.table({"node": b.column("__o"),
+                                    "c": b.column("score")}),
+                batch_format="pyarrow"),
+            "node", "c", "s", num_buckets=num_buckets).materialize()
+        mx = _ds_max(sums, "s")
+        if mx <= 0:
+            return None
+        return sums.map_batches(
+            lambda b, _mx=mx: pa.table({
+                "node": b.column("node"),
+                "score": pa.array(
+                    (b.column("s").to_numpy(zero_copy_only=False)
+                     .astype(np.int64) * base) // _mx)}),
+            batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        h_state = half_step(a_state, dst, src)      # hubs from auths
+        if h_state is None:
+            break
+        nxt = half_step(h_state, src, dst)          # auths from hubs
+        if nxt is None:
+            break
+        a_state = nxt
+    return h_state, a_state
