@@ -4088,3 +4088,120 @@ UNION ALL
 SELECT 'auth' AS kind, node AS key, score FROM a3
 ORDER BY kind, key
 """)
+
+
+
+# ---- partial correlation from the shared moment scan -------------------------
+
+def partial_corr_lineitem(sf_dir: str):
+    """(var_x, var_y, control, r, r_partial) — the three first-order
+    partial correlations of quantity / price-cents / discount-percent:
+    how much of each pairwise association survives controlling for the
+    third variable,
+
+        r_xy·z = (r_xy − r_xz·r_yz) / (√(1−r_xz²) · √(1−r_yz²))
+
+    — the variable-confounding diagnostic on top of
+    :func:`corr_matrix_lineitem`'s matrix, from the SAME one-scan
+    10-integer-moment fold (k statistics never cost k passes). Exactness:
+    every r is corr_matrix's identical IEEE expression over exact
+    arbitrary-precision integer moments, and the partial formula is one
+    more identically-spelled double composition, so the floats match
+    bitwise (0.0 when a denominator factor is 0 — a perfectly correlated
+    control)."""
+    import math
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_quantity", "l_extendedprice",
+                               "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b.column("l_quantity")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(pc.round(pc.multiply(b.column("l_discount"), 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": [len(q)],
+            "s1": [int(q.sum())], "s2": [int(c.sum())], "s3": [int(d.sum())],
+            "s11": [int((q * q).sum())], "s22": [int((c * c).sum())],
+            "s33": [int((d * d).sum())], "s12": [int((q * c).sum())],
+            "s13": [int((q * d).sum())], "s23": [int((c * d).sum())]})
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=32768).to_pandas()
+    m = {k: int(parts[k].astype(object).sum()) for k in parts.columns}
+
+    def corr(sx, sy, sxx, syy, sxy):
+        num = m["n"] * m[sxy] - m[sx] * m[sy]
+        d1 = m["n"] * m[sxx] - m[sx] * m[sx]
+        d2 = m["n"] * m[syy] - m[sy] * m[sy]
+        return float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+
+    r12 = corr("s1", "s2", "s11", "s22", "s12")
+    r13 = corr("s1", "s3", "s11", "s33", "s13")
+    r23 = corr("s2", "s3", "s22", "s33", "s23")
+
+    def pcorr(rxy, rxz, ryz):
+        den = math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz)
+        return 0.0 if den == 0.0 else (rxy - rxz * ryz) / den
+
+    return pd.DataFrame({
+        "var_x": ["qty", "qty", "cents"],
+        "var_y": ["cents", "disc", "disc"],
+        "control": ["disc", "cents", "qty"],
+        "r": [r12, r13, r23],
+        "r_partial": [pcorr(r12, r13, r23), pcorr(r13, r12, r23),
+                      pcorr(r23, r12, r13)]})
+
+
+PARTIAL_CORR_SQL = """
+WITH m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS HUGEINT)
+           AS s2,
+         CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS HUGEINT) AS s3,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s11,
+         sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS s22,
+         sum(CAST(round(l_discount*100) AS HUGEINT)
+             * CAST(round(l_discount*100) AS HUGEINT)) AS s33,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS s12,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_discount*100) AS HUGEINT)) AS s13,
+         sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_discount*100) AS HUGEINT)) AS s23
+  FROM lineitem),
+r AS (
+  SELECT CAST(n*s12 - s1*s2 AS DOUBLE)
+           / (sqrt(CAST(n*s11 - s1*s1 AS DOUBLE))
+              * sqrt(CAST(n*s22 - s2*s2 AS DOUBLE))) AS r12,
+         CAST(n*s13 - s1*s3 AS DOUBLE)
+           / (sqrt(CAST(n*s11 - s1*s1 AS DOUBLE))
+              * sqrt(CAST(n*s33 - s3*s3 AS DOUBLE))) AS r13,
+         CAST(n*s23 - s2*s3 AS DOUBLE)
+           / (sqrt(CAST(n*s22 - s2*s2 AS DOUBLE))
+              * sqrt(CAST(n*s33 - s3*s3 AS DOUBLE))) AS r23
+  FROM m)
+SELECT 'qty' AS var_x, 'cents' AS var_y, 'disc' AS control, r12 AS r,
+       CASE WHEN sqrt(1.0 - r13*r13) * sqrt(1.0 - r23*r23) = 0.0 THEN 0.0
+            ELSE (r12 - r13*r23)
+                 / (sqrt(1.0 - r13*r13) * sqrt(1.0 - r23*r23))
+       END AS r_partial FROM r
+UNION ALL
+SELECT 'qty', 'disc', 'cents', r13,
+       CASE WHEN sqrt(1.0 - r12*r12) * sqrt(1.0 - r23*r23) = 0.0 THEN 0.0
+            ELSE (r13 - r12*r23)
+                 / (sqrt(1.0 - r12*r12) * sqrt(1.0 - r23*r23))
+       END FROM r
+UNION ALL
+SELECT 'cents', 'disc', 'qty', r23,
+       CASE WHEN sqrt(1.0 - r12*r12) * sqrt(1.0 - r13*r13) = 0.0 THEN 0.0
+            ELSE (r23 - r12*r13)
+                 / (sqrt(1.0 - r12*r12) * sqrt(1.0 - r13*r13))
+       END FROM r
+"""

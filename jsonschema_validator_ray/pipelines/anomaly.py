@@ -2005,3 +2005,211 @@ SELECT CAST((SELECT n FROM a) AS BIGINT) AS n_days,
                         / CAST((SELECT n FROM a) - 1 AS DOUBLE))
        END AS g
 """
+# ---- Hartley's F-max variance-homogeneity screen ----------------------------
+
+def fmax_chars_langs(sf_dir: str, block_gate: int = 512):
+    """One-row (lang_max, lang_min, n_max, n_min, fmax) — Hartley's F-max
+    screen over document length: the ratio of the LARGEST per-language
+    sample variance to the SMALLEST (the quick variance-homogeneity check
+    that complements brown_forsythe's F). Exactness: per-lang (n, S=Σv,
+    SS=Σv²) are integer folds; s²_i = num_i/den_i with num_i = n·SS − S²
+    and den_i = n(n−1), and both the ARGMAX/ARGMIN selection and any tie
+    are decided by exact cross-multiplied integer comparison
+    (num_i·den_j vs num_j·den_i, ties → lexicographically smaller lang)
+    — no float ever orders the groups. The one float is a single
+    division of exact integer products
+
+        F_max = (num_mx · den_mn) / (num_mn · den_mx)
+
+    (0.0 when the smallest variance is 0 or no lang has n ≥ 2).
+
+    Scale shape: per-(lang) moment partials are bounded by the lang
+    vocabulary → shared gated cell fold; driver math is O(langs²) Python
+    ints (HUGEINT-range in SQL)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": b.column("lang").to_pandas(),
+            "v": b.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        df["vv"] = df["v"] * df["v"]
+        g = df.groupby("lang", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cells = fold_cells(scan, partial, ["lang"], sums=["n", "s", "ss"],
+                       block_gate=block_gate)
+    zero = pd.DataFrame({
+        "lang_max": pd.Series([""], dtype=object),
+        "lang_min": pd.Series([""], dtype=object),
+        "n_max": pd.Series([0], dtype=np.int64),
+        "n_min": pd.Series([0], dtype=np.int64),
+        "fmax": pd.Series([0.0], dtype=np.float64)})
+    if not len(cells):
+        return zero
+    groups = []
+    for row in cells.itertuples(index=False):
+        n, s, ss = int(row.n), int(row.s), int(row.ss)
+        if n >= 2:
+            groups.append((str(row.lang), n, n * ss - s * s,
+                           n * (n - 1)))
+    if not groups:
+        return zero
+
+    def prefer(a, b, sign):
+        # a preferred to b for the max (sign=+1) / min (sign=−1) slot:
+        # exact cross-multiplied variance compare, ties → smaller lang
+        d = a[2] * b[3] - b[2] * a[3]
+        return sign * d > 0 or (d == 0 and a[0] < b[0])
+
+    mx = mn = groups[0]
+    for g in groups[1:]:
+        if prefer(g, mx, +1):
+            mx = g
+        if prefer(g, mn, -1):
+            mn = g
+    fmax = 0.0 if mn[2] == 0 else \
+        float(mx[2] * mn[3]) / float(mn[2] * mx[3])
+    return pd.DataFrame({
+        "lang_max": pd.Series([mx[0]], dtype=object),
+        "lang_min": pd.Series([mn[0]], dtype=object),
+        "n_max": pd.Series([mx[1]], dtype=np.int64),
+        "n_min": pd.Series([mn[1]], dtype=np.int64),
+        "fmax": pd.Series([fmax], dtype=np.float64)})
+
+
+FMAX_SQL = """
+WITH a AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(n_chars) AS HUGEINT) AS s,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                    AS ss
+           FROM documents GROUP BY 1),
+f AS (SELECT lang, n, n * ss - s * s AS num, n * (n - 1) AS den
+      FROM a WHERE n >= 2),
+mx AS (SELECT lang, n, num, den FROM f x
+       WHERE NOT EXISTS (SELECT 1 FROM f y
+                         WHERE y.num * x.den > x.num * y.den
+                            OR (y.num * x.den = x.num * y.den
+                                AND y.lang < x.lang))),
+mn AS (SELECT lang, n, num, den FROM f x
+       WHERE NOT EXISTS (SELECT 1 FROM f y
+                         WHERE y.num * x.den < x.num * y.den
+                            OR (y.num * x.den = x.num * y.den
+                                AND y.lang < x.lang)))
+SELECT mx.lang AS lang_max, mn.lang AS lang_min,
+       CAST(mx.n AS BIGINT) AS n_max, CAST(mn.n AS BIGINT) AS n_min,
+       CASE WHEN mn.num = 0 THEN 0.0
+            ELSE CAST(mx.num * mn.den AS DOUBLE)
+                 / CAST(mn.num * mx.den AS DOUBLE) END AS fmax
+FROM mx, mn
+"""
+
+
+# ---- Bowley (quartile) skewness per language ---------------------------------
+
+def bowley_skew_chars_langs(sf_dir: str, block_gate: int = 512):
+    """(lang, n, q1_2, q2_2, q3_2, bowley) — the Bowley quartile-skewness
+    of document length per language: a robust shape statistic the
+    moment-based skew cannot give under heavy tails. Exactness: each
+    DOUBLED quartile q_2 = v[floor(h)] + v[ceil(h)] at h = (n+1)·p
+    (clamped to [1, n]) generalizes the repo's doubled-median device —
+    an exact integer from the per-lang length histogram — and the 2×
+    factors cancel in
+
+        bowley = (q3_2 + q1_2 − 2·q2_2) / (q3_2 − q1_2)
+
+    so the one float per lang is a single division of exact integers
+    (0.0 when the IQR is 0).
+
+    Scale shape: (lang, n_chars) cells → shared gated cell fold; driver
+    math is O(cells)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype=np.int64),
+        "q1_2": pd.Series([], dtype=np.int64),
+        "q2_2": pd.Series([], dtype=np.int64),
+        "q3_2": pd.Series([], dtype=np.int64),
+        "bowley": pd.Series([], dtype=np.float64)})
+    if not len(cells):
+        return empty
+    rows = []
+    for lang, g in cells.groupby("lang"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        cume = np.cumsum(g["c"].to_numpy(np.int64))
+        n = int(cume[-1])
+
+        def at(idx):  # 1-indexed order statistic, clamped
+            idx = min(max(idx, 1), n)
+            return int(v[np.searchsorted(cume, idx)])
+
+        q1 = at((n + 1) // 4) + at((n + 4) // 4)
+        q2 = at((n + 1) // 2) + at((n + 2) // 2)
+        q3 = at((3 * n + 3) // 4) + at((3 * n + 6) // 4)
+        b = 0.0 if q3 == q1 else \
+            float(q3 + q1 - 2 * q2) / float(q3 - q1)
+        rows.append((str(lang), n, q1, q2, q3, b))
+    out = pd.DataFrame(rows, columns=["lang", "n", "q1_2", "q2_2",
+                                      "q3_2", "bowley"])
+    for c in ("n", "q1_2", "q2_2", "q3_2"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+BOWLEY_SKEW_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+w AS (SELECT lang, v,
+             CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+               AS cume
+      FROM c),
+n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+ix AS (SELECT lang, n,
+              GREATEST(LEAST((n + 1) // 4, n), 1) AS i1l,
+              GREATEST(LEAST((n + 4) // 4, n), 1) AS i1h,
+              GREATEST(LEAST((n + 1) // 2, n), 1) AS i2l,
+              GREATEST(LEAST((n + 2) // 2, n), 1) AS i2h,
+              GREATEST(LEAST((3 * n + 3) // 4, n), 1) AS i3l,
+              GREATEST(LEAST((3 * n + 6) // 4, n), 1) AS i3h
+       FROM n),
+q AS (SELECT ix.lang, ix.n,
+        (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i1l)
+      + (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i1h) AS q1_2,
+        (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i2l)
+      + (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i2h) AS q2_2,
+        (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i3l)
+      + (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i3h) AS q3_2
+      FROM ix)
+SELECT lang, n, q1_2, q2_2, q3_2,
+       CASE WHEN q3_2 = q1_2 THEN 0.0
+            ELSE CAST(q3_2 + q1_2 - 2 * q2_2 AS DOUBLE)
+                 / CAST(q3_2 - q1_2 AS DOUBLE) END AS bowley
+FROM q ORDER BY lang
+"""

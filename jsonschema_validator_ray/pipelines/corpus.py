@@ -5676,3 +5676,87 @@ SELECT own AS label,
             ELSE 0.0 END AS s2_index
 FROM vx GROUP BY own ORDER BY own
 """
+
+
+
+# ---- index of coincidence per language ---------------------------------------
+
+def index_coincidence_lang(sf_dir: str, block_gate: int = 512):
+    """(lang, n_chars_total, distinct_chars, ic) — the index of
+    coincidence of each language's character stream: the probability two
+    randomly drawn characters match, IC = Σ_c f_c(f_c−1) / (N(N−1)) — the
+    classic character-level corpus fingerprint (language identity /
+    ciphertext-vs-plaintext signal; English ≈ 0.066, uniform-random ≈
+    1/alphabet). Exactness: per-(lang, codepoint) counts are integer
+    folds; numerator and denominator are exact Python ints (HUGEINT in
+    SQL), one division per lang (0.0 when N < 2). Character unit is the
+    Unicode CODEPOINT in both engines (verified: DuckDB
+    ``string_split(s, '')`` yields codepoints, including combining marks
+    and astral symbols, exactly like Python iteration).
+
+    Scale shape: per-batch char histograms are alphabet-bounded cells →
+    shared gated cell fold; the batch kernel is one UTF-32 decode +
+    np.unique per (lang, batch), never a Python loop over characters."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column("text"), "")
+        ln = pc.utf8_length(texts).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cps = np.frombuffer("".join(texts.to_pylist())
+                            .encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.int64)
+        codes, uniq_langs = pd.factorize(
+            b.column("lang").to_pandas(), sort=False)
+        rep = np.repeat(codes.astype(np.int64), ln)
+        # (lang_code, codepoint) packed into one int64 key: cp < 2^21
+        packed = (rep << np.int64(32)) | cps
+        vals, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            "lang": pa.array(
+                uniq_langs.take(vals >> np.int64(32)), pa.string()),
+            "cp": pa.array(vals & np.int64(0xFFFFFFFF)),
+            "c": pa.array(counts.astype(np.int64))})
+
+    cells = fold_cells(scan, partial, ["lang", "cp"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n_chars_total": pd.Series([], dtype=np.int64),
+        "distinct_chars": pd.Series([], dtype=np.int64),
+        "ic": pd.Series([], dtype=np.float64)})
+    if not len(cells):
+        return empty
+    rows = []
+    for lang, g in cells.groupby("lang"):
+        cs = [int(x) for x in g["c"].tolist()]
+        n = sum(cs)
+        m = sum(c * (c - 1) for c in cs)
+        ic = 0.0 if n < 2 else float(m) / float(n * (n - 1))
+        rows.append((str(lang), n, len(cs), ic))
+    out = pd.DataFrame(rows, columns=["lang", "n_chars_total",
+                                      "distinct_chars", "ic"])
+    out["n_chars_total"] = out["n_chars_total"].astype(np.int64)
+    out["distinct_chars"] = out["distinct_chars"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+INDEX_COINCIDENCE_SQL = """
+WITH e AS (SELECT lang, unnest(string_split(text, '')) AS ch
+           FROM documents),
+c AS (SELECT lang, ch, CAST(count(*) AS BIGINT) AS c
+      FROM e WHERE ch <> '' GROUP BY 1, 2),
+a AS (SELECT lang, CAST(sum(c) AS HUGEINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS m,
+             CAST(count(*) AS BIGINT) AS k
+      FROM c GROUP BY 1)
+SELECT lang, CAST(n AS BIGINT) AS n_chars_total, k AS distinct_chars,
+       CASE WHEN n < 2 THEN 0.0
+            ELSE CAST(m AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+       END AS ic
+FROM a ORDER BY lang
+"""
