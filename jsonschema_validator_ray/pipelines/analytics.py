@@ -4205,3 +4205,236 @@ SELECT 'cents', 'disc', 'qty', r23,
                  / (sqrt(1.0 - r12*r12) * sqrt(1.0 - r13*r13))
        END FROM r
 """
+
+
+
+# ---- event types co-occurring within one session ------------------------------
+
+def session_type_pairs(sf_dir: str, gap_s: int = 3600,
+                       n_buckets: int = 32):
+    """(type_a, type_b, support) — for every unordered pair of event
+    types, the number of SESSIONS (gap-based, same 3600 s rule as
+    events_in_sessions) in which both occur: the within-session
+    co-occurrence matrix behind "users who do X in a sitting also do Y".
+    Market-basket mining composed with sessionization — the basket is
+    DERIVED (a session), not a stored key.
+
+    Scale shape: ONE hash exchange of (user_id, ts µs, event_type) on the
+    user bucket — sessions are per-user, so each bucket owns complete
+    baskets; the bucket task sessionizes (sorted diff > gap), dedups
+    (session, type), self-merges ordered pairs and PRE-AGGREGATES pair
+    counts, so only (type_a, type_b, partial) rows — bounded by the
+    type-vocabulary square — reach the driver fold. No second exchange:
+    unlike stages/itemsets.cooccur_pairs' generic two-exchange shape,
+    the pair space here is vocabulary-bounded."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+    mod = np.int64(n_buckets)
+    gap_us = int(gap_s) * 1_000_000
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "t": pc.cast(pc.cast(b.column("ts"),
+                                           pa.timestamp("us")), pa.int64()),
+                      "event_type": b.column("event_type")})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__b", pa.array((u % mod).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        out0 = pa.table({"type_a": pa.array([], pa.string()),
+                         "type_b": pa.array([], pa.string()),
+                         "support": pa.array([], pa.int64())})
+        if not len(g):
+            return out0
+        g = g.sort_values(["user_id", "t"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        new_s = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_s[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        sid = np.cumsum(new_s)       # bucket-local session id
+        d = pd.DataFrame({"sid": sid,
+                          "ty": g["event_type"].to_numpy()}) \
+            .drop_duplicates()
+        m = d.merge(d, on="sid")
+        m = m[m["ty_x"] < m["ty_y"]]
+        if not len(m):
+            return out0
+        agg = m.groupby(["ty_x", "ty_y"], sort=False).size() \
+            .reset_index(name="support")
+        return pa.table({
+            "type_a": pa.array(agg["ty_x"], pa.string()),
+            "type_b": pa.array(agg["ty_y"], pa.string()),
+            "support": pa.array(agg["support"].to_numpy(np.int64))})
+
+    parts = (ev.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                             "type_b": pd.Series([], dtype=object),
+                             "support": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["type_a", "type_b"], as_index=False)[
+        "support"].sum()
+    out["support"] = out["support"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+SESSION_TYPE_PAIRS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), d AS (
+  SELECT DISTINCT user_id, sid, event_type FROM sess
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---- spend-decile transition matrix ------------------------------------------
+
+def spend_decile_transition_customers(sf_dir: str, n_buckets: int = 32):
+    """(d1, d2, n_customers) — the decile-transition matrix of customer
+    spend between the first and second calendar halves of the order
+    history: each customer's total cents per half is decile-bucketed BY
+    THAT HALF'S OWN exact deciles, and the matrix counts customers per
+    (first-half decile, second-half decile) — the rank-migration /
+    feature-drift shape ("did the top spenders stay on top?").
+    Exactness: half split at the integer midpoint day (min+max)//2; per-
+    customer cents are integer folds; decile thresholds come from the
+    histogram-refinement exact-quantile stage (quantile_disc semantics —
+    actual data elements, so ``v > t`` is an exact integer comparison)
+    and the bucket index 1 + Σ[v > t_i] mirrors quartile_bins. Customers
+    with no orders in a half count 0 cents in it.
+
+    Scale shape: one customer-bucket exchange folds the per-customer
+    halves; the decile thresholds are two exact_quantiles refinements
+    over the folded (bounded-width) table; the final (d1, d2) cells are
+    a 100-row fold. No global sort — rank-bucketing via thresholds."""
+    from ..stages.quantiles import exact_quantiles
+
+    o = read_parquet(f"{sf_dir}/orders.parquet",
+                     columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def day_cents(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        c = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100)), pa.int64())
+        return pa.table({"cust": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "day": d, "c": c})
+
+    base = o.map_batches(day_cents, batch_format="pyarrow").materialize()
+
+    # global midpoint day (driver scalars from per-block min/max partials)
+    def mm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": [pc.min(b.column("day")).as_py()],
+                         "hi": [pc.max(b.column("day")).as_py()]})
+
+    mmp = base.map_batches(mm, batch_format="pyarrow").to_pandas()
+    if not len(mmp):
+        return pd.DataFrame({"d1": pd.Series([], dtype=np.int64),
+                             "d2": pd.Series([], dtype=np.int64),
+                             "n_customers": pd.Series([], dtype=np.int64)})
+    mid = (int(mmp["lo"].min()) + int(mmp["hi"].max())) // 2
+    mod = np.int64(n_buckets)
+
+    def half_partial(b: pa.Table) -> pa.Table:
+        day = b.column("day").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        h2 = day > mid
+        df = pd.DataFrame({"cust": b.column("cust").to_numpy(
+            zero_copy_only=False),
+            "c1": np.where(h2, 0, c), "c2": np.where(h2, c, 0)})
+        agg = df.groupby("cust", as_index=False)[["c1", "c2"]].sum()
+        agg["__b"] = (agg["cust"].to_numpy(np.int64)
+                      % mod).astype(np.int32)
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_cust = base.map_batches(half_partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(
+            lambda g: g.drop(columns="__b").groupby(
+                "cust", as_index=False)[["c1", "c2"]].sum(),
+            batch_format="pandas").materialize()
+
+    ps = [i / 10.0 for i in range(1, 10)]
+    t1 = exact_quantiles(per_cust, "c1", ps)
+    t2 = exact_quantiles(per_cust, "c2", ps)
+    th1 = np.array([int(t1[p]) for p in ps], np.int64)
+    th2 = np.array([int(t2[p]) for p in ps], np.int64)
+
+    def cells(b: pa.Table) -> pa.Table:
+        c1 = b.column("c1").to_numpy(zero_copy_only=False)[:, None]
+        c2 = b.column("c2").to_numpy(zero_copy_only=False)[:, None]
+        d1 = 1 + (c1 > th1[None, :]).sum(axis=1).astype(np.int64)
+        d2 = 1 + (c2 > th2[None, :]).sum(axis=1).astype(np.int64)
+        g = pd.DataFrame({"d1": d1, "d2": d2}).groupby(
+            ["d1", "d2"], as_index=False).size()
+        return pa.table({"d1": pa.array(g["d1"].to_numpy(np.int64)),
+                         "d2": pa.array(g["d2"].to_numpy(np.int64)),
+                         "n_customers": pa.array(
+                             g["size"].to_numpy(np.int64))})
+
+    out = per_cust.map_batches(cells, batch_format="pyarrow").to_pandas() \
+        .groupby(["d1", "d2"], as_index=False)["n_customers"].sum()
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out.sort_values(["d1", "d2"]).reset_index(drop=True)
+
+
+SPEND_DECILE_TRANSITION_SQL = """
+WITH b AS (SELECT o_custkey AS cust,
+                  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                    AS day,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+mm AS (SELECT (min(day) + max(day)) // 2 AS mid FROM b),
+pc_ AS (SELECT cust,
+          CAST(COALESCE(sum(c) FILTER (WHERE day <= (SELECT mid FROM mm)),
+                        0) AS BIGINT) AS c1,
+          CAST(COALESCE(sum(c) FILTER (WHERE day > (SELECT mid FROM mm)),
+                        0) AS BIGINT) AS c2
+        FROM b GROUP BY 1),
+q AS (SELECT quantile_disc(c1, 0.1) AS a1, quantile_disc(c1, 0.2) AS a2,
+             quantile_disc(c1, 0.3) AS a3, quantile_disc(c1, 0.4) AS a4,
+             quantile_disc(c1, 0.5) AS a5, quantile_disc(c1, 0.6) AS a6,
+             quantile_disc(c1, 0.7) AS a7, quantile_disc(c1, 0.8) AS a8,
+             quantile_disc(c1, 0.9) AS a9,
+             quantile_disc(c2, 0.1) AS b1, quantile_disc(c2, 0.2) AS b2,
+             quantile_disc(c2, 0.3) AS b3, quantile_disc(c2, 0.4) AS b4,
+             quantile_disc(c2, 0.5) AS b5, quantile_disc(c2, 0.6) AS b6,
+             quantile_disc(c2, 0.7) AS b7, quantile_disc(c2, 0.8) AS b8,
+             quantile_disc(c2, 0.9) AS b9
+      FROM pc_),
+d AS (SELECT 1 + CAST(c1 > a1 AS INT) + CAST(c1 > a2 AS INT)
+               + CAST(c1 > a3 AS INT) + CAST(c1 > a4 AS INT)
+               + CAST(c1 > a5 AS INT) + CAST(c1 > a6 AS INT)
+               + CAST(c1 > a7 AS INT) + CAST(c1 > a8 AS INT)
+               + CAST(c1 > a9 AS INT) AS d1,
+             1 + CAST(c2 > b1 AS INT) + CAST(c2 > b2 AS INT)
+               + CAST(c2 > b3 AS INT) + CAST(c2 > b4 AS INT)
+               + CAST(c2 > b5 AS INT) + CAST(c2 > b6 AS INT)
+               + CAST(c2 > b7 AS INT) + CAST(c2 > b8 AS INT)
+               + CAST(c2 > b9 AS INT) AS d2
+      FROM pc_, q)
+SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -2151,3 +2151,69 @@ SELECT CAST(ff.n AS BIGINT) AS n_rows,
             ELSE CAST(ff.fnum AS DOUBLE) / CAST(ff.fden AS DOUBLE) END AS f
 FROM ff, mp
 """
+
+
+
+# ---- Jarque-Bera normality screen on top of the moment fold ------------------
+
+def jarque_bera_quantity_returnflag(sf_dir: str):
+    """(l_returnflag, n_rows, jb) — the Jarque–Bera normality statistic of
+    l_quantity per return flag, composed from the SAME one-scan exact
+    integer power sums behind :func:`moments_quantity_returnflag`
+    (k statistics never cost k passes):
+
+        JB = n · (g1²/6 + g2²/24)
+
+    over the bitwise-reproducible skewness g1 and excess kurtosis g2 —
+    one more identically-spelled double composition, so JB matches the
+    HUGEINT oracle bitwise. (Quantity is uniform, not normal: JB is the
+    magnitude-of-non-normality demo, huge by design.)"""
+    from ..stages.stats import grouped_moments
+
+    li = read_parquet(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity"])
+    m = grouped_moments(li, "l_returnflag", "l_quantity", scale=1)
+    sk = m["skewness"].to_numpy(np.float64)
+    ku = m["kurtosis_excess"].to_numpy(np.float64)
+    n = m["n_rows"].to_numpy(np.int64).astype(np.float64)
+    return pd.DataFrame({
+        "l_returnflag": m[m.columns[0]],
+        "n_rows": m["n_rows"].astype(np.int64),
+        "jb": n * (sk * sk / 6.0 + ku * ku / 24.0)})
+
+
+JARQUE_BERA_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS s1,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s2,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s3,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         n*s2 - s1*s1 AS a,
+         n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS b3,
+         n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS b4
+  FROM m
+),
+g AS (
+  SELECT l_returnflag, n,
+         CAST(b3 AS DOUBLE)
+           / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE))) AS g1,
+         CAST(b4 AS DOUBLE) / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+           - 3.0 AS g2
+  FROM d
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(n AS DOUBLE) * (g1 * g1 / 6.0 + g2 * g2 / 24.0) AS jb
+FROM g ORDER BY l_returnflag
+"""
