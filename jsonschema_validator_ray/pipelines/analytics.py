@@ -4438,3 +4438,143 @@ SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+
+# ---- Kaplan-Meier user survival with right-censoring -------------------------
+
+def kaplan_meier_users(sf_dir: str, horizon_days: int = 7,
+                       n_buckets: int = 64):
+    """(t, n_risk, d_events, c_censored, km) — the Kaplan–Meier
+    product-limit survival curve of user LIFETIME (days between a user's
+    first and last event), with right-censoring: a user whose last event
+    is within ``horizon_days`` of the corpus end is CENSORED (still
+    alive), not a churn event — the estimator the naive lifetime
+    histogram (survival_users_events) gets wrong whenever observation
+    windows truncate lifetimes. Conventions (mirrored exactly in SQL):
+    at-risk n_t counts users with lifetime ≥ t (censored and events
+    alike); censorings at t do not reduce survival; steps with d = 0
+    carry km unchanged. Exactness: lifetimes, event flags, at-risk
+    suffix sums are all integer folds; km is the ONE float chain — an
+    ordered product over steps ascending in t, each step one division +
+    one multiply of exact-int-derived doubles, evaluated in the SAME
+    order by the driver loop and the SQL RECURSIVE CTE, so every km is
+    bitwise equal (the ewma_daily_events device).
+
+    Scale shape: per-user (first, last) folds in ONE user-bucket
+    exchange; the corpus end is a per-block max gather; (lifetime,
+    event) cells are day-bounded → gated driver fold; the km recursion
+    is O(steps) driver work at any corpus size."""
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+    mod = np.int64(n_buckets)
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        df = pd.DataFrame({"user": b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64),
+            "d": d.to_numpy(zero_copy_only=False)})
+        agg = df.groupby("user", as_index=False).agg(
+            f=("d", "min"), l=("d", "max"))
+        agg["__b"] = (agg["user"].to_numpy(np.int64)
+                      % mod).astype(np.int32)
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_user = ev.map_batches(user_partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(
+            lambda g: g.drop(columns="__b").groupby(
+                "user", as_index=False).agg(f=("f", "min"),
+                                            l=("l", "max")),
+            batch_format="pandas").materialize()
+
+    empty = pd.DataFrame({
+        "t": pd.Series([], dtype=np.int64),
+        "n_risk": pd.Series([], dtype=np.int64),
+        "d_events": pd.Series([], dtype=np.int64),
+        "c_censored": pd.Series([], dtype=np.int64),
+        "km": pd.Series([], dtype=np.float64)})
+
+    def lmax(b: pa.Table) -> pa.Table:
+        m = pc.max(b.column("l")).as_py()
+        return pa.table({"l": pa.array(
+            [] if m is None else [int(m)], pa.int64())})
+
+    le = per_user.map_batches(lmax, batch_format="pyarrow").to_pandas()
+    if not len(le):
+        return empty
+    end = int(le["l"].max())
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        f = b.column("f").to_numpy(zero_copy_only=False)
+        last = b.column("l").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "t": last - f,
+            "ev": ((end - last) > horizon_days).astype(np.int64)})
+        agg = g.groupby("t", as_index=False).agg(
+            d=("ev", "sum"), n=("ev", "size"))
+        agg["c"] = agg["n"] - agg["d"]
+        return pa.Table.from_pandas(agg[["t", "d", "c"]],
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = per_user.map_batches(cell_partial,
+                                 batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return empty
+    cells = parts.groupby("t", as_index=False)[["d", "c"]].sum() \
+        .sort_values("t").reset_index(drop=True)
+    d = cells["d"].to_numpy(np.int64)
+    c = cells["c"].to_numpy(np.int64)
+    n_risk = (d + c)[::-1].cumsum()[::-1]
+    km_vals = []
+    km = 1.0
+    for di, ni in zip(d.tolist(), n_risk.tolist()):
+        if di:
+            km = km * (1.0 - float(di) / float(ni))
+        km_vals.append(km)
+    return pd.DataFrame({
+        "t": cells["t"].astype(np.int64),
+        "n_risk": pd.Series(n_risk, dtype=np.int64),
+        "d_events": cells["d"].astype(np.int64),
+        "c_censored": cells["c"].astype(np.int64),
+        "km": pd.Series(km_vals, dtype=np.float64)})
+
+
+KAPLAN_MEIER_SQL = """
+WITH RECURSIVE
+pu AS (SELECT user_id,
+              CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS f,
+              CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS l
+       FROM events GROUP BY 1),
+ee AS (SELECT max(l) AS e FROM pu),
+du AS (SELECT l - f AS t,
+              CASE WHEN (SELECT e FROM ee) - l > 7 THEN 1 ELSE 0 END AS ev
+       FROM pu),
+cells AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(sum(1 - ev) AS BIGINT) AS c
+          FROM du GROUP BY 1),
+steps AS (SELECT t, d, c,
+                 CAST(sum(d + c) OVER (ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n_risk,
+                 row_number() OVER (ORDER BY t) AS rn
+          FROM cells),
+rec AS (
+  SELECT rn, t, n_risk, d, c,
+         CASE WHEN d = 0 THEN 1.0
+              ELSE 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+         END AS km
+  FROM steps WHERE rn = 1
+  UNION ALL
+  SELECT s.rn, s.t, s.n_risk, s.d, s.c,
+         CASE WHEN s.d = 0 THEN rec.km
+              ELSE rec.km * (1.0 - CAST(s.d AS DOUBLE)
+                                   / CAST(s.n_risk AS DOUBLE))
+         END
+  FROM rec JOIN steps s ON s.rn = rec.rn + 1)
+SELECT t, n_risk, d AS d_events, c AS c_censored, km
+FROM rec ORDER BY t
+"""

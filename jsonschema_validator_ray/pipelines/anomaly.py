@@ -2213,3 +2213,81 @@ SELECT lang, n, q1_2, q2_2, q3_2,
                  / CAST(q3_2 - q1_2 AS DOUBLE) END AS bowley
 FROM q ORDER BY lang
 """
+
+
+
+# ---- maximum drawdown of the daily-revenue series ----------------------------
+
+def max_drawdown_daily_revenue(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, peak_day, trough_day, max_drawdown) — the maximum
+    peak-to-trough drop of the daily-revenue series: the largest amount
+    (exact cents) by which a day's revenue sits below the highest earlier
+    day — the worst-regression window the z-score outlier test (one-day)
+    and CUSUM (level shift) don't isolate. All-integer: daily cents fold,
+    running max, drawdown = runmax − value, argmax with deterministic
+    ties (earliest trough; earliest day achieving that peak value).
+
+    Scale shape: per-day cells are calendar-bounded → shared gated cell
+    fold; the running max is O(days) driver work."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"d": d, "c": cents}).group_by("d").aggregate(
+            [("c", "sum")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    if not len(cells):
+        return pd.DataFrame({
+            "n_days": pd.Series([0], dtype=np.int64),
+            "peak_day": pd.Series([0], dtype=np.int64),
+            "trough_day": pd.Series([0], dtype=np.int64),
+            "max_drawdown": pd.Series([0], dtype=np.int64)})
+    cells = cells.sort_values("d").reset_index(drop=True)
+    days = cells["d"].to_numpy(np.int64)
+    c = cells["c"].to_numpy(np.int64)
+    runmax = np.maximum.accumulate(c)
+    dd = runmax - c
+    mdd = int(dd.max())
+    trough_i = int(np.argmax(dd))          # first max (earliest trough)
+    trough_day = int(days[trough_i])
+    peak_val = int(runmax[trough_i])
+    peak_day = int(days[np.argmax(c == peak_val)])  # earliest peak day
+    return pd.DataFrame({
+        "n_days": pd.Series([len(days)], dtype=np.int64),
+        "peak_day": pd.Series([peak_day], dtype=np.int64),
+        "trough_day": pd.Series([trough_day], dtype=np.int64),
+        "max_drawdown": pd.Series([mdd], dtype=np.int64)})
+
+
+MAX_DRAWDOWN_SQL = """
+WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                    AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+w AS (SELECT day, c, max(c) OVER (ORDER BY day) AS runmax FROM d),
+x AS (SELECT day, c, runmax, runmax - c AS dd FROM w),
+mx AS (SELECT max(dd) AS mdd FROM x),
+tr AS (SELECT min(day) AS trough_day FROM x
+       WHERE dd = (SELECT mdd FROM mx)),
+pv AS (SELECT runmax AS peak_val FROM x
+       WHERE day = (SELECT trough_day FROM tr)),
+pk AS (SELECT min(day) AS peak_day FROM x
+       WHERE c = (SELECT peak_val FROM pv))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       (SELECT peak_day FROM pk) AS peak_day,
+       (SELECT trough_day FROM tr) AS trough_day,
+       (SELECT CAST(mdd AS BIGINT) FROM mx) AS max_drawdown
+"""
