@@ -2291,3 +2291,206 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
        (SELECT trough_day FROM tr) AS trough_day,
        (SELECT CAST(mdd AS BIGINT) FROM mx) AS max_drawdown
 """
+
+
+
+# ---- integer Holt double-exponential smoothing --------------------------------
+
+def holt_daily_events(sf_dir: str, block_gate: int = 512):
+    """(day, c, level_units, trend_units, forecast_units) — Holt's
+    double-exponential (level + trend) smoothing of the daily event-count
+    series, in EXACT integers: with power-of-two smoothing factors
+    α = β = 1/2 and counts scaled to units u = c·2²⁰, the recursion
+
+        level_t = (level_{t-1} + trend_{t-1} + c_t·2²⁰) // 2
+        trend_t = (trend_{t-1} + (level_t − level_{t-1})) // 2
+        forecast_t = level_t + trend_t            (one-step-ahead)
+
+    is integer-only (all divisions spelled with DuckDB's TRUNCATING
+    signed semantics — the trend goes negative on declines, where Python
+    ``//`` floors and would diverge), so a fixed pass is
+    bit-reproducible — the
+    trend-aware extension of :func:`ewma_daily_events` (which cannot
+    track a ramp without lagging it). SQL oracle = the same recursion as
+    a RECURSIVE CTE carrying (level, trend). Initialization:
+    level_0 = c_0·2²⁰, trend_0 = 0; the calendar is zero-filled so both
+    engines step the identical day sequence.
+
+    Scale shape: per-day count cells are calendar-bounded → shared gated
+    cell fold; the recursion is O(days) driver work at any corpus
+    size."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        g = pa.table({"d": d}).group_by("d").aggregate([("d", "count")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("d_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype=np.int64),
+        "c": pd.Series([], dtype=np.int64),
+        "level_units": pd.Series([], dtype=np.int64),
+        "trend_units": pd.Series([], dtype=np.int64),
+        "forecast_units": pd.Series([], dtype=np.int64)})
+    if not len(cells):
+        return empty
+    cells = cells.sort_values("d")
+    lo, hi = int(cells["d"].iloc[0]), int(cells["d"].iloc[-1])
+    cal = np.zeros(hi - lo + 1, dtype=np.int64)
+    cal[cells["d"].to_numpy(np.int64) - lo] = cells["c"].to_numpy(np.int64)
+    scale = 1 << 20
+
+    def t2(x):  # DuckDB signed // truncates toward zero; Python floors
+        return -((-x) // 2) if x < 0 else x // 2
+
+    level = int(cal[0]) * scale
+    trend = 0
+    rows = [(lo, int(cal[0]), level, trend, level + trend)]
+    for i in range(1, len(cal)):
+        nl = t2(level + trend + int(cal[i]) * scale)
+        trend = t2(trend + (nl - level))
+        level = nl
+        rows.append((lo + i, int(cal[i]), level, trend, level + trend))
+    out = pd.DataFrame(rows, columns=["day", "c", "level_units",
+                                      "trend_units", "forecast_units"])
+    for col in out.columns:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+HOLT_DAILY_SQL = """
+WITH RECURSIVE
+b AS (SELECT CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS lo,
+             CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS hi
+      FROM events),
+cc AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+              CAST(count(*) AS BIGINT) AS c
+       FROM events GROUP BY 1),
+s AS (SELECT cal.d, COALESCE(cc.c, 0) AS c
+      FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b) cal
+      LEFT JOIN cc USING (d)),
+rec AS (
+  SELECT s.d, s.c, CAST(s.c * 1048576 AS BIGINT) AS lvl,
+         CAST(0 AS BIGINT) AS tr
+  FROM s, b WHERE s.d = b.lo
+  UNION ALL
+  SELECT s.d, s.c,
+         CAST((rec.lvl + rec.tr + s.c * 1048576) // 2 AS BIGINT) AS lvl,
+         CAST((rec.tr + ((rec.lvl + rec.tr + s.c * 1048576) // 2
+                         - rec.lvl)) // 2 AS BIGINT) AS tr
+  FROM rec JOIN s ON s.d = rec.d + 1)
+SELECT d AS day, c, lvl AS level_units, tr AS trend_units,
+       lvl + tr AS forecast_units
+FROM rec ORDER BY day
+"""
+
+
+# ---- Tukey-fence outlier rates per language -----------------------------------
+
+def tukey_fence_outliers_lang(sf_dir: str, block_gate: int = 512):
+    """(lang, n, low_fence4, high_fence4, n_low, n_high) — per language,
+    how many document lengths fall outside the Tukey 1.5·IQR fences —
+    the boxplot outlier-rate audit. Exactness: with the DOUBLED quartiles
+    q_2 of :func:`bowley_skew_chars_langs`, the fences at 4× scale are
+    exact integers
+
+        low4  = 5·q1_2 − 3·q3_2      (= 4·(Q1 − 1.5·IQR))
+        high4 = 5·q3_2 − 3·q1_2      (= 4·(Q3 + 1.5·IQR))
+
+    and the outlier predicate ``4v < low4`` / ``4v > high4`` never
+    touches a float.
+
+    Scale shape: (lang, n_chars) cells → shared gated cell fold; counts
+    come from the SAME cells (no second scan)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype=np.int64),
+        "low_fence4": pd.Series([], dtype=np.int64),
+        "high_fence4": pd.Series([], dtype=np.int64),
+        "n_low": pd.Series([], dtype=np.int64),
+        "n_high": pd.Series([], dtype=np.int64)})
+    if not len(cells):
+        return empty
+    rows = []
+    for lang, g in cells.groupby("lang"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        cc = g["c"].to_numpy(np.int64)
+        cume = np.cumsum(cc)
+        n = int(cume[-1])
+
+        def at(idx):
+            idx = min(max(idx, 1), n)
+            return int(v[np.searchsorted(cume, idx)])
+
+        q1 = at((n + 1) // 4) + at((n + 4) // 4)
+        q3 = at((3 * n + 3) // 4) + at((3 * n + 6) // 4)
+        low4 = 5 * q1 - 3 * q3
+        high4 = 5 * q3 - 3 * q1
+        n_low = int(cc[4 * v < low4].sum())
+        n_high = int(cc[4 * v > high4].sum())
+        rows.append((str(lang), n, low4, high4, n_low, n_high))
+    out = pd.DataFrame(rows, columns=["lang", "n", "low_fence4",
+                                      "high_fence4", "n_low", "n_high"])
+    for col in ("n", "low_fence4", "high_fence4", "n_low", "n_high"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+TUKEY_FENCE_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+w AS (SELECT lang, v,
+             CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+               AS cume
+      FROM c),
+n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+ix AS (SELECT lang, n,
+              GREATEST(LEAST((n + 1) // 4, n), 1) AS i1l,
+              GREATEST(LEAST((n + 4) // 4, n), 1) AS i1h,
+              GREATEST(LEAST((3 * n + 3) // 4, n), 1) AS i3l,
+              GREATEST(LEAST((3 * n + 6) // 4, n), 1) AS i3h
+       FROM n),
+q AS (SELECT ix.lang, ix.n,
+        (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i1l)
+      + (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i1h) AS q1_2,
+        (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i3l)
+      + (SELECT min(v) FROM w WHERE w.lang = ix.lang
+                                AND w.cume >= ix.i3h) AS q3_2
+      FROM ix),
+f AS (SELECT lang, n, 5 * q1_2 - 3 * q3_2 AS low_fence4,
+             5 * q3_2 - 3 * q1_2 AS high_fence4
+      FROM q)
+SELECT f.lang, f.n, f.low_fence4, f.high_fence4,
+       CAST(COALESCE(sum(c.c) FILTER (WHERE 4 * c.v < f.low_fence4), 0)
+            AS BIGINT) AS n_low,
+       CAST(COALESCE(sum(c.c) FILTER (WHERE 4 * c.v > f.high_fence4), 0)
+            AS BIGINT) AS n_high
+FROM f JOIN c ON c.lang = f.lang
+GROUP BY 1, 2, 3, 4 ORDER BY f.lang
+"""
