@@ -5760,3 +5760,145 @@ SELECT lang, CAST(n AS BIGINT) AS n_chars_total, k AS distinct_chars,
        END AS ic
 FROM a ORDER BY lang
 """
+
+
+
+# ---- Cronbach's alpha over the quantized embedding dimensions ----------------
+
+def cronbach_alpha_embeddings(sf_dir: str):
+    """One-row (n_vecs, k_items, a_num, b_num, alpha) — Cronbach's alpha
+    treating the k embedding dimensions as items and vectors as subjects:
+    the internal-consistency / redundancy index of the representation (α
+    near 1 = dimensions co-vary ≈ duplicated capacity; near 0 =
+    independent). In the exact int8-quantized code space (the
+    intra_spread_embeddings device):
+
+        α = k/(k−1) · (1 − Σ_i var_i / var_total)
+          = k/(k−1) · (1 − A/B),
+        A = Σ_i (n·SS_i − S_i²),   B = n·Σ_v r_v² − (Σ_v r_v)²
+
+    — the n² denominators of the variances cancel, so numerator A and
+    denominator B are exact integer folds (Python ints driver-side,
+    HUGEINT in SQL) and the one float is a single identically-spelled
+    composition (0.0 when k < 2 or B = 0).
+
+    Scale shape: each batch emits per-dim (s, ss) cells plus one
+    row-total partial — 65 tiny rows per batch, folded driver-side; one
+    scan, no exchange."""
+    emb = read_parquet(f"{sf_dir}/embeddings.parquet",
+                       columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        live = lengths > 0
+        out0 = pa.table({"dim": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "ss": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+        if not live.any():
+            return out0
+        ll = lengths[live]
+        ends = np.cumsum(ll)
+        segstarts = np.concatenate(([0], ends[:-1]))
+        sc = np.maximum.reduceat(np.abs(flat), segstarts)
+        per_elem = np.repeat(sc, ll)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(flat * 127.0 / per_elem)
+        q = np.nan_to_num(q, nan=0.0, posinf=0.0,
+                          neginf=0.0).astype(np.int64)
+        dim = np.concatenate([np.arange(1, n + 1) for n in ll])
+        dmax = int(dim.max())
+        s = np.bincount(dim, weights=q.astype(np.float64),
+                        minlength=dmax + 1).astype(np.int64)
+        ss = np.bincount(dim, weights=(q * q).astype(np.float64),
+                         minlength=dmax + 1).astype(np.int64)
+        vec_id = np.repeat(np.arange(len(ll)), ll)
+        r = np.bincount(vec_id, weights=q.astype(np.float64)) \
+            .astype(np.int64)
+        dims = np.arange(1, dmax + 1, dtype=np.int64)
+        # dim=0 carries the row-total partial (n, Σr, Σr²)
+        return pa.table({
+            "dim": pa.array(np.concatenate(([0], dims))),
+            "s": pa.array(np.concatenate(
+                ([int(r.sum())], s[1:]))),
+            "ss": pa.array(np.concatenate(
+                ([int((r.astype(object) ** 2).sum())], ss[1:]))),
+            "n": pa.array(np.concatenate(
+                ([len(ll)], np.zeros(dmax, np.int64))))})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    zero = pd.DataFrame({
+        "n_vecs": pd.Series([0], dtype=np.int64),
+        "k_items": pd.Series([0], dtype=np.int64),
+        "a_num": pd.Series([0], dtype=np.int64),
+        "b_num": pd.Series([0], dtype=np.int64),
+        "alpha": pd.Series([0.0], dtype=np.float64)})
+    if not len(parts):
+        return zero
+    cells = parts.groupby("dim", as_index=False)[["s", "ss", "n"]].sum()
+    tot = cells[cells["dim"] == 0]
+    dims = cells[cells["dim"] > 0]
+    if not len(tot) or not len(dims):
+        return zero
+    n = int(tot["n"].iloc[0])
+    sr, ssr = int(tot["s"].iloc[0]), int(tot["ss"].iloc[0])
+    k = len(dims)
+    a = sum(n * int(ss) - int(s) * int(s)
+            for s, ss in zip(dims["s"], dims["ss"]))
+    b = n * ssr - sr * sr
+    alpha = 0.0 if (k < 2 or b == 0) else \
+        (float(k) / float(k - 1)) * (1.0 - float(a) / float(b))
+    return pd.DataFrame({
+        "n_vecs": pd.Series([n], dtype=np.int64),
+        "k_items": pd.Series([k], dtype=np.int64),
+        "a_num": pd.Series([a], dtype=np.int64),
+        "b_num": pd.Series([b], dtype=np.int64),
+        "alpha": pd.Series([alpha], dtype=np.float64)})
+
+
+CRONBACH_SQL = """
+WITH t AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings WHERE len(embedding) > 0
+), q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT)
+                END) AS qv
+  FROM t
+), e AS (
+  SELECT vec_id, CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim,
+         unnest(qv) AS val
+  FROM q
+), c AS (SELECT dim, CAST(sum(val) AS HUGEINT) AS s,
+                CAST(sum(CAST(val AS HUGEINT) * val) AS HUGEINT) AS ss
+         FROM e GROUP BY 1),
+rv AS (SELECT vec_id, CAST(sum(val) AS HUGEINT) AS r FROM e GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM rv),
+aa AS (SELECT CAST(sum((SELECT n FROM nn) * ss - s * s) AS HUGEINT) AS a,
+              CAST(count(*) AS BIGINT) AS k
+       FROM c),
+bb AS (SELECT CAST((SELECT n FROM nn) * sum(CAST(r AS HUGEINT) * r)
+                   - sum(r) * sum(r) AS HUGEINT) AS b
+       FROM rv)
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs,
+       (SELECT k FROM aa) AS k_items,
+       CAST((SELECT a FROM aa) AS BIGINT) AS a_num,
+       CAST((SELECT b FROM bb) AS BIGINT) AS b_num,
+       CASE WHEN (SELECT k FROM aa) < 2 OR (SELECT b FROM bb) = 0
+            THEN 0.0
+            ELSE (CAST((SELECT k FROM aa) AS DOUBLE)
+                  / CAST((SELECT k FROM aa) - 1 AS DOUBLE))
+                 * (1.0 - CAST((SELECT a FROM aa) AS DOUBLE)
+                          / CAST((SELECT b FROM bb) AS DOUBLE))
+       END AS alpha
+"""

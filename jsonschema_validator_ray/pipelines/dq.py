@@ -1159,3 +1159,102 @@ SELECT n1 AS n_even_distinct, n2 AS n_odd_distinct, m AS overlap,
        (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman
 FROM a
 """
+
+
+
+# ---- Gini decision stump: best length split separating languages -------------
+
+def gini_stump_length_lang(sf_dir: str, block_gate: int = 512):
+    """One-row (threshold, n_left, n_right, score, weighted_gini) — the
+    best single split of documents by length (``n_chars ≤ threshold``)
+    that separates the languages, by weighted Gini impurity: the
+    decision-stump / split-finding primitive of tree learners, run as a
+    corpus diagnostic (how much language signal one length threshold
+    captures). Exactness: per-threshold left/right per-lang counts come
+    from cumulative sums over the (lang, v) cell histogram — all exact
+    integers — and the maximized purity score
+
+        score(t) = A_L/T_L + A_R/T_R,   A = Σ_lang c_lang²
+
+    is TWO divisions + one add of exact-int doubles, bitwise equal in
+    both engines, so ``ORDER BY score DESC, threshold`` selects the same
+    split (first-max tiebreak); weighted_gini = 1 − score/T is one more
+    shared step. The last distinct value is excluded (empty right side).
+
+    Scale shape: (lang, v) cells → shared gated cell fold; the threshold
+    sweep is one vectorized pass over distinct values."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "v": pc.cast(g.column("n_chars"), pa.int64()),
+                         "c": pc.cast(g.column("n_chars_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "v"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "threshold": pd.Series([], dtype=np.int64),
+        "n_left": pd.Series([], dtype=np.int64),
+        "n_right": pd.Series([], dtype=np.int64),
+        "score": pd.Series([], dtype=np.float64),
+        "weighted_gini": pd.Series([], dtype=np.float64)})
+    if not len(cells):
+        return empty
+    piv = cells.pivot_table(index="v", columns="lang", values="c",
+                            aggfunc="sum", fill_value=0).sort_index()
+    cum = piv.to_numpy(np.int64).cumsum(axis=0)      # (v, lang)
+    tot = cum[-1]
+    t_all = int(tot.sum())
+    if len(piv) < 2:
+        return empty
+    cum = cum[:-1]                                   # drop empty-right split
+    tl = cum.sum(axis=1)
+    tr = t_all - tl
+    # Python-int squares: cum² overflows int64 past ~3e9 rows per lang
+    # (the SQL side is HUGEINT); float conversion rounds identically
+    al = (cum.astype(object) ** 2).sum(axis=1)
+    ar = ((tot[None, :].astype(object) - cum) ** 2).sum(axis=1)
+    score = np.array([float(x) for x in al]) / tl.astype(np.float64) \
+        + np.array([float(x) for x in ar]) / tr.astype(np.float64)
+    i = int(np.argmax(score))                        # first max = min v
+    wg = 1.0 - score[i] / float(t_all)
+    return pd.DataFrame({
+        "threshold": pd.Series([int(piv.index[i])], dtype=np.int64),
+        "n_left": pd.Series([int(tl[i])], dtype=np.int64),
+        "n_right": pd.Series([int(tr[i])], dtype=np.int64),
+        "score": pd.Series([float(score[i])], dtype=np.float64),
+        "weighted_gini": pd.Series([wg], dtype=np.float64)})
+
+
+GINI_STUMP_SQL = """
+WITH c AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+g AS (SELECT vv.v, ll.lang, COALESCE(c.c, 0) AS c
+      FROM (SELECT DISTINCT v FROM c) vv
+      CROSS JOIN (SELECT DISTINCT lang FROM c) ll
+      LEFT JOIN c ON c.v = vv.v AND c.lang = ll.lang),
+w AS (SELECT v, lang,
+             CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+               AS cum
+      FROM g),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+pv AS (SELECT w.v,
+              CAST(sum(CAST(w.cum AS HUGEINT) * w.cum) AS HUGEINT) AS al,
+              CAST(sum(w.cum) AS BIGINT) AS tl,
+              CAST(sum(CAST(tot.t - w.cum AS HUGEINT)
+                       * (tot.t - w.cum)) AS HUGEINT) AS ar,
+              CAST(sum(tot.t - w.cum) AS BIGINT) AS tr
+       FROM w JOIN tot USING (lang) GROUP BY w.v),
+sc AS (SELECT v, tl, tr,
+              CAST(al AS DOUBLE) / CAST(tl AS DOUBLE)
+              + CAST(ar AS DOUBLE) / CAST(tr AS DOUBLE) AS score
+       FROM pv WHERE tr > 0)
+SELECT v AS threshold, tl AS n_left, tr AS n_right, score,
+       1.0 - score / CAST(tl + tr AS DOUBLE) AS weighted_gini
+FROM sc ORDER BY score DESC, v LIMIT 1
+"""
