@@ -4578,3 +4578,114 @@ rec AS (
 SELECT t, n_risk, d AS d_events, c AS c_censored, km
 FROM rec ORDER BY t
 """
+
+
+
+# ---- Page trend test across source activity -----------------------------------
+
+def page_trend_event_types(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, k_types, l2, z) — Page's L test for a MONOTONE
+    ordering: blocks = calendar days, treatments = event types in
+    alphabetical order; L detects a CONSISTENT day-after-day ranking of
+    the types (a stable workload mix), which comparing totals cannot —
+    totals can match while daily rankings churn. Exactness: per-(day, type)
+    counts are calendar-bounded cells; within each day the k counts get
+    DOUBLED midranks (2·minrank + ties − 1 ∈ ℤ); L2 = Σ_d Σ_j w_j·r2_dj
+    (w = alphabetical ordinal) is an exact integer fold, and with
+    E2 = n·k·(k+1)²/2 (always integral) and 4·Var = n·k²·(k+1)·(k²−1)/36,
+
+        z = (L2 − E2) / √(n·k²·(k+1)·(k²−1) / 36.0)
+
+    — one subtraction, one division by a sqrt of one division, all from
+    exact integers, bitwise cross-engine (0.0 when k < 2 or n = 0).
+    Days with no events count 0 for every type (dense zero-filled
+    calendar, the crosscorr convention).
+
+    Scale shape: (day, type) cells → shared gated cell fold; the per-day
+    k×k midrank comparison is vectorized over the dense grid."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        t = pa.table({"d": d, "ty": b.column("event_type")})
+        g = t.group_by(["d", "ty"]).aggregate([("d", "count")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "ty": g.column("ty"),
+                         "c": pc.cast(g.column("d_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d", "ty"], sums=["c"],
+                       block_gate=block_gate)
+    zero = pd.DataFrame({
+        "n_days": pd.Series([0], dtype=np.int64),
+        "k_types": pd.Series([0], dtype=np.int64),
+        "l2": pd.Series([0], dtype=np.int64),
+        "z": pd.Series([0.0], dtype=np.float64)})
+    if not len(cells):
+        return zero
+    types = sorted(cells["ty"].unique())
+    k = len(types)
+    lo, hi = int(cells["d"].min()), int(cells["d"].max())
+    n = hi - lo + 1
+    grid = np.zeros((n, k), dtype=np.int64)
+    tix = {t: i for i, t in enumerate(types)}
+    grid[cells["d"].to_numpy(np.int64) - lo,
+         [tix[t] for t in cells["ty"]]] = cells["c"].to_numpy(np.int64)
+    if k < 2:
+        return zero
+    # doubled midranks per day: r2 = 2·(# strictly smaller) + ties + 1
+    less = (grid[:, None, :] < grid[:, :, None]).sum(axis=2)
+    ties = (grid[:, None, :] == grid[:, :, None]).sum(axis=2)
+    r2 = 2 * less + ties + 1
+    w = np.arange(1, k + 1, dtype=np.int64)
+    l2 = int((r2 * w[None, :]).sum())
+    e2 = n * k * (k + 1) * (k + 1) // 2
+    var4 = n * k * k * (k + 1) * (k * k - 1)
+    z = 0.0 if var4 == 0 else \
+        float(l2 - e2) / math.sqrt(float(var4) / 36.0)
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype=np.int64),
+        "k_types": pd.Series([k], dtype=np.int64),
+        "l2": pd.Series([l2], dtype=np.int64),
+        "z": pd.Series([z], dtype=np.float64)})
+
+
+PAGE_TREND_SQL = """
+WITH b AS (SELECT CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS lo,
+                  CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS hi
+           FROM events),
+cc AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+              event_type AS ty, CAST(count(*) AS BIGINT) AS c
+       FROM events GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type AS ty FROM events),
+wt AS (SELECT ty, CAST(row_number() OVER (ORDER BY ty) AS BIGINT) AS w
+       FROM ty),
+grid AS (SELECT cal.d, wt.ty, wt.w, COALESCE(cc.c, 0) AS c
+         FROM (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b) cal
+         CROSS JOIN wt
+         LEFT JOIN cc ON cc.d = cal.d AND cc.ty = wt.ty),
+rk AS (SELECT d, ty, w, c,
+              CAST(2 * rank() OVER (PARTITION BY d ORDER BY c)
+                   + count(*) OVER (PARTITION BY d, c) - 1 AS BIGINT)
+                AS r2
+       FROM grid),
+agg AS (SELECT CAST(count(DISTINCT d) AS HUGEINT) AS n,
+               (SELECT CAST(count(*) AS HUGEINT) FROM ty) AS k,
+               CAST(sum(w * r2) AS HUGEINT) AS l2
+        FROM rk)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_types,
+       CAST(l2 AS BIGINT) AS l2,
+       CASE WHEN k < 2 OR n * k * k * (k + 1) * (k * k - 1) = 0 THEN 0.0
+            ELSE CAST(l2 - n * k * (k + 1) * (k + 1) // 2 AS DOUBLE)
+                 / sqrt(CAST(n * k * k * (k + 1) * (k * k - 1) AS DOUBLE)
+                        / 36.0)
+       END AS z
+FROM agg
+"""

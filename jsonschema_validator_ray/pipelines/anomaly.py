@@ -2494,3 +2494,118 @@ SELECT f.lang, f.n, f.low_fence4, f.high_fence4,
 FROM f JOIN c ON c.lang = f.lang
 GROUP BY 1, 2, 3, 4 ORDER BY f.lang
 """
+
+
+
+# ---- Cohen's d / Hedges' g effect size ----------------------------------------
+
+def cohens_d_chars_langs(sf_dir: str, lang_a: str = "en",
+                         lang_b: str = "de", block_gate: int = 512):
+    """One-row (n_a, n_b, cohens_d, hedges_g) — the standardized mean
+    difference of document length between two languages: the EFFECT-SIZE
+    companion to welch_t_chars_langs' significance (a huge corpus makes
+    tiny differences "significant"; d says whether they matter). With
+    per-group exact integer moments (n, S, SS) and A_i = n_i·SS_i − S_i²,
+
+        d = ((S1·n2 − S2·n1)/(n1·n2))
+            / √((n2·A1 + n1·A2) / (n1·n2·(n1+n2−2)))
+        g = d · (1 − 3/(4·(n1+n2) − 9))        (small-sample correction)
+
+    — every operand an exact integer (HUGEINT in SQL, Python ints
+    driver-side), each IEEE step identically spelled, so d and g are
+    bitwise cross-engine (0.0 when either n < 2 or the pooled variance
+    is 0).
+
+    Scale shape: per-(lang) moment partials → shared gated cell fold;
+    driver math is O(1)."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+    langs = (lang_a, lang_b)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("lang"),
+                              value_set=pa.array(list(langs))))
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas(),
+            "v": t.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        df["vv"] = df["v"] * df["v"]
+        g = df.groupby("lang", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cells = fold_cells(scan, partial, ["lang"], sums=["n", "s", "ss"],
+                       block_gate=block_gate)
+    zero = pd.DataFrame({
+        "n_a": pd.Series([0], dtype=np.int64),
+        "n_b": pd.Series([0], dtype=np.int64),
+        "cohens_d": pd.Series([0.0], dtype=np.float64),
+        "hedges_g": pd.Series([0.0], dtype=np.float64)})
+    m = {str(r.lang): (int(r.n), int(r.s), int(r.ss))
+         for r in (cells.itertuples(index=False) if len(cells) else ())}
+    if lang_a not in m or lang_b not in m:
+        return zero
+    n1, s1, ss1 = m[lang_a]
+    n2, s2, ss2 = m[lang_b]
+    if n1 < 2 or n2 < 2:
+        return zero
+    a1 = n1 * ss1 - s1 * s1
+    a2 = n2 * ss2 - s2 * s2
+    pooled_num = n2 * a1 + n1 * a2
+    if pooled_num <= 0:
+        return pd.DataFrame({
+            "n_a": pd.Series([n1], dtype=np.int64),
+            "n_b": pd.Series([n2], dtype=np.int64),
+            "cohens_d": pd.Series([0.0], dtype=np.float64),
+            "hedges_g": pd.Series([0.0], dtype=np.float64)})
+    d = (float(s1 * n2 - s2 * n1) / float(n1 * n2)) \
+        / math.sqrt(float(pooled_num)
+                    / float(n1 * n2 * (n1 + n2 - 2)))
+    g = d * (1.0 - 3.0 / float(4 * (n1 + n2) - 9))
+    return pd.DataFrame({
+        "n_a": pd.Series([n1], dtype=np.int64),
+        "n_b": pd.Series([n2], dtype=np.int64),
+        "cohens_d": pd.Series([d], dtype=np.float64),
+        "hedges_g": pd.Series([g], dtype=np.float64)})
+
+
+COHENS_D_SQL = """
+WITH m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(n_chars) AS HUGEINT) AS s,
+                  CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                    AS ss
+           FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+p AS (SELECT
+        COALESCE((SELECT n FROM m WHERE lang = 'en'), 0) AS n1,
+        COALESCE((SELECT s FROM m WHERE lang = 'en'), 0) AS s1,
+        COALESCE((SELECT ss FROM m WHERE lang = 'en'), 0) AS ss1,
+        COALESCE((SELECT n FROM m WHERE lang = 'de'), 0) AS n2,
+        COALESCE((SELECT s FROM m WHERE lang = 'de'), 0) AS s2,
+        COALESCE((SELECT ss FROM m WHERE lang = 'de'), 0) AS ss2),
+x AS (SELECT n1, n2, s1, s2,
+             n1 * ss1 - s1 * s1 AS a1,
+             n2 * ss2 - s2 * s2 AS a2
+      FROM p),
+y AS (SELECT n1, n2,
+             CASE WHEN n1 < 2 OR n2 < 2 OR n2 * a1 + n1 * a2 <= 0
+                  THEN 0.0
+                  ELSE (CAST(s1 * n2 - s2 * n1 AS DOUBLE)
+                        / CAST(n1 * n2 AS DOUBLE))
+                       / sqrt(CAST(n2 * a1 + n1 * a2 AS DOUBLE)
+                              / CAST(n1 * n2 * (n1 + n2 - 2) AS DOUBLE))
+             END AS d
+      FROM x)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       d AS cohens_d,
+       CASE WHEN d = 0.0 THEN 0.0
+            ELSE d * (1.0 - 3.0 / CAST(4 * (n1 + n2) - 9 AS DOUBLE))
+       END AS hedges_g
+FROM y
+"""

@@ -1258,3 +1258,92 @@ SELECT v AS threshold, tl AS n_left, tr AS n_right, score,
        1.0 - score / CAST(tl + tr AS DOUBLE) AS weighted_gini
 FROM sc ORDER BY score DESC, v LIMIT 1
 """
+
+
+
+# ---- Matthews correlation between the two quality gates ----------------------
+
+def mcc_gates_documents(sf_dir: str, min_chars: int = 300,
+                        min_periods: int = 3, block_gate: int = 512):
+    """One-row (n_both, n_only_len, n_only_sent, n_neither, mcc) — the
+    Matthews correlation coefficient between the LENGTH gate (n_chars ≥
+    min_chars) and the SENTENCE gate ('.' count ≥ min_periods): the
+    balanced agreement score that, unlike raw accuracy or kappa on
+    skewed gates, stays honest when one gate passes almost everything.
+    With confusion cells (a = both, b = length only, c = sentence only,
+    d = neither),
+
+        MCC = (a·d − b·c) / √((a+b)·(a+c)·(b+d)·(c+d))
+
+    — numerator and the product under the root are exact integers
+    (Python ints driver-side — the product is ~n⁴ and overflows int64;
+    HUGEINT in SQL), one division + one sqrt, bitwise cross-engine (0.0
+    when any margin is empty). Completes the gate-agreement family:
+    kappa (chance-corrected), McNemar (disagreement direction), MCC
+    (balanced correlation).
+
+    Scale shape: per-batch 4-cell confusion partials → shared gated cell
+    fold; driver math is O(1)."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g1 = pc.greater_equal(b.column("n_chars"), min_chars)
+        g2 = pc.greater_equal(pc.count_substring(b.column("text"), "."),
+                              min_periods)
+        t = pa.table({"g1": pc.cast(g1, pa.int64()),
+                      "g2": pc.cast(g2, pa.int64())})
+        g = t.group_by(["g1", "g2"]).aggregate([("g1", "count")])
+        return pa.table({"g1": g.column("g1"), "g2": g.column("g2"),
+                         "c": pc.cast(g.column("g1_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["g1", "g2"], sums=["c"],
+                       block_gate=block_gate)
+    cnt = {(int(r.g1), int(r.g2)): int(r.c)
+           for r in (cells.itertuples(index=False) if len(cells) else ())}
+    a = cnt.get((1, 1), 0)
+    b_ = cnt.get((1, 0), 0)
+    c_ = cnt.get((0, 1), 0)
+    d_ = cnt.get((0, 0), 0)
+    prod = (a + b_) * (a + c_) * (b_ + d_) * (c_ + d_)
+    mcc = 0.0 if prod == 0 else \
+        float(a * d_ - b_ * c_) / math.sqrt(float(prod))
+    return pd.DataFrame({
+        "n_both": pd.Series([a], dtype=np.int64),
+        "n_only_len": pd.Series([b_], dtype=np.int64),
+        "n_only_sent": pd.Series([c_], dtype=np.int64),
+        "n_neither": pd.Series([d_], dtype=np.int64),
+        "mcc": pd.Series([mcc], dtype=np.float64)})
+
+
+MCC_GATES_SQL = """
+WITH g AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN length(text) - length(replace(text, '.', ''))
+                            >= 3 THEN 1 ELSE 0 END AS g2
+           FROM documents),
+c AS (SELECT
+        CAST(COALESCE(sum(CASE WHEN g1 = 1 AND g2 = 1 THEN 1 END), 0)
+             AS HUGEINT) AS a,
+        CAST(COALESCE(sum(CASE WHEN g1 = 1 AND g2 = 0 THEN 1 END), 0)
+             AS HUGEINT) AS b,
+        CAST(COALESCE(sum(CASE WHEN g1 = 0 AND g2 = 1 THEN 1 END), 0)
+             AS HUGEINT) AS cc,
+        CAST(COALESCE(sum(CASE WHEN g1 = 0 AND g2 = 0 THEN 1 END), 0)
+             AS HUGEINT) AS d
+      FROM g)
+SELECT CAST(a AS BIGINT) AS n_both,
+       CAST(b AS BIGINT) AS n_only_len,
+       CAST(cc AS BIGINT) AS n_only_sent,
+       CAST(d AS BIGINT) AS n_neither,
+       CASE WHEN (a + b) * (a + cc) * (b + d) * (cc + d) = 0 THEN 0.0
+            ELSE CAST(a * d - b * cc AS DOUBLE)
+                 / sqrt(CAST((a + b) * (a + cc) * (b + d) * (cc + d)
+                             AS DOUBLE))
+       END AS mcc
+FROM c
+"""
