@@ -4689,3 +4689,111 @@ SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_types,
        END AS z
 FROM agg
 """
+
+
+
+# ---- Tukey median polish of the weekday × hour activity grid -----------------
+
+def median_polish_weekday_hour(sf_dir: str, sweeps: int = 2,
+                               block_gate: int = 512):
+    """(dow, hour, c, residual) — Tukey's median polish of the 7×24
+    (weekday × hour-of-day) event-count grid: iteratively remove row
+    (weekday) and column (hour) median effects, leaving residuals that
+    expose cells breaking the separable day-profile × hour-profile model
+    (the robust two-way decomposition ANOVA can't give under outliers).
+    All-integer: counts are integers; every subtracted median uses the
+    quantile_disc convention (sorted element at ceil(n/2)−1, 0-based —
+    an ACTUAL element, so residuals stay integers through every sweep);
+    ``sweeps`` full (row, column) passes, fixed, so both engines
+    terminate in the identical state. dow = epoch-day mod 7,
+    hour = epoch-hour mod 24 (engine-neutral spellings).
+
+    Scale shape: the (dow, hour) cells are a 168-cell calendar-bounded
+    fold; the polish is O(sweeps·grid) driver work at any corpus
+    size."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        dow = pc.subtract(day, pc.multiply(pc.divide(day, 7), 7))
+        hr = pc.divide(us, 3_600_000_000)
+        hour = pc.subtract(hr, pc.multiply(pc.divide(hr, 24), 24))
+        t = pa.table({"dow": dow, "hour": hour})
+        g = t.group_by(["dow", "hour"]).aggregate([("dow", "count")])
+        return pa.table({"dow": pc.cast(g.column("dow"), pa.int64()),
+                         "hour": pc.cast(g.column("hour"), pa.int64()),
+                         "c": pc.cast(g.column("dow_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["dow", "hour"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "dow": pd.Series([], dtype=np.int64),
+        "hour": pd.Series([], dtype=np.int64),
+        "c": pd.Series([], dtype=np.int64),
+        "residual": pd.Series([], dtype=np.int64)})
+    if not len(cells):
+        return empty
+    grid = np.zeros((7, 24), dtype=np.int64)
+    grid[cells["dow"].to_numpy(np.int64),
+         cells["hour"].to_numpy(np.int64)] = cells["c"].to_numpy(np.int64)
+    resid = grid.copy()
+
+    def med(v: np.ndarray) -> int:
+        # quantile_disc(0.5): sorted element at ceil(n/2)-1 (0-based)
+        s = np.sort(v)
+        return int(s[-(-len(s) // 2) - 1])
+
+    for _ in range(sweeps):
+        for i in range(7):
+            resid[i, :] -= med(resid[i, :])
+        for j in range(24):
+            resid[:, j] -= med(resid[:, j])
+    dows, hours = np.meshgrid(np.arange(7), np.arange(24), indexing="ij")
+    return pd.DataFrame({
+        "dow": pd.Series(dows.ravel(), dtype=np.int64),
+        "hour": pd.Series(hours.ravel(), dtype=np.int64),
+        "c": pd.Series(grid.ravel(), dtype=np.int64),
+        "residual": pd.Series(resid.ravel(), dtype=np.int64)})
+
+
+_POLISH_ROW = """
+r{k} AS (SELECT dow, hour, c, r - m AS r
+         FROM (SELECT g.dow, g.hour, g.c, g.r,
+                      quantile_disc(g.r, 0.5)
+                        OVER (PARTITION BY g.dow) AS m
+               FROM {src} g) t),"""
+
+_POLISH_COL = """
+c{k} AS (SELECT dow, hour, c, r - m AS r
+         FROM (SELECT g.dow, g.hour, g.c, g.r,
+                      quantile_disc(g.r, 0.5)
+                        OVER (PARTITION BY g.hour) AS m
+               FROM r{k} g) t),"""
+
+MEDIAN_POLISH_SQL = ("""
+WITH cc AS (SELECT CAST((epoch_us(ts) // 86400000000)
+                        - ((epoch_us(ts) // 86400000000) // 7) * 7
+                        AS BIGINT) AS dow,
+                   CAST((epoch_us(ts) // 3600000000)
+                        - ((epoch_us(ts) // 3600000000) // 24) * 24
+                        AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+g0 AS (SELECT d.dow, h.hour, COALESCE(cc.c, 0) AS c,
+              COALESCE(cc.c, 0) AS r
+       FROM (SELECT unnest(generate_series(0, 6)) AS dow) d
+       CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour) h
+       LEFT JOIN cc USING (dow, hour)),"""
+                     + _POLISH_ROW.format(k=1, src="g0")
+                     + _POLISH_COL.format(k=1)
+                     + _POLISH_ROW.format(k=2, src="c1")
+                     + _POLISH_COL.format(k=2)
+                     + """
+final AS (SELECT dow, hour, c, r FROM c2)
+SELECT dow, hour, c, r AS residual FROM final ORDER BY dow, hour
+""")
