@@ -274,6 +274,20 @@ def run_bench() -> dict:
         "durbin_watson_daily_revenue", "pettitt_daily_events",
         "centroid_drift_embeddings", "chapman_estimate_documents",
         "skyline_parts", "lorenz_deciles_customers",
+        # round-5 continuation-session additions (stats waves 1-9)
+        "moods_median_chars_langs", "cvm_chars_langs",
+        "grubbs_daily_revenue", "burstiness_users", "hits_custsupp",
+        "silhouette_embeddings", "fmax_chars_langs",
+        "bowley_skew_chars_langs", "index_coincidence_lang",
+        "partial_corr_lineitem", "jarque_bera_quantity_returnflag",
+        "session_type_pairs", "spend_decile_transition_customers",
+        "kaplan_meier_users", "max_drawdown_daily_revenue",
+        "holt_daily_events", "tukey_fence_outliers_lang",
+        "cronbach_alpha_embeddings", "gini_stump_length_lang",
+        "cohens_d_chars_langs", "mcc_gates_documents",
+        "page_trend_event_types", "lmoments_chars_langs",
+        "median_polish_weekday_hour", "logrank_first_touch_users",
+        "von_neumann_daily_revenue",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -4797,3 +4797,187 @@ g0 AS (SELECT d.dow, h.hour, COALESCE(cc.c, 0) AS c,
 final AS (SELECT dow, hour, c, r FROM c2)
 SELECT dow, hour, c, r AS residual FROM final ORDER BY dow, hour
 """)
+
+
+
+# ---- log-rank test between user cohorts --------------------------------------
+
+def logrank_first_touch_users(sf_dir: str, horizon_days: int = 7,
+                              n_buckets: int = 64):
+    """One-row (n_steps, o1, e1, v, z) — the log-rank test comparing the
+    survival (lifetime-to-churn) of two user cohorts split by FIRST-touch
+    day class (epoch-day mod 7 ≥ 5, an engine-neutral 2-of-7 day-class
+    split): does acquisition day-class predict retention? The two-sample
+    extension of :func:`kaplan_meier_users`, sharing its lifetime /
+    censoring conventions. At each distinct lifetime t with d_t > 0
+    events (d1 in cohort 1), n1/n2 at risk and n = n1+n2:
+
+        O1 = Σ d1_t                       (exact integer)
+        E1 = Σ n1_t·d_t / n_t             V = Σ n1·n2·d·(n−d) / (n²(n−1))
+
+    E1 and V are the float chains — ordered sums over steps ascending in
+    t, one division each per step from exact integers, accumulated in
+    the SAME order by the driver loop and the SQL RECURSIVE CTE (the
+    kaplan_meier device), so z = (O1 − E1)/√V is bitwise cross-engine
+    (0.0 when V = 0; variance terms with n_t ≤ 1 contribute 0).
+
+    Scale shape: per-user (first, last) folds in ONE user-bucket
+    exchange; (lifetime, cohort, event) cells are day-bounded; the
+    recursion is O(steps) driver work."""
+    import math
+
+    ev = read_parquet(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts"])
+    mod = np.int64(n_buckets)
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        df = pd.DataFrame({"user": b.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64),
+            "d": d.to_numpy(zero_copy_only=False)})
+        agg = df.groupby("user", as_index=False).agg(
+            f=("d", "min"), l=("d", "max"))
+        agg["__b"] = (agg["user"].to_numpy(np.int64)
+                      % mod).astype(np.int32)
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_user = ev.map_batches(user_partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(
+            lambda g: g.drop(columns="__b").groupby(
+                "user", as_index=False).agg(f=("f", "min"),
+                                            l=("l", "max")),
+            batch_format="pandas").materialize()
+
+    zero = pd.DataFrame({
+        "n_steps": pd.Series([0], dtype=np.int64),
+        "o1": pd.Series([0], dtype=np.int64),
+        "e1": pd.Series([0.0], dtype=np.float64),
+        "v": pd.Series([0.0], dtype=np.float64),
+        "z": pd.Series([0.0], dtype=np.float64)})
+
+    def lmax(b: pa.Table) -> pa.Table:
+        m = pc.max(b.column("l")).as_py()
+        return pa.table({"l": pa.array(
+            [] if m is None else [int(m)], pa.int64())})
+
+    le = per_user.map_batches(lmax, batch_format="pyarrow").to_pandas()
+    if not len(le):
+        return zero
+    end = int(le["l"].max())
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        f = b.column("f").to_numpy(zero_copy_only=False)
+        last = b.column("l").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "t": last - f,
+            "g1": ((f - (f // 7) * 7) >= 5).astype(np.int64),
+            "ev": ((end - last) > horizon_days).astype(np.int64)})
+        agg = g.groupby(["t", "g1"], as_index=False).agg(
+            d=("ev", "sum"), n=("ev", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = per_user.map_batches(cell_partial,
+                                 batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return zero
+    cells = parts.groupby(["t", "g1"], as_index=False)[["d", "n"]].sum()
+    piv_d = cells.pivot_table(index="t", columns="g1", values="d",
+                              aggfunc="sum", fill_value=0).sort_index()
+    piv_n = cells.pivot_table(index="t", columns="g1", values="n",
+                              aggfunc="sum", fill_value=0).sort_index()
+    d1 = (piv_d[1].to_numpy(np.int64) if 1 in piv_d
+          else np.zeros(len(piv_d), np.int64))
+    d0 = (piv_d[0].to_numpy(np.int64) if 0 in piv_d
+          else np.zeros(len(piv_d), np.int64))
+    c1 = (piv_n[1].to_numpy(np.int64) if 1 in piv_n
+          else np.zeros(len(piv_n), np.int64))
+    c0 = (piv_n[0].to_numpy(np.int64) if 0 in piv_n
+          else np.zeros(len(piv_n), np.int64))
+    n1 = c1[::-1].cumsum()[::-1]      # at-risk in cohort 1 (g1 = 1)
+    n2 = c0[::-1].cumsum()[::-1]
+    o1 = 0
+    e1 = 0.0
+    v = 0.0
+    n_steps = 0
+    for i in range(len(d1)):
+        dt = int(d1[i] + d0[i])
+        if dt == 0:
+            continue
+        n_steps += 1
+        nt = int(n1[i] + n2[i])
+        o1 += int(d1[i])
+        e1 = e1 + float(int(n1[i]) * dt) / float(nt)
+        if nt > 1:
+            v = v + float(int(n1[i]) * int(n2[i]) * dt * (nt - dt)) \
+                / float(nt * nt * (nt - 1))
+    z = 0.0 if v == 0.0 else (float(o1) - e1) / math.sqrt(v)
+    return pd.DataFrame({
+        "n_steps": pd.Series([n_steps], dtype=np.int64),
+        "o1": pd.Series([o1], dtype=np.int64),
+        "e1": pd.Series([e1], dtype=np.float64),
+        "v": pd.Series([v], dtype=np.float64),
+        "z": pd.Series([z], dtype=np.float64)})
+
+
+LOGRANK_SQL = """
+WITH RECURSIVE
+pu AS (SELECT user_id,
+              CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS f,
+              CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS l
+       FROM events GROUP BY 1),
+ee AS (SELECT max(l) AS e FROM pu),
+du AS (SELECT l - f AS t,
+              CASE WHEN f - (f // 7) * 7 >= 5 THEN 1 ELSE 0 END AS g1,
+              CASE WHEN (SELECT e FROM ee) - l > 7 THEN 1 ELSE 0 END AS ev
+       FROM pu),
+cells AS (SELECT t,
+                 CAST(COALESCE(sum(ev) FILTER (WHERE g1 = 1), 0)
+                      AS BIGINT) AS d1,
+                 CAST(COALESCE(sum(ev) FILTER (WHERE g1 = 0), 0)
+                      AS BIGINT) AS d0,
+                 CAST(count(*) FILTER (WHERE g1 = 1) AS BIGINT) AS c1,
+                 CAST(count(*) FILTER (WHERE g1 = 0) AS BIGINT) AS c0
+          FROM du GROUP BY 1),
+atrisk AS (SELECT t, d1, d0,
+                  CAST(sum(c1) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n1,
+                  CAST(sum(c0) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n2
+           FROM cells),
+steps AS (SELECT t, d1, d0, n1, n2, d1 + d0 AS dt, n1 + n2 AS nt,
+                 row_number() OVER (ORDER BY t) AS rn
+          FROM atrisk WHERE d1 + d0 > 0),
+rec AS (
+  SELECT rn, d1,
+         CAST(n1 * dt AS DOUBLE) / CAST(nt AS DOUBLE) AS e1,
+         CASE WHEN nt > 1
+              THEN CAST(n1 * n2 * dt * (nt - dt) AS DOUBLE)
+                   / CAST(nt * nt * (nt - 1) AS DOUBLE)
+              ELSE 0.0 END AS v
+  FROM steps WHERE rn = 1
+  UNION ALL
+  SELECT s.rn, s.d1,
+         rec.e1 + CAST(s.n1 * s.dt AS DOUBLE) / CAST(s.nt AS DOUBLE),
+         rec.v + CASE WHEN s.nt > 1
+                      THEN CAST(s.n1 * s.n2 * s.dt * (s.nt - s.dt)
+                                AS DOUBLE)
+                           / CAST(s.nt * s.nt * (s.nt - 1) AS DOUBLE)
+                      ELSE 0.0 END
+  FROM rec JOIN steps s ON s.rn = rec.rn + 1),
+fin AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM steps) AS n_steps,
+               (SELECT CAST(COALESCE(sum(d1), 0) AS BIGINT) FROM steps)
+                 AS o1,
+               (SELECT e1 FROM rec ORDER BY rn DESC LIMIT 1) AS e1,
+               (SELECT v FROM rec ORDER BY rn DESC LIMIT 1) AS v)
+SELECT COALESCE(n_steps, 0) AS n_steps, COALESCE(o1, 0) AS o1,
+       COALESCE(e1, 0.0) AS e1, COALESCE(v, 0.0) AS v,
+       CASE WHEN COALESCE(v, 0.0) = 0.0 THEN 0.0
+            ELSE (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END AS z
+FROM fin
+"""

@@ -2716,3 +2716,90 @@ SELECT lang, CAST(n AS BIGINT) AS n,
        END AS l_skew
 FROM a ORDER BY lang
 """
+
+
+
+# ---- von Neumann successive-difference randomness ratio ----------------------
+
+def von_neumann_daily_revenue(sf_dir: str, block_gate: int = 512):
+    """One-row (n_days, d2_sum, var_num, vn) — the von Neumann ratio of
+    the daily-revenue series: successive-difference mean square over the
+    variance,
+
+        η = n²·Σ(x_{t+1} − x_t)² / ((n−1)·(n·Σx² − S²))
+
+    (≈ 2 for white noise, ≪ 2 trending/sticky, ≫ 2 oscillating) — the
+    raw-series randomness screen beside durbin_watson (which tests OLS
+    residuals, not the series itself). Steps are CONSECUTIVE OBSERVED
+    days in day order (gaps close up — documented convention, mirrored
+    in SQL's lag over day order). All inputs are exact integers (cents;
+    Σd² and Σx² in Python ints / HUGEINT — they overflow int64), the one
+    float is a single division (0.0 when n < 2 or the variance is 0).
+
+    Scale shape: per-day cents cells are calendar-bounded → shared gated
+    cell fold; the diff is O(days) driver work."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"d": d, "c": cents}).group_by("d").aggregate(
+            [("c", "sum")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    zero = pd.DataFrame({
+        "n_days": pd.Series([0], dtype=np.int64),
+        "d2_sum": pd.Series([0.0], dtype=np.float64),
+        "var_num": pd.Series([0.0], dtype=np.float64),
+        "vn": pd.Series([0.0], dtype=np.float64)})
+    if not len(cells):
+        return zero
+    cells = cells.sort_values("d")
+    c = [int(x) for x in cells["c"].tolist()]
+    n = len(c)
+    s = sum(c)
+    ss = sum(x * x for x in c)
+    d2 = sum((b - a) * (b - a) for a, b in zip(c[:-1], c[1:]))
+    var_num = n * ss - s * s
+    vn = 0.0 if (n < 2 or var_num <= 0) else \
+        float(n * n * d2) / float((n - 1) * var_num)
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype=np.int64),
+        "d2_sum": pd.Series([float(d2)], dtype=np.float64),
+        "var_num": pd.Series([float(var_num)], dtype=np.float64),
+        "vn": pd.Series([vn], dtype=np.float64)})
+
+
+VON_NEUMANN_SQL = """
+WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                    AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+w AS (SELECT day, c, lag(c) OVER (ORDER BY day) AS pc FROM d),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(COALESCE(sum(c), 0) AS HUGEINT) AS s,
+             CAST(COALESCE(sum(CAST(c AS HUGEINT) * c), 0) AS HUGEINT)
+               AS ss,
+             CAST(COALESCE(sum(CAST(c - pc AS HUGEINT) * (c - pc)), 0)
+                  AS HUGEINT) AS d2
+      FROM w)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(d2 AS DOUBLE) AS d2_sum,
+       CAST(n * ss - s * s AS DOUBLE) AS var_num,
+       CASE WHEN n < 2 OR n * ss - s * s <= 0 THEN 0.0
+            ELSE CAST(n * n * d2 AS DOUBLE)
+                 / CAST((n - 1) * (n * ss - s * s) AS DOUBLE)
+       END AS vn
+FROM a
+"""
