@@ -4018,30 +4018,78 @@ def hits_custsupp(sf_dir: str):
     mutual-reinforcement ranking PageRank's single-score random walk
     cannot express. stages/pagerank.hits: all-integer in-neighbor sums +
     integer max-normalization per half-step, so the fixed iteration count
-    is bit-reproducible — and SQL-checkable via chained CTEs."""
+    is bit-reproducible — and SQL-checkable via chained CTEs.
+
+    Edge build: orders is the SMALL side of the custkey lookup — under
+    ``broadcast_orders_limit`` rows it broadcasts once as a SORTED
+    (orderkey, custkey) array pair (``ray.put``; per-batch probe = one
+    vectorized ``np.searchsorted`` — ``pc.index_in`` would rebuild a
+    1.5M-key hash table per batch, measured 8 s vs ~3 s at sf0.1) and
+    the per-batch-deduped pairs dedup DRIVER-side (they are gathered for
+    the gated HITS iteration anyway — the distributed dedup exchange
+    would only re-spread data the driver is about to collect); past the
+    limit the bucketed fact-fact join + pair-hash dedup exchange take
+    over. The deduped edge set is MATERIALIZED — every HITS half-step
+    re-reads it, and lazy edges would re-execute the build 6×
+    (measured 117 s lazy / 12 s joined / ~5 s broadcast at sf0.1)."""
+    import ray
+    import ray.data as rd
+
     from ..stages.pagerank import hits
 
-    o = read_parquet(f"{sf_dir}/orders.parquet",
-                     columns=["o_orderkey", "o_custkey"])
     li = read_parquet(f"{sf_dir}/lineitem.parquet",
                       columns=["l_orderkey", "l_suppkey"])
-    j = bucketed_join(li, o, on="l_orderkey", right_on="o_orderkey")
+    import pyarrow.parquet as _pq
 
-    def pair_partials(b: pa.Table) -> pa.Table:
-        df = pa.table({"src": pc.cast(b.column("o_custkey"), pa.int64()),
-                       "dst": pc.cast(b.column("l_suppkey"), pa.int64())}) \
+    meta = _pq.read_metadata(f"{sf_dir}/orders.parquet")
+    broadcast_orders_limit = 4_000_000
+    if meta.num_rows <= broadcast_orders_limit:
+        ot = _pq.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey"])
+        ok = ot.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cu = ot.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ok, kind="mergesort")
+        dim_ref = ray.put((ok[order], cu[order]))
+
+        def probe_pairs(b: pa.Table) -> pa.Table:
+            okeys, custs = ray.get(dim_ref)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            src = custs[np.searchsorted(okeys, lk)]
+            df = pd.DataFrame({
+                "src": src,
+                "dst": b.column("l_suppkey").to_numpy(
+                    zero_copy_only=False).astype(np.int64)}) \
+                .drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        pdf = li.map_batches(probe_pairs, batch_format="pyarrow") \
             .to_pandas().drop_duplicates()
-        h = pd.util.hash_pandas_object(
-            df["src"] * np.int64(1_000_003) + df["dst"],
-            index=False).to_numpy()
-        return pa.Table.from_pandas(
-            df.assign(__pb=(h % 32).astype(np.int32)),
-            preserve_index=False).replace_schema_metadata(None)
+        dedup = rd.from_pandas(pdf.reset_index(drop=True)).materialize()
+    else:
+        o = read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+        j = bucketed_join(li, o, on="l_orderkey", right_on="o_orderkey")
 
-    dedup = j.map_batches(pair_partials, batch_format="pyarrow") \
-        .groupby("__pb").map_groups(
-            lambda g: g.drop(columns="__pb").drop_duplicates(),
-            batch_format="pandas")
+        def pair_partials(b: pa.Table) -> pa.Table:
+            df = pa.table({
+                "src": pc.cast(b.column("o_custkey"), pa.int64()),
+                "dst": pc.cast(b.column("l_suppkey"), pa.int64())}) \
+                .to_pandas().drop_duplicates()
+            h = pd.util.hash_pandas_object(
+                df["src"] * np.int64(1_000_003) + df["dst"],
+                index=False).to_numpy()
+            return pa.Table.from_pandas(
+                df.assign(__pb=(h % 32).astype(np.int32)),
+                preserve_index=False).replace_schema_metadata(None)
+
+        dedup = j.map_batches(pair_partials, batch_format="pyarrow") \
+            .groupby("__pb").map_groups(
+                lambda g: g.drop(columns="__pb").drop_duplicates(),
+                batch_format="pandas").materialize()
 
     h_state, a_state = hits(dedup, "src", "dst", iterations=3)
     frames = []

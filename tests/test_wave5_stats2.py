@@ -263,6 +263,21 @@ def test_hits_hand_fixture(ray_session, tmp_path):
                                               "score": np.int64}),
         ref.astype({"key": np.int64, "score": np.int64}))
 
+    # exchange path (edge_gate=0) must equal the gated driver path
+    import ray.data as rd
+    from jsonschema_validator_ray.stages.pagerank import hits
+
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [1, 1, 1, 2], "dst": [10, 11, 12, 10]})).materialize()
+    hx, ax = hits(edges, "src", "dst", iterations=3, edge_gate=0)
+    hd, ad = hits(edges, "src", "dst", iterations=3)
+    for got, want in ((hx, hd), (ax, ad)):
+        g = got.to_pandas().sort_values("node").reset_index(drop=True)
+        w = want.to_pandas().sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g.astype({"node": np.int64, "score": np.int64}),
+            w.astype({"node": np.int64, "score": np.int64}))
+
 
 def test_wave5_stats2_exchange_paths(ray_session):
     from jsonschema_validator_ray.pipelines.anomaly import (
