@@ -287,7 +287,8 @@ def run_bench() -> dict:
         "cohens_d_chars_langs", "mcc_gates_documents",
         "page_trend_event_types", "lmoments_chars_langs",
         "median_polish_weekday_hour", "logrank_first_touch_users",
-        "von_neumann_daily_revenue",
+        "von_neumann_daily_revenue", "decayed_type_scores",
+        "runs_up_down_daily_revenue", "odds_ratio_gates_by_lang",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

@@ -2803,3 +2803,163 @@ SELECT CAST(n AS BIGINT) AS n_days,
        END AS vn
 FROM a
 """
+
+
+# ---- bit-shift exponential decay popularity ---------------------------------
+
+def decayed_type_scores(sf_dir: str, block_gate: int = 512):
+    """(event_type, n_events, score) — recency-weighted popularity per
+    event type with EXACT exponential decay: each event contributes
+    ``2⁴⁰ >> min(age_days, 62)`` units (half-life = one day), so recent
+    activity dominates without any float ever existing — the
+    integer-shift decay device (floats make time-decay scores
+    irreproducible across summation orders; shifts are exact in any
+    order). The corpus end (max event day) anchors age in BOTH engines
+    identically.
+
+    Scale shape: (type, day) cells are calendar-bounded → shared gated
+    cell fold; the decay weighting is O(cells) driver math."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("ts"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        t = pa.table({"d": d, "ty": b.column("event_type")})
+        g = t.group_by(["d", "ty"]).aggregate([("d", "count")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "ty": g.column("ty"),
+                         "c": pc.cast(g.column("d_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d", "ty"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_events": pd.Series([], dtype=np.int64),
+        "score": pd.Series([], dtype=np.int64)})
+    if not len(cells):
+        return empty
+    end = int(cells["d"].max())
+    scale = 1 << 40
+    rows = {}
+    for d, ty, c in zip(cells["d"], cells["ty"], cells["c"]):
+        age = min(end - int(d), 62)
+        n, s = rows.get(str(ty), (0, 0))
+        rows[str(ty)] = (n + int(c), s + int(c) * (scale >> age))
+    out = pd.DataFrame(
+        [(ty, n, s) for ty, (n, s) in rows.items()],
+        columns=["event_type", "n_events", "score"])
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["score"] = out["score"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+DECAYED_SCORES_SQL = """
+WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  event_type AS ty, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+e AS (SELECT max(d) AS e FROM c)
+SELECT ty AS event_type, CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(sum(c * (CAST(1099511627776 AS BIGINT)
+                     >> LEAST((SELECT e FROM e) - d, 62))) AS BIGINT)
+         AS score
+FROM c GROUP BY ty ORDER BY ty
+"""
+
+
+# ---- runs-up-and-down randomness test ----------------------------------------
+
+def runs_up_down_daily_revenue(sf_dir: str, block_gate: int = 512):
+    """One-row (n_eff, n_runs, z) — the runs-up-and-down test on daily
+    revenue: count maximal runs of consecutive INCREASES or DECREASES
+    (zero diffs dropped — documented convention, identical in both
+    engines); too few runs = momentum, too many = mean-reversion. The
+    direction-based complement of runs_test_daily_revenue's level-based
+    runs. With n_eff = (#nonzero diffs) + 1 observations,
+
+        z = ((3·R − (2·n_eff − 1))/3) / √((16·n_eff − 29)/90)
+
+    — numerator exact integer, one identically-spelled IEEE chain (0.0
+    when n_eff < 3).
+
+    Scale shape: per-day cents cells are calendar-bounded → shared gated
+    cell fold; the run count is O(days) driver work."""
+    import math
+
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(pc.cast(
+            b.column("o_orderdate"), pa.timestamp("us")), pa.int64()),
+            86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"d": d, "c": cents}).group_by("d").aggregate(
+            [("c", "sum")])
+        return pa.table({"d": pc.cast(g.column("d"), pa.int64()),
+                         "c": pc.cast(g.column("c_sum"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["d"], sums=["c"],
+                       block_gate=block_gate)
+    zero = pd.DataFrame({
+        "n_eff": pd.Series([0], dtype=np.int64),
+        "n_runs": pd.Series([0], dtype=np.int64),
+        "z": pd.Series([0.0], dtype=np.float64)})
+    if not len(cells):
+        return zero
+    cells = cells.sort_values("d")
+    c = cells["c"].to_numpy(np.int64)
+    diffs = np.diff(c)
+    signs = np.sign(diffs[diffs != 0])
+    m = len(signs)
+    n_eff = m + 1
+    if m == 0:
+        return pd.DataFrame({
+            "n_eff": pd.Series([n_eff], dtype=np.int64),
+            "n_runs": pd.Series([0], dtype=np.int64),
+            "z": pd.Series([0.0], dtype=np.float64)})
+    runs = 1 + int((signs[1:] != signs[:-1]).sum())
+    if n_eff < 3:
+        z = 0.0
+    else:
+        z = (float(3 * runs - (2 * n_eff - 1)) / 3.0) \
+            / math.sqrt(float(16 * n_eff - 29) / 90.0)
+    return pd.DataFrame({
+        "n_eff": pd.Series([n_eff], dtype=np.int64),
+        "n_runs": pd.Series([runs], dtype=np.int64),
+        "z": pd.Series([z], dtype=np.float64)})
+
+
+RUNS_UP_DOWN_SQL = """
+WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                    AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+w AS (SELECT day, c - lag(c) OVER (ORDER BY day) AS df FROM d),
+s AS (SELECT day, CASE WHEN df > 0 THEN 1 ELSE -1 END AS sg
+      FROM w WHERE df IS NOT NULL AND df <> 0),
+r AS (SELECT sg, lag(sg) OVER (ORDER BY day) AS pg FROM s),
+a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(COALESCE(sum(CASE WHEN pg IS NOT NULL AND sg <> pg
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS changes
+      FROM r)
+SELECT CAST(m + 1 AS BIGINT) AS n_eff,
+       CAST(CASE WHEN m = 0 THEN 0 ELSE changes + 1 END AS BIGINT)
+         AS n_runs,
+       CASE WHEN m = 0 OR m + 1 < 3 THEN 0.0
+            ELSE (CAST(3 * (changes + 1) - (2 * (m + 1) - 1) AS DOUBLE)
+                  / 3.0)
+                 / sqrt(CAST(16 * (m + 1) - 29 AS DOUBLE) / 90.0)
+       END AS z
+FROM a
+"""

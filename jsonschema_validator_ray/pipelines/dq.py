@@ -1347,3 +1347,92 @@ SELECT CAST(a AS BIGINT) AS n_both,
        END AS mcc
 FROM c
 """
+
+
+# ---- per-language odds ratios between the quality gates ----------------------
+
+def odds_ratio_gates_by_lang(sf_dir: str, min_chars: int = 300,
+                             min_periods: int = 3, block_gate: int = 512):
+    """(lang, n_both, n_only_len, n_only_sent, n_neither, odds_ratio) —
+    the per-language odds ratio between the LENGTH gate and the SENTENCE
+    gate (the STRATIFIED view of :func:`mcc_gates_documents`: a pooled
+    association can invert per stratum — Simpson's pattern — and the
+    per-lang ORs expose it). OR = (a·d)/(b·c), ONE division of exact
+    integer products per language (0.0 when b·c = 0 — a degenerate
+    margin, reported raw so the caller sees the cells).
+
+    Scale shape: per-batch (lang, g1, g2) confusion partials — langs ×
+    4 cells → shared gated cell fold; driver math is O(langs)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g1 = pc.greater_equal(b.column("n_chars"), min_chars)
+        g2 = pc.greater_equal(pc.count_substring(b.column("text"), "."),
+                              min_periods)
+        t = pa.table({"lang": b.column("lang"),
+                      "g1": pc.cast(g1, pa.int64()),
+                      "g2": pc.cast(g2, pa.int64())})
+        g = t.group_by(["lang", "g1", "g2"]).aggregate([("g1", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "g1": g.column("g1"), "g2": g.column("g2"),
+                         "c": pc.cast(g.column("g1_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["lang", "g1", "g2"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n_both": pd.Series([], dtype=np.int64),
+        "n_only_len": pd.Series([], dtype=np.int64),
+        "n_only_sent": pd.Series([], dtype=np.int64),
+        "n_neither": pd.Series([], dtype=np.int64),
+        "odds_ratio": pd.Series([], dtype=np.float64)})
+    if not len(cells):
+        return empty
+    rows = []
+    for lang, g in cells.groupby("lang"):
+        cnt = {(int(r.g1), int(r.g2)): int(r.c)
+               for r in g.itertuples(index=False)}
+        a = cnt.get((1, 1), 0)
+        b_ = cnt.get((1, 0), 0)
+        c_ = cnt.get((0, 1), 0)
+        d_ = cnt.get((0, 0), 0)
+        orr = 0.0 if b_ * c_ == 0 else float(a * d_) / float(b_ * c_)
+        rows.append((str(lang), a, b_, c_, d_, orr))
+    out = pd.DataFrame(rows, columns=["lang", "n_both", "n_only_len",
+                                      "n_only_sent", "n_neither",
+                                      "odds_ratio"])
+    for col in ("n_both", "n_only_len", "n_only_sent", "n_neither"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+ODDS_RATIO_GATES_SQL = """
+WITH g AS (SELECT lang,
+                  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN length(text) - length(replace(text, '.', ''))
+                            >= 3 THEN 1 ELSE 0 END AS g2
+           FROM documents),
+c AS (SELECT lang,
+        CAST(COALESCE(sum(CASE WHEN g1 = 1 AND g2 = 1 THEN 1 END), 0)
+             AS HUGEINT) AS a,
+        CAST(COALESCE(sum(CASE WHEN g1 = 1 AND g2 = 0 THEN 1 END), 0)
+             AS HUGEINT) AS b,
+        CAST(COALESCE(sum(CASE WHEN g1 = 0 AND g2 = 1 THEN 1 END), 0)
+             AS HUGEINT) AS cc,
+        CAST(COALESCE(sum(CASE WHEN g1 = 0 AND g2 = 0 THEN 1 END), 0)
+             AS HUGEINT) AS d
+      FROM g GROUP BY lang)
+SELECT lang,
+       CAST(a AS BIGINT) AS n_both,
+       CAST(b AS BIGINT) AS n_only_len,
+       CAST(cc AS BIGINT) AS n_only_sent,
+       CAST(d AS BIGINT) AS n_neither,
+       CASE WHEN b * cc = 0 THEN 0.0
+            ELSE CAST(a * d AS DOUBLE) / CAST(b * cc AS DOUBLE)
+       END AS odds_ratio
+FROM c ORDER BY lang
+"""
