@@ -289,6 +289,7 @@ def run_bench() -> dict:
         "median_polish_weekday_hour", "logrank_first_touch_users",
         "von_neumann_daily_revenue", "decayed_type_scores",
         "runs_up_down_daily_revenue", "odds_ratio_gates_by_lang",
+        "unalikeability_lang_by_source",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

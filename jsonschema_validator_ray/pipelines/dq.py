@@ -1436,3 +1436,66 @@ SELECT lang,
        END AS odds_ratio
 FROM c ORDER BY lang
 """
+
+
+# ---- coefficient of unalikeability: categorical dispersion -------------------
+
+def unalikeability_lang_by_source(sf_dir: str, block_gate: int = 512):
+    """(source, n, n_langs, u) — the coefficient of unalikeability of the
+    language mix within each source: the probability two random documents
+    of the source differ in language, u = 1 − Σp_i² = (T² − Σc_i²)/T² —
+    the CATEGORICAL dispersion measure (variance has no meaning on
+    nominal labels; u is its nominal-scale replacement, the complement
+    of the Gini-Simpson index' matching probability). ONE division of
+    exact integers per source (Python ints driver-side, HUGEINT in SQL;
+    0.0 when T < 2... T = 0 sources cannot appear).
+
+    Scale shape: (source, lang) cells are vocabulary-bounded → shared
+    gated cell fold; driver math is O(cells)."""
+    from ..sources.parquet import FusedParquetScan
+    from ..stages.folds import fold_cells
+
+    scan = FusedParquetScan(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return pa.table({"source": g.column("source"),
+                         "lang": g.column("lang"),
+                         "c": pc.cast(g.column("lang_count"), pa.int64())})
+
+    cells = fold_cells(scan, partial, ["source", "lang"], sums=["c"],
+                       block_gate=block_gate)
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype=np.int64),
+        "n_langs": pd.Series([], dtype=np.int64),
+        "u": pd.Series([], dtype=np.float64)})
+    if not len(cells):
+        return empty
+    rows = []
+    for src, g in cells.groupby("source"):
+        cs = [int(x) for x in g["c"].tolist()]
+        t = sum(cs)
+        s2 = sum(c * c for c in cs)
+        u = 0.0 if t < 2 else float(t * t - s2) / float(t * t)
+        rows.append((str(src), t, len(cs), u))
+    out = pd.DataFrame(rows, columns=["source", "n", "n_langs", "u"])
+    out["n"] = out["n"].astype(np.int64)
+    out["n_langs"] = out["n_langs"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+UNALIKEABILITY_SQL = """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+a AS (SELECT source, CAST(sum(c) AS HUGEINT) AS t,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+             CAST(count(*) AS BIGINT) AS k
+      FROM c GROUP BY 1)
+SELECT source, CAST(t AS BIGINT) AS n, k AS n_langs,
+       CASE WHEN t < 2 THEN 0.0
+            ELSE CAST(t * t - s2 AS DOUBLE) / CAST(t * t AS DOUBLE)
+       END AS u
+FROM a ORDER BY source
+"""

@@ -104,3 +104,35 @@ def test_wave5_stats11_exchange_paths(ray_session):
         forced = fn(SF_SMOKE, block_gate=0).sort_values(sort_cols) \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(gated, forced)
+
+
+def test_unalikeability_hand_fixture(ray_session, tmp_path):
+    from jsonschema_validator_ray.pipelines.dq import (
+        unalikeability_lang_by_source)
+
+    # web: en,en,de,fr -> u = 1 - (4+1+1)/16 = 10/16; cc: de only -> 0
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["x"] * 6),
+        "lang": pa.array(["en", "en", "de", "fr", "de", "de"]),
+        "source": pa.array(["web"] * 4 + ["cc"] * 2),
+        "n_chars": pa.array([10] * 6, pa.int64()),
+    }), str(d / "documents.parquet"))
+    out = unalikeability_lang_by_source(str(d)).reset_index(drop=True)
+    assert list(out["source"]) == ["cc", "web"]
+    assert list(out["n"]) == [2, 4]
+    assert list(out["n_langs"]) == [1, 3]
+    assert out["u"].iloc[0] == pytest.approx(0.0)
+    assert out["u"].iloc[1] == pytest.approx(10 / 16)
+
+
+def test_unalikeability_exchange_path(ray_session):
+    from jsonschema_validator_ray.pipelines.dq import (
+        unalikeability_lang_by_source)
+
+    gated = unalikeability_lang_by_source(SF_SMOKE)
+    forced = unalikeability_lang_by_source(SF_SMOKE, block_gate=0)
+    pd.testing.assert_frame_equal(gated.reset_index(drop=True),
+                                  forced.reset_index(drop=True))
